@@ -64,17 +64,18 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
+    # All num_hashes minhashes in ONE aggregate pass: the accumulator is the
+    # signature array, each shingle updates every lane via zip_with. The
+    # shingle array is evaluated once per row (the naive per-lane aggregate
+    # form re-derives shingles num_hashes times — Catalyst does not CSE
+    # across lambda aggregates; measured 26s -> ~2s on 500 docs).
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = df.select(
         F.col(id_col).alias("__id"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.aggregate(
-                _shingles(F.col(text_col), shingle_k),
-                F.lit(None).cast("long"),
-                lambda acc, s: F.least(
-                    F.coalesce(acc, F.lit(2**63 - 1)), F.xxhash64(s, i)
-                ),
-            ),
+        F.aggregate(
+            _shingles(F.col(text_col), shingle_k),
+            F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
+            lambda acc, s: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(s, i))),
         ).alias("__sig"),
     )
 

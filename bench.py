@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution uses the ``noop`` sink so timings cover the full distributed plan
+(scan -> shuffle -> sink) without driver-collect overhead skewing results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every heavy execution pattern the engine exercises —
+# partial-agg shuffle, join+round, global window, as-of union-window, event
+# windows/sessions, vector scan, text scan, minhash LSH self-join.
+BENCH_QUERIES = [
+    "q_agg_pricing",
+    "q_ohlc_daily",
+    "q_join_convert",
+    "q_sma_window",
+    "q_asof_rate",
+    "q_window_tumbling",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_quality_score",
+    "q_cosine_topk",
+    "q_dedup_near",
+]
+
+
+def main() -> None:
+    from alphavantage_etl_spark.session import get_spark
+    from alphavantage_etl_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once on the smallest SF so per-query times
+    # measure execution, not first-run JIT.
+    QUERIES["q_agg_pricing"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
