@@ -1,11 +1,18 @@
 """Money rounding with the reference's exact semantics.
 
-The reference computes ``round(closePriceUsd * closeRate, 2)`` with Python's
-builtin ``round`` (av_etl.py:192-193), which is **banker's rounding**
-(half-to-even): ``round(2.665, 2) == 2.66``, ``round(0.125, 2) == 0.12``.
-Spark's ``F.round`` is half-up and diverges on exact ties; ``F.bround`` is
-half-even and matches (SURVEY.md section 2.2 P6, section 7.3.3). The DuckDB
-oracle side must use ``round_even`` for the same reason.
+The reference computes ``round(closePriceUsd * closeRate, 2)`` on a pandas
+Series (av_etl.py:192-193), which dispatches to numpy: **scale by 10^2,
+rint (ties-to-even on the scaled binary double), scale back**. That is
+half-even — ``round(2.665, 2) == 2.66``, ``round(0.125, 2) == 0.12`` — but
+NOT the same as Spark's ``bround(x, 2)``: bround rounds the shortest
+*decimal representation* (BigDecimal.valueOf), so on 2.675 (binary
+2.67499999...) bround says 2.68 while numpy/pandas say 2.67. Composing
+``bround(x * 100, 0) / 100`` reproduces the numpy algorithm: the scaled
+value's shortest repr coincides with its binary tie structure, verified
+against Python/numpy on tie cases (tests/test_semantics.py).
+
+DuckDB's ``round_even`` uses the same scaled-multiply algorithm, so the
+oracle side matches this formulation (SURVEY.md section 2.2 P6, 7.3.3).
 """
 
 from __future__ import annotations
@@ -15,6 +22,7 @@ from pyspark.sql import functions as F
 
 
 def money_round(col: Column | str, scale: int = 2) -> Column:
-    """Half-even rounding — drop-in for the reference's ``round(x, 2)``."""
+    """Half-even rounding with numpy/pandas ``round(x, scale)`` parity."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.bround(c, scale)
+    f = float(10**scale)
+    return F.bround(c * f, 0) / f

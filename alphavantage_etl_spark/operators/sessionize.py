@@ -25,9 +25,10 @@ def sessionize(
 ) -> DataFrame:
     """One row per (user, session): start/last timestamps, event count, value sum.
 
-    Events exactly ``gap`` apart start a NEW session (session_window merges
-    strictly-less-than-gap neighbors; verified against the lag/cumsum
-    islands formulation the DuckDB oracle uses).
+    Boundary semantics (verified empirically, pinned in tests): an event
+    exactly ``gap`` after its predecessor is MERGED into the same session —
+    session_window's merge condition is inclusive. The islands/lag oracle
+    formulation must therefore split only on ``diff > gap``, not ``>=``.
     """
     return (
         df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))

@@ -542,8 +542,10 @@ WITH e AS (
   FROM events
 ),
 flagged AS (
+  -- strictly-greater: Spark session_window MERGES events exactly gap apart
+  -- (inclusive boundary; pinned in tests/test_semantics.py)
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),

@@ -1,0 +1,180 @@
+"""Unit tests pinning the reference's tricky semantics on tiny literal
+frames (SURVEY.md section 5.2 layer 2, FIXTURES.md 'semantics to pin')."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.functions.calendar import business_day_calendar
+from alphavantage_etl_spark.functions.rounding import money_round
+from alphavantage_etl_spark.functions.text import simhash64, token_count
+from alphavantage_etl_spark.functions.windows import sma
+from alphavantage_etl_spark.operators.asof import asof_join
+from alphavantage_etl_spark.operators.bars import ohlcv_bars
+from alphavantage_etl_spark.operators.incremental import merge_incremental, new_rows
+from alphavantage_etl_spark.operators.sessionize import sessionize
+
+
+def d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# --- W1: SMA exclusive trailing frame, NULL under k (data_viz.py:100-109) ---
+def test_sma_exclusive_frame_null_under_k(spark):
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    df = spark.createDataFrame(
+        [(d(f"2024-01-0{i+1}"), v) for i, v in enumerate(vals)], "date date, v double"
+    )
+    out = {
+        r["date"].day: r["s"]
+        for r in df.select("date", sma("v", 4, "date").alias("s")).collect()
+    }
+    # rows 1..4: fewer than 4 preceding -> NULL (pandas min_periods=k parity)
+    assert out[1] is None and out[2] is None and out[3] is None and out[4] is None
+    # row 5: mean of rows 1..4 (EXCLUSIVE of row 5)
+    assert out[5] == pytest.approx((10 + 20 + 30 + 40) / 4)
+    assert out[6] == pytest.approx((20 + 30 + 40 + 50) / 4)
+
+
+# --- P6: half-even money rounding (av_etl.py:192-193). The reference rounds
+# a pandas SERIES, so builtin round() dispatches to Series.round -> numpy
+# scaled-rint — NOT Python scalar round (they disagree on 2.675: numpy 2.68
+# because 2.675*100 == 267.5 exactly in double; scalar round 2.67 from the
+# binary value). Parity target is pandas/numpy.
+def test_money_round_half_even(spark):
+    import pandas as pd
+
+    cases = [2.675, 2.665, 0.125, 1.005, 2.5, 3.5, 12716.414999999999]
+    df = spark.createDataFrame([(c,) for c in cases], "x double")
+    got = [r["y"] for r in df.select(money_round("x", 2).alias("y")).collect()]
+    expected = list(round(pd.Series(cases), 2))  # the reference's exact call shape
+    assert got == expected
+
+
+# --- D1: business-day count, half-open, holiday-aware (av_etl.py:50-51,95) ---
+def test_busday_halfopen_and_holidays(spark):
+    # Mon 2024-01-01 .. Fri 2024-01-05: [Mon, Fri) = Mon,Tue,Wed,Thu = 4
+    cal = business_day_calendar(spark, "2024-01-01", "2024-01-04")
+    assert cal.count() == 4
+    import numpy as np
+
+    assert int(np.busday_count("2024-01-01", "2024-01-05")) == 4
+    # holiday inside the span drops 1 (np.busday_count holidays parity)
+    cal_h = business_day_calendar(spark, "2024-01-01", "2024-01-04", holidays=["2024-01-02"])
+    assert cal_h.count() == 3
+    assert int(np.busday_count("2024-01-01", "2024-01-05", holidays=["2024-01-02"])) == 3
+    # weekend-only span counts zero
+    assert business_day_calendar(spark, "2024-01-06", "2024-01-07").count() == 0
+
+
+# --- J2: anti-join increment == positional tail(gap) (av_etl.py:79) ---
+def test_new_rows_equals_tail(spark):
+    incoming = spark.createDataFrame(
+        [(d(f"2024-01-0{i}"), float(i)) for i in range(1, 8)], "date date, v double"
+    )
+    existing = incoming.where(F.col("date") <= F.lit("2024-01-04"))
+    got = sorted(r["date"].day for r in new_rows(incoming, existing, "date").collect())
+    # pandas equivalent: df.tail(gap) with gap = 3 newest rows in ASC order
+    assert got == [5, 6, 7]
+    merged = merge_incremental(incoming, existing, "date")
+    assert merged.count() == 7
+    assert merged.select("date").distinct().count() == 7
+    # idempotent: merging again adds nothing (PK-by-construction, av_etl.py:38)
+    assert merge_incremental(incoming, merged, "date").count() == 7
+
+
+# --- A1: ordered first/last with deterministic tie-break ---
+def test_ohlcv_bars_tiebreak(spark):
+    rows = [
+        (ts("2024-01-01T00:00:00"), 2, 200.0),
+        (ts("2024-01-01T00:00:00"), 1, 100.0),  # same ts: key 1 -> open
+        (ts("2024-01-01T00:00:00"), 3, 50.0),  # same ts: key 3 -> close
+        (ts("2024-01-02T09:00:00"), 9, 5.0),
+        (ts("2024-01-02T08:00:00"), 10, 7.0),  # earlier ts wins over larger key
+    ]
+    df = spark.createDataFrame(rows, "t timestamp_ntz, k long, v double")
+    bars = {
+        r["date"].day: r
+        for r in ohlcv_bars(df, "t", "v", tiebreak_cols=["k"]).collect()
+    }
+    assert bars[1]["open"] == 100.0 and bars[1]["close"] == 50.0
+    assert bars[1]["high"] == 200.0 and bars[1]["low"] == 50.0 and bars[1]["volume"] == 3
+    assert bars[2]["open"] == 7.0 and bars[2]["close"] == 5.0
+
+
+# --- J3: as-of join fills latest value at-or-before; NULL before first ---
+def test_asof_join(spark):
+    left = spark.createDataFrame(
+        [(d("2024-01-01"), 1.0), (d("2024-01-03"), 3.0), (d("2024-01-05"), 5.0),
+         (d("2024-01-08"), 8.0)],
+        "date date, px double",
+    )
+    right = spark.createDataFrame(
+        [(d("2024-01-03"), 30.0), (d("2024-01-06"), 60.0)], "date date, rate double"
+    )
+    out = {r["date"].day: r["rate"] for r in asof_join(left, right, "date").collect()}
+    assert out[1] is None  # before first right row
+    assert out[3] == 30.0  # same-day right row IS visible (inclusive)
+    assert out[5] == 30.0  # carries forward
+    assert out[8] == 60.0  # picks up newer rate
+    assert len(out) == 4  # every left row survives
+
+
+# --- X6: session boundary — exactly-gap MERGES (inclusive), gap+epsilon splits ---
+def test_session_gap_boundary(spark):
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), 1.0),
+        (1, ts("2024-01-01T10:29:59"), 1.0),  # < 30min -> same session
+        (1, ts("2024-01-01T10:59:59"), 1.0),  # chains
+        (1, ts("2024-01-01T11:29:59"), 1.0),  # exactly 30:00 after -> still MERGED
+        (1, ts("2024-01-01T12:00:00"), 1.0),  # 30:01 after -> NEW session
+        (2, ts("2024-01-01T10:00:00"), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    sess = sessionize(df, gap="30 minutes").collect()
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[2]) == 1
+    u1 = sorted(by_user[1], key=lambda r: r["session_start"])
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 4 and u1[1]["n_events"] == 1
+
+
+# --- X4: tokenization edges ---
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), (" a  b\tc\nd ",), ("word",)], "t string"
+    )
+    got = [r["n"] for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [0, 0, 4, 1]
+
+
+# --- X2: simhash — near-identical texts land within small Hamming distance ---
+def test_simhash_near(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    c = "completely different content about spark query engines and shuffles"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id long, t string")
+    h = {r["id"]: int(r["h"], 16) for r in df.select("id", simhash64("t").alias("h")).collect()}
+    ham_ab = bin(h[1] ^ h[2]).count("1")
+    ham_ac = bin(h[1] ^ h[3]).count("1")
+    assert ham_ab < ham_ac
+    assert ham_ab <= 16
+
+
+# --- J1: left join + dropna == inner join (av_etl.py:190-191) ---
+def test_left_dropna_equals_inner(spark):
+    l = spark.createDataFrame([(d("2024-01-01"), 1.0), (d("2024-01-02"), 2.0)], "date date, a double")
+    r = spark.createDataFrame([(d("2024-01-02"), 20.0)], "date date, b double")
+    via_left = l.join(r, "date", "left").na.drop()
+    via_inner = l.join(r, "date", "inner")
+    assert sorted(map(str, via_left.collect())) == sorted(map(str, via_inner.collect()))
