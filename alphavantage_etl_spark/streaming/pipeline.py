@@ -1,0 +1,98 @@
+"""Structured Streaming variants of the engine's incremental operators.
+
+The reference is a scheduled batch pipeline whose incremental protocol
+(watermark probe -> gap fetch -> trim -> append, av_etl.py:44-135) is the
+batch shadow of streaming ingestion (SURVEY.md section 2.9 ST1). These
+builders re-express it natively: ``readStream`` + event-time watermarks +
+windowed/session state, with the checkpoint location replacing the max-date
+probe (the sink's watermark IS the checkpoint).
+
+Batch/stream parity: the transformations are the SAME DataFrame expressions
+the batch operators use — ``window``/``session_window`` aggregations behave
+identically in both modes, which is what lets the batch oracle (DuckDB)
+vouch for the streaming semantics (SURVEY.md section 7.3.5).
+
+Scale notes: state size is bounded by the watermark horizon; shuffle
+partitions shard the keyed state; at 100 TB/day the same topology runs with
+a real source (Kafka/files-on-object-storage) — nothing here is local-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over an events directory (parquet files appear ->
+    rows stream in). Schema must be declared for streaming reads; ``ts``
+    arrives as nanos-long (same nanosAsLong handling as the batch loader)
+    when the files carry TIMESTAMP(NANOS).
+    """
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = spark.readStream.schema(raw_schema).parquet(events_dir)
+    # Watermarks require TimestampType (event time must be zone-anchored);
+    # the session timezone is pinned to UTC so values line up with the batch
+    # loader's TIMESTAMP_NTZ view of the same files.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with late-data handling: rows
+    later than ``watermark`` behind max event time are dropped and their
+    windows finalized — the streaming analog of q_window_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming gap-sessionization — session_window keeps per-key merging
+    state, closed once the watermark passes session end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_window")
+    )
+
+
+def incremental_append_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """ST1 as a stream: exactly-once new-row append with in-horizon dedup.
+
+    ``dropDuplicatesWithinWatermark`` on the event key replaces the
+    reference's tail(gap)+PK-constraint protocol (av_etl.py:79,38): state
+    holds keys only inside the watermark horizon, so memory is bounded and
+    duplicate re-deliveries inside the horizon are suppressed.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Drain a (bounded, availableNow) stream into an in-memory table for
+    tests/smoke; returns the finished query. Real deployments swap this for
+    a parquet/Delta/Kafka sink with a durable checkpointLocation."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
