@@ -69,6 +69,88 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+# GPT-2-style pretokenizer shape, ASCII-restricted so Java regex (Spark) and
+# RE2 (DuckDB) agree: contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs. A real BPE vocab merges within these pieces, so the
+# piece count is a stable upper-bound token estimate for budget accounting.
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token-piece count via the GPT-2 pretokenizer regex (ASCII
+    form). Pure ``regexp_count`` — stays in codegen; at 100 TB this is the
+    cheap first-pass "how many tokens is this corpus" scan."""
+    return F.regexp_count(_c(col), F.lit(BPE_PIECE_RE))
+
+
+# Per-language discriminator profiles for lang_id: top stopwords (latin
+# scripts, token match) / top characters (zh, char match). Public frequency
+# lists, truncated to 10 — enough signal for a ratio heuristic.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "es": ["el", "la", "los", "las", "es", "y", "en", "que", "de", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "dans", "pour"],
+}
+ZH_CHARS = "的是了在我有和就不人"
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language integer evidence scores: stopword hits for latin-script
+    languages, profile-character hits for zh. Integer counts -> exactly
+    reproducible in any engine (no float scoring)."""
+    toks = F.transform(tokens(col), F.lower)
+
+    def hits(words: list[str]) -> Column:
+        # NB: a two-parameter lambda would be read by F.filter as
+        # (element, index) — keep the closure single-parameter.
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    scores: dict[str, Column] = {
+        lang: hits(words) for lang, words in LANG_PROFILES.items()
+    }
+    scores["zh"] = F.regexp_count(_c(col), F.lit(f"[{ZH_CHARS}]"))
+    return scores
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of lang_scores with a FIXED priority
+    order on ties (en > de > es > fr > zh) so the prediction is deterministic
+    and the exact CASE chain can be mirrored in oracle SQL."""
+    s = lang_scores(col)
+    order = ["en", "de", "es", "fr", "zh"]
+    pred = F.lit(order[-1])
+    for lang in reversed(order[:-1]):
+        later = [s[o] for o in order[order.index(lang) + 1 :]]
+        cond = F.lit(True)
+        for o in later:
+            cond = cond & (s[lang] >= o)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling-hash document fingerprint: fold
+    ``h = (h * 131 + codepoint) mod (2^31 - 1)`` over every character.
+
+    Order-sensitive (unlike a bag-of-shingles hash) and incrementally
+    updatable — the classic Rabin-Karp shape. Stays exact in 64-bit: the
+    accumulator is < 2^31, so ``acc * 131 + cp`` is < 2^39.
+    """
+    c = _c(col)
+    n = F.length(c)
+    codepoints = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.ascii(c.substr(i, F.lit(1)))
+    )
+    fold = F.aggregate(
+        codepoints,
+        F.lit(0).cast("long"),
+        lambda acc, cp: (acc * 131 + cp) % F.lit(2147483647),
+    )
+    # sequence(1, 0) would count DOWN; guard the empty string explicitly.
+    return F.when(n > 0, fold).otherwise(F.lit(0).cast("long"))
+
+
 def fingerprint_sha256(col: Column | str) -> Column:
     """Content fingerprint for exact dedup joins: hex sha256 of the raw text
     (same output as DuckDB ``sha256`` / Python hashlib — cross-checkable)."""

@@ -25,7 +25,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.text import fingerprint_sha256, quality_score, simhash64, token_count
+from .functions.text import (
+    BPE_PIECE_RE,
+    LANG_PROFILES,
+    ZH_CHARS,
+    fingerprint_sha256,
+    lang_id,
+    lang_scores,
+    quality_score,
+    rolling_fingerprint,
+    simhash64,
+    token_count,
+    token_count_bpe,
+)
 from .functions.windows import sma_exact_cents
 from .operators.dedup import dedup_exact, minhash_near_dups
 from .operators.asof import asof_join
@@ -560,6 +572,84 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# X4 — heuristic language ID: integer evidence scores (stopword hits for
+# latin scripts, profile-char hits for zh) + fixed-priority argmax. The
+# fixture text is synthetic same-vocabulary prose, so predictions skew 'en'
+# by design; the contract is the scoring pipeline, not label accuracy.
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = lang_scores("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("lang_pred"),
+        *[s[l].cast("int").alias(f"score_{l}") for l in ["en", "de", "es", "fr", "zh"]],
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return (
+        rf"len(list_filter(string_split_regex(lower(text), '\s+'),"
+        rf" x -> x IN ({words})))"
+    )
+
+
+_s_sql = {l: _lang_score_sql(l) for l in LANG_PROFILES}
+_s_sql["zh"] = f"len(regexp_extract_all(text, '[{ZH_CHARS}]'))"
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+_case = "CASE"
+for _i, _l in enumerate(_LANG_ORDER[:-1]):
+    _conds = " AND ".join(f"s_{_l} >= s_{_o}" for _o in _LANG_ORDER[_i + 1 :])
+    _case += f" WHEN {_conds} THEN '{_l}'"
+_case += f" ELSE '{_LANG_ORDER[-1]}' END"
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"CAST({_s_sql[l]} AS INTEGER) AS s_{l}" for l in _LANG_ORDER)}
+  FROM documents
+)
+SELECT doc_id, lang, {_case} AS lang_pred,
+       {", ".join(f"s_{l} AS score_{l}" for l in _LANG_ORDER)}
+FROM s
+"""
+
+
+# X4 — token budgeting: whitespace tokens vs BPE-ish pretokenizer pieces
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens_ws"),
+        token_count_bpe("text").cast("long").alias("n_tokens_bpe"),
+    )
+
+
+SQL_TOKEN_BPE = rf"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens_ws,
+       len(regexp_extract_all(text, $${BPE_PIECE_RE}$$)) AS n_tokens_bpe
+FROM documents
+"""
+
+
+# X4 — Rabin-Karp rolling-hash fingerprint (order-sensitive, exact int fold)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("rfp"))
+
+
+SQL_ROLLING_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 2147483647) AS rfp
+FROM documents
+"""
+
+
 # X2 — MinHash near-dup candidates (not SQL-expressible -> rows-only check)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
@@ -599,6 +689,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_text_stats": q_text_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_token_bpe": q_token_bpe,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
     "q_cosine_topk": q_cosine_topk,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
@@ -627,6 +720,9 @@ ORACLES: dict[str, str] = {
     "q_text_stats": SQL_TEXT_STATS,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
     "q_quality_score": SQL_QUALITY_SCORE,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_bpe": SQL_TOKEN_BPE,
+    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_window_tumbling": SQL_WINDOW_TUMBLING,
     "q_sessionize": SQL_SESSIONIZE,

@@ -178,3 +178,50 @@ def test_left_dropna_equals_inner(spark):
     via_left = l.join(r, "date", "left").na.drop()
     via_inner = l.join(r, "date", "inner")
     assert sorted(map(str, via_left.collect())) == sorted(map(str, via_inner.collect()))
+
+
+# --- X4: language-ID heuristic — real multilingual snippets resolve to the
+# right profile; argmax tie-break follows the fixed priority order ---
+def test_lang_id_profiles(spark):
+    from alphavantage_etl_spark.functions.text import lang_id
+
+    rows = [
+        ("the cat sat on the mat and it was happy", "en"),
+        ("der Hund ist nicht mit der Katze zu sehen", "de"),
+        ("el perro es grande y la casa es de un amigo", "es"),
+        ("le chien est dans une maison que je vois pour toi", "fr"),
+        ("我是学生 他有书 我在这里 人不多", "zh"),
+        ("", "en"),  # all scores 0 -> priority order picks 'en'
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["p"] for r in df.select(lang_id("text").alias("p")).collect()]
+    assert got == [want for _, want in rows]
+
+
+# --- X4: BPE-ish piece count matches the regex reference implementation ---
+def test_token_count_bpe(spark):
+    import re
+
+    from alphavantage_etl_spark.functions.text import BPE_PIECE_RE, token_count_bpe
+
+    texts = ["it's a test-case 123, ok!", "hello   world", "", "a1b2!!c", "  lead"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["n"] for r in df.select(token_count_bpe("text").alias("n")).collect()]
+    assert got == [len(re.findall(BPE_PIECE_RE, t)) for t in texts]
+
+
+# --- X4: rolling fingerprint = Rabin-Karp fold, empty string -> 0 ---
+def test_rolling_fingerprint(spark):
+    from alphavantage_etl_spark.functions.text import rolling_fingerprint
+
+    def rh(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    texts = ["hello world", "", "a", "ab", "ba", "x" * 500]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["h"] for r in df.select(rolling_fingerprint("text").alias("h")).collect()]
+    assert got == [rh(t) for t in texts]
+    assert got[3] != got[4], "order-sensitivity: 'ab' and 'ba' must differ"
