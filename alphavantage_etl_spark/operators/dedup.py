@@ -28,6 +28,55 @@ def dedup_exact(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    k: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact character-k-gram Jaccard near-dup pairs within blocks.
+
+    Shingles are the distinct lowercased k-grams AS STRINGS (not hashed) so
+    the arithmetic is exactly set intersection / union — the verifier-stage
+    complement to MinHash (which estimates this quantity): at 100 TB, run
+    ``minhash_near_dups`` to generate candidates, then this on the candidate
+    pairs; standalone, ``block_cols`` (e.g. language + length bucket — near
+    dups rarely differ much in length) bounds the quadratic self-join to
+    within-block pairs, keeping the shuffle keyed on the block columns.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
+    Single int/int division -> bit-exact across engines.
+    """
+    c = F.lower(F.col(text_col))
+    n = F.length(c)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+    sh = df.select(
+        F.col(id_col).alias("__id"), *block_cols, shingles.alias("__sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for bc in block_cols:
+        cond = cond & (F.col(f"a.{bc}") == F.col(f"b.{bc}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def _shingles(col, k: int):
     """Character k-gram shingle hashes of lowercased text, distinct."""
     c = F.lower(col)

@@ -50,6 +50,48 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    ``block_col`` is the coarse quantizer (IVF-style): only same-cell pairs
+    are scored, so the self-join shuffles on the block key and the pair count
+    is sum over cells of |cell|^2 instead of |D|^2. With no natural cell
+    column (labels, source shard), derive one with ``lsh_bucket`` — same plan
+    shape. The cross-cell miss rate is the standard IVF recall trade-off;
+    raise recall by probing neighboring cells (union of per-probe runs).
+
+    Output: (id_a, id_b, sim), id_a < id_b, sim >= threshold (rounded
+    half-even to ``round_to`` first so cross-engine hashes agree).
+    """
+    sel = df.select(
+        F.col(id_col).alias("__id"), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v")
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    sim = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    if round_to is not None:
+        sim = F.bround(sim, round_to)
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def lsh_bucket(vec_col: Column | str, bits: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (integer in [0, 2^bits)).
 

@@ -39,11 +39,11 @@ from .functions.text import (
     token_count_bpe,
 )
 from .functions.windows import sma_exact_cents
-from .operators.dedup import dedup_exact, minhash_near_dups
+from .operators.dedup import dedup_exact, minhash_near_dups, ngram_jaccard_pairs
 from .operators.asof import asof_join
 from .operators.incremental import merge_incremental, new_rows
 from .operators.sessionize import sessionize
-from .operators.similarity import cosine_topk, cosine_topk_lsh
+from .operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dups
 from .plans.views import fx_bars, px_bars
 from .sources import load
 
@@ -650,6 +650,55 @@ FROM documents
 """
 
 
+# X2 — exact n-gram Jaccard near-dup pairs, blocked on (lang, length bucket)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", block_cols=["lang", "len_bucket"], k=5, threshold=0.4
+    )
+
+
+SQL_JACCARD_PAIRS = """
+WITH sh AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb,
+         list_distinct([substring(lower(text), i, 5)
+                        for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(inter AS DOUBLE) / un AS jaccard
+FROM pairs WHERE CAST(inter AS DOUBLE) / un >= 0.4
+"""
+
+
+# X2/X3 — embedding-cosine near-dup pairs, label-blocked (IVF-style cells)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.35)
+
+
+SQL_EMBED_NEAR_DUP = """
+WITH sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round_even(
+      (SELECT sum(x*y) FROM (SELECT CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                                    CAST(unnest(b.embedding) AS DOUBLE) AS y)) /
+      (sqrt((SELECT sum(x*x) FROM (SELECT CAST(unnest(a.embedding) AS DOUBLE) AS x))) *
+       sqrt((SELECT sum(y*y) FROM (SELECT CAST(unnest(b.embedding) AS DOUBLE) AS y)))),
+      6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.35
+"""
+
+
 # X2 — MinHash near-dup candidates (not SQL-expressible -> rows-only check)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
@@ -692,6 +741,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_embed_near_dup": q_embed_near_dup,
     "q_cosine_topk": q_cosine_topk,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
@@ -723,6 +774,8 @@ ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_window_tumbling": SQL_WINDOW_TUMBLING,
     "q_sessionize": SQL_SESSIONIZE,

@@ -225,3 +225,48 @@ def test_rolling_fingerprint(spark):
     got = [r["h"] for r in df.select(rolling_fingerprint("text").alias("h")).collect()]
     assert got == [rh(t) for t in texts]
     assert got[3] != got[4], "order-sensitivity: 'ab' and 'ba' must differ"
+
+
+# --- X2: exact n-gram Jaccard — hand-computable sets, blocking respected ---
+def test_ngram_jaccard_pairs(spark):
+    from alphavantage_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdef", "g1"),   # shingles(k=3): abc bcd cde def
+            (2, "abcdex", "g1"),   # abc bcd cde dex -> inter 3, union 5 -> 0.6
+            (3, "zzzzzz", "g1"),   # zzz (distinct) -> jac 0 with others
+            (4, "abcdef", "g2"),   # identical to 1 but different block -> no pair
+        ],
+        "id long, text string, grp string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "id", block_cols=["grp"], k=3, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): pytest.approx(3 / 5)}
+
+
+# --- X2/X3: embedding near-dup — blocking + threshold + id ordering ---
+def test_embedding_near_dups(spark):
+    from alphavantage_etl_spark.operators.similarity import embedding_near_dups
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.6, 0.8], 0),   # cos with 1 = 0.6
+            (3, [1.0, 0.0], 0),   # cos with 1 = 1.0
+            (4, [1.0, 0.0], 1),   # same direction as 1 but other block
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_near_dups(df, threshold=0.9).collect()
+    }
+    assert got == {(1, 3): pytest.approx(1.0)}
+    # lowering the threshold admits the 0.6 pairs, still never cross-block
+    low = embedding_near_dups(df, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in low} == {(1, 3), (1, 2), (2, 3)}
