@@ -1,0 +1,116 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference pipeline is tabular-only; a training-data engine must carry
+media through the same relational plans (north star X5). The design:
+
+- **binary payload column** (``BinaryType``) — raw encoded bytes. Parquet
+  stores these as BYTE_ARRAY with page compression; filters/joins never
+  touch the payload, so column pruning keeps scans cheap (check
+  ``ReadSchema`` — a metadata-only query must not read the payload pages).
+- **typed metadata struct** — width/height/frames/sample-rate/format,
+  decoded ONCE at ingest, so downstream predicates (``meta.width >= 512``)
+  are plain Catalyst filters with pushdown, never a decode in the hot path.
+- **decode / feature-extract as Arrow-batched ``mapInPandas``** — the only
+  genuinely-Python step. Batches arrive as pandas DataFrames (payload as
+  ``bytes``); output schema is declared up front. The image/audio libraries
+  are NOT in this container, so the real decode path raises
+  ``NotImplementedError`` and a clearly-marked deterministic fake stands in;
+  the Spark-side plumbing (schema, batching, partitioning) is real and
+  tested — swapping the fake for PIL/torchvision changes one function body.
+
+Scale: payloads dominate bytes but never shuffle (feature extraction is a
+narrow map); only ids + features + metadata enter joins/aggregations. For
+100 TB of media, size ``spark.sql.files.maxPartitionBytes`` so a partition's
+payloads fit executor memory, and prefer many small row groups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas only used inside mapInPandas workers
+    import pandas as pd
+
+N_FEATURES = 8
+
+FEATURES_SCHEMA = "doc_id long, n_bytes int, features array<float>"
+
+
+def attach_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Synthesize a deterministic media column set from a text corpus.
+
+    Real ingest reads encoded bytes from object storage; the fixtures carry
+    no binary column, so the payload is the sha256 digest of the text
+    (deterministic, content-addressed — the plumbing downstream is identical
+    to real media bytes).
+    """
+    did = F.col(id_col)
+    return docs.select(
+        did,
+        F.to_binary(F.sha2(F.col(text_col), 256), F.lit("hex")).alias("payload"),
+        F.struct(
+            (16 + (did % 16) * 8).cast("int").alias("width"),
+            (16 + (did % 12) * 8).cast("int").alias("height"),
+            (1 + did % 8).cast("int").alias("n_frames"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit("fake/rgb8").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
+    """Feature-extract each payload via Arrow-batched ``mapInPandas``.
+
+    ``mode='fake'``: deterministic stand-in — first ``N_FEATURES`` payload
+    bytes scaled to [0, 1]. ``mode='real'`` documents the intended body and
+    raises: the decode libraries are not installed in this container.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if mode == "real":
+                # Real body: PIL.Image.open(io.BytesIO(b)) -> resize ->
+                # np.asarray -> channel means/moments per image.
+                raise NotImplementedError(
+                    "real image decode needs PIL/opencv (not in this container); "
+                    "use mode='fake' for the deterministic stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "features": pdf["payload"].map(
+                        lambda b: [round(x / 255.0, 6) for x in b[:N_FEATURES]]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, frame_size: int = 4, every_k: int = 2) -> DataFrame:
+    """Sample every k-th fixed-size frame from each payload — video-style
+    frame extraction as pure byte slicing (``substr`` works on binary), no
+    Python. One output row per sampled frame.
+    """
+    n_frames = (F.octet_length("payload") / frame_size).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    exploded = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.col("payload").substr(i * frame_size + 1, F.lit(frame_size)))
+        ).alias("pos", "frame"),
+    )
+    return exploded.select(
+        "doc_id", (F.col("pos") * every_k).alias("frame_no"), "frame"
+    )

@@ -699,6 +699,48 @@ SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.35
 """
 
 
+# X5 — multimodal metadata scan: binary payload + typed meta carried through
+# a relational plan; payload bytes hash-compared engine-to-engine.
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_media
+
+    d = load(spark, sf_dir, "documents")
+    m = attach_media(d)
+    return m.select(
+        "doc_id",
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.format").alias("format"),
+    ).where(F.col("meta.width") >= 64)
+
+
+SQL_MULTIMODAL_META = """
+WITH m AS (
+  SELECT doc_id, unhex(sha256(text)) AS payload,
+         CAST(16 + (doc_id % 16) * 8 AS INTEGER) AS width,
+         CAST(16 + (doc_id % 12) * 8 AS INTEGER) AS height,
+         CAST(1 + doc_id % 8 AS INTEGER) AS n_frames,
+         'fake/rgb8' AS format
+  FROM documents
+)
+SELECT doc_id, payload, octet_length(payload) AS n_bytes,
+       width, height, n_frames, format
+FROM m WHERE width >= 64
+"""
+
+
+# X5 — Arrow-batched feature extraction over media payloads (mapInPandas;
+# Python stage by necessity -> rows-only check)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_media, decode_image_features
+
+    d = load(spark, sf_dir, "documents")
+    return decode_image_features(attach_media(d), mode="fake")
+
+
 # X2 — MinHash near-dup candidates (not SQL-expressible -> rows-only check)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
@@ -743,6 +785,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_rolling_fingerprint": q_rolling_fingerprint,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_embed_near_dup": q_embed_near_dup,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_image_features": q_image_features,
     "q_cosine_topk": q_cosine_topk,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
@@ -776,6 +820,8 @@ ORACLES: dict[str, str] = {
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "q_jaccard_pairs": SQL_JACCARD_PAIRS,
     "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "q_multimodal_meta": SQL_MULTIMODAL_META,
+    # q_image_features: mapInPandas feature extraction -> rows-only by design
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_window_tumbling": SQL_WINDOW_TUMBLING,
     "q_sessionize": SQL_SESSIONIZE,

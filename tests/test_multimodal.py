@@ -1,0 +1,87 @@
+"""Multimodal column plumbing tests (north star X5).
+
+The decode step is a documented stub (media libs absent from the
+container); what must be REAL and verified is the Spark-side machinery:
+payload/metadata schema, Arrow batch shapes through mapInPandas,
+deterministic fake features, byte-exact frame slicing, and column pruning
+(metadata queries must not read payload pages).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.operators.multimodal import (
+    FEATURES_SCHEMA,
+    N_FEATURES,
+    attach_media,
+    decode_image_features,
+    frame_sample,
+)
+from alphavantage_etl_spark.sources import load
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return attach_media(load(spark, SF_SMALL, "documents"))
+
+
+def test_attach_media_schema_and_determinism(spark, media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert (
+        dict(media.dtypes)["meta"]
+        == "struct<width:int,height:int,n_frames:int,sample_rate:int,format:string>"
+    )
+    row = media.where(F.col("doc_id") == 7).first()
+    src = load(spark, SF_SMALL, "documents").where(F.col("doc_id") == 7).first()
+    assert bytes(row["payload"]) == hashlib.sha256(src["text"].encode()).digest()
+    assert row["meta"]["width"] == 16 + (7 % 16) * 8
+
+
+def test_decode_fake_features_deterministic(spark, media):
+    out = decode_image_features(media, mode="fake")
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint",
+        "n_bytes": "int",
+        "features": "array<float>",
+    }
+    rows = {r["doc_id"]: r for r in out.collect()}
+    again = {r["doc_id"]: r for r in decode_image_features(media, mode="fake").collect()}
+    assert len(rows) == media.count()
+    some = next(iter(rows))
+    assert rows[some]["features"] == again[some]["features"]
+    assert len(rows[some]["features"]) == N_FEATURES
+    assert all(0.0 <= f <= 1.0 for f in rows[some]["features"])
+    assert rows[some]["n_bytes"] == 32
+
+
+def test_decode_real_mode_is_marked_stub(spark, media):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError, NotImplementedError)):
+        decode_image_features(media.limit(1), mode="real").collect()
+    with pytest.raises(ValueError):
+        decode_image_features(media, mode="nope")
+
+
+def test_frame_sample_byte_exact(spark, media):
+    one = media.where(F.col("doc_id") == 3)
+    payload = bytes(one.first()["payload"])
+    frames = frame_sample(one, frame_size=4, every_k=2).collect()
+    # 32-byte payload, frame_size 4 -> 8 frames, every 2nd -> indices 0,2,4,6
+    assert [r["frame_no"] for r in frames] == [0, 2, 4, 6]
+    for r in frames:
+        i = r["frame_no"] * 4
+        assert bytes(r["frame"]) == payload[i : i + 4]
+
+
+def test_metadata_scan_prunes_payload(spark, media):
+    q = media.select("doc_id", F.col("meta.width")).where(F.col("meta.width") >= 64)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan, "metadata query must not touch payload bytes"
