@@ -386,6 +386,92 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Join-heavy analytics: orders x customer x nation x region with the three
+# dimension tables broadcast (they are tiny at every SF — region is 5 rows
+# at 100 TB too). Catalyst picks BroadcastHashJoin via AQE; the only shuffle
+# is the customer-revenue aggregation, partial-aggregated map-side first.
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(price_c) / F.lit(100.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    # dim is customer-cardinality — NOT broadcast (customer scales with the
+    # data; at 100 TB this is a co-partitioned shuffle join on custkey, and
+    # AQE still upgrades it to broadcast at small SF automatically).
+    return (
+        rev.join(dim, rev.o_custkey == dim.c_custkey)
+        .select("c_custkey", "c_name", "nation", "region", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(100)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, c_name, n_name AS nation, r_name AS region, revenue, n_orders
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+ORDER BY revenue DESC, c_custkey LIMIT 100
+"""
+
+
+# Full star join: lineitem x orders x customer x nation x region, revenue
+# rolled up per region/nation. lineitem⋈orders is the one big shuffle
+# (sort-merge on orderkey at scale); dims broadcast; aggregation is
+# partial-agg'd before the final (region, nation) shuffle.
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # customer scales with SF — no broadcast hint; AQE upgrades locally
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(price_c * (100 - disc_c)) / F.lit(10000.0)).alias("disc_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name AS region, n_name AS nation,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS disc_revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
 # X1 — exact dedup by content fingerprint (sha256 matches DuckDB's)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
@@ -776,6 +862,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_busday_gap": q_busday_gap,
     "q_asof_rate": q_asof_rate,
     "q_agg_pricing": q_agg_pricing,
+    "q_top_customers": q_top_customers,
+    "q_revenue_by_nation": q_revenue_by_nation,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
@@ -811,6 +899,8 @@ ORACLES: dict[str, str] = {
     "q_busday_gap": SQL_BUSDAY_GAP,
     "q_asof_rate": SQL_ASOF_RATE,
     "q_agg_pricing": SQL_AGG_PRICING,
+    "q_top_customers": SQL_TOP_CUSTOMERS,
+    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_text_stats": SQL_TEXT_STATS,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
