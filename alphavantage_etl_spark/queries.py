@@ -39,7 +39,12 @@ from .functions.text import (
     token_count_bpe,
 )
 from .functions.windows import sma_exact_cents
-from .operators.dedup import dedup_exact, minhash_near_dups, ngram_jaccard_pairs
+from .operators.dedup import (
+    dedup_exact,
+    minhash_near_dups,
+    minhash_verified_near_dups,
+    ngram_jaccard_pairs,
+)
 from .operators.asof import asof_join
 from .operators.incremental import merge_incremental, new_rows
 from .operators.sessionize import sessionize
@@ -834,6 +839,21 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X2 — the scale path: LSH candidates + exact-Jaccard verification (LSH
+# recall is probabilistic -> rows-only check; exact semantics of the verify
+# stage are oracle-pinned via q_jaccard_pairs)
+def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 9-gram shingles: on low-entropy text, 5-grams leave ~38k background
+    # pairs at J>=0.2 (band buckets collide -> quadratic candidate join);
+    # 9-grams leave only the true near-dups (25 pairs, all J>=0.6) — the
+    # standard Broder-style long-shingle choice. 16 bands x 2 rows then catches
+    # J>=0.6 with P~0.999 while background pairs almost never collide.
+    return minhash_verified_near_dups(
+        load(spark, sf_dir, "documents"), "text", "doc_id", shingle_k=9,
+        bands=16, candidate_threshold=0.2, jaccard_threshold=0.4,
+    )
+
+
 # X3 — LSH-bucketed approximate top-k (approximate -> rows-only check)
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
@@ -879,6 +899,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
     "q_dedup_near": q_dedup_near,
+    "q_dedup_near_verified": q_dedup_near_verified,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_simhash": q_simhash,
 }

@@ -35,7 +35,12 @@ BENCH_QUERIES = [
     "q_text_stats",
     "q_quality_score",
     "q_cosine_topk",
-    "q_dedup_near",
+    "q_dedup_near_verified",
+    "q_top_customers",
+    "q_revenue_by_nation",
+    "q_embed_near_dup",
+    "q_lang_id",
+    "q_token_bpe",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Reference-shape integration test (SURVEY.md section 5.2 layer 3): run the
+full ETL pipeline against a writable parquet sink, assert the derived table
+equals a DuckDB-computed golden, and prove idempotency + true incrementality
+of the watermark/anti-join protocol."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.plans.etl import PRD, SRC_FX, SRC_PX, run_etl
+
+from .conftest import SF_SMALL
+
+GOLDEN_PRD = """
+WITH px AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+         arg_max(o_totalprice, o_orderkey) AS close_price_usd
+  FROM '{sf}/orders.parquet' GROUP BY 1
+),
+fx AS (
+  SELECT CAST(l_shipdate AS DATE) AS date,
+         arg_max(l_discount, l_orderkey * 10 + l_linenumber) AS close_rate
+  FROM '{sf}/lineitem.parquet' GROUP BY 1
+)
+SELECT px.date, close_price_usd, close_rate,
+       round_even(close_price_usd * close_rate, 2) AS close_price_fx
+FROM px JOIN fx USING (date)
+"""
+
+
+@pytest.fixture(scope="module")
+def sink(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("etl_sink"))
+
+
+def test_first_run_loads_everything(spark, sink):
+    appended = run_etl(spark, SF_SMALL, sink)
+    assert appended[SRC_PX] > 0 and appended[SRC_FX] > 0 and appended[PRD] > 0
+
+    got = {
+        r["date"]: (r["close_price_usd"], r["close_rate"], r["close_price_fx"])
+        for r in spark.read.parquet(f"{sink}/{PRD}").collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(GOLDEN_PRD.format(sf=SF_SMALL)).fetchall()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0] and got[d][1] == want[d][1]
+        # money_round is numpy-parity (scaled rint); DuckDB round_even agrees
+        # on cents ties — pinned more precisely in test_semantics.py
+        assert got[d][2] == pytest.approx(want[d][2], abs=0.011)
+
+
+def test_rerun_is_idempotent(spark, sink):
+    before = spark.read.parquet(f"{sink}/{PRD}").count()
+    appended = run_etl(spark, SF_SMALL, sink)
+    assert appended == {SRC_PX: 0, SRC_FX: 0, PRD: 0}
+    after = spark.read.parquet(f"{sink}/{PRD}").count()
+    assert after == before
+    dups = (
+        spark.read.parquet(f"{sink}/{SRC_PX}")
+        .groupBy("date").count().where(F.col("count") > 1).count()
+    )
+    assert dups == 0
+
+
+def test_incremental_appends_only_new_dates(spark, sink, tmp_path):
+    # Simulate the next scheduled run seeing more history: a second sink
+    # seeded from a truncated copy of the fixtures would need fixture
+    # surgery; instead verify the protocol directly — drop the newest 30
+    # dates from a FRESH sink's src tables, rerun, and confirm exactly the
+    # missing dates (and only those) are appended.
+    sink2 = str(tmp_path / "sink2")
+    run_etl(spark, SF_SMALL, sink2)
+
+    full = spark.read.parquet(f"{sink2}/{SRC_PX}")
+    cutoff = full.agg(F.date_sub(F.max("date"), 30).alias("c")).first()["c"]
+    truncated = full.where(F.col("date") <= F.lit(cutoff))
+    n_dropped = full.count() - truncated.count()
+    assert n_dropped > 0
+
+    sink3 = str(tmp_path / "sink3")
+    truncated.write.parquet(f"{sink3}/{SRC_PX}")
+    appended = run_etl(spark, SF_SMALL, sink3)
+    assert appended[SRC_PX] == n_dropped
+    assert (
+        spark.read.parquet(f"{sink3}/{SRC_PX}").count() == full.count()
+    ), "sink must converge to full history with no duplicates"

@@ -270,3 +270,39 @@ def test_embedding_near_dups(spark):
     # lowering the threshold admits the 0.6 pairs, still never cross-block
     low = embedding_near_dups(df, threshold=0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in low} == {(1, 3), (1, 2), (2, 3)}
+
+
+# --- X2: LSH+verify near-dups — precision is exact (subset of the exact
+# blocked join at the same threshold), and recall catches the fixture's
+# true near-dup pairs ---
+def test_minhash_verified_subset_of_exact(spark):
+    from alphavantage_etl_spark.operators.dedup import (
+        minhash_verified_near_dups,
+        ngram_jaccard_pairs,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    docs = load(spark, SF_ORACLE, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs.withColumn("__all", F.lit(1)), "text", "doc_id",
+            block_cols=["__all"], k=9, threshold=0.4,
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_verified_near_dups(
+            docs, "text", "doc_id", shingle_k=9, bands=16,
+            candidate_threshold=0.2, jaccard_threshold=0.4,
+        ).collect()
+    }
+    assert set(got) <= set(exact), "verified pairs must all be true near-dups"
+    for pair, j in got.items():
+        assert j == exact[pair], "verify stage must report the exact Jaccard"
+    assert len(got) >= len(exact) * 0.8, (
+        f"recall too low: {len(got)}/{len(exact)} at 16x2 banding"
+    )
+    assert exact, "fixture must contain true near-dup pairs"
