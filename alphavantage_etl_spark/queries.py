@@ -629,6 +629,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+# X6 — sliding 1-day window, 6-hour slide: every event lands in 4
+# overlapping windows. Oracle replicates Spark's epoch-aligned window
+# assignment by fanning each event out over k in 0..3 bucket offsets.
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    value_u = F.round(F.col("value") * 1_000_000).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(value_u) / F.lit(1e6)).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_WINDOW_SLIDING = """
+WITH fan AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) - k * INTERVAL 6 HOUR AS window_start,
+         event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS value_u
+  FROM events, unnest([0, 1, 2, 3]) AS t(k)
+  WHERE CAST(ts AS TIMESTAMP)
+        < time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) - k * INTERVAL 6 HOUR + INTERVAL 24 HOUR
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       sum(value_u) / 1e6 AS value_sum
+FROM fan GROUP BY 1, 2
+"""
+
+
 # X6 — gap-based sessionization (session_window vs lag/cumsum islands oracle)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
@@ -897,6 +933,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_image_features": q_image_features,
     "q_cosine_topk": q_cosine_topk,
     "q_window_tumbling": q_window_tumbling,
+    "q_window_sliding": q_window_sliding,
     "q_sessionize": q_sessionize,
     "q_dedup_near": q_dedup_near,
     "q_dedup_near_verified": q_dedup_near_verified,
@@ -935,6 +972,7 @@ ORACLES: dict[str, str] = {
     # q_image_features: mapInPandas feature extraction -> rows-only by design
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_window_tumbling": SQL_WINDOW_TUMBLING,
+    "q_window_sliding": SQL_WINDOW_SLIDING,
     "q_sessionize": SQL_SESSIONIZE,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

@@ -40,14 +40,19 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
 
 
 def windowed_counts_stream(
-    events: DataFrame, window: str = "1 day", watermark: str = "2 days"
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming tumbling-window aggregation with late-data handling: rows
-    later than ``watermark`` behind max event time are dropped and their
-    windows finalized — the streaming analog of q_window_tumbling."""
+    """Streaming tumbling (or, with ``slide``, sliding/hopping) window
+    aggregation with late-data handling: rows later than ``watermark``
+    behind max event time are dropped and their windows finalized — the
+    streaming analog of q_window_tumbling / q_window_sliding."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
     )

@@ -306,3 +306,29 @@ def test_minhash_verified_subset_of_exact(spark):
         f"recall too low: {len(got)}/{len(exact)} at 16x2 banding"
     )
     assert exact, "fixture must contain true near-dup pairs"
+
+
+# --- entry point C: report frames carry the right shapes (data_viz parity) ---
+def test_report_frames_shapes(spark):
+    from alphavantage_etl_spark.plans.report import report_frames
+
+    from .conftest import SF_SMALL
+
+    frames = report_frames(spark, SF_SMALL)
+    assert set(frames) == {
+        "px", "fx", "converted", "px_table", "fx_table",
+        "converted_table", "comparison",
+    }
+    assert frames["px"].columns == [
+        "date", "open", "high", "low", "close", "volume", "sma20", "sma90"
+    ]
+    assert frames["px_table"].columns == ["date", "open", "high", "low", "close"]
+    assert frames["fx_table"].columns == ["date", "open", "high", "low"]
+    assert frames["comparison"].columns == ["date", "close_usd", "close_fx"]
+
+    # DESC scan order (data_viz.py:87-98) and SMA NULL-under-k at the tail
+    px = frames["px"].limit(25).collect()
+    dates = [r["date"] for r in px]
+    assert dates == sorted(dates, reverse=True)
+    oldest = frames["px"].orderBy("date").limit(5).collect()
+    assert all(r["sma20"] is None for r in oldest), "under-k rows must be NULL"
