@@ -73,3 +73,27 @@ def test_fetch_is_gated_without_requests(spark):
         pass
     with pytest.raises(NotImplementedError, match="alphavantage.co"):
         fetch_payload({"function": "TIME_SERIES_DAILY", "symbol": "SPY"})
+
+
+# --- IO3/IO5: JDBC configuration surface (no DB in container — the reader/
+# writer must be fully configured without connecting) ---
+def test_jdbc_reader_config(spark):
+    from alphavantage_etl_spark.sources.jdbc import jdbc_append, jdbc_reader
+
+    r = jdbc_reader(
+        spark, "jdbc:postgresql://db/av", table="src_px_usd",
+        partition_column="date", lower_bound="2000-01-01",
+        upper_bound="2025-01-01", num_partitions=16,
+    )
+    assert r is not None  # configured lazily; .load() would connect
+
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_reader(spark, "jdbc:x://y", table="t", query="SELECT 1")
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_reader(spark, "jdbc:x://y")
+    with pytest.raises(ValueError, match="together"):
+        jdbc_reader(spark, "jdbc:x://y", table="t", partition_column="date")
+
+    df = spark.range(3).withColumnRenamed("id", "date")
+    w = jdbc_append(df, "jdbc:postgresql://db/av", "src_px_usd")
+    assert w is not None
