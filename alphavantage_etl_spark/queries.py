@@ -34,6 +34,7 @@ from .functions.text import (
     lang_scores,
     quality_score,
     rolling_fingerprint,
+    with_quality_score,
     simhash64,
     token_count,
     token_count_bpe,
@@ -477,6 +478,41 @@ GROUP BY 1, 2
 """
 
 
+# Hierarchical rollup: region -> nation -> grand total in one pass
+# (ROLLUP expands to grouping sets; Spark plans a single Expand + one
+# shuffle, not three scans). NULL marks rolled-up levels in both engines.
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    joined = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(price_c) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r_name AS region, n_name AS nation,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 # X1 — exact dedup by content fingerprint (sha256 matches DuckDB's)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
@@ -538,8 +574,8 @@ SELECT doc_id, sha256(text) AS fp, length(text) AS n_chars_calc FROM documents
 
 # X4 — heuristic quality score (C4/Gopher-style length+symbol filters)
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("q"))
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_quality_score(d, "text").select("doc_id", "q")
 
 
 from .functions.text import STOPWORDS  # noqa: E402
@@ -920,6 +956,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_agg_pricing": q_agg_pricing,
     "q_top_customers": q_top_customers,
     "q_revenue_by_nation": q_revenue_by_nation,
+    "q_rollup_revenue": q_rollup_revenue,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
@@ -959,6 +996,7 @@ ORACLES: dict[str, str] = {
     "q_agg_pricing": SQL_AGG_PRICING,
     "q_top_customers": SQL_TOP_CUSTOMERS,
     "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_text_stats": SQL_TEXT_STATS,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
