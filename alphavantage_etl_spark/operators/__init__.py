@@ -1,9 +1,16 @@
 from .bars import ohlcv_bars
 from .incremental import high_watermark, new_rows, merge_incremental
 from .asof import asof_join
-from .dedup import dedup_exact, minhash_near_dups
-from .similarity import cosine_topk
+from .dedup import (
+    dedup_exact,
+    minhash_near_dups,
+    minhash_verified_near_dups,
+    ngram_jaccard_pairs,
+)
+from .similarity import cosine_topk, cosine_topk_lsh, embedding_near_dups, lsh_bucket
 from .sessionize import sessionize
+from .skew import salted_agg, salted_join
+from .multimodal import attach_media, decode_image_features, frame_sample
 
 __all__ = [
     "ohlcv_bars",
@@ -13,6 +20,16 @@ __all__ = [
     "asof_join",
     "dedup_exact",
     "minhash_near_dups",
+    "minhash_verified_near_dups",
+    "ngram_jaccard_pairs",
     "cosine_topk",
+    "cosine_topk_lsh",
+    "embedding_near_dups",
+    "lsh_bucket",
     "sessionize",
+    "salted_agg",
+    "salted_join",
+    "attach_media",
+    "decode_image_features",
+    "frame_sample",
 ]

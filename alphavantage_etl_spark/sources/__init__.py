@@ -1,3 +1,18 @@
 from .parquet import SCHEMAS, TABLES, load, load_all
+from .alphavantage import fetch_payload, payload_to_df
+from .jdbc import jdbc_append, jdbc_reader
+from .layout import co_located_join, write_bucketed, write_partitioned
 
-__all__ = ["SCHEMAS", "TABLES", "load", "load_all"]
+__all__ = [
+    "SCHEMAS",
+    "TABLES",
+    "load",
+    "load_all",
+    "fetch_payload",
+    "payload_to_df",
+    "jdbc_append",
+    "jdbc_reader",
+    "co_located_join",
+    "write_bucketed",
+    "write_partitioned",
+]
