@@ -478,6 +478,29 @@ GROUP BY 1, 2
 """
 
 
+# Set operations (absent from the reference, SURVEY.md 2.10; first-class
+# engine surface): repeat customers of 1995 AND 1996, minus anyone who ever
+# placed an urgent order. INTERSECT/EXCEPT are set-semantic (distinct).
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    in_1995 = o.where(yr == 1995).select("o_custkey")
+    in_1996 = o.where(yr == 1996).select("o_custkey")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return in_1995.intersect(in_1996).exceptAll(urgent.distinct()).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+
+
+SQL_SET_OPS = """
+SELECT o_custkey AS custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 # Hierarchical rollup: region -> nation -> grand total in one pass
 # (ROLLUP expands to grouping sets; Spark plans a single Expand + one
 # shuffle, not three scans). NULL marks rolled-up levels in both engines.
@@ -957,6 +980,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_top_customers": q_top_customers,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_set_ops": q_set_ops,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
@@ -997,6 +1021,7 @@ ORACLES: dict[str, str] = {
     "q_top_customers": SQL_TOP_CUSTOMERS,
     "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "q_set_ops": SQL_SET_OPS,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_text_stats": SQL_TEXT_STATS,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,

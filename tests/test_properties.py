@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): the semantics pinned by example in
+test_semantics.py hold across generated inputs, not just chosen ones.
+
+Spark round-trips are expensive, so each property batches ALL generated
+cases into ONE DataFrame per example run and keeps example counts small.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.functions.rounding import money_round
+from alphavantage_etl_spark.functions.text import rolling_fingerprint, token_count
+from alphavantage_etl_spark.operators.incremental import merge_incremental, new_rows
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+money = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@SETTINGS
+@given(st.lists(money, min_size=1, max_size=30))
+def test_money_round_matches_pandas_everywhere(spark, xs):
+    import pandas as pd
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = [r["y"] for r in df.select(money_round("x", 2).alias("y")).collect()]
+    want = list(round(pd.Series([float(x) for x in xs]), 2))
+    assert got == pytest.approx(want, nan_ok=True, abs=0)
+
+
+text_chars = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF), max_size=120
+)
+
+
+@SETTINGS
+@given(st.lists(text_chars, min_size=1, max_size=20))
+def test_rolling_fingerprint_matches_python(spark, texts):
+    def rh(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % 2147483647
+        return h
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["h"] for r in df.select(rolling_fingerprint("t").alias("h")).collect()]
+    assert got == [rh(t) for t in texts]
+
+
+@SETTINGS
+@given(st.lists(text_chars, min_size=1, max_size=20))
+def test_token_count_matches_java_whitespace_split(spark, texts):
+    # The contract is Java-regex \s = [ \t\n\x0B\f\r] — narrower than
+    # Python str.split(), which also treats \x1c-\x1f etc. as whitespace
+    # (hypothesis found '0\x1f0': 1 token under the contract, 2 under
+    # Python split). Reference implements the contract, not Python.
+    import re
+
+    def ref(s: str) -> int:
+        return len([t for t in re.split("[ \t\n\x0b\f\r]+", s) if t])
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["n"] for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [ref(t) for t in texts]
+
+
+@SETTINGS
+@given(
+    st.sets(
+        st.dates(dt.date(2020, 1, 1), dt.date(2020, 3, 1)), min_size=2, max_size=20
+    ),
+    st.integers(min_value=0, max_value=19),
+)
+def test_incremental_merge_converges(spark, dates, n_existing):
+    """For ANY incoming set and ANY subset already in the sink: merge yields
+    exactly the union, with no duplicates, and a re-merge is a no-op."""
+    all_dates = sorted(dates)
+    existing_dates = all_dates[: min(n_existing, len(all_dates))]
+    incoming = spark.createDataFrame([(d, 1.0) for d in all_dates], "date date, v double")
+    existing = spark.createDataFrame(
+        [(d, 1.0) for d in existing_dates], "date date, v double"
+    ) if existing_dates else incoming.limit(0)
+
+    fresh = new_rows(incoming, existing, "date")
+    assert {r["date"] for r in fresh.collect()} == set(all_dates) - set(existing_dates)
+    merged = merge_incremental(incoming, existing, "date")
+    assert sorted(r["date"] for r in merged.collect()) == all_dates
+    assert merge_incremental(incoming, merged, "date").count() == len(all_dates)
