@@ -478,6 +478,83 @@ GROUP BY 1, 2
 """
 
 
+# Ranking/analytic windows (reference has only the SMA frame; rank/lag are
+# the missing analytic family): top-3 orders per day by price with the
+# previous day's daily max alongside. row_number tie-break on orderkey
+# keeps the result deterministic; lag runs on the one-row-per-day frame.
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("date"), "o_orderkey", "o_totalprice"
+    )
+    w_day = Window.partitionBy("date").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "date",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_day).alias("rn"),
+        F.rank().over(w_day).alias("rnk"),
+    ).where(F.col("rn") <= 3)
+    daily_max = (
+        o.groupBy("date").agg(F.max("o_totalprice").alias("day_max"))
+    )
+    w_series = Window.orderBy("date")
+    prev = daily_max.select(
+        "date", F.lag("day_max").over(w_series).alias("prev_day_max")
+    )
+    return ranked.join(prev, "date", "left")
+
+
+SQL_RANK_WINDOWS = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS date, o_orderkey, o_totalprice FROM orders
+),
+ranked AS (
+  SELECT date, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn, rank() OVER w AS rnk
+  FROM o WINDOW w AS (PARTITION BY date ORDER BY o_totalprice DESC, o_orderkey)
+),
+prev AS (
+  SELECT date, lag(day_max) OVER (ORDER BY date) AS prev_day_max
+  FROM (SELECT date, max(o_totalprice) AS day_max FROM o GROUP BY 1)
+)
+SELECT date, o_orderkey, o_totalprice, rn, rnk, prev_day_max
+FROM ranked LEFT JOIN prev USING (date) WHERE rn <= 3
+"""
+
+
+# Exact interpolated percentiles per event type. Spark `percentile` and
+# DuckDB `quantile_cont` both use the (n-1)p linear-interpolation
+# definition; values are micro-quantized first so the two interpolation
+# endpoints are identical doubles, and the single interpolation expression
+# is rounded half-even to absorb eval-order noise.
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = (F.round(F.col("value") * 1_000_000) / 1e6).alias("v")
+    g = ev.select("event_type", v).groupBy("event_type")
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bround(F.expr("percentile(v, 0.5)"), 6).alias("p50"),
+        F.bround(F.expr("percentile(v, 0.95)"), 6).alias("p95"),
+        F.bround(F.expr("percentile(v, 0.99)"), 6).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+WITH e AS (
+  SELECT event_type, round(value * 1000000) / 1e6 AS v FROM events
+)
+SELECT event_type, count(*) AS n,
+       round_even(quantile_cont(v, 0.5), 6) AS p50,
+       round_even(quantile_cont(v, 0.95), 6) AS p95,
+       round_even(quantile_cont(v, 0.99), 6) AS p99
+FROM e GROUP BY event_type
+"""
+
+
 # Set operations (absent from the reference, SURVEY.md 2.10; first-class
 # engine surface): repeat customers of 1995 AND 1996, minus anyone who ever
 # placed an urgent order. INTERSECT/EXCEPT are set-semantic (distinct).
@@ -981,6 +1058,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_revenue": q_rollup_revenue,
     "q_set_ops": q_set_ops,
+    "q_rank_windows": q_rank_windows,
+    "q_percentiles": q_percentiles,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
@@ -1022,6 +1101,8 @@ ORACLES: dict[str, str] = {
     "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "q_rollup_revenue": SQL_ROLLUP_REVENUE,
     "q_set_ops": SQL_SET_OPS,
+    "q_rank_windows": SQL_RANK_WINDOWS,
+    "q_percentiles": SQL_PERCENTILES,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_text_stats": SQL_TEXT_STATS,
     "q_doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -1,15 +1,17 @@
 from .pipeline import (
-    read_events_stream,
-    windowed_counts_stream,
-    sessionize_stream,
+    attribution_join_stream,
     incremental_append_stream,
+    read_events_stream,
     run_stream_to_memory,
+    sessionize_stream,
+    windowed_counts_stream,
 )
 
 __all__ = [
-    "read_events_stream",
-    "windowed_counts_stream",
-    "sessionize_stream",
+    "attribution_join_stream",
     "incremental_append_stream",
+    "read_events_stream",
     "run_stream_to_memory",
+    "sessionize_stream",
+    "windowed_counts_stream",
 ]

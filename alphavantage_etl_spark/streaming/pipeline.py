@@ -88,6 +88,57 @@ def incremental_append_stream(events: DataFrame, watermark: str = "1 day") -> Da
     )
 
 
+def attribution_join_stream(
+    events: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream time-interval join: each outcome event joined to the
+    same user's trigger events in the preceding ``horizon`` — the streaming
+    form of the reference's cross-table derived refresh (ST2), where two
+    live feeds must meet on a key within a time bound.
+
+    Both sides carry watermarks; the interval condition bounds the join
+    state Spark must hold (triggers are droppable once older than
+    watermark + horizon). The same expression tree works in batch — tested
+    for parity.
+    """
+    trig = (
+        events.where(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("trigger_id"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    out = (
+        events.where(F.col("event_type") == outcome_type)
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+            F.col("event_id").alias("outcome_id"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("o_ts", watermark)
+    )
+    cond = (
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("t_ts") <= F.col("o_ts"))
+        & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return trig.join(out, cond, "inner").select(
+        F.col("t_user").alias("user_id"),
+        "trigger_id",
+        "outcome_id",
+        "t_ts",
+        "o_ts",
+        "outcome_value",
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drain a (bounded, availableNow) stream into an in-memory table for
     tests/smoke; returns the finished query. Real deployments swap this for

@@ -87,3 +87,34 @@ def test_incremental_append_stream_dedups(spark, events_stream):
     n_distinct = out.select("event_id").distinct().count()
     assert n_stream == n_distinct, "duplicate event_ids leaked through"
     assert n_stream == n_batch, "fixture has unique ids; none should drop"
+
+
+def test_attribution_join_stream_matches_batch(spark, events_dir):
+    from alphavantage_etl_spark.streaming import attribution_join_stream
+
+    stream = attribution_join_stream(read_events_stream(spark, events_dir))
+    run_stream_to_memory(stream, "t_attr", mode="append")
+    got = {
+        (r["trigger_id"], r["outcome_id"]) for r in spark.table("t_attr").collect()
+    }
+
+    # batch reference: identical expression tree over the batch loader
+    ev = load(spark, SF_SMALL, "events")
+    trig = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tt"), F.col("event_id").alias("ti")
+    )
+    out = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ou"), F.col("ts").alias("ot"), F.col("event_id").alias("oi")
+    )
+    want = {
+        (r["ti"], r["oi"])
+        for r in trig.join(
+            out,
+            (F.col("tu") == F.col("ou"))
+            & (F.col("tt") <= F.col("ot"))
+            & (F.col("ot") <= F.col("tt") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert want, "fixture must contain click->purchase pairs within the horizon"
+    # the bounded availableNow drain sees all data; joined pairs must match
+    assert got == want
