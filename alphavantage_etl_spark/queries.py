@@ -1004,6 +1004,23 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(attach_media(d), mode="fake")
 
 
+# Sketch aggregation: HLL++ distinct-count estimate vs the exact count.
+# Engine-specific sketch internals make a cross-engine oracle meaningless,
+# so the check is self-validating: the estimate must land within the
+# configured relative error on every group (rows-only).
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return out.withColumn(
+        "rel_err",
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users"),
+    ).withColumn("within_bound", F.col("rel_err") <= 0.06)  # 3x rsd
+
+
 # X2 — MinHash near-dup candidates (not SQL-expressible -> rows-only check)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
@@ -1060,6 +1077,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_ops": q_set_ops,
     "q_rank_windows": q_rank_windows,
     "q_percentiles": q_percentiles,
+    "q_distinct_sketch": q_distinct_sketch,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_doc_fingerprint": q_doc_fingerprint,

@@ -38,9 +38,16 @@ BENCH_QUERIES = [
     "q_dedup_near_verified",
     "q_top_customers",
     "q_revenue_by_nation",
+    "q_rollup_revenue",
+    "q_set_ops",
+    "q_rank_windows",
+    "q_percentiles",
+    "q_window_sliding",
     "q_embed_near_dup",
     "q_lang_id",
     "q_token_bpe",
+    "q_rolling_fingerprint",
+    "q_multimodal_meta",
 ]
 
 
