@@ -274,6 +274,40 @@ WINDOW w20 AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
 """
 
 
+# W1 at scale: the reference's SMA is a single global-order window (one
+# price series). With a partition key the identical frame runs per key and
+# parallelism returns — this is the 1000-executor form of q_sma_window.
+# Here: SMA-7 of daily order counts per order priority (5 series).
+def q_sma_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("date"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("priority").orderBy("date").rowsBetween(-7, -1)
+    guarded = F.when(
+        F.count("n_orders").over(w) == 7,
+        F.sum("n_orders").over(w) / F.lit(7.0),
+    )
+    return daily.select("priority", "date", "n_orders", guarded.alias("sma7"))
+
+
+SQL_SMA_PARTITIONED = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS date,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, date, n_orders,
+       CASE WHEN count(n_orders) OVER w = 7
+            THEN sum(n_orders) OVER w / 7.0 END AS sma7
+FROM daily
+WINDOW w AS (PARTITION BY priority ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+"""
+
+
 # P8 — drop the partial "today" row (av_etl.py:127); as-of = max date here
 def q_filter_today(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = px_bars(spark, sf_dir)
@@ -1066,6 +1100,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_anti_new_rows": q_anti_new_rows,
     "q_incremental_merge": q_incremental_merge,
     "q_sma_window": q_sma_window,
+    "q_sma_partitioned": q_sma_partitioned,
     "q_filter_today": q_filter_today,
     "q_weekday_filter": q_weekday_filter,
     "q_busday_gap": q_busday_gap,
@@ -1110,6 +1145,7 @@ ORACLES: dict[str, str] = {
     "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
     "q_incremental_merge": SQL_INCREMENTAL_MERGE,
     "q_sma_window": SQL_SMA_WINDOW,
+    "q_sma_partitioned": SQL_SMA_PARTITIONED,
     "q_filter_today": SQL_FILTER_TODAY,
     "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_busday_gap": SQL_BUSDAY_GAP,
