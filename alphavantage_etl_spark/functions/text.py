@@ -69,9 +69,12 @@ def quality_score(col: Column | str) -> Column:
     stop_ok = F.least(F.coalesce(stopword_ratio(c), F.lit(0.0)) * 5, F.lit(1.0))
     wordlen = F.coalesce(mean_token_len(c), F.lit(0.0))
     wordlen_ok = F.when((wordlen >= 3) & (wordlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.bround(
+    score = F.bround(
         0.4 * len_ok + 0.2 * punct_ok + 0.2 * stop_ok + 0.2 * wordlen_ok, 6
     )
+    # NULL text -> NULL score (F.least would otherwise skip the nulls and
+    # fabricate a score for missing documents)
+    return F.when(c.isNotNull(), score)
 
 
 def with_quality_score(df, text_col: str, out_col: str = "q"):
@@ -100,6 +103,7 @@ def with_quality_score(df, text_col: str, out_col: str = "q"):
     wordlen = F.coalesce(F.when(n_tok > 0, tok_len_sum / n_tok), F.lit(0.0))
     wordlen_ok = F.when((wordlen >= 3) & (wordlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     score = F.bround(0.4 * len_ok + 0.2 * punct_ok + 0.2 * stop_ok + 0.2 * wordlen_ok, 6)
+    score = F.when(c.isNotNull(), score)  # NULL text -> NULL score
     return staged.withColumn(out_col, score).drop("__n", "__n_nopunct", "__toks")
 
 
@@ -160,7 +164,8 @@ def lang_id(col: Column | str) -> Column:
         for o in later:
             cond = cond & (s[lang] >= o)
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return pred
+    # NULL text -> NULL prediction, not the fall-through default
+    return F.when(_c(col).isNotNull(), pred)
 
 
 def rolling_fingerprint(col: Column | str) -> Column:
@@ -182,7 +187,8 @@ def rolling_fingerprint(col: Column | str) -> Column:
         lambda acc, cp: (acc * 131 + cp) % F.lit(2147483647),
     )
     # sequence(1, 0) would count DOWN; guard the empty string explicitly.
-    return F.when(n > 0, fold).otherwise(F.lit(0).cast("long"))
+    # NULL text stays NULL (distinct from the empty string's 0).
+    return F.when(n > 0, fold).when(n == 0, F.lit(0).cast("long"))
 
 
 def fingerprint_sha256(col: Column | str) -> Column:
