@@ -1,5 +1,6 @@
 from .pipeline import (
     attribution_join_stream,
+    idempotent_sink_stream,
     incremental_append_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -9,6 +10,7 @@ from .pipeline import (
 
 __all__ = [
     "attribution_join_stream",
+    "idempotent_sink_stream",
     "incremental_append_stream",
     "read_events_stream",
     "run_stream_to_memory",

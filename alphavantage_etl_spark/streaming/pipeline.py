@@ -139,6 +139,45 @@ def attribution_join_stream(
     )
 
 
+def idempotent_sink_stream(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    key: str = "event_id",
+):
+    """Streaming upsert: each micro-batch anti-joins the parquet sink on
+    ``key`` and appends only genuinely-new rows — the complete streaming
+    form of the reference's watermark->trim->append protocol (ST1), safe
+    under BOTH duplicate deliveries in the stream and batch replays after
+    checkpoint rollback (the file-source checkpoint alone only guards the
+    latter).
+
+    ``foreachBatch`` is the escape hatch: the batch ``new_rows`` operator
+    runs unchanged on every micro-batch DataFrame. On Delta/Iceberg the
+    same body becomes ``MERGE INTO`` and gains transactional atomicity;
+    plain parquet append is crash-atomic only per file.
+    """
+    from ..operators.incremental import new_rows
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(sink_path)
+        except Exception:  # first batch: sink does not exist yet
+            existing = None
+        fresh = batch_df if existing is None else new_rows(batch_df, existing, key)
+        fresh.write.mode("append").parquet(sink_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drain a (bounded, availableNow) stream into an in-memory table for
     tests/smoke; returns the finished query. Real deployments swap this for

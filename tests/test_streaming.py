@@ -169,3 +169,44 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n1 + n2, "restart must add exactly the new file"
     assert out.select("event_id").distinct().count() == n1 + n2
+
+
+def test_idempotent_sink_stream_survives_duplicate_delivery(spark, tmp_path):
+    """foreachBatch upsert: duplicate rows arriving in a LATER file (which
+    the source checkpoint happily treats as new data) must not duplicate
+    keys in the sink."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.streaming import (
+        idempotent_sink_stream,
+        read_events_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load(spark, SF_SMALL, "events")
+    n_total = ev.count()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        ).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    land(ev, "all")
+    idempotent_sink_stream(read_events_stream(spark, str(in_dir)), sink, ckpt)
+    assert spark.read.parquet(sink).count() == n_total
+
+    # redeliver an overlapping slice as a brand-new file (at-least-once
+    # delivery); the sink must keep exactly one row per key
+    land(ev.limit(500), "redelivery")
+    idempotent_sink_stream(read_events_stream(spark, str(in_dir)), sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == n_total
+    assert out.select("event_id").distinct().count() == n_total
