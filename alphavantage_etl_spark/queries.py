@@ -32,7 +32,6 @@ from .functions.text import (
     fingerprint_sha256,
     lang_id,
     lang_scores,
-    quality_score,
     rolling_fingerprint,
     with_quality_score,
     simhash64,
@@ -41,7 +40,6 @@ from .functions.text import (
 )
 from .functions.windows import sma_exact_cents
 from .operators.dedup import (
-    dedup_exact,
     minhash_near_dups,
     minhash_verified_near_dups,
     ngram_jaccard_pairs,
