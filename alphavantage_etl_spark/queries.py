@@ -833,6 +833,34 @@ FROM fan GROUP BY 1, 2
 """
 
 
+# Reshape: long->wide pivot of daily event counts. The value list is
+# EXPLICIT — without it Spark runs a distinct-scan job just to discover
+# column names and the output schema becomes data-dependent (a 100 TB
+# anti-pattern); with it, pivot compiles to count(CASE WHEN ...) columns.
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", PIVOT_TYPES)
+        .count()
+        .na.fill(0, PIVOT_TYPES)
+    )
+
+
+SQL_PIVOT_DAILY = """
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
 # X6 — gap-based sessionization (session_window vs lag/cumsum islands oracle)
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
@@ -1125,6 +1153,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk": q_cosine_topk,
     "q_window_tumbling": q_window_tumbling,
     "q_window_sliding": q_window_sliding,
+    "q_pivot_daily": q_pivot_daily,
     "q_sessionize": q_sessionize,
     "q_dedup_near": q_dedup_near,
     "q_dedup_near_verified": q_dedup_near_verified,
@@ -1169,6 +1198,7 @@ ORACLES: dict[str, str] = {
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_window_tumbling": SQL_WINDOW_TUMBLING,
     "q_window_sliding": SQL_WINDOW_SLIDING,
+    "q_pivot_daily": SQL_PIVOT_DAILY,
     "q_sessionize": SQL_SESSIONIZE,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }
