@@ -1,0 +1,92 @@
+"""End-to-end training-data curation pipeline (north star): the composed
+form of the X-operators, in the order a production corpus run uses them.
+
+    raw documents
+      -> language ID + quality scoring          (cheap, codegen, no shuffle)
+      -> quality / length gate                  (filter BEFORE any shuffle)
+      -> exact dedup on content fingerprint     (one shuffle on a 32B key)
+      -> MinHash-LSH near-dup + exact verify    (bounded candidate join)
+      -> drop the lower-quality member of each near-dup pair
+      -> token accounting per language          (final small aggregate)
+
+Ordering rationale at 100 TB: the quality gate runs first because it is
+shuffle-free and typically removes the most volume; exact dedup precedes
+near-dup so the LSH stage never pays for byte-identical copies; near-dup
+verification is exact Jaccard, so the pair threshold is a real guarantee,
+not an LSH estimate. Every stage is a lazy DataFrame; one action executes
+the whole plan with AQE choosing join strategies per actual sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint_sha256,
+    lang_id,
+    token_count,
+    token_count_bpe,
+    with_quality_score,
+)
+from ..operators.dedup import minhash_verified_near_dups
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_chars: int = 100,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """The curated corpus: quality-gated, exactly and near deduplicated.
+
+    Near-dup resolution keeps the HIGHER-quality member of each verified
+    pair (ties: lower id). Deterministic end to end.
+    """
+    scored = with_quality_score(docs, text_col).withColumn(
+        "lang_pred", lang_id(text_col)
+    )
+    gated = scored.where(
+        (F.col("q") >= min_quality) & (F.length(text_col) >= min_chars)
+    )
+
+    # exact dedup: one representative (min id) per content fingerprint
+    fp = gated.withColumn("__fp", fingerprint_sha256(text_col))
+    w_min = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    exact_unique = fp.join(w_min, [ "__fp", id_col ], "semi").drop("__fp")
+
+    # near-dup: verified pairs above the Jaccard bar; drop the worse member
+    pairs = minhash_verified_near_dups(
+        exact_unique, text_col, id_col,
+        shingle_k=9, bands=16,
+        candidate_threshold=0.2, jaccard_threshold=jaccard_threshold,
+    )
+    quality = exact_unique.select(F.col(id_col).alias("__qid"), F.col("q").alias("__q"))
+    ranked = (
+        pairs.join(quality.withColumnRenamed("__qid", "id_a").withColumnRenamed("__q", "qa"), "id_a")
+        .join(quality.withColumnRenamed("__qid", "id_b").withColumnRenamed("__q", "qb"), "id_b")
+        .select(
+            F.when(F.col("qa") < F.col("qb"), F.col("id_a"))
+            .when(F.col("qb") < F.col("qa"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("__drop")
+        )
+        .distinct()
+    )
+    return exact_unique.join(
+        ranked, exact_unique[id_col] == ranked["__drop"], "left_anti"
+    )
+
+
+def curation_report(curated: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language token budget of the curated corpus — the number a
+    training run actually needs from this pipeline."""
+    return curated.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.sum(token_count(text_col)).cast("long").alias("total_tokens_ws"),
+        F.sum(token_count_bpe(text_col)).cast("long").alias("total_tokens_bpe"),
+        F.bround(F.avg("q"), 6).alias("avg_quality"),
+    )

@@ -1,0 +1,64 @@
+"""Curation pipeline: each gate provably does its job on a corpus with
+planted defects (low quality, short, exact dup, near dup), and the real
+fixture corpus survives end-to-end with sane stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.plans.curation import curate, curation_report
+from alphavantage_etl_spark.sources import load
+
+from .conftest import SF_SMALL
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and it was a good day "
+    "for the animals in the field because the sun was out and the wind "
+    "was calm over the wide green valley near the old stone bridge"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    near = GOOD.replace("stone bridge", "stone tower")  # near-dup of 1
+    rows = [
+        (1, GOOD),
+        (2, GOOD),              # exact dup of 1 -> dropped
+        (3, near),              # near-dup of 1, same quality-ish
+        (4, "short text"),      # length gate
+        (5, "!!! ??? *** " * 30),  # punctuation garbage -> quality gate
+        (6, "the house and the tree and the dog were all by the river "
+            "watching the boats go past in the warm light of a long "
+            "afternoon that seemed to never end for anyone there"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gates_drop_planted_defects(spark, planted):
+    # min_quality 0.65: punctuation garbage scores ~0.6 (len_ok +
+    # wordlen_ok floor), real prose ~0.9+ — the gate sits between
+    out = curate(planted, min_quality=0.65, min_chars=100, jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 2 exact-dups to 1; 3 near-dups to 1 (lower quality, higher id);
+    # 4 too short; 5 too punctuation-heavy; 1 and 6 survive
+    assert kept == [1, 6]
+
+
+def test_curation_is_deterministic(spark, planted):
+    a = sorted(r["doc_id"] for r in curate(planted).collect())
+    b = sorted(r["doc_id"] for r in curate(planted).collect())
+    assert a == b
+
+
+def test_fixture_corpus_end_to_end(spark):
+    docs = load(spark, SF_SMALL, "documents")
+    curated = curate(docs, min_quality=0.3, min_chars=50, jaccard_threshold=0.6)
+    n_in, n_out = docs.count(), curated.count()
+    assert 0 < n_out <= n_in
+    report = curation_report(curated).collect()
+    assert report
+    for r in report:
+        assert r["n_docs"] > 0
+        assert r["total_tokens_bpe"] >= r["total_tokens_ws"] > 0
+        assert 0.0 <= r["avg_quality"] <= 1.0
