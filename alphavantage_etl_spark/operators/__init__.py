@@ -7,7 +7,14 @@ from .dedup import (
     minhash_verified_near_dups,
     ngram_jaccard_pairs,
 )
-from .similarity import cosine_topk, cosine_topk_lsh, embedding_near_dups, lsh_bucket
+from .similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_bucket,
+    train_ivf_cells,
+)
 from .sessionize import sessionize
 from .skew import salted_agg, salted_join
 from .multimodal import attach_media, decode_image_features, frame_sample
@@ -25,7 +32,9 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dups",
+    "ivf_topk",
     "lsh_bucket",
+    "train_ivf_cells",
     "sessionize",
     "salted_agg",
     "salted_join",

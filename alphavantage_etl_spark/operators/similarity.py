@@ -102,6 +102,101 @@ def embedding_near_dups(
     )
 
 
+def train_ivf_cells(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: k-means centroids via Lloyd
+    iterations expressed as DataFrame ops.
+
+    The centroids themselves are MODEL STATE — n_cells x dim floats — and
+    live driver-side between iterations (the same shape MLlib uses); the
+    per-vector work (assignment, partial sums) is fully distributed. Init
+    is a deterministic hash-ordered sample, so training is reproducible.
+
+    Scale: each iteration is one broadcast join (centroid literals) + one
+    partial-aggregated groupBy on cell id. For 1B vectors x 16 iterations
+    that is 16 scans — amortized by training on a sample, which this
+    accepts via ``df`` being any (sampled) frame.
+    """
+    centroids = [
+        list(r[vec_col])
+        for r in df.select(vec_col, id_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_cells)
+        .collect()
+    ]
+    for _ in range(iters):
+        assigned = _assign_cells(df, centroids, vec_col)
+        dim = len(centroids[0])
+        sums = assigned.groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = {
+            int(r["__cell"]): [r[f"__s{i}"] / r["__n"] for i in range(dim)]
+            for r in sums.collect()
+        }
+        # empty cells keep their previous centroid
+        centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
+    return centroids
+
+
+def _assign_cells(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment via a broadcast centroid table
+    + min_by — no per-centroid expression explosion in the row plan."""
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cents = spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
+    sim = cosine_similarity(F.col(vec_col), F.col("cvec"))
+    scored = df.crossJoin(F.broadcast(cents)).withColumn("__sim", sim)
+    best = scored.groupBy(*df.columns).agg(
+        F.max_by("cell", F.col("__sim")).alias("__cell")
+    )
+    return best
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF search: score only vectors assigned to the ``n_probe`` cells
+    nearest the query. With |D|/n_cells vectors per cell the scoring work
+    drops ~n_cells/n_probe-fold; recall is the classic IVF trade-off,
+    tuned by n_probe without changing the plan. Assignment is recomputed
+    here for self-containment — production persists the (id, cell) table
+    at ingest and this becomes a partition-pruned scan.
+    """
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot_ / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    probe = sorted(
+        range(len(centroids)), key=lambda c: -cos(query_vec, centroids[c])
+    )[:n_probe]
+    assigned = _assign_cells(df, centroids, vec_col)
+    cand = assigned.where(F.col("__cell").isin(probe)).drop("__cell")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
+
+
 def lsh_bucket(vec_col: Column | str, bits: int = 16, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (integer in [0, 2^bits)).
 

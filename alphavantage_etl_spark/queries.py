@@ -1103,6 +1103,16 @@ def q_dedup_near_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X3 — IVF top-k: trained coarse quantizer, n_probe nearest cells scored
+# (approximate by design -> rows-only; recall pinned in tests)
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk, train_ivf_cells
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    cents = train_ivf_cells(emb, n_cells=8, iters=2)
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, centroids=cents, n_probe=3)
+
+
 # X3 — LSH-bucketed approximate top-k (approximate -> rows-only check)
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
@@ -1157,6 +1167,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_sessionize": q_sessionize,
     "q_dedup_near": q_dedup_near,
     "q_dedup_near_verified": q_dedup_near_verified,
+    "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_simhash": q_simhash,
 }

@@ -332,3 +332,35 @@ def test_report_frames_shapes(spark):
     assert dates == sorted(dates, reverse=True)
     oldest = frames["px"].orderBy("date").limit(5).collect()
     assert all(r["sma20"] is None for r in oldest), "under-k rows must be NULL"
+
+
+# --- X3: IVF search — deterministic training, recall vs brute force ---
+def test_ivf_topk_recall(spark):
+    from alphavantage_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_cells,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    rest = emb.where(F.col("vec_id") != 0)
+
+    cents = train_ivf_cells(rest, n_cells=8, iters=2)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    again = train_ivf_cells(rest, n_cells=8, iters=2)
+    assert cents == again, "training must be deterministic"
+
+    exact = [r["vec_id"] for r in cosine_topk(rest, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(rest, q, 10, cents, n_probe=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall} (probe=4/8 cells)"
+    # every IVF hit must carry the same score the exact path assigns
+    exact_scores = {
+        r["vec_id"]: r["sim"] for r in cosine_topk(rest, q, k=500).collect()
+    }
+    for r in ivf_topk(rest, q, 10, cents, n_probe=4).collect():
+        assert exact_scores[r["vec_id"]] == r["sim"]
