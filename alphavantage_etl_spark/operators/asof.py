@@ -36,6 +36,11 @@ def asof_join(
     """Left as-of join: every ``left`` row + latest ``right`` values at or
     before its ``on`` key. Right payload columns keep their names (plus
     optional suffix). Left rows before the first right row get NULLs.
+
+    Precondition: ``right`` has at most one row per (partition_by, on) —
+    with duplicates the tie between same-key right rows is not ordered and
+    the filled value is nondeterministic. Deduplicate (e.g. ``max_by`` per
+    key) first; the reference's FX table satisfies this via its date PK.
     """
     payload = [c for c in right.columns if c != on and c not in (partition_by or [])]
     lcols = [c for c in left.columns]

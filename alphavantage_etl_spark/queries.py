@@ -587,6 +587,31 @@ FROM e GROUP BY event_type
 """
 
 
+# CUBE: every grouping-set combination of (priority, status) in one pass —
+# the 2^n companion to q_rollup_revenue's hierarchy.
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.cube(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(price_c) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 # Set operations (absent from the reference, SURVEY.md 2.10; first-class
 # engine surface): repeat customers of 1995 AND 1996, minus anyone who ever
 # placed an urgent order. INTERSECT/EXCEPT are set-semantic (distinct).
@@ -1145,6 +1170,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_top_customers": q_top_customers,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_orders": q_cube_orders,
     "q_set_ops": q_set_ops,
     "q_rank_windows": q_rank_windows,
     "q_percentiles": q_percentiles,
@@ -1192,6 +1218,7 @@ ORACLES: dict[str, str] = {
     "q_top_customers": SQL_TOP_CUSTOMERS,
     "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "q_cube_orders": SQL_CUBE_ORDERS,
     "q_set_ops": SQL_SET_OPS,
     "q_rank_windows": SQL_RANK_WINDOWS,
     "q_percentiles": SQL_PERCENTILES,
