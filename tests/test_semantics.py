@@ -364,3 +364,24 @@ def test_ivf_topk_recall(spark):
     }
     for r in ivf_topk(rest, q, 10, cents, n_probe=4).collect():
         assert exact_scores[r["vec_id"]] == r["sim"]
+
+
+# --- J3 at scale: partitioned as-of join (per-symbol form) ---
+def test_asof_join_partitioned(spark):
+    left = spark.createDataFrame(
+        [("A", d("2024-01-02"), 1.0), ("A", d("2024-01-09"), 2.0),
+         ("B", d("2024-01-02"), 3.0)],
+        "sym string, date date, px double",
+    )
+    right = spark.createDataFrame(
+        [("A", d("2024-01-01"), 10.0), ("A", d("2024-01-08"), 20.0),
+         ("B", d("2024-01-05"), 30.0)],
+        "sym string, date date, rate double",
+    )
+    out = {
+        (r["sym"], r["date"].day): r["rate"]
+        for r in asof_join(left, right, "date", partition_by=["sym"]).collect()
+    }
+    # fills never cross the partition boundary
+    assert out[("A", 2)] == 10.0 and out[("A", 9)] == 20.0
+    assert out[("B", 2)] is None  # B has no rate yet on Jan 2
