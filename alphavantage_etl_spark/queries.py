@@ -389,6 +389,37 @@ FROM px ASOF LEFT JOIN fxw ON px.date >= fxw.date
 """
 
 
+# J3 at scale — PARTITIONED as-of join: price per order-priority series,
+# each filled from its own priority's weekly rate series. The per-key form
+# is how the operator runs on a 1000-executor cluster (window partitions
+# by key; no global sort).
+def q_asof_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("date"),
+    ).agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)).alias("rev"))
+    weekly = daily.where(F.weekday("date") == 0).select(
+        "prio", "date", F.col("rev").alias("monday_rev")
+    )
+    return asof_join(daily, weekly, on="date", partition_by=["prio"])
+
+
+SQL_ASOF_PARTITIONED = """
+WITH daily AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS date,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
+  FROM orders GROUP BY 1, 2
+),
+weekly AS (
+  SELECT prio, date, rev AS monday_rev FROM daily WHERE isodow(date) = 1
+)
+SELECT d.prio AS prio, d.date AS date, d.rev AS rev, w.monday_rev AS monday_rev
+FROM daily d ASOF LEFT JOIN weekly w
+  ON d.prio = w.prio AND d.date >= w.date
+"""
+
+
 # TPC-H-Q1-shaped pricing summary: classic partial-agg shuffle; exact
 # integer-cents sums, one final double division per output column.
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,6 +1197,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_weekday_filter": q_weekday_filter,
     "q_busday_gap": q_busday_gap,
     "q_asof_rate": q_asof_rate,
+    "q_asof_partitioned": q_asof_partitioned,
     "q_agg_pricing": q_agg_pricing,
     "q_top_customers": q_top_customers,
     "q_revenue_by_nation": q_revenue_by_nation,
@@ -1214,6 +1246,7 @@ ORACLES: dict[str, str] = {
     "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_busday_gap": SQL_BUSDAY_GAP,
     "q_asof_rate": SQL_ASOF_RATE,
+    "q_asof_partitioned": SQL_ASOF_PARTITIONED,
     "q_agg_pricing": SQL_AGG_PRICING,
     "q_top_customers": SQL_TOP_CUSTOMERS,
     "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
