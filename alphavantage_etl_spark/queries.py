@@ -1079,7 +1079,9 @@ SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.35
 
 
 # X5 — multimodal metadata scan: binary payload + typed meta carried through
-# a relational plan; payload bytes hash-compared engine-to-engine.
+# a relational plan; payload bytes hash-compared engine-to-engine. The
+# payload is emitted HEX-ENCODED (still byte-exact, just text) because the
+# driver's pandas canonicalizer cannot hash raw bytearray cells.
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_media
 
@@ -1087,7 +1089,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = attach_media(d)
     return m.select(
         "doc_id",
-        "payload",
+        F.lower(F.hex("payload")).alias("payload_hex"),
         F.octet_length("payload").alias("n_bytes"),
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
@@ -1098,26 +1100,61 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_META = """
 WITH m AS (
-  SELECT doc_id, unhex(sha256(text)) AS payload,
+  SELECT doc_id, sha256(text) AS payload_hex,
+         octet_length(unhex(sha256(text))) AS n_bytes,
          CAST(16 + (doc_id % 16) * 8 AS INTEGER) AS width,
          CAST(16 + (doc_id % 12) * 8 AS INTEGER) AS height,
          CAST(1 + doc_id % 8 AS INTEGER) AS n_frames,
          'fake/rgb8' AS format
   FROM documents
 )
-SELECT doc_id, payload, octet_length(payload) AS n_bytes,
-       width, height, n_frames, format
+SELECT doc_id, payload_hex, n_bytes, width, height, n_frames, format
 FROM m WHERE width >= 64
 """
 
 
-# X5 — Arrow-batched feature extraction over media payloads (mapInPandas;
-# Python stage by necessity -> rows-only check)
+# X5 — Arrow-batched feature extraction over media payloads (mapInPandas —
+# the one genuinely-Python stage). Features leave the query as a
+# comma-joined string of micro-units (round(f * 1e6)): the driver
+# canonicalizer cannot hash list cells, and integer micro-units make the
+# float32 Arrow values hash-comparable against a double-precision oracle
+# (float32 error ~6e-8 relative << the 0.5 rounding margin — verified
+# exhaustively over all 256 byte values).
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_media, decode_image_features
 
     d = load(spark, sf_dir, "documents")
-    return decode_image_features(attach_media(d), mode="fake")
+    feats = decode_image_features(attach_media(d), mode="fake")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string"),
+            ),
+        ).alias("features_u6"),
+    )
+
+
+# Oracle mirrors the fake extractor: feature_i = round(byte_i(sha256) /
+# 255, 6) in micro-units. DuckDB lacks blob byte indexing, so bytes are
+# recovered from the hex digest via a strpos('0123456789abcdef', ...)
+# digit lookup — pure SQL, bit-exact.
+SQL_IMAGE_FEATURES = """
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(octet_length(unhex(hx)) AS INTEGER) AS n_bytes,
+         list_transform(range(8), i -> CAST(round(round(
+             ((strpos('0123456789abcdef', substr(hx, i * 2 + 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, i * 2 + 2, 1)) - 1)) / 255.0,
+           6) * 1e6) AS BIGINT)) AS u6
+  FROM h
+)
+SELECT doc_id, n_bytes, array_to_string(u6, ',') AS features_u6 FROM f
+"""
 
 
 # Sketch aggregation: HLL++ distinct-count estimate vs the exact count.
@@ -1265,7 +1302,7 @@ ORACLES: dict[str, str] = {
     "q_jaccard_pairs": SQL_JACCARD_PAIRS,
     "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_multimodal_meta": SQL_MULTIMODAL_META,
-    # q_image_features: mapInPandas feature extraction -> rows-only by design
+    "q_image_features": SQL_IMAGE_FEATURES,
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_window_tumbling": SQL_WINDOW_TUMBLING,
     "q_window_sliding": SQL_WINDOW_SLIDING,
