@@ -6,6 +6,7 @@ from .dedup import (
     minhash_near_dups,
     minhash_verified_near_dups,
     ngram_jaccard_pairs,
+    release,
 )
 from .similarity import (
     cosine_topk,
@@ -29,6 +30,7 @@ __all__ = [
     "minhash_near_dups",
     "minhash_verified_near_dups",
     "ngram_jaccard_pairs",
+    "release",
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dups",

@@ -44,6 +44,13 @@ def asof_join(
     """
     payload = [c for c in right.columns if c != on and c not in (partition_by or [])]
     lcols = [c for c in left.columns]
+    clashes = {f"{c}{suffix}" for c in payload} & set(lcols)
+    if clashes:
+        raise ValueError(
+            f"right payload column(s) {sorted(clashes)} collide with left "
+            "columns in the output; pass a non-empty suffix (e.g. "
+            "suffix='_r') or rename before joining"
+        )
 
     tagged_r = right.select(
         *[F.col(c) for c in (partition_by or [])],

@@ -12,6 +12,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def release(handles: list[DataFrame]) -> None:
+    """Unpersist every cached intermediate collected via a ``handles`` list.
+
+    The near-dup operators persist small intermediates (signatures,
+    candidate pairs) that must stay cached until the CALLER's final action
+    — the operators return lazy plans, so they cannot unpersist themselves.
+    Pass ``handles=[]`` to collect the cached frames, run the final action,
+    then ``release(handles)``; long-lived sessions that skip this keep the
+    caches until ``spark.catalog.clearCache()`` (the pre-round-2 behavior).
+    """
+    for h in handles:
+        h.unpersist()
+
+
 def dedup_exact(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     """Keep one deterministic representative (min id) per key group.
 
@@ -96,6 +110,8 @@ def minhash_verified_near_dups(
     bands: int = 8,
     candidate_threshold: float = 0.2,
     jaccard_threshold: float = 0.4,
+    max_bucket_size: int | None = 10_000,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup path: MinHash-LSH candidate generation followed
     by EXACT Jaccard verification of candidates only.
@@ -105,15 +121,21 @@ def minhash_verified_near_dups(
     bounded by LSH recall: the |D|^2 term never materializes, candidates are
     a few per document, and the verify stage re-joins each candidate pair to
     its two (hashed) shingle sets. Recall is tuned with (bands, rows/band,
-    candidate_threshold) without changing the plan shape.
+    candidate_threshold) without changing the plan shape;
+    ``max_bucket_size`` bounds the worst-case candidate quadratic (see
+    ``minhash_near_dups``). If ``handles`` is a list, cached intermediates
+    are appended for the caller to ``release()`` after its final action.
 
     Output: (id_a, id_b, jaccard) with jaccard >= jaccard_threshold.
     """
     cand = minhash_near_dups(
         df, text_col, id_col, shingle_k, num_hashes, bands,
         jaccard_threshold=candidate_threshold,
+        max_bucket_size=max_bucket_size, handles=handles,
     ).select("id_a", "id_b").persist()
     cand.count()  # eager: the pair list feeds two joins below — reuse, not recompute
+    if handles is not None:
+        handles.append(cand)
 
     # Exact shingle sets only for documents that appear in a candidate pair
     # (semi-join): at scale candidates are a vanishing fraction of the
@@ -182,6 +204,8 @@ def minhash_near_dups(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     materialize_signatures: bool = True,
+    max_bucket_size: int | None = 10_000,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -204,6 +228,19 @@ def minhash_near_dups(
     lazy form shingles+hashes the corpus TWICE. Signatures are ~1000x
     smaller than the documents (num_hashes longs per doc); at 100 TB the
     production form writes them to a table once and joins from there.
+    If ``handles`` is a list, the persisted signature frame is appended for
+    the caller to ``release()`` after its final action.
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    documents BEFORE the self-join: a bucket of B members contributes
+    B^2/2 candidate pairs, so one adversarial bucket (boilerplate corpora,
+    low-entropy shingles) can turn the candidate join quadratic. Oversized
+    buckets are overwhelmingly template/boilerplate collisions, and a
+    document in a dropped bucket still pairs through its other bands —
+    dropping costs bounded recall, never precision (every surviving pair is
+    still exact-verified downstream in the verified path). ``None``
+    disables the cap. The cap costs one partial-aggregated count over
+    (band, bucket) keys — negligible next to the self-join it bounds.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -240,6 +277,8 @@ def minhash_near_dups(
     if materialize_signatures:
         sig = sig.persist()
         sig.count()  # eager: populate before the self-join forks the plan
+        if handles is not None:
+            handles.append(sig)
 
     banded = sig.select(
         "__id",
@@ -256,6 +295,15 @@ def minhash_near_dups(
             )
         ).alias("bb"),
     ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .where(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

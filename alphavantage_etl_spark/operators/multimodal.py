@@ -104,7 +104,11 @@ def frame_sample(df: DataFrame, frame_size: int = 4, every_k: int = 2) -> DataFr
     Python. One output row per sampled frame.
     """
     n_frames = (F.octet_length("payload") / frame_size).cast("int")
-    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    # sequence(0, -1, k) raises at runtime, so payloads shorter than one
+    # frame must short-circuit to an empty frame list, not an error
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_k))
+    ).otherwise(F.array().cast("array<int>"))
     exploded = df.select(
         "doc_id",
         F.posexplode(

@@ -151,17 +151,37 @@ def train_ivf_cells(
 def _assign_cells(
     df: DataFrame, centroids: list[list[float]], vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid (cosine) assignment via a broadcast centroid table
-    + min_by — no per-centroid expression explosion in the row plan."""
-    spark = df.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cents = spark.createDataFrame(cent_rows, "cell int, cvec array<double>")
-    sim = cosine_similarity(F.col(vec_col), F.col("cvec"))
-    scored = df.crossJoin(F.broadcast(cents)).withColumn("__sim", sim)
-    best = scored.groupBy(*df.columns).agg(
-        F.max_by("cell", F.col("__sim")).alias("__cell")
+    """Nearest-centroid (cosine) assignment as a single projection.
+
+    The centroids are model state (n_cells x dim floats, a few KB) so they
+    inline as a literal ``array<struct<cell, cvec>>``; the argmax is
+    ``array_max`` over per-centroid (sim, -cell) structs. Assignment is a
+    narrow map — NO shuffle, no join — and duplicate rows keep their
+    multiplicity (the previous broadcast-join + groupBy-all-columns form
+    shuffled the full embedding array as part of the grouping key and
+    silently merged identical rows). Ties and zero vectors break to the
+    lowest cell id, deterministically.
+    """
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+            )
+            for i, c in enumerate(centroids)
+        ]
     )
-    return best
+    scored = F.transform(
+        cents,
+        lambda s: F.struct(
+            F.coalesce(
+                cosine_similarity(F.col(vec_col), s["cvec"]), F.lit(-2.0)
+            ).alias("sim"),
+            (-s["cell"]).alias("neg_cell"),
+        ),
+    )
+    best = F.array_max(scored)
+    return df.withColumn("__cell", (-best["neg_cell"]).cast("int"))
 
 
 def ivf_topk(

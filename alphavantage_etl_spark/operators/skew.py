@@ -49,50 +49,57 @@ def salted_join(
     return out.drop("__salt")
 
 
+# op -> (stage-1 aggregate, stage-2 shard combiner). count's shards merge
+# by SUM — the one case where the combiner differs from the stage-1 op,
+# and the reason the op must be declared, not inferred.
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, Column]],
     salt: int = 8,
     salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage aggregation for heavy groups: aggregate per (key, salt)
     shard first, then merge shards per key.
 
-    ``aggs`` maps output column name -> a DECOMPOSABLE pair encoded as one
-    Column for stage 1; stage 2 merges with the matching combiner. To keep
-    the API honest (not every aggregate merges with the same function),
-    only sum/count/min/max shapes are accepted — expressed as stage-1
-    Columns; the combiner is inferred from the expression name.
+    ``aggs`` maps output column name -> ``(op, column)`` where ``op`` is
+    one of ``sum | count | min | max`` — the decomposable shapes whose
+    shard results merge exactly. The op is declared explicitly (never
+    inferred from the expression string: that required the private
+    ``Column._jc`` py4j handle, which is version-fragile and absent under
+    Spark Connect). Compose avg as sum+count at the call site.
 
     For algebraic aggregates Spark's partial aggregation already does this
     map-side; use salted_agg when the group count is small AND groups are
     huge (partials help less: few groups -> few map-side buckets) or
     downstream needs the (key, salt) sharding anyway.
     """
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2) or spec[0] not in _MERGEABLE:
+            raise ValueError(
+                f"aggregate {name}={spec!r} must be ('sum'|'count'|'min'|'max', "
+                "Column); compose avg as sum+count at the call site"
+            )
     salt_src = salt_cols or [c for c in df.columns if c not in keys]
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt))
     )
     stage1 = salted.groupBy(*keys, "__salt").agg(
-        *[c.alias(f"__s1_{name}") for name, c in aggs.items()]
+        *[
+            _MERGEABLE[op][0](col).alias(f"__s1_{name}")
+            for name, (op, col) in aggs.items()
+        ]
     )
-
-    mergers = []
-    for name, c in aggs.items():
-        expr = c._jc.toString().lower()
-        s1 = F.col(f"__s1_{name}")
-        if expr.startswith("count("):
-            mergers.append(F.sum(s1).alias(name))
-        elif expr.startswith("sum("):
-            mergers.append(F.sum(s1).alias(name))
-        elif expr.startswith("min("):
-            mergers.append(F.min(s1).alias(name))
-        elif expr.startswith("max("):
-            mergers.append(F.max(s1).alias(name))
-        else:
-            raise ValueError(
-                f"aggregate {name}={expr!r} is not sum/count/min/max-shaped; "
-                "compose avg as sum+count at the call site"
-            )
+    mergers = [
+        _MERGEABLE[op][1](F.col(f"__s1_{name}")).alias(name)
+        for name, (op, _) in aggs.items()
+    ]
     return stage1.groupBy(*keys).agg(*mergers)

@@ -39,11 +39,15 @@ def curate(
     min_quality: float = 0.5,
     min_chars: int = 100,
     jaccard_threshold: float = 0.6,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The curated corpus: quality-gated, exactly and near deduplicated.
 
     Near-dup resolution keeps the HIGHER-quality member of each verified
-    pair (ties: lower id). Deterministic end to end.
+    pair (ties: lower id). Deterministic end to end. Pass ``handles=[]``
+    to collect the near-dup stage's cached intermediates and
+    ``operators.dedup.release(handles)`` them after the final action —
+    long-lived sessions that re-curate repeatedly stay flat on storage.
     """
     scored = with_quality_score(docs, text_col).withColumn(
         "lang_pred", lang_id(text_col)
@@ -62,6 +66,7 @@ def curate(
         exact_unique, text_col, id_col,
         shingle_k=9, bands=16,
         candidate_threshold=0.2, jaccard_threshold=jaccard_threshold,
+        handles=handles,
     )
     quality = exact_unique.select(F.col(id_col).alias("__qid"), F.col("q").alias("__q"))
     ranked = (

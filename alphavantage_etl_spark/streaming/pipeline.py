@@ -160,11 +160,17 @@ def idempotent_sink_stream(
     from ..operators.incremental import new_rows
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             existing = spark.read.parquet(sink_path)
-        except Exception:  # first batch: sink does not exist yet
+        except AnalysisException:  # first batch: sink does not exist yet
             existing = None
+        # Any OTHER read failure (corrupt footer, FS hiccup, permissions)
+        # must propagate and fail the batch so the checkpoint retries it —
+        # swallowing it would skip the anti-join and re-append the whole
+        # micro-batch, silently breaking the idempotency guarantee.
         fresh = batch_df if existing is None else new_rows(batch_df, existing, key)
         fresh.write.mode("append").parquet(sink_path)
 

@@ -81,6 +81,18 @@ def test_frame_sample_byte_exact(spark, media):
         assert bytes(r["frame"]) == payload[i : i + 4]
 
 
+def test_frame_sample_short_payload_yields_zero_frames(spark):
+    # payload shorter than one frame: must produce zero rows, not an
+    # illegal-sequence-boundaries runtime error (sequence(0, -1, k))
+    tiny = spark.createDataFrame(
+        [(1, bytearray(b"ab")), (2, bytearray(b"")), (3, bytearray(b"abcdefgh"))],
+        "doc_id long, payload binary",
+    )
+    out = frame_sample(tiny, frame_size=4, every_k=2).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert [r["frame_no"] for r in out] == [0]
+
+
 def test_metadata_scan_prunes_payload(spark, media):
     q = media.select("doc_id", F.col("meta.width")).where(F.col("meta.width") >= 64)
     plan = q._jdf.queryExecution().executedPlan().toString()

@@ -128,6 +128,15 @@ def test_asof_join(spark):
     assert len(out) == 4  # every left row survives
 
 
+def test_asof_join_rejects_silent_column_collision(spark):
+    left = spark.createDataFrame([(d("2024-01-01"), 1.0)], "date date, v double")
+    right = spark.createDataFrame([(d("2024-01-01"), 2.0)], "date date, v double")
+    with pytest.raises(ValueError, match="collide.*suffix"):
+        asof_join(left, right, "date")
+    out = asof_join(left, right, "date", suffix="_r").collect()
+    assert out[0]["v"] == 1.0 and out[0]["v_r"] == 2.0
+
+
 # --- X6: session boundary — exactly-gap MERGES (inclusive), gap+epsilon splits ---
 def test_session_gap_boundary(spark):
     rows = [
@@ -306,6 +315,86 @@ def test_minhash_verified_subset_of_exact(spark):
         f"recall too low: {len(got)}/{len(exact)} at 16x2 banding"
     )
     assert exact, "fixture must contain true near-dup pairs"
+
+
+# --- X2: hot-bucket cap bounds the candidate quadratic without touching
+# well-behaved pairs ---
+def test_minhash_hot_bucket_cap(spark):
+    from alphavantage_etl_spark.operators.dedup import minhash_near_dups
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long and repetitive boilerplate disclaimer paragraph about terms"
+    )
+    pair_a = "completely different content about spark partitions and shuffles etc"
+    pair_b = "completely different content about spark partitions and shuffle etc"
+    rows = [(i, base) for i in range(30)]  # one hot bucket per band (30 members)
+    rows += [(100, pair_a), (101, pair_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(
+            docs, "text", "doc_id", jaccard_threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert (100, 101) in uncapped
+    assert len(uncapped) == 30 * 29 // 2 + 1, "blob must be fully quadratic uncapped"
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(
+            docs, "text", "doc_id", jaccard_threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    # identical docs share EVERY band bucket, so all 16 hot buckets drop and
+    # the blob contributes zero candidates; the well-behaved pair (bucket
+    # size 2) is untouched
+    assert capped == {(100, 101)}
+
+
+def test_minhash_fixture_pairs_unchanged_by_default_cap(spark):
+    from alphavantage_etl_spark.operators.dedup import minhash_verified_near_dups
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    kw = dict(shingle_k=9, bands=16, candidate_threshold=0.2, jaccard_threshold=0.4)
+    with_cap = {
+        tuple(r) for r in minhash_verified_near_dups(docs, "text", "doc_id", **kw).collect()
+    }
+    no_cap = {
+        tuple(r)
+        for r in minhash_verified_near_dups(
+            docs, "text", "doc_id", max_bucket_size=None, **kw
+        ).collect()
+    }
+    assert with_cap == no_cap, "default cap must not fire on the fixture corpus"
+
+
+# --- X2: cache-handle discipline — intermediates release, results survive ---
+def test_minhash_handles_release(spark):
+    from alphavantage_etl_spark.operators.dedup import (
+        minhash_verified_near_dups,
+        release,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+    handles: list = []
+    out = minhash_verified_near_dups(
+        docs, "text", "doc_id", shingle_k=9, bands=16,
+        candidate_threshold=0.2, jaccard_threshold=0.4, handles=handles,
+    )
+    n = out.count()  # the caller's final action
+    assert len(handles) == 2, "signature + candidate frames must be handed back"
+    assert all(h.storageLevel.useMemory for h in handles)
+    release(handles)
+    assert not any(h.storageLevel.useMemory for h in handles)
+    assert out.count() == n, "result must stay correct after release (recompute)"
 
 
 # --- entry point C: report frames carry the right shapes (data_viz parity) ---

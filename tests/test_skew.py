@@ -78,8 +78,8 @@ def test_salted_agg_matches_plain_agg(spark, skewed):
             skewed,
             ["k"],
             {
-                "n": F.count(F.lit(1)), "s": F.sum("v"),
-                "mn": F.min("v"), "mx": F.max("v"),
+                "n": ("count", F.lit(1)), "s": ("sum", F.col("v")),
+                "mn": ("min", F.col("v")), "mx": ("max", F.col("v")),
             },
             salt=8,
         ).collect()
@@ -92,5 +92,7 @@ def test_salted_agg_matches_plain_agg(spark, skewed):
 
 
 def test_salted_agg_rejects_non_mergeable(spark, skewed):
-    with pytest.raises(ValueError, match="sum/count/min/max"):
-        salted_agg(skewed, ["k"], {"a": F.avg("v")}, salt=4)
+    with pytest.raises(ValueError, match="sum.*count.*min.*max"):
+        salted_agg(skewed, ["k"], {"a": ("avg", F.col("v"))}, salt=4)
+    with pytest.raises(ValueError, match="sum.*count.*min.*max"):
+        salted_agg(skewed, ["k"], {"a": F.avg("v")}, salt=4)  # legacy Column form
