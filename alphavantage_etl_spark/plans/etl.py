@@ -27,13 +27,19 @@ INTO`` replaces append for exactly-once semantics under concurrent writers.
 from __future__ import annotations
 
 import os
+import time
+from collections.abc import Callable
+from typing import TypeVar
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import money_round
 from ..operators.incremental import new_rows
+from ..sources.catalog import read_path_if_exists
 from .views import fx_bars, px_bars
+
+T = TypeVar("T")
 
 SRC_PX = "src_px_usd"
 SRC_FX = "src_usd_fx"
@@ -45,11 +51,9 @@ def _sink_path(sink_dir: str, table: str) -> str:
 
 
 def _read_sink(spark: SparkSession, sink_dir: str, table: str) -> DataFrame | None:
-    path = _sink_path(sink_dir, table)
-    try:
-        return spark.read.parquet(path)
-    except Exception:  # first run: sink does not exist yet (IO4 probe analog)
-        return None
+    # IO4 probe: None only for a genuinely-absent sink (first run); corrupt
+    # or unreadable sinks raise instead of masquerading as fresh ones
+    return read_path_if_exists(spark, _sink_path(sink_dir, table))
 
 
 def _append_new(
@@ -88,3 +92,42 @@ def run_etl(spark: SparkSession, sf_dir: str, sink_dir: str) -> dict[str, int]:
     )
     appended[PRD] = _append_new(spark, sink_dir, PRD, prd, "date")
     return appended
+
+
+def with_retry(
+    fn: Callable[[], T],
+    tries: int = 5,
+    delay: float = 1.0,
+    exceptions: tuple[type[BaseException], ...] = (Exception,),
+    sleep: Callable[[float], None] = time.sleep,
+) -> T:
+    """Bounded retry (ST3) — the reference's ``@retry(Exception, tries=5,
+    delay=1)`` on the derived refresh (av_etl.py:138), as a pipeline-level
+    wrapper. The last failure re-raises; ``sleep`` is injectable so tests
+    don't wait wall-clock time.
+    """
+    for attempt in range(1, tries + 1):
+        try:
+            return fn()
+        except exceptions:
+            if attempt == tries:
+                raise
+            sleep(delay)
+    raise AssertionError("unreachable")  # tries >= 1 always returns or raises
+
+
+def run_etl_with_retry(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_dir: str,
+    tries: int = 5,
+    delay: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> dict[str, int]:
+    """``run_etl`` under the reference's retry policy. Retrying the WHOLE
+    pipeline is safe precisely because every append is anti-join-guarded:
+    a failure after a partial append reruns into 0-row appends for the
+    already-written tables — transient faults never duplicate rows."""
+    return with_retry(
+        lambda: run_etl(spark, sf_dir, sink_dir), tries, delay, sleep=sleep
+    )

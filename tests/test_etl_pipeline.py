@@ -9,7 +9,13 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from alphavantage_etl_spark.plans.etl import PRD, SRC_FX, SRC_PX, run_etl
+from alphavantage_etl_spark.plans.etl import (
+    PRD,
+    SRC_FX,
+    SRC_PX,
+    run_etl,
+    with_retry,
+)
 
 from .conftest import SF_SMALL
 
@@ -90,3 +96,54 @@ def test_incremental_appends_only_new_dates(spark, sink, tmp_path):
     assert (
         spark.read.parquet(f"{sink3}/{SRC_PX}").count() == full.count()
     ), "sink must converge to full history with no duplicates"
+
+
+# --- ST3: retry policy (av_etl.py:138's @retry(Exception, tries=5, delay=1))
+
+
+def test_with_retry_recovers_and_is_bounded():
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky, tries=5, delay=1.0, sleep=sleeps.append) == "ok"
+    assert calls["n"] == 3 and sleeps == [1.0, 1.0]
+
+    with pytest.raises(RuntimeError, match="always"):
+        with_retry(
+            lambda: (_ for _ in ()).throw(RuntimeError("always")),
+            tries=3,
+            delay=0.5,
+            sleep=sleeps.append,
+        )
+    assert sleeps == [1.0, 1.0, 0.5, 0.5], "last failure must not sleep again"
+
+
+def test_retried_pipeline_output_identical_after_midrun_failure(spark, tmp_path):
+    # A transient fault AFTER a partial append (src tables written, derived
+    # refresh not) must converge to the clean-run result on retry — the
+    # anti-join guard turns the replayed appends into 0-row no-ops.
+    clean_sink = str(tmp_path / "clean")
+    run_etl(spark, SF_SMALL, clean_sink)
+
+    flaky_sink = str(tmp_path / "flaky")
+    attempt = {"n": 0}
+
+    def flaky_run():
+        attempt["n"] += 1
+        if attempt["n"] == 1:
+            run_etl(spark, SF_SMALL, flaky_sink)  # full work happens...
+            raise RuntimeError("transient fault after append")  # ...then dies
+        return run_etl(spark, SF_SMALL, flaky_sink)
+
+    appended = with_retry(flaky_run, tries=5, delay=1.0, sleep=lambda _: None)
+    assert appended == {SRC_PX: 0, SRC_FX: 0, PRD: 0}, "retry must append nothing"
+    for table in (SRC_PX, SRC_FX, PRD):
+        got = sorted(map(tuple, spark.read.parquet(f"{flaky_sink}/{table}").collect()))
+        want = sorted(map(tuple, spark.read.parquet(f"{clean_sink}/{table}").collect()))
+        assert got == want, f"{table} diverged after retried run"

@@ -1,0 +1,56 @@
+"""Report render/publish layer (IO7): the HTML document must carry the
+reference's block structure (data_viz.py:165-190) — title, two chart-select
+groups with Candlestick/OHLC/Line views, the comparison section, and the
+three data tables — and publish must write the Pages index.html
+(to_github_pages.py:106)."""
+
+from __future__ import annotations
+
+import os
+
+from alphavantage_etl_spark.plans.render import publish_report, render_report
+from alphavantage_etl_spark.plans.report import report_frames
+
+from .conftest import SF_SMALL
+
+
+def _render(spark, **kw):
+    return render_report(report_frames(spark, SF_SMALL), symbol="spy", currency="pln", **kw)
+
+
+def test_report_has_reference_block_structure(spark):
+    html = _render(spark)
+    # title block (data_viz.py html_title)
+    assert "<h1>SPY price report</h1>" in html
+    # the three section titles (fig1/fig2/fig3_title)
+    assert "SPY price in USD" in html
+    assert "USD/PLN exchange rate" in html
+    assert "SPY price in PLN and USD" in html
+    # both chart selects offer all three chart kinds
+    for kind in ("Candlestick chart", "OHLC chart", "Line chart"):
+        assert html.count(f"<summary>{kind}</summary>") == 2
+    # SMA trend columns present (SMA windows 20/90, constants.py:17)
+    assert "<th>sma20</th>" in html and "<th>sma90</th>" in html
+    # comparison series (dual-axis figure's two lines)
+    assert "<th>close_usd</th>" in html and "<th>close_fx</th>" in html
+    # data-table select: the reference's three labelled tables
+    assert "<summary>SPY price in USD</summary>" in html
+    assert "<summary>USD/PLN exchange rate</summary>" in html
+    assert "<summary>SPY price comparison in both currencies</summary>" in html
+
+
+def test_report_tables_carry_bar_columns_and_rows(spark):
+    html = _render(spark, max_rows=10)
+    for col in ("open", "high", "low", "close"):
+        assert f"<th>{col}</th>" in html
+    # bounded driver edge: no table exceeds max_rows data rows
+    # (11 table blocks: 2 x 3 chart views + comparison + SMA trend + 3 data)
+    assert html.count("<tr><td>") <= 11 * 10
+
+
+def test_publish_writes_pages_index(spark, tmp_path):
+    html = _render(spark, max_rows=5)
+    path = publish_report(html, str(tmp_path / "report"))
+    assert path.endswith(os.path.join("report", "index.html"))
+    with open(path, encoding="utf-8") as f:
+        assert f.read() == html
