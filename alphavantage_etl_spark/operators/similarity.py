@@ -217,32 +217,87 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
 
 
-def lsh_bucket(vec_col: Column | str, bits: int = 16, dim: int = 64) -> Column:
+_WEIGHT_CACHE: dict[tuple[int, int], list[int]] = {}
+
+
+def hyperplane_weights(spark, bits: int = 16, dim: int = 64) -> list[int]:
+    """The bits*dim deterministic +/-1 hyperplane weights, fetched once.
+
+    Weight (h, d) is ``getbit(xxhash64(h*dim + d), 0) * 2 - 1`` — the same
+    derivation ``lsh_bucket`` previously evaluated inline per element, so
+    bucket ids are bit-identical to the in-expression form. Materializing
+    them is a one-time bits*dim-row driver job (bounded model state, like
+    the IVF centroids), cached per (bits, dim) for the process lifetime.
+    """
+    key = (bits, dim)
+    if key not in _WEIGHT_CACHE:
+        rows = spark.range(bits * dim).select(
+            (F.getbit(F.xxhash64(F.col("id").cast("int")), F.lit(0)) * 2 - 1).alias(
+                "w"
+            )
+        )
+        _WEIGHT_CACHE[key] = [r["w"] for r in rows.collect()]
+    return _WEIGHT_CACHE[key]
+
+
+def lsh_bucket(
+    vec_col: Column | str,
+    bits: int = 16,
+    dim: int = 64,
+    weights: list[int] | None = None,
+) -> Column:
     """Random-hyperplane LSH bucket id (integer in [0, 2^bits)).
 
     Hyperplane h's weight for dimension d is a deterministic +/-1 derived
     from xxhash64(h * dim + d) — reproducible across runs and engines, no
     model artifact to ship. sign(v . h) per plane -> one bit.
+
+    Pass ``weights`` (from :func:`hyperplane_weights`) to inline them as
+    literal arrays: the per-element ``xxhash64``+``getbit`` work (bits*dim
+    hashes per row) disappears and only the zip_with/aggregate dot product
+    remains — measured 0.59 s -> 0.33 s warm, 1.4 s -> 0.4 s cold at sf0.1.
+    (A fully unrolled codegen sum measured SLOWER, 0.75 s warm — the
+    1024-term expression tree beats neither; a Pandas-UDF matmul wins warm,
+    0.22 s, but pays Python-worker startup and ships the vector column
+    through Arrow — the JVM-side literal form is the default path.)
+    Bucket values are identical with and without ``weights``.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    plane_bits = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda h: F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.sequence(h * dim, h * dim + (dim - 1)),
-                    lambda x, seed: x.cast("double")
-                    * (F.getbit(F.xxhash64(seed), F.lit(0)) * 2 - 1).cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return F.aggregate(plane_bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+    if weights is None:
+        plane_bits = F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda h: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.sequence(h * dim, h * dim + (dim - 1)),
+                        lambda x, seed: x.cast("double")
+                        * (F.getbit(F.xxhash64(seed), F.lit(0)) * 2 - 1).cast(
+                            "double"
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        return F.aggregate(
+            plane_bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        )
+    bucket = F.lit(0).cast("long")
+    for h in range(bits):
+        wlit = F.array(*[F.lit(float(w)) for w in weights[h * dim : (h + 1) * dim]])
+        s = F.aggregate(
+            F.zip_with(v, wlit, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        ) * F.lit(1 << (bits - 1 - h))
+    return bucket
 
 
 def cosine_topk_lsh(
@@ -264,9 +319,10 @@ def cosine_topk_lsh(
     """
     dim = len(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, bits, dim))
+    w = hyperplane_weights(df.sparkSession, bits, dim)
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, bits, dim, weights=w))
     qb = bucketed.sparkSession.range(1).select(
-        lsh_bucket(q, bits, dim).alias("__qbucket")
+        lsh_bucket(q, bits, dim, weights=w).alias("__qbucket")
     )
     cand = bucketed.join(F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"))
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
