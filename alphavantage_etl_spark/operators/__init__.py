@@ -12,10 +12,13 @@ from .similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dups,
+    hyperplane_weights,
     ivf_topk,
     lsh_bucket,
     train_ivf_cells,
 )
+from .sampling import group_quota, hash_split, pack_bins, split_bucket
+from .contamination import ngram_contamination
 from .sessionize import sessionize
 from .skew import salted_agg, salted_join
 from .multimodal import attach_media, decode_image_features, frame_sample
@@ -34,9 +37,15 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dups",
+    "hyperplane_weights",
     "ivf_topk",
     "lsh_bucket",
     "train_ivf_cells",
+    "group_quota",
+    "hash_split",
+    "pack_bins",
+    "split_bucket",
+    "ngram_contamination",
     "sessionize",
     "salted_agg",
     "salted_join",

@@ -1,0 +1,84 @@
+"""Benchmark decontamination (X2/X9 adjunct): flag corpus documents whose
+character-n-gram overlap with a held-out benchmark set exceeds a threshold.
+
+The standard LLM-training hygiene pass: evaluation items that leak into the
+training corpus inflate benchmark scores, so before training, every corpus
+document is checked for n-gram overlap against the (small) benchmark suite
+and flagged/quarantined above a threshold.
+
+Shape at 100 TB: the benchmark side is small by nature (eval suites are
+thousands of documents, not billions) — its exploded gram table broadcasts;
+the corpus side explodes to one row per distinct gram but immediately
+hash-joins against the broadcast and partially aggregates map-side, so
+nothing corpus-sized ever shuffles and no corpus self-join exists (contrast
+``ngram_jaccard_pairs``, which is quadratic within blocks by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _grams(df: DataFrame, text_col: str, id_col: str, out_id: str, k: int):
+    """(out_id, __g: array<long>) — distinct lowercased character k-grams,
+    xxhash64'd to longs.
+
+    Same construction (and the same hashed-set trick) as
+    ``dedup.ngram_jaccard_pairs``: |hashed A ∩ hashed B| = |A ∩ B| up to
+    64-bit collisions (P < 1e-14 per document), so overlap COUNTS computed
+    on hashed grams are oracle-exact against string-set intersection while
+    the join keys stay primitive longs. lower() is projected ONCE per row
+    before the transform — referencing it inside the lambda re-lowercases
+    the document per gram index (O(len²), the measured 4x trap).
+    """
+    lowered = df.select(
+        F.col(id_col).alias(out_id), F.lower(F.col(text_col)).alias("__lc")
+    )
+    c = F.col("__lc")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+        )
+    )
+    return lowered.select(out_id, grams.alias("__g"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(corpus id, benchmark id, overlap) for every contaminated pair.
+
+    overlap = |grams(corpus doc) ∩ grams(bench doc)| / |grams(corpus doc)|
+    — normalized by the CORPUS document so a short benchmark item embedded
+    verbatim inside a long document still scores high on the benchmark
+    side's terms; threshold filters on this containment ratio. Single
+    int/int division -> bit-exact across engines.
+
+    The benchmark grams are exploded and broadcast; corpus grams explode,
+    join, and aggregate with map-side partial counts keyed on
+    (corpus_id, bench_id). Grams are distinct per document, so the
+    post-join count(*) IS the intersection size.
+    """
+    corp = _grams(corpus, text_col, id_col, "doc_id", k).select(
+        "doc_id", F.size("__g").alias("__n"), F.explode("__g").alias("__gram")
+    )
+    bench = _grams(benchmark, text_col, id_col, "bench_id", k).select(
+        "bench_id", F.explode("__g").alias("__gram")
+    )
+    shared = (
+        corp.join(F.broadcast(bench), "__gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("__shared"), F.first("__n").alias("__n"))
+    )
+    return shared.select(
+        "doc_id",
+        "bench_id",
+        (F.col("__shared").cast("double") / F.col("__n")).alias("overlap"),
+    ).where(F.col("overlap") >= threshold)

@@ -1,0 +1,122 @@
+"""Deterministic corpus sampling / splitting / packing for training-data
+pipelines (X9 adjuncts).
+
+All three operators are *content-addressed and deterministic* — re-running
+them on a grown corpus never reassigns rows that were already present,
+unlike ``DataFrame.sample``/``randomSplit`` whose assignment depends on
+partitioning and seed-per-partition. That stability is the property a
+training pipeline actually needs (no eval-set leakage when the corpus is
+re-ingested), and it makes every operator oracle-checkable in plain SQL.
+
+No reference analogue (the reference has no sampling surface); these are
+the standard large-corpus curation primitives layered on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_bucket(id_col, salt: str = "split", buckets: int = 10_000):
+    """Stable split bucket in [0, buckets): first 32 bits of
+    ``md5(salt ':' id)``, mod buckets.
+
+    md5 (not xxhash64/hash) because it is engine-portable — Spark, DuckDB,
+    Python hashlib all agree on the digest, so the assignment can be
+    reproduced by any downstream consumer without Spark. The cost is paid
+    once per row at split time, never in a hot loop.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets).alias(
+        "bucket"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Assign every row to a named split by deterministic hash bucketing.
+
+    ``fractions`` maps split name -> fraction, in priority order (e.g.
+    ``{"train": .8, "valid": .1, "test": .1}``); cumulative bucket ranges
+    are half-open, so fractions that sum to 1 partition the corpus exactly.
+    Pure projection — no shuffle, no state, survives any repartitioning,
+    and a row's split never changes when other rows are added or removed.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = split_bucket(id_col, salt, buckets)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = b < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("bucket", b).withColumn("split", expr)
+
+
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    order_by,
+    n: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Keep the top-``n`` rows per group under a total order (quota
+    sampling: cap each source/domain's contribution to the corpus).
+
+    ``order_by`` must be a deterministic total order (break ties on the id
+    column) or the quota boundary is nondeterministic. One shuffle on the
+    group key; ``row_number`` needs no global sort and per-group state is
+    O(1), so a hot group costs only its own scan — at 1000 executors a
+    single skewed domain bounds one task, not the stage (acceptable for
+    quota's grouped-by-domain cardinalities; salt the group key if a group
+    exceeds a task's input budget).
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n)
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Sequence packing: assign rows to consecutive fixed-budget bins by
+    running size within each partition group.
+
+    Bin id = floor(exclusive-prefix-sum(size) / budget) under the group's
+    total order — the streaming first-fit approximation used to pack
+    documents into fixed-token training sequences. Exclusive (not
+    inclusive) prefix: a document always lands in the bin that was open
+    when it arrived, so every bin's first document starts before the
+    boundary and a document larger than ``budget`` occupies its own
+    bin(s) without shifting later assignments.
+
+    Windows are per ``partition_col`` (source/shard), so the sort is
+    partition-parallel — never a single global window at scale. Bin ids
+    are therefore (partition, bin) composite keys.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    return df.withColumn(bin_col, F.floor(prior / F.lit(budget)))

@@ -1218,6 +1218,101 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 
+# X9 — deterministic hash split: content-addressed train/valid/test
+# assignment (md5-bucketed; stable under corpus growth, engine-portable,
+# unlike randomSplit whose assignment depends on partitioning + seed)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# X9 — per-source quality quota: cap each source's corpus contribution at
+# the top-n docs by quality (domain balancing for training mixes)
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import group_quota
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = with_quality_score(d, "text").select("doc_id", "source", "q")
+    return group_quota(scored, "source", [F.desc("q"), F.col("doc_id")], n=5)
+
+
+SQL_SOURCE_QUOTA = f"""
+WITH qs AS (SELECT * FROM ({SQL_QUALITY_SCORE}) _q),
+r AS (
+  SELECT d.doc_id, d.source, qs.q,
+         CAST(row_number() OVER (PARTITION BY d.source ORDER BY qs.q DESC, d.doc_id) AS INT) AS rk
+  FROM qs JOIN documents d ON d.doc_id = qs.doc_id)
+SELECT doc_id, source, q, rk FROM r WHERE rk <= 5
+"""
+
+
+# X9 — sequence packing: fixed-token-budget bins from running token sums,
+# partition-parallel per source (never a single global window)
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import pack_bins
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sized = d.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    return pack_bins(sized, "source", "doc_id", "n_tok", budget=512)
+
+
+SQL_PACK_BINS = r"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, source, n_tok,
+       CAST(floor(coalesce(sum(n_tok) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+FROM s
+"""
+
+
+# X9 — benchmark decontamination: corpus docs whose 8-gram containment
+# ratio against the (broadcast) benchmark set exceeds the threshold
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.contamination import ngram_contamination
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 47 == 0)
+    corp = d.where(F.col("doc_id") % 47 != 0)
+    return ngram_contamination(corp, bench, "text", "doc_id", k=8, threshold=0.25)
+
+
+SQL_CONTAMINATION = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(lower(text), i, 8)
+                        for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS gr
+  FROM documents),
+c AS (SELECT * FROM g WHERE doc_id % 47 <> 0),
+b AS (SELECT * FROM g WHERE doc_id % 47 = 0),
+p AS (
+  SELECT c.doc_id, b.doc_id AS bench_id,
+         CAST(len(list_intersect(c.gr, b.gr)) AS DOUBLE) / len(c.gr) AS overlap
+  FROM c JOIN b ON TRUE)
+SELECT doc_id, bench_id, overlap FROM p WHERE overlap >= 0.25
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_scan_project": q_scan_project,
     "q_cast_types": q_cast_types,
@@ -1265,6 +1360,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_simhash": q_simhash,
+    "q_split_assign": q_split_assign,
+    "q_source_quota": q_source_quota,
+    "q_pack_bins": q_pack_bins,
+    "q_contamination": q_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -1308,5 +1407,9 @@ ORACLES: dict[str, str] = {
     "q_window_sliding": SQL_WINDOW_SLIDING,
     "q_pivot_daily": SQL_PIVOT_DAILY,
     "q_sessionize": SQL_SESSIONIZE,
+    "q_split_assign": SQL_SPLIT_ASSIGN,
+    "q_source_quota": SQL_SOURCE_QUOTA,
+    "q_pack_bins": SQL_PACK_BINS,
+    "q_contamination": SQL_CONTAMINATION,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

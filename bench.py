@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "q_token_bpe",
     "q_rolling_fingerprint",
     "q_multimodal_meta",
+    "q_split_assign",
+    "q_source_quota",
+    "q_pack_bins",
+    "q_contamination",
 ]
 
 

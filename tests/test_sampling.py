@@ -1,0 +1,133 @@
+"""Sampling / splitting / packing / decontamination operator semantics.
+
+These pin the properties a training pipeline depends on — assignment
+stability under corpus growth, quota determinism, bin-budget invariants,
+planted-contamination detection — not just row counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.operators.contamination import ngram_contamination
+from alphavantage_etl_spark.operators.sampling import (
+    group_quota,
+    hash_split,
+    pack_bins,
+)
+
+FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def test_hash_split_fractions(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", FRACTIONS)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000
+    # md5 buckets are uniform: 2000 rows keep each fraction within ~4 sigma
+    assert 1500 < counts["train"] < 1700
+    assert 130 < counts["valid"] < 270
+    assert 130 < counts["test"] < 270
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A row's split NEVER changes when other rows appear/disappear —
+    the property randomSplit does not have."""
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    large = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", FRACTIONS).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(large, "doc_id", FRACTIONS)
+        .where(F.col("doc_id") < 100)
+        .collect()
+    }
+    assert a == b
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id", FRACTIONS, salt="split")
+    b = hash_split(df, "doc_id", FRACTIONS, salt="fold2")
+    joined = a.select("doc_id", F.col("split").alias("sa")).join(
+        b.select("doc_id", F.col("split").alias("sb")), "doc_id"
+    )
+    assert joined.where(F.col("sa") != F.col("sb")).count() > 0
+
+
+def test_hash_split_bad_fractions_raise(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5, "test": 0.2})
+
+
+def test_group_quota_caps_and_orders(spark):
+    rows = [(i, f"s{i % 3}", float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, src string, score double")
+    out = group_quota(df, "src", [F.desc("score"), F.col("id")], n=4)
+    per = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert all(c == 4 for c in per.values())
+    # winners are the max-score rows, ties broken by lowest id
+    s0 = sorted(
+        out.where(F.col("src") == "s0").select("id", "score").collect(),
+        key=lambda r: r["id"],
+    )
+    expected = sorted(
+        [r for r in rows if r[1] == "s0"], key=lambda t: (-t[2], t[0])
+    )[:4]
+    assert [r["id"] for r in s0] == sorted(t[0] for t in expected)
+
+
+def test_pack_bins_budget_invariants(spark):
+    rows = [(i, "a", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, part string, sz long")
+    out = pack_bins(df, "part", "id", "sz", budget=250).collect()
+    bins = {r["id"]: r["bin"] for r in out}
+    # exclusive prefix: ids 0,1,2 (prior 0,100,200) -> bin 0; 3,4 -> bin 1...
+    assert [bins[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+
+def test_pack_bins_oversized_row_gets_own_bins(spark):
+    rows = [(0, "a", 100), (1, "a", 900), (2, "a", 100)]
+    df = spark.createDataFrame(rows, "id long, part string, sz long")
+    bins = {r["id"]: r["bin"] for r in pack_bins(df, "part", "id", "sz", 250).collect()}
+    # the 900-size row lands in the bin open at its arrival (prior=100 ->
+    # bin 0); the next row starts after it: prior=1000 -> bin 4
+    assert bins == {0: 0, 1: 0, 2: 4}
+
+
+def test_pack_bins_partitions_do_not_interact(spark):
+    rows = [(i, "a", 100) for i in range(5)] + [(i + 100, "b", 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, part string, sz long")
+    out = pack_bins(df, "part", "id", "sz", budget=250)
+    b = {(r["part"], r["id"]): r["bin"] for r in out.collect()}
+    assert [b[("a", i)] for i in range(5)] == [0, 0, 0, 1, 1]
+    assert [b[("b", i + 100)] for i in range(5)] == [0, 0, 0, 1, 1]
+
+
+def test_contamination_detects_planted_leak(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text here {bench_text} and some closing words"),
+            (2, "completely unrelated content about spark query planning"),
+            (3, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "bench long, text string")
+    out = ngram_contamination(
+        corpus, bench.withColumnRenamed("bench", "doc_id"), "text", "doc_id",
+        k=8, threshold=0.5,
+    )
+    got = {(r["doc_id"], r["bench_id"]): r["overlap"] for r in out.collect()}
+    assert (3, 100) in got and got[(3, 100)] == 1.0
+    assert (1, 100) in got  # verbatim inclusion inside a longer doc
+    assert all(doc != 2 for doc, _ in got)
+
+
+def test_contamination_no_benchmark_no_rows(spark):
+    corpus = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    bench = corpus.where(F.lit(False))
+    assert ngram_contamination(corpus, bench, "text", "doc_id").count() == 0
