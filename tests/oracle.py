@@ -61,6 +61,20 @@ def _multiset(cols, rows):
 def assert_matches_oracle(sdf, sf_dir: str, sql: str, name: str = "?"):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    # The driver canonicalizes via pandas sort_values/factorize, which dies
+    # on unhashable cells (bytearray, list). Fail HERE the way the driver
+    # would: contract outputs must be scalars/strings (hex bytes, stringify
+    # arrays). CORRECTNESS_r01's only two red rows were this bug class.
+    if srows:
+        bad = [
+            scols[i]
+            for i, v in enumerate(srows[0])
+            if isinstance(v, (bytes, bytearray, list, tuple, dict))
+        ]
+        assert not bad, (
+            f"{name}: driver-unhashable cell type in column(s) {bad} — "
+            "hex-encode binary, stringify arrays before returning"
+        )
     dcols, drows = duck_run(sf_dir, sql)
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
