@@ -19,6 +19,7 @@ from .similarity import (
 )
 from .sampling import group_quota, hash_split, pack_bins, split_bucket
 from .contamination import ngram_contamination
+from .graph import cluster_representatives, connected_components
 from .sessionize import sessionize
 from .skew import salted_agg, salted_join
 from .multimodal import attach_media, decode_image_features, frame_sample
@@ -46,6 +47,8 @@ __all__ = [
     "pack_bins",
     "split_bucket",
     "ngram_contamination",
+    "cluster_representatives",
+    "connected_components",
     "sessionize",
     "salted_agg",
     "salted_join",

@@ -1,0 +1,152 @@
+"""Connected components over near-duplicate pair graphs (X2 adjunct).
+
+Near-dup detection (MinHash verify, embedding cosine, exact Jaccard) emits
+PAIRS; deduplication needs CLUSTERS: a transitive group {A~B, B~C} must
+keep exactly one representative, which pairwise drop rules cannot guarantee
+(they see each edge in isolation). Connected components turns the pair list
+into (node, cluster) labels with cluster = min node id in the component —
+deterministic, so the downstream "keep one per cluster" choice is
+reproducible and oracle-checkable (DuckDB: recursive CTE reachability).
+
+Spark-first shape: min-label propagation (the Pregel CC algorithm) as a
+loop of DataFrame joins —
+
+    labels(v) <- min(labels(v), min over neighbors u of labels(u))
+
+Each sweep is one shuffle-join (edges x labels on the edge key) plus one
+partial-aggregated min; sweeps needed = graph diameter. Near-dup graphs
+are dense little clumps (duplicates of a common source), so the diameter
+is small — 2-4 sweeps in practice. The loop is driver-side CONTROL FLOW
+only (an O(1)-row aggregate per sweep decides convergence); all data stays
+distributed. For adversarially long path graphs the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond")
+converges in O(log n) sweeps with the same join-per-sweep building block;
+min-propagation is the right default for dedup workloads because its
+per-sweep cost is strictly lower and the diameter term is ~constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(node, cluster) for every node incident to an edge; cluster is the
+    smallest node id reachable from the node (component minimum).
+
+    Labels only ever decrease, so convergence is detected by comparing the
+    label-sum between sweeps (decimal(38) — no overflow for any 64-bit id
+    population). Each sweep persists the new label frame and unpersists the
+    previous one; pass ``handles=[]`` to also collect the FINAL frame for
+    ``operators.dedup.release`` after the caller's last action.
+
+    Raises if ``max_iter`` sweeps do not converge (a diameter that large
+    means the input is not a near-dup graph — use large-star/small-star).
+
+    Isolated nodes never appear in ``edges`` and so never appear here;
+    union the corpus back in with ``coalesce(cluster, id)`` for a total
+    assignment (see ``plans.curation``).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+
+    # Each sweep CHECKPOINTS (not just persists): persisting caches the data
+    # but the logical plan still nests one join level per sweep, and
+    # analysis/optimization time grows superlinearly with iteration count —
+    # the standard iterative-algorithm lineage blowup. localCheckpoint
+    # truncates the plan to the materialized blocks. (On a real cluster
+    # with executor churn, swap for a reliable checkpoint directory.)
+    labels = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nb"))
+        .select("node", F.least("node", "nb").alias("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+
+    converged = False
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least("cluster", F.coalesce("nmin", "cluster")).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()  # new_labels is materialized; prior blocks are dead
+        labels = new_labels
+        if new_sum == prev_sum:  # monotone decreasing -> fixpoint reached
+            converged = True
+            break
+        prev_sum = new_sum
+
+    sym.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} sweeps — "
+            "graph diameter exceeds the near-dup regime"
+        )
+    # The result frame is already materialized in the cache (the convergence
+    # check was an action over it); returning it cached means downstream
+    # actions never replay the sweep lineage. Collect it via ``handles`` for
+    # operators.dedup.release, or .unpersist() it after the final action.
+    if handles is not None:
+        handles.append(labels)
+    return labels
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """One surviving row per duplicate cluster: the max-quality member
+    (ties: min id), or the min-id member when no quality column is given.
+    Rows in no cluster (not incident to any near-dup edge) always survive.
+
+    One broadcast-able join (clusters is |nodes in pairs|-sized, vanishing
+    vs the corpus) plus one shuffle on cluster id for the argmax.
+    """
+    lab = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster").alias("__cluster")
+    )
+    tagged = docs.join(F.broadcast(lab), id_col, "left").withColumn(
+        "__cluster", F.coalesce("__cluster", F.col(id_col).cast("long"))
+    )
+    # struct ordering is lexicographic, so (quality, -id) makes max_by pick
+    # the max-quality member with ties broken by the SMALLER id — exact,
+    # unlike any float-packing of the two keys
+    if quality_col is None:
+        rank_key = F.struct((-F.col(id_col)).alias("nid"))
+    else:
+        rank_key = F.struct(
+            F.col(quality_col).alias("q"), (-F.col(id_col)).alias("nid")
+        )
+    keep = (
+        tagged.groupBy("__cluster")
+        .agg(F.max_by(id_col, rank_key).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "semi")

@@ -39,16 +39,30 @@ def curate(
     min_quality: float = 0.5,
     min_chars: int = 100,
     jaccard_threshold: float = 0.6,
+    resolution: str = "pairwise",
     handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The curated corpus: quality-gated, exactly and near deduplicated.
 
-    Near-dup resolution keeps the HIGHER-quality member of each verified
-    pair (ties: lower id). Deterministic end to end. Pass ``handles=[]``
-    to collect the near-dup stage's cached intermediates and
-    ``operators.dedup.release(handles)`` them after the final action —
-    long-lived sessions that re-curate repeatedly stay flat on storage.
+    Near-dup ``resolution`` policies (both deterministic):
+
+    - ``"pairwise"``: drop the lower-quality member of each verified pair
+      (ties: higher id). A chain A~B~C keeps BOTH A and C when A̸~C —
+      faithful to the per-pair threshold, but a transitive family can
+      survive as multiple members.
+    - ``"cluster"``: connected components over the pair graph, then keep
+      ONE max-quality member per component (``operators.graph``) — the
+      aggressive policy large-corpus dedup usually wants: a duplicate
+      family collapses to a single representative regardless of chain
+      shape.
+
+    Pass ``handles=[]`` to collect the near-dup stage's cached
+    intermediates and ``operators.dedup.release(handles)`` them after the
+    final action — long-lived sessions that re-curate repeatedly stay flat
+    on storage.
     """
+    if resolution not in ("pairwise", "cluster"):
+        raise ValueError(f"unknown resolution policy: {resolution!r}")
     scored = with_quality_score(docs, text_col).withColumn(
         "lang_pred", lang_id(text_col)
     )
@@ -68,6 +82,12 @@ def curate(
         candidate_threshold=0.2, jaccard_threshold=jaccard_threshold,
         handles=handles,
     )
+    if resolution == "cluster":
+        from ..operators.graph import cluster_representatives, connected_components
+
+        cc = connected_components(pairs, "id_a", "id_b", handles=handles)
+        return cluster_representatives(exact_unique, cc, id_col, "q")
+
     quality = exact_unique.select(F.col(id_col).alias("__qid"), F.col("q").alias("__q"))
     ranked = (
         pairs.join(quality.withColumnRenamed("__qid", "id_a").withColumnRenamed("__q", "qa"), "id_a")

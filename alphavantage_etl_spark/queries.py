@@ -1313,6 +1313,37 @@ SELECT doc_id, bench_id, overlap FROM p WHERE overlap >= 0.25
 """
 
 
+# X2 — duplicate-cluster resolution: near-dup pairs -> connected components
+# (cluster = min reachable id). Oracle: recursive-CTE reachability over the
+# same pair list — the transitive closure a pairwise drop rule cannot see.
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import connected_components
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.35)
+    # the loop materialized the labels into cache; the returned plan reads
+    # from that cache (same persist-until-session pattern as the minhash
+    # signature caches — see verify notes)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("cluster").alias("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({SQL_EMBED_NEAR_DUP}) _p),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_scan_project": q_scan_project,
     "q_cast_types": q_cast_types,
@@ -1364,6 +1395,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_source_quota": q_source_quota,
     "q_pack_bins": q_pack_bins,
     "q_contamination": q_contamination,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1411,5 +1443,6 @@ ORACLES: dict[str, str] = {
     "q_source_quota": SQL_SOURCE_QUOTA,
     "q_pack_bins": SQL_PACK_BINS,
     "q_contamination": SQL_CONTAMINATION,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

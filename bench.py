@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "q_source_quota",
     "q_pack_bins",
     "q_contamination",
+    "q_dedup_clusters",
 ]
 
 

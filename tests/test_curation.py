@@ -51,6 +51,50 @@ def test_curation_is_deterministic(spark, planted):
     assert a == b
 
 
+def test_cluster_resolution_collapses_transitive_chains(spark):
+    # chain: A ~ B ~ C with jaccard(A,C) below the 0.6 bar (measured:
+    # A-B 0.76, B-C 0.64, A-C 0.55) and B the LOWEST-quality member (the
+    # punctuation tail), so pairwise resolution drops B twice and keeps
+    # both endpoints, while cluster resolution keeps one per component.
+    a = GOOD
+    b = (
+        GOOD.replace("stone bridge", "stone tower").replace("lazy dog", "lazy cat")
+        + " !!! ??? !!!"
+    )
+    c = (
+        GOOD.replace("stone bridge", "stone tower")
+        .replace("lazy dog", "lazy cat")
+        .replace("quick brown fox", "slow brown bear")
+        .replace("good day", "fine day")
+    )
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairwise = sorted(
+        r["doc_id"]
+        for r in curate(
+            docs, min_quality=0.0, min_chars=10, jaccard_threshold=0.6
+        ).collect()
+    )
+    clustered = sorted(
+        r["doc_id"]
+        for r in curate(
+            docs, min_quality=0.0, min_chars=10, jaccard_threshold=0.6,
+            resolution="cluster",
+        ).collect()
+    )
+    # the policies must differ exactly on the chain endpoints: pairwise
+    # keeps both ends of the A-B-C chain, cluster keeps one per component
+    assert len(clustered) == 1
+    assert len(pairwise) == 2
+    assert set(clustered) <= set(pairwise)
+
+
+def test_unknown_resolution_raises(spark, planted):
+    with pytest.raises(ValueError, match="resolution"):
+        curate(planted, resolution="majority")
+
+
 def test_fixture_corpus_end_to_end(spark):
     docs = load(spark, SF_SMALL, "documents")
     curated = curate(docs, min_quality=0.3, min_chars=50, jaccard_threshold=0.6)

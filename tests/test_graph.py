@@ -1,0 +1,94 @@
+"""Connected-components / cluster-representative semantics.
+
+Pins the properties dedup resolution depends on: transitive closure (a
+chain A~B~C is ONE cluster), determinism of the representative, isolated
+rows surviving untouched, and convergence behavior on long paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.operators.graph import (
+    cluster_representatives,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _labels(cc):
+    rows = {r["node"]: r["cluster"] for r in cc.collect()}
+    cc.unpersist()
+    return rows
+
+
+def test_cc_transitive_chain_is_one_cluster(spark):
+    cc = connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
+    assert _labels(cc) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_bridge_merges_two_clumps(spark):
+    # two dense clumps joined by a single bridge edge -> one component
+    pairs = [(1, 2), (1, 3), (2, 3), (20, 21), (20, 22), (3, 20)]
+    cc = connected_components(_edges(spark, pairs))
+    labels = _labels(cc)
+    assert set(labels.values()) == {1}
+    assert set(labels) == {1, 2, 3, 20, 21, 22}
+
+
+def test_cc_long_path_converges(spark):
+    # path graph 0-1-2-...-12: worst-case diameter for min propagation
+    n = 13
+    cc = connected_components(_edges(spark, [(i, i + 1) for i in range(n - 1)]))
+    assert set(_labels(cc).values()) == {0}
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    a = _labels(connected_components(_edges(spark, [(5, 1), (2, 5)])))
+    b = _labels(connected_components(_edges(spark, [(1, 5), (5, 2)])))
+    assert a == b == {1: 1, 2: 1, 5: 1}
+
+
+def test_cc_empty_edges(spark):
+    cc = connected_components(_edges(spark, []))
+    assert cc.count() == 0
+    cc.unpersist()
+
+
+def test_cc_max_iter_raises(spark):
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(10)]), max_iter=2
+        )
+
+
+def test_cc_handles_collects_cache(spark):
+    handles = []
+    cc = connected_components(_edges(spark, [(1, 2)]), handles=handles)
+    assert handles == [cc]
+    for h in handles:
+        h.unpersist()
+
+
+def test_representatives_quality_argmax(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.1)], "doc_id long, q double"
+    )
+    cc = connected_components(_edges(spark, [(1, 2), (2, 3)]))
+    kept = cluster_representatives(docs, cc, "doc_id", "q")
+    # cluster {1,2,3}: max q = 0.9 shared by 2 and 3 -> smaller id 2 wins;
+    # isolated doc 7 survives untouched
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 7]
+    cc.unpersist()
+
+
+def test_representatives_min_id_without_quality(spark):
+    docs = spark.createDataFrame([(4,), (5,), (9,)], "doc_id long")
+    cc = connected_components(_edges(spark, [(5, 4)]))
+    kept = cluster_representatives(docs, cc, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [4, 9]
+    cc.unpersist()
