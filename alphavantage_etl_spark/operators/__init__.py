@@ -17,7 +17,15 @@ from .similarity import (
     lsh_bucket,
     train_ivf_cells,
 )
-from .sampling import group_quota, hash_split, pack_bins, split_bucket
+from .sampling import (
+    budget_mix,
+    group_quota,
+    hash_split,
+    pack_bins,
+    split_bucket,
+    stratified_sample,
+)
+from .tfidf import doc_frequency, term_counts, tfidf_top_terms
 from .contamination import ngram_contamination
 from .graph import cluster_representatives, connected_components
 from .sessionize import sessionize
@@ -42,10 +50,15 @@ __all__ = [
     "ivf_topk",
     "lsh_bucket",
     "train_ivf_cells",
+    "budget_mix",
     "group_quota",
     "hash_split",
     "pack_bins",
     "split_bucket",
+    "stratified_sample",
+    "doc_frequency",
+    "term_counts",
+    "tfidf_top_terms",
     "ngram_contamination",
     "cluster_representatives",
     "connected_components",

@@ -65,6 +65,79 @@ def hash_split(
     return df.withColumn("bucket", b).withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "sample",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its stable hash
+    bucket falls under its stratum's fraction.
+
+    The content-addressed analog of ``DataFrame.sampleBy``: the same row is
+    kept or dropped on every run, on any cluster, at any partitioning —
+    and membership can be recomputed by any engine from (salt, id) alone.
+    Strata absent from ``fractions`` fall back to ``default`` (0 = drop).
+    Pure projection + filter: no shuffle, fully pushdown-compatible.
+    """
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1], got {default}")
+    b = split_bucket(id_col, salt, buckets)
+    cut = None
+    for name, f in fractions.items():
+        cond = F.col(strata_col) == name
+        lim = F.lit(int(round(f * buckets)))
+        cut = F.when(cond, lim) if cut is None else cut.when(cond, lim)
+    cut = (
+        F.lit(int(round(default * buckets)))
+        if cut is None
+        else cut.otherwise(int(round(default * buckets)))
+    )
+    return df.where(b < cut)
+
+
+def budget_mix(
+    df: DataFrame,
+    group_col: str,
+    order_by,
+    size_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget corpus mixing: take rows per group in priority order
+    until the group's size budget is exhausted.
+
+    The operator behind "mix 30 B tokens of web, 5 B of code, 1 B of
+    math": rows are ranked inside each group by ``order_by`` (must be a
+    deterministic total order — e.g. quality DESC, id) and kept while the
+    EXCLUSIVE running sum of ``size_col`` is under the group's budget, so
+    the boundary document that crosses the budget line is still included
+    (budgets are floors of intent, not hard caps — same convention as
+    ``pack_bins``'s open bin). One shuffle on the group key; per-group
+    window state is O(1).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    cap = None
+    for name, n in budgets.items():
+        cond = F.col(group_col) == name
+        cap = F.when(cond, F.lit(n)) if cap is None else cap.when(cond, F.lit(n))
+    cap = F.lit(default_budget) if cap is None else cap.otherwise(default_budget)
+    return df.withColumn("__prior", prior).where(F.col("__prior") < cap).drop(
+        "__prior"
+    )
+
+
 def group_quota(
     df: DataFrame,
     group_col: str,

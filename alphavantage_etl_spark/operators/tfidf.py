@@ -1,0 +1,77 @@
+"""Corpus-statistics term weighting (X4 adjunct): document frequency,
+TF-IDF, and top-k characteristic terms per document.
+
+The standard corpus-analysis primitive a curation pipeline uses for topic
+balance audits and keyword extraction. Shape at 100 TB:
+
+- tokens explode ONCE into (doc, term) rows and immediately partial-
+  aggregate into per-document term counts — the only corpus-sized shuffle
+  is keyed on (doc, term);
+- document frequency is a second aggregate over the (already reduced) term
+  -count table, keyed on term (vocabulary-sized, orders of magnitude
+  smaller than the corpus);
+- the DF table joins back by term — left to AQE: broadcast when the
+  vocabulary fits, shuffle join when it does not (a hint here would be
+  wrong at web-corpus vocabulary sizes);
+- top-k per document is a rank window partitioned by doc — per-group
+  state O(1), no global sort.
+
+TF-IDF scores are half-even-rounded to 6 decimals INSIDE the operator so
+ordering and output are reproducible cross-engine (ln differs by ≤1 ulp
+between libm implementations; ranking on the rounded value with a term
+tie-break removes the ambiguity — same convention as the similarity
+operators' round_even(sim, 6)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def term_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf): per-document counts of lowercased whitespace terms."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def doc_frequency(tf: DataFrame, id_col: str) -> DataFrame:
+    """(term, df): number of documents containing each term, from the
+    term-count table (already one row per (doc, term))."""
+    return tf.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF
+    (tf × ln(N/df), rounded half-even to 6), ties broken on the term.
+
+    N is the corpus document count — one scalar aggregate fetched at the
+    driver as a query parameter (bounded model state, same pattern as the
+    similarity queries' query-vector fetch).
+    """
+    n_docs = docs.count()
+    tf = term_counts(docs, text_col, id_col)
+    df = doc_frequency(tf, id_col)
+    scored = tf.join(df, "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.bround(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -1313,6 +1313,94 @@ SELECT doc_id, bench_id, overlap FROM p WHERE overlap >= 0.25
 """
 
 
+# X11 — deterministic stratified sampling: per-source keep rates from the
+# same engine-portable md5 bucketing as the split (membership recomputable
+# by any engine from (salt, id) alone; no shuffle)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        d, "source", "doc_id",
+        {"src0": 0.5, "src1": 0.25, "src2": 1.0}, default=0.1,
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         CAST(concat('0x', substring(md5(concat('sample', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS b
+  FROM documents)
+WHERE b < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500
+                      WHEN 'src2' THEN 10000 ELSE 1000 END
+"""
+
+
+# X11 — token-budget corpus mixing: per-source doc selection in quality
+# priority order until the source's token budget is exhausted (the
+# "mix N tokens of web, M of code" operator)
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import budget_mix
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sized = with_quality_score(d, "text").select(
+        "doc_id", "source", "q", token_count("text").cast("long").alias("n_tok")
+    )
+    return budget_mix(
+        sized, "source", [F.desc("q"), F.col("doc_id")], "n_tok",
+        {"src0": 2000, "src1": 1000}, default_budget=500,
+    )
+
+
+SQL_BUDGET_MIX = f"""
+WITH qs AS (SELECT * FROM ({SQL_QUALITY_SCORE}) _q),
+sized AS (
+  SELECT d.doc_id, d.source, qs.q,
+         CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents d JOIN qs ON d.doc_id = qs.doc_id),
+run AS (
+  SELECT doc_id, source, q, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY q DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM sized)
+SELECT doc_id, source, q, n_tok FROM run
+WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000 ELSE 500 END
+"""
+
+
+# X4 — TF-IDF top terms per document: corpus-statistics term weighting
+# (explode once, two keyed aggregates, AQE-chosen DF join, rank window)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, "text", "doc_id", k=5)
+
+
+SQL_TFIDF_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round_even(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
+"""
+
+
 # X2 — duplicate-cluster resolution: near-dup pairs -> connected components
 # (cluster = min reachable id). Oracle: recursive-CTE reachability over the
 # same pair list — the transitive closure a pairwise drop rule cannot see.
@@ -1396,6 +1484,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_pack_bins": q_pack_bins,
     "q_contamination": q_contamination,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_stratified_sample": q_stratified_sample,
+    "q_budget_mix": q_budget_mix,
+    "q_tfidf_terms": q_tfidf_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -1444,5 +1535,8 @@ ORACLES: dict[str, str] = {
     "q_pack_bins": SQL_PACK_BINS,
     "q_contamination": SQL_CONTAMINATION,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "q_budget_mix": SQL_BUDGET_MIX,
+    "q_tfidf_terms": SQL_TFIDF_TERMS,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

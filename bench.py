@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_pack_bins",
     "q_contamination",
     "q_dedup_clusters",
+    "q_stratified_sample",
+    "q_budget_mix",
+    "q_tfidf_terms",
 ]
 
 

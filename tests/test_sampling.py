@@ -12,10 +12,13 @@ from pyspark.sql import functions as F
 
 from alphavantage_etl_spark.operators.contamination import ngram_contamination
 from alphavantage_etl_spark.operators.sampling import (
+    budget_mix,
     group_quota,
     hash_split,
     pack_bins,
+    stratified_sample,
 )
+from alphavantage_etl_spark.operators.tfidf import tfidf_top_terms
 
 FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
@@ -104,6 +107,83 @@ def test_pack_bins_partitions_do_not_interact(spark):
     b = {(r["part"], r["id"]): r["bin"] for r in out.collect()}
     assert [b[("a", i)] for i in range(5)] == [0, 0, 0, 1, 1]
     assert [b[("b", i + 100)] for i in range(5)] == [0, 0, 0, 1, 1]
+
+
+def test_stratified_sample_rates_and_default(spark):
+    rows = [(i, "a" if i < 2000 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_sample(df, "src", "doc_id", {"a": 0.5}, default=0.1)
+    counts = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert 900 < counts["a"] < 1100      # 50% of 2000
+    assert 140 < counts["b"] < 260      # default 10% of 2000
+
+
+def test_stratified_sample_stable_membership(spark):
+    """A kept row stays kept when the corpus doubles — the property
+    sampleBy (seeded per-partition RNG) does not have."""
+    small = spark.createDataFrame(
+        [(i, "a") for i in range(500)], "doc_id long, src string"
+    )
+    large = spark.createDataFrame(
+        [(i, "a") for i in range(5000)], "doc_id long, src string"
+    )
+    keep_small = {r["doc_id"] for r in stratified_sample(small, "src", "doc_id", {"a": 0.3}).collect()}
+    keep_large = {
+        r["doc_id"]
+        for r in stratified_sample(large, "src", "doc_id", {"a": 0.3})
+        .where(F.col("doc_id") < 500)
+        .collect()
+    }
+    assert keep_small == keep_large
+
+
+def test_stratified_sample_bad_fraction_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "src", "doc_id", {"a": 1.5})
+
+
+def test_budget_mix_boundary_doc_included(spark):
+    # priority order by score desc: sizes 400, 400, 400 against budget 1000
+    # -> priors 0, 400, 800 all < 1000; the third doc CROSSES the line but
+    # is included (budgets are floors of intent); a fourth (prior 1200) is not
+    rows = [(1, "a", 9.0, 400), (2, "a", 8.0, 400), (3, "a", 7.0, 400), (4, "a", 6.0, 400)]
+    df = spark.createDataFrame(rows, "id long, src string, score double, n long")
+    out = budget_mix(df, "src", [F.desc("score"), F.col("id")], "n", {"a": 1000})
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_budget_mix_default_budget(spark):
+    rows = [(1, "a", 1.0, 100), (2, "zz", 1.0, 100), (3, "zz", 0.5, 100)]
+    df = spark.createDataFrame(rows, "id long, src string, score double, n long")
+    out = budget_mix(df, "src", [F.desc("score"), F.col("id")], "n", {"a": 500},
+                     default_budget=100)
+    # zz gets the default 100: first doc (prior 0) kept, second (prior 100) not
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_tfidf_top_terms_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+        for r in tfidf_top_terms(docs, "text", "doc_id", k=3).collect()
+    }
+    ln2 = round(math.log(2.0), 6)
+    # "a" appears in both docs -> idf 0; "b"/"c" in one -> idf ln 2
+    assert out[(1, "a")] == (2, 0.0)
+    assert out[(1, "b")] == (1, ln2)
+    assert out[(2, "c")] == (1, ln2)
+
+
+def test_tfidf_k_bounds_output(spark):
+    docs = spark.createDataFrame(
+        [(1, "w x y z q r s t u v")], "doc_id long, text string"
+    )
+    assert tfidf_top_terms(docs, "text", "doc_id", k=4).count() == 4
 
 
 def test_contamination_detects_planted_leak(spark):
