@@ -14,6 +14,7 @@ from .similarity import (
     embedding_near_dups,
     hyperplane_weights,
     ivf_topk,
+    label_centroids,
     lsh_bucket,
     train_ivf_cells,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "embedding_near_dups",
     "hyperplane_weights",
     "ivf_topk",
+    "label_centroids",
     "lsh_bucket",
     "train_ivf_cells",
     "budget_mix",

@@ -102,6 +102,52 @@ def embedding_near_dups(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label, per-dimension centroid and population variance of an
+    embedding column: (label, dim, n, centroid, variance).
+
+    The aggregation half of vector analytics — class centroids (IVF seed
+    quality, per-domain embedding drift, cluster dispersion audits).
+
+    Bit-exact across engines by the integer-quantization contract used for
+    all multi-term float sums in this repo (queries.py module docstring):
+    each component is quantized to micro-units (round(x·10⁶) as BIGINT),
+    summed EXACTLY as integers (immune to partial-agg merge order), and
+    converted back by one double division; variance follows as the fixed
+    IEEE expression ssq/(n·10¹²) − centroid² — every op deterministic given
+    identical integer inputs. Bounds: |x| ≤ ~10³ keeps u6² · n < 2⁶³ for
+    n ≤ 10⁹ rows per (label, dim) group.
+
+    Shape at 100 TB: posexplode fans each vector into dim rows that
+    immediately partial-aggregate map-side — the shuffle carries at most
+    |labels| × dim aggregate rows per task, never the exploded data.
+    """
+    u6 = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(u6).alias("dim", "__u6")
+    )
+    agg = exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__u6").alias("__s"),
+        F.sum(F.col("__u6") * F.col("__u6")).alias("__ssq"),
+    )
+    centroid = F.col("__s").cast("double") / (F.col("n") * F.lit(1_000_000))
+    variance = (
+        F.col("__ssq").cast("double") / (F.col("n") * F.lit(1_000_000_000_000))
+        - centroid * centroid
+    )
+    return agg.select(
+        "label", "dim", "n",
+        centroid.alias("centroid"), variance.alias("variance"),
+    )
+
+
 def train_ivf_cells(
     df: DataFrame,
     n_cells: int = 16,

@@ -1401,6 +1401,34 @@ SELECT doc_id, term, tf, tfidf FROM r WHERE rk <= 5
 """
 
 
+# X3 — per-label embedding centroids + dispersion: the aggregation half of
+# vector analytics, bit-exact via integer micro-unit sums (one shuffle of
+# |labels|x|dims| partial aggregates; exploded rows never shuffle)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "embedding", "label")
+
+
+SQL_LABEL_CENTROIDS = """
+WITH u AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS u6
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+a AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+         sum(u6) AS s, sum(u6 * u6) AS ssq
+  FROM u GROUP BY label, dim)
+SELECT label, CAST(dim AS INTEGER) AS dim, n,
+       CAST(s AS DOUBLE) / (n * 1000000) AS centroid,
+       CAST(ssq AS DOUBLE) / (n * 1000000000000)
+         - (CAST(s AS DOUBLE) / (n * 1000000)) * (CAST(s AS DOUBLE) / (n * 1000000))
+         AS variance
+FROM a
+"""
+
+
 # X2 — duplicate-cluster resolution: near-dup pairs -> connected components
 # (cluster = min reachable id). Oracle: recursive-CTE reachability over the
 # same pair list — the transitive closure a pairwise drop rule cannot see.
@@ -1487,6 +1515,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stratified_sample": q_stratified_sample,
     "q_budget_mix": q_budget_mix,
     "q_tfidf_terms": q_tfidf_terms,
+    "q_label_centroids": q_label_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -1538,5 +1567,6 @@ ORACLES: dict[str, str] = {
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_budget_mix": SQL_BUDGET_MIX,
     "q_tfidf_terms": SQL_TFIDF_TERMS,
+    "q_label_centroids": SQL_LABEL_CENTROIDS,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

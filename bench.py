@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_budget_mix",
     "q_tfidf_terms",
+    "q_label_centroids",
 ]
 
 

@@ -474,3 +474,23 @@ def test_asof_join_partitioned(spark):
     # fills never cross the partition boundary
     assert out[("A", 2)] == 10.0 and out[("A", 9)] == 20.0
     assert out[("B", 2)] is None  # B has no rate yet on Jan 2
+
+
+def test_label_centroids_exact_values(spark):
+    from alphavantage_etl_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 2.0], 0), (3, [5.0, 5.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r["label"], r["dim"]): (r["n"], r["centroid"], r["variance"])
+        for r in label_centroids(df).collect()
+    }
+    # label 0 dim 0: mean(1,3)=2, var=((1-2)^2+(3-2)^2)/2=1
+    assert out[(0, 0)] == (2, 2.0, 1.0)
+    # label 0 dim 1: mean(2,2)=2, var=0
+    assert out[(0, 1)] == (2, 2.0, 0.0)
+    # singleton label 1: centroid = the vector, var=0
+    assert out[(1, 0)] == (1, 5.0, 0.0)
+    assert out[(1, 1)] == (1, 5.0, 0.0)
