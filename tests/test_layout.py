@@ -76,3 +76,66 @@ def test_bucketed_join_has_no_shuffle(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+# ---- plan-shape pins for the round-2 operators: the scale claims in their
+# docstrings (shuffle counts, broadcast sides) must hold in the optimized
+# plan, not just the prose.
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_split_assign_plan_is_shuffle_free(spark):
+    from alphavantage_etl_spark.operators.sampling import hash_split
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id")
+    plan = _plan(hash_split(d, "doc_id", {"a": 0.5, "b": 0.5}))
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_plan_is_shuffle_free(spark):
+    from alphavantage_etl_spark.operators.sampling import stratified_sample
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "source")
+    plan = _plan(stratified_sample(d, "source", "doc_id", {"src0": 0.5}))
+    assert "Exchange" not in plan
+
+
+def test_quota_and_pack_have_single_exchange(spark):
+    from alphavantage_etl_spark.operators.sampling import group_quota, pack_bins
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "source")
+    sized = d.withColumn("n", F.length(F.lit("x")).cast("long"))
+    for out in (
+        group_quota(d, "source", [F.col("doc_id")], n=3),
+        pack_bins(sized, "source", "doc_id", "n", budget=10),
+    ):
+        plan = _plan(out)
+        assert plan.count("Exchange") == 1, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    from alphavantage_etl_spark.operators.contamination import ngram_contamination
+
+    d = load(spark, SF_SMALL, "documents")
+    bench = d.where(F.col("doc_id") % 47 == 0)
+    corp = d.where(F.col("doc_id") % 47 != 0)
+    plan = _plan(ngram_contamination(corp, bench, "text", "doc_id", k=8))
+    assert "BroadcastHashJoin" in plan
+    # exactly one data shuffle: the (doc, bench) partial-agg counts
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_label_centroids_single_shuffle_after_explode(spark):
+    from alphavantage_etl_spark.operators.similarity import label_centroids
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    plan = _plan(label_centroids(emb))
+    # explode feeds a partial HashAggregate BEFORE the only Exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.index("Generate posexplode") > plan.index("Exchange"), (
+        "explode must run below (after in tree order) the exchange — "
+        "partial aggregation map-side, exploded rows never shuffle"
+    )

@@ -98,3 +98,81 @@ def test_incremental_merge_converges(spark, dates, n_existing):
     merged = merge_incremental(incoming, existing, "date")
     assert sorted(r["date"] for r in merged.collect()) == all_dates
     assert merge_incremental(incoming, merged, "date").count() == len(all_dates)
+
+
+sizes = st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=25)
+
+
+@SETTINGS
+@given(sizes, st.integers(min_value=1, max_value=300))
+def test_pack_bins_invariants(spark, szs, budget):
+    from alphavantage_etl_spark.operators.sampling import pack_bins
+
+    rows = [(i, "g", int(s)) for i, s in enumerate(szs)]
+    df = spark.createDataFrame(rows, "id long, part string, sz long")
+    out = sorted(
+        ((r["id"], r["bin"]) for r in pack_bins(df, "part", "id", "sz", budget).collect())
+    )
+    bins = [b for _, b in out]
+    # bins are consecutive, non-decreasing, starting at 0
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0,) or b2 > b1 for b1, b2 in zip(bins, bins[1:]))
+    # python mirror of the exclusive-prefix rule
+    prior, want = 0, []
+    for s in szs:
+        want.append(prior // budget)
+        prior += s
+    assert bins == want
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True))
+def test_hash_split_partitions_exactly(spark, ids):
+    from alphavantage_etl_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = hash_split(df, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}).collect()
+    # total function: every row gets exactly one split, no row lost
+    assert len(out) == len(ids)
+    assert {r["split"] for r in out} <= {"train", "valid", "test"}
+    # bucket ranges are the assignment: recompute from the bucket column
+    for r in out:
+        b = r["bucket"]
+        want = "train" if b < 8000 else ("valid" if b < 9000 else "test")
+        assert r["split"] == want
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1, max_size=20,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@SETTINGS
+@given(edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    from alphavantage_etl_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = connected_components(df)
+    got = {r["node"]: r["cluster"] for r in cc.collect()}
+    cc.unpersist()
+
+    # driver-side union-find mirror
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in {x for e in edges for x in e}:
+        want[n] = find(n)
+    assert got == want
