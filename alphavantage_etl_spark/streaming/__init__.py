@@ -1,7 +1,9 @@
 from .pipeline import (
     attribution_join_stream,
+    curation_ingest_stream,
     idempotent_sink_stream,
     incremental_append_stream,
+    read_documents_stream,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -10,8 +12,10 @@ from .pipeline import (
 
 __all__ = [
     "attribution_join_stream",
+    "curation_ingest_stream",
     "idempotent_sink_stream",
     "incremental_append_stream",
+    "read_documents_stream",
     "read_events_stream",
     "run_stream_to_memory",
     "sessionize_stream",

@@ -184,6 +184,90 @@ def idempotent_sink_stream(
     return q
 
 
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream over a documents directory (new parquet files
+    stream in as micro-batches) — the ingestion front of a continuously
+    growing corpus."""
+    return spark.readStream.schema(SCHEMAS["documents"]).parquet(docs_dir)
+
+
+def curation_ingest_stream(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.5,
+    min_chars: int = 100,
+    contamination_threshold: float = 0.5,
+):
+    """Streaming corpus curation: every micro-batch is quality-gated,
+    exact-deduplicated by content fingerprint (within the batch AND against
+    everything already ingested), optionally decontaminated against a
+    benchmark set, then appended — the streaming form of
+    ``plans.curation.curate``'s shuffle-cheap front half.
+
+    The batch operators run UNCHANGED inside ``foreachBatch`` (they are
+    stateless per batch; the sink itself is the cross-batch state, exactly
+    like ``idempotent_sink_stream``'s watermark-by-checkpoint design). The
+    anti-join key is the 32-byte sha256 fingerprint, so re-delivered OR
+    re-written documents (same text, new doc_id) never land twice — a
+    stronger guarantee than id-keyed dedup. ``benchmark`` is re-grammed per
+    micro-batch at benchmark-suite size (thousands of docs — broadcast);
+    cache the frame if batches are frequent.
+
+    Near-dup (MinHash) resolution stays a periodic BATCH compaction over
+    the sink by design: LSH bucket state across an unbounded corpus is a
+    rebuild-from-sink job, not per-batch stream state.
+    """
+    from ..functions.text import fingerprint_sha256, with_quality_score
+    from ..operators.contamination import ngram_contamination
+    from ..operators.dedup import dedup_exact
+
+    out_cols = stream_df.columns + ["fp"]
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        scored = with_quality_score(batch_df, "text")
+        gated = scored.where(
+            (F.col("q") >= min_quality) & (F.length("text") >= min_chars)
+        ).drop("q")
+        fp = gated.withColumn("fp", fingerprint_sha256("text"))
+        batch_unique = dedup_exact(fp, ["fp"], "doc_id")
+        try:
+            existing = spark.read.parquet(sink_path).select("fp")
+        except AnalysisException:  # first batch: sink does not exist yet
+            existing = None
+        # any OTHER read failure must fail the batch -> checkpoint retries
+        fresh = (
+            batch_unique
+            if existing is None
+            else batch_unique.join(existing, "fp", "left_anti")
+        )
+        if benchmark is not None:
+            bad = (
+                ngram_contamination(
+                    fresh, benchmark, "text", "doc_id",
+                    k=8, threshold=contamination_threshold,
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = fresh.join(bad, "doc_id", "left_anti")
+        # pin column order: parquet appends must agree batch-to-batch
+        fresh.select(*out_cols).write.mode("append").parquet(sink_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drain a (bounded, availableNow) stream into an in-memory table for
     tests/smoke; returns the finished query. Real deployments swap this for

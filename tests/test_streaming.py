@@ -210,3 +210,81 @@ def test_idempotent_sink_stream_survives_duplicate_delivery(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == n_total
     assert out.select("event_id").distinct().count() == n_total
+
+
+def test_curation_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming corpus ingest: quality gate, cross-batch fingerprint
+    dedup, and benchmark decontamination all hold across micro-batches and
+    a checkpoint restart."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        curation_ingest_stream,
+        read_documents_stream,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it was a good day "
+        "for the animals in the field because the sun was out and the wind "
+        "was calm over the wide green valley near the old stone bridge"
+    )
+    other = (
+        "the house and the tree and the dog were all by the river watching "
+        "the boats go past in the warm light of a long afternoon that "
+        "seemed to never end for anyone who was there that day"
+    )
+    bench_text = (
+        "what is the capital of france paris is the capital and largest "
+        "city of france situated on the banks of the river seine in the "
+        "north of the country in the heart of the region"
+    )
+    benchmark = spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    )
+
+    def land(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain():
+        curation_ingest_stream(
+            read_documents_stream(spark, str(in_dir)), sink, ckpt,
+            benchmark=benchmark, min_quality=0.3, min_chars=100,
+        )
+
+    # batch 1: two copies of the same text (in-batch dup), one short doc
+    land([(1, prose), (2, prose), (3, "too short")], "b1")
+    drain()
+    got = spark.read.parquet(sink)
+    assert [r["doc_id"] for r in got.collect()] == [1], (
+        "batch 1 must keep only the min-id copy of the duplicated text"
+    )
+
+    # batch 2: re-delivery of the same text under a NEW id (cross-batch
+    # dup), one genuinely new doc, one contaminated doc (contains the
+    # benchmark item verbatim)
+    land(
+        [(10, prose), (11, other), (12, f"intro words {bench_text} outro")],
+        "b2",
+    )
+    drain()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert kept == [1, 11], (
+        "cross-batch dup and contaminated doc must not land; "
+        f"got {kept}"
+    )
+
+    # restart with nothing new: no growth
+    drain()
+    assert spark.read.parquet(sink).count() == 2
