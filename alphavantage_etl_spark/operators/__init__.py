@@ -29,6 +29,7 @@ from .sampling import (
 from .tfidf import doc_frequency, term_counts, tfidf_top_terms
 from .contamination import ngram_contamination
 from .graph import cluster_representatives, connected_components
+from .ranges import interval_join
 from .sessionize import sessionize
 from .skew import salted_agg, salted_join
 from .multimodal import attach_media, decode_image_features, frame_sample
@@ -64,6 +65,7 @@ __all__ = [
     "ngram_contamination",
     "cluster_representatives",
     "connected_components",
+    "interval_join",
     "sessionize",
     "salted_agg",
     "salted_join",

@@ -1,0 +1,82 @@
+"""Interval (range-containment) join — points to the intervals containing
+them, as a bucketized EQUI-join.
+
+Spark has no native range-join optimization: a raw ``p.ts BETWEEN i.start
+AND i.end`` predicate plans as BroadcastNestedLoopJoin (or a key-equi join
+whose hot keys re-introduce the quadratic inside each key group). The
+scale-correct shape decomposes time into fixed-width buckets:
+
+- each interval EXPLODES into the bucket ids it overlaps
+  (fan-out = span/bucket + 1 rows — bounded, tunable);
+- each point computes its single bucket id — a projection;
+- the join becomes an equi-join on (bucket [, keys...]) that hash-
+  partitions both sides, followed by the exact containment filter.
+
+Every true (point, interval) pair matches EXACTLY once — the point's one
+bucket appears exactly once in the interval's bucket sequence — so no
+post-join dedup is needed. Pick ``bucket_seconds`` near the median
+interval span: too coarse packs unrelated rows into one bucket (filter
+does more work), too fine inflates the interval fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+_BUCKET_UNITS = ("minute", "hour", "day", "week", "month")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    keys: list[str] | None = None,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``start <= ts <= end`` (boundaries inclusive, matching SQL BETWEEN),
+    optionally also requiring equality on ``keys``.
+
+    Buckets are ``date_trunc(bucket, ·)`` values and the interval's bucket
+    list is a timestamp ``sequence`` with an ``interval 1 <bucket>`` step —
+    type-preserving and timezone-free for both TIMESTAMP and
+    TIMESTAMP_NTZ (an epoch-seconds formulation would force an NTZ → zone
+    interpretation on the driver's session timezone).
+
+    Non-key column names must be disjoint between the two frames (same
+    contract as ``asof_join``: a silent duplicate column would poison
+    downstream references — raise here instead).
+    """
+    keys = list(keys or [])
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"interval_join: column(s) {sorted(overlap)} exist on both "
+            "sides; rename before joining"
+        )
+    if bucket not in _BUCKET_UNITS:
+        raise ValueError(f"bucket must be one of {_BUCKET_UNITS}, got {bucket!r}")
+
+    p = points.withColumn("__b", F.date_trunc(bucket, F.col(ts_col)))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start_col)),
+                F.date_trunc(bucket, F.col(end_col)),
+                F.expr(f"interval 1 {bucket}"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, ["__b", *keys])
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__b")
+    )

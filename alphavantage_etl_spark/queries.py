@@ -1429,6 +1429,34 @@ FROM a
 """
 
 
+# X6/J — interval-containment join as a bucketized equi-join (Spark has no
+# native range-join optimization; a raw BETWEEN predicate plans as a
+# nested-loop join). Fixture: every event joined back to the session
+# interval that contains it — the oracle recomputes sessions in SQL and
+# joins with plain BETWEEN.
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranges import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    sessions = sessionize(ev).select("user_id", "session_start", "last_ts")
+    points = ev.select("event_id", "user_id", "ts")
+    out = interval_join(
+        points, sessions, "ts", "session_start", "last_ts",
+        keys=["user_id"], bucket="hour",
+    )
+    return out.select("event_id", "user_id", "session_start")
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH sess AS (SELECT * FROM ({SQL_SESSIONIZE}) _s),
+e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+SELECT e.event_id, e.user_id, s.session_start
+FROM e JOIN sess s
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.last_ts
+"""
+
+
 # X2 — duplicate-cluster resolution: near-dup pairs -> connected components
 # (cluster = min reachable id). Oracle: recursive-CTE reachability over the
 # same pair list — the transitive closure a pairwise drop rule cannot see.
@@ -1516,6 +1544,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_budget_mix": q_budget_mix,
     "q_tfidf_terms": q_tfidf_terms,
     "q_label_centroids": q_label_centroids,
+    "q_interval_join": q_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -1568,5 +1597,6 @@ ORACLES: dict[str, str] = {
     "q_budget_mix": SQL_BUDGET_MIX,
     "q_tfidf_terms": SQL_TFIDF_TERMS,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
+    "q_interval_join": SQL_INTERVAL_JOIN,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q_budget_mix",
     "q_tfidf_terms",
     "q_label_centroids",
+    "q_interval_join",
 ]
 
 
