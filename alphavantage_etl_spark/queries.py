@@ -1174,6 +1174,56 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("within_bound", F.col("rel_err") <= 0.06)  # 3x rsd
 
 
+# Sketch aggregation: approx_percentile (Greenwald-Khanna) vs the exact
+# interpolated percentile, self-validating like the HLL row: at accuracy a,
+# the sketch's rank error is bounded by n/a, so the estimate must fall
+# between the exact values at ranks p ± n/a (rows-only; sketch internals
+# are engine-specific). One pass, mergeable partials — the 100 TB shape
+# where exact quantiles would need a full sort.
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    acc = 1000  # rank error <= n / acc
+    qs = [0.25, 0.5, 0.95]
+    # band = the sketch's 1/acc rank guarantee + slack for the exact side's
+    # interpolation (the sketch returns a data element; `percentile`
+    # interpolates between elements, so at small n the band edges sit
+    # between data points a fraction of a rank away)
+    eps = 1.0 / acc + 0.004
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(
+                f"approx_percentile(l_extendedprice, {p}, {acc})"
+            ).alias(f"approx_p{int(p * 100)}")
+            for p in qs
+        ],
+        *[
+            F.expr(
+                f"percentile(l_extendedprice, {max(0.0, p - eps)})"
+            ).alias(f"lo_p{int(p * 100)}")
+            for p in qs
+        ],
+        *[
+            F.expr(
+                f"percentile(l_extendedprice, {min(1.0, p + eps)})"
+            ).alias(f"hi_p{int(p * 100)}")
+            for p in qs
+        ],
+    )
+    ok = None
+    for p in qs:
+        c = (
+            (F.col(f"approx_p{int(p * 100)}") >= F.col(f"lo_p{int(p * 100)}"))
+            & (F.col(f"approx_p{int(p * 100)}") <= F.col(f"hi_p{int(p * 100)}"))
+        )
+        ok = c if ok is None else (ok & c)
+    return agg.select(
+        "l_returnflag", "n",
+        *[F.col(f"approx_p{int(p * 100)}") for p in qs],
+        ok.alias("within_bound"),
+    )
+
+
 # X2 — MinHash near-dup candidates (not SQL-expressible -> rows-only check)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
@@ -1514,6 +1564,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_rank_windows": q_rank_windows,
     "q_percentiles": q_percentiles,
     "q_distinct_sketch": q_distinct_sketch,
+    "q_quantile_sketch": q_quantile_sketch,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
