@@ -105,6 +105,53 @@ def curate(
     )
 
 
+def compact_corpus(
+    spark: SparkSession,
+    sink_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.6,
+) -> int:
+    """The periodic near-dup compaction over a streaming-ingested corpus —
+    the batch half of ``streaming.curation_ingest_stream``'s contract (the
+    stream guarantees exact-dedup per fingerprint; near-dup state over an
+    unbounded corpus is rebuilt here, not carried as stream state).
+
+    MinHash-LSH verified pairs -> connected components -> one max-quality
+    survivor per duplicate cluster, rewritten to ``out_path`` (a NEW
+    directory: rewriting the input in place would corrupt the scan feeding
+    the rewrite — the caller swaps directories, or on Delta/Iceberg this
+    whole body becomes one transactional REPLACE). Returns the surviving
+    row count.
+    """
+    if out_path == sink_path:
+        raise ValueError(
+            "compact_corpus: out_path must differ from sink_path "
+            "(in-place rewrite would corrupt the scan feeding it)"
+        )
+    docs = spark.read.parquet(sink_path)
+    handles: list[DataFrame] = []
+    try:
+        from ..operators.dedup import release
+        from ..operators.graph import cluster_representatives, connected_components
+
+        pairs = minhash_verified_near_dups(
+            docs, text_col, id_col,
+            shingle_k=9, bands=16,
+            candidate_threshold=0.2, jaccard_threshold=jaccard_threshold,
+            handles=handles,
+        )
+        cc = connected_components(pairs, "id_a", "id_b", handles=handles)
+        kept = cluster_representatives(
+            with_quality_score(docs, text_col), cc, id_col, "q"
+        ).drop("q")
+        kept.select(*docs.columns).write.mode("overwrite").parquet(out_path)
+    finally:
+        release(handles)
+    return spark.read.parquet(out_path).count()
+
+
 def curation_report(curated: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language token budget of the curated corpus — the number a
     training run actually needs from this pipeline."""

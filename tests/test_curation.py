@@ -106,3 +106,30 @@ def test_fixture_corpus_end_to_end(spark):
         assert r["n_docs"] > 0
         assert r["total_tokens_bpe"] >= r["total_tokens_ws"] > 0
         assert 0.0 <= r["avg_quality"] <= 1.0
+
+
+def test_compact_corpus_collapses_near_dups(spark, tmp_path, planted):
+    from alphavantage_etl_spark.plans.curation import compact_corpus
+
+    sink = str(tmp_path / "corpus")
+    out = str(tmp_path / "corpus_compacted")
+    # sink holds docs that PASSED a streaming exact-dedup ingest: distinct
+    # texts, but docs 1 and 3 are near-dups of each other
+    planted.where(F.col("doc_id").isin(1, 3, 6)).write.parquet(sink)
+
+    n = compact_corpus(spark, sink, out, jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert n == 2
+    # 1 vs 3: same quality class, higher-quality (or lower-id) survivor
+    assert kept == [1, 6]
+    # schema round-trips unchanged
+    assert set(spark.read.parquet(out).columns) == set(planted.columns)
+
+
+def test_compact_corpus_rejects_in_place(spark, tmp_path, planted):
+    sink = str(tmp_path / "corpus2")
+    planted.limit(1).write.parquet(sink)
+    from alphavantage_etl_spark.plans.curation import compact_corpus
+
+    with pytest.raises(ValueError, match="in-place"):
+        compact_corpus(spark, sink, sink)
