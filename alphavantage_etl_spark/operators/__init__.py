@@ -20,6 +20,7 @@ from .similarity import (
 )
 from .sampling import (
     budget_mix,
+    calibrate_by_group,
     group_quota,
     hash_split,
     pack_bins,
@@ -54,6 +55,7 @@ __all__ = [
     "lsh_bucket",
     "train_ivf_cells",
     "budget_mix",
+    "calibrate_by_group",
     "group_quota",
     "hash_split",
     "pack_bins",

@@ -138,6 +138,28 @@ def budget_mix(
     )
 
 
+def calibrate_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-group percentile rank of a score: ``percent_rank`` over
+    (group, score ASC, id) — so a threshold like "keep the top 30%"
+    means the top 30% OF EACH SOURCE, not of the pooled distribution.
+
+    The domain-calibration step quality gates need: raw heuristic scores
+    are not comparable across sources (code scores low on stopword
+    density, legal text high), so gating on the pooled score silently
+    skews the mix toward whole domains. Ranking within the group makes
+    the gate distribution-free. The id tiebreak makes ranks total and
+    deterministic. One shuffle on the group key.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
+    return df.withColumn(out_col, F.percent_rank().over(w))
+
+
 def group_quota(
     df: DataFrame,
     group_col: str,

@@ -1420,6 +1420,26 @@ WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000 ELSE 500 E
 """
 
 
+# X11 — per-source quality calibration: percent_rank of the quality score
+# within each source, so gates mean "top X% of each domain" instead of a
+# pooled threshold that silently skews the mix toward whole domains
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import calibrate_by_group
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = with_quality_score(d, "text").select("doc_id", "source", "q")
+    return calibrate_by_group(scored, "source", "q", "doc_id")
+
+
+SQL_QUALITY_CALIBRATED = f"""
+WITH qs AS (SELECT * FROM ({SQL_QUALITY_SCORE}) _q)
+SELECT d.doc_id, d.source, qs.q,
+       percent_rank() OVER (PARTITION BY d.source ORDER BY qs.q, d.doc_id)
+         AS score_pct
+FROM documents d JOIN qs ON d.doc_id = qs.doc_id
+"""
+
+
 # X4 — TF-IDF top terms per document: corpus-statistics term weighting
 # (explode once, two keyed aggregates, AQE-chosen DF join, rank window)
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1596,6 +1616,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tfidf_terms": q_tfidf_terms,
     "q_label_centroids": q_label_centroids,
     "q_interval_join": q_interval_join,
+    "q_quality_calibrated": q_quality_calibrated,
 }
 
 ORACLES: dict[str, str] = {
@@ -1649,5 +1670,6 @@ ORACLES: dict[str, str] = {
     "q_tfidf_terms": SQL_TFIDF_TERMS,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     "q_interval_join": SQL_INTERVAL_JOIN,
+    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

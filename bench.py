@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q_tfidf_terms",
     "q_label_centroids",
     "q_interval_join",
+    "q_quality_calibrated",
 ]
 
 

@@ -211,3 +211,18 @@ def test_contamination_no_benchmark_no_rows(spark):
     corpus = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
     bench = corpus.where(F.lit(False))
     assert ngram_contamination(corpus, bench, "text", "doc_id").count() == 0
+
+
+def test_calibrate_by_group_is_per_group(spark):
+    from alphavantage_etl_spark.operators.sampling import calibrate_by_group
+
+    # source "a" scores 1..4, source "b" scores 100..400: pooled ranking
+    # would put ALL of b above a; per-group ranks must be identical
+    rows = [(i, "a", float(i)) for i in range(1, 5)] + [
+        (i + 10, "b", float(i) * 100) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, q double")
+    out = calibrate_by_group(df, "src", "q", "id")
+    pct = {(r["src"], r["id"]): r["score_pct"] for r in out.collect()}
+    assert [pct[("a", i)] for i in range(1, 5)] == [0.0, 1 / 3, 2 / 3, 1.0]
+    assert [pct[("b", i + 10)] for i in range(1, 5)] == [0.0, 1 / 3, 2 / 3, 1.0]
