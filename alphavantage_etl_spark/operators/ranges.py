@@ -62,7 +62,10 @@ def interval_join(
         raise ValueError(f"bucket must be one of {_BUCKET_UNITS}, got {bucket!r}")
 
     p = points.withColumn("__b", F.date_trunc(bucket, F.col(ts_col)))
-    iv = intervals.withColumn(
+    # an inverted interval (end < start) matches nothing under BETWEEN —
+    # drop it BEFORE the bucket sequence instead of letting sequence() kill
+    # the whole job with an illegal-boundaries runtime error
+    iv = intervals.where(F.col(start_col) <= F.col(end_col)).withColumn(
         "__b",
         F.explode(
             F.sequence(

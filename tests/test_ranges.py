@@ -104,3 +104,13 @@ def test_plan_is_equi_join_not_nested_loop(spark, frames):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" in naive or "CartesianProduct" in naive
+
+
+def test_inverted_interval_matches_nothing(spark, frames):
+    points, _ = frames
+    bad = spark.createDataFrame(
+        [("u1", "X", ts(12, 0), ts(9, 0))],  # end < start
+        "user string, iv string, start timestamp, fin timestamp",
+    )
+    out = interval_join(points, bad, "ts", "start", "fin", keys=["user"])
+    assert out.count() == 0  # BETWEEN semantics, not a sequence() crash
