@@ -7,6 +7,7 @@ from .catalog import (
     read_path_if_exists,
     table_exists,
 )
+from .files import quarantine_corrupt, read_csv, read_jsonl
 from .layout import co_located_join, write_bucketed, write_partitioned
 
 __all__ = [
@@ -25,4 +26,7 @@ __all__ = [
     "co_located_join",
     "write_bucketed",
     "write_partitioned",
+    "quarantine_corrupt",
+    "read_csv",
+    "read_jsonl",
 ]
