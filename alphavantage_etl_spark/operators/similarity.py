@@ -353,22 +353,43 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bits: int = 8,
+    n_probe: int = 1,
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's LSH bucket.
+    """Approximate top-k: score only vectors in the query's LSH bucket plus
+    the ``n_probe - 1`` most promising neighbor buckets (multi-probe).
 
     With 2^bits buckets the scan's scoring work drops ~2^bits-fold; recall
-    is probabilistic (raise k or lower bits, or add multi-probe, to trade
-    cost for recall). Falls back to exact when the bucket has < k members
-    only in the sense that fewer rows return — callers needing guaranteed k
-    should union with the brute-force path on the residual.
+    is recovered not by more hash tables but by probing the buckets that
+    differ in the planes the query is CLOSEST to (smallest |dot| margin —
+    the Lv et al. multi-probe ordering): a near neighbor that fell on the
+    other side of a knife-edge plane is in exactly such a bucket.
+
+    All probe selection happens DRIVER-side: the query's per-plane margins
+    are plain Python arithmetic over the same literal weights the JVM fold
+    uses, in the same left-to-right summation order, so the computed home
+    bucket is bit-identical to ``lsh_bucket``'s (pinned by test) — no
+    Spark job runs for the query, and the probe set reaches the scan as a
+    literal IN-list the reader can use for pushdown on a bucketed layout.
+
+    Callers needing guaranteed k rows should union with the brute-force
+    path on the residual.
     """
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     dim = len(query_vec)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     w = hyperplane_weights(df.sparkSession, bits, dim)
+    # per-plane signed margins of the query — same op order as the JVM fold
+    margins = [
+        sum(float(query_vec[d]) * w[h * dim + d] for d in range(dim))
+        for h in range(bits)
+    ]
+    home = sum(1 << (bits - 1 - h) for h in range(bits) if margins[h] > 0)
+    probes = [home]
+    for h in sorted(range(bits), key=lambda h: abs(margins[h])):
+        if len(probes) >= n_probe:
+            break
+        probes.append(home ^ (1 << (bits - 1 - h)))
     bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, bits, dim, weights=w))
-    qb = bucketed.sparkSession.range(1).select(
-        lsh_bucket(q, bits, dim, weights=w).alias("__qbucket")
-    )
-    cand = bucketed.join(F.broadcast(qb), F.col("__bucket") == F.col("__qbucket"))
+    cand = bucketed.where(F.col("__bucket").isin(probes)).drop("__bucket")
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)

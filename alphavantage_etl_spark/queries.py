@@ -1259,7 +1259,7 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X3 — LSH-bucketed approximate top-k (approximate -> rows-only check)
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10, bits=4)
+    return cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10, bits=4, n_probe=3)
 
 
 # X2 — SimHash fingerprints (xxhash64 has no DuckDB analog -> rows-only)
