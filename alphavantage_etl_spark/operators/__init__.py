@@ -33,7 +33,12 @@ from .graph import cluster_representatives, connected_components
 from .ranges import interval_join
 from .sessionize import sessionize
 from .skew import salted_agg, salted_join
-from .multimodal import attach_media, decode_image_features, frame_sample
+from .multimodal import (
+    attach_media,
+    decode_image_features,
+    frame_sample,
+    resize_media,
+)
 
 __all__ = [
     "ohlcv_bars",
@@ -74,4 +79,5 @@ __all__ = [
     "attach_media",
     "decode_image_features",
     "frame_sample",
+    "resize_media",
 ]

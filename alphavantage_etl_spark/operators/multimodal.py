@@ -98,6 +98,72 @@ def decode_image_features(df: DataFrame, mode: str = "fake") -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<width:int,height:int,n_frames:int,sample_rate:int,format:string>"
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, mode: str = "fake"
+) -> DataFrame:
+    """Re-encode each payload at (width, height) via Arrow-batched
+    ``mapInPandas`` — the resize stage of an image pipeline, same plumbing
+    contract as :func:`decode_image_features`: declared output schema,
+    payload transformed batch-wise in Python, metadata struct updated to
+    the new dimensions JVM-side semantics (emitted from the same batch).
+
+    ``mode='fake'``: deterministic stand-in — the "resized" payload is
+    sha256(payload || 'wxh') truncated/tiled to ``width*height//64`` bytes,
+    so output size scales with the target dims and the transform is
+    content-addressed (same input + dims -> same bytes, any run, any
+    partitioning). ``mode='real'`` documents the intended body and raises.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+    n_out = max(1, (width * height) // 64)
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        def fake_resize(b: bytes) -> bytes:
+            if mode == "real":
+                # Real body: PIL.Image.open(io.BytesIO(b))
+                #   .resize((width, height)).save(buf, format=...) -> bytes
+                raise NotImplementedError(
+                    "real image resize needs PIL/opencv (not in this "
+                    "container); use mode='fake' for the deterministic "
+                    "stand-in"
+                )
+            seed = hashlib.sha256(bytes(b) + f"{width}x{height}".encode()).digest()
+            reps = (n_out + len(seed) - 1) // len(seed)
+            return (seed * reps)[:n_out]
+
+        for pdf in batches:
+            meta = pd.DataFrame(
+                {
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "n_frames": [m["n_frames"] for m in pdf["meta"]],
+                    "sample_rate": [m["sample_rate"] for m in pdf["meta"]],
+                    "format": [m["format"] for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, frame_size: int = 4, every_k: int = 2) -> DataFrame:
     """Sample every k-th fixed-size frame from each payload — video-style
     frame extraction as pure byte slicing (``substr`` works on binary), no

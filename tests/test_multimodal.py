@@ -97,3 +97,37 @@ def test_metadata_scan_prunes_payload(spark, media):
     q = media.select("doc_id", F.col("meta.width")).where(F.col("meta.width") >= 64)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan, "metadata query must not touch payload bytes"
+
+
+def test_resize_media_deterministic_and_sized(spark, media):
+    from alphavantage_etl_spark.operators.multimodal import resize_media
+
+    out = resize_media(media, 64, 32)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    again = {r["doc_id"]: r for r in resize_media(media, 64, 32).collect()}
+    for did, r in rows.items():
+        # payload size scales with target dims: 64*32//64 = 32 bytes
+        assert len(r["payload"]) == 32
+        # metadata carries the NEW dims; passthrough fields survive
+        assert (r["meta"]["width"], r["meta"]["height"]) == (64, 32)
+        assert r["meta"]["format"] == "fake/rgb8"
+        # content-addressed: identical bytes on re-run
+        assert bytes(r["payload"]) == bytes(again[did]["payload"])
+
+
+def test_resize_media_dims_change_payload(spark, media):
+    from alphavantage_etl_spark.operators.multimodal import resize_media
+
+    a = {r["doc_id"]: bytes(r["payload"]) for r in resize_media(media, 64, 64).collect()}
+    b = {r["doc_id"]: bytes(r["payload"]) for r in resize_media(media, 128, 32).collect()}
+    # same output LENGTH (64*64//64 == 128*32//64) but different bytes:
+    # the target dims are part of the content address
+    assert all(len(a[d]) == len(b[d]) for d in a)
+    assert any(a[d] != b[d] for d in a)
+
+
+def test_resize_media_real_mode_is_marked_stub(spark, media):
+    from alphavantage_etl_spark.operators.multimodal import resize_media
+
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_media(media, 8, 8, mode="real").collect()
