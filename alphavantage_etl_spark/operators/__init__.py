@@ -26,6 +26,7 @@ from .sampling import (
     pack_bins,
     split_bucket,
     stratified_sample,
+    weighted_sample,
 )
 from .tfidf import doc_frequency, term_counts, tfidf_top_terms
 from .contamination import ngram_contamination
@@ -66,6 +67,7 @@ __all__ = [
     "pack_bins",
     "split_bucket",
     "stratified_sample",
+    "weighted_sample",
     "doc_frequency",
     "term_counts",
     "tfidf_top_terms",

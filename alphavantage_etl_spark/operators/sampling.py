@@ -138,6 +138,41 @@ def budget_mix(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    key_col: str = "skey",
+    salt: str = "wsample",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the
+    Efraimidis-Spirakis A-Res scheme, ``key = u^(1/w)``, keep the top-n
+    keys — inclusion probability proportional to weight, but with ``u``
+    a STABLE uniform from the content-addressed bucket hash instead of an
+    RNG, so the sample is reproducible on any engine/partitioning and a
+    row's fate never changes when other rows are added.
+
+    Keys are half-even-rounded to 9 decimals so cross-engine ``pow``
+    (≤1 ulp apart between libm implementations) cannot reorder the
+    boundary; ties break on the id. Non-positive weights are excluded
+    (zero weight = never sampled, the standard convention). Top-n plans
+    as TakeOrderedAndProject — parallel per-partition heaps, no global
+    sort materialized.
+    """
+    w = F.col(weight_col).cast("double")
+    b = split_bucket(id_col, salt, buckets)
+    u = (b.cast("double") + F.lit(0.5)) / F.lit(float(buckets))
+    key = F.bround(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        df.where(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.desc(key_col), F.col(id_col))
+        .limit(n)
+    )
+
+
 def calibrate_by_group(
     df: DataFrame,
     group_col: str,

@@ -1440,6 +1440,27 @@ FROM documents d JOIN qs ON d.doc_id = qs.doc_id
 """
 
 
+# X11 — deterministic weighted sampling (Efraimidis-Spirakis A-Res with a
+# content-addressed uniform): inclusion probability ~ n_chars, stable
+# under corpus growth, reproducible by any engine from (salt, id)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", n=100)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substring(md5(concat('wsample', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS b
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars,
+       round_even(pow((b + 0.5) / 10000.0, 1.0 / n_chars), 9) AS skey
+FROM s ORDER BY skey DESC, doc_id LIMIT 100
+"""
+
+
 # X4 — TF-IDF top terms per document: corpus-statistics term weighting
 # (explode once, two keyed aggregates, AQE-chosen DF join, rank window)
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,6 +1638,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_label_centroids": q_label_centroids,
     "q_interval_join": q_interval_join,
     "q_quality_calibrated": q_quality_calibrated,
+    "q_weighted_sample": q_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1671,5 +1693,6 @@ ORACLES: dict[str, str] = {
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     "q_interval_join": SQL_INTERVAL_JOIN,
     "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
+    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
     # q_dedup_near / q_cosine_topk_lsh / q_simhash: rows-only by design
 }

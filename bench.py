@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_label_centroids",
     "q_interval_join",
     "q_quality_calibrated",
+    "q_weighted_sample",
 ]
 
 

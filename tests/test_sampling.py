@@ -226,3 +226,28 @@ def test_calibrate_by_group_is_per_group(spark):
     pct = {(r["src"], r["id"]): r["score_pct"] for r in out.collect()}
     assert [pct[("a", i)] for i in range(1, 5)] == [0.0, 1 / 3, 2 / 3, 1.0]
     assert [pct[("b", i + 10)] for i in range(1, 5)] == [0.0, 1 / 3, 2 / 3, 1.0]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from alphavantage_etl_spark.operators.sampling import weighted_sample
+
+    # 1000 rows of weight 1, 1000 of weight 20: a 400-row sample should be
+    # dominated by the heavy stratum (E[heavy] ~ 380 of 400)
+    rows = [(i, 1.0) for i in range(1000)] + [(i + 1000, 20.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", n=400).collect()
+    heavy = sum(1 for r in got if r["id"] >= 1000)
+    assert len(got) == 400
+    assert heavy > 300
+
+
+def test_weighted_sample_deterministic_and_stable(spark):
+    from alphavantage_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, float(i % 7 + 1)) for i in range(500)], "id long, w double")
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", n=50).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", "w", n=50).collect())
+    assert a == b
+    # zero/negative weights are never sampled
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
+    assert [r["id"] for r in weighted_sample(df2, "id", "w", n=10).collect()] == [3]
