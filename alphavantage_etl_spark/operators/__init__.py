@@ -4,6 +4,8 @@ from .asof import asof_join
 from .dedup import (
     dedup_exact,
     minhash_near_dups,
+    minhash_near_dups_incremental,
+    minhash_signatures,
     minhash_verified_near_dups,
     ngram_jaccard_pairs,
     release,
@@ -49,6 +51,8 @@ __all__ = [
     "asof_join",
     "dedup_exact",
     "minhash_near_dups",
+    "minhash_near_dups_incremental",
+    "minhash_signatures",
     "minhash_verified_near_dups",
     "ngram_jaccard_pairs",
     "release",

@@ -245,17 +245,44 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
-    # Signatures via explode + num_hashes straight-line min() aggregates:
-    # each exploded shingle evaluates every lane as plain codegen'd
-    # arithmetic and partial aggregation combines map-side, so the shuffle
-    # carries one partially-minimized row per (doc, partition). Measured
-    # 2-3x faster than the array-fold/zip_with form, whose nested lambdas
-    # run interpreted (sf0.1 corpus: 9.6s -> 3.0s for the signature stage).
-    #
-    # Lanes are a universal-hash family over ONE base hash per shingle:
-    # lane_i(h) = (a_i * h + b_i) mod p with p = 2^31 - 1 (Mersenne) and
-    # a_i, b_i fixed constants from a seeded PRNG (deterministic across
-    # runs/engines). All values stay < 2^62 — ANSI-overflow-safe.
+    sig = minhash_signatures(df, text_col, id_col, shingle_k, num_hashes)
+    if materialize_signatures:
+        sig = sig.persist()
+        sig.count()  # eager: populate before the self-join forks the plan
+        if handles is not None:
+            handles.append(sig)
+
+    banded = _band_buckets(sig, bands, rows_per_band)
+    banded = _drop_hot_buckets(banded, max_bucket_size)
+    return _pairs_from_banded(banded, num_hashes, jaccard_threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(__id, __sig: array<long>) MinHash signature table — the persistent
+    INDEX of the near-dup pipeline. Signatures are ~1000x smaller than the
+    documents; at 100 TB the production form lands this frame to a table
+    once and every later batch joins against it (see
+    ``minhash_near_dups_incremental``) instead of re-shingling the corpus.
+
+    Signatures via explode + num_hashes straight-line min() aggregates:
+    each exploded shingle evaluates every lane as plain codegen'd
+    arithmetic and partial aggregation combines map-side, so the shuffle
+    carries one partially-minimized row per (doc, partition). Measured
+    2-3x faster than the array-fold/zip_with form, whose nested lambdas
+    run interpreted (sf0.1 corpus: 9.6s -> 3.0s for the signature stage).
+
+    Lanes are a universal-hash family over ONE base hash per shingle:
+    lane_i(h) = (a_i * h + b_i) mod p with p = 2^31 - 1 (Mersenne) and
+    a_i, b_i fixed constants from a seeded PRNG (deterministic across
+    runs/engines — signatures computed in different rounds/batches are
+    directly comparable). All values stay < 2^62 — ANSI-overflow-safe.
+    """
     p = _MERSENNE31
     rng = __import__("random").Random(0x5EED)
     ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
@@ -271,18 +298,21 @@ def minhash_near_dups(
             for i, (a, b) in enumerate(ab)
         ]
     )
-    sig = mins.select(
+    return mins.select(
         "__id", F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("__sig")
     )
-    if materialize_signatures:
-        sig = sig.persist()
-        sig.count()  # eager: populate before the self-join forks the plan
-        if handles is not None:
-            handles.append(sig)
 
-    banded = sig.select(
+
+def _band_buckets(
+    sig: DataFrame, bands: int, rows_per_band: int, extra: list[str] | None = None
+) -> DataFrame:
+    """Explode a signature frame into one row per (doc, band) with the
+    band's bucket hash; ``extra`` columns are carried through."""
+    extra = extra or []
+    return sig.select(
         "__id",
         "__sig",
+        *extra,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -294,25 +324,43 @@ def minhash_near_dups(
                 ),
             )
         ).alias("bb"),
-    ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "__id", "__sig", *extra,
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
 
-    if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "bucket")
-            .count()
-            .where(F.col("count") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        banded = banded.join(hot, ["band", "bucket"], "left_anti")
 
+def _drop_hot_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    if max_bucket_size is None:
+        return banded
+    hot = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .where(F.col("count") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    return banded.join(hot, ["band", "bucket"], "left_anti")
+
+
+def _pairs_from_banded(
+    banded: DataFrame,
+    num_hashes: int,
+    jaccard_threshold: float,
+    extra_cond=None,
+) -> DataFrame:
+    """Band-bucket self-join -> distinct candidate pairs -> signature-
+    agreement Jaccard estimate, thresholded. ``extra_cond(a, b)`` adds a
+    join predicate (e.g. the incremental at-least-one-new restriction)."""
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.__id") < F.col("b.__id"))
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond(a, b)
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
@@ -321,7 +369,6 @@ def minhash_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-
     est = cand.select(
         "id_a",
         "id_b",
@@ -336,3 +383,52 @@ def minhash_near_dups(
         ).alias("est_jaccard"),
     )
     return est.where(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def minhash_near_dups_incremental(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
+    handles: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs TOUCHING the new batch only: new x corpus and
+    new x new candidates, never corpus x corpus (those were resolved when
+    the corpus was ingested). Returns ``(pairs, new_sigs)`` — append
+    ``new_sigs`` to the signature index for the next batch.
+
+    This is the 100 TB ingest shape: the corpus is never re-shingled —
+    only the batch pays signature cost, and the band join's corpus side
+    reads the persisted index. Signature lanes are deterministic across
+    runs, so signatures computed in different batches are directly
+    comparable; with the same parameters,
+    full(corpus) ∪ incremental(batch) ≡ full(corpus ∪ batch)
+    (pinned by test; the hot-bucket cap sees per-run bucket counts, so
+    equality assumes buckets stay under the cap in both runs).
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, shingle_k, num_hashes
+    ).persist()
+    new_sigs.count()
+    if handles is not None:
+        handles.append(new_sigs)
+
+    all_sigs = corpus_sigs.select(
+        "__id", "__sig", F.lit(False).alias("__new")
+    ).unionByName(new_sigs.select("__id", "__sig", F.lit(True).alias("__new")))
+    banded = _band_buckets(all_sigs, bands, rows_per_band, extra=["__new"])
+    banded = _drop_hot_buckets(banded, max_bucket_size)
+    pairs = _pairs_from_banded(
+        banded,
+        num_hashes,
+        jaccard_threshold,
+        extra_cond=lambda a, b: F.col("a.__new") | F.col("b.__new"),
+    )
+    return pairs, new_sigs

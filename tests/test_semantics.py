@@ -555,3 +555,44 @@ def test_lsh_multiprobe_recall_is_monotone(spark):
     # this fixture (bits=4 -> 16 buckets over 56 vectors)
     assert r_all >= r1
     assert r3 >= 5  # multi-probe reaches at least half the exact top-10
+
+
+def test_incremental_minhash_equals_full_rebuild(spark):
+    """full(corpus) ∪ incremental(batch vs corpus index) must equal
+    full(corpus ∪ batch) — the property that lets ingest skip re-shingling
+    the corpus."""
+    from alphavantage_etl_spark.operators.dedup import (
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+        minhash_signatures,
+        release,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    kw = dict(shingle_k=9, bands=16, jaccard_threshold=0.3)
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    full_all = pairset(minhash_near_dups(docs, "text", "doc_id", **kw))
+    full_corpus = pairset(minhash_near_dups(corpus, "text", "doc_id", **kw))
+
+    handles = []
+    corpus_sigs = minhash_signatures(corpus, "text", "doc_id", shingle_k=9)
+    inc_pairs, new_sigs = minhash_near_dups_incremental(
+        batch, corpus_sigs, "text", "doc_id", **kw, handles=handles
+    )
+    inc = pairset(inc_pairs)
+    release(handles)
+
+    # incremental finds exactly the pairs the full rebuild adds
+    assert full_corpus | inc == full_all
+    # and nothing it reports is corpus-internal
+    assert all(a % 2 == 1 or b % 2 == 1 for a, b in inc)
+    # the returned signatures ARE the batch's index rows
+    assert new_sigs.count() == batch.count()
