@@ -47,8 +47,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for the rows-only ops:
-    q_dedup_near, q_cosine_topk_lsh, q_simhash)."""
+    """DuckDB-equivalent SQL per query — every declared query is
+    oracle-backed (rows-only diagnostics live in EXTRA_QUERIES, outside the
+    driver contract, and are exercised by bench.py + pytest instead)."""
     from alphavantage_etl_spark.queries import ORACLES
 
     return dict(ORACLES)

@@ -45,6 +45,18 @@ def _grams(df: DataFrame, text_col: str, id_col: str, out_id: str, k: int):
     return lowered.select(out_id, grams.alias("__g"))
 
 
+def _should_broadcast(df: DataFrame, max_bytes: int) -> bool:
+    """Catalyst's own size estimate for ``df``'s optimized plan, compared
+    against ``max_bytes`` — the same information AQE uses, fetched without
+    an action. Fail-safe: if the internal API is unavailable, do NOT force
+    a broadcast (AQE still upgrades small sides at runtime)."""
+    try:
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(str(est)) <= max_bytes
+    except Exception:  # pragma: no cover - depends on Spark internals
+        return False
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -52,33 +64,51 @@ def ngram_contamination(
     id_col: str,
     k: int = 8,
     threshold: float = 0.5,
+    broadcast_bench: bool | None = None,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(corpus id, benchmark id, overlap) for every contaminated pair.
 
-    overlap = |grams(corpus doc) ∩ grams(bench doc)| / |grams(corpus doc)|
-    — normalized by the CORPUS document so a short benchmark item embedded
-    verbatim inside a long document still scores high on the benchmark
-    side's terms; threshold filters on this containment ratio. Single
-    int/int division -> bit-exact across engines.
+    overlap = |grams(corpus doc) ∩ grams(bench doc)| / |grams(BENCH doc)|
+    — normalized by the BENCHMARK item, i.e. the containment of the
+    benchmark item in the corpus document. This is the ratio that matters
+    for decontamination: the canonical leak is a short eval item embedded
+    verbatim inside a long training document, which scores ~1.0 here but
+    ~|bench|/|doc| ≈ 0 under corpus-side normalization (the r2 defect:
+    a bench item inside a 4x-longer doc scored 0.33 and escaped a 0.5
+    threshold). Single int/int division -> bit-exact across engines.
 
-    The benchmark grams are exploded and broadcast; corpus grams explode,
-    join, and aggregate with map-side partial counts keyed on
-    (corpus_id, bench_id). Grams are distinct per document, so the
-    post-join count(*) IS the intersection size.
+    The benchmark grams are exploded and (when small) broadcast; corpus
+    grams explode, join, and aggregate with map-side partial counts keyed
+    on (corpus_id, bench_id). Grams are distinct per document, so the
+    post-join count(*) IS the intersection size; the bench doc's gram
+    count rides through the join so the ratio needs no second join.
+
+    ``broadcast_bench``: True forces the hint, False leaves the join
+    strategy entirely to Catalyst/AQE, None (default) applies the hint
+    only when Catalyst's size estimate for the bench side is under
+    ``broadcast_max_bytes`` — a real benchmark suite's exploded gram table
+    can be 10^6-10^8 rows, where a forced broadcast would OOM the driver
+    while AQE would degrade gracefully to a shuffle join (same policy as
+    the star-join dims, PERF.md #8).
     """
     corp = _grams(corpus, text_col, id_col, "doc_id", k).select(
-        "doc_id", F.size("__g").alias("__n"), F.explode("__g").alias("__gram")
+        "doc_id", F.explode("__g").alias("__gram")
     )
     bench = _grams(benchmark, text_col, id_col, "bench_id", k).select(
-        "bench_id", F.explode("__g").alias("__gram")
+        "bench_id", F.size("__g").alias("__bn"), F.explode("__g").alias("__gram")
     )
+    if broadcast_bench is None:
+        broadcast_bench = _should_broadcast(bench, broadcast_max_bytes)
+    if broadcast_bench:
+        bench = F.broadcast(bench)
     shared = (
-        corp.join(F.broadcast(bench), "__gram")
+        corp.join(bench, "__gram")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("__shared"), F.first("__n").alias("__n"))
+        .agg(F.count("*").alias("__shared"), F.first("__bn").alias("__bn"))
     )
     return shared.select(
         "doc_id",
         "bench_id",
-        (F.col("__shared").cast("double") / F.col("__n")).alias("overlap"),
+        (F.col("__shared").cast("double") / F.col("__bn")).alias("overlap"),
     ).where(F.col("overlap") >= threshold)

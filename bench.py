@@ -65,7 +65,7 @@ BENCH_QUERIES = [
 
 def main() -> None:
     from alphavantage_etl_spark.session import get_spark
-    from alphavantage_etl_spark.queries import QUERIES
+    from alphavantage_etl_spark.queries import ALL_QUERIES as QUERIES
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")

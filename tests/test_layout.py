@@ -128,6 +128,37 @@ def test_contamination_benchmark_side_broadcasts(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_contamination_oversized_bench_not_force_broadcast(spark):
+    """An oversized benchmark side must NOT get a forced broadcast hint —
+    with the hint absent (and auto-broadcast off to emulate a too-big
+    side), Catalyst plans a shuffle join instead of a driver-OOM
+    broadcast; AQE remains free to upgrade at runtime."""
+    from alphavantage_etl_spark.operators.contamination import ngram_contamination
+
+    d = load(spark, SF_SMALL, "documents")
+    bench = d.where(F.col("doc_id") % 47 == 0)
+    corp = d.where(F.col("doc_id") % 47 != 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # broadcast_max_bytes=0: every size estimate is "too big"
+        plan = _plan(
+            ngram_contamination(
+                corp, bench, "text", "doc_id", k=8, broadcast_max_bytes=0
+            )
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        # forcing stays available for known-small suites
+        forced = _plan(
+            ngram_contamination(
+                corp, bench, "text", "doc_id", k=8, broadcast_bench=True
+            )
+        )
+        assert "BroadcastHashJoin" in forced, forced
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_label_centroids_single_shuffle_after_explode(spark):
     from alphavantage_etl_spark.operators.similarity import label_centroids
 

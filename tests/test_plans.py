@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from alphavantage_etl_spark.queries import QUERIES
+from alphavantage_etl_spark.queries import ALL_QUERIES as QUERIES
 
 from .conftest import SF_SMALL
 
@@ -61,7 +61,7 @@ def test_no_python_udfs_in_oracle_backed_plans(spark):
     # The UDF-free rule (SURVEY.md 7.3.6): every oracle-backed query must
     # stay JVM-side. BatchEvalPython/ArrowEvalPython in a plan means a
     # Python round trip crept in.
-    from alphavantage_etl_spark.queries import ORACLES
+    from alphavantage_etl_spark.queries import ALL_ORACLES as ORACLES
 
     for name in ORACLES:
         plan = _plan(QUERIES[name](spark, SF_SMALL))

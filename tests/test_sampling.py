@@ -188,11 +188,23 @@ def test_tfidf_k_bounds_output(spark):
 
 def test_contamination_detects_planted_leak(spark):
     bench_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    # doc 4 is the canonical leak the r2 formula missed: the benchmark item
+    # embedded verbatim in a ~5x-longer document. Corpus-side normalization
+    # scores it |bench grams| / |doc grams| ~= 0.2 < 0.5; bench-side
+    # containment scores it 1.0.
+    padding = (
+        "a long surrounding narrative about many unrelated topics that "
+        "keeps going with plenty of additional sentences covering weather "
+        "history cooking travel and various other filler subjects to make "
+        "the host document several times longer than the benchmark item "
+        "so that corpus-side normalization would dilute the overlap ratio"
+    )
     corpus = spark.createDataFrame(
         [
             (1, f"intro text here {bench_text} and some closing words"),
             (2, "completely unrelated content about spark query planning"),
             (3, bench_text),
+            (4, f"{padding} {bench_text} {padding}"),
         ],
         "doc_id long, text string",
     )
@@ -203,7 +215,8 @@ def test_contamination_detects_planted_leak(spark):
     )
     got = {(r["doc_id"], r["bench_id"]): r["overlap"] for r in out.collect()}
     assert (3, 100) in got and got[(3, 100)] == 1.0
-    assert (1, 100) in got  # verbatim inclusion inside a longer doc
+    assert (1, 100) in got and got[(1, 100)] == 1.0  # verbatim inclusion
+    assert (4, 100) in got and got[(4, 100)] == 1.0  # short-bench-in-long-doc
     assert all(doc != 2 for doc, _ in got)
 
 
