@@ -54,20 +54,31 @@ def tfidf_top_terms(
     """Top-``k`` characteristic terms per document by TF-IDF
     (tf × ln(N/df), rounded half-even to 6), ties broken on the term.
 
-    N is the corpus document count — one scalar aggregate fetched at the
-    driver as a query parameter (bounded model state, same pattern as the
-    similarity queries' query-vector fetch).
+    N is the corpus document count, computed as a 1-row aggregate
+    cross-joined into the plan (broadcast nested-loop of a single row) —
+    not a driver-side ``docs.count()`` action, which the r2 version paid
+    as a separate job with its own corpus pass. The N branch counts rows
+    without referencing the text column, so its scan reads parquet
+    row-group metadata, not corpus bytes. (Deriving N from ``tf`` instead
+    was measured WORSE: column pruning specializes the tf partial
+    aggregate per consumer, so the tf exchange is not reused and the text
+    column would be scanned a third time.)
+
+    The tf⋈df join hash-partitions by term on both sides; a web-scale hot
+    term (stopword) skews that key, which AQE's skew-join split absorbs —
+    a window-over-term formulation would scan the corpus once but cannot
+    split a hot term's partition, so the join form is the scale-safe one.
     """
-    n_docs = docs.count()
     tf = term_counts(docs, text_col, id_col)
     df = doc_frequency(tf, id_col)
-    scored = tf.join(df, "term").select(
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = tf.join(df, "term").crossJoin(n_docs).select(
         id_col,
         "term",
         "tf",
-        F.bround(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+        F.bround(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias(
+            "tfidf"
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
     return (

@@ -61,13 +61,23 @@ def _append_new(
 ) -> int:
     """Anti-join append: write only rows whose key is absent from the sink.
     Returns the number of appended rows (0 on an up-to-date rerun — the
-    reference's early-exit, av_etl.py:54-55, without the special case)."""
+    reference's early-exit, av_etl.py:54-55, without the special case).
+
+    Single action per table: the appended-row count is accumulated DURING
+    the write via ``df.observe`` instead of a separate ``count()`` action —
+    the r2 version scanned the incoming batch and the sink's key projection
+    twice per table per run, which doubles the hot-path read at 100 TB
+    incremental ingest. An up-to-date rerun appends a 0-row part file
+    (metadata-only; readers see identical contents).
+    """
+    from pyspark.sql import Observation
+
     existing = _read_sink(spark, sink_dir, table)
     fresh = incoming if existing is None else new_rows(incoming, existing, key)
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(_sink_path(sink_dir, table))
-    return n
+    obs = Observation()
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    fresh.write.mode("append").parquet(_sink_path(sink_dir, table))
+    return int(obs.get["n"])
 
 
 def run_etl(spark: SparkSession, sf_dir: str, sink_dir: str) -> dict[str, int]:

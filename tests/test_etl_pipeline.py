@@ -147,3 +147,17 @@ def test_retried_pipeline_output_identical_after_midrun_failure(spark, tmp_path)
         got = sorted(map(tuple, spark.read.parquet(f"{flaky_sink}/{table}").collect()))
         want = sorted(map(tuple, spark.read.parquet(f"{clean_sink}/{table}").collect()))
         assert got == want, f"{table} diverged after retried run"
+
+
+def test_append_is_single_action_no_count(spark, tmp_path, monkeypatch):
+    """The appended-row count must come from df.observe during the write,
+    not a separate count() action — a count-then-write scans the incoming
+    batch (and the sink's key projection) twice per table per run."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("DataFrame.count() called inside run_etl")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    appended = run_etl(spark, SF_SMALL, str(tmp_path / "sink"))
+    assert appended[SRC_PX] > 0 and appended[SRC_FX] > 0 and appended[PRD] > 0

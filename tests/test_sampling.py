@@ -264,3 +264,22 @@ def test_weighted_sample_deterministic_and_stable(spark):
     # zero/negative weights are never sampled
     df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
     assert [r["id"] for r in weighted_sample(df2, "id", "w", n=10).collect()] == [3]
+
+
+def test_tfidf_construction_is_lazy_no_driver_action(spark, monkeypatch):
+    """N must be a plan-side scalar (zero-column scan cross-joined in),
+    not a driver-side docs.count() action — the r2 version paid a separate
+    corpus-pass job per invocation."""
+    from pyspark.sql import DataFrame
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+
+    def _boom(self):
+        raise AssertionError("driver-side count() during plan construction")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    df = tfidf_top_terms(docs, "text", "doc_id", k=2)  # must not act
+    monkeypatch.undo()
+    assert df.count() == 4
