@@ -12,8 +12,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def free_blocks(df: DataFrame) -> None:
+    """Eagerly release a frame's cached blocks, whether it was persist()'d
+    or localCheckpoint()'d.
+
+    ``Dataset.unpersist()`` only consults the CacheManager; a
+    localCheckpoint'd frame's blocks belong to the internal RDD behind its
+    LogicalRDD plan node and are otherwise reclaimed only when the driver
+    GC runs the ContextCleaner. Reaching that RDD through the analyzed
+    plan and unpersisting it frees the blocks immediately (verified: the
+    block vanishes from getRDDStorageInfo). Falls back to the
+    ContextCleaner if the internal surface ever moves.
+    """
+    df.unpersist()
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - Spark-internal surface
+        pass
+
+
 def release(handles: list[DataFrame]) -> None:
-    """Unpersist every cached intermediate collected via a ``handles`` list.
+    """Release every cached intermediate collected via a ``handles`` list
+    (persist()'d or localCheckpoint()'d — see :func:`free_blocks`).
 
     The near-dup operators persist small intermediates (signatures,
     candidate pairs) that must stay cached until the CALLER's final action
@@ -23,7 +45,7 @@ def release(handles: list[DataFrame]) -> None:
     caches until ``spark.catalog.clearCache()`` (the pre-round-2 behavior).
     """
     for h in handles:
-        h.unpersist()
+        free_blocks(h)
 
 
 def dedup_exact(df: DataFrame, on: list[str], id_col: str) -> DataFrame:

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import free_blocks
+
 
 def connected_components(
     edges: DataFrame,
@@ -97,16 +99,19 @@ def connected_components(
         new_sum = new_labels.agg(
             F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels.unpersist()  # new_labels is materialized; prior blocks are dead
+        # new_labels is materialized; the prior sweep's checkpoint blocks
+        # are dead. free_blocks (not unpersist: a no-op for checkpointed
+        # frames) releases them eagerly instead of waiting on driver GC.
+        free_blocks(labels)
         labels = new_labels
         if new_sum == prev_sum:  # monotone decreasing -> fixpoint reached
             converged = True
             break
         prev_sum = new_sum
 
-    e.unpersist()  # checkpoint blocks of the edge list are no longer needed
+    free_blocks(e)  # edge-list checkpoint blocks are no longer needed
     if not converged:
-        labels.unpersist()
+        free_blocks(labels)
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} sweeps — "
             "graph diameter exceeds the near-dup regime"

@@ -119,8 +119,13 @@ def label_centroids(
     summed EXACTLY as integers (immune to partial-agg merge order), and
     converted back by one double division; variance follows as the fixed
     IEEE expression ssq/(n·10¹²) − centroid² — every op deterministic given
-    identical integer inputs. Bounds: |x| ≤ ~10³ keeps u6² · n < 2⁶³ for
-    n ≤ 10⁹ rows per (label, dim) group.
+    identical integer inputs. Bounds: each squared term u6² must fit a
+    BIGINT, which holds for |x| ≤ ~3·10³ (u6² < 2⁶³); the SUMS are carried
+    as decimal(38,0) — the repo's exact-sum pattern — so neither ssq
+    (≤ n·10¹⁸, fine to n ≈ 10²⁰ rows per (label, dim) group) nor s can
+    overflow at any realistic scale. (The r2 version summed ssq as BIGINT,
+    which overflows after ~9 unit-norm·10³-magnitude rows — ANSI failure
+    or silent wrap at scale.)
 
     Shape at 100 TB: posexplode fans each vector into dim rows that
     immediately partial-aggregate map-side — the shuffle carries at most
@@ -134,8 +139,10 @@ def label_centroids(
     )
     agg = exploded.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("__u6").alias("__s"),
-        F.sum(F.col("__u6") * F.col("__u6")).alias("__ssq"),
+        F.sum(F.col("__u6").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("__u6") * F.col("__u6")).cast("decimal(38,0)")).alias(
+            "__ssq"
+        ),
     )
     centroid = F.col("__s").cast("double") / (F.col("n") * F.lit(1_000_000))
     variance = (
@@ -277,12 +284,19 @@ def hyperplane_weights(spark, bits: int = 16, dim: int = 64) -> list[int]:
     """
     key = (bits, dim)
     if key not in _WEIGHT_CACHE:
+        # id is collected alongside w and the list is sorted driver-side:
+        # collect() returning range order is a convention of local mode,
+        # not a guarantee — a reordered collect would silently change
+        # every LSH bucket and break the pinned inline-form equality.
         rows = spark.range(bits * dim).select(
+            "id",
             (F.getbit(F.xxhash64(F.col("id").cast("int")), F.lit(0)) * 2 - 1).alias(
                 "w"
-            )
+            ),
         )
-        _WEIGHT_CACHE[key] = [r["w"] for r in rows.collect()]
+        _WEIGHT_CACHE[key] = [
+            w for _, w in sorted((r["id"], r["w"]) for r in rows.collect())
+        ]
     return _WEIGHT_CACHE[key]
 
 

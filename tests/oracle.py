@@ -66,11 +66,14 @@ def assert_matches_oracle(sdf, sf_dir: str, sql: str, name: str = "?"):
     # would: contract outputs must be scalars/strings (hex bytes, stringify
     # arrays). CORRECTNESS_r01's only two red rows were this bug class.
     if srows:
-        bad = [
-            scols[i]
-            for i, v in enumerate(srows[0])
-            if isinstance(v, (bytes, bytearray, list, tuple, dict))
-        ]
+        # Check the first NON-NULL value per column, not just row 0: a NULL
+        # in the first row would mask bytes/list cells in later rows and
+        # let the driver's canonicalizer die with its opaque error.
+        bad = []
+        for i, col in enumerate(scols):
+            v = next((r[i] for r in srows if r[i] is not None), None)
+            if isinstance(v, (bytes, bytearray, list, tuple, dict)):
+                bad.append(col)
         assert not bad, (
             f"{name}: driver-unhashable cell type in column(s) {bad} — "
             "hex-encode binary, stringify arrays before returning"

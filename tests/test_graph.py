@@ -92,3 +92,33 @@ def test_representatives_min_id_without_quality(spark):
     kept = cluster_representatives(docs, cc, "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [4, 9]
     cc.unpersist()
+
+
+def test_cc_frees_checkpoint_blocks_eagerly(spark):
+    """Dataset.unpersist() is a no-op for localCheckpoint blocks; the sweep
+    loop and release() must free them via the internal RDD (free_blocks),
+    not rely on driver GC — every new block created by a CC run must be
+    gone after release(handles)."""
+    from alphavantage_etl_spark.operators.dedup import release
+
+    def block_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = block_ids()
+    handles = []
+    cc = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (10, 11)]), handles=handles
+    )
+    cc.count()
+    during = block_ids() - before
+    assert during, "CC should hold checkpoint blocks while alive"
+    # only the FINAL labels frame may remain before release: per-sweep and
+    # edge-list blocks must already be gone
+    assert len(during) == 1, (
+        f"stale per-sweep/edge checkpoint blocks survived: {during}"
+    )
+    release(handles)
+    assert not (block_ids() - before), "release() left checkpoint blocks"
