@@ -17,6 +17,18 @@ bucket appears exactly once in the interval's bucket sequence — so no
 post-join dedup is needed. Pick ``bucket_seconds`` near the median
 interval span: too coarse packs unrelated rows into one bucket (filter
 does more work), too fine inflates the interval fan-out.
+
+Pathological fan-out guard: a single interval spanning years at an hourly
+bucket would explode into tens of thousands of rows — and a handful of
+such outliers (a never-closed session, a sentinel end date) can dominate
+the whole shuffle. ``max_fanout`` splits the interval side by bucket
+count: intervals under the cap take the bucketized equi-join; the rare
+long tail is broadcast and joined with the raw BETWEEN predicate — exact
+and cheap precisely BECAUSE the tail is small (the split is what keeps it
+small; the cap errs on never letting one row fan out unboundedly). The
+tail branch re-reads the (column-pruned) point source — no shuffle, but a
+second scan; callers joining genuinely tail-heavy interval sets at scale
+should persist the point projection first.
 """
 
 from __future__ import annotations
@@ -36,10 +48,16 @@ def interval_join(
     end_col: str,
     keys: list[str] | None = None,
     bucket: str = "hour",
+    max_fanout: int | None = 1024,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``start <= ts <= end`` (boundaries inclusive, matching SQL BETWEEN),
     optionally also requiring equality on ``keys``.
+
+    ``max_fanout`` caps the per-interval bucket explosion: intervals whose
+    span covers >= ``max_fanout`` buckets are routed through a broadcast
+    BETWEEN join instead of exploding (see module docstring). ``None``
+    disables the split (every interval explodes, the pre-r3 behavior).
 
     Buckets are ``date_trunc(bucket, ·)`` values and the interval's bucket
     list is a timestamp ``sequence`` with an ``interval 1 <bucket>`` step —
@@ -65,7 +83,20 @@ def interval_join(
     # an inverted interval (end < start) matches nothing under BETWEEN —
     # drop it BEFORE the bucket sequence instead of letting sequence() kill
     # the whole job with an illegal-boundaries runtime error
-    iv = intervals.where(F.col(start_col) <= F.col(end_col)).withColumn(
+    valid = intervals.where(F.col(start_col) <= F.col(end_col))
+
+    long_tail = None
+    if max_fanout is not None:
+        # bucket count = timestampdiff on the TRUNCATED bounds + 1 — exactly
+        # the length sequence() would produce, computed without producing it
+        fan = F.expr(
+            f"timestampdiff({bucket}, date_trunc('{bucket}', {start_col}),"
+            f" date_trunc('{bucket}', {end_col}))"
+        )
+        long_tail = valid.where(fan + 1 > F.lit(max_fanout))
+        valid = valid.where(fan + 1 <= F.lit(max_fanout))
+
+    iv = valid.withColumn(
         "__b",
         F.explode(
             F.sequence(
@@ -75,11 +106,15 @@ def interval_join(
             )
         ),
     )
-    return (
-        p.join(iv, ["__b", *keys])
-        .where(
-            (F.col(ts_col) >= F.col(start_col))
-            & (F.col(ts_col) <= F.col(end_col))
-        )
-        .drop("__b")
+    contained = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) <= F.col(end_col)
     )
+    out = p.join(iv, ["__b", *keys]).where(contained).drop("__b")
+    if long_tail is not None:
+        tail = (
+            points.join(F.broadcast(long_tail), keys)
+            if keys
+            else points.crossJoin(F.broadcast(long_tail))
+        ).where(contained)
+        out = out.unionByName(tail.select(*out.columns))
+    return out

@@ -114,3 +114,72 @@ def test_inverted_interval_matches_nothing(spark, frames):
     )
     out = interval_join(points, bad, "ts", "start", "fin", keys=["user"])
     assert out.count() == 0  # BETWEEN semantics, not a sequence() crash
+
+
+def test_long_interval_routes_to_broadcast_not_explode(spark, frames):
+    """A pathological interval (years-long at an hourly bucket) must NOT
+    explode into thousands of bucket rows — the max_fanout guard routes it
+    through the broadcast BETWEEN path, result identical to naive BETWEEN."""
+    points, intervals = frames
+    long_iv = spark.createDataFrame(
+        # sentinel "never closed" session: ~2 years at bucket=hour
+        [("u1", "LONG", dt.datetime(2023, 1, 1), dt.datetime(2024, 12, 31))],
+        "user string, iv string, start timestamp, fin timestamp",
+    )
+    both = intervals.unionByName(long_iv)
+    out = interval_join(
+        points, both, "ts", "start", "fin", keys=["user"], max_fanout=64
+    )
+    got = {(r["event_id"], r["iv"]) for r in out.collect()}
+    # every u1 point falls inside LONG; short-path matches unchanged
+    assert got == {
+        (1, "A"), (2, "A"), (4, "B"), (5, "C"),
+        (1, "LONG"), (2, "LONG"), (3, "LONG"), (4, "LONG"),
+    }
+
+
+def test_max_fanout_caps_exploded_rows(spark, frames):
+    """The exploded (equi-join) side must never carry more bucket rows per
+    interval than max_fanout, no matter the interval span."""
+    _, intervals = frames
+    long_iv = spark.createDataFrame(
+        [("u1", "LONG", dt.datetime(2023, 1, 1), dt.datetime(2024, 12, 31))],
+        "user string, iv string, start timestamp, fin timestamp",
+    )
+    both = intervals.unionByName(long_iv)
+    fan = F.expr(
+        "timestampdiff(hour, date_trunc('hour', start),"
+        " date_trunc('hour', fin))"
+    )
+    exploded_rows = (
+        both.where(F.col("start") <= F.col("fin"))
+        .where(fan + 1 <= 64)
+        .select(F.sum(fan + 1))
+        .collect()[0][0]
+    )
+    assert exploded_rows < 64 * 3  # only the 3 short intervals explode
+    # sanity: without the guard the LONG interval alone would be ~17.5k rows
+    total = (
+        both.where(F.col("start") <= F.col("fin"))
+        .select(F.sum(fan + 1))
+        .collect()[0][0]
+    )
+    assert total > 17_000
+
+
+def test_exactly_once_across_both_paths(spark, frames):
+    """No (point, interval) pair may appear twice when both the bucketized
+    and the broadcast path are active in one join."""
+    points, intervals = frames
+    long_iv = spark.createDataFrame(
+        [("u1", "LONG", dt.datetime(2023, 1, 1), dt.datetime(2024, 12, 31))],
+        "user string, iv string, start timestamp, fin timestamp",
+    )
+    both = intervals.unionByName(long_iv)
+    out = interval_join(
+        points, both, "ts", "start", "fin", keys=["user"], max_fanout=64
+    )
+    dup = (
+        out.groupBy("event_id", "iv").count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
