@@ -199,12 +199,14 @@ def curation_ingest_stream(
     min_quality: float = 0.5,
     min_chars: int = 100,
     contamination_threshold: float = 0.5,
+    signature_dir: str | None = None,
+    jaccard_threshold: float = 0.5,
 ):
     """Streaming corpus curation: every micro-batch is quality-gated,
     exact-deduplicated by content fingerprint (within the batch AND against
     everything already ingested), optionally decontaminated against a
-    benchmark set, then appended — the streaming form of
-    ``plans.curation.curate``'s shuffle-cheap front half.
+    benchmark set and NEAR-deduplicated against the whole ingested corpus,
+    then appended — the streaming form of ``plans.curation.curate``.
 
     The batch operators run UNCHANGED inside ``foreachBatch`` (they are
     stateless per batch; the sink itself is the cross-batch state, exactly
@@ -215,13 +217,31 @@ def curation_ingest_stream(
     micro-batch at benchmark-suite size (thousands of docs — broadcast);
     cache the frame if batches are frequent.
 
-    Near-dup (MinHash) resolution stays a periodic BATCH compaction over
-    the sink by design: LSH bucket state across an unbounded corpus is a
-    rebuild-from-sink job, not per-batch stream state.
+    ``signature_dir`` enables cross-batch NEAR-dup suppression via the
+    persistent MinHash signature index
+    (``operators.dedup.minhash_near_dups_incremental``): only the batch is
+    ever shingled — the corpus side of the band join reads the persisted
+    (__id, __sig) parquet, so ingest cost stays O(batch), never O(corpus).
+    Resolution is first-wins (matches arrival order): a new doc near-dup
+    of an already-ingested doc is dropped; within a batch the min doc_id
+    of a near-dup pair survives. Dropped docs never write signatures, so
+    the index holds exactly the sink's survivors and restart/re-delivery
+    cannot double-write it (the fingerprint anti-join empties re-delivered
+    batches before the near-dup stage runs). Pairs here are MinHash
+    ESTIMATES (>= ``jaccard_threshold``); the exact-verified policy
+    remains the periodic batch compaction (``plans.curation
+    .compact_corpus``), which also covers pairs an estimate misses.
+
+    Without ``signature_dir`` (default), near-dup resolution stays a
+    periodic BATCH compaction over the sink — the pre-r3 behavior.
     """
     from ..functions.text import fingerprint_sha256, with_quality_score
     from ..operators.contamination import ngram_contamination
-    from ..operators.dedup import dedup_exact
+    from ..operators.dedup import (
+        dedup_exact,
+        minhash_near_dups_incremental,
+        release,
+    )
 
     out_cols = stream_df.columns + ["fp"]
 
@@ -255,8 +275,59 @@ def curation_ingest_stream(
                 .distinct()
             )
             fresh = fresh.join(bad, "doc_id", "left_anti")
-        # pin column order: parquet appends must agree batch-to-batch
-        fresh.select(*out_cols).write.mode("append").parquet(sink_path)
+        if signature_dir is not None:
+            try:
+                corpus_sigs = spark.read.parquet(signature_dir)
+            except AnalysisException:  # first batch: no index yet
+                corpus_sigs = spark.createDataFrame(
+                    [], "__id long, __sig array<bigint>"
+                )
+            handles: list[DataFrame] = []
+            pairs, new_sigs = minhash_near_dups_incremental(
+                fresh, corpus_sigs, "text", "doc_id",
+                jaccard_threshold=jaccard_threshold, handles=handles,
+            )
+            # first-wins: every pair touches >= 1 batch doc (the operator
+            # excludes corpus x corpus); drop the batch side of a
+            # corpus x new pair, and the max id of a new x new pair (pairs
+            # are id_a < id_b by construction, so min id survives). Which
+            # side is the corpus one is NOT positional — classify each
+            # side by membership in the batch id set.
+            batch_ids = fresh.select(F.col("doc_id").alias("__bid"))
+            a_ids = batch_ids.select(F.col("__bid").alias("__a_new"))
+            b_ids = batch_ids.select(F.col("__bid").alias("__b_new"))
+            drop = (
+                pairs.join(a_ids, pairs["id_a"] == a_ids["__a_new"], "left")
+                .join(b_ids, pairs["id_b"] == b_ids["__b_new"], "left")
+                .select(
+                    F.when(
+                        F.col("__a_new").isNotNull()
+                        & F.col("__b_new").isNull(),
+                        F.col("id_a"),  # new x corpus -> drop the new side
+                    )
+                    .otherwise(F.col("id_b"))  # corpus x new / new x new
+                    .alias("doc_id")
+                )
+                .distinct()
+            )
+            # PIN the survivor set before the sink append: fresh's lineage
+            # anti-joins against the sink, so re-evaluating it after the
+            # append would see the batch's own rows and come back empty —
+            # silently skipping the signature write. persist() makes both
+            # writes read the same materialization.
+            fresh = fresh.join(drop, "doc_id", "left_anti").persist()
+            handles.append(fresh)
+            # pin column order: parquet appends must agree batch-to-batch
+            fresh.select(*out_cols).write.mode("append").parquet(sink_path)
+            # index only the survivors: dropped docs must not shadow
+            # future near-dups of the doc that BEAT them
+            new_sigs.join(
+                fresh.select(F.col("doc_id").alias("__id")), "__id", "semi"
+            ).write.mode("append").parquet(signature_dir)
+            release(handles)
+        else:
+            # pin column order: parquet appends must agree batch-to-batch
+            fresh.select(*out_cols).write.mode("append").parquet(sink_path)
 
     q = (
         stream_df.writeStream.foreachBatch(ingest)

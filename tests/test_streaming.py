@@ -288,3 +288,79 @@ def test_curation_ingest_stream_end_to_end(spark, tmp_path):
     # restart with nothing new: no growth
     drain()
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_curation_stream_near_dup_via_signature_index(spark, tmp_path):
+    """With signature_dir set, a near-duplicate (edited, so the exact
+    fingerprint differs) arriving in a LATER batch — and after a stream
+    restart — is suppressed via the persisted MinHash signature index,
+    without the corpus ever being re-shingled (the index holds exactly one
+    signature row per sink survivor and never grows on re-drain)."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        curation_ingest_stream,
+        read_documents_stream,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sigs = str(tmp_path / "sigs")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it was a good day "
+        "for the animals in the field because the sun was out and the wind "
+        "was calm over the wide green valley near the old stone bridge"
+    )
+    # same text with a small edit: new sha256 fingerprint, Jaccard ~0.9
+    near = base.replace("old stone bridge", "old wooden bridge")
+    other = (
+        "completely different subject matter entirely numbers and ledgers "
+        "and the quiet arithmetic of a long winter evening spent balancing "
+        "accounts by candlelight in the back room of the counting house"
+    )
+
+    def land(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain():
+        curation_ingest_stream(
+            read_documents_stream(spark, str(in_dir)), sink, ckpt,
+            min_quality=0.3, min_chars=100, signature_dir=sigs,
+        )
+
+    # batch 1: base doc + an in-batch near-dup pair member (min id wins)
+    land([(1, base), (2, near)], "b1")
+    drain()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    ) == [1], "in-batch near-dup must collapse to the min id"
+    assert [r["__id"] for r in spark.read.parquet(sigs).collect()] == [1], (
+        "signature index must hold exactly the survivors"
+    )
+
+    # batch 2 AFTER restart (fresh query): near-dup of batch-1 doc under a
+    # new id + a genuinely new doc — cross-batch suppression must come
+    # from the signature index, since doc 1's text is not in this batch
+    land([(10, near), (11, other)], "b2")
+    drain()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    ) == [1, 11], "cross-batch near-dup must be dropped, novel doc kept"
+    assert sorted(
+        r["__id"] for r in spark.read.parquet(sigs).collect()
+    ) == [1, 11]
+
+    # re-drain with nothing new: neither sink nor index may grow
+    drain()
+    assert spark.read.parquet(sink).count() == 2
+    assert spark.read.parquet(sigs).count() == 2
