@@ -28,15 +28,21 @@ from ..sources.parquet import SCHEMAS
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over an events directory (parquet files appear ->
     rows stream in). Schema must be declared for streaming reads; ``ts``
-    arrives as nanos-long (same nanosAsLong handling as the batch loader)
-    when the files carry TIMESTAMP(NANOS).
+    physical type varies by producer (TIMESTAMP(MICROS) vs TIMESTAMP(NANOS)
+    surfaced as nanos-long under ``nanosAsLong``), so probe one footer via a
+    batch read — a driver-side metadata-only operation — and normalize the
+    same way the batch loader does (sources/parquet.py).
     """
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    raw = spark.readStream.schema(raw_schema).parquet(events_dir)
-    # Watermarks require TimestampType (event time must be zone-anchored);
-    # the session timezone is pinned to UTC so values line up with the batch
-    # loader's TIMESTAMP_NTZ view of the same files.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    probe = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    if probe == "bigint":  # TIMESTAMP(NANOS) files read as nanos-long
+        raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+        raw = spark.readStream.schema(raw_schema).parquet(events_dir)
+        # Watermarks require TimestampType (event time must be zone-anchored);
+        # the session timezone is pinned to UTC so values line up with the
+        # batch loader's TIMESTAMP_NTZ view of the same files.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw_schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    return spark.readStream.schema(raw_schema).parquet(events_dir)
 
 
 def windowed_counts_stream(
@@ -313,17 +319,33 @@ def curation_ingest_stream(
             # PIN the survivor set before the sink append: fresh's lineage
             # anti-joins against the sink, so re-evaluating it after the
             # append would see the batch's own rows and come back empty —
-            # silently skipping the signature write. persist() makes both
-            # writes read the same materialization.
-            fresh = fresh.join(drop, "doc_id", "left_anti").persist()
+            # silently skipping the signature write. persist() is NOT
+            # enough: the sink write refreshes-by-path every cached plan
+            # that READS sink_path (fresh's anti-join does), evicting the
+            # cache and re-exposing the stale lineage. localCheckpoint
+            # truncates the plan to materialized blocks, which no path
+            # refresh can invalidate.
+            fresh = fresh.join(drop, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
             handles.append(fresh)
-            # pin column order: parquet appends must agree batch-to-batch
-            fresh.select(*out_cols).write.mode("append").parquet(sink_path)
             # index only the survivors: dropped docs must not shadow
-            # future near-dups of the doc that BEAT them
-            new_sigs.join(
+            # future near-dups of the doc that BEAT them. Materialize BEFORE
+            # the sink append — new_sigs' persist() suffers the same
+            # refresh-by-path eviction as fresh (its lineage reads
+            # sink_path via the fingerprint anti-join).
+            surv_sigs = new_sigs.join(
                 fresh.select(F.col("doc_id").alias("__id")), "__id", "semi"
-            ).write.mode("append").parquet(signature_dir)
+            ).localCheckpoint(eager=True)
+            handles.append(surv_sigs)
+            # pin column order: parquet appends must agree batch-to-batch.
+            # Sink first, sigs second: re-delivery after a crash between
+            # the two writes is emptied by the fingerprint anti-join, so
+            # the index can never DOUBLE-write (it may under-contain until
+            # the next batch compaction, which rebuilds from the sink —
+            # the authoritative near-dup pass).
+            fresh.select(*out_cols).write.mode("append").parquet(sink_path)
+            surv_sigs.write.mode("append").parquet(signature_dir)
             release(handles)
         else:
             # pin column order: parquet appends must agree batch-to-batch
