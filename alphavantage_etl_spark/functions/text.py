@@ -218,3 +218,31 @@ def simhash64(col: Column | str) -> Column:
         ).otherwise(F.lit("0")),
     )
     return F.lpad(F.conv(F.array_join(bits, ""), 2, 16), 16, "0")
+
+
+# PII patterns written in the COMMON subset of Java regex (Spark) and RE2
+# (DuckDB/Go tooling): character classes, bounded repetition, \b — no
+# lookaround, no backreferences — so the exact same pattern string runs in
+# the engine and in the SQL oracle. Conservative by design: a false
+# positive destroys training text, a false negative leaks one string; the
+# sweep order (email -> phone -> IPv4) means replacement tokens, which are
+# digit-free, can never re-match a later pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails, NANP-style phone numbers, and IPv4 addresses with
+    typed placeholder tokens — the standard pre-training redaction pass
+    (every public corpus pipeline ships one; the placeholders keep the
+    text's shape so downstream quality/token statistics stay meaningful).
+
+    Pure ``regexp_replace`` chain: JVM-side, codegen-friendly, no UDF.
+    """
+    out = _c(col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -1461,6 +1461,92 @@ FROM s ORDER BY skey DESC, doc_id LIMIT 100
 """
 
 
+# X14 — cross-corpus boilerplate segment removal (C4/RefinedWeb-style):
+# segments recurring in >= ceil(frac * |corpus|) distinct documents are
+# dropped, text rebuilt in original order. One explode, vocabulary-sized
+# boilerplate table (AQE-broadcast), per-doc rebuild — TF-IDF's cost shape.
+# The fixture's single-line docs use the word delimiter; production uses
+# "\n" (lines), same plan.
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.boilerplate import remove_boilerplate
+
+    d = load(spark, sf_dir, "documents")
+    return remove_boilerplate(d, "text", "doc_id", delim=" ", min_doc_frac=0.78)
+
+
+SQL_BOILERPLATE = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS seg,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), nz AS (SELECT * FROM segs WHERE seg <> ''),
+boiler AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS nd FROM nz GROUP BY seg
+  ) t WHERE nd >= ceil(0.78 * (SELECT count(*) FROM documents))
+),
+kept AS (SELECT * FROM nz WHERE seg NOT IN (SELECT seg FROM boiler)),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS total FROM nz GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(r.text, '') AS text,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(t.total, 0) - coalesce(r.n_kept, 0) AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# X15 — PII redaction sweep (email -> phone -> IPv4, typed placeholders).
+# The fixture carries no PII, so the query SYNTHESIZES a deterministic
+# contact line per doc from fixture columns, then scrubs it — the oracle
+# runs the identical construction + the identical pattern strings
+# (PII_PATTERNS is written in the Java-regex/RE2 common subset), so this
+# pins cross-engine regex-dialect parity, not just the no-op path.
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat_ws(
+        "",
+        F.lit("reach "), F.col("source"), F.lit(" at "), F.col("source"),
+        F.lit("."), F.col("lang"), F.lit("+"),
+        F.col("doc_id").cast("string"),
+        F.lit("@crawl.example.org or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    return d.select("doc_id", scrub_pii(raw).alias("clean"))
+
+
+# the same pattern strings the engine uses, spliced verbatim (no f-string:
+# the regexes carry braces); DuckDB needs the explicit global flag
+def _sql_scrub_pii() -> str:
+    from .functions.text import PII_PATTERNS
+
+    expr = (
+        "'reach ' || source || ' at ' || source || '.' || lang || '+' || "
+        "CAST(doc_id AS VARCHAR) || '@crawl.example.org or 415-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+        "CAST(doc_id * 7 % 256 AS VARCHAR) || ' ' || text"
+    )
+    for pat, token in PII_PATTERNS:
+        expr = "regexp_replace({}, '{}', '{}', 'g')".format(expr, pat, token)
+    return "SELECT doc_id, {} AS clean FROM documents".format(expr)
+
+
+SQL_SCRUB_PII = _sql_scrub_pii()
+
+
 # X4 — TF-IDF top terms per document: corpus-statistics term weighting
 # (explode once, two keyed aggregates, AQE-chosen DF join, rank window)
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,6 +1739,8 @@ QUERIES: dict[str, QueryFn] = {
 # window) but part of the engine surface: benchmarked by bench.py and
 # oracle-checked (where an oracle exists) by the local pytest gate.
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q_boilerplate": q_boilerplate,
+    "q_scrub_pii": q_scrub_pii,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -1722,6 +1810,8 @@ ORACLES: dict[str, str] = {
 # Oracles for queries outside the driver window — the local pytest gate
 # holds these to the same exact-match bar as the driver-declared set.
 EXTRA_ORACLES: dict[str, str] = {
+    "q_boilerplate": SQL_BOILERPLATE,
+    "q_scrub_pii": SQL_SCRUB_PII,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

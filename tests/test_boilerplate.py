@@ -1,0 +1,97 @@
+"""Boilerplate segment removal + PII scrubbing semantics pins (X14/X15).
+
+The contract sweep (test_contract_queries) oracle-checks both against
+DuckDB on the fixture; here the SEMANTICS are pinned on literal frames —
+planted repeated lines, normalization of the count key only, the
+empty-document contract, and each PII pattern's hit/miss boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.functions.text import scrub_pii
+from alphavantage_etl_spark.operators.boilerplate import remove_boilerplate
+
+
+def _docs(spark):
+    rows = [
+        (1, "unique opening\nCOOKIE NOTICE\nreal content one\nfooter (c) corp"),
+        (2, "cookie notice\nreal content two\nfooter (c) corp"),
+        (3, "Cookie Notice\nanother thought\nfooter (c) corp"),
+        (4, "footer (c) corp\nfooter (c) corp"),  # repeated within ONE doc
+        (5, ""),  # empty document
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_remove_boilerplate_drops_recurring_lines_keeps_order(spark):
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            _docs(spark), "text", "doc_id", delim="\n", min_docs=3,
+            normalize=True,
+        ).collect()
+    }
+    # 'cookie notice' (normalized) in docs 1,2,3 and 'footer (c) corp' in
+    # 1,2,3,4 -> both boilerplate at min_docs=3; original order kept
+    assert out[1]["text"] == "unique opening\nreal content one"
+    assert out[2]["text"] == "real content two"
+    assert out[3]["text"] == "another thought"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (2, 2)
+    # within-doc repetition counts ONE distinct doc: both copies removed
+    # only because other docs repeat the line too
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 2
+    # empty doc survives with zero counts (dropping is caller policy)
+    assert (out[5]["text"], out[5]["n_kept"], out[5]["n_removed"]) == ("", 0, 0)
+    # row parity: one output row per input document, always
+    assert len(out) == 5
+
+
+def test_remove_boilerplate_normalization_affects_key_not_text(spark):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate(
+            _docs(spark), "text", "doc_id", delim="\n", min_docs=3,
+            normalize=False,
+        ).collect()
+    }
+    # without normalization the three cookie-notice spellings differ ->
+    # not boilerplate; the byte-identical footer still is
+    assert out[1] == "unique opening\nCOOKIE NOTICE\nreal content one"
+    assert out[3] == "Cookie Notice\nanother thought"
+
+
+def test_remove_boilerplate_fractional_threshold(spark):
+    # frac 0.5 over 5 docs -> ceil(2.5) = 3, same as min_docs=3
+    a = remove_boilerplate(
+        _docs(spark), "text", "doc_id", delim="\n", min_docs=3, normalize=True
+    )
+    b = remove_boilerplate(
+        _docs(spark), "text", "doc_id", delim="\n", min_doc_frac=0.5,
+        normalize=True,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_scrub_pii_patterns(spark):
+    cases = [
+        # (input, expected)
+        ("mail a.b%x+1@foo.bar.co end", "mail <EMAIL> end"),
+        ("call 415-555-0123 or 415 555 0123 now", "call <PHONE> or <PHONE> now"),
+        ("host 10.0.255.1 up", "host <IP> up"),
+        # version strings are NOT IPs (\b guards both ends)
+        ("pkg v1.2.3.4 ok", "pkg v1.2.3.4 ok"),
+        # short digit runs are not phones
+        ("room 555-01 floor 12-34-5678x", "room 555-01 floor 12-34-5678x"),
+        # placeholders are digit-free: later patterns cannot re-match
+        ("a@b.io 415-555-0123 10.1.1.1", "<EMAIL> <PHONE> <IP>"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, want) for i, (s, want) in enumerate(cases)],
+        "i long, s string, want string",
+    )
+    got = df.select("i", scrub_pii("s").alias("got"), "want").collect()
+    for r in got:
+        assert r["got"] == r["want"], f"case {r['i']}: {r['got']!r}"
