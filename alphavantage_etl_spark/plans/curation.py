@@ -2,6 +2,8 @@
 form of the X-operators, in the order a production corpus run uses them.
 
     raw documents
+      -> PII redaction (optional)               (regexp chain, no shuffle)
+      -> boilerplate segment removal (optional) (one explode + rebuild)
       -> language ID + quality scoring          (cheap, codegen, no shuffle)
       -> quality / length gate                  (filter BEFORE any shuffle)
       -> exact dedup on content fingerprint     (one shuffle on a 32B key)
@@ -40,9 +42,23 @@ def curate(
     min_chars: int = 100,
     jaccard_threshold: float = 0.6,
     resolution: str = "pairwise",
+    scrub: bool = False,
+    boilerplate_min_doc_frac: float | None = None,
+    boilerplate_delim: str = "\n",
     handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The curated corpus: quality-gated, exactly and near deduplicated.
+
+    ``scrub=True`` redacts PII (``functions.text.scrub_pii``) and
+    ``boilerplate_min_doc_frac`` drops corpus-recurring segments
+    (``operators.boilerplate.remove_boilerplate``) BEFORE scoring, so
+    quality, fingerprints, shingles, and token budgets all see the text
+    that would actually be trained on — a cookie banner must not make two
+    otherwise-distinct pages near-dups, nor pad their token counts. The
+    boilerplate rebuild joins the cleaned text back onto the remaining
+    columns (one shuffle on the id); any upstream length column (e.g. the
+    fixture's ``n_chars``) then describes the RAW text — downstream stages
+    here derive everything from the cleaned text itself.
 
     Near-dup ``resolution`` policies (both deterministic):
 
@@ -63,6 +79,20 @@ def curate(
     """
     if resolution not in ("pairwise", "cluster"):
         raise ValueError(f"unknown resolution policy: {resolution!r}")
+    if scrub:
+        from ..functions.text import scrub_pii
+
+        docs = docs.withColumn(text_col, scrub_pii(text_col))
+    if boilerplate_min_doc_frac is not None:
+        from ..operators.boilerplate import remove_boilerplate
+
+        cleaned = remove_boilerplate(
+            docs, text_col, id_col,
+            delim=boilerplate_delim,
+            min_doc_frac=boilerplate_min_doc_frac,
+            normalize=True,
+        ).select(id_col, text_col)
+        docs = docs.drop(text_col).join(cleaned, id_col)
     scored = with_quality_score(docs, text_col).withColumn(
         "lang_pred", lang_id(text_col)
     )

@@ -133,3 +133,46 @@ def test_compact_corpus_rejects_in_place(spark, tmp_path, planted):
 
     with pytest.raises(ValueError, match="in-place"):
         compact_corpus(spark, sink, sink)
+
+
+def test_front_stages_scrub_and_deboilerplate(spark):
+    """PII scrub + boilerplate removal run BEFORE scoring/dedup, so a
+    shared banner neither makes distinct pages near-dups nor pads their
+    text, and redaction survives into the curated output."""
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    other = (
+        "meanwhile the harbor town woke slowly as fishermen hauled their "
+        "nets onto the quay and traders argued about the price of salt "
+        "while gulls wheeled over the gray water near the long pier"
+    )
+    rows = [
+        (1, GOOD + "\n" + banner + "\ncontact me at jane.doe@example.com ok"),
+        (2, other + "\n" + banner),
+        (3, banner + "\n" + other.replace("price of salt", "cost of salt")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate(
+        docs,
+        min_quality=0.5,
+        min_chars=100,
+        jaccard_threshold=0.5,
+        scrub=True,
+        boilerplate_min_doc_frac=1.0,  # banner is in all 3 docs
+    ).collect()
+    by_id = {r["doc_id"]: r["text"] for r in out}
+    # the banner is gone everywhere; the email was redacted before scoring
+    assert all(banner not in t for t in by_id.values())
+    assert 1 in by_id and "<EMAIL>" in by_id[1]
+    assert "jane.doe@example.com" not in by_id.get(1, "")
+    # docs 2 and 3 differ only by one word once the banner is dropped ->
+    # genuine near-dups; exactly one of them survives
+    assert sum(i in by_id for i in (2, 3)) == 1
+    # without the front stages, the banner keeps 2 vs 3 further apart AND
+    # doc texts keep raw PII — pin the contrast
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in curate(
+            docs, min_quality=0.5, min_chars=100, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert any("jane.doe@example.com" in t for t in raw.values())
