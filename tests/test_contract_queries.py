@@ -47,3 +47,32 @@ def test_rows_only_runs(spark, name):
     n = sdf.count()
     assert n >= 0
     sdf.limit(5).collect()
+
+
+# Scale-robustness spot check: a representative slice of the oracle set
+# re-verified at sf0.001 — catches scale-hardcoded constants (thresholds,
+# bucket counts, literal row expectations) that happen to pass at the
+# sf0.01 gate. One query per heavy execution family; the full sweep at a
+# second SF would double CI wall for little extra signal.
+SF_TINY_SLICE = [
+    "q_agg_pricing",        # partial-agg shuffle
+    "q_join_convert",       # join + money rounding
+    "q_sma_partitioned",    # partitioned window
+    "q_ohlc_daily",         # min_by/max_by bars
+    "q_sessionize",         # session windows
+    "q_dedup_exact",        # fingerprint dedup
+    "q_jaccard_pairs",      # exact near-dup arithmetic
+    "q_cosine_topk",        # vector fold + top-k
+    "q_split_assign",       # content-addressed sampling
+    "q_boilerplate",        # fractional corpus threshold (plan-side scalar)
+    "q_contamination",      # broadcast gram containment
+    "q_tfidf_terms",        # corpus-statistics join
+]
+
+
+@pytest.mark.parametrize("name", SF_TINY_SLICE)
+def test_oracle_match_tiny_sf(spark, name):
+    from .conftest import SF_SMALL
+
+    sdf = ALL_QUERIES[name](spark, SF_SMALL)
+    assert_matches_oracle(sdf, SF_SMALL, ALL_ORACLES[name], name)
