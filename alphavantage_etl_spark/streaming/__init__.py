@@ -6,6 +6,7 @@ from .pipeline import (
     read_documents_stream,
     read_events_stream,
     run_stream_to_memory,
+    running_bars_stream,
     sessionize_stream,
     windowed_counts_stream,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "read_documents_stream",
     "read_events_stream",
     "run_stream_to_memory",
+    "running_bars_stream",
     "sessionize_stream",
     "windowed_counts_stream",
 ]

@@ -145,6 +145,139 @@ def attribution_join_stream(
     )
 
 
+def running_bars_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    watermark: str = "2 days",
+    grace_ms: int = 0,
+) -> DataFrame:
+    """LIVE daily OHLC bars via ``applyInPandasWithState`` — the custom
+    stateful operator the built-in windows cannot express.
+
+    A ``groupBy(window(...))`` aggregation emits a bar either only when the
+    watermark FINALIZES it (append mode — nothing visible intra-day) or as
+    an opaque latest-value (update mode — no way to flag finality or run
+    custom eviction). A live trading dashboard wants BOTH: the current
+    partial bar re-emitted as every micro-batch updates it, and one
+    authoritative ``is_final`` row when the day can no longer change. That
+    per-key (open, high, low, close, n, last_ts) evolution with explicit
+    lifecycle is exactly the arbitrary-stateful-processing contract
+    (A1's streaming form; reference recomputes bars from scratch per run,
+    av_etl.py:92-99).
+
+    State per (event_type, day): 6 scalars, Arrow-batched in/out — the only
+    Python in the hot path touches grouped state rows, never the corpus.
+    Every key sets an EVENT-TIME timeout at ``day end + watermark + grace``;
+    when the watermark passes it, the operator emits the final bar and
+    REMOVES the state, so state size is bounded by (keys x watermark
+    horizon) regardless of stream lifetime — the same bound the built-in
+    window store enjoys. Restart-safe: state lives in the checkpoint.
+
+    Output: one row per touched key per micro-batch (partial, ``is_final``
+    false) plus one final row per expired key. Ties on concurrent
+    ``last_ts`` resolve to the larger value for determinism.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_type string, day date, open double, high double, low double, "
+        "close double, n_events bigint, is_final boolean"
+    )
+    state_schema = (
+        "open double, high double, low double, close double, "
+        "n bigint, first_ts bigint, last_ts bigint"
+    )
+    day_ms = 86_400_000
+    wm_ms = _interval_ms(watermark)
+
+    def update_bars(key, pdfs, state):
+        import pandas as pd
+
+        etype, day = key
+        if state.hasTimedOut:
+            o, h, l, c, n, _ft, _lt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "event_type": etype, "day": day,
+                        "open": o, "high": h, "low": l, "close": c,
+                        "n_events": n, "is_final": True,
+                    }
+                ]
+            )
+            return
+        if state.exists:
+            o, h, l, c, n, ft, lt = state.get
+        else:
+            o = h = l = c = None
+            n, ft, lt = 0, 2**62, -(2**62)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = pdf["ts"].astype("int64") // 1000
+            v = pdf[value_col].astype("float64")
+            # open follows the globally EARLIEST ts (first_ts persists in
+            # state so a late row can still precede the stored open);
+            # close follows the globally latest. Equal-ts ties resolve to
+            # the smaller value for open, larger for close — deterministic
+            # under any row order. Vectorized: no per-row Python.
+            tmin, tmax = int(ts_us.min()), int(ts_us.max())
+            v_open = float(v[ts_us == tmin].min())
+            v_close = float(v[ts_us == tmax].max())
+            if tmin < ft or (tmin == ft and (o is None or v_open < o)):
+                ft, o = tmin, v_open
+            if tmax > lt or (tmax == lt and (c is None or v_close > c)):
+                lt, c = tmax, v_close
+            hi, lo = float(v.max()), float(v.min())
+            h = hi if h is None else max(h, hi)
+            l = lo if l is None else min(l, lo)
+            n += int(len(pdf))
+        state.update((o, h, l, c, n, ft, lt))
+        # finalize once the watermark passes day end (+ grace); the stamp
+        # must sit strictly above the current watermark or Spark rejects it
+        day_end_ms = (
+            int(pd.Timestamp(day).value // 1_000_000) + day_ms + wm_ms + grace_ms
+        )
+        state.setTimeoutTimestamp(max(day_end_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype, "day": day,
+                    "open": o, "high": h, "low": l, "close": c,
+                    "n_events": n, "is_final": False,
+                }
+            ]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .applyInPandasWithState(
+            update_bars,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _interval_ms(interval: str) -> int:
+    """'2 days' / '30 minutes' / '1 hour' -> milliseconds (the subset of
+    interval syntax the streaming builders use)."""
+    qty, unit = interval.split()
+    mult = {
+        "day": 86_400_000, "days": 86_400_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "minute": 60_000, "minutes": 60_000,
+        "second": 1_000, "seconds": 1_000,
+    }[unit]
+    return int(qty) * mult
+
+
 def idempotent_sink_stream(
     stream_df: DataFrame,
     sink_path: str,

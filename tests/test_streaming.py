@@ -364,3 +364,115 @@ def test_curation_stream_near_dup_via_signature_index(spark, tmp_path):
     drain()
     assert spark.read.parquet(sink).count() == 2
     assert spark.read.parquet(sigs).count() == 2
+
+
+def test_running_bars_stream_partial_final_and_parity(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: each micro-batch
+    re-emits the key's CURRENT partial bar; once the watermark passes
+    day end the bar is emitted once more as is_final and its state is
+    removed. Bars must equal the batch OHLC aggregate over everything
+    seen (including a late row that precedes the stored open), and the
+    lifecycle must survive a query restart (state in the checkpoint)."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import running_bars_stream
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    out_dir = str(tmp_path / "bars_out")
+
+    def drain(name):
+        # memory sinks cannot recover from a checkpoint; a foreachBatch
+        # parquet append can — and is the realistic live-bars sink anyway
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(str(in_dir))
+        q = (
+            running_bars_stream(stream, watermark="1 days")
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    from datetime import datetime as dt
+
+    d1 = "2024-03-01"
+    # batch 1: day-1 trades, out of order
+    land(
+        [
+            (1, dt(2024, 3, 1, 10, 0), 1, "trade", 105.0, ""),
+            (2, dt(2024, 3, 1, 14, 0), 1, "trade", 99.0, ""),
+            (3, dt(2024, 3, 1, 12, 0), 1, "trade", 112.0, ""),
+        ],
+        "b1",
+    )
+    out1 = drain("bars1")
+    bar1 = [r for r in out1 if str(r["day"]) == d1 and not r["is_final"]]
+    assert len(bar1) == 1
+    r = bar1[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (
+        105.0, 112.0, 99.0, 99.0, 3,
+    )
+    assert not any(x["is_final"] for x in out1)
+
+    # batch 2 AFTER restart: a LATE day-1 row EARLIER than the stored open
+    # (must rewrite open from checkpointed state), plus day-3 rows that
+    # push the watermark past day-1 end (+1d watermark) -> day-1 finalizes
+    land(
+        [
+            (4, dt(2024, 3, 1, 9, 0), 1, "trade", 101.0, ""),
+            (5, dt(2024, 3, 4, 10, 0), 1, "trade", 50.0, ""),
+            (6, dt(2024, 3, 4, 11, 0), 1, "trade", 60.0, ""),
+        ],
+        "b2",
+    )
+    out2 = drain("bars2")
+    # sink is cumulative (append); the LATEST day-1 partial is the one
+    # with the highest n_events — it must include the late row, with the
+    # open rewritten 105 -> 101 from checkpointed state
+    p1 = max(
+        (r for r in out2 if str(r["day"]) == d1 and not r["is_final"]),
+        key=lambda r: r["n_events"],
+    )
+    assert (p1["open"], p1["high"], p1["low"], p1["close"],
+            p1["n_events"]) == (101.0, 112.0, 99.0, 99.0, 4)
+    # the same drain's trailing no-data micro-batch advances the watermark
+    # to Mar 3 11:00, past day-1's timeout stamp (day end + 1d watermark =
+    # Mar 3 00:00) -> the final day-1 bar fires IN THIS RUN, after the
+    # late-row update (timeouts evaluate against the post-batch watermark)
+    f1 = [r for r in out2 if r["is_final"]]
+    assert [str(r["day"]) for r in f1] == [d1]
+    assert (f1[0]["open"], f1[0]["high"], f1[0]["low"], f1[0]["close"],
+            f1[0]["n_events"]) == (101.0, 112.0, 99.0, 99.0, 4)
+    # day-4 bar is still live
+    assert any(str(r["day"]) == "2024-03-04" and not r["is_final"] for r in out2)
+
+    # batch 3 after another restart: a far-future row finalizes day-4 from
+    # checkpointed state; day-1 state is GONE — no duplicate final row
+    land([(7, dt(2024, 3, 10, 9, 0), 1, "trade", 1.0, "")], "b3")
+    out3 = drain("bars3")
+    f4 = [r for r in out3 if r["is_final"] and str(r["day"]) == "2024-03-04"]
+    assert len(f4) == 1
+    assert (f4[0]["open"], f4[0]["high"], f4[0]["low"], f4[0]["close"],
+            f4[0]["n_events"]) == (50.0, 60.0, 50.0, 60.0, 2)
+    assert sum(1 for r in out3 if r["is_final"] and str(r["day"]) == d1) == 1
