@@ -20,8 +20,9 @@ is small — 2-4 sweeps in practice. The loop is driver-side CONTROL FLOW
 only (an O(1)-row aggregate per sweep decides convergence); all data stays
 distributed. For adversarially long path graphs the large-star/small-star
 algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond")
-converges in O(log n) sweeps with the same join-per-sweep building block;
-min-propagation is the right default for dedup workloads because its
+converges in O(log n) rounds with the same join-per-round building block —
+shipped as ``connected_components_star`` (label-frame-identical, pinned by
+test); min-propagation stays the default for dedup workloads because its
 per-sweep cost is strictly lower and the diameter term is ~constant.
 """
 
@@ -159,3 +160,115 @@ def cluster_representatives(
         .select(id_col)
     )
     return docs.join(keep, id_col, "semi")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(node, cluster) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm ``connected_components`` documents as its
+    escape hatch, now shipped.
+
+    Min-label propagation needs DIAMETER sweeps; a pathological chain
+    A~B~C~...~Z (common when near-dup similarity is transitive-ish, e.g.
+    successive revisions of one page) makes the default loop raise at
+    ``max_iter``. Star rounds contract components regardless of shape:
+
+    - large-star: every node's larger neighbors re-link to the minimum of
+      its closed neighborhood;
+    - small-star: every node and its smaller neighbors re-link likewise.
+
+    Both are expressible as ONE aggregate + ONE join over the edge list —
+    no adjacency arrays, so a hub with 10^8 neighbors never materializes a
+    row wider than (node, min) — and every round localCheckpoints to keep
+    lineage flat (same discipline as the propagation loop). Convergence is
+    an O(1)-row probe: (edge count, bit_xor of canonical edge hashes)
+    stable across one full round. The fixpoint edge set is a star forest:
+    every node points directly at its component minimum, which IS the
+    label frame.
+
+    Output schema and semantics match ``connected_components`` exactly
+    (cluster = component-minimum id; isolated nodes absent) — pinned by
+    equivalence test, so callers can swap algorithms per workload shape.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    def probe(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    cur = probe(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetrized view: m(u) = min(N(u) ∪ {u});
+        # every neighbor v > u re-links to (v, m(u))
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m_u = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.where(F.col("b") > F.col("a"))
+            .join(m_u, "a")
+            .select(
+                F.least("b", "m").alias("a"), F.greatest("b", "m").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates()
+        )
+        # small-star over larger->smaller pairs: u and its smaller
+        # neighbors all re-link to min(N<(u) ∪ {u})
+        d = large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m_small = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(m_small, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .union(m_small.select(F.col("m").alias("a"), F.col("u").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        free_blocks(e)
+        e = small
+        nxt = probe(e)
+        if nxt == cur:
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"star CC did not converge in {max_iter} rounds — "
+            "input is not a simple undirected graph?"
+        )
+    # fixpoint is a star forest: (b -> a) with a = component min; roots
+    # label themselves
+    labels = (
+        e.select(F.col("b").alias("node"), F.col("a").alias("cluster"))
+        .union(
+            e.select(F.col("a").alias("node"), F.col("a").alias("cluster"))
+        )
+        .dropDuplicates()
+    )
+    if handles is not None:
+        handles.append(e)
+    else:
+        # labels still reads e's checkpoint blocks; only release when the
+        # caller is not tracking handles AND we re-materialize first
+        labels = labels.localCheckpoint(eager=True)
+        free_blocks(e)
+    return labels

@@ -122,3 +122,53 @@ def test_cc_frees_checkpoint_blocks_eagerly(spark):
     )
     release(handles)
     assert not (block_ids() - before), "release() left checkpoint blocks"
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    """Algorithm swap safety: large-star/small-star must produce the exact
+    label frame min-propagation does, over assorted component shapes."""
+    import random
+
+    from alphavantage_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # clumps (dedup-shaped), a ring, a binary tree, random noise edges
+    for base in (0, 100, 200):
+        members = list(range(base, base + rng.randint(3, 8)))
+        edges += [
+            (a, b) for a in members for b in members if a < b and rng.random() < 0.5
+        ]
+    edges += [(300 + i, 300 + (i + 1) % 20) for i in range(20)]  # ring
+    edges += [(400 + (i - 1) // 2, 400 + i) for i in range(1, 31)]  # tree
+    edges += [(rng.randint(0, 450), rng.randint(0, 450)) for _ in range(30)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    want = sorted(map(tuple, connected_components(df).collect()))
+    got = sorted(map(tuple, connected_components_star(df).collect()))
+    assert got == want
+
+
+def test_star_cc_handles_long_paths_where_propagation_raises(spark):
+    """The escape-hatch contract: a 120-node path has diameter 119 —
+    min-propagation must raise at its sweep cap; star rounds converge in
+    O(log n) and still label every node with the path minimum."""
+    import pytest as _pytest
+
+    from alphavantage_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(path, max_iter=10)
+    labels = connected_components_star(path).collect()
+    assert len(labels) == 121
+    assert all(r["cluster"] == 0 for r in labels)
