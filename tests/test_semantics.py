@@ -596,3 +596,49 @@ def test_incremental_minhash_equals_full_rebuild(spark):
     assert all(a % 2 == 1 or b % 2 == 1 for a, b in inc)
     # the returned signatures ARE the batch's index rows
     assert new_sigs.count() == batch.count()
+
+
+# --- X3: product quantization — compressed-index search ---
+def test_pq_topk_recall_and_determinism(spark):
+    from alphavantage_etl_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    rest = emb.where(F.col("vec_id") != 0)
+
+    books = train_pq_codebooks(rest, m=8, k=16, iters=2)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    assert books == train_pq_codebooks(rest, m=8, k=16, iters=2), (
+        "training must be deterministic"
+    )
+
+    codes = pq_encode(rest, books)
+    # compressed index: m small ints per vector, every code in range
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert codes.where(
+        F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count() == 0
+
+    exact = [r["vec_id"] for r in cosine_topk(rest, q, k=10).collect()]
+    # raw ADC shortlist recall (known-lossy: 16 centroids/subspace)
+    short = [r["vec_id"] for r in pq_topk(codes, q, books, k=50).collect()]
+    assert len(set(exact) & set(short)) / 10 >= 0.6
+    # the production shape: shortlist + exact rerank — high recall AND
+    # every returned score is the true cosine
+    from alphavantage_etl_spark.operators.similarity import pq_topk_rerank
+
+    rer = pq_topk_rerank(rest, codes, q, books, k=10, shortlist=50)
+    got = {r["vec_id"]: r["sim"] for r in rer.collect()}
+    assert len(set(exact) & set(got)) / 10 >= 0.6
+    sims = {r["vec_id"]: r["sim"] for r in cosine_topk(rest, q, k=5000).collect()}
+    for vid, s_ in got.items():
+        assert sims[vid] == s_, "reranked scores must be exact cosine"
