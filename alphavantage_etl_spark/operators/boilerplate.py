@@ -8,10 +8,13 @@ repeated three-plus times; RefinedWeb/Dolma ship the same pass). The
 reference has no text layer — this extends the north-star curation suite
 (SURVEY.md §2.11) alongside dedup/contamination.
 
-Spark-first shape, one pass, no UDFs:
+Spark-first shape, no UDFs:
 
-1. ``posexplode(split(text, delim))`` — the corpus explodes ONCE into
-   (doc, position, segment) rows; empty segments are dropped.
+1. ``posexplode(split(text, delim))`` into (doc, position, segment) rows;
+   empty segments are dropped. The exploded view is evaluated TWICE —
+   once for the document-frequency counts, once for the rebuild (Spark
+   cannot CSE the two consumers of a lazy subtree); per-doc totals ride a
+   narrow ``size(filter(split()))`` projection, never a third explode.
 2. distinct-document count per segment — two-phase hash aggregate on the
    segment key (map-side partial, one Exchange).
 3. segments at-or-above the threshold anti-join back onto the exploded
@@ -22,9 +25,11 @@ Spark-first shape, one pass, no UDFs:
    structs + ``array_join`` — original segment order restored without a
    window function; one final shuffle on the document key.
 
-At 100 TB: two shuffles of the exploded corpus (segment-count agg,
-per-doc rebuild) plus one vocabulary-sized aggregate — the identical
-cost profile to ``operators/tfidf.py``, which shares step 1's explode.
+At 100 TB: two explode passes + two shuffles of the exploded corpus
+(segment-count agg, per-doc rebuild) plus one vocabulary-sized aggregate
+— the same cost profile as ``operators/tfidf.py``. A caller looping over
+thresholds should persist the exploded frame; one-shot curation should
+not (the second pass is cheaper than materializing corpus x segments).
 """
 
 from __future__ import annotations
@@ -107,17 +112,28 @@ def remove_boilerplate(
         F.count(F.lit(1)).alias("n_kept"),
     )
 
-    # re-attach documents whose every segment was removed (or empty input)
-    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    # re-attach documents whose every segment was removed (or empty input).
+    # Per-doc segment totals need no second explode: size(filter(split()))
+    # is a narrow projection over the base scan.
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(  # NULL text -> 0 segments (size(NULL) is NULL)
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), _re.escape(delim)),
+                    lambda x: x != "",
+                )
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("__total"),
+    )
     return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(rebuilt, id_col, "left")
+        base.join(rebuilt, id_col, "left")
         .select(
             id_col,
             F.coalesce("__clean", F.lit("")).alias(text_col),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.coalesce("__total", F.lit(0)) - F.coalesce("n_kept", F.lit(0))).alias(
+            (F.col("__total") - F.coalesce("n_kept", F.lit(0))).alias(
                 "n_removed"
             ),
         )

@@ -66,3 +66,26 @@ def test_no_python_udfs_in_oracle_backed_plans(spark):
     for name in ORACLES:
         plan = _plan(QUERIES[name](spark, SF_SMALL))
         assert "EvalPython" not in plan, f"{name} contains a Python UDF stage"
+
+
+def test_boilerplate_explodes_twice_not_thrice(spark):
+    # counts + rebuild each need the exploded view (no CSE across lazy
+    # consumers); per-doc totals must ride a narrow size(filter(split()))
+    # projection — a third Generate means the cheap branch regressed
+    plan = _plan(QUERIES["q_boilerplate"](spark, SF_SMALL))
+    assert plan.count("Generate") == 2, plan[:1500]
+
+
+def test_pq_encode_is_narrow_projection(spark):
+    # PQ coding inlines literal codebooks; a shuffle or join in the
+    # encode plan means the assignment stopped being a map
+    from alphavantage_etl_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    emb = load(spark, SF_SMALL, "embeddings")
+    books = train_pq_codebooks(emb, m=8, k=4, iters=1)
+    plan = _plan(pq_encode(emb, books))
+    assert "Exchange" not in plan and "Join" not in plan
