@@ -340,6 +340,7 @@ def curation_ingest_stream(
     contamination_threshold: float = 0.5,
     signature_dir: str | None = None,
     jaccard_threshold: float = 0.5,
+    scrub: bool = False,
 ):
     """Streaming corpus curation: every micro-batch is quality-gated,
     exact-deduplicated by content fingerprint (within the batch AND against
@@ -388,6 +389,17 @@ def curation_ingest_stream(
         from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
+        if scrub:
+            # PII redaction is per-row and stateless -> runs unchanged per
+            # micro-batch, BEFORE fingerprinting (a redacted and an
+            # unredacted copy of the same doc must collide). Boilerplate
+            # removal stays batch-side by design: its segment document-
+            # frequency is a CORPUS statistic — the streaming form is a
+            # periodic compaction that recomputes the boilerplate table
+            # over the sink, not a per-batch estimate that drifts.
+            from ..functions.text import scrub_pii
+
+            batch_df = batch_df.withColumn("text", scrub_pii("text"))
         scored = with_quality_score(batch_df, "text")
         gated = scored.where(
             (F.col("q") >= min_quality) & (F.length("text") >= min_chars)
