@@ -176,3 +176,64 @@ def test_connected_components_matches_union_find(spark, edges):
     for n in {x for e in edges for x in e}:
         want[n] = find(n)
     assert got == want
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po"),
+                max_codepoint=0x2FF,
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_scrub_pii_is_idempotent_and_digit_free_on_hits(spark, texts):
+    """scrub(scrub(x)) == scrub(x): placeholder tokens are digit-free and
+    '@'-free in their local parts, so no pattern can re-match its own (or
+    another pattern's) output — the property that makes sweep order safe."""
+    from alphavantage_etl_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    once = df.select("i", scrub_pii("t").alias("s"))
+    twice = once.select("i", scrub_pii("s").alias("s"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "", "x y"]),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_docs=st.integers(min_value=1, max_value=4),
+)
+def test_remove_boilerplate_invariants(spark, docs, min_docs):
+    """For every document: n_kept + n_removed == its non-empty segment
+    count; the rebuilt text is the original segment sequence minus
+    boilerplate (order preserved, nothing invented)."""
+    from alphavantage_etl_spark.operators.boilerplate import remove_boilerplate
+
+    rows = [(i, "\n".join(segs)) for i, segs in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_boilerplate(
+        df, "text", "doc_id", delim="\n", min_docs=min_docs
+    ).collect()}
+    freq = {}
+    for _i, segs in enumerate(docs):
+        for seg in set(s for s in segs if s != ""):
+            freq[seg] = freq.get(seg, 0) + 1
+    for i, segs in enumerate(docs):
+        nz = [s for s in segs if s != ""]
+        want_kept = [s for s in nz if freq[s] < min_docs]
+        r = out[i]
+        assert r["n_kept"] + r["n_removed"] == len(nz)
+        assert r["text"] == "\n".join(want_kept)
