@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "q_interval_join",
     "q_quality_calibrated",
     "q_weighted_sample",
+    # round-3 additions
+    "q_boilerplate",
+    "q_scrub_pii",
 ]
 
 
