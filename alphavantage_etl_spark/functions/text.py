@@ -246,3 +246,32 @@ def scrub_pii(col: Column | str) -> Column:
     for pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def rep_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+    """Fraction of DUPLICATE word n-grams within the document:
+    ``1 - distinct/total`` over the token n-gram sequence (0.0 when fewer
+    than ``n`` tokens). The Gopher-style within-document repetition signal
+    — templated/spammy text repeats its own phrases long before it repeats
+    another document's, so this gates what cross-corpus dedup cannot see.
+    Pure array expressions; half-even-rounded to 6 places for
+    cross-engine comparability.
+    """
+    toks = tokens(col)
+    m = F.size(toks)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.bround(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6
+        ),
+    ).otherwise(F.lit(0.0))

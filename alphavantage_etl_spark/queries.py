@@ -1547,6 +1547,37 @@ def _sql_scrub_pii() -> str:
 SQL_SCRUB_PII = _sql_scrub_pii()
 
 
+# X4 extension — Gopher-style within-document repetition: fraction of
+# duplicate word 2-grams per doc. Gates templated/spammy text that
+# cross-corpus dedup cannot see (a doc repeating ITSELF is unique
+# corpus-wide). 2-grams, not 3: the fixture vocabulary only produces
+# measurable repetition at n=2 (349/500 docs nonzero, mean 0.03).
+def q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import rep_ngram_ratio
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", rep_ngram_ratio("text", 2).alias("rep2"))
+
+
+SQL_REP_NGRAMS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE round_even(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / len(grams), 6) END AS rep2
+FROM g
+"""
+
+
 # X4 — TF-IDF top terms per document: corpus-statistics term weighting
 # (explode once, two keyed aggregates, AQE-chosen DF join, rank window)
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,6 +1772,7 @@ QUERIES: dict[str, QueryFn] = {
 EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_boilerplate": q_boilerplate,
     "q_scrub_pii": q_scrub_pii,
+    "q_rep_ngrams": q_rep_ngrams,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -1812,6 +1844,7 @@ ORACLES: dict[str, str] = {
 EXTRA_ORACLES: dict[str, str] = {
     "q_boilerplate": SQL_BOILERPLATE,
     "q_scrub_pii": SQL_SCRUB_PII,
+    "q_rep_ngrams": SQL_REP_NGRAMS,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     # round-3 additions
     "q_boilerplate",
     "q_scrub_pii",
+    "q_rep_ngrams",
 ]
 
 

@@ -95,3 +95,25 @@ def test_scrub_pii_patterns(spark):
     got = df.select("i", scrub_pii("s").alias("got"), "want").collect()
     for r in got:
         assert r["got"] == r["want"], f"case {r['i']}: {r['got']!r}"
+
+
+def test_rep_ngram_ratio_known_values(spark):
+    from alphavantage_etl_spark.functions.text import rep_ngram_ratio
+
+    cases = [
+        (0, "a b a b a", 0.5),          # grams: ab ba ab ba -> 2/4 dupes
+        (1, "all words differ here", 0.0),
+        (2, "x x x x", 2 / 3),          # xx xx xx -> 1 distinct of 3
+        (3, "one", 0.0),                # fewer than n tokens
+        (4, "", 0.0),
+        (5, None, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "i long, t string"
+    )
+    got = {
+        r["i"]: r["rep"]
+        for r in df.select("i", rep_ngram_ratio("t", 2).alias("rep")).collect()
+    }
+    for i, _t, want in cases:
+        assert got[i] == round(want, 6), (i, got[i], want)
