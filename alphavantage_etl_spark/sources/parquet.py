@@ -149,6 +149,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast(T.TimestampNTZType()))
         df = df.select(*[f.name for f in SCHEMAS[name].fields])
+    # The driver REGENERATES fixtures between rounds and physical types
+    # drift (r3: events.ts TIMESTAMP(NANOS) -> MICROS). Normalize any
+    # remaining column whose read type differs from the canonical schema
+    # with an explicit cast — a no-op projection when types already match.
+    # (The nanos-long case above must stay special: casting a raw long to
+    # timestamp would interpret it as SECONDS.)
+    dtypes = dict(df.dtypes)
+    fixes = [
+        f
+        for f in SCHEMAS[name].fields
+        if f.name in dtypes and dtypes[f.name] != f.dataType.simpleString()
+    ]
+    for f in fixes:
+        df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     return df
 
 
