@@ -1578,6 +1578,84 @@ FROM g
 """
 
 
+# W1 extension — the indicator suite a reference user reaches for next:
+# Bollinger(20,2), Cutler RSI(14), 20-day return volatility, running
+# drawdown — all window expressions over exact integer sums (cents /
+# 1e-9-return units in decimal(38,0)), one double conversion at the end,
+# so Spark's sliding aggregate and DuckDB's segment tree cannot diverge
+# (functions/indicators.py). Single-series like q_sma_window; partitioned
+# forms via the same partition_by parameter sma uses.
+def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.indicators import (
+        bollinger_bands,
+        drawdown,
+        rolling_volatility,
+        rsi_cutler,
+    )
+    from .plans.views import px_bars
+
+    px = px_bars(spark, sf_dir)
+    mid, up, lo = bollinger_bands("close", 20, 2.0)
+    return px.select(
+        "date",
+        F.bround(mid, 6).alias("bb_mid"),
+        F.bround(up, 6).alias("bb_up"),
+        F.bround(lo, 6).alias("bb_lo"),
+        F.bround(rsi_cutler("close", 14), 6).alias("rsi14"),
+        F.bround(rolling_volatility("close", 20), 9).alias("vol20"),
+        F.bround(drawdown("close"), 9).alias("dd"),
+    )
+
+
+SQL_INDICATORS = f"""WITH {PX_CTE},
+c AS (SELECT date, CAST(round(close * 100) AS BIGINT) AS cents FROM px),
+d AS (
+  SELECT date, cents,
+         cents - lag(cents) OVER (ORDER BY date) AS chg,
+         CASE WHEN lag(cents) OVER (ORDER BY date) > 0 THEN
+           CAST(round_even((CAST(cents AS DOUBLE)
+                            / lag(cents) OVER (ORDER BY date) - 1.0) * 1e9,
+                           0) AS BIGINT)
+         END AS ri
+  FROM c
+),
+sums AS (
+  SELECT date, cents,
+         count(cents) OVER w20 AS n20,
+         CAST(sum(cents) OVER w20 AS DOUBLE) AS s1,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w20 AS DOUBLE) AS s2,
+         count(chg) OVER w14 AS n14,
+         CAST(sum(greatest(chg, 0)) OVER w14 AS DOUBLE) AS sg,
+         CAST(sum(greatest(-chg, 0)) OVER w14 AS DOUBLE) AS sl,
+         count(ri) OVER w20 AS nr,
+         CAST(sum(ri) OVER w20 AS DOUBLE) AS r1,
+         CAST(sum(CAST(ri AS HUGEINT) * ri) OVER w20 AS DOUBLE) AS r2,
+         CAST(max(cents) OVER wall AS DOUBLE) AS peak
+  FROM d
+  WINDOW w20 AS (ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w14 AS (ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wall AS (ORDER BY date ROWS UNBOUNDED PRECEDING)
+)
+SELECT date,
+       CASE WHEN n20 = 20 THEN round_even(s1 / 2000.0, 6) END AS bb_mid,
+       CASE WHEN n20 = 20 THEN round_even(
+         s1 / 2000.0 + 2.0 * (sqrt((s2 - s1 * s1 / 20.0) / 19.0) / 100.0), 6)
+       END AS bb_up,
+       CASE WHEN n20 = 20 THEN round_even(
+         s1 / 2000.0 - 2.0 * (sqrt((s2 - s1 * s1 / 20.0) / 19.0) / 100.0), 6)
+       END AS bb_lo,
+       CASE WHEN n14 = 14 THEN round_even(
+         CASE WHEN sl = 0 AND sg = 0 THEN 50.0
+              WHEN sl = 0 THEN 100.0
+              ELSE 100.0 - 100.0 / (1.0 + sg / sl) END, 6)
+       END AS rsi14,
+       CASE WHEN nr = 20 THEN round_even(
+         sqrt((r2 - r1 * r1 / 20.0) / 19.0) / 1e9, 9) END AS vol20,
+       round_even(CAST(cents AS DOUBLE) / peak - 1.0, 9) AS dd
+FROM sums
+"""
+
+
 # X4 — TF-IDF top terms per document: corpus-statistics term weighting
 # (explode once, two keyed aggregates, AQE-chosen DF join, rank window)
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1773,6 +1851,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_boilerplate": q_boilerplate,
     "q_scrub_pii": q_scrub_pii,
     "q_rep_ngrams": q_rep_ngrams,
+    "q_indicators": q_indicators,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -1845,6 +1924,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_boilerplate": SQL_BOILERPLATE,
     "q_scrub_pii": SQL_SCRUB_PII,
     "q_rep_ngrams": SQL_REP_NGRAMS,
+    "q_indicators": SQL_INDICATORS,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

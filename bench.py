@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q_boilerplate",
     "q_scrub_pii",
     "q_rep_ngrams",
+    "q_indicators",
 ]
 
 

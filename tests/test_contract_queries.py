@@ -67,6 +67,7 @@ SF_TINY_SLICE = [
     "q_boilerplate",        # fractional corpus threshold (plan-side scalar)
     "q_contamination",      # broadcast gram containment
     "q_tfidf_terms",        # corpus-statistics join
+    "q_indicators",         # exact-integer window sums (bars CTE)
 ]
 
 

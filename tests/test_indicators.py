@@ -1,0 +1,93 @@
+"""Indicator semantics on literal frames — known-value pins independent of
+the DuckDB oracle (which vouches for cross-engine agreement, not for the
+finance math being right)."""
+
+from __future__ import annotations
+
+import math
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.functions.indicators import (
+    bollinger_bands,
+    drawdown,
+    rolling_volatility,
+    rsi_cutler,
+)
+
+
+def _series(spark, vals):
+    rows = [(date(2024, 1, i + 1), float(v)) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "date date, close double")
+
+
+def test_bollinger_known_values(spark):
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0]
+    df = _series(spark, vals)
+    mid, up, lo = bollinger_bands("close", k=3, num_std=2.0)
+    out = df.select("date", mid.alias("m"), up.alias("u"), lo.alias("l")).collect()
+    # rows 0-1: under k -> NULL
+    assert out[0]["m"] is None and out[1]["u"] is None
+    # row 2: mean(10,11,12)=11, sample sd=1
+    assert out[2]["m"] == 11.0
+    assert out[2]["u"] == 13.0 and out[2]["l"] == 9.0
+
+
+def test_rsi_known_values(spark):
+    # strictly rising -> all-gain window -> RSI 100; flat -> 50
+    up = _series(spark, [1, 2, 3, 4, 5])
+    r = up.select(rsi_cutler("close", k=3).alias("r")).collect()
+    assert r[0]["r"] is None and r[2]["r"] is None  # only 2 changes yet
+    assert r[3]["r"] == 100.0 and r[4]["r"] == 100.0
+    flat = _series(spark, [5, 5, 5, 5, 5])
+    rf = flat.select(rsi_cutler("close", k=3).alias("r")).collect()
+    assert rf[4]["r"] == 50.0
+    # mixed: changes +1,+1,-1 over k=3 -> 100 - 100/(1 + 2/1)
+    mix = _series(spark, [10, 11, 12, 11])
+    rm = mix.select(rsi_cutler("close", k=3).alias("r")).collect()
+    assert abs(rm[3]["r"] - (100 - 100 / 3)) < 1e-9
+
+
+def test_volatility_and_drawdown_known_values(spark):
+    vals = [100.0, 110.0, 99.0, 108.9]
+    df = _series(spark, vals)
+    out = df.select(
+        rolling_volatility("close", k=3).alias("v"), drawdown("close").alias("d")
+    ).collect()
+    # returns: +0.1, -0.1, +0.1 -> sample sd of (.1,-.1,.1)
+    rets = [0.1, -0.1, 0.1]
+    mean = sum(rets) / 3
+    want = math.sqrt(sum((r - mean) ** 2 for r in rets) / 2)
+    assert out[2]["v"] is None and abs(out[3]["v"] - want) < 1e-6
+    # drawdown: peak 110 -> 99/110-1, then 108.9/110-1
+    assert out[0]["d"] == 0.0 and out[1]["d"] == 0.0
+    assert abs(out[2]["d"] - (99 / 110 - 1)) < 1e-9
+    assert abs(out[3]["d"] - (108.9 / 110 - 1)) < 1e-9
+
+
+def test_partitioned_indicators_match_per_series(spark):
+    """partition_by shards the window: each symbol's values must equal the
+    single-series computation on that symbol alone."""
+    rows = [
+        ("A", date(2024, 1, i + 1), float(v))
+        for i, v in enumerate([10, 11, 12, 13, 14])
+    ] + [
+        ("B", date(2024, 1, i + 1), float(v))
+        for i, v in enumerate([50, 40, 45, 44, 46])
+    ]
+    df = spark.createDataFrame(rows, "sym string, date date, close double")
+    mid, _u, _l = bollinger_bands("close", k=3, partition_by=["sym"])
+    got = {
+        (r["sym"], r["date"]): r["m"]
+        for r in df.select("sym", "date", mid.alias("m")).collect()
+    }
+    for sym in ("A", "B"):
+        solo = df.where(F.col("sym") == sym)
+        m2, _, _ = bollinger_bands("close", k=3)
+        want = {
+            (sym, r["date"]): r["m"]
+            for r in solo.select("date", m2.alias("m")).collect()
+        }
+        for key, v in want.items():
+            assert got[key] == v
