@@ -141,3 +141,96 @@ def drawdown(
     return F.when(
         peak > 0, cents.cast("double") / peak.cast("double") - 1.0
     ).otherwise(F.lit(0.0))
+
+
+def _grouped_fold(df, fold, partition_by, out_col):
+    """Run a per-group pandas fold with an appended double ``out_col``.
+    Without ``partition_by`` the whole series is ONE group (a literal
+    grouping column added first, dropped after) — the applyInPandas shape
+    for recursion-over-prefix indicators."""
+    keys = list(partition_by) if partition_by else ["__g"]
+    src = df if partition_by else df.withColumn("__g", F.lit(1))
+    # the fold's NaNs arrive as NULLs — out_col must be declared nullable
+    # (a lit(0.0) withColumn would pin nullable=false and Arrow rejects).
+    # Fresh StructType: StructType.add MUTATES, and src.schema is the
+    # DataFrame's CACHED schema object — corrupting it breaks resolution.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(src.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    out = src.groupBy(*keys).applyInPandas(fold, schema)
+    return out if partition_by else out.drop("__g")
+
+
+def ema(
+    df,
+    value_col: str,
+    span: int,
+    order_col: str = "date",
+    partition_by: list[str] | None = None,
+    out_col: str = "ema",
+):
+    """Exponential moving average (adjust=False recursion:
+    ``ema_t = a*x_t + (1-a)*ema_{t-1}``, a = 2/(span+1)).
+
+    The recursion makes every output depend on the ENTIRE prefix — not
+    window-expressible (a window either bounds the frame or recomputes an
+    unbounded fold per row), and the closed-form weighted sum overflows
+    (1-a)^-t. This is the documented legitimate Pandas case: per-key
+    sequential state, Arrow-batched via ``applyInPandas``, one group per
+    series. Unpartitioned input runs as ONE group — same single-reducer
+    caveat as the unpartitioned ``sma``; pass ``partition_by`` at scale.
+
+    Returns ``df`` columns plus ``out_col``. Not DuckDB-oracle-backed
+    (recursive; the engine-side recursion is pinned against pandas
+    ``ewm(span, adjust=False)`` in tests instead).
+    """
+    def fold(pdf):
+        pdf = pdf.sort_values(order_col)
+        pdf[out_col] = (
+            pdf[value_col].astype("float64").ewm(span=span, adjust=False).mean()
+        )
+        return pdf
+
+    return _grouped_fold(df, fold, partition_by, out_col)
+
+
+def rsi_wilder(
+    df,
+    value_col: str,
+    k: int = 14,
+    order_col: str = "date",
+    partition_by: list[str] | None = None,
+    out_col: str = "rsi",
+):
+    """Wilder's original RSI: smoothed averages via his recursion
+    ``avg_t = (avg_{t-1}*(k-1) + x_t)/k`` seeded with the first k changes'
+    simple mean — the recursive sibling of :func:`rsi_cutler` (which is
+    the window-expressible SMA form). Same ``applyInPandas`` shape as
+    :func:`ema`; NULL for the first k rows."""
+    import numpy as np
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].astype("float64").to_numpy()
+        n = len(x)
+        rsi = np.full(n, np.nan)
+        if n > k:
+            d = np.diff(x)
+            gains, losses = np.maximum(d, 0.0), np.maximum(-d, 0.0)
+            ag, al = gains[:k].mean(), losses[:k].mean()
+            for i in range(k, n):
+                if i > k:
+                    ag = (ag * (k - 1) + gains[i - 1]) / k
+                    al = (al * (k - 1) + losses[i - 1]) / k
+                if al == 0.0 and ag == 0.0:
+                    rsi[i] = 50.0
+                elif al == 0.0:
+                    rsi[i] = 100.0
+                else:
+                    rsi[i] = 100.0 - 100.0 / (1.0 + ag / al)
+        pdf[out_col] = rsi
+        return pdf
+
+    return _grouped_fold(df, fold, partition_by, out_col)

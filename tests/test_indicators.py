@@ -91,3 +91,44 @@ def test_partitioned_indicators_match_per_series(spark):
         }
         for key, v in want.items():
             assert got[key] == v
+
+
+def test_ema_matches_pandas_recursion(spark):
+    import pandas as pd
+
+    from alphavantage_etl_spark.functions.indicators import ema
+
+    vals = [100.0, 102.0, 101.0, 105.0, 104.0, 103.0, 108.0]
+    df = _series(spark, vals)
+    got = {
+        r["date"]: r["ema"]
+        for r in ema(df, "close", span=3).collect()
+    }
+    want = pd.Series(vals).ewm(span=3, adjust=False).mean().tolist()
+    for i, w in enumerate(want):
+        assert abs(got[date(2024, 1, i + 1)] - w) < 1e-12
+    # partitioned: each key folds independently
+    two = spark.createDataFrame(
+        [("A", date(2024, 1, i + 1), v) for i, v in enumerate(vals)]
+        + [("B", date(2024, 1, i + 1), v * 2) for i, v in enumerate(vals)],
+        "sym string, date date, close double",
+    )
+    out = ema(two, "close", span=3, partition_by=["sym"]).collect()
+    for r in out:
+        scale = 1.0 if r["sym"] == "A" else 2.0
+        assert abs(r["ema"] - want[r["date"].day - 1] * scale) < 1e-9
+
+
+def test_rsi_wilder_seed_and_recursion(spark):
+    from alphavantage_etl_spark.functions.indicators import rsi_wilder
+
+    # +1 x3 then -1: seed avg gain 1 (k=3), then Wilder smoothing
+    vals = [10.0, 11.0, 12.0, 13.0, 12.0]
+    out = {
+        r["date"].day: r["rsi"]
+        for r in rsi_wilder(_series(spark, vals), "close", k=3).collect()
+    }
+    assert out[1] is None and out[3] is None  # first k rows are NULL
+    assert out[4] == 100.0  # all-gain seed window
+    # next step: ag=(1*2+0)/3, al=(0*2+1)/3 -> rsi = 100 - 100/(1+2)
+    assert abs(out[5] - (100 - 100 / 3)) < 1e-9
