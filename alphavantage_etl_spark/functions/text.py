@@ -257,17 +257,21 @@ def rep_ngram_ratio(col: Column | str, n: int = 2) -> Column:
     Pure array expressions; half-even-rounded to 6 places for
     cross-engine comparability.
     """
+    # Build n-grams by zipping offset SLICES of the token array, not by
+    # element_at inside a transform lambda: expressions inside a lambda
+    # body are re-evaluated PER ELEMENT (the tokenization would run O(L)
+    # times per doc -> O(L^2); measured 15.6s -> 0.5s at sf0.1), while
+    # function ARGUMENTS evaluate once per row.
     toks = tokens(col)
     m = F.size(toks)
-    grams = F.when(
-        m >= n,
-        F.transform(
-            F.sequence(F.lit(1), m - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.slice(toks, 1, m - (n - 1))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, m - (n - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(m >= n, grams).otherwise(F.array().cast("array<string>"))
     total = F.size(grams)
     return F.when(
         total > 0,
