@@ -234,3 +234,33 @@ def rsi_wilder(
         return pdf
 
     return _grouped_fold(df, fold, partition_by, out_col)
+
+
+def rolling_corr(
+    x_col: Column | str,
+    y_col: Column | str,
+    k: int = 20,
+    order_col: str = "date",
+    partition_by: list[str] | None = None,
+) -> Column:
+    """Pearson correlation of two price series over the trailing k rows,
+    from exact integer-cents sums (Σx, Σy, Σx², Σy², Σxy in decimal(38,0))
+    with one double conversion at the end — same cross-engine determinism
+    argument as the other indicators. NULL until k paired rows, and NULL
+    when either series is constant in the frame (zero variance)."""
+    w = _w(order_col, partition_by, -(k - 1), 0)
+    cx, cy = _cents(x_col), _cents(y_col)
+    both = F.when(cx.isNotNull() & cy.isNotNull(), F.lit(1))
+    n = F.sum(both).over(w)
+    sx = F.sum(F.when(both.isNotNull(), _dec(cx))).over(w).cast("double")
+    sy = F.sum(F.when(both.isNotNull(), _dec(cy))).over(w).cast("double")
+    sxx = F.sum(F.when(both.isNotNull(), _dec(cx) * _dec(cx))).over(w).cast("double")
+    syy = F.sum(F.when(both.isNotNull(), _dec(cy) * _dec(cy))).over(w).cast("double")
+    sxy = F.sum(F.when(both.isNotNull(), _dec(cx) * _dec(cy))).over(w).cast("double")
+    kf = F.lit(float(k))
+    cov = sxy - sx * sy / kf
+    vx = sxx - sx * sx / kf
+    vy = syy - sy * sy / kf
+    return F.when(
+        (n == k) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )

@@ -1656,6 +1656,82 @@ FROM sums
 """
 
 
+# A1 extension — VWAP: the volume-weighted price per day over lineitem
+# (extendedprice x quantity), one partial-aggregated groupBy; exact
+# integer products summed in decimal, one double division at the end.
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)")
+    qt = F.round(F.col("l_quantity")).cast("long").cast("decimal(38,0)")
+    return (
+        li.select(F.to_date("l_shipdate").alias("date"), (pc * qt).alias("pq"), qt.alias("q"))
+        .groupBy("date")
+        .agg(
+            F.bround(
+                F.sum("pq").cast("double") / F.sum("q").cast("double") / F.lit(100.0), 6
+            ).alias("vwap"),
+            F.sum("q").cast("long").alias("total_qty"),
+        )
+    )
+
+
+SQL_VWAP = """
+SELECT CAST(l_shipdate AS DATE) AS date,
+       round_even(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                          * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                  / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                  / 100.0, 6) AS vwap,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+# W1 extension — rolling Pearson correlation of the two reference series
+# (price close vs FX close) on their joined dates: five exact-integer
+# window sums, one double conversion, NULL under k or zero variance.
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.indicators import rolling_corr
+    from .plans.views import fx_bars, px_bars
+
+    px = px_bars(spark, sf_dir).select("date", F.col("close").alias("px_close"))
+    fx = fx_bars(spark, sf_dir).select("date", F.col("close").alias("fx_close"))
+    j = px.join(fx, "date")
+    return j.select(
+        "date",
+        F.bround(rolling_corr("px_close", "fx_close", 20), 9).alias("corr20"),
+    )
+
+
+SQL_CORR = f"""WITH {PX_CTE}, {FX_CTE},
+j AS (
+  SELECT px.date,
+         CAST(round(px.close * 100) AS BIGINT) AS cx,
+         CAST(round(fx.close * 100) AS BIGINT) AS cy
+  FROM px JOIN fx USING (date)
+),
+s AS (
+  SELECT date,
+         count(*) OVER w AS n,
+         CAST(sum(cx) OVER w AS DOUBLE) AS sx,
+         CAST(sum(cy) OVER w AS DOUBLE) AS sy,
+         CAST(sum(CAST(cx AS HUGEINT) * cx) OVER w AS DOUBLE) AS sxx,
+         CAST(sum(CAST(cy AS HUGEINT) * cy) OVER w AS DOUBLE) AS syy,
+         CAST(sum(CAST(cx AS HUGEINT) * cy) OVER w AS DOUBLE) AS sxy
+  FROM j
+  WINDOW w AS (ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT date,
+       CASE WHEN n = 20
+             AND (sxx - sx * sx / 20.0) > 0
+             AND (syy - sy * sy / 20.0) > 0
+            THEN round_even((sxy - sx * sy / 20.0)
+                            / sqrt((sxx - sx * sx / 20.0)
+                                   * (syy - sy * sy / 20.0)), 9)
+       END AS corr20
+FROM s
+"""
+
+
 # X4 — TF-IDF top terms per document: corpus-statistics term weighting
 # (explode once, two keyed aggregates, AQE-chosen DF join, rank window)
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,6 +1928,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_scrub_pii": q_scrub_pii,
     "q_rep_ngrams": q_rep_ngrams,
     "q_indicators": q_indicators,
+    "q_vwap": q_vwap,
+    "q_corr": q_corr,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -1925,6 +2003,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_scrub_pii": SQL_SCRUB_PII,
     "q_rep_ngrams": SQL_REP_NGRAMS,
     "q_indicators": SQL_INDICATORS,
+    "q_vwap": SQL_VWAP,
+    "q_corr": SQL_CORR,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

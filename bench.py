@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q_scrub_pii",
     "q_rep_ngrams",
     "q_indicators",
+    "q_vwap",
+    "q_corr",
 ]
 
 

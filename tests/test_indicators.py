@@ -132,3 +132,35 @@ def test_rsi_wilder_seed_and_recursion(spark):
     assert out[4] == 100.0  # all-gain seed window
     # next step: ag=(1*2+0)/3, al=(0*2+1)/3 -> rsi = 100 - 100/(1+2)
     assert abs(out[5] - (100 - 100 / 3)) < 1e-9
+
+
+def test_rolling_corr_known_values(spark):
+    from alphavantage_etl_spark.functions.indicators import rolling_corr
+
+    rows = [
+        (date(2024, 1, i + 1), float(x), float(y))
+        for i, (x, y) in enumerate(
+            [(1, 2), (2, 4), (3, 6), (4, 7), (5, 5), (6, 4)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "date date, x double, y double")
+    out = [
+        r["c"]
+        for r in df.select(rolling_corr("x", "y", k=3).alias("c")).collect()
+    ]
+    assert out[0] is None and out[1] is None  # under k
+    assert abs(out[2] - 1.0) < 1e-12  # (1,2,3) vs (2,4,6): perfect
+    import numpy as np
+
+    want = np.corrcoef([4, 5, 6], [7, 5, 4])[0, 1]
+    assert abs(out[5] - want) < 1e-9
+    # constant y in frame -> zero variance -> NULL
+    flat = spark.createDataFrame(
+        [(date(2024, 1, i + 1), float(i), 5.0) for i in range(4)],
+        "date date, x double, y double",
+    )
+    fc = [
+        r["c"]
+        for r in flat.select(rolling_corr("x", "y", k=3).alias("c")).collect()
+    ]
+    assert fc[2] is None and fc[3] is None
