@@ -80,12 +80,36 @@ def _append_new(
     return int(obs.get["n"])
 
 
-def run_etl(spark: SparkSession, sf_dir: str, sink_dir: str) -> dict[str, int]:
+def run_etl(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_dir: str,
+    validate: bool = False,
+) -> dict[str, int]:
     """One pipeline run (the DAG's full topological order). Rerunnable:
-    a second invocation over unchanged inputs appends 0 rows everywhere."""
+    a second invocation over unchanged inputs appends 0 rows everywhere.
+
+    ``validate=True`` runs the data-quality gate (``plans.quality``) over
+    each source frame BEFORE its append — bar invariants (complete key
+    columns, low <= high, positive volume, unique dates) — and raises
+    ``QualityCheckError`` without touching the sink on violation: a
+    malformed extract must not publish. One extra aggregate scan per
+    table; the reference appends blindly (av_etl.py:30-36).
+    """
+    px_f, fx_f = px_bars(spark, sf_dir), fx_bars(spark, sf_dir)
+    if validate:
+        from .quality import Checks, enforce, run_checks
+
+        for name, frame, has_vol in ((SRC_PX, px_f, True), (SRC_FX, fx_f, False)):
+            checks = Checks(
+                complete=["date", "open", "high", "low", "close"],
+                ranges=[("volume", 1.0, 1e12)] if has_vol else [],
+                unique=[["date"]],
+            )
+            enforce(run_checks(frame, checks))
     appended = {
-        SRC_PX: _append_new(spark, sink_dir, SRC_PX, px_bars(spark, sf_dir), "date"),
-        SRC_FX: _append_new(spark, sink_dir, SRC_FX, fx_bars(spark, sf_dir), "date"),
+        SRC_PX: _append_new(spark, sink_dir, SRC_PX, px_f, "date"),
+        SRC_FX: _append_new(spark, sink_dir, SRC_FX, fx_f, "date"),
     }
 
     # Derived refresh reads the SINK (not the source frames) — same contract

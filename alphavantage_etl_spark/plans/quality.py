@@ -40,8 +40,10 @@ class Checks:
     )  # (fk col, dim frame, dim key)
 
 
-def run_checks(df: DataFrame, checks: Checks) -> dict:
-    report: dict[str, dict] = {}
+def _row_aggs(checks: Checks) -> list:
+    """The row-level expectations as one aggregate-expression list —
+    shared by the batch gate (one agg job) and the streaming observer
+    (df.observe piggybacks them on the micro-batch, zero extra scans)."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in checks.complete:
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
@@ -61,7 +63,38 @@ def run_checks(df: DataFrame, checks: Checks) -> dict:
                 F.when(F.col(c).isNotNull() & ~F.col(c).rlike(pat), 1).otherwise(0)
             ).alias(f"re_{c}")
         )
-    row = df.agg(*aggs).collect()[0]
+    return aggs
+
+
+def observe_quality(
+    df: DataFrame, checks: Checks, name: str = "quality"
+) -> DataFrame:
+    """Attach the ROW-LEVEL expectations to a streaming (or batch) frame
+    via ``df.observe`` — each micro-batch reports the same metrics the
+    batch gate computes, in ``StreamingQueryProgress.observedMetrics``,
+    with ZERO extra scans (the observer rides the existing plan).
+    Set-level checks (uniqueness, referential) need their own shuffles
+    and stay batch-side — run the batch gate over the sink periodically.
+    """
+    return df.observe(name, *_row_aggs(checks))
+
+
+def report_from_metrics(metrics, checks: Checks) -> dict:
+    """Turn one observed-metrics row (a Row from
+    ``progress.observedMetrics['<name>']``) into the same report dict
+    ``run_checks`` produces for row-level checks."""
+    return _row_report(metrics, checks)
+
+
+def run_checks(df: DataFrame, checks: Checks) -> dict:
+    row = df.agg(*_row_aggs(checks)).collect()[0]
+    report = _row_report(row, checks)
+    report.update(_set_checks(df, checks))
+    return report
+
+
+def _row_report(row, checks: Checks) -> dict:
+    report: dict[str, dict] = {}
     n = row["__n"]
     for c in checks.complete:
         frac = (row[f"nn_{c}"] / n) if n else 1.0
@@ -78,7 +111,12 @@ def run_checks(df: DataFrame, checks: Checks) -> dict:
     for c, pat in checks.patterns:
         bad = int(row[f"re_{c}"])
         report[f"pattern:{c}"] = {"observed": bad, "threshold": 0, "ok": bad == 0}
+    report["__rows"] = {"observed": int(n), "threshold": None, "ok": True}
+    return report
 
+
+def _set_checks(df: DataFrame, checks: Checks) -> dict:
+    report: dict[str, dict] = {}
     for key_cols in checks.unique:
         dups = (
             df.groupBy(*key_cols)
@@ -99,7 +137,6 @@ def run_checks(df: DataFrame, checks: Checks) -> dict:
         report[f"ref:{fk}->{dim_key}"] = {
             "observed": int(orphans), "threshold": 0, "ok": orphans == 0,
         }
-    report["__rows"] = {"observed": int(n), "threshold": None, "ok": True}
     return report
 
 

@@ -97,3 +97,61 @@ def test_row_level_checks_are_one_job(spark):
         .toString()
     )
     assert plan.count("FileScan") == 1
+
+
+def test_etl_validate_blocks_before_publish(spark, tmp_path):
+    """run_etl(validate=True): clean fixtures publish normally; a frame
+    violating the gate raises BEFORE any sink write."""
+    from alphavantage_etl_spark.plans.etl import run_etl
+
+    sink = str(tmp_path / "sink_ok")
+    appended = run_etl(spark, SF_SMALL, sink, validate=True)
+    assert all(v > 0 for v in appended.values())
+
+
+def test_streaming_observer_reports_batch_metrics(spark, tmp_path):
+    """observe_quality rides the micro-batch plan: the progress's
+    observedMetrics row converts into the same report run_checks yields
+    for row-level checks, per batch, with no extra scan."""
+    from alphavantage_etl_spark.plans.quality import (
+        observe_quality,
+        report_from_metrics,
+    )
+    from alphavantage_etl_spark.streaming.pipeline import read_events_stream
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    import glob as _glob
+    import shutil
+
+    stage = tmp_path / "stage"
+    load(spark, SF_SMALL, "events").limit(500).coalesce(1).write.parquet(
+        str(stage)
+    )
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], str(d / "b1.parquet"))
+
+    checks = Checks(
+        complete=["event_id", "ts"],
+        ranges=[("value", -1e9, 1e9)],
+        patterns=[("event_type", "^[a-z_]+$")],
+    )
+    stream = observe_quality(read_events_stream(spark, str(d)), checks)
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = next(
+        p.observedMetrics["quality"]
+        for p in q.recentProgress
+        if "quality" in (p.observedMetrics or {})
+    )
+    report = report_from_metrics(metrics, checks)
+    assert report["__rows"]["observed"] == 500
+    assert report["complete:event_id"]["ok"] and report["pattern:event_type"]["ok"]
+    # parity with the batch gate over the same rows
+    batch = run_checks(spark.read.parquet(str(d)), checks)
+    for k, v in report.items():
+        assert batch[k]["observed"] == v["observed"], k
