@@ -1256,6 +1256,21 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, centroids=cents, n_probe=3)
 
 
+# X3 — PQ compressed-index top-k with exact rerank (approximate shortlist
+# -> rows-only; recall + exact-score guarantees pinned in tests). The scan
+# side is the m-int codes table, not the raw vectors — the 100 TB memory
+# shape; rerank fetches only the shortlist's raw rows via semi-join.
+def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_encode, pq_topk_rerank, train_pq_codebooks
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    books = train_pq_codebooks(emb, m=8, k=16, iters=2)
+    codes = pq_encode(emb, books)
+    return pq_topk_rerank(
+        emb, codes, _query_vec(spark, sf_dir), books, k=10, shortlist=50
+    )
+
+
 # X3 — LSH-bucketed approximate top-k (approximate -> rows-only check)
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
@@ -1938,6 +1953,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_dedup_near_verified": q_dedup_near_verified,
     "q_cosine_topk_ivf": q_cosine_topk_ivf,
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
+    "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
 }
 
