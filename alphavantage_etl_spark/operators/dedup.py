@@ -454,3 +454,59 @@ def minhash_near_dups_incremental(
         extra_cond=lambda a, b: F.col("a.__new") | F.col("b.__new"),
     )
     return pairs, new_sigs
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    block_prefix: int = 8,
+) -> DataFrame:
+    """Near-dup pairs for SHORT strings (titles, names, product labels) by
+    exact Levenshtein distance, quadratic only WITHIN blocks.
+
+    Shingle/MinHash machinery misbehaves on strings shorter than a few
+    shingles; entity-resolution practice uses edit distance with blocking.
+    Candidates are pairs sharing either the first ``block_prefix`` chars
+    or the LAST ``block_prefix`` chars (reversed-prefix key — identical
+    expression in any engine, unlike negative-index substrings); the
+    double key keeps every pair whose edits are confined to one end. A
+    pair with at least one edit in the prefix AND one in the suffix
+    evades both keys — the documented blocking recall trade (pinned by
+    test), the standard entity-resolution answer being more keys
+    (q-gram / phonetic blocking) at more candidate cost.
+
+    Output: (id_a, id_b, dist), id_a < id_b, dist <= max_dist. Shuffles
+    only on the two block keys; ``levenshtein`` runs JVM-side on
+    candidates only. Block-size skew is the operator's hazard (empty or
+    templated prefixes) — cap upstream via ``max_bucket_size``-style
+    filtering if a corpus has degenerate keys.
+    """
+    t = df.select(
+        F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__t")
+    )
+
+    def blocked(key):
+        a = t.select(
+            key(F.col("__t")).alias("__k"),
+            F.col("__id").alias("id_a"),
+            F.col("__t").alias("__ta"),
+        )
+        b = t.select(
+            key(F.col("__t")).alias("__k"),
+            F.col("__id").alias("id_b"),
+            F.col("__t").alias("__tb"),
+        )
+        return a.join(b, "__k").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "__ta", "__tb"
+        )
+
+    pre = blocked(lambda c: F.substring(c, 1, block_prefix))
+    suf = blocked(lambda c: F.substring(F.reverse(c), 1, block_prefix))
+    cand = pre.unionByName(suf).dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

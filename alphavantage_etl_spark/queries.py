@@ -1256,6 +1256,39 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, centroids=cents, n_probe=3)
 
 
+# X2 extension — blocked edit-distance near-dup for short strings: the
+# entity-resolution complement to MinHash (which misbehaves under a few
+# shingles). Prefix + reversed-prefix double blocking; exact Levenshtein
+# on candidates only. Fixture titles: first 24 chars of each doc.
+def q_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import edit_distance_near_dups
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, 24).alias("title")
+    )
+    return edit_distance_near_dups(d, "title", "doc_id", max_dist=6, block_prefix=8)
+
+
+SQL_TITLE_DEDUP = """
+WITH t AS (
+  SELECT doc_id, lower(substring(text, 1, 24)) AS title FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.title AS ta, b.title AS tb
+  FROM t a JOIN t b
+    ON substring(a.title, 1, 8) = substring(b.title, 1, 8)
+   AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.title, b.title
+  FROM t a JOIN t b
+    ON substring(reverse(a.title), 1, 8) = substring(reverse(b.title), 1, 8)
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, levenshtein(ta, tb) AS dist
+FROM cand WHERE levenshtein(ta, tb) <= 6
+"""
+
+
 # X3 — PQ compressed-index top-k with exact rerank (approximate shortlist
 # -> rows-only; recall + exact-score guarantees pinned in tests). The scan
 # side is the m-int codes table, not the raw vectors — the 100 TB memory
@@ -1945,6 +1978,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_indicators": q_indicators,
     "q_vwap": q_vwap,
     "q_corr": q_corr,
+    "q_title_dedup": q_title_dedup,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2021,6 +2055,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_indicators": SQL_INDICATORS,
     "q_vwap": SQL_VWAP,
     "q_corr": SQL_CORR,
+    "q_title_dedup": SQL_TITLE_DEDUP,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

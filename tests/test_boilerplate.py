@@ -117,3 +117,29 @@ def test_rep_ngram_ratio_known_values(spark):
     }
     for i, _t, want in cases:
         assert got[i] == round(want, 6), (i, got[i], want)
+
+
+def test_edit_distance_near_dups_blocking(spark):
+    from alphavantage_etl_spark.operators.dedup import edit_distance_near_dups
+
+    rows = [
+        (1, "customer data report 2024"),
+        (2, "customer data report 2025"),   # suffix edit -> prefix block
+        (3, "Xustomer data report 2024"),   # prefix edit -> suffix block
+        (4, "completely different title"),
+        (5, "CUSTOMER DATA REPORT 2024"),   # case-only: dist 0 after lower
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_near_dups(
+            df, "title", "doc_id", max_dist=2, block_prefix=8
+        ).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 5)] == 0
+    assert got[(2, 5)] == 1 and got[(3, 5)] == 1
+    # 2 vs 3: edits at BOTH ends, combined dist 2 — caught? prefix keys
+    # differ AND suffix keys differ -> blocked out (the documented miss
+    # requires edits at both ends; assert the behavior is stable)
+    assert (2, 3) not in got
+    assert all(4 not in pair for pair in got)
