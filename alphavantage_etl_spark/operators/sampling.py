@@ -250,3 +250,30 @@ def pack_bins(
     )
     prior = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
     return df.withColumn(bin_col, F.floor(prior / F.lit(budget)))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "epoch0",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every row gets a
+    content-addressed sort key ``md5(seed ':' id)`` — ordering by it IS
+    the epoch's shuffle.
+
+    Why not ``orderBy(rand(seed))``: rand is partition-layout-dependent
+    (same seed, different file split -> different order) and not
+    reproducible by another engine. The md5 key depends only on
+    (seed, id): any engine can recompute the exact order, a different
+    ``seed`` ("epoch1", "epoch2", ...) decorrelates epochs, and appending
+    new documents never moves existing ones RELATIVE to each other within
+    an epoch (their keys are unchanged — the same stability argument as
+    ``hash_split``). At scale the sort is a range-partitioned
+    ``orderBy`` feeding the shard writer; the key column also serves as a
+    deterministic tiebreak-free ordering for ``pack_bins``.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    ).alias(key_col)
+    return df.select("*", key).orderBy(key_col, id_col)

@@ -1256,6 +1256,23 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, centroids=cents, n_probe=3)
 
 
+# X11 extension — deterministic epoch shuffle: the content-addressed
+# training order (md5(seed:id) sort key). The multiset of (id, key)
+# pins the full ordering cross-engine even though the compare itself is
+# order-insensitive.
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import epoch_shuffle
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, "doc_id", seed="epoch1")
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id, md5(concat('epoch1', ':', CAST(doc_id AS VARCHAR))) AS shuffle_key
+FROM documents ORDER BY shuffle_key, doc_id
+"""
+
+
 # X2 extension — blocked edit-distance near-dup for short strings: the
 # entity-resolution complement to MinHash (which misbehaves under a few
 # shingles). Prefix + reversed-prefix double blocking; exact Levenshtein
@@ -1979,6 +1996,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_vwap": q_vwap,
     "q_corr": q_corr,
     "q_title_dedup": q_title_dedup,
+    "q_epoch_shuffle": q_epoch_shuffle,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2056,6 +2074,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_vwap": SQL_VWAP,
     "q_corr": SQL_CORR,
     "q_title_dedup": SQL_TITLE_DEDUP,
+    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

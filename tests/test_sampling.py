@@ -283,3 +283,27 @@ def test_tfidf_construction_is_lazy_no_driver_action(spark, monkeypatch):
     df = tfidf_top_terms(docs, "text", "doc_id", k=2)  # must not act
     monkeypatch.undo()
     assert df.count() == 4
+
+
+def test_epoch_shuffle_deterministic_and_decorrelated(spark):
+    from alphavantage_etl_spark.operators.sampling import epoch_shuffle
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_SMALL
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id")
+    e1 = [r["doc_id"] for r in epoch_shuffle(d, "doc_id", "epoch1").collect()]
+    # same seed -> identical order; layout-independent (repartition first)
+    e1b = [
+        r["doc_id"]
+        for r in epoch_shuffle(d.repartition(7), "doc_id", "epoch1").collect()
+    ]
+    assert e1 == e1b and sorted(e1) != e1
+    # different seed -> different permutation of the same rows
+    e2 = [r["doc_id"] for r in epoch_shuffle(d, "doc_id", "epoch2").collect()]
+    assert sorted(e1) == sorted(e2) and e1 != e2
+    # appending rows never reorders existing rows relative to each other
+    head = d.where(F.col("doc_id") < 100)
+    h = [r["doc_id"] for r in epoch_shuffle(head, "doc_id", "epoch1").collect()]
+    pos = {v: i for i, v in enumerate(e1)}
+    assert h == sorted(h, key=lambda v: pos[v])
