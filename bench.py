@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q_indicators",
     "q_vwap",
     "q_corr",
+    "q_title_dedup",
+    "q_epoch_shuffle",
 ]
 
 
