@@ -42,6 +42,7 @@ def curate(
     min_chars: int = 100,
     jaccard_threshold: float = 0.6,
     resolution: str = "pairwise",
+    cc_algorithm: str = "propagation",
     scrub: bool = False,
     boilerplate_min_doc_frac: float | None = None,
     boilerplate_delim: str = "\n",
@@ -113,9 +114,22 @@ def curate(
         handles=handles,
     )
     if resolution == "cluster":
-        from ..operators.graph import cluster_representatives, connected_components
+        from ..operators.graph import (
+            cluster_representatives,
+            connected_components,
+            connected_components_star,
+        )
 
-        cc = connected_components(pairs, "id_a", "id_b", handles=handles)
+        # "propagation" (default): diameter sweeps, cheapest per sweep —
+        # right for clumpy dup families. "star": O(log n) rounds for
+        # chain-shaped graphs (successive revisions) where propagation
+        # would hit its sweep cap. Label frames are identical
+        # (equivalence-tested), so this is purely a cost choice.
+        cc_fn = {
+            "propagation": connected_components,
+            "star": connected_components_star,
+        }[cc_algorithm]
+        cc = cc_fn(pairs, "id_a", "id_b", handles=handles)
         return cluster_representatives(exact_unique, cc, id_col, "q")
 
     quality = exact_unique.select(F.col(id_col).alias("__qid"), F.col("q").alias("__q"))

@@ -176,3 +176,23 @@ def test_front_stages_scrub_and_deboilerplate(spark):
         ).collect()
     }
     assert any("jane.doe@example.com" in t for t in raw.values())
+
+
+def test_cluster_resolution_star_algorithm_equivalent(spark, planted):
+    """cc_algorithm='star' must select the same representatives as the
+    default propagation — the swap is a cost choice, not a semantic one."""
+    a = sorted(
+        r["doc_id"]
+        for r in curate(
+            planted, min_quality=0.65, jaccard_threshold=0.5,
+            resolution="cluster",
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in curate(
+            planted, min_quality=0.65, jaccard_threshold=0.5,
+            resolution="cluster", cc_algorithm="star",
+        ).collect()
+    )
+    assert a == b
