@@ -1921,17 +1921,31 @@ SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
 # in registration order), so the registry is consolidated to fit entirely
 # inside that window:
 #
-# - the 9 queries that had no r02 driver row (q_contamination ...
-#   q_weighted_sample) are registered FIRST so they are checked even under
-#   a time-budgeted driver;
+# - queries with no driver row yet are registered FIRST so they are
+#   checked even under a time-budgeted driver (r3: the 9 r02-unverified;
+#   r4: the 8 r3 additions q_boilerplate ... q_epoch_shuffle);
+# - entries holding two-plus consecutive green driver rows rotate out to
+#   make room (r4: q_scan_project, q_cast_types, q_latest_row,
+#   q_topn_recent, q_filter_today, q_weekday_filter, q_set_ops,
+#   q_pivot_daily — each green in r1+r2+r3);
 # - the rows-only diagnostics (q_dedup_near, q_simhash, ...) and the two
 #   single-series forms subsumed by their partitioned scale forms
 #   (q_sma_window ⊂ q_sma_partitioned, q_asof_rate ⊂ q_asof_partitioned)
-#   moved to EXTRA_QUERIES below: still benchmarked and still locally
+#   live in EXTRA_QUERIES below: still benchmarked and still locally
 #   oracle-checked (tests/test_contract_queries.py iterates ALL_QUERIES /
 #   ALL_ORACLES), just not declared to the driver.
 QUERIES: dict[str, QueryFn] = {
-    # --- driver-unverified in r02: first, inside any cap or time budget ---
+    # --- r3 additions with no driver row yet: first, inside any cap or
+    #     time budget (same rotation discipline as r3's unverified-first) ---
+    "q_boilerplate": q_boilerplate,
+    "q_scrub_pii": q_scrub_pii,
+    "q_rep_ngrams": q_rep_ngrams,
+    "q_indicators": q_indicators,
+    "q_vwap": q_vwap,
+    "q_corr": q_corr,
+    "q_title_dedup": q_title_dedup,
+    "q_epoch_shuffle": q_epoch_shuffle,
+    # --- r03 first-time-green rows (keep a second consecutive row) ---
     "q_contamination": q_contamination,
     "q_dedup_clusters": q_dedup_clusters,
     "q_stratified_sample": q_stratified_sample,
@@ -1941,19 +1955,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_interval_join": q_interval_join,
     "q_quality_calibrated": q_quality_calibrated,
     "q_weighted_sample": q_weighted_sample,
-    # --- r02 driver-green rows ---
-    "q_scan_project": q_scan_project,
-    "q_cast_types": q_cast_types,
+    # --- r02+r03 driver-green rows ---
     "q_json_explode": q_json_explode,
     "q_ohlc_daily": q_ohlc_daily,
     "q_join_convert": q_join_convert,
-    "q_latest_row": q_latest_row,
-    "q_topn_recent": q_topn_recent,
     "q_anti_new_rows": q_anti_new_rows,
     "q_incremental_merge": q_incremental_merge,
     "q_sma_partitioned": q_sma_partitioned,
-    "q_filter_today": q_filter_today,
-    "q_weekday_filter": q_weekday_filter,
     "q_busday_gap": q_busday_gap,
     "q_asof_partitioned": q_asof_partitioned,
     "q_agg_pricing": q_agg_pricing,
@@ -1961,7 +1969,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_rollup_revenue": q_rollup_revenue,
     "q_cube_orders": q_cube_orders,
-    "q_set_ops": q_set_ops,
     "q_rank_windows": q_rank_windows,
     "q_percentiles": q_percentiles,
     "q_dedup_exact": q_dedup_exact,
@@ -1978,7 +1985,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk": q_cosine_topk,
     "q_window_tumbling": q_window_tumbling,
     "q_window_sliding": q_window_sliding,
-    "q_pivot_daily": q_pivot_daily,
     "q_sessionize": q_sessionize,
     "q_split_assign": q_split_assign,
     "q_source_quota": q_source_quota,
@@ -1989,14 +1995,16 @@ QUERIES: dict[str, QueryFn] = {
 # window) but part of the engine surface: benchmarked by bench.py and
 # oracle-checked (where an oracle exists) by the local pytest gate.
 EXTRA_QUERIES: dict[str, QueryFn] = {
-    "q_boilerplate": q_boilerplate,
-    "q_scrub_pii": q_scrub_pii,
-    "q_rep_ngrams": q_rep_ngrams,
-    "q_indicators": q_indicators,
-    "q_vwap": q_vwap,
-    "q_corr": q_corr,
-    "q_title_dedup": q_title_dedup,
-    "q_epoch_shuffle": q_epoch_shuffle,
+    # Displaced in r4 to make room for the r3 additions: each holds two-plus
+    # consecutive green driver rows (r1–r3) and stays locally oracle-checked.
+    "q_scan_project": q_scan_project,
+    "q_cast_types": q_cast_types,
+    "q_latest_row": q_latest_row,
+    "q_topn_recent": q_topn_recent,
+    "q_filter_today": q_filter_today,
+    "q_weekday_filter": q_weekday_filter,
+    "q_set_ops": q_set_ops,
+    "q_pivot_daily": q_pivot_daily,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2012,6 +2020,14 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
+    "q_boilerplate": SQL_BOILERPLATE,
+    "q_scrub_pii": SQL_SCRUB_PII,
+    "q_rep_ngrams": SQL_REP_NGRAMS,
+    "q_indicators": SQL_INDICATORS,
+    "q_vwap": SQL_VWAP,
+    "q_corr": SQL_CORR,
+    "q_title_dedup": SQL_TITLE_DEDUP,
+    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "q_contamination": SQL_CONTAMINATION,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
@@ -2021,18 +2037,12 @@ ORACLES: dict[str, str] = {
     "q_interval_join": SQL_INTERVAL_JOIN,
     "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
     "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
-    "q_scan_project": SQL_SCAN_PROJECT,
-    "q_cast_types": SQL_CAST_TYPES,
     "q_json_explode": SQL_JSON_EXPLODE,
     "q_ohlc_daily": SQL_OHLC_DAILY,
     "q_join_convert": SQL_JOIN_CONVERT,
-    "q_latest_row": SQL_LATEST_ROW,
-    "q_topn_recent": SQL_TOPN_RECENT,
     "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
     "q_incremental_merge": SQL_INCREMENTAL_MERGE,
     "q_sma_partitioned": SQL_SMA_PARTITIONED,
-    "q_filter_today": SQL_FILTER_TODAY,
-    "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_busday_gap": SQL_BUSDAY_GAP,
     "q_asof_partitioned": SQL_ASOF_PARTITIONED,
     "q_agg_pricing": SQL_AGG_PRICING,
@@ -2040,7 +2050,6 @@ ORACLES: dict[str, str] = {
     "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "q_rollup_revenue": SQL_ROLLUP_REVENUE,
     "q_cube_orders": SQL_CUBE_ORDERS,
-    "q_set_ops": SQL_SET_OPS,
     "q_rank_windows": SQL_RANK_WINDOWS,
     "q_percentiles": SQL_PERCENTILES,
     "q_dedup_exact": SQL_DEDUP_EXACT,
@@ -2057,7 +2066,6 @@ ORACLES: dict[str, str] = {
     "q_cosine_topk": SQL_COSINE_TOPK,
     "q_window_tumbling": SQL_WINDOW_TUMBLING,
     "q_window_sliding": SQL_WINDOW_SLIDING,
-    "q_pivot_daily": SQL_PIVOT_DAILY,
     "q_sessionize": SQL_SESSIONIZE,
     "q_split_assign": SQL_SPLIT_ASSIGN,
     "q_source_quota": SQL_SOURCE_QUOTA,
@@ -2067,14 +2075,14 @@ ORACLES: dict[str, str] = {
 # Oracles for queries outside the driver window — the local pytest gate
 # holds these to the same exact-match bar as the driver-declared set.
 EXTRA_ORACLES: dict[str, str] = {
-    "q_boilerplate": SQL_BOILERPLATE,
-    "q_scrub_pii": SQL_SCRUB_PII,
-    "q_rep_ngrams": SQL_REP_NGRAMS,
-    "q_indicators": SQL_INDICATORS,
-    "q_vwap": SQL_VWAP,
-    "q_corr": SQL_CORR,
-    "q_title_dedup": SQL_TITLE_DEDUP,
-    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "q_scan_project": SQL_SCAN_PROJECT,
+    "q_cast_types": SQL_CAST_TYPES,
+    "q_latest_row": SQL_LATEST_ROW,
+    "q_topn_recent": SQL_TOPN_RECENT,
+    "q_filter_today": SQL_FILTER_TODAY,
+    "q_weekday_filter": SQL_WEEKDAY_FILTER,
+    "q_set_ops": SQL_SET_OPS,
+    "q_pivot_daily": SQL_PIVOT_DAILY,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

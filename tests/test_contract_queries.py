@@ -17,12 +17,24 @@ ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ALL_ORACLES))
 
 def test_driver_registry_shape():
     """The driver checks only the first ~50 registered queries
-    (CORRECTNESS_r02 was exactly the first 50 dict entries). Pin the
+    (CORRECTNESS_r02/r03 were exactly the first 50 dict entries). Pin the
     contract: at most 50 driver-facing entries, every one oracle-backed,
-    and the 9 r02-unverified queries registered first."""
+    and the queries with no prior driver row (r4: the 8 r3 additions)
+    registered first."""
     assert len(QUERIES) <= 50
     assert set(QUERIES) == set(ORACLES)
-    assert list(QUERIES)[:9] == [
+    assert list(QUERIES)[:8] == [
+        "q_boilerplate",
+        "q_scrub_pii",
+        "q_rep_ngrams",
+        "q_indicators",
+        "q_vwap",
+        "q_corr",
+        "q_title_dedup",
+        "q_epoch_shuffle",
+    ]
+    # the r3 first-time-green cohort stays in-window for a second row
+    assert list(QUERIES)[8:17] == [
         "q_contamination",
         "q_dedup_clusters",
         "q_stratified_sample",
