@@ -435,12 +435,20 @@ def train_pq_codebooks(
     hash-ordered sample the IVF trainer uses. Train on a sample at scale —
     the codebooks are tiny and the assignment below is a narrow map.
     """
-    dim = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError("train_pq_codebooks: empty input frame")
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
     normed = df.select(_l2_normalize(F.col(vec_col)).alias("__v"), F.col(id_col))
     seed_rows = normed.orderBy(F.xxhash64(F.col(id_col))).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"train_pq_codebooks: need >= k={k} vectors to seed each "
+            f"subspace quantizer, got {len(seed_rows)} (lower k or add data)"
+        )
     books = [
         [[float(x) for x in r["__v"][s * d_sub : (s + 1) * d_sub]] for r in seed_rows]
         for s in range(m)

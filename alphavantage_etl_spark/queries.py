@@ -1769,14 +1769,20 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORR = f"""WITH {PX_CTE}, {FX_CTE},
 j AS (
+  -- pairedness mask mirrors the engine (functions/indicators.py
+  -- rolling_corr): a row counts toward n and EVERY sum only when BOTH
+  -- closes are present, so the oracle stays exact if a regenerated
+  -- fixture ever carries NULL closes
   SELECT px.date,
-         CAST(round(px.close * 100) AS BIGINT) AS cx,
-         CAST(round(fx.close * 100) AS BIGINT) AS cy
+         CASE WHEN px.close IS NOT NULL AND fx.close IS NOT NULL
+              THEN CAST(round(px.close * 100) AS BIGINT) END AS cx,
+         CASE WHEN px.close IS NOT NULL AND fx.close IS NOT NULL
+              THEN CAST(round(fx.close * 100) AS BIGINT) END AS cy
   FROM px JOIN fx USING (date)
 ),
 s AS (
   SELECT date,
-         count(*) OVER w AS n,
+         count(cx) OVER w AS n,
          CAST(sum(cx) OVER w AS DOUBLE) AS sx,
          CAST(sum(cy) OVER w AS DOUBLE) AS sy,
          CAST(sum(CAST(cx AS HUGEINT) * cx) OVER w AS DOUBLE) AS sxx,

@@ -90,10 +90,28 @@ def zorder_by(
     bit positions; 2-3 columns is the useful range (beyond that, per-column
     resolution degrades as bits/column shrink).
     """
+    zc = "__z"
+    return (
+        _with_z_value(df, cols, bits, zc)
+        .repartitionByRange(n_files, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
+    )
+
+
+def _with_z_value(df: DataFrame, cols: list[str], bits: int, zc: str) -> DataFrame:
+    """``df`` plus the interleaved-bit Morton value as column ``zc``
+    (internal; split out so tests can inspect the z-value directly)."""
     from pyspark.sql import functions as F
 
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_by wants 1-4 columns")
+    # the interleaved z-value lives in a signed 64-bit long: the highest
+    # usable bit is 62 (bit 63 is the sign — a row landing there would sort
+    # negative and break the Morton order). Auto-shrink per-column
+    # resolution so bits * len(cols) <= 63.
+    if bits * len(cols) > 63:
+        bits = 63 // len(cols)
     # one scan over the column subset only (footer-level min/max would be
     # cheaper still, but this keeps semantics exact for any expression col)
     aggs = []
@@ -127,13 +145,7 @@ def zorder_by(
                     i * len(cols) + j,
                 )
             )
-    zc = "__z"
-    return (
-        df.withColumn(zc, z)
-        .repartitionByRange(n_files, zc)
-        .sortWithinPartitions(zc)
-        .drop(zc)
-    )
+    return df.withColumn(zc, z)
 
 
 def compact_parquet(

@@ -32,8 +32,16 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     surfaced as nanos-long under ``nanosAsLong``), so probe one footer via a
     batch read — a driver-side metadata-only operation — and normalize the
     same way the batch loader does (sources/parquet.py).
+
+    An EMPTY source directory (stream started before the first producer
+    batch lands — the normal cold-start order) has no footer to probe; fall
+    back to the declared timestamp schema, matching the current producers
+    (TESTDATA.md r3 regen writes TIMESTAMP(MICROS)).
     """
-    probe = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    try:
+        probe = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    except Exception:  # AnalysisException: unable to infer schema (empty dir)
+        probe = None
     if probe == "bigint":  # TIMESTAMP(NANOS) files read as nanos-long
         raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
         raw = spark.readStream.schema(raw_schema).parquet(events_dir)

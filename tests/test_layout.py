@@ -281,3 +281,21 @@ def test_compact_parquet_hits_target_file_size(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, src)
+
+
+def test_zorder_four_columns_stays_in_sign_safe_bits(spark):
+    """With 4 columns the default 16 bits/column would push the 4th
+    column's MSB onto bit 63 (the long's sign bit), making max-range rows
+    sort negative-first and breaking the Morton order. The guard
+    auto-shrinks resolution so every z-value is non-negative and the
+    all-max row still carries the maximum z."""
+    from alphavantage_etl_spark.sources.layout import _with_z_value
+
+    rows = [(float(a), float(b), float(c), float(d))
+            for a in (0.0, 255.0) for b in (0.0, 255.0)
+            for c in (0.0, 255.0) for d in (0.0, 255.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    z = _with_z_value(df, ["a", "b", "c", "d"], bits=16, zc="z").collect()
+    assert all(r["z"] >= 0 for r in z), "sign bit reached: Morton order broken"
+    top = max(z, key=lambda r: r["z"])
+    assert (top["a"], top["b"], top["c"], top["d"]) == (255.0,) * 4

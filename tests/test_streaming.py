@@ -476,3 +476,19 @@ def test_running_bars_stream_partial_final_and_parity(spark, tmp_path):
     assert (f4[0]["open"], f4[0]["high"], f4[0]["low"], f4[0]["close"],
             f4[0]["n_events"]) == (50.0, 60.0, 50.0, 60.0, 2)
     assert sum(1 for r in out3 if r["is_final"] and str(r["day"]) == d1) == 1
+
+
+def test_read_events_stream_cold_start_empty_dir(spark, tmp_path):
+    """Stream started BEFORE the first producer batch lands (the normal
+    cold-start order): the footer probe has nothing to read, so the reader
+    must fall back to the declared timestamp schema instead of raising —
+    and still ingest files that appear later."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    stream = read_events_stream(spark, str(d))  # must not raise on empty dir
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    (d / "events.parquet").symlink_to(f"{SF_SMALL}/events.parquet")
+    run_stream_to_memory(
+        windowed_counts_stream(stream), "t_cold_start", mode="append"
+    )
+    assert spark.table("t_cold_start").count() > 0
