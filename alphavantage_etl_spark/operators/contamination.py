@@ -16,8 +16,16 @@ nothing corpus-sized ever shuffles and no corpus self-join exists (contrast
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Conservative bytes-of-exploded-gram-table per compressed source byte:
+# text compresses ~3-4x in parquet, and each character position becomes one
+# 8-byte xxhash64 long (plus row overhead) in the exploded gram relation.
+_GRAM_EXPANSION = 32
 
 
 def _grams(df: DataFrame, text_col: str, id_col: str, out_id: str, k: int):
@@ -46,14 +54,38 @@ def _grams(df: DataFrame, text_col: str, id_col: str, out_id: str, k: int):
 
 
 def _should_broadcast(df: DataFrame, max_bytes: int) -> bool:
-    """Catalyst's own size estimate for ``df``'s optimized plan, compared
-    against ``max_bytes`` — the same information AQE uses, fetched without
-    an action. Fail-safe: if the internal API is unavailable, do NOT force
-    a broadcast (AQE still upgrades small sides at runtime)."""
+    """Supported-API size probe for the bench side: sum the on-disk bytes
+    of the files backing ``df`` (``DataFrame.inputFiles()`` — stable public
+    API, metadata-only) and compare the estimated exploded-gram size
+    (``bytes * _GRAM_EXPANSION``) against ``max_bytes``.
+
+    Deliberately conservative in every uncertain direction — each of these
+    falls through to False, i.e. NO forced broadcast, leaving the strategy
+    to Catalyst/AQE which still upgrades genuinely small sides at runtime:
+    - non-local URI schemes (hdfs/s3/...): size lookup would need a
+      filesystem client; skip rather than guess;
+    - no input files resolvable (in-memory frames, complex plans);
+    - any listing error.
+    When ``df`` is a FILTER over a larger file the whole file's bytes are
+    counted — an overestimate, so the probe under-broadcasts, never
+    over-broadcasts (the failure mode that OOMs a driver).
+
+    Replaces an earlier probe of Catalyst's optimizedPlan().stats() via
+    ``_jdf`` — same decision on the bench fixtures, but no Spark-private
+    JVM internals that a minor-version bump could break.
+    """
     try:
-        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        return int(str(est)) <= max_bytes
-    except Exception:  # pragma: no cover - depends on Spark internals
+        files = df.inputFiles()
+        if not files:
+            return False
+        total = 0
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme not in ("file", ""):
+                return False
+            total += os.path.getsize(unquote(p.path))
+        return total * _GRAM_EXPANSION <= max_bytes
+    except Exception:
         return False
 
 

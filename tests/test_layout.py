@@ -299,3 +299,16 @@ def test_zorder_four_columns_stays_in_sign_safe_bits(spark):
     assert all(r["z"] >= 0 for r in z), "sign bit reached: Morton order broken"
     top = max(z, key=lambda r: r["z"])
     assert (top["a"], top["b"], top["c"], top["d"]) == (255.0,) * 4
+
+
+def test_should_broadcast_supported_api_branches(spark):
+    """The broadcast probe uses only public APIs (DataFrame.inputFiles +
+    local file sizes). File-backed small frame -> True; in-memory frame
+    (no input files resolvable) -> fail-safe False; tiny budget -> False."""
+    from alphavantage_etl_spark.operators.contamination import _should_broadcast
+
+    backed = load(spark, SF_SMALL, "documents")
+    assert _should_broadcast(backed, 64 << 20) is True
+    assert _should_broadcast(backed, 0) is False
+    mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert _should_broadcast(mem, 64 << 20) is False
