@@ -40,6 +40,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     handles: list[DataFrame] | None = None,
+    star_fallback: bool = True,
 ) -> DataFrame:
     """(node, cluster) for every node incident to an edge; cluster is the
     smallest node id reachable from the node (component minimum).
@@ -50,8 +51,13 @@ def connected_components(
     previous one; pass ``handles=[]`` to also collect the FINAL frame for
     ``operators.dedup.release`` after the caller's last action.
 
-    Raises if ``max_iter`` sweeps do not converge (a diameter that large
-    means the input is not a near-dup graph — use large-star/small-star).
+    If ``max_iter`` sweeps do not converge (graph diameter beyond the
+    near-dup regime — e.g. a chain of successive page revisions), the
+    default is to FINISH with the diameter-independent O(log n)
+    large-star/small-star algorithm (``connected_components_star``, label
+    frames pinned identical by equivalence test) rather than fail — no
+    corpus shape can abort a curation run. ``star_fallback=False`` restores
+    the raise for callers that want the cap as a structural assertion.
 
     Isolated nodes never appear in ``edges`` and so never appear here;
     union the corpus back in with ``coalesce(cluster, id)`` for a total
@@ -110,13 +116,21 @@ def connected_components(
             break
         prev_sum = new_sum
 
-    free_blocks(e)  # edge-list checkpoint blocks are no longer needed
     if not converged:
         free_blocks(labels)
+        if star_fallback:
+            # e (the checkpointed directed edge list) is still alive here —
+            # the star run re-reads it, then checkpoints its own canonical
+            # copy eagerly, after which e's blocks are dead.
+            out = connected_components_star(e, "a", "b", handles=handles)
+            free_blocks(e)
+            return out
+        free_blocks(e)
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} sweeps — "
             "graph diameter exceeds the near-dup regime"
         )
+    free_blocks(e)  # edge-list checkpoint blocks are no longer needed
     # The result frame is already materialized in the cache (the convergence
     # check was an action over it); returning it cached means downstream
     # actions never replay the sweep lineage. Collect it via ``handles`` for

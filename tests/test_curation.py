@@ -196,3 +196,24 @@ def test_cluster_resolution_star_algorithm_equivalent(spark, planted):
         ).collect()
     )
     assert a == b
+
+
+def test_cluster_resolution_survives_120_doc_revision_chain(spark):
+    """No corpus shape can abort curation: 120 successive 'revisions'
+    (sliding word windows — adjacent docs share ~0.68 Jaccard, two-apart
+    ~0.43) form a path graph of diameter 119. Min-propagation hits its
+    sweep cap there; the star fallback must finish the run and collapse
+    the whole revision family to ONE representative."""
+    n_docs, win, step = 120, 40, 8
+    words = [f"w{j:04d}" for j in range(step * (n_docs - 1) + win)]
+    rows = [
+        (i, " ".join(words[i * step : i * step + win]))
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate(
+        docs, min_quality=0.0, min_chars=10, jaccard_threshold=0.6,
+        resolution="cluster",
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert len(kept) == 1, kept

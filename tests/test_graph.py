@@ -59,11 +59,13 @@ def test_cc_empty_edges(spark):
     cc.unpersist()
 
 
-def test_cc_max_iter_raises(spark):
+def test_cc_max_iter_raises_only_without_fallback(spark):
+    edges = [(i, i + 1) for i in range(10)]
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(
-            _edges(spark, [(i, i + 1) for i in range(10)]), max_iter=2
-        )
+        connected_components(_edges(spark, edges), max_iter=2, star_fallback=False)
+    # default: same cap, but the star fallback finishes instead of raising
+    labels = connected_components(_edges(spark, edges), max_iter=2).collect()
+    assert {r["cluster"] for r in labels} == {0}
 
 
 def test_cc_handles_collects_cache(spark):
@@ -155,8 +157,9 @@ def test_star_cc_matches_propagation_on_random_graphs(spark):
 
 def test_star_cc_handles_long_paths_where_propagation_raises(spark):
     """The escape-hatch contract: a 120-node path has diameter 119 —
-    min-propagation must raise at its sweep cap; star rounds converge in
-    O(log n) and still label every node with the path minimum."""
+    min-propagation hits its sweep cap there, raising only when the caller
+    opts out of the fallback; star rounds converge in O(log n) and still
+    label every node with the path minimum."""
     import pytest as _pytest
 
     from alphavantage_etl_spark.operators.graph import (
@@ -168,7 +171,21 @@ def test_star_cc_handles_long_paths_where_propagation_raises(spark):
         [(i, i + 1) for i in range(120)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError):
-        connected_components(path, max_iter=10)
+        connected_components(path, max_iter=10, star_fallback=False)
     labels = connected_components_star(path).collect()
+    assert len(labels) == 121
+    assert all(r["cluster"] == 0 for r in labels)
+
+
+def test_cc_default_falls_back_to_star_past_sweep_cap(spark):
+    """No graph shape may abort a curation run: past the sweep cap the
+    default finishes with the star algorithm and yields the identical
+    label frame a converged propagation would."""
+    from alphavantage_etl_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    labels = connected_components(path, max_iter=10).collect()
     assert len(labels) == 121
     assert all(r["cluster"] == 0 for r in labels)
