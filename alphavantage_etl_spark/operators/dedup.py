@@ -462,6 +462,7 @@ def edit_distance_near_dups(
     id_col: str,
     max_dist: int = 2,
     block_prefix: int = 8,
+    qgram_block: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs for SHORT strings (titles, names, product labels) by
     exact Levenshtein distance, quadratic only WITHIN blocks.
@@ -474,11 +475,22 @@ def edit_distance_near_dups(
     double key keeps every pair whose edits are confined to one end. A
     pair with at least one edit in the prefix AND one in the suffix
     evades both keys — the documented blocking recall trade (pinned by
-    test), the standard entity-resolution answer being more keys
-    (q-gram / phonetic blocking) at more candidate cost.
+    test) with the default keys.
+
+    ``qgram_block=q`` (off by default) adds the standard third key that
+    closes exactly that miss: a positional middle q-gram. Each string
+    emits its centered ``q``-gram at alignment offsets ``-max_dist ..
+    +max_dist`` (2*max_dist+1 keys); a pair whose edits are all confined
+    to the two end zones has an untouched middle whose alignment shifts by
+    at most ``max_dist``, so some offset pair collides — guaranteed catch
+    for the both-ends case (pinned by test). Candidate cost: the block
+    fan-out grows by ~(2*max_dist+1) exploded rows per string on the third
+    key, and templated MIDDLES join the templated-prefix skew hazard (see
+    PERF.md). Middle edits can still evade all three keys — blocking
+    recall is always a key-coverage statement, not a proof.
 
     Output: (id_a, id_b, dist), id_a < id_b, dist <= max_dist. Shuffles
-    only on the two block keys; ``levenshtein`` runs JVM-side on
+    only on the block keys; ``levenshtein`` runs JVM-side on
     candidates only. Block-size skew is the operator's hazard (empty or
     templated prefixes) — cap upstream via ``max_bucket_size``-style
     filtering if a corpus has degenerate keys.
@@ -504,7 +516,40 @@ def edit_distance_near_dups(
 
     pre = blocked(lambda c: F.substring(c, 1, block_prefix))
     suf = blocked(lambda c: F.substring(F.reverse(c), 1, block_prefix))
-    cand = pre.unionByName(suf).dropDuplicates(["id_a", "id_b"])
+    cand = pre.unionByName(suf)
+    if qgram_block is not None:
+        q = int(qgram_block)
+
+        def mid_grams(c):
+            # centered q-gram at alignment offsets -max_dist..+max_dist;
+            # array_distinct collapses the fan-out for short strings where
+            # shifted windows coincide
+            mid = F.floor((F.length(c) - F.lit(q)) / 2) + 1
+            return F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(-max_dist), F.lit(max_dist)),
+                    lambda o: c.substr(
+                        F.greatest(mid + o, F.lit(1)).cast("int"), F.lit(q)
+                    ),
+                )
+            )
+
+        g = t.select(
+            "__id", "__t", F.explode(mid_grams(F.col("__t"))).alias("__k")
+        )
+        ga = g.select(
+            "__k", F.col("__id").alias("id_a"), F.col("__t").alias("__ta")
+        )
+        gb = g.select(
+            "__k", F.col("__id").alias("id_b"), F.col("__t").alias("__tb")
+        )
+        mid_pairs = (
+            ga.join(gb, "__k")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__ta", "__tb")
+        )
+        cand = cand.unionByName(mid_pairs)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
         cand.withColumn("dist", F.levenshtein("__ta", "__tb"))
         .where(F.col("dist") <= max_dist)

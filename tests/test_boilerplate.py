@@ -143,3 +143,38 @@ def test_edit_distance_near_dups_blocking(spark):
     # requires edits at both ends; assert the behavior is stable)
     assert (2, 3) not in got
     assert all(4 not in pair for pair in got)
+
+    # the optional positional middle-q-gram key closes exactly that miss:
+    # the both-ends pair's middle is untouched, so a centered-gram offset
+    # pair collides and the pair reaches exact verification
+    with_mid = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_near_dups(
+            df, "title", "doc_id", max_dist=2, block_prefix=8, qgram_block=6
+        ).collect()
+    }
+    assert with_mid[(2, 3)] == 2
+    # supersets the default keys' pairs; still no false positives
+    assert set(got) <= set(with_mid)
+    assert all(4 not in pair for pair in with_mid)
+
+
+def test_edit_distance_qgram_key_survives_length_shift(spark):
+    """Indel at the front shifts the middle alignment; the ±max_dist
+    offset fan-out must still collide for a both-ends pair whose lengths
+    differ (delete in prefix + substitute in suffix)."""
+    from alphavantage_etl_spark.operators.dedup import edit_distance_near_dups
+
+    rows = [
+        (1, "abcdefgh 0123456789 stuvwxyz"),
+        # drop 'a' (prefix delete) and substitute the last char (suffix
+        # sub): dist 2, edits at both ends, lengths differ by 1
+        (2, "bcdefgh 0123456789 stuvwxyq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    base = edit_distance_near_dups(df, "title", "doc_id", max_dist=2).collect()
+    assert base == []  # both default keys miss
+    got = edit_distance_near_dups(
+        df, "title", "doc_id", max_dist=2, qgram_block=6
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(1, 2, 2)]
