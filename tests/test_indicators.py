@@ -164,3 +164,40 @@ def test_rolling_corr_known_values(spark):
         for r in flat.select(rolling_corr("x", "y", k=3).alias("c")).collect()
     ]
     assert fc[2] is None and fc[3] is None
+
+
+def test_partitioned_indicator_suite_single_window_exchange(spark):
+    """Scale-form plan evidence for the whole r3 indicator suite (the SMA
+    evidence already exists): Bollinger, Cutler RSI, volatility, drawdown,
+    and rolling correlation computed together over the SAME
+    (partition_by, order) spec must share ONE hash-partition Exchange —
+    per-symbol sharding, no single-reducer sort, no per-indicator
+    re-shuffle."""
+    from alphavantage_etl_spark.functions.indicators import (
+        bollinger_bands,
+        drawdown,
+        rolling_corr,
+        rolling_volatility,
+        rsi_cutler,
+    )
+
+    rows = [
+        (sym, date(2024, 1, i + 1), 100.0 + i + ord(sym[0]), 1.0 + 0.01 * i)
+        for sym in ("A", "B", "C")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "sym string, date date, close double, fx double")
+    p = ["sym"]
+    mid, up, lo = bollinger_bands("close", k=20, partition_by=p)
+    out = df.select(
+        "sym", "date",
+        mid.alias("bb_mid"), up.alias("bb_up"), lo.alias("bb_lo"),
+        rsi_cutler("close", k=14, partition_by=p).alias("rsi"),
+        rolling_volatility("close", k=20, partition_by=p).alias("vol"),
+        drawdown("close", partition_by=p).alias("dd"),
+        rolling_corr("close", "fx", 20, partition_by=p).alias("corr"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert out.count() == 90
