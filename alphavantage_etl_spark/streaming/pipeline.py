@@ -349,6 +349,9 @@ def curation_ingest_stream(
     signature_dir: str | None = None,
     jaccard_threshold: float = 0.5,
     scrub: bool = False,
+    checks=None,
+    quarantine_path: str | None = None,
+    quality_reports: list | None = None,
 ):
     """Streaming corpus curation: every micro-batch is quality-gated,
     exact-deduplicated by content fingerprint (within the batch AND against
@@ -382,6 +385,26 @@ def curation_ingest_stream(
 
     Without ``signature_dir`` (default), near-dup resolution stays a
     periodic BATCH compaction over the sink — the pre-r3 behavior.
+
+    ``checks`` (a ``plans.quality.Checks``) composes the data-quality gate
+    into the stream: each micro-batch is evaluated against the SAME
+    row-level expectation aggregates the batch gate and
+    ``observe_quality`` compile (``plans.quality._row_aggs`` — metric
+    parity is what lets one declaration serve batch, observer, and this
+    gate), and the per-batch report is appended to ``quality_reports``
+    (caller-provided list, driver-side). The distinction from the
+    row-level ``min_quality`` filter matters: that filter drops BAD ROWS
+    silently by design; a batch that FAILS AN EXPECTATION (e.g. a
+    completeness collapse — the upstream producer broke) is a poison
+    batch and must not be partially ingested at all. On failure the RAW
+    batch (as delivered, pre-scrub) is appended to ``quarantine_path``
+    for replay after the producer fix, and the sink is untouched; with no
+    ``quarantine_path`` the batch raises ``QualityCheckError`` instead,
+    failing the stream so the checkpoint retries under operator control —
+    either way, never a silent drop. Cost: one extra aggregate scan of
+    the micro-batch (O(batch), same class as the scoring pass) — the
+    verdict must exist BEFORE the sink append, which is exactly what the
+    zero-extra-scan ``observe`` pattern cannot give.
     """
     from ..functions.text import fingerprint_sha256, with_quality_score
     from ..operators.contamination import ngram_contamination
@@ -397,6 +420,25 @@ def curation_ingest_stream(
         from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
+        if checks is not None:
+            from ..plans.quality import (
+                QualityCheckError,
+                _row_aggs,
+                report_from_metrics,
+            )
+
+            row = batch_df.agg(*_row_aggs(checks)).collect()[0]
+            report = report_from_metrics(row, checks)
+            failures = [k for k, v in report.items() if not v["ok"]]
+            if quality_reports is not None:
+                quality_reports.append(
+                    {"batch_id": batch_id, "ok": not failures, "report": report}
+                )
+            if failures:
+                if quarantine_path is None:
+                    raise QualityCheckError(failures, report)
+                batch_df.write.mode("append").parquet(quarantine_path)
+                return
         if scrub:
             # PII redaction is per-row and stateless -> runs unchanged per
             # micro-batch, BEFORE fingerprinting (a redacted and an

@@ -492,3 +492,85 @@ def test_read_events_stream_cold_start_empty_dir(spark, tmp_path):
         windowed_counts_stream(stream), "t_cold_start", mode="append"
     )
     assert spark.table("t_cold_start").count() > 0
+
+
+def test_curation_stream_quarantines_poison_batch(spark, tmp_path):
+    """Quality-gate composition: each micro-batch gets a report from the
+    shared expectation aggregates, a batch that fails an expectation is
+    QUARANTINED whole (raw rows preserved, sink untouched), and the
+    stream keeps ingesting good batches across checkpoint restarts."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.plans.quality import Checks
+    from alphavantage_etl_spark.streaming.pipeline import (
+        curation_ingest_stream,
+        read_documents_stream,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    quarantine = str(tmp_path / "quarantine")
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and it was a good day "
+        "for the animals in the field because the sun was out and the wind "
+        "was calm over the wide green valley near the old stone bridge"
+    )
+    other = (
+        "the house and the tree and the dog were all by the river watching "
+        "the boats go past in the warm light of a long afternoon that "
+        "seemed to never end for anyone who was there that day"
+    )
+
+    def land(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    reports: list = []
+    checks = Checks(complete=["text"], min_completeness=0.9)
+
+    def drain():
+        curation_ingest_stream(
+            read_documents_stream(spark, str(in_dir)), sink, ckpt,
+            min_quality=0.3, min_chars=100,
+            checks=checks, quarantine_path=quarantine,
+            quality_reports=reports,
+        )
+
+    # batch 1: clean -> ingested, report ok
+    land([(1, prose, "en", "src0", len(prose))], "b1")
+    drain()
+    assert [r["doc_id"] for r in spark.read.parquet(sink).collect()] == [1]
+    assert len(reports) == 1 and reports[0]["ok"]
+
+    # batch 2 (after restart): producer broke — most texts NULL. The
+    # row-level length gate would have dropped the NULLs SILENTLY and
+    # ingested doc 11; the expectation gate must instead quarantine the
+    # whole batch, doc 11 included.
+    land(
+        [(10, None, "en", "src0", 0), (11, other, "en", "src0", len(other)),
+         (12, None, "en", "src0", 0)],
+        "b2",
+    )
+    drain()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert kept == [1], f"poison batch must not partially land; got {kept}"
+    q_rows = sorted(r["doc_id"] for r in spark.read.parquet(quarantine).collect())
+    assert q_rows == [10, 11, 12], "raw batch preserved for replay"
+    assert len(reports) == 2 and not reports[1]["ok"]
+    assert not reports[1]["report"]["complete:text"]["ok"]
+
+    # batch 3 (after restart): producer fixed -> ingest resumes
+    land([(20, other, "en", "src0", len(other))], "b3")
+    drain()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert kept == [1, 20]
+    assert len(reports) == 3 and reports[2]["ok"]
