@@ -11,10 +11,11 @@ This module reproduces the same document structure WITHOUT the datapane/
 plotly dependency chain: every block renders as semantic HTML (``<details>``
 groups stand in for ``dp.Select``) with dependency-free inline SVG figures —
 real candlestick/OHLC/line marks per chart kind — each followed by the data
-table carrying the exact series the chart consumed. The one deliberate
-divergence: the reference's dual-axis ComparisonFigure renders here as two
-single-axis small multiples (twin y-scales invite false slope comparison);
-the two series are otherwise identical. The engine boundary is explicit:
+table carrying the exact series the chart consumed. The reference's
+dual-axis ComparisonFigure renders as a twin-y SVG (``_svg_dual_axis``,
+per-series tick tinting), followed by single-axis small multiples — twin
+y-scales invite false slope comparison, so the multiples and the table stay
+alongside as the honest reading. The engine boundary is explicit:
 
 - everything upstream of ``render_report`` is a lazy Spark plan
   (``plans.report.report_frames``);
@@ -157,6 +158,101 @@ def _svg_line(pdf: "pd.DataFrame", value_cols: list[str]) -> str:
     if len(cols) > 1:
         body.extend(legend)
     return _svg_frame(body, rows, x, y, lo, hi)
+
+
+def _svg_dual_axis(pdf: "pd.DataFrame", left_col: str, right_col: str) -> str:
+    """Twin-y comparison figure — the reference's ``ComparisonFigure``
+    (data_viz.py:9-38, ``make_subplots(specs=[[{'secondary_y': True}]])``)
+    as dependency-free SVG: each series keeps its OWN linear y-scale, left
+    axis for the first series, right axis for the second, tick labels
+    TINTED to their series' hue so scale ownership never rides on reading
+    position alone. Twin axes invite false slope comparison, which is why
+    the report also keeps the single-axis small multiples and the exact
+    two-column table next to this figure."""
+    if left_col not in pdf.columns or right_col not in pdf.columns:
+        return ""
+    rows = pdf.iloc[::-1].reset_index(drop=True)
+    if not len(rows):
+        return ""
+    mr = 56  # widened right margin: the secondary axis owns it
+
+    def scale(col):
+        vals = [float(v) for v in rows[col] if v is not None and v == v]
+        if not vals:
+            return None
+        lo, hi = min(vals), max(vals)
+        if lo == hi:
+            lo, hi = lo - 1.0, hi + 1.0
+        pad = (hi - lo) * 0.05
+        return lo - pad, hi + pad
+
+    sl, sr = scale(left_col), scale(right_col)
+    if sl is None or sr is None:
+        return ""
+    step = (_W - _ML - mr) / len(rows)
+
+    def x(i: int) -> float:
+        return _ML + (i + 0.5) * step
+
+    def y(v: float, lo: float, hi: float) -> float:
+        return _MT + (_H - _MT - _MB) * (hi - float(v)) / (hi - lo)
+
+    cl, cr = _SERIES_COLORS[0], _SERIES_COLORS[1]
+    parts = [
+        f'<svg viewBox="0 0 {_W} {_H}" width="{_W}" height="{_H}" '
+        f'role="img" class="dual-axis" style="max-width:100%">'
+    ]
+    # both scales map linearly onto the same pixel span, so tick k of the
+    # left scale and tick k of the right scale share a gridline
+    for k in range(5):
+        vl = sl[0] + (sl[1] - sl[0]) * k / 4
+        vr = sr[0] + (sr[1] - sr[0]) * k / 4
+        yy = y(vl, *sl)
+        parts.append(
+            f'<line x1="{_ML}" y1="{yy:.1f}" x2="{_W - mr}" y2="{yy:.1f}" '
+            f'stroke="{_GRID}" stroke-width="1"/>'
+            f'<text x="{_ML - 6}" y="{yy + 3.5:.1f}" text-anchor="end" '
+            f'font-size="10" fill="{cl}">{vl:.6g}</text>'
+            f'<text x="{_W - mr + 6}" y="{yy + 3.5:.1f}" '
+            f'font-size="10" fill="{cr}">{vr:.6g}</text>'
+        )
+    parts.append(
+        f'<line x1="{_ML}" y1="{_H - _MB}" x2="{_W - mr}" y2="{_H - _MB}" '
+        f'stroke="{_AXIS_INK}" stroke-width="1"/>'
+    )
+    if "date" in rows.columns:
+        d0, d1 = str(rows["date"].iloc[0]), str(rows["date"].iloc[-1])
+        parts.append(
+            f'<text x="{_ML}" y="{_H - 8}" font-size="10" fill="{_MUTED}">'
+            f"{_html.escape(d0)}</text>"
+            f'<text x="{_W - mr}" y="{_H - 8}" text-anchor="end" '
+            f'font-size="10" fill="{_MUTED}">{_html.escape(d1)}</text>'
+        )
+    legend = []
+    for si, (col, sc, color) in enumerate(
+        ((left_col, sl, cl), (right_col, sr, cr))
+    ):
+        pts = " ".join(
+            f"{x(i):.1f},{y(v, *sc):.1f}"
+            for i, v in enumerate(rows[col])
+            if v is not None and v == v
+        )
+        if not pts:
+            continue
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="{color}" '
+            f'stroke-width="2"><title>{_html.escape(col)}</title></polyline>'
+        )
+        lx = _ML + 8 + 110 * len(legend)
+        side = "left axis" if si == 0 else "right axis"
+        legend.append(
+            f'<rect x="{lx}" y="{_MT}" width="9" height="9" rx="2" fill="{color}"/>'
+            f'<text x="{lx + 13}" y="{_MT + 8.5}" font-size="11" fill="{_INK}">'
+            f"{_html.escape(col)} ({side})</text>"
+        )
+    parts.extend(legend)
+    parts.append("</svg>")
+    return "".join(parts)
 
 
 def _svg_bars(pdf: "pd.DataFrame", kind: str) -> str:
@@ -319,11 +415,15 @@ def render_report(
             ]
         ),
         f"<h2>{_html.escape(fig3_title)}</h2>",
-        # The reference plots this pair on twin y-axes
-        # (ComparisonFigure, data_viz.py:9-38). Twin axes invite false
-        # slope comparison, so render the pair as SMALL MULTIPLES — two
-        # stacked single-axis figures sharing the time axis — plus the
-        # exact two-column table the reference chart consumed.
+        # The reference plots this pair on twin y-axes (ComparisonFigure,
+        # data_viz.py:9-38): rendered here as the dual-axis figure for
+        # parity, FOLLOWED by single-axis small multiples and the exact
+        # two-column table (twin axes invite false slope comparison; the
+        # multiples remain the honest reading).
+        f"<figure><figcaption>{_html.escape(fig3_title)} — twin axes"
+        "</figcaption>"
+        + _svg_dual_axis(comparison, "close_usd", "close_fx")
+        + "</figure>",
         f"<figure><figcaption>{_html.escape(sym)} close (USD)</figcaption>"
         + _svg_line(comparison, ["close_usd"])
         + "</figure>",
