@@ -2,6 +2,8 @@ from .bars import ohlcv_bars
 from .incremental import high_watermark, new_rows, merge_incremental
 from .asof import asof_join
 from .dedup import (
+    cdc_chunk_hashes,
+    cdc_overlap_pairs,
     dedup_exact,
     minhash_near_dups,
     minhash_near_dups_incremental,
@@ -28,6 +30,7 @@ from .sampling import (
     pack_bins,
     split_bucket,
     stratified_sample,
+    temperature_mix,
     weighted_sample,
 )
 from .tfidf import doc_frequency, term_counts, tfidf_top_terms
@@ -49,6 +52,8 @@ __all__ = [
     "new_rows",
     "merge_incremental",
     "asof_join",
+    "cdc_chunk_hashes",
+    "cdc_overlap_pairs",
     "dedup_exact",
     "minhash_near_dups",
     "minhash_near_dups_incremental",
@@ -71,6 +76,7 @@ __all__ = [
     "pack_bins",
     "split_bucket",
     "stratified_sample",
+    "temperature_mix",
     "weighted_sample",
     "doc_frequency",
     "term_counts",

@@ -555,3 +555,118 @@ def edit_distance_near_dups(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def cdc_chunk_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    density: int = 64,
+    min_chunk: int = 24,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(id, chunk_hash) — content-defined chunking (CDC) fingerprints:
+    chunk boundaries fall where the hash of the ``window``-char context
+    satisfies a 1/``density`` condition, so boundaries are determined by
+    CONTENT, not position. A block of text shared between two documents
+    produces the SAME interior chunks in both regardless of where the
+    block sits — the property fixed-stride chunking lacks, and the basis
+    of partial-overlap (substring) dedup: a doc quoting 30% of another
+    shares ~30% of its chunks even when whole-document Jaccard is far
+    below any near-dup threshold.
+
+    Spark-first shape: boundary detection, chunk splitting, and chunk
+    hashing are ONE projection of nested higher-order functions (filter /
+    transform over a position sequence) — no UDFs, no shuffle; the output
+    explodes to (id, chunk_hash) rows that shuffle only for the caller's
+    groupBy. The O(len) per-position hashing is the algorithm's inherent
+    cost (same class as shingling). ``portable_hash=True`` computes both
+    the boundary condition and the chunk fingerprint with md5 (engine-
+    portable; what the DuckDB oracle replays); the default xxhash64 is
+    ~5x cheaper and is the production path (same split as
+    ``minhash_near_dups`` vs ``ngram_jaccard_pairs``).
+
+    Chunks shorter than ``min_chunk`` merge into the boundary decision
+    window statistically (they are simply dropped): tiny chunks carry no
+    dedup signal and would otherwise dominate the pair graph via common
+    short strings. Duplicate chunk hashes within one document collapse
+    (array_distinct) — self-repetition is ``rep_ngram_ratio``'s job.
+    """
+    c = F.lower(F.col(text_col))
+    lowered = df.select(F.col(id_col).alias("__id"), c.alias("__lc"))
+    lc = F.col("__lc")
+    n = F.length(lc)
+    idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
+    if portable_hash:
+        is_boundary = lambda i: F.substring(  # noqa: E731
+            F.md5(lc.substr(i, F.lit(window))), 1, 2
+        ) < F.lit(format(256 // density, "02x"))
+        chunk_hash = lambda s: F.md5(s)  # noqa: E731
+    else:
+        is_boundary = lambda i: F.pmod(  # noqa: E731
+            F.xxhash64(lc.substr(i, F.lit(window))), F.lit(density)
+        ) == 0
+        chunk_hash = lambda s: F.xxhash64(s)  # noqa: E731
+    bounds = F.concat(
+        F.array(F.lit(1)),
+        F.filter(idx, lambda i: (i > 1) & is_boundary(i)),
+        F.array(n + 1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: lc.substr(
+            F.element_at(bounds, j),
+            F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+        ),
+    )
+    hashes = F.array_distinct(
+        F.transform(
+            F.filter(chunks, lambda s: F.length(s) >= min_chunk), chunk_hash
+        )
+    )
+    return lowered.select(
+        "__id", F.explode(hashes).alias("chunk_hash")
+    ).select(F.col("__id").alias(id_col), "chunk_hash")
+
+
+def cdc_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 16,
+    density: int = 64,
+    min_chunk: int = 24,
+    min_shared: int = 2,
+    max_chunk_docs: int | None = 10_000,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, shared_chunks) — partial-overlap candidate pairs from
+    shared CDC chunks: documents sharing >= ``min_shared`` content-defined
+    chunks, id_a < id_b. The substring-dedup modality MinHash misses: a
+    long doc embedding a full copy of a short one scores near-zero
+    whole-doc Jaccard but shares ALL the short doc's interior chunks.
+
+    Scale shape mirrors the LSH band join: the only shuffle keys are
+    chunk hashes; ``max_chunk_docs`` drops chunks present in more
+    documents than the cap (corpus-wide boilerplate — navigation blocks,
+    license headers — which ``remove_boilerplate`` handles; here they
+    would only mint quadratic pairs with no dedup meaning), bounding the
+    per-chunk join fan-out exactly like ``_drop_hot_buckets``.
+    """
+    ch = cdc_chunk_hashes(
+        df, text_col, id_col, window, density, min_chunk, portable_hash
+    )
+    if max_chunk_docs is not None:
+        w = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("__d"))
+        keep = w.where(F.col("__d") <= max_chunk_docs).select("chunk_hash")
+        ch = ch.join(keep, "chunk_hash", "semi")
+    a = ch.select(F.col(id_col).alias("id_a"), "chunk_hash")
+    b = ch.select(F.col(id_col).alias("id_b"), "chunk_hash")
+    return (
+        a.join(b, "chunk_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .where(F.col("shared_chunks") >= min_shared)
+    )

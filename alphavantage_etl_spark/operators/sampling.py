@@ -277,3 +277,76 @@ def epoch_shuffle(
         F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
     ).alias(key_col)
     return df.select("*", key).orderBy(key_col, id_col)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+    total_budget: float | None = None,
+    budget_frac: float | None = None,
+    salt: str = "tmix",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-smoothed domain mixing: sample each group (source,
+    language, domain) at a rate proportional to its alpha-smoothed share,
+    the standard multilingual/data-mixing schedule (p_i = n_i^alpha /
+    sum_j n_j^alpha, alpha in (0, 1]) — alpha < 1 UPSAMPLES low-resource
+    groups relative to their natural share, alpha = 1 is natural
+    proportions. Rates cap at 1 (this operator never duplicates rows; pair
+    with ``epoch_shuffle`` for multi-epoch upsampling).
+
+    Each group's keep-rate is ``min(1, budget * p_i / n_i)`` where ``n_i``
+    is the group's total ``size_col`` and ``budget`` is either the
+    absolute ``total_budget`` or in-plan ``budget_frac * sum_i n_i``
+    (scale-free — survives corpus growth without retuning). Membership is
+    content-addressed per row (``split_bucket``: engine-portable md5,
+    stable under re-ingestion) with the FLOOR of rate*buckets as the
+    cutoff — floor, not round, so the cutoff is bit-determined by the
+    IEEE double and never splits on a rounding-mode difference between
+    engines. At alpha=0.5 the smoothing power is ``sqrt`` — IEEE-exact in
+    every engine, which is what lets the oracle hash-match; other alphas
+    run through ``pow`` (correctly-rounded in practice, not guaranteed).
+
+    Plan shape at scale: two tiny aggregates (|groups| rows, then 1 row),
+    one AQE-broadcast join of the |groups|-row rate table back onto the
+    corpus, then a pure projection filter — the corpus never shuffles.
+    """
+    if (total_budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of total_budget / budget_frac")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    sizes = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col).cast("double")).alias("__n")
+    )
+    smoothed = (
+        F.sqrt(F.col("__n"))
+        if alpha == 0.5
+        else F.pow(F.col("__n"), F.lit(float(alpha)))
+    )
+    sizes = sizes.withColumn("__w", smoothed)
+    totals = sizes.agg(
+        F.sum("__w").alias("__sw"), F.sum("__n").alias("__tot")
+    )
+    budget = (
+        F.lit(float(total_budget))
+        if total_budget is not None
+        else F.col("__tot") * F.lit(float(budget_frac))
+    )
+    rates = sizes.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.least(
+            F.lit(1.0), budget * F.col("__w") / F.col("__sw") / F.col("__n")
+        ).alias("__rate"),
+    )
+    b = split_bucket(id_col, salt, buckets)
+    # the rate table is bounded at |groups| rows BY CONSTRUCTION (it is an
+    # aggregate on the group key), so the hint is safe unconditionally —
+    # the fixed-dim class, not a data-dependent size guess
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(b < F.floor(F.col("__rate") * F.lit(buckets)))
+        .drop("__rate")
+    )

@@ -1485,6 +1485,79 @@ WHERE prior < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000 ELSE 500 E
 """
 
 
+# X2 — partial-overlap (substring) dedup via content-defined chunking
+# (r4): chunk boundaries fall where the md5 of a 16-char context window
+# satisfies a 1/64 condition, so a text block shared between two documents
+# yields the same interior chunks in both REGARDLESS of position — the
+# modality whole-doc MinHash misses (a doc quoting 30% of another scores
+# near-zero whole-doc Jaccard but shares ~30% of chunks). portable_hash
+# (md5) makes the arithmetic engine-portable; the production path swaps to
+# xxhash64 with the identical plan (same split as minhash vs jaccard).
+def q_cdc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cdc_overlap_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_overlap_pairs(d, "text", "doc_id", portable_hash=True)
+
+
+SQL_CDC_OVERLAP = """
+WITH lc AS (SELECT doc_id, lower(text) AS c FROM documents),
+bs AS (
+  SELECT doc_id, c,
+         list_concat([1],
+           [i for i in range(2, greatest(length(c) - 15, 1) + 1)
+              if substring(md5(substring(c, i, 16)), 1, 2) < '04'],
+           [length(c) + 1]) AS bb
+  FROM lc),
+ch AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [md5(s) for s in
+              [substring(c, bb[j], bb[j+1] - bb[j]) for j in range(1, len(bb))]
+            if length(s) >= 24])) AS chunk_hash
+  FROM bs),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared_chunks
+  FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, shared_chunks FROM p WHERE shared_chunks >= 2
+"""
+
+
+# X11 — temperature-smoothed domain mixing (r4): alpha=0.5 smoothing of
+# per-source shares (the multilingual-training sampling schedule), keep
+# rates derived in-plan from a scale-free budget fraction, membership
+# content-addressed per row — two tiny aggs + one broadcast join + a
+# projection filter; the corpus never shuffles
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import temperature_mix
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return temperature_mix(
+        d, "source", "doc_id", "n_chars", alpha=0.5, budget_frac=0.4
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH s AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n
+  FROM documents GROUP BY source),
+t AS (SELECT sum(sqrt(n)) AS sw, sum(n) AS tot FROM s),
+r AS (
+  SELECT s.source,
+         least(1.0, (0.4 * t.tot) * sqrt(s.n) / t.sw / s.n) AS rate
+  FROM s CROSS JOIN t),
+b AS (
+  SELECT doc_id, source, n_chars,
+         CAST(concat('0x', substring(md5(concat('tmix', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT b.doc_id, b.source, b.n_chars
+FROM b JOIN r ON b.source = r.source
+WHERE b.bucket < floor(r.rate * 10000)
+"""
+
+
 # X11 — per-source quality calibration: percent_rank of the quality score
 # within each source, so gates mean "top X% of each domain" instead of a
 # pooled threshold that silently skews the mix toward whole domains
@@ -2011,6 +2084,9 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_weekday_filter": q_weekday_filter,
     "q_set_ops": q_set_ops,
     "q_pivot_daily": q_pivot_daily,
+    # r4 oracle-backed additions (no driver row yet — rotate forward in r5)
+    "q_temperature_mix": q_temperature_mix,
+    "q_cdc_overlap": q_cdc_overlap,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2089,6 +2165,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_set_ops": SQL_SET_OPS,
     "q_pivot_daily": SQL_PIVOT_DAILY,
+    "q_temperature_mix": SQL_TEMPERATURE_MIX,
+    "q_cdc_overlap": SQL_CDC_OVERLAP,
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

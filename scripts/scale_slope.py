@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Empirical scale-slope harness for the heavy five (VERDICT r3 #2).
+
+The 100x scale claims in PERF.md rest on plan shape; this measures the
+actual wall-time slope of the five most expensive queries when the corpus
+grows 10x, holding DATA DENSITY realistic:
+
+- ``documents`` replicates 10x with fresh doc_ids and a per-replica
+  character translation (vowels -> replica-specific consonants, digits
+  rotated by the replica index). Translation preserves length and
+  within-replica structure exactly — every replica carries the same
+  planted near-dups and contained benchmark leaks — while making the
+  k-gram/shingle vocabularies of different replicas (near-)disjoint, so
+  duplicate families and gram-join fan-outs grow LINEARLY with the data,
+  the way a real corpus grows. Naive replication would instead mint 10
+  byte-identical copies of every document: every LSH bucket and gram key
+  would grow 10x dense and the measurement would show the quadratic of a
+  degenerate corpus, not the engine's slope.
+- ``embeddings`` replicates 10x with fresh vec_ids and a per-replica
+  deterministic SIGN-FLIP pattern: within-replica cosines are exactly
+  preserved (both sides flip identically), cross-replica cosines scramble
+  to ~0, so the planted near-dup structure also grows linearly. Two
+  variants ship:
+  * ``x10`` — IVF cell count scales with N (fresh ``label`` range per
+    replica): the production scaling discipline for IVF-blocked ops;
+  * ``x10_fixedcells`` — labels unchanged, so each cell grows 10x dense:
+    measures the documented within-cell quadratic of ``embedding_near_
+    dups`` when the quantizer is NOT rescaled (the mitigation being
+    exactly what ``x10`` does).
+
+Timing protocol matches bench.py: warmup on sf0.001, min of
+$SPARK_GRAFT_BENCH_REPS (default 2) reps, clearCache between reps, noop
+sink. Prints one JSON document with per-factor timings and slopes
+(t_10x / t_1x; linear scaling => slope <= ~10).
+
+Usage: python scripts/scale_slope.py   (writes under /tmp/spark_graft_scale)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+DOC_QUERIES = ["q_contamination", "q_dedup_near_verified", "q_tfidf_terms"]
+EMB_QUERIES = ["q_embed_near_dup", "q_dedup_clusters"]
+
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
+
+
+def _repl_alphabet(r: int) -> tuple[str, str]:
+    """(src, dst) for F.translate: identity at r=0; otherwise vowels map to
+    a replica-specific consonant window and digits rotate by r."""
+    src = "aeiou0123456789"
+    if r == 0:
+        return src, src
+    vowels_to = "".join(
+        _CONSONANTS[(5 * r + j) % len(_CONSONANTS)] for j in range(5)
+    )
+    digits_to = "".join(str((d + r) % 10) for d in range(10))
+    return src, vowels_to + digits_to
+
+
+def generate(spark, out_dir: str, scale_cells: bool) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    n_docs = docs.count()
+    n_vecs = emb.count()
+
+    doc_parts = []
+    emb_parts = []
+    for r in range(REPLICAS):
+        src, dst = _repl_alphabet(r)
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                F.translate(F.col("text"), src, dst).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        def _flip(rr):
+            def fn(x, i):
+                return (
+                    x
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(rr), i), F.lit(2)) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                ).cast("float")
+
+            return F.transform(F.col("embedding"), fn)
+
+        flip = _flip(r)
+        label = (
+            (F.col("label") + F.lit(r * 1000)).cast("int")
+            if scale_cells
+            else F.col("label")
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n_vecs)).alias("vec_id"),
+                flip.alias("embedding"),
+                label.alias("label"),
+            )
+        )
+
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    d.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def bench(spark, queries, sf_dir: str, n_reps: int) -> dict[str, float]:
+    from alphavantage_etl_spark.queries import ALL_QUERIES
+
+    out: dict[str, float] = {}
+    for name in queries:
+        best = float("inf")
+        for _ in range(n_reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    from alphavantage_etl_spark.queries import ALL_QUERIES
+    from alphavantage_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_slope")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    x1 = os.path.join(WORK, "x1")
+    x10 = os.path.join(WORK, f"x{REPLICAS}")
+    x10f = os.path.join(WORK, f"x{REPLICAS}_fixedcells")
+    os.makedirs(x1, exist_ok=True)
+    for t in ("documents", "embeddings"):
+        link = os.path.join(x1, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{BASE_SF}/{t}.parquet", link)
+    if not os.path.exists(f"{x10}/embeddings.parquet/_SUCCESS"):
+        generate(spark, x10, scale_cells=True)
+    if not os.path.exists(f"{x10f}/embeddings.parquet/_SUCCESS"):
+        # documents identical across variants: share via copy of the x10 set
+        generate(spark, x10f, scale_cells=False)
+
+    # warmup (JIT/codegen) on the smallest SF
+    ALL_QUERIES["q_tfidf_terms"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    ALL_QUERIES["q_embed_near_dup"](
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
+
+    results = {
+        "x1": bench(spark, DOC_QUERIES + EMB_QUERIES, x1, n_reps),
+        f"x{REPLICAS}": bench(spark, DOC_QUERIES + EMB_QUERIES, x10, n_reps),
+        f"x{REPLICAS}_fixedcells": bench(spark, EMB_QUERIES, x10f, n_reps),
+    }
+    slopes = {
+        name: round(results[f"x{REPLICAS}"][name] / results["x1"][name], 2)
+        for name in DOC_QUERIES + EMB_QUERIES
+    }
+    slopes_fixed = {
+        name: round(
+            results[f"x{REPLICAS}_fixedcells"][name] / results["x1"][name], 2
+        )
+        for name in EMB_QUERIES
+    }
+    print(
+        json.dumps(
+            {
+                "base_sf": BASE_SF,
+                "factor": REPLICAS,
+                "reps": n_reps,
+                "timings": results,
+                "slope_10x": slopes,
+                "slope_10x_fixedcells": slopes_fixed,
+            },
+            indent=2,
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,70 @@ def test_edit_distance_qgram_key_survives_length_shift(spark):
         df, "title", "doc_id", max_dist=2, qgram_block=6
     ).collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(1, 2, 2)]
+
+
+def _cdc_embed_fixture(spark):
+    """Doc 2 embeds doc 1's FULL text inside ~3x unrelated prose: the
+    canonical partial-overlap case — whole-doc Jaccard ~0.25, far under
+    any near-dup bar, while every interior chunk of doc 1 recurs in 2."""
+    import random
+
+    rng = random.Random(7)
+    words = lambda n, tag: " ".join(  # noqa: E731
+        f"{tag}{rng.randint(0, 9999):04d}" for _ in range(n)
+    )
+    short = words(120, "core")
+    long_host = f"{words(200, 'pre')} {short} {words(200, 'post')}"
+    other = words(320, "noise")
+    return spark.createDataFrame(
+        [(1, short), (2, long_host), (3, other)], "doc_id long, text string"
+    )
+
+
+def test_cdc_overlap_catches_embedded_document(spark):
+    from alphavantage_etl_spark.operators.dedup import (
+        cdc_overlap_pairs,
+        minhash_verified_near_dups,
+    )
+
+    docs = _cdc_embed_fixture(spark)
+    # whole-document near-dup machinery misses the containment pair
+    nd = minhash_verified_near_dups(
+        docs, "text", "doc_id", shingle_k=9, bands=16,
+        candidate_threshold=0.2, jaccard_threshold=0.4,
+    ).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in nd)
+    # CDC chunk overlap finds it, in both hash modes, and never pairs the
+    # unrelated doc
+    for portable in (False, True):
+        got = cdc_overlap_pairs(
+            docs, "text", "doc_id", portable_hash=portable
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["shared_chunks"] for r in got}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 2, (portable, pairs)
+        assert all(3 not in p for p in pairs)
+
+
+def test_cdc_chunks_are_position_independent(spark):
+    """The CDC property itself: shifting a block's position changes none
+    of its interior chunk hashes (fixed-stride chunking breaks here)."""
+    from alphavantage_etl_spark.operators.dedup import cdc_chunk_hashes
+
+    import random
+
+    rng = random.Random(11)
+    block = " ".join(f"blk{rng.randint(0, 9999):04d}" for _ in range(150))
+    pre_a = " ".join(f"a{rng.randint(0, 9999):04d}" for _ in range(37))
+    pre_b = " ".join(f"b{rng.randint(0, 9999):04d}" for _ in range(113))
+    docs = spark.createDataFrame(
+        [(1, f"{pre_a} {block}"), (2, f"{pre_b} {block}")],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunk_hashes(docs, "text", "doc_id").collect()
+    by_doc: dict[int, set] = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], set()).add(r["chunk_hash"])
+    shared = by_doc[1] & by_doc[2]
+    # the block is ~150 words ≈ 1300 chars ≈ ~20 chunks at density 64;
+    # all interior chunks must coincide despite different offsets
+    assert len(shared) >= 5, (len(by_doc[1]), len(by_doc[2]), len(shared))

@@ -307,3 +307,72 @@ def test_epoch_shuffle_deterministic_and_decorrelated(spark):
     h = [r["doc_id"] for r in epoch_shuffle(head, "doc_id", "epoch1").collect()]
     pos = {v: i for i, v in enumerate(e1)}
     assert h == sorted(h, key=lambda v: pos[v])
+
+
+def test_temperature_mix_upsamples_low_resource_groups(spark):
+    """alpha=0.5 smoothing: a group with 1% of the corpus gets a keep-rate
+    well ABOVE a group with 99% (relative to natural share), alpha=1 keeps
+    every group at exactly the natural budget fraction, and membership is
+    deterministic across runs."""
+    from alphavantage_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 990 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    out = temperature_mix(df, "source", "doc_id", "n_chars", alpha=0.5,
+                          budget_frac=0.3)
+    kept = out.groupBy("source").count().collect()
+    frac = {r["source"]: r["count"] for r in kept}
+    # natural shares: big .99, small .01; sqrt-smoothed: sqrt(.99)/.s vs
+    # sqrt(.01)/.s -> small's keep-rate ~ 9x its natural-rate treatment
+    assert frac["small"] / 10 > frac["big"] / 990, (
+        "low-resource group must be kept at a higher RATE"
+    )
+    # alpha=1: natural proportions — every group's rate == budget_frac
+    nat = temperature_mix(df, "source", "doc_id", "n_chars", alpha=1.0,
+                          budget_frac=0.3)
+    nk = {r["source"]: r["count"]
+          for r in nat.groupBy("source").count().collect()}
+    assert abs(nk["big"] / 990 - 0.3) < 0.05
+    # determinism: identical output on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            df, "source", "doc_id", "n_chars", alpha=0.5, budget_frac=0.3
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mix_validation(spark):
+    from alphavantage_etl_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "doc_id long, source string, n_chars long"
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_mix(df, "source", "doc_id", "n_chars")
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_mix(df, "source", "doc_id", "n_chars",
+                        total_budget=10, budget_frac=0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "source", "doc_id", "n_chars",
+                        alpha=0.0, budget_frac=0.5)
+
+
+def test_temperature_mix_corpus_never_shuffles(spark):
+    """Plan shape: the corpus side reaches the filter through a BROADCAST
+    join of the |groups|-row rate table — no hash-partition Exchange on
+    the corpus relation (the two tiny aggregates may shuffle |groups|
+    rows; that's the bounded model-state class)."""
+    from alphavantage_etl_spark.operators.sampling import temperature_mix
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_SMALL
+
+    d = load(spark, SF_SMALL, "documents").select("doc_id", "source", "n_chars")
+    out = temperature_mix(d, "source", "doc_id", "n_chars", budget_frac=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
