@@ -1504,9 +1504,9 @@ SQL_CDC_OVERLAP = """
 WITH lc AS (SELECT doc_id, lower(text) AS c FROM documents),
 bs AS (
   SELECT doc_id, c,
-         list_concat([1],
+         list_concat(list_concat([CAST(1 AS BIGINT)],
            [i for i in range(2, greatest(length(c) - 15, 1) + 1)
-              if substring(md5(substring(c, i, 16)), 1, 2) < '04'],
+              if substring(md5(substring(c, i, 16)), 1, 2) < '04']),
            [length(c) + 1]) AS bb
   FROM lc),
 ch AS (
