@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "q_corr",
     "q_title_dedup",
     "q_epoch_shuffle",
+    # round-4 additions
+    "q_temperature_mix",
+    "q_cdc_overlap",
 ]
 
 
