@@ -1,0 +1,109 @@
+"""Change history operators: SCD Type-2 interval build and dataset diff.
+
+Reference scope: the reference's incremental refresh (av_etl.py:89-108)
+keeps only the LATEST state of each series row; production warehouses also
+need the history form — when did each value start and stop being true —
+and an audit of what changed between two dataset versions. Both are pure
+relational compositions (windows + one full-outer join), so Catalyst owns
+the physical strategy.
+
+Scale design (100 TB):
+- ``scd2_build`` is two window passes over the same (key) partitioning —
+  one Exchange total, AQE-coalesced; no UDF, no self-join. Change
+  compression (dropping rows whose tracked values equal the previous row)
+  happens BEFORE interval assembly, so the second window reads the
+  already-reduced stream.
+- ``dataset_diff`` is one full-outer equi-join on the primary key; both
+  sides shuffle once on the key (or broadcast, if one version is a small
+  delta — left to AQE). The per-row status is a projection; callers
+  aggregate for a summary or filter ``status != 'unchanged'`` for an
+  audit log, and that filter prunes before anything else is computed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse a change log into SCD Type-2 validity intervals.
+
+    For each key, ordered by (ts, tiebreak), consecutive rows carrying the
+    same tracked values are compressed into one; each surviving row
+    becomes a version with ``valid_from`` = its own timestamp,
+    ``valid_to`` = the next version's timestamp (NULL for the current
+    version), and ``is_current``. Intervals are half-open
+    [valid_from, valid_to) — the same convention as the busday calendar.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    same = None
+    for c in value_cols:
+        eq = F.col(c).eqNullSafe(F.lag(c).over(w))
+        same = eq if same is None else (same & eq)
+    # eqNullSafe(NULL, NULL) is TRUE, so a key's first row with NULL
+    # tracked values would read as "same as the (nonexistent) previous
+    # row" — the explicit first-row guard keeps it.
+    first = F.row_number().over(w) == 1
+    compressed = (
+        changes.withColumn("_dup", ~first & F.coalesce(same, F.lit(False)))
+        .filter(~F.col("_dup"))
+        .drop("_dup")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return compressed.select(
+        key_col,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed dataset.
+
+    Returns one row per key present in either version with
+    ``status`` in {added, removed, changed, unchanged} and the old/new
+    values of each compared column (``<col>_old`` / ``<col>_new``).
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *key_cols,
+        status.alias("status"),
+        *[f"{c}_old" for c in compare_cols],
+        *[f"{c}_new" for c in compare_cols],
+    )

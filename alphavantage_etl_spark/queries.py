@@ -2013,6 +2013,264 @@ SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
 #   live in EXTRA_QUERIES below: still benchmarked and still locally
 #   oracle-checked (tests/test_contract_queries.py iterates ALL_QUERIES /
 #   ALL_ORACLES), just not declared to the driver.
+# --------------------------------------------------------------------------
+# X20 — sliding-window document chunking (r4): long documents -> overlapping
+# fixed-size token windows (window=16, stride=8), the complement of
+# pack_bins for docs longer than the training context. One Generate over
+# the scan — no shuffle, no window function (operators/chunking.py).
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_documents
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "text", "doc_id", window=16, stride=8)
+
+
+SQL_CHUNK_WINDOWS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 8)) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start / 8 AS BIGINT) AS chunk_idx,
+       CAST(least(16, len(toks) - start) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text
+FROM s
+"""
+
+
+# X21 — exact heavy hitters (r4): top-k terms by occurrence; partial
+# map-side combine absorbs the Zipf head before the exchange, then
+# TakeOrderedAndProject — no full sort (operators/sketches.py).
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import topk_terms
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return topk_terms(d, "text", k=20)
+
+
+SQL_HEAVY_HITTERS = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS occurrences
+FROM t GROUP BY term
+ORDER BY occurrences DESC, term ASC
+LIMIT 20
+"""
+
+
+# X21 — count-min sketch (r4): mergeable (depth x width) counter grid,
+# group count bounded by depth*width regardless of corpus size; point
+# estimates self-validated against exact counts (rows-only: xxhash64
+# cell addressing has no DuckDB mirror; the exact side is the oracle-
+# checked q_heavy_hitters). Bound: true <= est <= true + (e/width)*N.
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from .operators.sketches import cm_estimate, count_min_sketch, topk_terms
+
+    depth, width = 4, 2048
+    d = load(spark, sf_dir, "documents").select("text")
+    sketch = count_min_sketch(d, "text", depth=depth, width=width)
+    exact = topk_terms(d, "text", k=20)
+    est = cm_estimate(sketch, exact, "term", depth=depth, width=width)
+    n_tokens = sketch.groupBy().agg(
+        (F.sum("cnt") / depth).cast("long").alias("_n")
+    )
+    eps = math.e / width
+    return (
+        exact.join(est, on="term")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "term",
+            "occurrences",
+            "cm_estimate",
+            (
+                (F.col("cm_estimate") >= F.col("occurrences"))
+                & (
+                    F.col("cm_estimate")
+                    <= F.col("occurrences")
+                    + F.ceil(F.lit(eps) * F.col("_n")).cast("long")
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
+# X22 — inverted-index build (r4): term -> distinct-doc frequency +
+# ascending-capped postings list (operators/postings.py).
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.postings import build_inverted_index
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return build_inverted_index(
+        d, "doc_id", "text", min_df=5, postings_cap=10
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH p AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[:10], ',') AS postings
+FROM p GROUP BY term HAVING count(*) >= 5
+"""
+
+
+# X23 — SCD Type-2 interval build (r4): change log -> half-open validity
+# intervals with change compression; two windows over one partitioning,
+# one Exchange (operators/history.py).
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import scd2_build
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return scd2_build(
+        ev, "user_id", "ts", ["event_type"], tiebreak_col="event_id"
+    )
+
+
+SQL_SCD2 = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events),
+c AS (
+  SELECT *, lag(event_type) OVER wo AS prev, row_number() OVER wo AS rn
+  FROM e WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+k AS (
+  -- rn = 1 mirrors the engine's first-row guard: a first row with a NULL
+  -- tracked value is a version, not a duplicate of a nonexistent prior
+  SELECT user_id, event_type, ts, event_id FROM c
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# X23 — dataset version diff (r4): added/removed/changed audit between two
+# versions via one full-outer join on the key (operators/history.py). The
+# two versions are deterministic in-plan slices of orders (drop keys
+# divisible by 97 from "old", by 89 from "new", shift price by +1.00 on
+# keys divisible by 101) so the oracle replays them exactly.
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import dataset_diff
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 89 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 101 == 0,
+                F.col("o_totalprice") + F.lit(1.0),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    d = dataset_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+    return d.filter(F.col("status") != "unchanged")
+
+
+SQL_DATASET_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 != 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 89 != 0),
+j AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old.o_totalprice AS o_totalprice_old,
+         new.o_totalprice AS o_totalprice_new,
+         old.o_orderkey IS NOT NULL AS in_old,
+         new.o_orderkey IS NOT NULL AS in_new
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey),
+st AS (
+  SELECT o_orderkey,
+         CASE WHEN NOT in_old THEN 'added'
+              WHEN NOT in_new THEN 'removed'
+              WHEN o_totalprice_old = o_totalprice_new THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         o_totalprice_old, o_totalprice_new
+  FROM j)
+SELECT * FROM st WHERE status != 'unchanged'
+"""
+
+
+# X24 — rolling z-score anomaly flagging (r4): one window pass per entity
+# key, z-test cleared of divisions into exact integer arithmetic
+# (operators/anomaly.py — same quantize-first discipline as
+# sma_exact_cents).
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomaly import flag_anomalies
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return flag_anomalies(
+        ev, "user_id", "ts", "value", "event_id",
+        lookback=20, min_history=8, z_thresh=3, scale=100,
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(round(value * 100) AS BIGINT) AS q
+  FROM events),
+s AS (
+  SELECT *, count(q) OVER w AS n, sum(q) OVER w AS s1,
+         sum(q * q) OVER w AS s2
+  FROM e WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ts, value, CAST(n AS BIGINT) AS baseline_n
+FROM s
+WHERE n >= 8
+  AND (n - 1) * (n * q - s1) * (n * q - s1) > 9 * n * (n * s2 - s1 * s1)
+"""
+
+
+# X25 — bloom-filter semi-join pruning (r4): 16 KiB literal bitmap built
+# from the selective dim, applied map-side on the fact BEFORE the join's
+# exchange; the closing semi-join removes false positives, so the result
+# is exact and the oracle is the plain semi-join (operators/pruning.py).
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pruning import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    big_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select("o_orderkey")
+    )
+    hits = bloom_semi_join(li, big_orders, "l_orderkey", "o_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+SQL_BLOOM_PRUNE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r3 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -2087,6 +2345,14 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     # r4 oracle-backed additions (no driver row yet — rotate forward in r5)
     "q_temperature_mix": q_temperature_mix,
     "q_cdc_overlap": q_cdc_overlap,
+    "q_chunk_windows": q_chunk_windows,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_inverted_index": q_inverted_index,
+    "q_scd2": q_scd2,
+    "q_dataset_diff": q_dataset_diff,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_bloom_prune": q_bloom_prune,
+    "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2167,6 +2433,15 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_pivot_daily": SQL_PIVOT_DAILY,
     "q_temperature_mix": SQL_TEMPERATURE_MIX,
     "q_cdc_overlap": SQL_CDC_OVERLAP,
+    "q_chunk_windows": SQL_CHUNK_WINDOWS,
+    "q_heavy_hitters": SQL_HEAVY_HITTERS,
+    "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_scd2": SQL_SCD2,
+    "q_dataset_diff": SQL_DATASET_DIFF,
+    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
+    "q_bloom_prune": SQL_BLOOM_PRUNE,
+    # q_cm_sketch: self-validating approximation (within_bound column),
+    # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
     # q_distinct_sketch / q_quantile_sketch: self-validating approximations

@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     # round-4 additions
     "q_temperature_mix",
     "q_cdc_overlap",
+    "q_chunk_windows",
+    "q_heavy_hitters",
+    "q_inverted_index",
+    "q_scd2",
+    "q_dataset_diff",
+    "q_anomaly_zscore",
+    "q_bloom_prune",
 ]
 
 

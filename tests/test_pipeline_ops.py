@@ -1,0 +1,246 @@
+"""Unit semantics for the r4 pipeline operators: chunking, bloom pruning,
+SCD2 / dataset diff, count-min sketch, anomaly flagging, inverted index.
+
+The contract queries pin each operator's fixture-level arithmetic against
+the DuckDB oracle (test_contract_queries); these tests pin the operator
+PROPERTIES on crafted frames — coverage/overlap invariants, no false
+negatives, mergeability, planted defects caught.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.operators.anomaly import flag_anomalies
+from alphavantage_etl_spark.operators.chunking import chunk_documents
+from alphavantage_etl_spark.operators.history import dataset_diff, scd2_build
+from alphavantage_etl_spark.operators.postings import build_inverted_index
+from alphavantage_etl_spark.operators.pruning import (
+    bloom_filter_build,
+    bloom_might_contain,
+    bloom_semi_join,
+)
+from alphavantage_etl_spark.operators.sketches import (
+    cm_estimate,
+    count_min_sketch,
+    topk_terms,
+)
+
+
+# ---------------------------------------------------------------- chunking
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_covers_every_token_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(20))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), "text", "doc_id", window=8, stride=4
+    ).collect()
+    # starts 0,4,8,12,16 -> 5 chunks; final chunk is the 4-token tail
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["n_tokens"] for r in out] == [8, 8, 8, 8, 4]
+    assert out[0]["chunk_text"].split(" ") == [f"t{i}" for i in range(8)]
+    # overlap: chunk k repeats the last (window - stride) tokens of chunk k-1
+    assert out[1]["chunk_text"].split(" ")[:4] == out[0]["chunk_text"].split(" ")[4:]
+    # every token appears in at least one chunk
+    seen = {t for r in out for t in r["chunk_text"].split(" ")}
+    assert seen == {f"t{i}" for i in range(20)}
+
+
+def test_chunk_short_doc_single_partial_chunk(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a b c")]), "text", "doc_id", window=8, stride=4
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 3 and out[0]["chunk_text"] == "a b c"
+
+
+def test_chunk_disjoint_when_stride_equals_window(spark):
+    text = " ".join(str(i) for i in range(9))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), "text", "doc_id", window=3, stride=3
+    ).collect()
+    texts = [r["chunk_text"] for r in out]
+    assert texts == ["0 1 2", "3 4 5", "6 7 8"]
+
+
+def test_chunk_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a")]), "text", "doc_id", window=0)
+
+
+# ------------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives_and_prunes(spark):
+    dim = spark.range(0, 200).select((F.col("id") * 7).alias("k"))
+    bitmap = bloom_filter_build(dim, "k", num_bits=1 << 12)
+    # every inserted key tests positive
+    hits = dim.filter(bloom_might_contain(bitmap, F.col("k"))).count()
+    assert hits == 200
+    # a disjoint key universe is mostly pruned (FP rate < ~5% at this fill)
+    probe = spark.range(100_000, 101_000).select(F.col("id").alias("k"))
+    fp = probe.filter(bloom_might_contain(bitmap, F.col("k"))).count()
+    assert fp < 100
+
+
+def test_bloom_semi_join_is_exact(spark):
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("fk"), (F.col("id") % 10).alias("grp")
+    )
+    dim = spark.range(0, 500).select((F.col("id") * 9).alias("dk"))
+    got = bloom_semi_join(fact, dim, "fk", "dk", num_bits=1 << 12)
+    want = fact.join(
+        dim.select(F.col("dk").alias("fk")).dropDuplicates(),
+        on="fk",
+        how="left_semi",
+    )
+    assert sorted(r["fk"] for r in got.collect()) == sorted(
+        r["fk"] for r in want.collect()
+    )
+
+
+def test_bloom_build_rejects_unaligned_bits(spark):
+    with pytest.raises(ValueError):
+        bloom_filter_build(spark.range(1), "id", num_bits=100)
+
+
+# -------------------------------------------------------------- scd2/diff
+def test_scd2_compresses_and_builds_half_open_intervals(spark):
+    rows = [
+        # key 1: A A B A -> versions A[1,3) B[3,4) A[4,None)
+        (1, 1, "A", 101), (1, 2, "A", 102), (1, 3, "B", 103), (1, 4, "A", 104),
+        # key 2: constant -> one current version
+        (2, 1, "X", 201), (2, 2, "X", 202),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v string, eid long")
+    out = scd2_build(df, "k", "ts", ["v"], tiebreak_col="eid").collect()
+    k1 = sorted(
+        [(r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out if r["k"] == 1]
+    , key=lambda t: t[1])
+    assert k1 == [("A", 1, 3, False), ("B", 3, 4, False), ("A", 4, None, True)]
+    k2 = [(r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+          for r in out if r["k"] == 2]
+    assert k2 == [("X", 1, None, True)]
+
+
+def test_scd2_null_value_transitions_are_nullsafe(spark):
+    rows = [(1, 1, None, 1), (1, 2, None, 2), (1, 3, "A", 3)]
+    df = spark.createDataFrame(rows, "k long, ts long, v string, eid long")
+    out = sorted(
+        scd2_build(df, "k", "ts", ["v"], tiebreak_col="eid").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    # the two NULLs compress into one version
+    assert [(r["v"], r["valid_from"]) for r in out] == [(None, 1), ("A", 3)]
+
+
+def test_dataset_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    out = {r["k"]: r["status"]
+           for r in dataset_diff(old, new, ["k"], ["v"]).collect()}
+    # 1 removed, 2 changed, 3 unchanged (NULL == NULL null-safely), 4 added
+    assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+# ---------------------------------------------------------------- sketches
+def test_cm_estimate_never_undercounts_any_term(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3)).strip()) for i in range(1, 60)],
+        "doc_id long, text string",
+    )
+    sketch = count_min_sketch(docs, "text", depth=4, width=64)
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    est = cm_estimate(sketch, exact.select("term"), "term", depth=4, width=64)
+    joined = exact.join(est, on="term").collect()
+    assert joined and all(
+        r["cm_estimate"] >= r["occurrences"] for r in joined
+    )
+
+
+def test_cm_sketch_merges_by_cell_sum(spark):
+    a = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "y z")], "doc_id long, text string")
+    sk_union = count_min_sketch(a.union(b), "text", depth=2, width=32)
+    merged = (
+        count_min_sketch(a, "text", depth=2, width=32)
+        .union(count_min_sketch(b, "text", depth=2, width=32))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, sk_union.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_topk_terms_orders_and_tiebreaks(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b a a c")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in topk_terms(docs, "text", k=2).collect()]
+    assert out == [("a", 2), ("b", 2)]  # tie broken lexically
+
+
+# ----------------------------------------------------------------- anomaly
+def test_anomaly_planted_spike_is_flagged(spark):
+    # 20 steady readings then a spike; z of the spike is huge
+    rows = [(i, 7, i, 10.0) for i in range(20)] + [(20, 7, 20, 300.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    out = flag_anomalies(
+        df, "user_id", "ts", "value", "event_id", min_history=8
+    ).collect()
+    assert [r["event_id"] for r in out] == [20]
+    assert out[0]["baseline_n"] == 20
+
+
+def test_anomaly_needs_min_history_and_ignores_steady_noise(spark):
+    # fewer than min_history readings -> nothing scored, even a spike
+    rows = [(i, 1, i, 10.0) for i in range(5)] + [(5, 1, 5, 500.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    assert (
+        flag_anomalies(
+            df, "user_id", "ts", "value", "event_id", min_history=8
+        ).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------- postings
+def test_inverted_index_caps_and_sorts_postings(spark):
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 3 else f"only{i}"))
+         for i in range(12, 0, -1)],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in build_inverted_index(
+        docs, "doc_id", "text", min_df=1, postings_cap=5
+    ).collect()}
+    assert out["common"]["df"] == 12
+    # capped at 5, ascending despite descending input order
+    assert out["common"]["postings"] == "1,2,3,4,5"
+    assert out["rare"]["postings"] == "3"
+
+
+def test_inverted_index_df_gates(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b")], "doc_id long, text string"
+    )
+    terms = {r["term"] for r in build_inverted_index(
+        docs, "doc_id", "text", min_df=2, max_df=2
+    ).collect()}
+    assert terms == {"b"}  # a: df=3 > max_df; c: df=1 < min_df
