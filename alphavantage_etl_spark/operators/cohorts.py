@@ -1,0 +1,123 @@
+"""Event-analytics operators: cohort retention and ordered-funnel analysis.
+
+Reference scope: the reference's event surface stops at daily OHLC bars
+(av_etl.py aggregation semantics); these are the two standard product-
+analytics rollups over the same event stream — "of the users who arrived
+in week W, how many were still active k weeks later" and "how many users
+completed step1 -> step2 -> ... in order".
+
+Scale design (100 TB):
+- ``cohort_retention`` is two hash aggregations on the entity key (the
+  per-user first-seen week, then the distinct (user, week) activity set)
+  joined on the key and re-aggregated on the bounded (cohort, offset)
+  grid. Every shuffle is on user_id or on the output grid (|weeks|^2
+  rows) — nothing quadratic, no window function.
+- ``funnel_steps`` computes the whole ordered chain in ONE aggregation:
+  per user, each step's event times collapse to a sorted array inside
+  the groupBy (map-side partial), and the in-order chain walk is a fold
+  over array columns (`filter(arr, t -> t > prev)[0]`) — higher-order
+  functions in whole-stage codegen, no per-step self-join, no window.
+  A user's per-step arrays are bounded by that user's own event count;
+  hot users are the same bounded-hot-key consideration as sessionize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention counts.
+
+    A user's cohort is the ISO week (Monday-truncated date) of their
+    first event; for every (cohort_week, week_offset) cell the count is
+    DISTINCT users from that cohort active in that later week. Offset 0
+    is the cohort week itself, so each cohort's offset-0 row equals the
+    cohort size.
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    cohorts = events.groupBy(key_col).agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = (
+        events.select(key_col, week.alias("active_week")).dropDuplicates()
+    )
+    return (
+        activity.join(cohorts, on=key_col)
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Strict-order funnel: per step, how many users reached it.
+
+    A user reaches step i when an event of type ``steps[i]`` exists
+    STRICTLY AFTER the time they reached step i-1 (first such event
+    counts). One aggregation builds each step's sorted event-time array
+    per user; the chain walk is array `filter` + `element_at` — no
+    self-joins. Returns (step_idx, step_name, users) with users
+    monotonically non-increasing by construction.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    per_user = events.groupBy(key_col).agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col(type_col) == s, F.col(ts_col))
+                )
+            ).alias(f"_ts_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    def _after(prev):
+        # factory, not a default-arg lambda: pyspark counts default args
+        # toward the SQL lambda's arity (a 2-arg filter lambda binds the
+        # element INDEX to the second name — silently wrong here)
+        return lambda t: t > prev
+
+    reached = F.element_at(F.col("_ts_0"), 1)
+    chain = [reached]
+    for i in range(1, len(steps)):
+        reached = F.element_at(
+            F.filter(F.col(f"_ts_{i}"), _after(chain[-1])), 1
+        )
+        chain.append(reached)
+    stepped = per_user.select(
+        *[c.alias(f"_r_{i}") for i, c in enumerate(chain)]
+    )
+    counts = stepped.agg(
+        *[
+            F.count(F.col(f"_r_{i}")).alias(f"_n_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_n_{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("f")).select(
+        "f.step_idx", "f.step_name", "f.users"
+    )

@@ -613,11 +613,18 @@ def cdc_chunk_hashes(
         F.filter(idx, lambda i: (i > 1) & is_boundary(i)),
         F.array(n + 1),
     )
+    # HOT-PATH HOIST: `bounds` costs O(len) hash evaluations. Referencing
+    # the expression inside the transform lambda below would re-evaluate
+    # it PER CHUNK (HOF lambdas re-evaluate captured expressions per
+    # element — the rep_ngram_ratio lesson, ~20x here); projecting it to
+    # a column first makes each element_at an O(1) attribute access.
+    bounded = lowered.select("__id", "__lc", bounds.alias("__bounds"))
+    bref = F.col("__bounds")
     chunks = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
+        F.sequence(F.lit(1), F.size(bref) - 1),
         lambda j: lc.substr(
-            F.element_at(bounds, j),
-            F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+            F.element_at(bref, j),
+            F.element_at(bref, j + 1) - F.element_at(bref, j),
         ),
     )
     hashes = F.array_distinct(
@@ -625,7 +632,7 @@ def cdc_chunk_hashes(
             F.filter(chunks, lambda s: F.length(s) >= min_chunk), chunk_hash
         )
     )
-    return lowered.select(
+    return bounded.select(
         "__id", F.explode(hashes).alias("chunk_hash")
     ).select(F.col("__id").alias(id_col), "chunk_hash")
 

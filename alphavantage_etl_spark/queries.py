@@ -2271,6 +2271,70 @@ GROUP BY l_returnflag
 """
 
 
+# X26 — weekly cohort retention (r4): first-seen-week cohorts x active-week
+# offsets; two hash aggs on the entity key + one join, output bounded by
+# the |weeks|^2 grid (operators/cohorts.py). Both engines Monday-truncate
+# weeks, so offsets are exact multiples of 7 days.
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import cohort_retention
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+SQL_COHORT_RETENTION = """
+WITH wk AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+  FROM events),
+c AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+a AS (SELECT DISTINCT user_id, w FROM wk)
+SELECT c.cohort_week,
+       CAST((a.w - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# X26 — strict-order funnel (r4): per-step reach counts computed in ONE
+# aggregation (sorted per-step time arrays + higher-order-function chain
+# walk — no per-step self-joins, no window) (operators/cohorts.py).
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import funnel_steps
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH pu AS (
+  SELECT user_id,
+         list_sort(list(CAST(ts AS TIMESTAMP))
+                   FILTER (WHERE event_type = 'view')) AS l0,
+         list_sort(list(CAST(ts AS TIMESTAMP))
+                   FILTER (WHERE event_type = 'click')) AS l1,
+         list_sort(list(CAST(ts AS TIMESTAMP))
+                   FILTER (WHERE event_type = 'purchase')) AS l2
+  FROM events GROUP BY user_id),
+ch AS (
+  SELECT user_id, r0, list_filter(l1, x -> x > r0)[1] AS r1, l2
+  FROM (SELECT user_id, l0[1] AS r0, l1, l2 FROM pu)),
+ch2 AS (
+  SELECT user_id, r0, r1, list_filter(l2, x -> x > r1)[1] AS r2 FROM ch),
+n AS (
+  SELECT count(r0) AS n0, count(r1) AS n1, count(r2) AS n2 FROM ch2)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step_name,
+       CAST(n0 AS BIGINT) AS users FROM n
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', CAST(n1 AS BIGINT) FROM n
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', CAST(n2 AS BIGINT) FROM n
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r3 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -2353,6 +2417,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_bloom_prune": q_bloom_prune,
     "q_cm_sketch": q_cm_sketch,
+    "q_cohort_retention": q_cohort_retention,
+    "q_funnel_steps": q_funnel_steps,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2440,6 +2506,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_dataset_diff": SQL_DATASET_DIFF,
     "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
     "q_bloom_prune": SQL_BLOOM_PRUNE,
+    "q_cohort_retention": SQL_COHORT_RETENTION,
+    "q_funnel_steps": SQL_FUNNEL_STEPS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

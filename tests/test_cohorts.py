@@ -1,0 +1,95 @@
+"""Cohort-retention and funnel semantics on crafted event frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from alphavantage_etl_spark.operators.cohorts import (
+    cohort_retention,
+    funnel_steps,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def _t(day, hour=0):
+    # January 2024: the 1st is a Monday, so week boundaries are day 1, 8, 15
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_cohort_offsets_and_distinct_users(spark):
+    rows = [
+        # u1 arrives week of Jan 1, active again weeks +1 and +2
+        (1, _t(2), "view"), (1, _t(9), "view"), (1, _t(16), "view"),
+        # u2 arrives week of Jan 1, twice in the same week (counted once)
+        (2, _t(3), "view"), (2, _t(4), "view"),
+        # u3 arrives week of Jan 8
+        (3, _t(10), "view"),
+    ]
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["users"]
+        for r in cohort_retention(_ev(spark, rows), "user_id", "ts").collect()
+    }
+    w1, w2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    assert out == {
+        (w1, 0): 2,  # u1 + u2 (u2's two same-week events dedup)
+        (w1, 1): 1,  # u1
+        (w1, 2): 1,  # u1
+        (w2, 0): 1,  # u3
+    }
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # u1 completes in order
+        (1, _t(1), "view"), (1, _t(2), "click"), (1, _t(3), "purchase"),
+        # u2 purchases BEFORE clicking -> reaches click only
+        (2, _t(1), "view"), (2, _t(3), "click"), (2, _t(2), "purchase"),
+        # u3 never views -> reaches nothing (click alone does not count)
+        (3, _t(2), "click"), (3, _t(3), "purchase"),
+    ]
+    out = {r["step_name"]: r["users"] for r in funnel_steps(
+        _ev(spark, rows), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    ).collect()}
+    assert out == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_uses_earliest_qualifying_event(spark):
+    # u1 has two clicks; the first (t2) qualifies, so the t3 purchase
+    # counts even though it precedes the second click
+    rows = [
+        (1, _t(1), "view"), (1, _t(2), "click"),
+        (1, _t(3), "purchase"), (1, _t(4), "click"),
+    ]
+    out = {r["step_name"]: r["users"] for r in funnel_steps(
+        _ev(spark, rows), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    ).collect()}
+    assert out["purchase"] == 1
+
+
+def test_funnel_counts_monotone_on_fixture(spark):
+    from alphavantage_etl_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    out = sorted(
+        funnel_steps(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect(),
+        key=lambda r: r["step_idx"],
+    )
+    users = [r["users"] for r in out]
+    assert users == sorted(users, reverse=True)
+    assert users[0] > 0
+
+
+def test_funnel_rejects_empty_steps(spark):
+    with pytest.raises(ValueError):
+        funnel_steps(_ev(spark, []), "user_id", "ts", "event_type", [])
