@@ -92,11 +92,13 @@ def funnel_steps(
         # element INDEX to the second name — silently wrong here)
         return lambda t: t > prev
 
-    reached = F.element_at(F.col("_ts_0"), 1)
+    # try_element_at: a user who never fires a step has an empty array,
+    # which must read as NULL (ANSI element_at raises)
+    reached = F.try_element_at(F.col("_ts_0"), F.lit(1))
     chain = [reached]
     for i in range(1, len(steps)):
-        reached = F.element_at(
-            F.filter(F.col(f"_ts_{i}"), _after(chain[-1])), 1
+        reached = F.try_element_at(
+            F.filter(F.col(f"_ts_{i}"), _after(chain[-1])), F.lit(1)
         )
         chain.append(reached)
     stepped = per_user.select(

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "q_dataset_diff",
     "q_anomaly_zscore",
     "q_bloom_prune",
+    "q_cohort_retention",
+    "q_funnel_steps",
 ]
 
 
