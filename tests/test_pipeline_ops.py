@@ -244,3 +244,83 @@ def test_inverted_index_df_gates(spark):
         docs, "doc_id", "text", min_df=2, max_df=2
     ).collect()}
     assert terms == {"b"}  # a: df=3 > max_df; c: df=1 < min_df
+
+
+# ------------------------------------------------------------- plan shapes
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunking_plan_has_no_shuffle(spark):
+    from alphavantage_etl_spark.sources import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(chunk_documents(d, "text", "doc_id"))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate" in plan  # the posexplode — the operator's only node class
+
+
+def test_scd2_plan_single_exchange(spark):
+    from alphavantage_etl_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    plan = _plan(scd2_build(ev, "user_id", "ts", ["event_type"], "event_id"))
+    # both windows (compression lag + interval lead) share one (key) shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_anomaly_plan_single_exchange_no_python(spark):
+    from alphavantage_etl_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    plan = _plan(
+        flag_anomalies(ev, "user_id", "ts", "value", "event_id")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_funnel_plan_one_key_shuffle(spark):
+    from alphavantage_etl_spark.operators.cohorts import funnel_steps
+    from alphavantage_etl_spark.sources import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    plan = _plan(
+        funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click"])
+    )
+    # one hash shuffle on the entity key; the chain walk adds none
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cm_sketch_partial_agg_before_exchange(spark):
+    from alphavantage_etl_spark.sources import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    plan = _plan(count_min_sketch(d, "text"))
+    # the (row, bucket) explode feeds a map-side partial HashAggregate, so
+    # the exchange carries at most depth*width rows per task
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.index("Generate") > plan.index("Exchange"), (
+        "explode must sit below the exchange (map side)"
+    )
+
+
+def test_bloom_predicate_is_map_side(spark):
+    fact = spark.range(0, 1000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 50).select((F.col("id") * 3).alias("dk"))
+    out = bloom_semi_join(fact, dim, "fk", "dk", num_bits=1 << 12)
+    plan = _plan(out)
+    # the literal-bitmap membership test compiles into the plan as bit_get
+    # over the fact scan (below the join in the printed tree)
+    assert "bit_get" in plan, plan[:2000]
+    join_at = min(
+        (plan.index(j) for j in ("SortMergeJoin", "BroadcastHashJoin",
+                                 "ShuffledHashJoin") if j in plan),
+        default=-1,
+    )
+    assert join_at != -1 and plan.index("bit_get") > join_at, (
+        "bloom filter must evaluate below/before the join"
+    )
