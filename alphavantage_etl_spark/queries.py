@@ -2271,6 +2271,42 @@ GROUP BY l_returnflag
 """
 
 
+# X27 — char-n-gram LM perplexity proxy (r4): CCNet-style distributional
+# quality score — add-one-smoothed trigram log-probs, quantized half-even
+# to 1e-9 per DISTINCT gram (one transcendental per vocab entry), summed
+# per doc as exact integers, ONE final division chain
+# (operators/lm.py; the weighted_sample pow-rounding discipline).
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lm import lm_perplexity_scores
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_perplexity_scores(d, "doc_id", "text", n=3)
+
+
+SQL_LM_PERPLEXITY = """
+WITH lc AS (SELECT doc_id, lower(text) AS c FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([s FOR s IN
+                 [substring(c, i, 3)
+                  FOR i IN range(1, greatest(length(c) - 2, 1) + 1)]
+                 IF length(s) = 3]) AS gram
+  FROM lc),
+m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+t AS (SELECT sum(cnt) AS n, count(*) + 1 AS v FROM m),
+sm AS (
+  SELECT gram,
+         CAST(round(round_even(
+           ln(CAST(cnt + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)), 9) * 1e9)
+           AS BIGINT) AS q
+  FROM m CROSS JOIN t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(q) AS DOUBLE) / count(*) / 1e9 AS avg_logp
+FROM g JOIN sm USING (gram)
+GROUP BY doc_id
+"""
+
+
 # X26 — weekly cohort retention (r4): first-seen-week cohorts x active-week
 # offsets; two hash aggs on the entity key + one join, output bounded by
 # the |weeks|^2 grid (operators/cohorts.py). Both engines Monday-truncate
@@ -2419,6 +2455,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cm_sketch": q_cm_sketch,
     "q_cohort_retention": q_cohort_retention,
     "q_funnel_steps": q_funnel_steps,
+    "q_lm_perplexity": q_lm_perplexity,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2508,6 +2545,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_bloom_prune": SQL_BLOOM_PRUNE,
     "q_cohort_retention": SQL_COHORT_RETENTION,
     "q_funnel_steps": SQL_FUNNEL_STEPS,
+    "q_lm_perplexity": SQL_LM_PERPLEXITY,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_bloom_prune",
     "q_cohort_retention",
     "q_funnel_steps",
+    "q_lm_perplexity",
 ]
 
 
