@@ -2307,6 +2307,51 @@ GROUP BY doc_id
 """
 
 
+# X28 — calendar resample + forward fill (r4): densify a sparse per-key
+# daily series onto a gap-free calendar with last-observation-carried-
+# forward and an is_filled provenance flag (operators/resample.py). The
+# fixture sparsifies lineitem's per-returnflag daily quantity with a
+# deterministic day-of-month gap so both engines replay the same holes.
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import resample_ffill
+
+    li = load(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_shipdate").cast("date").alias("date"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    sparse = daily.filter(F.dayofmonth("date") % 7 != 0)
+    return resample_ffill(sparse, "flag", "date", ["qty"])
+
+
+SQL_RESAMPLE_FFILL = """
+WITH b AS (
+  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS date,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2),
+s AS (SELECT * FROM b WHERE day(date) % 7 != 0),
+sp AS (SELECT flag, min(date) AS d0, max(date) AS d1 FROM s GROUP BY 1),
+cal AS (
+  SELECT flag,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS date
+  FROM sp),
+j AS (
+  SELECT cal.flag, cal.date, s.qty AS qty_raw
+  FROM cal LEFT JOIN s ON s.flag = cal.flag AND s.date = cal.date)
+SELECT flag, date,
+       last_value(qty_raw IGNORE NULLS) OVER (
+         PARTITION BY flag ORDER BY date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty,
+       (qty_raw IS NULL) AS is_filled
+FROM j
+"""
+
+
 # X26 — weekly cohort retention (r4): first-seen-week cohorts x active-week
 # offsets; two hash aggs on the entity key + one join, output bounded by
 # the |weeks|^2 grid (operators/cohorts.py). Both engines Monday-truncate
@@ -2456,6 +2501,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cohort_retention": q_cohort_retention,
     "q_funnel_steps": q_funnel_steps,
     "q_lm_perplexity": q_lm_perplexity,
+    "q_resample_ffill": q_resample_ffill,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2546,6 +2592,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_cohort_retention": SQL_COHORT_RETENTION,
     "q_funnel_steps": SQL_FUNNEL_STEPS,
     "q_lm_perplexity": SQL_LM_PERPLEXITY,
+    "q_resample_ffill": SQL_RESAMPLE_FFILL,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q_cohort_retention",
     "q_funnel_steps",
     "q_lm_perplexity",
+    "q_resample_ffill",
 ]
 
 

@@ -1,0 +1,63 @@
+"""Calendar resample + forward-fill semantics on crafted frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.operators.resample import resample_ffill
+
+
+def _d(day):
+    return dt.date(2024, 1, day)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k string, date date, v long")
+
+
+def test_gaps_filled_with_last_observation(spark):
+    rows = [("a", _d(1), 10), ("a", _d(4), 40), ("a", _d(6), 60)]
+    out = sorted(
+        resample_ffill(_frame(spark, rows), "k", "date", ["v"]).collect(),
+        key=lambda r: r["date"],
+    )
+    assert [(r["date"].day, r["v"], r["is_filled"]) for r in out] == [
+        (1, 10, False), (2, 10, True), (3, 10, True),
+        (4, 40, False), (5, 40, True), (6, 60, False),
+    ]
+
+
+def test_keys_resample_independently(spark):
+    rows = [("a", _d(1), 1), ("a", _d(3), 3), ("b", _d(10), 7)]
+    out = resample_ffill(_frame(spark, rows), "k", "date", ["v"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    # a spans 3 days; b's single observation spans 1 day (no spill from a)
+    assert len(by_key["a"]) == 3 and len(by_key["b"]) == 1
+    assert by_key["b"][0]["is_filled"] is False
+
+
+def test_multiple_value_columns_fill_together(spark):
+    df = spark.createDataFrame(
+        [("a", _d(1), 1, 10.0), ("a", _d(3), 3, 30.0)],
+        "k string, date date, v long, w double",
+    )
+    out = sorted(
+        resample_ffill(df, "k", "date", ["v", "w"]).collect(),
+        key=lambda r: r["date"],
+    )
+    assert (out[1]["v"], out[1]["w"], out[1]["is_filled"]) == (1, 10.0, True)
+
+
+def test_resample_plan_shares_key_partitioning(spark):
+    df = _frame(spark, [("a", _d(1), 1), ("a", _d(5), 5)])
+    plan = (
+        resample_ffill(df, "k", "date", ["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # span agg, join, and window all partition on the key; no single-
+    # partition window sneaks in
+    assert "Exchange SinglePartition" not in plan, plan
