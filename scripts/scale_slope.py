@@ -49,8 +49,23 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 
-DOC_QUERIES = ["q_contamination", "q_dedup_near_verified", "q_tfidf_terms"]
+DOC_QUERIES = [
+    "q_contamination",
+    "q_dedup_near_verified",
+    "q_tfidf_terms",
+    # r4 heavy additions over documents
+    "q_cdc_overlap",
+    "q_lm_perplexity",
+]
 EMB_QUERIES = ["q_embed_near_dup", "q_dedup_clusters"]
+
+# Optional narrowing for incremental runs (comma-separated query names):
+# re-measuring one fixed query must not pay the full five-query sweep.
+_ONLY = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _ONLY:
+    only = {q.strip() for q in _ONLY.split(",")}
+    DOC_QUERIES = [q for q in DOC_QUERIES if q in only]
+    EMB_QUERIES = [q for q in EMB_QUERIES if q in only]
 
 _CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 

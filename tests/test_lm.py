@@ -64,3 +64,25 @@ def test_scores_deterministic_across_runs(spark):
     a = sorted(map(tuple, lm_perplexity_scores(d, "doc_id", "text").collect()))
     b = sorted(map(tuple, lm_perplexity_scores(d, "doc_id", "text").collect()))
     assert a == b
+
+
+def test_char_lm_models_merge_by_count_sum(spark):
+    """Two shards' models merged by gram-count sum equal the model of the
+    union — the incremental-training property (same class as the CM
+    sketch's cell-sum merge)."""
+    from pyspark.sql import functions as F
+
+    a = _docs(spark, [(1, "abcabc")])
+    b = _docs(spark, [(2, "bcdbcd")])
+    union_model = train_char_lm(
+        a.union(b), "text", n=3, id_col="doc_id"
+    )
+    merged = (
+        train_char_lm(a, "text", n=3, id_col="doc_id")
+        .union(train_char_lm(b, "text", n=3, id_col="doc_id"))
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, union_model.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
