@@ -2352,6 +2352,56 @@ FROM j
 """
 
 
+# X29 — fixed-range histogram (r4): nbins-bounded hash agg, bin edges
+# from two IEEE ops + floor, out-of-range values clamp to edge buckets
+# (functions/distribution.py).
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import histogram
+
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return histogram(li, "l_extendedprice", lo=0.0, hi=110000.0, nbins=20)
+
+
+SQL_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(least(19, greatest(0,
+           floor((l_extendedprice - 0.0) / 110000.0 * 20))) AS BIGINT)
+         AS bucket
+  FROM lineitem)
+SELECT bucket,
+       0.0 + bucket * 5500.0 AS bucket_lo,
+       0.0 + (bucket + 1) * 5500.0 AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+"""
+
+
+# X29 — per-group winsorization (r4): exact [p, 1-p] percentile bounds in
+# one |groups|-row aggregation, broadcast back, clip in a projection;
+# bounds half-even-rounded to 1e-6 BEFORE comparison (the q_percentiles
+# discipline) so engine-ulp interpolation differences cannot flip a
+# fence-sitting value (functions/distribution.py).
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import winsorize_by_group
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize_by_group(ev, "event_type", "value", p=0.05)
+
+
+SQL_WINSORIZE = """
+WITH b AS (
+  SELECT event_type,
+         round_even(quantile_cont(value, 0.05), 6) AS lo,
+         round_even(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo), b.hi) AS value_wins
+FROM events e JOIN b ON e.event_type = b.event_type
+"""
+
+
 # X26 — weekly cohort retention (r4): first-seen-week cohorts x active-week
 # offsets; two hash aggs on the entity key + one join, output bounded by
 # the |weeks|^2 grid (operators/cohorts.py). Both engines Monday-truncate
@@ -2502,6 +2552,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_funnel_steps": q_funnel_steps,
     "q_lm_perplexity": q_lm_perplexity,
     "q_resample_ffill": q_resample_ffill,
+    "q_histogram": q_histogram,
+    "q_winsorize": q_winsorize,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2593,6 +2645,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_funnel_steps": SQL_FUNNEL_STEPS,
     "q_lm_perplexity": SQL_LM_PERPLEXITY,
     "q_resample_ffill": SQL_RESAMPLE_FFILL,
+    "q_histogram": SQL_HISTOGRAM,
+    "q_winsorize": SQL_WINSORIZE,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

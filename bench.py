@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "q_funnel_steps",
     "q_lm_perplexity",
     "q_resample_ffill",
+    "q_histogram",
+    "q_winsorize",
 ]
 
 

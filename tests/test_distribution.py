@@ -1,0 +1,56 @@
+"""Histogram and winsorization semantics on crafted frames."""
+
+from __future__ import annotations
+
+import pytest
+
+from alphavantage_etl_spark.functions.distribution import (
+    histogram,
+    winsorize_by_group,
+)
+
+
+def test_histogram_clamps_out_of_range_into_edge_buckets(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (9.9,), (42.0,)], "v double"
+    )
+    out = {r["bucket"]: r["n"] for r in histogram(df, "v", 0.0, 10.0, 2).collect()}
+    # -5 clamps into bucket 0; 42 clamps into bucket 1
+    assert out == {0: 3, 1: 3}
+    edges = {
+        r["bucket"]: (r["bucket_lo"], r["bucket_hi"])
+        for r in histogram(df, "v", 0.0, 10.0, 2).collect()
+    }
+    assert edges == {0: (0.0, 5.0), 1: (5.0, 10.0)}
+
+
+def test_histogram_rejects_bad_range(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram(df, "v", 5.0, 5.0, 4)
+
+
+def test_winsorize_clips_tails_only(spark):
+    rows = [("a", float(i)) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize_by_group(df, "g", "v", p=0.05)
+    vals = {r["v"]: r["v_wins"] for r in out.collect()}
+    # exact interpolated bounds for 1..100 at p=.05: 5.95 / 95.05
+    assert vals[1.0] == 5.95 and vals[100.0] == 95.05
+    assert vals[50.0] == 50.0  # interior untouched
+    assert len(vals) == 100
+
+
+def test_winsorize_groups_are_independent(spark):
+    rows = [("a", float(i)) for i in range(1, 11)] + [("b", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["v"]): r["v_wins"]
+           for r in winsorize_by_group(df, "g", "v", p=0.1).collect()}
+    # b's single value is its own 10th and 90th percentile -> unchanged
+    assert out[("b", 1000.0)] == 1000.0
+
+
+def test_winsorize_rejects_bad_p(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        winsorize_by_group(df, "g", "v", p=0.5)
