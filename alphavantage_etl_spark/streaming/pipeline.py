@@ -273,6 +273,89 @@ def running_bars_stream(
     )
 
 
+def anomaly_stream(
+    events: DataFrame,
+    lookback: int = 20,
+    min_history: int = 8,
+    z_thresh: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming twin of ``operators.anomaly.flag_anomalies`` via
+    ``applyInPandasWithState``: per-key trailing window of the last
+    ``lookback`` quantized values, the SAME cleared-integer z-test, rows
+    flagged as they arrive instead of in a batch window pass.
+
+    State per key is EXACTLY ``lookback`` longs (bounded by construction
+    — no timeout needed for correctness; long-idle keys hold 160 bytes).
+    Rows inside a micro-batch are sorted by (ts, tiebreak) before the
+    walk, so feeding batches in event-time order reproduces the batch
+    operator row-for-row (asserted by the parity test). The per-row
+    Python loop touches only grouped micro-batch rows — the same budget
+    class as ``running_bars_stream``'s state transitions.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_id bigint, user_id bigint, ts timestamp, value double, "
+        "baseline_n bigint"
+    )
+    state_schema = "vals array<bigint>"
+    z2 = z_thresh * z_thresh
+
+    def update(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        def _round_half_up(x: float) -> int:
+            # parity with the batch operator's F.round (HALF_UP), not
+            # Python's banker's rounding
+            return int(math.floor(x + 0.5)) if x >= 0 else int(
+                math.ceil(x - 0.5)
+            )
+
+        (user,) = key
+        vals = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                q = _round_half_up(r.value * scale)
+                n = len(vals)
+                if n >= min_history:
+                    s1 = sum(vals)
+                    s2 = sum(v * v for v in vals)
+                    num = (n - 1) * (n * q - s1) * (n * q - s1)
+                    den = z2 * n * (n * s2 - s1 * s1)
+                    if num > den:
+                        out.append(
+                            {
+                                "event_id": r.event_id,
+                                "user_id": user,
+                                "ts": r.ts,
+                                "value": r.value,
+                                "baseline_n": n,
+                            }
+                        )
+                vals.append(q)
+                if len(vals) > lookback:
+                    vals.pop(0)
+        state.update((vals,))
+        yield pd.DataFrame(
+            out,
+            columns=["event_id", "user_id", "ts", "value", "baseline_n"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def _interval_ms(interval: str) -> int:
     """'2 days' / '30 minutes' / '1 hour' -> milliseconds (the subset of
     interval syntax the streaming builders use)."""

@@ -574,3 +574,69 @@ def test_curation_stream_quarantines_poison_batch(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert kept == [1, 20]
     assert len(reports) == 3 and reports[2]["ok"]
+
+
+def test_anomaly_stream_matches_batch_and_restarts(spark, tmp_path):
+    """Streaming anomaly twin: fed the fixture's events in event-time
+    order across two micro-batches (with a query restart between them,
+    so the trailing-window state must survive the checkpoint), the
+    flagged rows equal the batch operator's output row-for-row."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.operators.anomaly import flag_anomalies
+    from alphavantage_etl_spark.streaming.pipeline import anomaly_stream
+
+    ev = (
+        load(spark, SF_SMALL, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    mid_ts = rows[len(rows) // 2]["ts"]
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    out_dir = str(tmp_path / "anom_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(str(in_dir))
+        q = (
+            anomaly_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(ev.filter(F.col("ts") <= mid_ts), "b1")
+    drain()
+    land(ev.filter(F.col("ts") > mid_ts), "b2")
+    drain()  # restart: state reloads from the checkpoint
+
+    got = sorted(
+        (r["event_id"], r["baseline_n"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["baseline_n"])
+        for r in flag_anomalies(
+            load(spark, SF_SMALL, "events"),
+            "user_id", "ts", "value", "event_id",
+        ).collect()
+    )
+    assert got, "stream flagged nothing"
+    assert got == want
