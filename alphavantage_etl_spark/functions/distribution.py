@@ -33,12 +33,15 @@ def histogram(
 ) -> DataFrame:
     """(bucket, bucket_lo, bucket_hi, n) for values in [lo, hi); values
     outside the range clamp into the edge buckets (closed histogram, no
-    silent drops)."""
+    silent drops). NULL values surface as an explicit NULL-bucket row
+    (with NULL edges) rather than polluting bucket 0 — greatest/least
+    skip NULL operands, so the clamp alone would misfile them."""
     if not (hi > lo) or nbins < 1:
         raise ValueError("need hi > lo and nbins >= 1")
     v = F.col(value_col)
     raw = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(nbins))
-    bucket = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    clamped = F.least(F.lit(nbins - 1), F.greatest(F.lit(0), raw))
+    bucket = F.when(v.isNotNull(), clamped).cast("long")
     width = (hi - lo) / nbins
     return (
         df.select(bucket.alias("bucket"))
@@ -63,20 +66,28 @@ def winsorize_by_group(
 ) -> DataFrame:
     """Append ``<value>_wins``: the value clipped to its group's exact
     [p, 1-p] percentile bounds (interpolated percentiles, bounds rounded
-    half-even to 1e-6 before comparison for cross-engine stability)."""
+    half-even to 1e-6 before comparison for cross-engine stability).
+    NULL values stay NULL (least/greatest would otherwise fabricate the
+    lower bound for them), and NULL group keys keep their rows — the
+    bounds join is null-safe, matching the NULL group that groupBy
+    produced."""
     if not 0 < p < 0.5:
         raise ValueError("p must be in (0, 0.5)")
     bounds = df.groupBy(group_col).agg(
         F.bround(F.expr(f"percentile({value_col}, {p})"), 6).alias("__lo"),
         F.bround(F.expr(f"percentile({value_col}, {1 - p})"), 6).alias("__hi"),
-    )
+    ).withColumnRenamed(group_col, "__g")
     v = F.col(value_col)
     return (
-        df.join(F.broadcast(bounds), on=group_col)
+        df.join(
+            F.broadcast(bounds),
+            on=F.col(group_col).eqNullSafe(F.col("__g")),
+        )
         .select(
             *df.columns,
-            F.least(F.greatest(v, F.col("__lo")), F.col("__hi")).alias(
-                f"{value_col}_wins"
-            ),
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+            ).alias(f"{value_col}_wins"),
         )
     )

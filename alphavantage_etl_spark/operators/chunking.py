@@ -20,6 +20,8 @@ growth.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -43,7 +45,9 @@ def chunk_documents(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
-    toks = F.split(F.col(text_col), delimiter)
+    # split takes a Java regex; escape so the delimiter is literal (the
+    # boilerplate.py convention) and matches the oracle's string_split
+    toks = F.split(F.col(text_col), _re.escape(delimiter))
     out = (
         df.select(F.col(id_col), toks.alias("_toks"))
         .select(

@@ -41,6 +41,8 @@ def scd2_build(
     version), and ``is_current``. Intervals are half-open
     [valid_from, valid_to) — the same convention as the busday calendar.
     """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
@@ -54,7 +56,7 @@ def scd2_build(
     # row" — the explicit first-row guard keeps it.
     first = F.row_number().over(w) == 1
     compressed = (
-        changes.withColumn("_dup", ~first & F.coalesce(same, F.lit(False)))
+        changes.withColumn("_dup", ~first & same)
         .filter(~F.col("_dup"))
         .drop("_dup")
     )
@@ -80,6 +82,8 @@ def dataset_diff(
     ``status`` in {added, removed, changed, unchanged} and the old/new
     values of each compared column (``<col>_old`` / ``<col>_new``).
     """
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
     o = old.select(
         *key_cols,
         F.lit(True).alias("_in_old"),

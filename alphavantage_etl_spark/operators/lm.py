@@ -88,6 +88,12 @@ def lm_perplexity_scores(
     pass a `train_char_lm` table from a reference corpus for the CCNet
     shape. Grams absent from the model score with count 0 (the reserved
     smoothing mass).
+
+    Caching note: the self-trained model persists for the session (the
+    vocabulary-bounded table, same class as the near-dup signature
+    persists); callers scoring MANY corpora in one session should train
+    once via `train_char_lm` and pass `model` explicitly, or
+    `spark.catalog.clearCache()` between sweeps.
     """
     if model is None:
         # self-training replays the model lineage for the totals AND the

@@ -23,6 +23,8 @@ term (noted, not needed for the contract shape).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -42,7 +44,9 @@ def build_inverted_index(
     pairs = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), delimiter)).alias("term"),
+            F.explode(
+                F.split(F.col(text_col), _re.escape(delimiter))
+            ).alias("term"),
         )
         .dropDuplicates(["doc_id", "term"])
     )

@@ -43,7 +43,11 @@ def resample_ffill(
         key_col,
         F.explode(F.sequence("__d0", "__d1")).alias(date_col),
     )
-    j = cal.join(df, on=[key_col, date_col], how="left")
+    # explicit observation marker: is_filled must mean "calendar-
+    # generated row", not "first value column was NULL" — an observed row
+    # whose first value happens to be NULL is still an observation
+    obs = df.withColumn("__obs", F.lit(True))
+    j = cal.join(obs, on=[key_col, date_col], how="left")
     w = (
         Window.partitionBy(key_col)
         .orderBy(date_col)
@@ -56,5 +60,5 @@ def resample_ffill(
             F.last(c, ignorenulls=True).over(w).alias(c)
             for c in value_cols
         ],
-        F.col(value_cols[0]).isNull().alias("is_filled"),
+        F.col("__obs").isNull().alias("is_filled"),
     )

@@ -24,13 +24,31 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import re as _re
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def explode_terms(df: DataFrame, text_col: str, delimiter: str = " ") -> DataFrame:
-    """One row per token occurrence (column ``term``)."""
+    """One row per token occurrence (column ``term``); the delimiter is
+    literal (escaped before the regex-taking split)."""
     return df.select(
-        F.explode(F.split(F.col(text_col), delimiter)).alias("term")
+        F.explode(
+            F.split(F.col(text_col), _re.escape(delimiter))
+        ).alias("term")
+    )
+
+
+def _positions(term: Column, depth: int, width: int) -> Column:
+    """The sketch's cell addressing, shared by build (count_min_sketch)
+    and probe (cm_estimate): both sides MUST hash identically or the
+    no-undercount guarantee silently breaks — one definition makes that
+    invariant structural."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), term), F.lit(width))
+            for i in range(depth)
+        ]
     )
 
 
@@ -59,14 +77,9 @@ def count_min_sketch(
     aggregate (merge two sketches by unioning and summing cells)."""
     terms = explode_terms(df, text_col, delimiter)
     cells = terms.select(
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(i), F.col("term")), F.lit(width))
-                    for i in range(depth)
-                ]
-            )
-        ).alias("row", "bucket")
+        F.posexplode(_positions(F.col("term"), depth, width)).alias(
+            "row", "bucket"
+        )
     )
     return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -83,14 +96,9 @@ def cm_estimate(
     list (small — broadcast by AQE), the right side the bounded grid."""
     probes = candidates.select(
         term_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(i), F.col(term_col)), F.lit(width))
-                    for i in range(depth)
-                ]
-            )
-        ).alias("row", "bucket"),
+        F.posexplode(_positions(F.col(term_col), depth, width)).alias(
+            "row", "bucket"
+        ),
     )
     return (
         probes.join(sketch, on=["row", "bucket"], how="left")

@@ -2341,13 +2341,16 @@ cal AS (
                                      INTERVAL 1 DAY)) AS DATE) AS date
   FROM sp),
 j AS (
-  SELECT cal.flag, cal.date, s.qty AS qty_raw
+  -- obs mirrors the engine's explicit observation marker: is_filled is
+  -- ROW provenance (calendar-generated), not value-NULL-ness
+  SELECT cal.flag, cal.date, s.qty AS qty_raw,
+         (s.date IS NOT NULL) AS obs
   FROM cal LEFT JOIN s ON s.flag = cal.flag AND s.date = cal.date)
 SELECT flag, date,
        last_value(qty_raw IGNORE NULLS) OVER (
          PARTITION BY flag ORDER BY date
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty,
-       (qty_raw IS NULL) AS is_filled
+       (NOT obs) AS is_filled
 FROM j
 """
 
@@ -2364,9 +2367,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HISTOGRAM = """
 WITH b AS (
-  SELECT CAST(least(19, greatest(0,
-           floor((l_extendedprice - 0.0) / 110000.0 * 20))) AS BIGINT)
-         AS bucket
+  SELECT CAST(CASE WHEN l_extendedprice IS NOT NULL THEN
+           least(19, greatest(0,
+             floor((l_extendedprice - 0.0) / 110000.0 * 20)))
+         END AS BIGINT) AS bucket
   FROM lineitem)
 SELECT bucket,
        0.0 + bucket * 5500.0 AS bucket_lo,
@@ -2397,8 +2401,9 @@ WITH b AS (
          round_even(quantile_cont(value, 0.95), 6) AS hi
   FROM events GROUP BY 1)
 SELECT e.event_id, e.event_type, e.value,
-       least(greatest(e.value, b.lo), b.hi) AS value_wins
-FROM events e JOIN b ON e.event_type = b.event_type
+       CASE WHEN e.value IS NOT NULL
+            THEN least(greatest(e.value, b.lo), b.hi) END AS value_wins
+FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
 """
 
 

@@ -317,10 +317,15 @@ def anomaly_stream(
         (user,) = key
         vals = list(state.get[0]) if state.exists else []
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+        # concatenate before sorting: a key whose micro-batch group spans
+        # multiple Arrow chunks must be walked in GLOBAL (ts, event_id)
+        # order — sorting chunks independently would break batch parity
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            ).sort_values(["ts", "event_id"])
+            for r in whole.itertuples():
                 q = _round_half_up(r.value * scale)
                 n = len(vals)
                 if n >= min_history:

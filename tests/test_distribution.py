@@ -54,3 +54,22 @@ def test_winsorize_rejects_bad_p(spark):
     df = spark.createDataFrame([("a", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         winsorize_by_group(df, "g", "v", p=0.5)
+
+
+def test_histogram_nulls_surface_as_null_bucket(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (None,)], "v double")
+    rows = {r["bucket"]: r["n"] for r in histogram(df, "v", 0.0, 10.0, 2).collect()}
+    assert rows == {0: 1, None: 2}  # NULLs never pollute bucket 0
+
+
+def test_winsorize_null_value_stays_null_and_null_group_kept(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None), (None, 5.0)],
+        "g string, v double",
+    )
+    out = winsorize_by_group(df, "g", "v", p=0.1).collect()
+    assert len(out) == 5  # the NULL-group row survives the bounds join
+    null_v = [r for r in out if r["g"] == "a" and r["v"] is None]
+    assert null_v and null_v[0]["v_wins"] is None  # no fabricated bound
+    null_g = [r for r in out if r["g"] is None]
+    assert null_g and null_g[0]["v_wins"] == 5.0

@@ -324,3 +324,19 @@ def test_bloom_predicate_is_map_side(spark):
     assert join_at != -1 and plan.index("bit_get") > join_at, (
         "bloom filter must evaluate below/before the join"
     )
+
+
+def test_chunk_delimiter_is_literal_not_regex(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a.b.c")]), "text", "doc_id",
+        window=8, stride=8, delimiter=".",
+    ).collect()
+    assert out[0]["chunk_text"] == "a.b.c" and out[0]["n_tokens"] == 3
+
+
+def test_history_ops_reject_empty_column_lists(spark):
+    df = spark.createDataFrame([(1, 1, "A")], "k long, ts long, v string")
+    with pytest.raises(ValueError):
+        scd2_build(df, "k", "ts", [])
+    with pytest.raises(ValueError):
+        dataset_diff(df, df, ["k"], [])

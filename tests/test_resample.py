@@ -61,3 +61,18 @@ def test_resample_plan_shares_key_partitioning(spark):
     # span agg, join, and window all partition on the key; no single-
     # partition window sneaks in
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_observed_row_with_null_first_value_is_not_marked_filled(spark):
+    df = spark.createDataFrame(
+        [("a", _d(1), 1, 10.0), ("a", _d(2), None, 20.0)],
+        "k string, date date, v long, w double",
+    )
+    out = sorted(
+        resample_ffill(df, "k", "date", ["v", "w"]).collect(),
+        key=lambda r: r["date"],
+    )
+    # day 2 is a real observation (is_filled False); its NULL v is still
+    # forward-filled per column (pandas ffill semantics), w observed
+    assert out[1]["is_filled"] is False
+    assert (out[1]["v"], out[1]["w"]) == (1, 20.0)
