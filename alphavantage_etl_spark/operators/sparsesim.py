@@ -1,0 +1,102 @@
+"""Sparse TF-IDF cosine retrieval — term-partitioned top-k document
+similarity, the inverted-index path to text similarity.
+
+Reference scope: the dense ANN family (operators/similarity.py: brute /
+LSH / IVF / PQ) assumes an embedding column; this is the complementary
+retrieval mode when all you have is text — weight terms by TF-IDF, score
+candidates through the shared-term join, rank by cosine. At web scale
+this is how first-stage lexical retrieval actually runs (posting-list
+intersection), and it reuses the TF-IDF machinery (operators/tfidf.py)
+verbatim.
+
+Scale design (100 TB):
+- Weights build on `term_counts`/`doc_frequency`: the only corpus-sized
+  shuffle keys on (doc, term); the DF join is AQE's choice (broadcast
+  iff the vocabulary fits).
+- The query vector is ONE document's terms (bounded by that document's
+  vocabulary); joining it into the weight table by term touches only
+  postings of terms the query contains — candidates materialize from the
+  join, never from a corpus scan. Hot stopword terms are the same skew
+  key as in TF-IDF (AQE skew split; a `max_df` stopword screen upstream
+  bounds them structurally).
+- Exactness discipline: weights are half-even-rounded to 1e-6 and
+  quantized to integer units BEFORE any summation (the lm.py pattern),
+  so dots and squared norms are exact integer sums; one final
+  fixed-order double expression (`dot / sqrt(n2_doc * n2_query)`) and a
+  1e-9 half-even round make the ranking cross-engine bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .tfidf import doc_frequency, term_counts
+
+_WQ = 6  # weight quantization decimals
+
+
+def tfidf_weights_quantized(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, term, wq): TF-IDF weights as exact 1e-6 integer units."""
+    tf = term_counts(docs, text_col, id_col)
+    dfreq = doc_frequency(tf, id_col)
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.bround(F.col("tf") * F.log(F.col("__n") / F.col("df")), _WQ)
+                * F.lit(10.0**_WQ)
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+
+
+def sparse_tfidf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by TF-IDF cosine similarity to ``query_id``
+    (the query document itself is excluded). Ties break on the id.
+    Returns (id, sim) with sim half-even-rounded to 1e-9.
+    """
+    w = tfidf_weights_quantized(docs, id_col, text_col)
+    qvec = w.filter(F.col(id_col) == query_id).select(
+        "term", F.col("wq").alias("__qwq")
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("__n2")
+    )
+    qnorm = norms.filter(F.col(id_col) == query_id).select(
+        F.col("__n2").alias("__qn2")
+    )
+    dots = (
+        w.join(qvec, on="term")
+        .filter(F.col(id_col) != query_id)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("wq") * F.col("__qwq")).alias("__dot"))
+    )
+    sim = (
+        dots.join(norms, on=id_col)
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            id_col,
+            F.bround(
+                F.col("__dot").cast("double")
+                / F.sqrt(
+                    F.col("__n2").cast("double") * F.col("__qn2").cast("double")
+                ),
+                9,
+            ).alias("sim"),
+        )
+    )
+    return sim.orderBy(F.desc("sim"), F.col(id_col)).limit(k)

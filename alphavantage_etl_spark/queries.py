@@ -2407,6 +2407,53 @@ FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
 """
 
 
+# X30 — sparse TF-IDF cosine retrieval (r4): term-partitioned top-k text
+# similarity through the shared-term join — candidates come from the
+# query terms' postings, never a corpus scan; weights quantized to 1e-6
+# integer units before summation so dots/norms are exact and the final
+# fixed-order double + 1e-9 round is cross-engine bit-identical
+# (operators/sparsesim.py).
+def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sparsesim import sparse_tfidf_topk
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return sparse_tfidf_topk(d, "doc_id", "text", query_id=7, k=10)
+
+
+SQL_SPARSE_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(round_even(tf.tf * ln(n.n / df.df), 6) * 1e6)
+              AS BIGINT) AS wq
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+qv AS (SELECT term, wq AS qwq FROM w WHERE doc_id = 7),
+norms AS (SELECT doc_id, sum(wq * wq) AS n2 FROM w GROUP BY doc_id),
+qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 7),
+dots AS (
+  SELECT w.doc_id, sum(w.wq * qv.qwq) AS dot
+  FROM w JOIN qv USING (term)
+  WHERE w.doc_id != 7
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       round_even(CAST(d.dot AS DOUBLE) /
+                  sqrt(CAST(nm.n2 AS DOUBLE) * CAST(qn.qn2 AS DOUBLE)), 9)
+         AS sim
+FROM dots d JOIN norms nm ON d.doc_id = nm.doc_id CROSS JOIN qn
+ORDER BY sim DESC, d.doc_id
+LIMIT 10
+"""
+
+
 # X26 — weekly cohort retention (r4): first-seen-week cohorts x active-week
 # offsets; two hash aggs on the entity key + one join, output bounded by
 # the |weeks|^2 grid (operators/cohorts.py). Both engines Monday-truncate
@@ -2559,6 +2606,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_resample_ffill": q_resample_ffill,
     "q_histogram": q_histogram,
     "q_winsorize": q_winsorize,
+    "q_sparse_topk": q_sparse_topk,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2652,6 +2700,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_resample_ffill": SQL_RESAMPLE_FFILL,
     "q_histogram": SQL_HISTOGRAM,
     "q_winsorize": SQL_WINSORIZE,
+    "q_sparse_topk": SQL_SPARSE_TOPK,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q_resample_ffill",
     "q_histogram",
     "q_winsorize",
+    "q_sparse_topk",
 ]
 
 

@@ -340,3 +340,35 @@ def test_history_ops_reject_empty_column_lists(spark):
         scd2_build(df, "k", "ts", [])
     with pytest.raises(ValueError):
         dataset_diff(df, df, ["k"], [])
+
+
+# --------------------------------------------------------------- sparsesim
+def test_sparse_topk_identical_doc_scores_one(spark):
+    from alphavantage_etl_spark.operators.sparsesim import sparse_tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "alpha delta delta"), (4, "zeta zeta zeta")],
+        "doc_id long, text string",
+    )
+    out = sparse_tfidf_topk(docs, "doc_id", "text", query_id=1, k=10).collect()
+    sims = {r["doc_id"]: r["sim"] for r in out}
+    assert 1 not in sims                  # query excluded
+    assert sims[2] == 1.0                 # identical text -> cosine 1
+    assert 4 not in sims                  # no shared terms -> no candidate
+    assert 0 < sims[3] < 1.0
+    # ranked descending
+    assert [r["doc_id"] for r in out] == sorted(
+        sims, key=lambda d: (-sims[d], d)
+    )
+
+
+def test_sparse_topk_k_bounds_output(spark):
+    from alphavantage_etl_spark.operators.sparsesim import sparse_tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, "shared word plus w%d" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = sparse_tfidf_topk(docs, "doc_id", "text", query_id=0, k=5).collect()
+    assert len(out) == 5
