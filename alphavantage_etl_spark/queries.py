@@ -2454,6 +2454,49 @@ LIMIT 10
 """
 
 
+# X31 — per-group OLS trend (r4): closed-form simple regression from five
+# partial-aggregatable sufficient statistics — one hash agg per key, no
+# window/sort/iteration; sums exact in decimal(38,0) over quantized
+# inputs, slope/intercept from ONE fixed-order double expression each
+# (operators/trend.py).
+def q_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.trend import group_trend
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("x"),
+        "value",
+    )
+    return group_trend(ev, "event_type", "x", "value", y_scale=100)
+
+
+SQL_GROUP_TREND = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01'
+              AS HUGEINT) AS x,
+         CAST(round(value * 100) AS HUGEINT) AS yq
+  FROM events),
+a AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(yq) AS sy,
+         sum(x * yq) AS sxy, sum(x * x) AS sxx
+  FROM e GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round_even(CASE WHEN n * sxx - sx * sx != 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) END / 100, 9) AS slope,
+       round_even(CASE WHEN n * sxx - sx * sx != 0 THEN
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) END / 100, 9) AS intercept
+FROM a
+"""
+
+
 # X26 — weekly cohort retention (r4): first-seen-week cohorts x active-week
 # offsets; two hash aggs on the entity key + one join, output bounded by
 # the |weeks|^2 grid (operators/cohorts.py). Both engines Monday-truncate
@@ -2607,6 +2650,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_histogram": q_histogram,
     "q_winsorize": q_winsorize,
     "q_sparse_topk": q_sparse_topk,
+    "q_group_trend": q_group_trend,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2701,6 +2745,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_histogram": SQL_HISTOGRAM,
     "q_winsorize": SQL_WINSORIZE,
     "q_sparse_topk": SQL_SPARSE_TOPK,
+    "q_group_trend": SQL_GROUP_TREND,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

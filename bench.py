@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_histogram",
     "q_winsorize",
     "q_sparse_topk",
+    "q_group_trend",
 ]
 
 

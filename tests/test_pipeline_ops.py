@@ -372,3 +372,36 @@ def test_sparse_topk_k_bounds_output(spark):
     )
     out = sparse_tfidf_topk(docs, "doc_id", "text", query_id=0, k=5).collect()
     assert len(out) == 5
+
+
+# ------------------------------------------------------------------- trend
+def test_group_trend_recovers_exact_line(spark):
+    from alphavantage_etl_spark.operators.trend import group_trend
+
+    rows = [("a", x, 2.5 * x + 7.0) for x in range(10)] + [
+        ("flat", x, 42.0) for x in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {r["g"]: r for r in group_trend(df, "g", "x", "y").collect()}
+    assert (out["a"]["slope"], out["a"]["intercept"]) == (2.5, 7.0)
+    assert (out["flat"]["slope"], out["flat"]["intercept"]) == (0.0, 42.0)
+
+
+def test_group_trend_degenerate_groups_yield_null(spark):
+    from alphavantage_etl_spark.operators.trend import group_trend
+
+    # single point and zero x-variance: no OLS line
+    rows = [("one", 3, 5.0), ("same_x", 1, 1.0), ("same_x", 1, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {r["g"]: r for r in group_trend(df, "g", "x", "y").collect()}
+    assert out["one"]["slope"] is None and out["same_x"]["slope"] is None
+
+
+def test_group_trend_invariant_to_partitioning(spark):
+    from alphavantage_etl_spark.operators.trend import group_trend
+
+    rows = [("a", x, 0.01 * x * x) for x in range(50)]  # nonlinear data
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    one = group_trend(df.coalesce(1), "g", "x", "y").collect()[0]
+    many = group_trend(df.repartition(16), "g", "x", "y").collect()[0]
+    assert (one["slope"], one["intercept"]) == (many["slope"], many["intercept"])
