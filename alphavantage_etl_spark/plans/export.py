@@ -135,3 +135,60 @@ def verify_shard(
         .collect()[0]
     )
     return int(got["rows"]) == want["rows"] and int(got["checksum"]) == want["checksum"]
+
+
+def prepare_training_sequences(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    window: int = 64,
+    stride: int = 48,
+    shard_tokens: int = 100_000,
+) -> dict:
+    """Chunk-then-shard: the long-document path into training shards.
+
+    ``write_training_shards`` packs WHOLE documents; documents longer
+    than the training context must first split into overlapping windows
+    (X20 ``chunk_documents``) or the trainer truncates their tails away.
+    This composition chunks every document, carries the source through
+    for shard assignment, derives per-sequence token counts from the
+    chunker itself (no re-tokenization), and ships the sequences through
+    the standard shard writer — so the manifest's token totals count
+    exactly what the trainer will consume.
+
+    Sequence ids are ``<doc_id>-<chunk_idx>`` — content-addressed and
+    append-stable: new documents mint new ids, re-chunking an unchanged
+    document reproduces identical ids (same property pack_bins relies
+    on for within-source stability). One corpus-sized shuffle total: the
+    chunker adds none, the source join keys on the doc id, pack_bins
+    partitions by source.
+    """
+    from ..operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        docs.select(id_col, text_col), text_col, id_col,
+        window=window, stride=stride,
+    )
+    seqs = (
+        chunks.join(docs.select(id_col, source_col), on=id_col)
+        .select(
+            F.concat_ws(
+                "-", F.col(id_col).cast("string"),
+                F.col("chunk_idx").cast("string"),
+            ).alias("seq_id"),
+            F.col(source_col),
+            F.col("n_tokens"),
+            F.col("chunk_text").alias("text"),
+        )
+    )
+    return write_training_shards(
+        seqs,
+        path,
+        text_col="text",
+        id_col="seq_id",
+        source_col=source_col,
+        size_col="n_tokens",
+        shard_tokens=shard_tokens,
+    )

@@ -69,3 +69,40 @@ def test_shard_assignment_is_stable_under_append(spark):
         for r in with_shards(docs, "doc_id", "source", "n_chars", 5_000).collect()
     }
     assert all(after[i] == s for i, s in before.items())
+
+
+def test_prepare_training_sequences_chunks_then_shards(spark, tmp_path):
+    """Chunk-then-shard composition: long docs split into overlapping
+    windows, token totals in the manifest count the sequences the trainer
+    reads, shards verify via the standard loader check, and re-running is
+    byte-deterministic."""
+    from alphavantage_etl_spark.plans.export import (
+        prepare_training_sequences,
+        verify_shard,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    docs = load(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "seq_shards")
+    man = prepare_training_sequences(
+        docs, out, window=32, stride=24, shard_tokens=2_000
+    )
+    assert man["n_shards"] >= 1 and man["total_rows"] > 0
+    seq = spark.read.parquet(out)
+    # every document is represented and long docs produced several chunks
+    n_docs = docs.count()
+    assert seq.select("seq_id").distinct().count() == man["total_rows"]
+    assert man["total_rows"] > n_docs  # overlap + chunking fan-out
+    # manifest token totals equal what a trainer would re-count
+    recount = seq.agg(F.sum("n_tokens")).collect()[0][0]
+    assert int(recount) == man["total_tokens"]
+    # one shard passes the loader-side integrity check
+    assert verify_shard(
+        spark, out, man["shards"][0]["shard"], man, id_col="seq_id"
+    )
+    # deterministic re-run: identical manifest
+    man2 = prepare_training_sequences(
+        docs, str(tmp_path / "seq_shards2"),
+        window=32, stride=24, shard_tokens=2_000,
+    )
+    assert man2 == man
