@@ -350,3 +350,38 @@ def temperature_mix(
         .where(b < F.floor(F.col("__rate") * F.lit(buckets)))
         .drop("__rate")
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    boundary: str,
+    embargo: str = "0 days",
+) -> DataFrame:
+    """Leakage-safe time-based split: ``train`` strictly before
+    ``boundary``, ``test`` at/after ``boundary + embargo``, and an
+    explicit ``embargo`` bucket for rows inside the gap — dropped rows
+    would hide the leakage window from audits. The embargo absorbs
+    look-ahead contamination (a model trained to t0 evaluated on events
+    at t0 + epsilon sees near-duplicate context; events stream ops like
+    sessions/windows straddle the cut).
+
+    The hash split (`hash_split`) is the i.i.d. tool; this is the
+    time-series counterpart where random splits leak future information
+    by construction. Pure projection — no shuffle, no state; the split
+    column is derivable by any engine from (ts, boundary, embargo).
+    """
+    qty, unit = embargo.split()
+    if unit.rstrip("s") not in ("day", "hour", "minute", "second"):
+        raise ValueError(f"unsupported embargo unit: {unit}")
+    t0 = F.lit(boundary).cast("timestamp")
+    t1 = F.lit(boundary).cast("timestamp") + F.expr(
+        f"INTERVAL {int(qty)} {unit.rstrip('s')}"
+    )
+    ts = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(ts < t0, F.lit("train"))
+        .when(ts >= t1, F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )

@@ -2497,6 +2497,27 @@ FROM a
 """
 
 
+# X11 extension — leakage-safe temporal split with embargo (r4): train
+# strictly before the boundary, test after boundary+embargo, the gap
+# bucketed explicitly (never dropped); pure projection, no shuffle
+# (operators/sampling.py:temporal_split).
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import temporal_split
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    return temporal_split(ev, "ts", "2024-01-20", embargo="2 days")
+
+
+SQL_TEMPORAL_SPLIT = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+       CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20' THEN 'train'
+            WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20'
+                 + INTERVAL 2 DAY THEN 'test'
+            ELSE 'embargo' END AS split
+FROM events
+"""
+
+
 # X26 — weekly cohort retention (r4): first-seen-week cohorts x active-week
 # offsets; two hash aggs on the entity key + one join, output bounded by
 # the |weeks|^2 grid (operators/cohorts.py). Both engines Monday-truncate
@@ -2651,6 +2672,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_winsorize": q_winsorize,
     "q_sparse_topk": q_sparse_topk,
     "q_group_trend": q_group_trend,
+    "q_temporal_split": q_temporal_split,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2746,6 +2768,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_winsorize": SQL_WINSORIZE,
     "q_sparse_topk": SQL_SPARSE_TOPK,
     "q_group_trend": SQL_GROUP_TREND,
+    "q_temporal_split": SQL_TEMPORAL_SPLIT,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

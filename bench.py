@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_winsorize",
     "q_sparse_topk",
     "q_group_trend",
+    "q_temporal_split",
 ]
 
 

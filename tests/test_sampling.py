@@ -376,3 +376,33 @@ def test_temperature_mix_corpus_never_shuffles(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_temporal_split_embargo_gap_is_explicit(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.sampling import temporal_split
+
+    rows = [
+        (1, dt.datetime(2024, 1, 19, 23)),  # train
+        (2, dt.datetime(2024, 1, 20, 0)),   # embargo (at boundary)
+        (3, dt.datetime(2024, 1, 21, 12)),  # embargo (inside gap)
+        (4, dt.datetime(2024, 1, 22, 0)),   # test (at boundary+embargo)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["event_id"]: r["split"] for r in temporal_split(
+        df, "ts", "2024-01-20", embargo="2 days"
+    ).collect()}
+    assert out == {1: "train", 2: "embargo", 3: "embargo", 4: "test"}
+    # no rows silently dropped
+    assert len(out) == 4
+
+
+def test_temporal_split_rejects_unknown_embargo_unit(spark):
+    import pytest as _pytest
+
+    from alphavantage_etl_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame([(1,)], "event_id long")
+    with _pytest.raises(ValueError):
+        temporal_split(df, "ts", "2024-01-20", embargo="3 fortnights")
