@@ -111,3 +111,50 @@ def dataset_diff(
         *[f"{c}_old" for c in compare_cols],
         *[f"{c}_new" for c in compare_cols],
     )
+
+
+def scd2_lookup(
+    points: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension (the feature-store
+    correctness primitive): each point row joins the dimension version
+    whose half-open [valid_from, valid_to) interval contains its
+    timestamp — training examples see exactly the state that was true at
+    event time, never a later version (no feature leakage).
+
+    Reuses `operators.ranges.interval_join` (bucketized equi-join, long-
+    interval fan-out guard). Open current versions (valid_to NULL) are
+    capped IN-PLAN at the points' max timestamp + 1 day — bounding every
+    interval's bucket span by the observed data range, so open versions
+    never trip the guard's broadcast fallback at scale. Half-open
+    semantics come from shifting the inclusive BETWEEN end by one
+    microsecond (the engine's timestamp precision): an event exactly at
+    a version boundary belongs to the NEW version.
+    """
+    from .ranges import interval_join
+
+    max_ts = points.agg(F.max(ts_col).alias("__maxts"))
+    capped = (
+        dim.crossJoin(F.broadcast(max_ts))
+        .withColumn(
+            "__end",
+            F.coalesce(
+                F.col("valid_to"),
+                F.col("__maxts") + F.expr("INTERVAL 1 DAY"),
+            )
+            - F.expr("INTERVAL 1 MICROSECOND"),
+        )
+        .drop("valid_to", "is_current", "__maxts")
+    )
+    return interval_join(
+        points,
+        capped,
+        ts_col,
+        "valid_from",
+        "__end",
+        keys=[key_col],
+        bucket="day",
+    ).drop("valid_from", "__end")

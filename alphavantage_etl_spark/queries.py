@@ -2150,6 +2150,36 @@ FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# X23 — point-in-time SCD2 lookup (r4): each event joins the dimension
+# version valid AT ITS OWN timestamp (half-open intervals, open current
+# versions capped in-plan at the points' max ts) — the feature-store
+# no-leakage primitive, reusing the bucketized interval join
+# (operators/history.py:scd2_lookup; operators/ranges.py).
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import scd2_build, scd2_lookup
+
+    ev = load(spark, sf_dir, "events")
+    dim = scd2_build(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", ["event_type"], tiebreak_col="event_id",
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    return scd2_lookup(pts, dim, "user_id", "ts").select(
+        "event_id", "user_id", "ts",
+        F.col("event_type").alias("state_type"),
+    )
+
+
+SQL_SCD2_LOOKUP = f"""
+WITH scd2 AS ({SQL_SCD2})
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+       s.event_type AS state_type
+FROM events e JOIN scd2 s ON e.user_id = s.user_id
+  AND CAST(e.ts AS TIMESTAMP) >= s.valid_from
+  AND (s.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < s.valid_to)
+"""
+
+
 # X23 — dataset version diff (r4): added/removed/changed audit between two
 # versions via one full-outer join on the key (operators/history.py). The
 # two versions are deterministic in-plan slices of orders (drop keys
@@ -2673,6 +2703,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_sparse_topk": q_sparse_topk,
     "q_group_trend": q_group_trend,
     "q_temporal_split": q_temporal_split,
+    "q_scd2_lookup": q_scd2_lookup,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2769,6 +2800,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_sparse_topk": SQL_SPARSE_TOPK,
     "q_group_trend": SQL_GROUP_TREND,
     "q_temporal_split": SQL_TEMPORAL_SPLIT,
+    "q_scd2_lookup": SQL_SCD2_LOOKUP,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q_sparse_topk",
     "q_group_trend",
     "q_temporal_split",
+    "q_scd2_lookup",
 ]
 
 

@@ -405,3 +405,55 @@ def test_group_trend_invariant_to_partitioning(spark):
     one = group_trend(df.coalesce(1), "g", "x", "y").collect()[0]
     many = group_trend(df.repartition(16), "g", "x", "y").collect()[0]
     assert (one["slope"], one["intercept"]) == (many["slope"], many["intercept"])
+
+
+# ------------------------------------------------------------- scd2 lookup
+def test_scd2_lookup_point_in_time_semantics(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.history import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    def t(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    changes = spark.createDataFrame(
+        [(1, t(1), "bronze", 1), (1, t(10), "silver", 2), (1, t(20), "gold", 3)],
+        "k long, ts timestamp, tier string, eid long",
+    )
+    dim = scd2_build(changes, "k", "ts", ["tier"], tiebreak_col="eid")
+    points = spark.createDataFrame(
+        [
+            (100, 1, t(5)),    # inside bronze
+            (101, 1, t(10)),   # exactly at the boundary -> NEW version
+            (102, 1, t(15)),   # inside silver
+            (103, 1, t(25)),   # open current version (gold)
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    out = {r["pid"]: r["tier"]
+           for r in scd2_lookup(points, dim, "k", "ts").collect()}
+    assert out == {100: "bronze", 101: "silver", 102: "silver", 103: "gold"}
+
+
+def test_scd2_lookup_drops_points_before_history_starts(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.history import (
+        scd2_build,
+        scd2_lookup,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10), "v1", 1)],
+        "k long, ts timestamp, v string, eid long",
+    )
+    dim = scd2_build(changes, "k", "ts", ["v"], tiebreak_col="eid")
+    points = spark.createDataFrame(
+        [(9, 1, dt.datetime(2024, 1, 1))], "pid long, k long, ts timestamp"
+    )
+    # no version was true before the first valid_from: inner-join drops it
+    # (leaking the LATER version backward would be the feature-store bug)
+    assert scd2_lookup(points, dim, "k", "ts").count() == 0
