@@ -23,7 +23,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def cohort_retention(
@@ -122,4 +122,47 @@ def funnel_steps(
     )
     return counts.select(F.explode(pairs).alias("f")).select(
         "f.step_idx", "f.step_name", "f.users"
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts/rates between consecutive
+    events of each key: (from_type, to_type, n, p) where p is the row-
+    normalized transition probability. The behavioral-analytics companion
+    of the funnel: the funnel asks "did the ordered path happen", the
+    transition matrix asks "what usually happens next".
+
+    One window pass on the entity key (lag of the type column) feeding
+    one bounded aggregation (|types|^2 output rows); p derives from a
+    window-free second aggregate joined back — both aggs are
+    vocabulary-sized. The single division making p is IEEE-deterministic
+    from exact integer counts.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(F.broadcast(totals), on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("__tot").cast("double")).alias("p"),
+        )
     )

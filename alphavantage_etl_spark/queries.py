@@ -2301,6 +2301,37 @@ GROUP BY l_returnflag
 """
 
 
+# X26 — first-order Markov transition matrix (r4): per-key lag window ->
+# bounded (|types|^2) count/rate table; p from one IEEE-deterministic
+# division of exact counts (operators/cohorts.py:transition_matrix).
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import transition_matrix
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+SQL_TRANSITION_MATRIX = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events),
+p AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM e),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+FROM c JOIN t ON c.from_type = t.from_type
+"""
+
+
 # X27 — char-n-gram LM perplexity proxy (r4): CCNet-style distributional
 # quality score — add-one-smoothed trigram log-probs, quantized half-even
 # to 1e-9 per DISTINCT gram (one transcendental per vocab entry), summed
@@ -2704,6 +2735,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_group_trend": q_group_trend,
     "q_temporal_split": q_temporal_split,
     "q_scd2_lookup": q_scd2_lookup,
+    "q_transition_matrix": q_transition_matrix,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2801,6 +2833,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_group_trend": SQL_GROUP_TREND,
     "q_temporal_split": SQL_TEMPORAL_SPLIT,
     "q_scd2_lookup": SQL_SCD2_LOOKUP,
+    "q_transition_matrix": SQL_TRANSITION_MATRIX,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

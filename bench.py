@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_group_trend",
     "q_temporal_split",
     "q_scd2_lookup",
+    "q_transition_matrix",
 ]
 
 

@@ -93,3 +93,33 @@ def test_funnel_counts_monotone_on_fixture(spark):
 def test_funnel_rejects_empty_steps(spark):
     with pytest.raises(ValueError):
         funnel_steps(_ev(spark, []), "user_id", "ts", "event_type", [])
+
+
+def test_transition_matrix_counts_and_rates(spark):
+    from alphavantage_etl_spark.operators.cohorts import transition_matrix
+
+    rows = [
+        # u1: A -> B -> A ; u2: A -> B
+        (1, _t(1), "A", 1), (1, _t(2), "B", 2), (1, _t(3), "A", 3),
+        (2, _t(1), "A", 4), (2, _t(2), "B", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in transition_matrix(
+               df, "user_id", "ts", "event_type", "event_id"
+           ).collect()}
+    assert out == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_transition_matrix_never_crosses_keys(spark):
+    from alphavantage_etl_spark.operators.cohorts import transition_matrix
+
+    rows = [(1, _t(1), "A", 1), (2, _t(2), "B", 2)]  # different users
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    assert transition_matrix(
+        df, "user_id", "ts", "event_type", "event_id"
+    ).count() == 0
