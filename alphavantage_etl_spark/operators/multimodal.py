@@ -184,3 +184,98 @@ def frame_sample(df: DataFrame, frame_size: int = 4, every_k: int = 2) -> DataFr
     return exploded.select(
         "doc_id", (F.col("pos") * every_k).alias("frame_no"), "frame"
     )
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def image_phash(df: DataFrame, mode: str = "fake") -> DataFrame:
+    """dHash-style 64-bit perceptual fingerprint per payload — the image
+    counterpart of the text SimHash: visually-near images differ in few
+    bits, so near-dup detection reduces to banded hamming joins.
+
+    ``mode='real'`` documents the intended body (decode -> grayscale ->
+    9x8 resize -> adjacent-pixel gradient bits) and raises: the decode
+    libraries are not in this container. ``mode='fake'`` derives the 8x9
+    pseudo-pixel grid deterministically from the payload bytes, keeping
+    every downstream property real: equal payloads hash equal, near
+    payloads differ in few bits, and the Arrow batch plumbing matches
+    the real path exactly (one function body swaps).
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(f"mode must be 'fake' or 'real', got {mode!r}")
+
+    def hash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def dhash(b: bytes) -> int:
+            if mode == "real":
+                # Real body: PIL.Image.open -> convert('L') -> resize((9,8))
+                # -> bits[r][c] = px[r][c] < px[r][c+1]
+                raise NotImplementedError(
+                    "real image decode needs PIL/opencv; use mode='fake'"
+                )
+            grid = (b * (72 // max(len(b), 1) + 1))[:72]
+            bits = 0
+            for r in range(8):
+                for c in range(8):
+                    i = r * 9 + c
+                    bits = (bits << 1) | (1 if grid[i] < grid[i + 1] else 0)
+            return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pdf["payload"].map(dhash)}
+            )
+
+    return df.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+def phash_near_dups(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(phash) <= ``max_hamming``,
+    found via banded buckets — the SimHash/LSH shuffle shape: split the 64
+    bits into ``bands`` slices, join only rows sharing a slice value, then
+    verify the exact distance with ``bit_count`` on candidates only. With
+    ``bands > max_hamming`` the pigeonhole guarantees every qualifying
+    pair shares at least one clean band (no recall loss); shuffle keys are
+    (band, slice) — never all-pairs.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming for guaranteed recall "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.expr(f"shiftright(phash, {i * width}) & {mask}L")
+            for i in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        F.col("doc_id"), F.col("phash"),
+        F.posexplode(slices).alias("band", "bval"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bval") == F.col("b.bval"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.phash ^ b.phash)").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -1333,6 +1333,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 
+# X5 — image perceptual-hash near-dup (r4): dHash fingerprints via Arrow
+# mapInPandas + banded hamming join (bands > max_hamming => pigeonhole
+# recall guarantee). Rows-only: the fingerprint walks payload bytes in
+# Python (the real path's PIL body swaps in); exact-dup payloads are
+# pinned at hamming 0 by test (operators/multimodal.py).
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import (
+        attach_media,
+        image_phash,
+        phash_near_dups,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return phash_near_dups(image_phash(attach_media(d)), max_hamming=3)
+
+
 # X9 — deterministic hash split: content-addressed train/valid/test
 # assignment (md5-bucketed; stable under corpus growth, engine-portable,
 # unlike randomSplit whose assignment depends on partitioning + seed)
@@ -2746,6 +2762,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_lsh": q_cosine_topk_lsh,
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
+    "q_image_near_dup": q_image_near_dup,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_temporal_split",
     "q_scd2_lookup",
     "q_transition_matrix",
+    "q_image_near_dup",
 ]
 
 

@@ -131,3 +131,65 @@ def test_resize_media_real_mode_is_marked_stub(spark, media):
 
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_media(media, 8, 8, mode="real").collect()
+
+
+def test_image_phash_deterministic_and_near_sensitivity(spark):
+    from alphavantage_etl_spark.operators.multimodal import image_phash
+
+    rows = [(1, bytes(range(64))), (2, bytes(range(64))),
+            (3, bytes([255 - x for x in range(64)]))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert out[1] == out[2]          # equal payloads -> equal hash
+    assert out[1] != out[3]          # reversed gradient -> different hash
+
+
+def test_phash_near_dups_banded_join_finds_planted_pairs(spark):
+    from alphavantage_etl_spark.operators.multimodal import (
+        image_phash,
+        phash_near_dups,
+    )
+
+    base = bytes(range(72))
+    near = bytes([7]) + base[1:]     # one pseudo-pixel nudged -> few bits
+    far = bytes([255 - x for x in range(72)])
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id long, payload binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in phash_near_dups(image_phash(df), max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0        # exact duplicate
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert all(4 not in p for p in pairs)
+
+
+def test_phash_near_dups_rejects_bad_banding(spark):
+    import pytest as _pytest
+
+    from alphavantage_etl_spark.operators.multimodal import phash_near_dups
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, phash long")
+    with _pytest.raises(ValueError):
+        phash_near_dups(df, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError):
+        phash_near_dups(df, max_hamming=2, bands=3)
+
+
+def test_image_near_dup_on_fixture_finds_exact_dup_docs(spark):
+    """The fixture's duplicated texts produce identical payloads, so the
+    image near-dup path must recover them at hamming 0."""
+    from alphavantage_etl_spark.operators.multimodal import (
+        attach_media,
+        image_phash,
+        phash_near_dups,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    docs = load(spark, SF_SMALL, "documents")
+    media = attach_media(docs)
+    pairs = phash_near_dups(image_phash(media), max_hamming=0)
+    dup_texts = (
+        docs.groupBy("text").count().filter("count > 1").count()
+    )
+    assert (pairs.count() > 0) == (dup_texts > 0)
