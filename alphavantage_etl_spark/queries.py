@@ -2855,11 +2855,13 @@ EXTRA_ORACLES: dict[str, str] = {
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,
     "q_asof_rate": SQL_ASOF_RATE,
-    # q_distinct_sketch / q_quantile_sketch: self-validating approximations
-    # q_dedup_near / q_cosine_topk_{lsh,ivf} / q_simhash / q_dedup_near_
-    # verified: hash-family ops, rows-only by design (xxhash64 has no
-    # DuckDB equivalent); their arithmetic is oracle-pinned via
-    # q_jaccard_pairs / q_cosine_topk / q_embed_near_dup.
+    # q_distinct_sketch / q_quantile_sketch / q_cm_sketch: self-validating
+    # approximations (within_bound columns). q_dedup_near /
+    # q_cosine_topk_{lsh,ivf,pq} / q_simhash / q_dedup_near_verified /
+    # q_image_near_dup: hash-family ops, rows-only by design (xxhash64 /
+    # Python dHash have no DuckDB equivalent); their arithmetic is
+    # oracle-pinned via q_jaccard_pairs / q_cosine_topk /
+    # q_embed_near_dup and the planted-pair unit tests.
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
