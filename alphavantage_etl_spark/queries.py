@@ -2660,8 +2660,30 @@ SELECT CAST(2 AS BIGINT), 'purchase', CAST(n2 AS BIGINT) FROM n
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- r3 additions with no driver row yet: first, inside any cap or
+    # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
+    "q_temperature_mix": q_temperature_mix,
+    "q_cdc_overlap": q_cdc_overlap,
+    "q_chunk_windows": q_chunk_windows,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_inverted_index": q_inverted_index,
+    "q_scd2": q_scd2,
+    "q_dataset_diff": q_dataset_diff,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_bloom_prune": q_bloom_prune,
+    "q_cohort_retention": q_cohort_retention,
+    "q_funnel_steps": q_funnel_steps,
+    "q_lm_perplexity": q_lm_perplexity,
+    "q_resample_ffill": q_resample_ffill,
+    "q_histogram": q_histogram,
+    "q_winsorize": q_winsorize,
+    "q_sparse_topk": q_sparse_topk,
+    "q_group_trend": q_group_trend,
+    "q_temporal_split": q_temporal_split,
+    "q_scd2_lookup": q_scd2_lookup,
+    "q_transition_matrix": q_transition_matrix,
+    # --- r3 additions, also no driver row yet (rotated in earlier this
+    #     round; CORRECTNESS_r03 predates the rotation) ---
     "q_boilerplate": q_boilerplate,
     "q_scrub_pii": q_scrub_pii,
     "q_rep_ngrams": q_rep_ngrams,
@@ -2680,29 +2702,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_interval_join": q_interval_join,
     "q_quality_calibrated": q_quality_calibrated,
     "q_weighted_sample": q_weighted_sample,
-    # --- r02+r03 driver-green rows ---
-    "q_json_explode": q_json_explode,
-    "q_ohlc_daily": q_ohlc_daily,
-    "q_join_convert": q_join_convert,
-    "q_anti_new_rows": q_anti_new_rows,
-    "q_incremental_merge": q_incremental_merge,
+    # --- two-green (r2+r3) entries kept in-window: one representative per
+    #     heavy execution family (partitioned window, as-of, media, vector,
+    #     event-time, sampling) so a fixture regen surfaces driver-side ---
     "q_sma_partitioned": q_sma_partitioned,
-    "q_busday_gap": q_busday_gap,
     "q_asof_partitioned": q_asof_partitioned,
-    "q_agg_pricing": q_agg_pricing,
-    "q_top_customers": q_top_customers,
-    "q_revenue_by_nation": q_revenue_by_nation,
-    "q_rollup_revenue": q_rollup_revenue,
-    "q_cube_orders": q_cube_orders,
-    "q_rank_windows": q_rank_windows,
-    "q_percentiles": q_percentiles,
-    "q_dedup_exact": q_dedup_exact,
-    "q_text_stats": q_text_stats,
-    "q_doc_fingerprint": q_doc_fingerprint,
-    "q_quality_score": q_quality_score,
-    "q_lang_id": q_lang_id,
-    "q_token_bpe": q_token_bpe,
-    "q_rolling_fingerprint": q_rolling_fingerprint,
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_embed_near_dup": q_embed_near_dup,
     "q_multimodal_meta": q_multimodal_meta,
@@ -2730,28 +2734,30 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_weekday_filter": q_weekday_filter,
     "q_set_ops": q_set_ops,
     "q_pivot_daily": q_pivot_daily,
-    # r4 oracle-backed additions (no driver row yet — rotate forward in r5)
-    "q_temperature_mix": q_temperature_mix,
-    "q_cdc_overlap": q_cdc_overlap,
-    "q_chunk_windows": q_chunk_windows,
-    "q_heavy_hitters": q_heavy_hitters,
-    "q_inverted_index": q_inverted_index,
-    "q_scd2": q_scd2,
-    "q_dataset_diff": q_dataset_diff,
-    "q_anomaly_zscore": q_anomaly_zscore,
-    "q_bloom_prune": q_bloom_prune,
+    # Displaced later in r4 to make room for the 20 r4 additions: each holds
+    # three consecutive green driver rows (r1+r2+r3).
+    "q_json_explode": q_json_explode,
+    "q_ohlc_daily": q_ohlc_daily,
+    "q_join_convert": q_join_convert,
+    "q_anti_new_rows": q_anti_new_rows,
+    "q_incremental_merge": q_incremental_merge,
+    "q_busday_gap": q_busday_gap,
+    "q_agg_pricing": q_agg_pricing,
+    "q_top_customers": q_top_customers,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_orders": q_cube_orders,
+    "q_rank_windows": q_rank_windows,
+    "q_percentiles": q_percentiles,
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_stats": q_text_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_token_bpe": q_token_bpe,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
+    # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
-    "q_cohort_retention": q_cohort_retention,
-    "q_funnel_steps": q_funnel_steps,
-    "q_lm_perplexity": q_lm_perplexity,
-    "q_resample_ffill": q_resample_ffill,
-    "q_histogram": q_histogram,
-    "q_winsorize": q_winsorize,
-    "q_sparse_topk": q_sparse_topk,
-    "q_group_trend": q_group_trend,
-    "q_temporal_split": q_temporal_split,
-    "q_scd2_lookup": q_scd2_lookup,
-    "q_transition_matrix": q_transition_matrix,
     "q_sma_window": q_sma_window,
     "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
@@ -2768,6 +2774,26 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
+    "q_temperature_mix": SQL_TEMPERATURE_MIX,
+    "q_cdc_overlap": SQL_CDC_OVERLAP,
+    "q_chunk_windows": SQL_CHUNK_WINDOWS,
+    "q_heavy_hitters": SQL_HEAVY_HITTERS,
+    "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_scd2": SQL_SCD2,
+    "q_dataset_diff": SQL_DATASET_DIFF,
+    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
+    "q_bloom_prune": SQL_BLOOM_PRUNE,
+    "q_cohort_retention": SQL_COHORT_RETENTION,
+    "q_funnel_steps": SQL_FUNNEL_STEPS,
+    "q_lm_perplexity": SQL_LM_PERPLEXITY,
+    "q_resample_ffill": SQL_RESAMPLE_FFILL,
+    "q_histogram": SQL_HISTOGRAM,
+    "q_winsorize": SQL_WINSORIZE,
+    "q_sparse_topk": SQL_SPARSE_TOPK,
+    "q_group_trend": SQL_GROUP_TREND,
+    "q_temporal_split": SQL_TEMPORAL_SPLIT,
+    "q_scd2_lookup": SQL_SCD2_LOOKUP,
+    "q_transition_matrix": SQL_TRANSITION_MATRIX,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_scrub_pii": SQL_SCRUB_PII,
     "q_rep_ngrams": SQL_REP_NGRAMS,
@@ -2785,28 +2811,8 @@ ORACLES: dict[str, str] = {
     "q_interval_join": SQL_INTERVAL_JOIN,
     "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
     "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
-    "q_json_explode": SQL_JSON_EXPLODE,
-    "q_ohlc_daily": SQL_OHLC_DAILY,
-    "q_join_convert": SQL_JOIN_CONVERT,
-    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
-    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
     "q_sma_partitioned": SQL_SMA_PARTITIONED,
-    "q_busday_gap": SQL_BUSDAY_GAP,
     "q_asof_partitioned": SQL_ASOF_PARTITIONED,
-    "q_agg_pricing": SQL_AGG_PRICING,
-    "q_top_customers": SQL_TOP_CUSTOMERS,
-    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
-    "q_cube_orders": SQL_CUBE_ORDERS,
-    "q_rank_windows": SQL_RANK_WINDOWS,
-    "q_percentiles": SQL_PERCENTILES,
-    "q_dedup_exact": SQL_DEDUP_EXACT,
-    "q_text_stats": SQL_TEXT_STATS,
-    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
-    "q_quality_score": SQL_QUALITY_SCORE,
-    "q_lang_id": SQL_LANG_ID,
-    "q_token_bpe": SQL_TOKEN_BPE,
-    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "q_jaccard_pairs": SQL_JACCARD_PAIRS,
     "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_multimodal_meta": SQL_MULTIMODAL_META,
@@ -2831,26 +2837,26 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_set_ops": SQL_SET_OPS,
     "q_pivot_daily": SQL_PIVOT_DAILY,
-    "q_temperature_mix": SQL_TEMPERATURE_MIX,
-    "q_cdc_overlap": SQL_CDC_OVERLAP,
-    "q_chunk_windows": SQL_CHUNK_WINDOWS,
-    "q_heavy_hitters": SQL_HEAVY_HITTERS,
-    "q_inverted_index": SQL_INVERTED_INDEX,
-    "q_scd2": SQL_SCD2,
-    "q_dataset_diff": SQL_DATASET_DIFF,
-    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
-    "q_bloom_prune": SQL_BLOOM_PRUNE,
-    "q_cohort_retention": SQL_COHORT_RETENTION,
-    "q_funnel_steps": SQL_FUNNEL_STEPS,
-    "q_lm_perplexity": SQL_LM_PERPLEXITY,
-    "q_resample_ffill": SQL_RESAMPLE_FFILL,
-    "q_histogram": SQL_HISTOGRAM,
-    "q_winsorize": SQL_WINSORIZE,
-    "q_sparse_topk": SQL_SPARSE_TOPK,
-    "q_group_trend": SQL_GROUP_TREND,
-    "q_temporal_split": SQL_TEMPORAL_SPLIT,
-    "q_scd2_lookup": SQL_SCD2_LOOKUP,
-    "q_transition_matrix": SQL_TRANSITION_MATRIX,
+    "q_json_explode": SQL_JSON_EXPLODE,
+    "q_ohlc_daily": SQL_OHLC_DAILY,
+    "q_join_convert": SQL_JOIN_CONVERT,
+    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
+    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
+    "q_busday_gap": SQL_BUSDAY_GAP,
+    "q_agg_pricing": SQL_AGG_PRICING,
+    "q_top_customers": SQL_TOP_CUSTOMERS,
+    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "q_cube_orders": SQL_CUBE_ORDERS,
+    "q_rank_windows": SQL_RANK_WINDOWS,
+    "q_percentiles": SQL_PERCENTILES,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_stats": SQL_TEXT_STATS,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_quality_score": SQL_QUALITY_SCORE,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_bpe": SQL_TOKEN_BPE,
+    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,
