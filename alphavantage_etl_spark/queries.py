@@ -2659,6 +2659,57 @@ SELECT CAST(2 AS BIGINT), 'purchase', CAST(n2 AS BIGINT) FROM n
 """
 
 
+# X32 — DSIR importance weights (r4): hashed bag-of-words log importance
+# ratio of every raw document against a small target corpus (Xie et al.
+# 2023) — the distribution-level data-selection step. Both models are one
+# explode into a BUCKET-bounded aggregation; per-bucket log-ratios are
+# quantized half-even to 1e-9 once per bucket and summed per doc as exact
+# integers (operators/dsir.py). Target = src0 (the in-domain proxy), raw =
+# every other source.
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dsir import dsir_log_weights
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = d.where(F.col("source") == "src0").select("doc_id", "text")
+    raw = d.where(F.col("source") != "src0").select("doc_id", "text")
+    return dsir_log_weights(raw, target, "doc_id", "text", buckets=1024)
+
+
+SQL_DSIR_WEIGHTS = """
+WITH tgt_tok AS (
+  SELECT CAST(concat('0x', substring(md5(concat('dsir', ':', tok)), 1, 8))
+              AS BIGINT) % 1024 AS bucket
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents WHERE source = 'src0')
+  WHERE tok <> ''),
+raw_tok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(concat('dsir', ':', tok)), 1, 8))
+              AS BIGINT) % 1024 AS bucket
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents WHERE source <> 'src0')
+  WHERE tok <> ''),
+tc AS (SELECT bucket, count(*) AS cnt_t FROM tgt_tok GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS cnt_r FROM raw_tok GROUP BY 1),
+m AS (
+  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         coalesce(cnt_t, 0) AS cnt_t, coalesce(cnt_r, 0) AS cnt_r
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+tot AS (SELECT sum(cnt_t) AS nt, sum(cnt_r) AS nr FROM m),
+ratio AS (
+  SELECT bucket,
+         CAST(round(round_even(
+             ln(CAST(cnt_t + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+           - ln(CAST(cnt_r + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)), 9)
+           * 1e9) AS HUGEINT) AS q
+  FROM m CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(q) AS DOUBLE) / 1e9 AS log_weight
+FROM raw_tok JOIN ratio USING (bucket)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -2756,6 +2807,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
+    # r4 late additions (no driver row yet — rotate forward in r5)
+    "q_dsir_weights": q_dsir_weights,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -2857,6 +2910,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "q_dsir_weights": SQL_DSIR_WEIGHTS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_scd2_lookup",
     "q_transition_matrix",
     "q_image_near_dup",
+    "q_dsir_weights",
 ]
 
 
