@@ -286,3 +286,115 @@ def connected_components_star(
         labels = labels.localCheckpoint(eager=True)
         free_blocks(e)
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power-method iterations of weighted
+    PageRank with damping — the standard importance measure over a link
+    graph (domain authority for crawl prioritization, influence over an
+    interaction graph).
+
+    Update rule per iteration, with N = |nodes| and W(u) = total
+    out-weight of u::
+
+        rank(v) <- (1-d)/N + d * ( sum_{u->v} rank(u) * w(u,v)/W(u)
+                                   + dangling_mass / N )
+
+    where ``dangling_mass`` is the rank held by nodes with no out-edges
+    (redistributed uniformly, the textbook convention — total rank stays
+    1 every iteration).
+
+    Determinism discipline (the connected-components + indicator rules
+    combined): each per-edge contribution ``rank(u) * p(u,v)`` is
+    half-even-quantized to 1e-12 BEFORE summation and summed as exact
+    decimal(38,0) integers, and the updated rank re-quantizes to 1e-12 —
+    so every iteration's rank frame is bit-identical on any partitioning
+    and any engine (p = w/W is one exact IEEE division of integers-cast-
+    to-double on both sides). The DuckDB oracle replays the identical
+    arithmetic through a recursive CTE.
+
+    Scale design (100 TB): the edge-normalization table is built once and
+    persisted (edge-sized, ONE groupBy + join); each iteration is one
+    shuffle-join of the node-sized rank frame with the edge table plus a
+    partial-aggregated sum — the Pregel cost shape, same as a CC sweep.
+    ``localCheckpoint`` per iteration kills the iterative lineage (the
+    connected_components discipline); the dangling term is an O(1)-row
+    in-plan aggregate broadcast into the update, never a driver loop over
+    nodes. Driver-side state: only N (one count of the node table).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # bounded driver state: one scalar
+    out_w = e.groupBy("__src").agg(F.sum("__w").alias("__wout"))
+    enorm = (
+        e.join(out_w, on="__src")
+        .select("__src", "__dst", (F.col("__w") / F.col("__wout")).alias("__p"))
+        .persist()
+    )
+    dangling = nodes.join(
+        out_w.select(F.col("__src").alias("node")), on="node", how="anti"
+    ).persist()
+
+    base = F.lit((1.0 - damping) / n_nodes)
+    quant = F.lit(10.0**12)
+    ranks = nodes.select(
+        "node", F.bround(F.lit(1.0 / n_nodes), 12).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            ranks.join(enorm, ranks["node"] == enorm["__src"])
+            .select(
+                F.col("__dst").alias("node"),
+                F.round(F.bround(F.col("rank") * F.col("__p"), 12) * quant)
+                .cast("decimal(38,0)")
+                .alias("__q"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__q").alias("__s"))
+        )
+        d_mass = (
+            ranks.join(dangling, on="node", how="semi")
+            .agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("rank") * quant).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("__qd")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(d_mass))
+            .select(
+                "node",
+                F.bround(
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,0)"))
+                        .cast("double")
+                        / quant
+                        + F.col("__qd").cast("double") / quant / F.lit(float(n_nodes))
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

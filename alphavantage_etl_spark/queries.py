@@ -2710,6 +2710,98 @@ GROUP BY doc_id
 """
 
 
+# X33 — weighted PageRank (r4): 8 power-method iterations with damping and
+# uniform dangling-mass redistribution over the nation-level trade graph
+# (supplier nation -> customer nation, weight = lineitem count). Each
+# iteration: one rank⋈edge shuffle-join + partial-agg sum with per-edge
+# contributions quantized half-even to 1e-12 and summed as exact integers
+# (bit-identical on any partitioning/engine); localCheckpoint per iteration
+# kills the iterative lineage (operators/graph.py:pagerank). At sf0.001
+# only 10 of 25 nations have suppliers, so the dangling branch is LIVE in
+# the tiny-SF gate, not just unit-tested.
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # graph build: fact-fact join key-partitioned, dims left to AQE (the
+    # X7 discipline: broadcast hints only on the fixed 25-row nation dim)
+    ek = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("s_nationkey", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = (
+        ek.join(
+            F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("src"))),
+            ek["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("dst"))),
+            ek["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("src", "dst", "cnt")
+    )
+    ranks = pagerank(edges, "src", "dst", weight="cnt", iters=8, damping=0.85)
+    return ranks.select(F.col("node").alias("nation"), "rank")
+
+
+SQL_PAGERANK = """
+WITH RECURSIVE e AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, count(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2),
+ow AS (SELECT src, sum(CAST(cnt AS DOUBLE)) AS w_out FROM e GROUP BY 1),
+en AS (
+  SELECT e.src, e.dst, CAST(e.cnt AS DOUBLE) / ow.w_out AS p
+  FROM e JOIN ow USING (src)),
+nodes AS (
+  -- no bare set operators in sibling CTEs: under WITH RECURSIVE, DuckDB
+  -- rewrites a CTE whose body is a set operation through the recursive
+  -- machinery (EXCEPT is rejected outright; a top-level UNION loses its
+  -- dedup), so spell both as plain subqueries
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+dang AS (
+  SELECT node FROM nodes
+  WHERE node NOT IN (SELECT DISTINCT src FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr(iter, node, rank) AS (
+  SELECT 0, node, round_even(1.0 / n, 12) FROM nodes, nn
+  UNION ALL
+  SELECT lvl.iter + 1, nd.node,
+         round_even((1.0 - 0.85) / nn.n
+                    + 0.85 * (coalesce(cb.s, 0) / 1e12
+                              + (lvl.qd / 1e12) / nn.n), 12)
+  FROM (SELECT pr.iter,
+               CAST(sum(CASE WHEN d.node IS NOT NULL
+                             THEN CAST(round(pr.rank * 1e12) AS HUGEINT)
+                             ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS qd
+        FROM pr LEFT JOIN dang d ON pr.node = d.node
+        WHERE pr.iter < 8 GROUP BY pr.iter) lvl
+  CROSS JOIN nn
+  CROSS JOIN nodes nd
+  LEFT JOIN (SELECT en.dst AS node, pr.iter,
+                    CAST(sum(CAST(round(round_even(pr.rank * en.p, 12) * 1e12)
+                                  AS HUGEINT)) AS DOUBLE) AS s
+             FROM pr JOIN en ON pr.node = en.src
+             WHERE pr.iter < 8 GROUP BY 1, 2) cb
+    ON cb.node = nd.node AND cb.iter = lvl.iter)
+SELECT node AS nation, rank FROM pr WHERE iter = 8
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -2809,6 +2901,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_rolling_fingerprint": q_rolling_fingerprint,
     # r4 late additions (no driver row yet — rotate forward in r5)
     "q_dsir_weights": q_dsir_weights,
+    "q_pagerank": q_pagerank,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -2911,6 +3004,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
+    "q_pagerank": SQL_PAGERANK,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

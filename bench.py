@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_transition_matrix",
     "q_image_near_dup",
     "q_dsir_weights",
+    "q_pagerank",
 ]
 
 

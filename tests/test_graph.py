@@ -189,3 +189,57 @@ def test_cc_default_falls_back_to_star_past_sweep_cap(spark):
     labels = connected_components(path, max_iter=10).collect()
     assert len(labels) == 121
     assert all(r["cluster"] == 0 for r in labels)
+
+
+# ------------------------------------------------------------- pagerank
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from alphavantage_etl_spark.operators.graph import pagerank
+
+    # weighted digraph with a dangling node (4 has no out-edges)
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", "w", iters=6, damping=0.85).collect()
+    }
+
+    nodes = [1, 2, 3, 4]
+    P = np.zeros((4, 4))
+    outw = {1: 4.0, 2: 2.0, 3: 2.0}
+    for s, d, w in edges:
+        P[nodes.index(s), nodes.index(d)] = w / outw[s]
+    r = np.full(4, 0.25)
+    for _ in range(6):
+        contrib = r @ P
+        dmass = r[3]  # node 4 is dangling
+        r = 0.15 / 4 + 0.85 * (contrib + dmass / 4)
+    for i, n in enumerate(nodes):
+        assert abs(got[n] - r[i]) < 1e-9, (n, got[n], r[i])
+    # total rank mass conserved (up to the 1e-12 quantization)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from alphavantage_etl_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 3) % 17, float(1 + i % 5)) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    a = sorted(pagerank(df, "src", "dst", "w", iters=4).collect())
+    b = sorted(
+        pagerank(df.repartition(7, "dst"), "src", "dst", "w", iters=4).collect()
+    )
+    assert a == b
+
+
+def test_pagerank_unweighted_defaults_to_count(spark):
+    from alphavantage_etl_spark.operators.graph import pagerank
+
+    # two parallel unweighted edges behave like weight 1 each
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] > got[3]  # 1 receives 2's whole rank; 3 only half of 1's
