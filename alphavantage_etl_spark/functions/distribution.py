@@ -91,3 +91,100 @@ def winsorize_by_group(
             ).alias(f"{value_col}_wins"),
         )
     )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One-row frame (n_rows, n_cells, mi, h_x, h_y, nmi): mutual
+    information and marginal entropies (natural log) between two
+    categorical columns, plus the sqrt-normalized MI in [0, 1] — the
+    feature-association / leakage-detection profile ("does `source`
+    predict `label`?", "is this split independent of language?").
+
+    NULL categories count as a regular level (a real category in drift
+    terms), implemented by coalescing to a sentinel before grouping.
+
+    Determinism discipline: all probabilities are ratios of exact counts;
+    each cell's MI term ``(n_xy/N) * ln(N*n_xy/(n_x*n_y))`` and each
+    marginal's entropy term are half-even-quantized to 1e-12 BEFORE
+    summation and summed as exact decimal(38,0) integers over the
+    (|X|*|Y|)-bounded grid — bit-identical across engines and partial-agg
+    merge orders. ``nmi = mi/sqrt(h_x*h_y)`` is one fixed-order double
+    expression over the three quantized sums, rounded half-even to 1e-9
+    (NULL when either entropy is 0 — a constant column carries no
+    information to normalize).
+
+    Scale design (100 TB): ONE corpus scan — the (x, y) grid aggregation
+    (map-side combine collapses to <= |X|*|Y| rows per task); marginals
+    and N derive from the GRID, not the corpus (two tiny aggs + AQE
+    broadcast joins). Everything downstream of the grid is
+    cardinality-bounded regardless of corpus size.
+    """
+    q = 12
+    quant = F.lit(10.0**q)
+    x = F.coalesce(F.col(x_col).cast("string"), F.lit(" null")).alias("__x")
+    y = F.coalesce(F.col(y_col).cast("string"), F.lit(" null")).alias("__y")
+    grid = (
+        df.select(x, y)
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__nxy"))
+        .persist()  # grid-bounded state; read by 4 downstream aggs
+    )
+    gx = grid.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    gy = grid.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    tot = grid.agg(F.sum("__nxy").alias("__n"))
+
+    def _h(marg: DataFrame, cnt: str) -> DataFrame:
+        # -sum p ln p, quantized per level, exact integer sum
+        term = F.round(
+            F.bround(
+                -(F.col(cnt).cast("double") / F.col("__n").cast("double"))
+                * F.log(
+                    F.col(cnt).cast("double") / F.col("__n").cast("double")
+                ),
+                q,
+            )
+            * quant
+        ).cast("decimal(38,0)")
+        return marg.crossJoin(F.broadcast(tot)).agg(F.sum(term).alias("__qh"))
+
+    mi_term = F.round(
+        F.bround(
+            (F.col("__nxy").cast("double") / F.col("__n").cast("double"))
+            * F.log(
+                (F.col("__n").cast("double") * F.col("__nxy").cast("double"))
+                / (F.col("__nx").cast("double") * F.col("__ny").cast("double"))
+            ),
+            q,
+        )
+        * quant
+    ).cast("decimal(38,0)")
+    mi_sum = (
+        grid.join(F.broadcast(gx), on="__x")
+        .join(F.broadcast(gy), on="__y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(mi_term).alias("__qmi"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.first("__n").alias("n_rows"),
+        )
+    )
+    hx = _h(gx, "__nx").withColumnRenamed("__qh", "__qhx")
+    hy = _h(gy, "__ny").withColumnRenamed("__qh", "__qhy")
+    mi_d = F.col("__qmi").cast("double") / quant
+    hx_d = F.col("__qhx").cast("double") / quant
+    hy_d = F.col("__qhy").cast("double") / quant
+    return (
+        mi_sum.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_cells",
+            mi_d.alias("mi"),
+            hx_d.alias("h_x"),
+            hy_d.alias("h_y"),
+            F.when(
+                (F.col("__qhx") > 0) & (F.col("__qhy") > 0),
+                F.bround(mi_d / F.sqrt(hx_d * hy_d), 9),
+            ).alias("nmi"),
+        )
+    )

@@ -2802,6 +2802,62 @@ SELECT node AS nation, rank FROM pr WHERE iter = 8
 """
 
 
+# X34 — mutual information profile (r4): MI + marginal entropies + sqrt-
+# normalized MI between two categorical columns in ONE corpus scan (the
+# grid agg; marginals/N derive from the grid). Per-cell and per-level
+# terms quantized half-even to 1e-12 and summed as exact integers over the
+# cardinality-bounded grid (functions/distribution.py:mutual_information).
+# The leakage/association check: does `source` predict `lang`?
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import mutual_information
+
+    d = load(spark, sf_dir, "documents").select("lang", "source")
+    return mutual_information(d, "lang", "source")
+
+
+SQL_MUTUAL_INFO = """
+WITH g AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), ' null') AS x,
+         coalesce(CAST(source AS VARCHAR), ' null') AS y,
+         count(*) AS nxy
+  FROM documents GROUP BY 1, 2),
+gx AS (SELECT x, sum(nxy) AS nx FROM g GROUP BY 1),
+gy AS (SELECT y, sum(nxy) AS ny FROM g GROUP BY 1),
+t AS (SELECT sum(nxy) AS n FROM g),
+mi AS (
+  SELECT sum(CAST(round(round_even(
+             (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln((CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE))
+                  / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 12)
+             * 1e12) AS HUGEINT)) AS qmi,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(max(n) AS BIGINT) AS n_rows
+  FROM g JOIN gx USING (x) JOIN gy USING (y) CROSS JOIN t),
+hx AS (
+  SELECT sum(CAST(round(round_even(
+             -(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+             * 1e12) AS HUGEINT)) AS qhx
+  FROM gx CROSS JOIN t),
+hy AS (
+  SELECT sum(CAST(round(round_even(
+             -(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+             * 1e12) AS HUGEINT)) AS qhy
+  FROM gy CROSS JOIN t)
+SELECT n_rows, n_cells,
+       CAST(qmi AS DOUBLE) / 1e12 AS mi,
+       CAST(qhx AS DOUBLE) / 1e12 AS h_x,
+       CAST(qhy AS DOUBLE) / 1e12 AS h_y,
+       CASE WHEN qhx > 0 AND qhy > 0
+            THEN round_even((CAST(qmi AS DOUBLE) / 1e12)
+                            / sqrt((CAST(qhx AS DOUBLE) / 1e12)
+                                   * (CAST(qhy AS DOUBLE) / 1e12)), 9)
+       END AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -2902,6 +2958,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     # r4 late additions (no driver row yet — rotate forward in r5)
     "q_dsir_weights": q_dsir_weights,
     "q_pagerank": q_pagerank,
+    "q_mutual_info": q_mutual_info,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3005,6 +3062,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_pagerank": SQL_PAGERANK,
+    "q_mutual_info": SQL_MUTUAL_INFO,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_image_near_dup",
     "q_dsir_weights",
     "q_pagerank",
+    "q_mutual_info",
 ]
 
 

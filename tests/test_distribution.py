@@ -73,3 +73,60 @@ def test_winsorize_null_value_stays_null_and_null_group_kept(spark):
     assert null_v and null_v[0]["v_wins"] is None  # no fabricated bound
     null_g = [r for r in out if r["g"] is None]
     assert null_g and null_g[0]["v_wins"] == 5.0
+
+
+# ------------------------------------------------------ mutual information
+def test_mi_perfect_dependence_gives_nmi_one(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        mutual_information,
+    )
+
+    # y is a bijection of x: MI = H(X) = H(Y), nmi = 1
+    df = spark.createDataFrame(
+        [(f"x{i % 4}", f"y{i % 4}") for i in range(40)], "a string, b string"
+    )
+    r = mutual_information(df, "a", "b").first()
+    assert abs(r["mi"] - r["h_x"]) < 1e-9
+    assert abs(r["nmi"] - 1.0) < 1e-9
+    assert r["n_cells"] == 4
+
+
+def test_mi_independence_is_zero(spark):
+    import math
+
+    from alphavantage_etl_spark.functions.distribution import (
+        mutual_information,
+    )
+
+    # balanced product distribution: exactly independent, MI = 0
+    rows = [(f"x{i}", f"y{j}") for i in range(3) for j in range(5)] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").first()
+    assert abs(r["mi"]) < 1e-9
+    assert abs(r["h_x"] - math.log(3)) < 1e-9
+    assert abs(r["h_y"] - math.log(5)) < 1e-9
+
+
+def test_mi_constant_column_yields_null_nmi(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(
+        [("k", f"y{i % 3}") for i in range(9)], "a string, b string"
+    )
+    r = mutual_information(df, "a", "b").first()
+    assert r["h_x"] == 0.0 and r["mi"] == 0.0 and r["nmi"] is None
+
+
+def test_mi_nulls_count_as_level_and_partition_invariant(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        mutual_information,
+    )
+
+    rows = [(None if i % 3 == 0 else f"x{i % 2}", f"y{i % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    a = mutual_information(df, "a", "b").collect()
+    b = mutual_information(df.repartition(7), "a", "b").collect()
+    assert a == b
+    assert a[0]["n_rows"] == 60  # null level kept, not dropped
