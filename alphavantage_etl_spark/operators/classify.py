@@ -1,0 +1,184 @@
+"""In-engine training of a hashed-feature linear text classifier —
+full-batch logistic regression over bag-of-hashed-words features, the
+fastText-/quality-classifier shape: label a small set of documents
+(good/bad, in-domain/out), train on the cluster, score the whole corpus
+with the resulting BUCKET-BOUNDED weight table.
+
+Reference scope: none in the reference ETL; this extends the model-
+fitting family (IVF k-means, PQ codebooks — operators/similarity.py)
+with a supervised discriminative trainer, complementing the generative
+DSIR ratio (operators/dsir.py).
+
+Model: ``p(y=1|d) = sigmoid(w0 + sum_b w(b) * x_db)`` with
+``x_db = cnt_db / n_d`` (L1-normalized hashed token counts — the
+fastText averaging). Training is ``iters`` full-batch gradient steps
+``w <- w - lr * (1/N) * sum_d (p_d - y_d) * x_db``; fixed iteration
+count, no stochasticity — the output is a deterministic function of the
+corpus.
+
+Determinism discipline (the pagerank rules): weights live on a 1e-9
+half-even grid; per-(doc,bucket) score and gradient terms quantize to
+1e-12 BEFORE summation and sum as exact decimal(38,0) integers; the
+sigmoid output re-quantizes to 1e-9 (quantum / double-ulp ratio ~1e7,
+so a last-ulp `exp` difference between engines cannot flip a boundary).
+Every iteration's weight table is bit-identical on any partitioning.
+
+Scale design (100 TB):
+- The (doc, bucket, x) feature frame is computed ONCE and persisted —
+  two scans per gradient step (score join + gradient join) replay the
+  persisted features, never re-tokenize the corpus. Explicitly the
+  training trade: corpus-sized cached state for iteration speed; drop
+  to recompute-per-step if storage-bound.
+- Weights are <= buckets+1 rows (AQE broadcasts them into the score
+  join); per-doc score and per-bucket gradient are each ONE partial
+  aggregation; `localCheckpoint` per step kills iterative lineage.
+- Scoring new corpora is one explode + broadcast join + per-doc agg —
+  no shuffle beyond the doc-key partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dsir import _bucket
+
+_QW = 9   # weight / probability grid decimals
+_QT = 12  # per-term quantization decimals
+_BIAS = -1  # reserved bucket id for the intercept (real buckets are >= 0)
+
+
+def _features(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str | None,
+    buckets: int,
+    salt: str,
+) -> DataFrame:
+    """(id[, y], bucket, x) with x = cnt/n_tokens, plus one bias row
+    (bucket = -1, x = 1.0) per document."""
+    toks = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok")
+    cols = [F.col(id_col)] + ([F.col(label_col)] if label_col else [])
+    tok = (
+        docs.select(*cols, toks)
+        .where(F.col("__tok") != "")
+        .select(
+            *cols, _bucket(F.col("__tok"), buckets, salt).alias("bucket")
+        )
+    )
+    keys = [id_col] + ([label_col] if label_col else [])
+    cnt = tok.groupBy(*keys, "bucket").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(id_col)
+    feat = cnt.withColumn(
+        "x", F.col("__c").cast("double") / F.sum("__c").over(w).cast("double")
+    ).drop("__c")
+    bias = (
+        feat.select(*keys)
+        .distinct()
+        .withColumn("bucket", F.lit(_BIAS).cast("long"))
+        .withColumn("x", F.lit(1.0))
+    )
+    return feat.unionByName(bias)
+
+
+def _scores(feats: DataFrame, weights: DataFrame, id_col: str, extra) -> DataFrame:
+    """(id[, extra], p) — sigmoid of the quantized-exact dot product."""
+    qt = F.lit(10.0**_QT)
+    term = F.round(F.bround(F.col("weight") * F.col("x"), _QT) * qt).cast(
+        "decimal(38,0)"
+    )
+    return (
+        feats.join(F.broadcast(weights), on="bucket", how="left")
+        .withColumn("weight", F.coalesce("weight", F.lit(0.0)))
+        .groupBy(id_col, *extra)
+        .agg(F.sum(term).alias("__qs"))
+        .select(
+            id_col,
+            *extra,
+            F.bround(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("__qs").cast("double") / qt))),
+                _QW,
+            ).alias("p"),
+        )
+    )
+
+
+def train_logreg_hashed(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    buckets: int = 1024,
+    iters: int = 3,
+    lr: float = 1.0,
+    salt: str = "lr",
+) -> DataFrame:
+    """(bucket, weight) after ``iters`` full-batch gradient steps; bucket
+    -1 holds the intercept. ``label_col`` must be 0/1 (cast applied)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    feats = _features(
+        docs.withColumn("__y", F.col(label_col).cast("double")),
+        id_col,
+        text_col,
+        "__y",
+        buckets,
+        salt,
+    ).persist()
+    n_docs = feats.select(id_col).distinct().count()  # driver scalar
+    qt = F.lit(10.0**_QT)
+
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        [(_BIAS, 0.0)], "bucket long, weight double"
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        scored = _scores(feats, weights, id_col, ["__y"])
+        err = scored.select(
+            id_col, (F.col("p") - F.col("__y")).alias("__e")
+        )
+        grad_term = F.round(
+            F.bround(F.col("__e") * F.col("x"), _QT) * qt
+        ).cast("decimal(38,0)")
+        grads = (
+            feats.join(err, on=id_col)
+            .groupBy("bucket")
+            .agg(F.sum(grad_term).alias("__qg"))
+            .select(
+                "bucket",
+                (
+                    F.col("__qg").cast("double") / qt / F.lit(float(n_docs))
+                ).alias("__g"),
+            )
+        )
+        weights = (
+            grads.join(weights, on="bucket", how="full")
+            .select(
+                "bucket",
+                F.bround(
+                    F.coalesce("weight", F.lit(0.0))
+                    - F.lit(lr) * F.coalesce("__g", F.lit(0.0)),
+                    _QW,
+                ).alias("weight"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
+def predict_logreg(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 1024,
+    salt: str = "lr",
+) -> DataFrame:
+    """(id, p, pred) — score any corpus with a trained weight table:
+    one explode + broadcast join + per-doc partial agg. ``p`` sits on
+    the 1e-9 grid; ``pred = p >= 0.5``."""
+    feats = _features(docs, id_col, text_col, None, buckets, salt)
+    return _scores(feats, weights, id_col, []).select(
+        id_col, "p", (F.col("p") >= 0.5).alias("pred")
+    )

@@ -2858,6 +2858,93 @@ FROM mi CROSS JOIN hx CROSS JOIN hy
 """
 
 
+# X35 — hashed-feature logistic regression (r4): train a fastText-shaped
+# text classifier IN-ENGINE (label: is the document English?) with 3
+# full-batch gradient steps over L1-normalized hashed token counts, then
+# score the corpus with the bucket-bounded weight table. Weights live on a
+# 1e-9 grid, per-term products quantize to 1e-12 and sum as exact
+# integers, sigmoids re-quantize to 1e-9 — every step bit-identical across
+# engines (operators/classify.py). The oracle replays all three gradient
+# steps through a DuckDB recursive CTE.
+def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import predict_logreg, train_logreg_hashed
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", (F.col("lang") == "en").cast("int").alias("y"))
+    )
+    w = train_logreg_hashed(
+        d, "doc_id", "text", "y", buckets=256, iters=3, lr=1.0
+    )
+    return predict_logreg(d, w, "doc_id", "text", buckets=256).select(
+        "doc_id", "p", F.col("pred").cast("int").alias("pred")
+    )
+
+
+SQL_LOGREG = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(concat('0x', substring(md5(concat('lr', ':', tok)), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+cnt AS (SELECT doc_id, y, bucket, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+feats AS (
+  SELECT * FROM (
+    SELECT doc_id, y, bucket,
+           CAST(c AS DOUBLE)
+           / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+    FROM cnt
+    UNION ALL
+    SELECT DISTINCT doc_id, y, CAST(-1 AS BIGINT), 1.0 FROM cnt)),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM feats),
+wt(iter, bucket, weight) AS (
+  -- seed MUST cast to DOUBLE: the initial term fixes the recursive
+  -- column type, and a bare 0.0 is DECIMAL(2,1) in DuckDB (which would
+  -- silently quantize every learned weight to 0.1 steps)
+  SELECT 0, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT g.iter + 1, g.bucket,
+         round_even(coalesce(w0.weight, 0.0) - 1.0 * g.g, 9)
+  FROM (
+    SELECT f2.bucket, e.iter,
+           CAST(sum(CAST(round(round_even(e.err * f2.x, 12) * 1e12)
+                         AS HUGEINT)) AS DOUBLE) / 1e12 / nd.n AS g
+    FROM feats f2
+    JOIN (
+      SELECT f.doc_id, max(w1.iter) AS iter,
+             round_even(1.0 / (1.0 + exp(-(
+                 CAST(sum(CAST(round(round_even(coalesce(w1.weight, 0.0)
+                                               * f.x, 12) * 1e12)
+                               AS HUGEINT)) AS DOUBLE) / 1e12))), 9)
+             - f.y AS err
+      FROM feats f
+      LEFT JOIN (SELECT * FROM wt WHERE iter < 3) w1
+        ON f.bucket = w1.bucket
+      GROUP BY f.doc_id, f.y
+      HAVING max(w1.iter) IS NOT NULL) e
+      ON f2.doc_id = e.doc_id
+    CROSS JOIN nd
+    GROUP BY 1, 2, nd.n) g
+  LEFT JOIN (SELECT * FROM wt WHERE iter < 3) w0
+    ON w0.bucket = g.bucket)
+SELECT f.doc_id,
+       round_even(1.0 / (1.0 + exp(-(
+           CAST(sum(CAST(round(round_even(coalesce(w.weight, 0.0) * f.x, 12)
+                         * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12))), 9) AS p,
+       CAST(CASE WHEN round_even(1.0 / (1.0 + exp(-(
+           CAST(sum(CAST(round(round_even(coalesce(w.weight, 0.0) * f.x, 12)
+                         * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12))), 9) >= 0.5
+            THEN 1 ELSE 0 END AS INTEGER) AS pred
+FROM feats f
+LEFT JOIN (SELECT * FROM wt WHERE iter = 3) w ON f.bucket = w.bucket
+GROUP BY f.doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -2959,6 +3046,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_dsir_weights": q_dsir_weights,
     "q_pagerank": q_pagerank,
     "q_mutual_info": q_mutual_info,
+    "q_logreg": q_logreg,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3063,6 +3151,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_pagerank": SQL_PAGERANK,
     "q_mutual_info": SQL_MUTUAL_INFO,
+    "q_logreg": SQL_LOGREG,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_dsir_weights",
     "q_pagerank",
     "q_mutual_info",
+    "q_logreg",
 ]
 
 
