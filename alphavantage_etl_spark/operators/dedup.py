@@ -677,3 +677,78 @@ def cdc_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_chunks"))
         .where(F.col("shared_chunks") >= min_shared)
     )
+
+
+def dedup_repeated_blocks(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: int = 8,
+) -> DataFrame:
+    """Corpus-level EXACT substring dedup at block granularity (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    split every document into disjoint ``block``-token blocks, drop each
+    block whose exact text already occurred EARLIER in the corpus (first
+    occurrence wins, order = (id, block index) — total and
+    content-addressed, so the survivor set never depends on layout), and
+    rebuild the documents from the surviving blocks.
+
+    The modality whole-document dedup misses: a boilerplate paragraph
+    pasted into thousands of otherwise-unique pages is invisible to
+    doc-level MinHash (every page is "unique") but exactly what the
+    block pass removes. Complements `remove_boilerplate` (frequency-
+    threshold segments) by catching even a SINGLE repetition, and
+    `cdc_overlap_pairs` (pair detection) by actually rewriting the text.
+
+    Output: (id, text_dedup, n_blocks, n_kept) — one row per input
+    document; a fully-deduplicated document keeps its row with empty
+    text (the trainer's length gate drops it, provenance intact).
+
+    Scale design (100 TB): one `Generate` tokenize+chunk pass (stride =
+    window — disjoint, so corpus volume is 1x, not window/stride x);
+    first-occurrence winners via ONE groupBy(min struct) on the block
+    text — shuffle bounded by DISTINCT block bytes, the same key class
+    as exact dedup's sha-256 (hot keys are single blocks, bounded by
+    construction since a block has <= corpus occurrences but constant
+    size); one join back + per-doc rebuild via `array_sort` structs
+    (the boilerplate rebuild — no window function). Three shuffles
+    total, none corpus-quadratic.
+    """
+    from .chunking import chunk_documents
+
+    chunks = chunk_documents(
+        docs, text_col, id_col, window=block, stride=block
+    )
+    winner = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__w")
+    )
+    kept = chunks.join(winner, on="chunk_text").where(
+        (F.col(f"__w.{id_col}") == F.col(id_col))
+        & (F.col("__w.chunk_idx") == F.col("chunk_idx"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks")
+    )
+    return (
+        docs.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

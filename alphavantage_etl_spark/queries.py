@@ -2945,6 +2945,47 @@ GROUP BY f.doc_id
 """
 
 
+# X36 — repeated-block dedup (r4): corpus-level exact substring dedup at
+# 8-token-block granularity (Lee et al.) — every block that exactly
+# recurred anywhere earlier in the corpus is dropped (first occurrence
+# wins under the content-addressed (id, idx) order) and documents are
+# rebuilt from the survivors. One Generate + three bounded shuffles
+# (operators/dedup.py:dedup_repeated_blocks).
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_repeated_blocks
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_repeated_blocks(d, "doc_id", "text", block=8)
+
+
+SQL_BLOCK_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 8)) AS start
+  FROM t),
+c AS (
+  SELECT doc_id, CAST(start / 8 AS BIGINT) AS idx,
+         array_to_string(toks[start + 1 : start + 8], ' ') AS chunk
+  FROM s),
+k AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM c),
+r AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+  FROM k WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM c GROUP BY 1)
+SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+       coalesce(tot.n_blocks, 0) AS n_blocks,
+       coalesce(r.n_kept, 0) AS n_kept
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN r USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3047,6 +3088,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_pagerank": q_pagerank,
     "q_mutual_info": q_mutual_info,
     "q_logreg": q_logreg,
+    "q_block_dedup": q_block_dedup,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3152,6 +3194,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_pagerank": SQL_PAGERANK,
     "q_mutual_info": SQL_MUTUAL_INFO,
     "q_logreg": SQL_LOGREG,
+    "q_block_dedup": SQL_BLOCK_DEDUP,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "q_pagerank",
     "q_mutual_info",
     "q_logreg",
+    "q_block_dedup",
 ]
 
 

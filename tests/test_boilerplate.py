@@ -245,3 +245,64 @@ def test_cdc_chunks_are_position_independent(spark):
     # the block is ~150 words ≈ 1300 chars ≈ ~20 chunks at density 64;
     # all interior chunks must coincide despite different offsets
     assert len(shared) >= 5, (len(by_doc[1]), len(by_doc[2]), len(shared))
+
+
+# ------------------------------------------------- repeated-block dedup
+def test_block_dedup_drops_later_repetition_keeps_first(spark):
+    from alphavantage_etl_spark.operators.dedup import dedup_repeated_blocks
+
+    para = " ".join(f"w{i}" for i in range(8))  # exactly one block
+    docs = spark.createDataFrame(
+        [
+            (1, para + " " + " ".join(f"a{i}" for i in range(8))),
+            (2, " ".join(f"b{i}" for i in range(8)) + " " + para),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_repeated_blocks(
+        docs, "doc_id", "text", block=8).collect()}
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 1
+    assert para in out[1]["text_dedup"]
+    assert para not in out[2]["text_dedup"]
+    assert out[2]["text_dedup"] == " ".join(f"b{i}" for i in range(8))
+
+
+def test_block_dedup_fully_duplicated_doc_keeps_empty_row(spark):
+    from alphavantage_etl_spark.operators.dedup import dedup_repeated_blocks
+
+    text = " ".join(f"t{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup_repeated_blocks(
+        docs, "doc_id", "text", block=8).collect()}
+    assert out[1]["text_dedup"] == text
+    assert out[2]["text_dedup"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_blocks"] == 2  # provenance:original size still reported
+
+
+def test_block_dedup_no_duplicates_is_identity(spark):
+    from alphavantage_etl_spark.operators.dedup import dedup_repeated_blocks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}x{j}" for j in range(13))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = dedup_repeated_blocks(docs, "doc_id", "text", block=8).collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert r["text_dedup"] == orig[r["doc_id"]]  # disjoint blocks rejoin losslessly
+        assert r["n_kept"] == r["n_blocks"]
+
+
+def test_block_dedup_partitioning_invariant(spark):
+    from alphavantage_etl_spark.operators.dedup import dedup_repeated_blocks
+
+    rows = [(i, " ".join(f"w{(i * 5 + j) % 40}" for j in range(20)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(dedup_repeated_blocks(docs, "doc_id", "text").collect())
+    b = sorted(dedup_repeated_blocks(
+        docs.repartition(7, "doc_id"), "doc_id", "text").collect())
+    assert a == b
