@@ -595,3 +595,50 @@ def pq_topk_rerank(
         df.join(cand, id_col, "semi"), query_vec, k,
         vec_col=vec_col, id_col=id_col, round_to=round_to,
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space deduplication as one
+    keep/drop decision PER VECTOR — cell-blocked cosine near-dup pairs
+    (`embedding_near_dups`), transitive closure into clusters
+    (`connected_components`), min-id representative per cluster. Output
+    is full-corpus: (id, cluster_id, keep) for EVERY input row —
+    singletons (no near-dup edge) are their own cluster and always kept,
+    so ``keep = 1`` rows ARE the semantically-deduplicated corpus and
+    ``keep = 0`` rows carry their surviving representative's id for
+    provenance/attribution.
+
+    Scale design (100 TB): the pair stage shuffles only on the coarse-
+    quantizer cell (never an all-pairs corpus join — the IVF trade
+    documented on `embedding_near_dups`); the closure runs on the
+    PAIR-INCIDENT subgraph only (vanishing vs the corpus, so its label
+    frame broadcasts back); the final assignment is one broadcast join +
+    projection over the corpus. Quality-aware representative choice:
+    use `graph.cluster_representatives` with a quality column instead of
+    the min-id convention here.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_near_dups(
+        df, threshold, vec_col=vec_col, id_col=id_col, block_col=block_col
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    lab = cc.select(
+        F.col("node").alias(id_col), F.col("cluster").alias("__cl")
+    )
+    cid = F.coalesce(F.col("__cl"), F.col(id_col).cast("long"))
+    return (
+        df.select(id_col)
+        .join(F.broadcast(lab), on=id_col, how="left")
+        .select(
+            id_col,
+            cid.alias("cluster_id"),
+            (cid == F.col(id_col)).cast("int").alias("keep"),
+        )
+    )

@@ -2986,6 +2986,37 @@ LEFT JOIN r USING (doc_id)
 """
 
 
+# X37 — semantic dedup (r4): the SemDeDup end-to-end decision — cell-
+# blocked cosine pairs -> transitive closure -> min-id representative —
+# rendered as one keep/drop row PER VECTOR (keep=1 rows are the dedup'd
+# corpus; keep=0 rows name their surviving representative)
+# (operators/similarity.py:semantic_dedup).
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({SQL_EMBED_NEAR_DUP}) _p),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+cl AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+SELECT emb.vec_id,
+       coalesce(cl.c, emb.vec_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(cl.c, emb.vec_id) = emb.vec_id
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM embeddings emb LEFT JOIN cl ON emb.vec_id = cl.node
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3089,6 +3120,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_mutual_info": q_mutual_info,
     "q_logreg": q_logreg,
     "q_block_dedup": q_block_dedup,
+    "q_semantic_dedup": q_semantic_dedup,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3195,6 +3227,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_mutual_info": SQL_MUTUAL_INFO,
     "q_logreg": SQL_LOGREG,
     "q_block_dedup": SQL_BLOCK_DEDUP,
+    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_mutual_info",
     "q_logreg",
     "q_block_dedup",
+    "q_semantic_dedup",
 ]
 
 

@@ -642,3 +642,38 @@ def test_pq_topk_recall_and_determinism(spark):
     sims = {r["vec_id"]: r["sim"] for r in cosine_topk(rest, q, k=5000).collect()}
     for vid, s_ in got.items():
         assert sims[vid] == s_, "reranked scores must be exact cosine"
+
+
+# ----------------------------------------------------------- semantic dedup
+def test_semantic_dedup_full_corpus_decision(spark):
+    from alphavantage_etl_spark.operators.similarity import semantic_dedup
+
+    # one transitive cluster {1,2,3} (1~2, 2~3 via shared direction),
+    # one singleton 9, all in the same block
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.98, 0.2, 0.0], 0),   # ~1 and ~3
+        (3, [0.9, 0.43, 0.0], 0),   # ~2, not ~1 at 0.97
+        (9, [0.0, 0.0, 1.0], 0),    # singleton
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, 0.97).collect()}
+    assert len(out) == 4  # every vector gets a row
+    assert out[1]["cluster_id"] == 1 and out[1]["keep"] == 1
+    assert out[2]["cluster_id"] == 1 and out[2]["keep"] == 0
+    assert out[3]["cluster_id"] == 1 and out[3]["keep"] == 0  # transitive
+    assert out[9]["cluster_id"] == 9 and out[9]["keep"] == 1  # singleton
+
+
+def test_semantic_dedup_blocks_limit_pairing(spark):
+    from alphavantage_etl_spark.operators.similarity import semantic_dedup
+
+    # identical vectors in DIFFERENT cells are not compared (the IVF trade)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(emb, 0.9).collect()}
+    assert out == {1: 1, 2: 1}
