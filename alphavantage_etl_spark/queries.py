@@ -3017,6 +3017,87 @@ FROM embeddings emb LEFT JOIN cl ON emb.vec_id = cl.node
 """
 
 
+# X38 — smoothed target encoding (r4): replace a category with the
+# shrunk target mean, leave-one-out form for the training split (each
+# row's own label subtracted in-expression — no second scan). One
+# category-bounded aggregation + broadcast join; target sums exact in
+# integer cents (functions/encoding.py:target_encode). Encodes market
+# segment against order value.
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.encoding import target_encode
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", F.col("c_mktsegment").alias("segment"), "o_totalprice"
+    )
+    return target_encode(
+        j, "segment", "o_totalprice", smoothing=20.0, ticks=100, loo=True
+    ).select("o_orderkey", "segment", "enc", "enc_loo")
+
+
+SQL_TARGET_ENCODE = """
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment AS g,
+         CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100) AS BIGINT) AS t
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+pc AS (
+  SELECT g, count(t) AS n,
+         coalesce(sum(CAST(t AS HUGEINT)), 0) AS s
+  FROM j GROUP BY 1),
+tt AS (SELECT sum(n) AS nn, sum(s) AS ss FROM pc),
+st AS (
+  SELECT g, n, s,
+         CAST(ss AS DOUBLE) / 100.0 / CAST(nn AS DOUBLE) AS mu
+  FROM pc CROSS JOIN tt)
+SELECT j.o_orderkey, j.g AS segment,
+       (CAST(s AS DOUBLE) / 100.0 + 20.0 * mu)
+         / (CAST(n AS DOUBLE) + 20.0) AS enc,
+       CASE WHEN j.t IS NOT NULL
+            THEN (CAST(s - CAST(j.t AS HUGEINT) AS DOUBLE) / 100.0
+                  + 20.0 * mu)
+                 / (CAST(n AS DOUBLE) - 1 + 20.0)
+            ELSE (CAST(s AS DOUBLE) / 100.0 + 20.0 * mu)
+                 / (CAST(n AS DOUBLE) + 20.0)
+       END AS enc_loo
+FROM j JOIN st ON j.g IS NOT DISTINCT FROM st.g
+"""
+
+
+# X38 — exact-quantile discretization (r4): per-group equi-depth decile
+# bins from exact interpolated percentiles, boundaries rounded to 1e-6
+# before comparison, boundary values go to the UPPER bin
+# (functions/encoding.py:quantile_discretize).
+def q_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.encoding import quantile_discretize
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return quantile_discretize(
+        o, "o_totalprice", nbins=10, group_col="o_orderpriority"
+    )
+
+
+SQL_DISCRETIZE = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         list_transform(
+           quantile_cont(o_totalprice,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round_even(x, 6)) AS bounds
+  FROM orders GROUP BY 1)
+SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+       CASE WHEN o.o_totalprice IS NOT NULL
+            THEN CAST(len(list_filter(b.bounds, x -> o.o_totalprice >= x))
+                      AS BIGINT)
+       END AS bin
+FROM orders o JOIN b ON o.o_orderpriority IS NOT DISTINCT FROM b.g
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3121,6 +3202,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_logreg": q_logreg,
     "q_block_dedup": q_block_dedup,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_target_encode": q_target_encode,
+    "q_discretize": q_discretize,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3228,6 +3311,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_logreg": SQL_LOGREG,
     "q_block_dedup": SQL_BLOCK_DEDUP,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_target_encode": SQL_TARGET_ENCODE,
+    "q_discretize": SQL_DISCRETIZE,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "q_logreg",
     "q_block_dedup",
     "q_semantic_dedup",
+    "q_target_encode",
+    "q_discretize",
 ]
 
 
