@@ -93,6 +93,90 @@ def winsorize_by_group(
     )
 
 
+def population_stability(
+    base: DataFrame,
+    curr: DataFrame,
+    value_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """Per-bin population stability index (PSI) between a baseline and a
+    current snapshot of a numeric column — THE production drift monitor:
+    ``psi_term = (q_i - p_i) * ln(q_i / p_i)`` per bin, sum >= 0.2 is the
+    conventional "investigate" threshold.
+
+    Bin edges are the BASELINE's exact interpolated quantiles (the
+    standard convention — drift is measured against where the baseline
+    mass was), rounded half-even to 1e-6 before comparison (winsorize
+    discipline); values on an edge go to the upper bin; NULL values are
+    excluded from both snapshots. Bin shares use add-one (Laplace)
+    smoothing ``(n_i + 1) / (N + nbins)`` so an empty bin contributes a
+    finite, deterministic term instead of an infinite log.
+
+    Output: one row per bin (all ``nbins`` bins present even when
+    empty): (bin, n_base, n_curr, psi_term), psi_term half-even-rounded
+    to 1e-12. ``sum(psi_term)`` is the headline PSI.
+
+    Scale design (100 TB): one aggregation per snapshot for the bin
+    counts (map-side collapse to <= nbins groups) after a broadcast of
+    the bin-edge row; everything downstream is nbins-bounded. The edges
+    themselves are one exact-percentile aggregation of the baseline —
+    swap in an approx-percentile sketch at extreme scale if the exact
+    pass is too hot (the GK sketch in operators/sketches.py composes).
+    """
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    probs = ", ".join(str(i / nbins) for i in range(1, nbins))
+    bounds = base.agg(
+        F.expr(
+            f"transform(percentile({value_col}, array({probs})),"
+            " b -> bround(b, 6))"
+        ).alias("__bounds")
+    )
+    v = F.col(value_col)
+
+    def _bin_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.where(v.isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.size(F.filter(F.col("__bounds"), lambda b: v >= b))
+                .cast("long")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    b_cnt = _bin_counts(base, "n_base")
+    c_cnt = _bin_counts(curr, "n_curr")
+    spark = base.sparkSession
+    spine = spark.range(nbins).select(F.col("id").alias("bin"))
+    joined = (
+        spine.join(b_cnt, on="bin", how="left")
+        .join(c_cnt, on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_curr").alias("__tc")
+    )
+    p = (F.col("n_base") + 1).cast("double") / (
+        F.col("__tb") + F.lit(nbins)
+    ).cast("double")
+    q = (F.col("n_curr") + 1).cast("double") / (
+        F.col("__tc") + F.lit(nbins)
+    ).cast("double")
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_curr",
+        F.bround((q - p) * F.log(q / p), 12).alias("psi_term"),
+    )
+
+
 def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """One-row frame (n_rows, n_cells, mi, h_x, h_y, nmi): mutual
     information and marginal entropies (natural log) between two

@@ -3098,6 +3098,54 @@ FROM orders o JOIN b ON o.o_orderpriority IS NOT DISTINCT FROM b.g
 """
 
 
+# X39 — population stability index (r4): per-bin drift of the purchase
+# value distribution against the view baseline — deciles from the
+# BASELINE's exact percentiles, Laplace-smoothed shares, psi_term
+# quantized half-even to 1e-12
+# (functions/distribution.py:population_stability).
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import population_stability
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    base = ev.where(F.col("event_type") == "view").select("value")
+    curr = ev.where(F.col("event_type") == "purchase").select("value")
+    return population_stability(base, curr, "value", nbins=10)
+
+
+SQL_PSI_DRIFT = """
+WITH b AS (
+  SELECT list_transform(
+           quantile_cont(value,
+                         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           x -> round_even(x, 6)) AS bounds
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+bb AS (
+  SELECT len(list_filter(b.bounds, x -> e.value >= x)) AS bin,
+         count(*) AS n
+  FROM events e CROSS JOIN b
+  WHERE e.event_type = 'view' AND e.value IS NOT NULL GROUP BY 1),
+cb AS (
+  SELECT len(list_filter(b.bounds, x -> e.value >= x)) AS bin,
+         count(*) AS n
+  FROM events e CROSS JOIN b
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+j AS (
+  SELECT CAST(spine.bin AS BIGINT) AS bin,
+         coalesce(bb.n, 0) AS n_base, coalesce(cb.n, 0) AS n_curr
+  FROM spine LEFT JOIN bb ON spine.bin = bb.bin
+             LEFT JOIN cb ON spine.bin = cb.bin),
+t AS (SELECT sum(n_base) AS tb, sum(n_curr) AS tc FROM j)
+SELECT bin, n_base, n_curr,
+       round_even((CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)
+                   - CAST(n_base + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+                  * ln((CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+                       / (CAST(n_base + 1 AS DOUBLE)
+                          / CAST(tb + 10 AS DOUBLE))), 12) AS psi_term
+FROM j CROSS JOIN t
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3204,6 +3252,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_target_encode": q_target_encode,
     "q_discretize": q_discretize,
+    "q_psi_drift": q_psi_drift,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3313,6 +3362,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
     "q_target_encode": SQL_TARGET_ENCODE,
     "q_discretize": SQL_DISCRETIZE,
+    "q_psi_drift": SQL_PSI_DRIFT,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

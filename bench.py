@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "q_semantic_dedup",
     "q_target_encode",
     "q_discretize",
+    "q_psi_drift",
 ]
 
 

@@ -75,6 +75,65 @@ def test_winsorize_null_value_stays_null_and_null_group_kept(spark):
     assert null_g and null_g[0]["v_wins"] == 5.0
 
 
+# ------------------------------------------------------------------- PSI
+def test_psi_identical_distributions_near_zero(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        population_stability,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "value double"
+    )
+    out = population_stability(df, df, "value", nbins=5).collect()
+    assert len(out) == 5
+    assert abs(sum(r["psi_term"] for r in out)) < 1e-9
+    assert all(r["n_base"] == r["n_curr"] for r in out)
+
+
+def test_psi_detects_shift_and_handles_empty_bins(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        population_stability,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "value double"
+    )
+    # current mass entirely above the baseline's top decile
+    curr = spark.createDataFrame(
+        [(float(1000 + i),) for i in range(50)], "value double"
+    )
+    out = {r["bin"]: r for r in population_stability(
+        base, curr, "value", nbins=5).collect()}
+    assert len(out) == 5  # every bin present, even the emptied ones
+    assert out[0]["n_curr"] == 0 and out[4]["n_curr"] == 50
+    psi = sum(r["psi_term"] for r in out.values())
+    assert psi > 0.2  # conventional "investigate" threshold
+    # empty bins contribute finite terms (Laplace smoothing, no inf/NaN)
+    assert all(abs(r["psi_term"]) < 100 for r in out.values())
+
+
+def test_psi_partitioning_invariant_and_null_safe(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        population_stability,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 37),) for i in range(200)] + [(None,)], "value double"
+    )
+    curr = spark.createDataFrame(
+        [(float((i * 7) % 31),) for i in range(150)] + [(None,)],
+        "value double",
+    )
+    a = sorted(population_stability(base, curr, "value").collect())
+    b = sorted(
+        population_stability(
+            base.repartition(7), curr.repartition(5), "value"
+        ).collect()
+    )
+    assert a == b
+    assert sum(r["n_base"] for r in a) == 200  # NULLs excluded
+
+
 # ------------------------------------------------------ mutual information
 def test_mi_perfect_dependence_gives_nmi_one(spark):
     from alphavantage_etl_spark.functions.distribution import (
