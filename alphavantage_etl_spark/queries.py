@@ -3146,6 +3146,70 @@ FROM j CROSS JOIN t
 """
 
 
+# X40 — fuzzy record linkage (r4): match a deterministically-dirtied
+# customer feed (4th character deleted) back to the master table via
+# prefix/suffix double blocking with hot-block caps + candidate-only
+# levenshtein scoring + best-match-per-left (operators/linkage.py). The
+# degenerate "Cust..." prefix block (every row) is CAPPED AWAY, so the
+# suffix key does the real work — the cap is live in the fixture, not
+# just unit-tested.
+def q_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.linkage import linkage_join
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_id"),
+        F.concat(
+            F.substring("c_name", 1, 3), F.substring("c_name", 5, 1000)
+        ).alias("d_name"),
+    )
+    return linkage_join(
+        dirty, c, "d_id", "c_custkey", "d_name", "c_name",
+        block=4, max_block=100, threshold=0.8,
+    )
+
+
+SQL_LINKAGE = """
+WITH l AS (
+  SELECT c_custkey AS il,
+         lower(trim(concat(substring(c_name, 1, 3),
+                           substring(c_name, 5, 1000)))) AS nl
+  FROM customer),
+r AS (SELECT c_custkey AS ir, lower(trim(c_name)) AS nr FROM customer),
+lk0 AS (
+  SELECT DISTINCT il, nl, k FROM (
+    SELECT il, nl,
+           unnest([concat('p:', left(nl, 4)), concat('s:', right(nl, 4))]) AS k
+    FROM l)),
+rk0 AS (
+  SELECT DISTINCT ir, nr, k FROM (
+    SELECT ir, nr,
+           unnest([concat('p:', left(nr, 4)), concat('s:', right(nr, 4))]) AS k
+    FROM r)),
+lk AS (
+  SELECT * FROM lk0
+  WHERE k NOT IN (SELECT k FROM lk0 GROUP BY k HAVING count(*) > 100)),
+rk AS (
+  SELECT * FROM rk0
+  WHERE k NOT IN (SELECT k FROM rk0 GROUP BY k HAVING count(*) > 100)),
+cand AS (
+  SELECT DISTINCT lk.il, lk.nl, rk.ir, rk.nr
+  FROM lk JOIN rk ON lk.k = rk.k),
+scored AS (
+  SELECT il, ir,
+         round_even(1.0 - CAST(levenshtein(nl, nr) AS DOUBLE)
+                    / CAST(greatest(len(nl), len(nr)) AS DOUBLE), 6)
+           AS name_sim
+  FROM cand),
+best AS (
+  SELECT il, ir, name_sim,
+         row_number() OVER (PARTITION BY il
+                            ORDER BY name_sim DESC, ir) AS rk
+  FROM scored WHERE name_sim >= 0.8)
+SELECT il AS d_id, ir AS c_custkey, name_sim FROM best WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3253,6 +3317,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_target_encode": q_target_encode,
     "q_discretize": q_discretize,
     "q_psi_drift": q_psi_drift,
+    "q_linkage": q_linkage,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3363,6 +3428,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_target_encode": SQL_TARGET_ENCODE,
     "q_discretize": SQL_DISCRETIZE,
     "q_psi_drift": SQL_PSI_DRIFT,
+    "q_linkage": SQL_LINKAGE,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

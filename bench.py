@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "q_target_encode",
     "q_discretize",
     "q_psi_drift",
+    "q_linkage",
 ]
 
 
