@@ -86,3 +86,78 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the phrase-
+    mining pass that feeds tokenizer vocabularies and stop-phrase lists:
+    ``pmi(a,b) = ln( (B/N2) / ((U_a/N1) * (U_b/N1)) )`` over adjacent
+    lowercased token pairs, gated on ``B >= min_count`` (PMI's classic
+    rare-pair pathology: a hapax pair maximizes PMI, so ungated output
+    is noise).
+
+    Determinism: counts are exact integers; each surviving bigram's PMI
+    is ONE fixed-order double expression over count ratios, half-even-
+    rounded to 1e-9 (one transcendental per DISTINCT bigram, the lm
+    discipline); top-k ordered (pmi DESC, a, b) — total and stable.
+
+    Scale design (100 TB): one corpus explode for unigrams, one for
+    adjacent pairs (the pair Generate keeps the token array as a column
+    attribute — `element_at` per index, never a lambda-captured
+    re-evaluation); both collapse map-side into VOCABULARY-bounded
+    tables; totals derive from those tables in-plan (no extra corpus
+    scan); the unigram join onto the bigram table is vocabulary-sized
+    (AQE broadcast); top-k is TakeOrderedAndProject.
+    """
+    low = docs.select(F.split(F.lower(F.col(text_col)), r"\s+").alias("__t"))
+    uni = (
+        low.select(F.explode("__t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    pairs = (
+        # guard BEFORE sequence: Spark's sequence(1, 0) auto-steps -1 and
+        # yields [1, 0] — index 0 would raise under ANSI element_at
+        low.where(F.size("__t") >= 2)
+        .select(
+            "__t",
+            F.explode(F.sequence(F.lit(1), F.size("__t") - 1)).alias("__i"),
+        )
+        .select(
+            F.element_at("__t", F.col("__i")).alias("a"),
+            F.element_at("__t", F.col("__i") + 1).alias("b"),
+        )
+        .where((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n1 = uni.agg(F.sum("u").alias("__n1"))
+    n2 = pairs.agg(F.sum("n_pair").alias("__n2"))
+    ua = uni.select(F.col("w").alias("a"), F.col("u").alias("__ua"))
+    ub = uni.select(F.col("w").alias("b"), F.col("u").alias("__ub"))
+    pmi = F.bround(
+        F.log(
+            (F.col("n_pair").cast("double") / F.col("__n2").cast("double"))
+            / (
+                (F.col("__ua").cast("double") / F.col("__n1").cast("double"))
+                * (F.col("__ub").cast("double") / F.col("__n1").cast("double"))
+            )
+        ),
+        9,
+    )
+    return (
+        pairs.where(F.col("n_pair") >= min_count)
+        .join(ua, on="a")
+        .join(ub, on="b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("a", "b", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(k)
+    )

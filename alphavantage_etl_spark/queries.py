@@ -3210,6 +3210,46 @@ SELECT il AS d_id, ir AS c_custkey, name_sim FROM best WHERE rk = 1
 """
 
 
+# X41 — PMI collocations (r4): top-50 adjacent-pair phrases by pointwise
+# mutual information with the min-count gate against PMI's hapax
+# pathology — two vocabulary-bounded aggregations, totals in-plan, one
+# transcendental per distinct bigram (operators/tfidf.py:collocations).
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import collocations
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return collocations(d, "text", min_count=5, k=50)
+
+
+SQL_COLLOCATIONS = """
+WITH t AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+uni AS (
+  SELECT w, count(*) AS u
+  FROM (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY 1),
+pr AS (
+  SELECT a, b, count(*) AS n FROM (
+    SELECT toks[i] AS a, toks[i + 1] AS b
+    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM t WHERE len(toks) >= 2))
+  WHERE a <> '' AND b <> '' GROUP BY 1, 2),
+n1 AS (SELECT sum(u) AS n1 FROM uni),
+n2 AS (SELECT sum(n) AS n2 FROM pr)
+SELECT pr.a, pr.b, CAST(pr.n AS BIGINT) AS n_pair,
+       round_even(ln((CAST(pr.n AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / ((CAST(ua.u AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * (CAST(ub.u AS DOUBLE) / CAST(n1 AS DOUBLE)))), 9)
+         AS pmi
+FROM pr
+JOIN uni ua ON pr.a = ua.w
+JOIN uni ub ON pr.b = ub.w
+CROSS JOIN n1 CROSS JOIN n2
+WHERE pr.n >= 5
+ORDER BY pmi DESC, pr.a, pr.b
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3318,6 +3358,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_discretize": q_discretize,
     "q_psi_drift": q_psi_drift,
     "q_linkage": q_linkage,
+    "q_collocations": q_collocations,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3429,6 +3470,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_discretize": SQL_DISCRETIZE,
     "q_psi_drift": SQL_PSI_DRIFT,
     "q_linkage": SQL_LINKAGE,
+    "q_collocations": SQL_COLLOCATIONS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "q_discretize",
     "q_psi_drift",
     "q_linkage",
+    "q_collocations",
 ]
 
 

@@ -457,3 +457,54 @@ def test_scd2_lookup_drops_points_before_history_starts(spark):
     # no version was true before the first valid_from: inner-join drops it
     # (leaking the LATER version backward would be the feature-store bug)
     assert scd2_lookup(points, dim, "k", "ts").count() == 0
+
+
+# ------------------------------------------------------- PMI collocations
+def test_collocations_known_pmi(spark):
+    import math
+
+    from alphavantage_etl_spark.operators.tfidf import collocations
+
+    # "new york" always adjacent; "the cat" mixes freely with fillers
+    docs = spark.createDataFrame(
+        [("new york " * 5).strip() for _ in range(2)]
+        + ["the cat sat on the mat the cat"],
+        "string",
+    ).toDF("text")
+    out = collocations(docs, "text", min_count=2, k=10).collect()
+    by_pair = {(r["a"], r["b"]): r for r in out}
+    assert ("new", "york") in by_pair
+    r = by_pair[("new", "york")]
+    # exact fixture arithmetic: U(new)=U(york)=10, B=10, N1=28, N2=25
+    expected = math.log((10 / 25) / ((10 / 28) * (10 / 28)))
+    assert abs(r["pmi"] - expected) < 1e-8
+    # PMI favors pairs whose co-occurrence beats their unigram product:
+    # (the, cat) has rare unigrams (3 and 2 of 28) but always co-occurs,
+    # so it outranks the frequent-unigram (new, york) — pin that exact
+    # value too (B=2, N2=25)
+    expected_tc = math.log((2 / 25) / ((3 / 28) * (2 / 28)))
+    assert abs(by_pair[("the", "cat")]["pmi"] - expected_tc) < 1e-8
+    assert by_pair[("the", "cat")]["pmi"] > r["pmi"]
+
+
+def test_collocations_min_count_gates_hapax(spark):
+    from alphavantage_etl_spark.operators.tfidf import collocations
+
+    docs = spark.createDataFrame(
+        [("rare pair",), ("common duo common duo common duo",)],
+        "text string",
+    )
+    out = collocations(docs, "text", min_count=2, k=10).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert ("rare", "pair") not in pairs  # hapax gated
+    assert ("common", "duo") in pairs
+
+
+def test_collocations_single_token_docs_safe(spark):
+    from alphavantage_etl_spark.operators.tfidf import collocations
+
+    docs = spark.createDataFrame(
+        [("solo",), ("",), ("a b a b a b",)], "text string"
+    )
+    out = collocations(docs, "text", min_count=2, k=5).collect()
+    assert {(r["a"], r["b"]) for r in out} >= {("a", "b")}
