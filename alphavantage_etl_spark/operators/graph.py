@@ -351,6 +351,10 @@ def pagerank(
     dangling = nodes.join(
         out_w.select(F.col("__src").alias("node")), on="node", how="anti"
     ).persist()
+    # one bounded probe: a dangling-free graph (most built graphs — every
+    # node has out-edges by construction) skips the per-iteration mass
+    # aggregate entirely, saving one job per iteration
+    has_dangling = dangling.limit(1).count() > 0
 
     base = F.lit((1.0 - damping) / n_nodes)
     quant = F.lit(10.0**12)
@@ -369,32 +373,47 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__q").alias("__s"))
         )
-        d_mass = (
-            ranks.join(dangling, on="node", how="semi")
-            .agg(
-                F.coalesce(
-                    F.sum(F.round(F.col("rank") * quant).cast("decimal(38,0)")),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("__qd")
-            )
+        contrib_term = (
+            F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,0)"))
+            .cast("double")
+            / quant
         )
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .crossJoin(F.broadcast(d_mass))
-            .select(
+        if has_dangling:
+            d_mass = (
+                ranks.join(dangling, on="node", how="semi")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.round(F.col("rank") * quant).cast("decimal(38,0)")
+                        ),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).alias("__qd")
+                )
+            )
+            new = (
+                nodes.join(contrib, on="node", how="left")
+                .crossJoin(F.broadcast(d_mass))
+                .select(
+                    "node",
+                    F.bround(
+                        base
+                        + F.lit(damping)
+                        * (
+                            contrib_term
+                            + F.col("__qd").cast("double")
+                            / quant
+                            / F.lit(float(n_nodes))
+                        ),
+                        12,
+                    ).alias("rank"),
+                )
+            )
+        else:
+            new = nodes.join(contrib, on="node", how="left").select(
                 "node",
                 F.bround(
-                    base
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,0)"))
-                        .cast("double")
-                        / quant
-                        + F.col("__qd").cast("double") / quant / F.lit(float(n_nodes))
-                    ),
-                    12,
+                    base + F.lit(damping) * contrib_term, 12
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
-        )
+        ranks = new.localCheckpoint(eager=True)
     return ranks
