@@ -44,3 +44,75 @@ def merge_incremental(incoming: DataFrame, existing: DataFrame, key: str) -> Dat
     PK-violation path (av_etl.py:38) designed out: duplicates are removed
     by construction, so the append never needs to fail."""
     return existing.unionByName(new_rows(incoming, existing, key))
+
+
+def aggregate_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ticks: int = 100,
+) -> DataFrame:
+    """Mergeable per-key aggregate STATE over a value column: (keys...,
+    n, n_val, sum_q, min_q, max_q) with the value quantized to integer
+    ``ticks`` units and summed in decimal(38,0) — the materialized-view
+    refresh primitive. States built from disjoint slices of a table
+    merge (``merge_states``) into EXACTLY the state of the union: every
+    component is a commutative monoid (count/sum/min/max), and the
+    tick-quantized decimal sum makes the merge bit-identical regardless
+    of slice boundaries, merge order, or partitioning.
+
+    ``n`` counts rows, ``n_val`` non-null values (both needed to
+    finalize averages and null-rates without a rescan).
+
+    Scale design (100 TB): building a state is ONE partial-aggregated
+    groupBy (map-side combine); merging is a union of KEY-BOUNDED state
+    tables + the same groupBy — the nightly refresh touches only the
+    delta's scan, never the historical corpus. This is the batch analog
+    of a streaming agg's state store, stored as an ordinary table.
+    """
+    q = F.round(F.col(value_col).cast("double") * ticks).cast("long")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(value_col)).alias("n_val"),
+        F.coalesce(
+            F.sum(q.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")
+        ).alias("sum_q"),
+        F.min(q).alias("min_q"),
+        F.max(q).alias("max_q"),
+    )
+
+
+def merge_states(keys: list[str], *states: DataFrame) -> DataFrame:
+    """Merge any number of `aggregate_state` tables into one (same
+    schema): union + one key-bounded re-aggregation. Associative and
+    commutative by construction."""
+    if not states:
+        raise ValueError("merge_states needs at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_val").alias("n_val"),
+        F.sum("sum_q").alias("sum_q"),
+        F.min("min_q").alias("min_q"),
+        F.max("max_q").alias("max_q"),
+    )
+
+
+def finalize_state(
+    state: DataFrame, keys: list[str], ticks: int = 100
+) -> DataFrame:
+    """Render a state table as the user-facing aggregate: (keys..., n,
+    avg, min, max) — one projection; avg NULL for all-null groups."""
+    qt = F.lit(float(ticks))
+    return state.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            F.col("n_val") > 0,
+            F.col("sum_q").cast("double") / qt / F.col("n_val").cast("double"),
+        ).alias("avg"),
+        (F.col("min_q").cast("double") / qt).alias("min"),
+        (F.col("max_q").cast("double") / qt).alias("max"),
+    )

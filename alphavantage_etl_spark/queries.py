@@ -3250,6 +3250,50 @@ LIMIT 50
 """
 
 
+# X42 — mergeable aggregate state (r4): the incremental materialized-view
+# refresh primitive — per-key count/sum/min/max state in quantized exact
+# arithmetic, built from TWO DISJOINT SLICES of lineitem (orderkey
+# parity), merged, finalized. The ORACLE is the direct one-shot aggregate
+# of the full table: the hash match IS the proof that slice-wise refresh
+# equals recompute (operators/incremental.py:aggregate_state/
+# merge_states/finalize_state).
+def q_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    old = li.where(F.col("l_orderkey") % 2 == 0)
+    delta = li.where(F.col("l_orderkey") % 2 == 1)
+    ks = ["l_returnflag"]
+    merged = merge_states(
+        ks,
+        aggregate_state(old, ks, "l_extendedprice"),
+        aggregate_state(delta, ks, "l_extendedprice"),
+    )
+    return finalize_state(merged, ks)
+
+
+SQL_AGG_STATE = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CASE WHEN count(l_extendedprice) > 0 THEN
+         CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                       AS HUGEINT)) AS DOUBLE)
+         / 100.0 / CAST(count(l_extendedprice) AS DOUBLE)
+       END AS avg,
+       CAST(min(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS min,
+       CAST(max(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3359,6 +3403,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_psi_drift": q_psi_drift,
     "q_linkage": q_linkage,
     "q_collocations": q_collocations,
+    "q_agg_state": q_agg_state,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3471,6 +3516,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_psi_drift": SQL_PSI_DRIFT,
     "q_linkage": SQL_LINKAGE,
     "q_collocations": SQL_COLLOCATIONS,
+    "q_agg_state": SQL_AGG_STATE,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

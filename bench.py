@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q_psi_drift",
     "q_linkage",
     "q_collocations",
+    "q_agg_state",
 ]
 
 

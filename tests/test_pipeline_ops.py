@@ -508,3 +508,63 @@ def test_collocations_single_token_docs_safe(spark):
     )
     out = collocations(docs, "text", min_count=2, k=5).collect()
     assert {(r["a"], r["b"]) for r in out} >= {("a", "b")}
+
+
+# -------------------------------------------------- mergeable agg state
+def test_agg_state_merge_equals_recompute(spark):
+    from alphavantage_etl_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    rows = [(i, f"g{i % 3}", float(i) + 0.25) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    ks = ["g"]
+    direct = sorted(finalize_state(aggregate_state(df, ks, "v"), ks).collect())
+    # three arbitrary disjoint slices, merged in a different order
+    s1 = aggregate_state(df.where("id % 3 = 0"), ks, "v")
+    s2 = aggregate_state(df.where("id % 3 = 1"), ks, "v")
+    s3 = aggregate_state(df.where("id % 3 = 2"), ks, "v")
+    merged = sorted(
+        finalize_state(merge_states(ks, s3, s1, s2), ks).collect()
+    )
+    assert merged == direct
+
+
+def test_agg_state_one_sided_groups_and_nulls(spark):
+    from alphavantage_etl_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    a = spark.createDataFrame(
+        [("only_a", 1.0), ("both", 2.0)], "g string, v double"
+    )
+    b = spark.createDataFrame(
+        [("both", 4.0), ("only_b", None)], "g string, v double"
+    )
+    ks = ["g"]
+    out = {
+        r["g"]: r
+        for r in finalize_state(
+            merge_states(
+                ks, aggregate_state(a, ks, "v"), aggregate_state(b, ks, "v")
+            ),
+            ks,
+        ).collect()
+    }
+    assert out["both"]["n"] == 2 and out["both"]["avg"] == 3.0
+    assert out["only_a"]["avg"] == 1.0
+    # all-null group: counted, but no fabricated average
+    assert out["only_b"]["n"] == 1 and out["only_b"]["avg"] is None
+
+
+def test_agg_state_merge_rejects_empty_arglist(spark):
+    import pytest as _pytest
+
+    from alphavantage_etl_spark.operators.incremental import merge_states
+
+    with _pytest.raises(ValueError):
+        merge_states(["g"])
