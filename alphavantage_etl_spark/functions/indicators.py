@@ -264,3 +264,94 @@ def rolling_corr(
     return F.when(
         (n == k) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
     )
+
+
+def acf(
+    df,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+    ticks: int = 1,
+):
+    """(key, lag, n, acf) — per-series autocorrelation at lags 1..max_lag
+    over the whole series (Pearson correlation of (x_t, x_{t-lag}) pairs),
+    the seasonality/memory profile a forecasting or feature pipeline
+    reads before choosing lags.
+
+    Determinism (the rolling_corr discipline, aggregate form): values
+    quantize to integer ``ticks`` units; all six sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) are exact decimal(38,0) sums over the
+    paired rows; the correlation is ONE fixed-order double expression
+    rounded half-even to 1e-9 (O(1) magnitude — safe grid); NULL when
+    fewer than 2 pairs or either side is constant.
+
+    Scale design (100 TB): ONE window Exchange per series key computes
+    every lag column (a single partitionBy(key).orderBy(order) spec —
+    Catalyst reuses the sort for all max_lag `lag()` calls); the stack
+    explode is a Generate (max_lag rows per input row, bounded); the
+    sums are one partial-aggregated groupBy on (key, lag) — bounded by
+    |keys| * max_lag output rows.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    q = F.round(F.col(value_col).cast("double") * ticks).cast("long")
+    cur = df.select(F.col(key_col), F.col(order_col), q.alias("__x"))
+    lagged = cur.select(
+        key_col,
+        "__x",
+        *[F.lag("__x", l).over(w).alias(f"__y{l}") for l in range(1, max_lag + 1)],
+    )
+    stacked = (
+        lagged.select(
+            key_col,
+            "__x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(l).cast("long").alias("lag"),
+                            F.col(f"__y{l}").alias("__y"),
+                        )
+                        for l in range(1, max_lag + 1)
+                    ]
+                )
+            ).alias("__p"),
+        )
+        .select(
+            key_col,
+            F.col("__p.lag").alias("lag"),
+            F.col("__x"),
+            F.col("__p.__y").alias("__y"),
+        )
+        .where(F.col("__y").isNotNull())
+    )
+    dx = F.col("__x").cast("decimal(38,0)")
+    dy = F.col("__y").cast("decimal(38,0)")
+    g = stacked.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("__sx"),
+        F.sum(dy).alias("__sy"),
+        F.sum(dx * dx).alias("__sxx"),
+        F.sum(dy * dy).alias("__syy"),
+        F.sum(dx * dy).alias("__sxy"),
+    )
+    nf = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    cov = sxy - sx * sy / nf
+    vx = sxx - sx * sx / nf
+    vy = syy - sy * sy / nf
+    return g.select(
+        key_col,
+        "lag",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            F.bround(cov / F.sqrt(vx * vy), 9),
+        ).alias("acf"),
+    )

@@ -3294,6 +3294,58 @@ GROUP BY l_returnflag
 """
 
 
+# X43 — per-series autocorrelation (r4): ACF at lags 1..5 of the daily
+# quantity series per returnflag — one window Exchange computes all lag
+# columns, exact sufficient-statistic sums per (key, lag)
+# (functions/indicators.py:acf).
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.indicators import acf
+
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("date"),
+    ).agg(F.sum("l_quantity").alias("qty"))
+    return acf(daily, "flag", "date", "qty", max_lag=5, ticks=1)
+
+
+SQL_ACF = """
+WITH daily AS (
+  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS date,
+         CAST(round(CAST(sum(l_quantity) AS DOUBLE)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1, 2),
+lagged AS (
+  SELECT flag, x,
+         lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+         lag(x, 3) OVER w AS y3, lag(x, 4) OVER w AS y4,
+         lag(x, 5) OVER w AS y5
+  FROM daily WINDOW w AS (PARTITION BY flag ORDER BY date)),
+stacked AS (
+  SELECT flag, CAST(1 AS BIGINT) AS lag, x, y1 AS y FROM lagged
+  UNION ALL SELECT flag, 2, x, y2 FROM lagged
+  UNION ALL SELECT flag, 3, x, y3 FROM lagged
+  UNION ALL SELECT flag, 4, x, y4 FROM lagged
+  UNION ALL SELECT flag, 5, x, y5 FROM lagged),
+g AS (
+  SELECT flag, lag, count(*) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy
+  FROM stacked WHERE y IS NOT NULL GROUP BY 1, 2)
+SELECT flag, lag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2
+             AND (sxx - sx * sx / CAST(n AS DOUBLE)) > 0
+             AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0
+            THEN round_even((sxy - sx * sy / CAST(n AS DOUBLE))
+                            / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                   * (syy - sy * sy / CAST(n AS DOUBLE))), 9)
+       END AS acf
+FROM g
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3404,6 +3456,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_linkage": q_linkage,
     "q_collocations": q_collocations,
     "q_agg_state": q_agg_state,
+    "q_acf": q_acf,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3517,6 +3570,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_linkage": SQL_LINKAGE,
     "q_collocations": SQL_COLLOCATIONS,
     "q_agg_state": SQL_AGG_STATE,
+    "q_acf": SQL_ACF,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

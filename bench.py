@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q_linkage",
     "q_collocations",
     "q_agg_state",
+    "q_acf",
 ]
 
 

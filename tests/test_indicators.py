@@ -201,3 +201,43 @@ def test_partitioned_indicator_suite_single_window_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert out.count() == 90
+
+
+# --------------------------------------------------------------------- ACF
+def test_acf_periodic_series_known_values(spark):
+    from alphavantage_etl_spark.functions.indicators import acf
+
+    # strict period-2 alternation: acf(even lags) = +1, acf(odd) = -1
+    rows = [("s", i, 10.0 if i % 2 == 0 else 20.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["lag"]: r for r in acf(df, "k", "t", "v", max_lag=4).collect()}
+    assert abs(out[2]["acf"] - 1.0) < 1e-6 and abs(out[4]["acf"] - 1.0) < 1e-6
+    assert out[1]["acf"] < -0.99 and out[3]["acf"] < -0.99
+    assert out[1]["n"] == 39 and out[4]["n"] == 36
+
+
+def test_acf_constant_series_null_and_key_isolated(spark):
+    from alphavantage_etl_spark.functions.indicators import acf
+
+    rows = [("flat", i, 5.0) for i in range(10)] + [
+        ("trend", i, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {(r["k"], r["lag"]): r for r in acf(df, "k", "t", "v", max_lag=2).collect()}
+    assert out[("flat", 1)]["acf"] is None  # zero variance
+    assert out[("trend", 1)]["acf"] > 0.9   # strong positive memory
+    # keys never mix: flat's rows cannot dilute trend's pairs
+    assert out[("trend", 1)]["n"] == 9
+
+
+def test_acf_single_window_exchange(spark):
+    from alphavantage_etl_spark.functions.indicators import acf
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 7)) for i in range(50)], "k string, t long, v double"
+    )
+    plan = acf(df, "k", "t", "v", max_lag=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # all five lag columns ride ONE partitionBy(k) window Exchange; the
+    # only other Exchange is the (k, lag) aggregation
+    assert plan.count("Window") == 1
