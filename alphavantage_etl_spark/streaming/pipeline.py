@@ -657,3 +657,107 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+class DriftError(RuntimeError):
+    """A micro-batch drifted past the PSI threshold and no quarantine
+    path was configured; the report dict rides on the exception."""
+
+    def __init__(self, psi: float, report: dict):
+        super().__init__(f"batch PSI {psi:.4f} exceeded threshold")
+        self.psi = psi
+        self.report = report
+
+
+def drift_monitor_stream(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    sink_path: str,
+    checkpoint: str,
+    psi_threshold: float = 0.2,
+    nbins: int = 10,
+    drift_reports: list | None = None,
+    quarantine_path: str | None = None,
+):
+    """Streaming drift gate — the online twin of
+    ``functions.distribution.population_stability``: every micro-batch's
+    ``value_col`` distribution is scored against a STATIC baseline
+    snapshot, and a batch whose PSI exceeds ``psi_threshold`` is
+    quarantined WHOLE (or fails the stream when no ``quarantine_path``),
+    never silently ingested — the quality-gate poison-batch policy
+    applied to distribution shift: a producer whose values suddenly come
+    from a different regime should stop the pipeline, not tilt the
+    corpus.
+
+    The baseline is fitted ONCE at stream build: its exact-percentile
+    bin edges and Laplace-smoothed bin shares are BOUNDED model state
+    (nbins numbers — the centroid/codebook class), collected driver-side
+    and closed over by ``foreachBatch``. Per batch the cost is ONE
+    nbins-bounded aggregation of the batch (the edges ride along as an
+    array literal — pure codegen, no join); the per-bin PSI fold runs
+    driver-side over <= nbins cells. Reports (batch_id, psi, ok,
+    per-bin counts) append to ``drift_reports``.
+    """
+    import math
+
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    probs = ", ".join(str(i / nbins) for i in range(1, nbins))
+    edges = baseline.agg(
+        F.expr(
+            f"transform(percentile({value_col}, array({probs})),"
+            " b -> bround(b, 6))"
+        ).alias("e")
+    ).first()["e"]
+    edge_arr = F.array(*[F.lit(float(e)) for e in edges])
+    v = F.col(value_col)
+
+    def _counts(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.where(v.isNotNull())
+            .select(
+                F.size(F.filter(edge_arr, lambda b: v >= b)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r["bin"]: r["n"] for r in rows}
+
+    base_counts = _counts(baseline)
+    n_base = sum(base_counts.values())
+    p = [
+        (base_counts.get(b, 0) + 1) / (n_base + nbins) for b in range(nbins)
+    ]
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        cur = _counts(batch_df)
+        n_curr = sum(cur.values())
+        q = [(cur.get(b, 0) + 1) / (n_curr + nbins) for b in range(nbins)]
+        psi = sum((q[b] - p[b]) * math.log(q[b] / p[b]) for b in range(nbins))
+        ok = psi <= psi_threshold
+        report = {
+            "batch_id": batch_id,
+            "psi": psi,
+            "ok": ok,
+            "n_curr": n_curr,
+            "bins": {b: cur.get(b, 0) for b in range(nbins)},
+        }
+        if drift_reports is not None:
+            drift_reports.append(report)
+        if not ok:
+            if quarantine_path is None:
+                raise DriftError(psi, report)
+            batch_df.write.mode("append").parquet(quarantine_path)
+            return
+        batch_df.write.mode("append").parquet(sink_path)
+
+    q_ = (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return q_

@@ -640,3 +640,62 @@ def test_anomaly_stream_matches_batch_and_restarts(spark, tmp_path):
     )
     assert got, "stream flagged nothing"
     assert got == want
+
+
+def test_drift_monitor_stream_quarantines_shifted_batch(spark, tmp_path):
+    """Streaming PSI gate: in-distribution micro-batches append to the
+    sink; a regime-shifted batch is quarantined WHOLE; a checkpoint
+    restart keeps going with fresh batches."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        drift_monitor_stream,
+    )
+
+    in_dir = tmp_path / "vals_in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "sink")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    baseline = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "value double"
+    )
+
+    def land(values, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "id long, value double"
+        ).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain(reports):
+        stream = spark.readStream.schema("id long, value double").parquet(
+            str(in_dir)
+        )
+        drift_monitor_stream(
+            stream, baseline, "value", sink, ckpt,
+            psi_threshold=0.2, nbins=5,
+            drift_reports=reports, quarantine_path=quarantine,
+        )
+
+    reports: list = []
+    land([float(i % 100) for i in range(200)], "b1")  # in-distribution
+    drain(reports)
+    assert len(reports) == 1 and reports[0]["ok"]
+    assert spark.read.parquet(sink).count() == 200
+
+    land([float(1000 + i) for i in range(200)], "b2")  # regime shift
+    drain(reports)
+    assert len(reports) == 2 and not reports[1]["ok"]
+    assert reports[1]["psi"] > 0.2
+    assert spark.read.parquet(sink).count() == 200  # sink untouched
+    assert spark.read.parquet(quarantine).count() == 200  # batch kept whole
+
+    # restart: a fresh in-distribution batch flows normally
+    land([float((i * 3) % 100) for i in range(150)], "b3")
+    drain(reports)
+    assert len(reports) == 3 and reports[2]["ok"]
+    assert spark.read.parquet(sink).count() == 350
