@@ -40,3 +40,104 @@ def sessionize(
         )
         .drop("session_window")
     )
+
+
+def with_session_ids(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Append ``session_id`` (0-based per user) to EVENT rows — the
+    row-level companion of `sessionize` (which aggregates): islands/lag
+    formulation, split when the inter-event gap EXCEEDS ``gap_seconds``
+    (strict >, matching session_window's merge-inclusive boundary,
+    pinned by the sessionize tests). The boundary compares timestamps
+    with interval arithmetic — integer-exact on any engine and free of
+    session-timezone/DST dependence (no epoch conversion). One window
+    Exchange on the user key; the running boundary sum rides the same
+    sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    # interval comparison directly on the timestamp values — works for
+    # TIMESTAMP and TIMESTAMP_NTZ alike (the fixture loader yields NTZ;
+    # unix_micros would reject it, and an NTZ->LTZ cast would make the
+    # boundary depend on the session timezone across DST transitions)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # two projections: a window aggregate cannot consume another window
+    # expression in the same select — but both ride ONE Exchange+sort
+    # (identical partitioning/ordering, Catalyst fuses the Window nodes)
+    boundary = F.when(
+        prev.isNull()
+        | (
+            F.col(ts_col)
+            > prev + F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        df.withColumn("__b", boundary)
+        .withColumn(
+            "session_id",
+            (
+                F.sum("__b").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - 1
+            ).cast("long"),
+        )
+        .drop("__b")
+    )
+
+
+def top_session_paths(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """(path, occurrences, n_sessions) — the k most frequent ordered
+    event-type n-grams WITHIN sessions (the "what do users actually do"
+    path-mining readout; a path never spans a session boundary). ``path``
+    joins types with '>'; ``occurrences`` counts every window position,
+    ``n_sessions`` the distinct sessions containing the path at least
+    once.
+
+    Scale design (100 TB): session ids are one user-key window; the
+    n-gram window partitions on (user, session) — a refinement, so one
+    more Exchange; each event emits at most ONE n-gram start (no
+    combinatorial blowup); the path aggregation is vocabulary-bounded
+    (|event types|^n keys worst case) with map-side combine; top-k is
+    TakeOrderedAndProject under a total (count, path) order.
+    """
+    from pyspark.sql import Window
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    sess = with_session_ids(df, ts_col, key_col, id_col, gap_seconds)
+    w2 = Window.partitionBy(key_col, "session_id").orderBy(ts_col, id_col)
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w2) for i in range(1, n)
+    ]
+    full = parts[-1].isNotNull()
+    grams = sess.select(
+        F.col(key_col),
+        F.col("session_id"),
+        F.when(full, F.concat_ws(">", *parts)).alias("path"),
+    ).where(F.col("path").isNotNull())
+    return (
+        grams.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct(key_col, "session_id").alias("n_sessions"),
+        )
+        .orderBy(F.desc("occurrences"), "path")
+        .limit(k)
+    )

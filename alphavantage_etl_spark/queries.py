@@ -3346,6 +3346,52 @@ FROM g
 """
 
 
+# X44 — session path mining (r4): top-20 ordered event-type trigrams
+# WITHIN 30-day sessions (paths never span a session boundary) — the
+# "what do users actually do" readout; islands/lag session ids from
+# timezone-free interval comparisons, one n-gram per window
+# position, vocabulary-bounded path aggregation
+# (operators/sessionize.py:top_session_paths).
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import top_session_paths
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return top_session_paths(
+        ev, gap_seconds=2_592_000, n=3, k=20
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 2592000 SECOND
+                 THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sid AS (
+  SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM s),
+g AS (
+  SELECT user_id, session_id,
+         concat(event_type, '>', lead(event_type, 1) OVER w2,
+                '>', lead(event_type, 2) OVER w2) AS path,
+         lead(event_type, 2) OVER w2 AS last2
+  FROM sid
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+SELECT path, CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(count(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sessions
+FROM g WHERE last2 IS NOT NULL
+GROUP BY path
+ORDER BY occurrences DESC, path
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3457,6 +3503,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_collocations": q_collocations,
     "q_agg_state": q_agg_state,
     "q_acf": q_acf,
+    "q_session_paths": q_session_paths,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3571,6 +3618,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_collocations": SQL_COLLOCATIONS,
     "q_agg_state": SQL_AGG_STATE,
     "q_acf": SQL_ACF,
+    "q_session_paths": SQL_SESSION_PATHS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

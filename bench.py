@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q_collocations",
     "q_agg_state",
     "q_acf",
+    "q_session_paths",
 ]
 
 

@@ -56,8 +56,15 @@ DOC_QUERIES = [
     # r4 heavy additions over documents
     "q_cdc_overlap",
     "q_lm_perplexity",
+    # late-r4 additions over documents (DSIR/logreg: hashed-bucket model
+    # tables stay FIXED-size as the corpus grows; block dedup and
+    # collocations: vocabularies disjoint per replica -> linear growth)
+    "q_dsir_weights",
+    "q_logreg",
+    "q_block_dedup",
+    "q_collocations",
 ]
-EMB_QUERIES = ["q_embed_near_dup", "q_dedup_clusters"]
+EMB_QUERIES = ["q_embed_near_dup", "q_dedup_clusters", "q_semantic_dedup"]
 
 # Optional narrowing for incremental runs (comma-separated query names):
 # re-measuring one fixed query must not pay the full five-query sweep.

@@ -123,3 +123,65 @@ def test_transition_matrix_never_crosses_keys(spark):
     assert transition_matrix(
         df, "user_id", "ts", "event_type", "event_id"
     ).count() == 0
+
+
+# -------------------------------------------------------- session paths
+def test_session_paths_respect_boundaries(spark):
+    from datetime import datetime
+
+    from alphavantage_etl_spark.operators.sessionize import (
+        top_session_paths,
+        with_session_ids,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 10, minute)
+
+    rows = [
+        # user 1, session 0: a->b->c ; after a 2h gap, session 1: a->b->c
+        (1, 1, "a", t(0)), (1, 2, "b", t(5)), (1, 3, "c", t(10)),
+        (1, 4, "a", t(10).replace(hour=13)), (1, 5, "b", t(15).replace(hour=13)),
+        (1, 6, "c", t(20).replace(hour=13)),
+        # user 2, one session: a->b only (no trigram)
+        (2, 7, "a", t(0)), (2, 8, "b", t(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    sids = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in with_session_ids(df, gap_seconds=1800).collect()
+    }
+    assert sids[(1, 1)] == 0 and sids[(1, 3)] == 0
+    assert sids[(1, 4)] == 1  # 2h gap splits
+    assert sids[(2, 7)] == 0
+
+    out = top_session_paths(df, gap_seconds=1800, n=3, k=10).collect()
+    by_path = {r["path"]: r for r in out}
+    # the trigram never spans the session boundary: c>a>b must NOT appear
+    assert "c>a>b" not in by_path
+    assert by_path["a>b>c"]["occurrences"] == 2
+    assert by_path["a>b>c"]["n_sessions"] == 2
+    assert len(by_path) == 1  # user 2's pair is too short for a trigram
+
+
+def test_session_paths_boundary_gap_is_inclusive(spark):
+    from datetime import datetime
+
+    from alphavantage_etl_spark.operators.sessionize import with_session_ids
+
+    # an event EXACTLY gap after its predecessor merges (strict > split),
+    # matching session_window's merge-inclusive boundary
+    rows = [
+        (1, 1, "a", datetime(2024, 1, 1, 10, 0, 0)),
+        (1, 2, "b", datetime(2024, 1, 1, 10, 30, 0)),   # exactly 1800s
+        (1, 3, "c", datetime(2024, 1, 1, 11, 0, 1)),    # 1801s after b
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    sids = {
+        r["event_id"]: r["session_id"]
+        for r in with_session_ids(df, gap_seconds=1800).collect()
+    }
+    assert sids[1] == 0 and sids[2] == 0 and sids[3] == 1
