@@ -3392,6 +3392,62 @@ LIMIT 20
 """
 
 
+# X45 — triangle counting (r4): exact triangles + global clustering
+# coefficient of the undirected nation trade graph, degree-oriented so a
+# hub's wedges generate at its low-degree neighbors (the last-reducer
+# fix) (operators/graph.py:triangle_count).
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+    )
+    return triangle_count(edges, "src", "dst")
+
+
+SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+agg AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(CAST(d AS HUGEINT) * (d - 1) / 2) AS HUGEINT) AS w
+  FROM deg),
+ec AS (SELECT count(*) AS m FROM und)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(m AS BIGINT) AS n_edges,
+       CAST(w AS BIGINT) AS n_wedges,
+       CAST(t AS BIGINT) AS n_triangles,
+       CASE WHEN w > 0
+            THEN round_even(3.0 * CAST(t AS DOUBLE) / CAST(w AS DOUBLE), 9)
+       END AS clustering
+FROM agg CROSS JOIN ec CROSS JOIN tri
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3504,6 +3560,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_agg_state": q_agg_state,
     "q_acf": q_acf,
     "q_session_paths": q_session_paths,
+    "q_triangles": q_triangles,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3619,6 +3676,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_agg_state": SQL_AGG_STATE,
     "q_acf": SQL_ACF,
     "q_session_paths": SQL_SESSION_PATHS,
+    "q_triangles": SQL_TRIANGLES,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q_agg_state",
     "q_acf",
     "q_session_paths",
+    "q_triangles",
 ]
 
 

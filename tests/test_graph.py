@@ -243,3 +243,51 @@ def test_pagerank_unweighted_defaults_to_count(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, "src", "dst", iters=3).collect()}
     assert set(got) == {1, 2, 3}
     assert got[1] > got[3]  # 1 receives 2's whole rank; 3 only half of 1's
+
+
+# ------------------------------------------------------- triangle count
+def test_triangle_count_known_graphs(spark):
+    from alphavantage_etl_spark.operators.graph import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df, "src", "dst").first()
+
+    # K3: one triangle, clustering 1
+    r = tc([(1, 2), (2, 3), (3, 1)])
+    assert (r["n_triangles"], r["clustering"]) == (1, 1.0)
+    # path 1-2-3: a wedge, no triangle
+    r = tc([(1, 2), (2, 3)])
+    assert r["n_triangles"] == 0 and r["clustering"] == 0.0
+    # K4: C(4,3)=4 triangles over 12 wedges -> clustering 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = tc(k4)
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (6, 12, 4)
+    assert r["clustering"] == 1.0
+    # complete bipartite K2,3: plenty of wedges, zero triangles
+    r = tc([(a, 10 + b) for a in range(2) for b in range(3)])
+    assert r["n_triangles"] == 0 and r["n_wedges"] > 0
+
+
+def test_triangle_count_normalizes_input(spark):
+    from alphavantage_etl_spark.operators.graph import triangle_count
+
+    # duplicates, reversed direction, and self-loops must not change the
+    # simple undirected graph: still exactly one triangle
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df, "src", "dst").first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+
+
+def test_triangle_count_hub_graph_exact(spark):
+    from alphavantage_etl_spark.operators.graph import triangle_count
+
+    # a hub wired to 40 leaves, with leaves chained pairwise: triangles =
+    # number of chain edges; the degree orientation keeps every wedge
+    # generation at the leaves (the correctness half of the hub claim)
+    hub = [(0, i) for i in range(1, 41)]
+    chain = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(hub + chain, "src long, dst long")
+    r = triangle_count(df, "src", "dst").first()
+    assert r["n_triangles"] == 39
