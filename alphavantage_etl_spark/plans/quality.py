@@ -154,3 +154,49 @@ def enforce(report: dict) -> dict:
     if failures:
         raise QualityCheckError(failures, report)
     return report
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) — the dataset-card / schema-drift profile a
+    pipeline records next to every published table.
+
+    Scale design (100 TB): ALL columns profile in ONE aggregation over
+    ONE scan (plan-pinned): null counts and min/max are plain partial
+    aggregates; the multi-column exact distinct counts compile to
+    Spark's Expand strategy (one scan fans each row into per-distinct
+    streams — CPU ~ |cols| x rows, I/O 1x). min/max compute in the
+    column's NATIVE ordering and cast to string only for the uniform
+    report schema (so 9 < 10 for ints, while a string column keeps its
+    lexicographic truth). Swap `approx_count_distinct` for the exact
+    distinct at extreme widths — same one-row shape, the HLL trade.
+    """
+    cols = list(df.columns) if cols is None else list(cols)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_null, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").cast("long").alias("n_rows"),
+    ).select(
+        "column",
+        "n_rows",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

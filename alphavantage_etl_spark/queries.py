@@ -3448,6 +3448,53 @@ FROM agg CROSS JOIN ec CROSS JOIN tri
 """
 
 
+# X46 — table profile (r4): the dataset-card readout — per-column null
+# count, exact distinct count, and native-ordering min/max for every
+# documents column, computed in ONE aggregation over ONE scan (multi-
+# distinct compiles to Expand) (plans/quality.py:profile_table).
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.quality import profile_table
+
+    d = load(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+SQL_PROFILE = """
+SELECT * FROM (
+  SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS min_value,
+         CAST(max(doc_id) AS VARCHAR) AS max_value
+  FROM documents
+  UNION ALL
+  SELECT 'text', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT text) AS BIGINT),
+         min(text), max(text)
+  FROM documents
+  UNION ALL
+  SELECT 'lang', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT lang) AS BIGINT),
+         min(lang), max(lang)
+  FROM documents
+  UNION ALL
+  SELECT 'source', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT source) AS BIGINT),
+         min(source), max(source)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT n_chars) AS BIGINT),
+         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+  FROM documents)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3561,6 +3608,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_acf": q_acf,
     "q_session_paths": q_session_paths,
     "q_triangles": q_triangles,
+    "q_profile": q_profile,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3677,6 +3725,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_acf": SQL_ACF,
     "q_session_paths": SQL_SESSION_PATHS,
     "q_triangles": SQL_TRIANGLES,
+    "q_profile": SQL_PROFILE,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q_acf",
     "q_session_paths",
     "q_triangles",
+    "q_profile",
 ]
 
 

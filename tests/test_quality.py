@@ -155,3 +155,43 @@ def test_streaming_observer_reports_batch_metrics(spark, tmp_path):
     batch = run_checks(spark.read.parquet(str(d)), checks)
     for k, v in report.items():
         assert batch[k]["observed"] == v["observed"], k
+
+
+# --------------------------------------------------------- table profile
+def test_profile_table_stats_and_native_ordering(spark):
+    from alphavantage_etl_spark.plans.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, None), (9, "a"), (None, "a")],
+        "x int, s string",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["x"]["n_rows"] == 4
+    assert out["x"]["n_null"] == 1 and out["s"]["n_null"] == 1
+    assert out["x"]["n_distinct"] == 2 and out["s"]["n_distinct"] == 2
+    # NATIVE ordering before stringify: 9 < 10 numerically (a string
+    # min/max would claim "10" < "9")
+    assert out["x"]["min_value"] == "9" and out["x"]["max_value"] == "10"
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+
+
+def test_profile_table_one_scan(spark):
+    from alphavantage_etl_spark.plans.quality import profile_table
+    from alphavantage_etl_spark.sources import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        profile_table(d, ["doc_id", "lang", "source"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1  # all columns, one pass
+    assert "Expand" in plan  # the multi-distinct strategy
+
+
+def test_profile_table_rejects_empty_columns(spark):
+    import pytest as _pytest
+
+    from alphavantage_etl_spark.plans.quality import profile_table
+
+    with _pytest.raises(ValueError):
+        profile_table(spark.range(1), [])
