@@ -100,3 +100,74 @@ def sparse_tfidf_topk(
         )
     )
     return sim.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against the DISTINCT terms of
+    document ``query_id`` (the query doc itself excluded; ties on id) —
+    the production first-stage ranking function (Lucene/Elasticsearch
+    default), complementing `sparse_tfidf_topk`'s cosine: BM25 saturates
+    term frequency (k1) and normalizes by document length (b), which
+    cosine's raw tf weighting does not.
+
+    Scoring: ``sum over shared terms of idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl))`` with the Robertson positive idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Determinism: tf/df/dl/N are exact integers; idf and the saturation
+    part combine in ONE fixed-order double expression per (doc, shared
+    term), half-even-quantized to 1e-12 and summed as exact
+    decimal(38,0) (fold-order-immune); final score = sum/1e12, ranked
+    under a total (score, id) order.
+
+    Scale design: identical to `sparse_tfidf_topk` — candidates come
+    from the query terms' postings via the shared-term join, never a
+    corpus scan; doc lengths and (N, avgdl) are one aggregate each,
+    vocabulary/corpus-bounded; hot stopword terms are the same AQE skew
+    key, structurally bounded by an upstream `max_df` screen.
+    """
+    tf = term_counts(docs, text_col, id_col)
+    dfreq = doc_frequency(tf, id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sdl"),
+    )
+    qterms = tf.filter(F.col(id_col) == query_id).select("term").distinct()
+    n_d = F.col("__n").cast("double")
+    avgdl = F.col("__sdl").cast("double") / n_d
+    idf = F.log(
+        F.lit(1.0)
+        + (n_d - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("__dl").cast("double")
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dl_d / avgdl))
+    )
+    qt = F.lit(10.0**12)
+    term_score = F.round(F.bround(idf * sat, 12) * qt).cast("decimal(38,0)")
+    scored = (
+        tf.join(qterms, on="term")
+        .filter(F.col(id_col) != query_id)
+        .join(dfreq, on="term")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(term_score).alias("__s"))
+        .select(
+            id_col,
+            (F.col("__s").cast("double") / qt).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

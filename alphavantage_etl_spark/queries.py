@@ -3495,6 +3495,57 @@ SELECT * FROM (
 """
 
 
+# X47 — BM25 retrieval (r4): the production first-stage ranking function
+# (tf saturation + doc-length normalization, Robertson positive idf)
+# through the same postings-join shape as sparse cosine — candidates
+# from the query terms' postings, never a corpus scan
+# (operators/sparsesim.py:bm25_topk).
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sparsesim import bm25_topk
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, "doc_id", "text", query_id=7, k=10)
+
+
+SQL_BM25 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+q AS (SELECT DISTINCT term FROM tf WHERE doc_id = 7),
+sc AS (
+  SELECT tf.doc_id,
+         sum(CAST(round(round_even(
+             ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (1.0 - 0.75
+                            + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                      / (CAST(st.sdl AS DOUBLE)
+                                         / CAST(st.n AS DOUBLE)))))),
+             12) * 1e12) AS HUGEINT)) AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st
+  WHERE tf.doc_id <> 7
+  GROUP BY 1)
+SELECT doc_id, CAST(s AS DOUBLE) / 1e12 AS score
+FROM sc
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3609,6 +3660,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_session_paths": q_session_paths,
     "q_triangles": q_triangles,
     "q_profile": q_profile,
+    "q_bm25": q_bm25,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3726,6 +3778,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_session_paths": SQL_SESSION_PATHS,
     "q_triangles": SQL_TRIANGLES,
     "q_profile": SQL_PROFILE,
+    "q_bm25": SQL_BM25,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

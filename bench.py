@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q_session_paths",
     "q_triangles",
     "q_profile",
+    "q_bm25",
 ]
 
 

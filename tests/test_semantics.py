@@ -677,3 +677,48 @@ def test_semantic_dedup_blocks_limit_pairing(spark):
     )
     out = {r["vec_id"]: r["keep"] for r in semantic_dedup(emb, 0.9).collect()}
     assert out == {1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------- BM25
+def test_bm25_prefers_rare_terms_and_saturates_tf(spark):
+    from alphavantage_etl_spark.operators.sparsesim import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (7, "rare shared filler"),                 # query
+            (1, "rare other words here"),              # shares the RARE term
+            (2, "filler filler filler filler extra"),  # spams the COMMON term
+            (3, "filler something else entirely"),     # one common term
+            (4, "unrelated text completely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", query_id=7, k=5).collect()
+    ranks = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # idf at EQUAL term frequency: one rare-term hit outranks one
+    # common-term hit (docs 1 and 3 both match exactly once)
+    assert scores[1] > scores[3]
+    # tf saturation: four repetitions of 'filler' score more than one,
+    # but nowhere near 4x (k1 caps the growth)
+    assert scores[2] > scores[3]
+    assert scores[2] < 2.5 * scores[3]
+    assert 4 not in scores  # no shared term, no candidate row
+    assert set(ranks) == {1, 2, 3}
+
+
+def test_bm25_length_normalization(spark):
+    from alphavantage_etl_spark.operators.sparsesim import bm25_topk
+
+    long_tail = " ".join(f"pad{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (7, "needle"),
+            (1, "needle short"),
+            (2, "needle " + long_tail),  # same tf, much longer doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(
+        docs, "doc_id", "text", query_id=7, k=5).collect()}
+    assert out[1] > out[2]  # b penalizes the long document
