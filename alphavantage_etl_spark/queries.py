@@ -3546,6 +3546,42 @@ LIMIT 10
 """
 
 
+# X48 — market-basket pair lift (r4): top-20 part pairs by lift over
+# order baskets (presence-based, min-support gated, per-basket-quadratic
+# bounded by basket size with a mega-basket cap)
+# (operators/baskets.py:pair_lift).
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.baskets import pair_lift
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return pair_lift(
+        li, "l_orderkey", "l_partkey", min_support=2, k=20
+    )
+
+
+SQL_BASKET_LIFT = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT count(DISTINCT b) AS n FROM items),
+supp AS (SELECT i, count(*) AS s FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item_a, bb.i AS item_b, CAST(count(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 2)
+SELECT p.item_a, p.item_b, p.n_pair,
+       round_even((CAST(p.n_pair AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                  / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 9)
+         AS lift
+FROM pairs p
+JOIN supp sa ON p.item_a = sa.i
+JOIN supp sb ON p.item_b = sb.i
+CROSS JOIN nb
+ORDER BY lift DESC, p.item_a, p.item_b
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3661,6 +3697,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_triangles": q_triangles,
     "q_profile": q_profile,
     "q_bm25": q_bm25,
+    "q_basket_lift": q_basket_lift,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3779,6 +3816,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_triangles": SQL_TRIANGLES,
     "q_profile": SQL_PROFILE,
     "q_bm25": SQL_BM25,
+    "q_basket_lift": SQL_BASKET_LIFT,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

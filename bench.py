@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q_triangles",
     "q_profile",
     "q_bm25",
+    "q_basket_lift",
 ]
 
 

@@ -185,3 +185,48 @@ def test_session_paths_boundary_gap_is_inclusive(spark):
         for r in with_session_ids(df, gap_seconds=1800).collect()
     }
     assert sids[1] == 0 and sids[2] == 0 and sids[3] == 1
+
+
+# --------------------------------------------------------- basket lift
+def test_pair_lift_known_arithmetic(spark):
+    from alphavantage_etl_spark.operators.baskets import pair_lift
+
+    # 4 baskets; (x,y) together in 2; x in 3, y in 2; z alone
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = pair_lift(df, "b", "i", min_support=2, k=10).collect()
+    assert len(out) == 1  # only (x,y) reaches support 2
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_pair"]) == ("x", "y", 2)
+    assert abs(r["lift"] - (2 * 4) / (3 * 2)) < 1e-9
+
+
+def test_pair_lift_presence_based_and_support_gate(spark):
+    from alphavantage_etl_spark.operators.baskets import pair_lift
+
+    # duplicate (basket, item) rows count once; a single co-occurrence
+    # is gated out at min_support=2
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "d")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    assert pair_lift(df, "b", "i", min_support=2, k=10).collect() == []
+    one = pair_lift(df, "b", "i", min_support=1, k=10).collect()
+    got = {(r["item_a"], r["item_b"]): r["n_pair"] for r in one}
+    assert got == {("a", "b"): 1, ("c", "d"): 1}
+
+
+def test_pair_lift_mega_basket_capped(spark):
+    from alphavantage_etl_spark.operators.baskets import pair_lift
+
+    mega = [(99, f"m{i}") for i in range(50)]
+    normal = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(mega + normal, "b long, i string")
+    out = pair_lift(df, "b", "i", min_support=2, k=10, max_basket=10).collect()
+    # the 50-item basket is excluded BEFORE pairing; only (a,b) remains,
+    # and N counts only surviving baskets
+    assert len(out) == 1
+    assert out[0]["item_a"] == "a" and abs(out[0]["lift"] - 1.0) < 1e-9
