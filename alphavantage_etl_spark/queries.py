@@ -3582,6 +3582,78 @@ LIMIT 20
 """
 
 
+# X49 — Kaplan-Meier survival (r4): the censoring-correct churn curve —
+# per-user observed lifetime in days, churned iff silent for the final
+# 24 hours of the 30-day observation window (otherwise right-censored;
+# the fixture is day-dense, so a day of silence is a real signal);
+# survival =
+# exp(cumsum of 1e-12-quantized log factors) over the day-bounded grid
+# (operators/survival.py:kaplan_meier).
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.survival import kaplan_meier
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    subj = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("__first"), F.max("ts").alias("__last"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.col("__last").cast("date"), F.col("__first").cast("date")
+            ).cast("long").alias("duration"),
+            (
+                F.col("__last") < F.col("__mx") - F.expr("INTERVAL 24 HOUR")
+            ).cast("int").alias("churned"),
+        )
+    )
+    return kaplan_meier(subj, "duration", "churned")
+
+
+SQL_SURVIVAL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+mx AS (SELECT max(ts) AS m FROM e),
+subj AS (
+  SELECT CAST(date_diff('day', CAST(min(ts) AS DATE),
+                        CAST(max(ts) AS DATE)) AS BIGINT) AS duration,
+         CASE WHEN max(ts) < (SELECT m FROM mx) - INTERVAL 24 HOUR
+              THEN 1 ELSE 0 END AS churned
+  FROM e GROUP BY user_id),
+grid AS (
+  SELECT duration, sum(churned) AS d, sum(1 - churned) AS cens,
+         count(*) AS c
+  FROM subj GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM grid),
+ar AS (
+  SELECT grid.*, tot.n,
+         tot.n - coalesce(sum(c) OVER (ORDER BY duration
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM grid CROSS JOIN tot),
+ql AS (
+  SELECT *,
+         CASE WHEN d > 0 AND d <> n_at_risk
+              THEN CAST(round(round_even(
+                     ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)),
+                     12) * 1e12) AS HUGEINT)
+              ELSE CAST(0 AS HUGEINT) END AS q,
+         CASE WHEN d > 0 AND d = n_at_risk THEN 1 ELSE 0 END AS dd
+  FROM ar),
+cum AS (
+  SELECT *, sum(q) OVER wc AS cq, max(dd) OVER wc AS killed
+  FROM ql
+  WINDOW wc AS (ORDER BY duration ROWS UNBOUNDED PRECEDING))
+SELECT duration,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CAST(cens AS BIGINT) AS n_censored,
+       CASE WHEN killed = 1 THEN 0.0
+            ELSE round_even(exp(CAST(cq AS DOUBLE) / 1e12), 9) END
+         AS survival
+FROM cum WHERE d > 0
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3698,6 +3770,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_profile": q_profile,
     "q_bm25": q_bm25,
     "q_basket_lift": q_basket_lift,
+    "q_survival": q_survival,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3817,6 +3890,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_profile": SQL_PROFILE,
     "q_bm25": SQL_BM25,
     "q_basket_lift": SQL_BASKET_LIFT,
+    "q_survival": SQL_SURVIVAL,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_profile",
     "q_bm25",
     "q_basket_lift",
+    "q_survival",
 ]
 
 

@@ -230,3 +230,45 @@ def test_pair_lift_mega_basket_capped(spark):
     # and N counts only surviving baskets
     assert len(out) == 1
     assert out[0]["item_a"] == "a" and abs(out[0]["lift"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------------- Kaplan-Meier
+def test_kaplan_meier_textbook_curve_with_censoring_and_death(spark):
+    from alphavantage_etl_spark.operators.survival import kaplan_meier
+
+    # durations with mixed events/censoring; the last at-risk subject
+    # events, driving survival to EXACTLY zero via the killed flag
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (5, 0), (6, 1)],
+        "duration long, churned int",
+    )
+    out = {r["duration"]: r for r in kaplan_meier(
+        subj, "duration", "churned").collect()}
+    assert sorted(out) == [1, 2, 3, 6]  # event times only
+    assert out[1]["n_at_risk"] == 6 and abs(out[1]["survival"] - 5 / 6) < 1e-8
+    # censored-at-2 subject still in the risk set AT 2 (standard KM)
+    assert out[2]["n_at_risk"] == 5 and out[2]["n_censored"] == 1
+    assert abs(out[2]["survival"] - (5 / 6) * (4 / 5)) < 1e-8
+    assert out[3]["n_at_risk"] == 3
+    assert abs(out[3]["survival"] - (5 / 6) * (4 / 5) * (2 / 3)) < 1e-8
+    # everyone at risk at 6 events: survival is exactly 0, not exp(-inf)
+    assert out[6]["n_at_risk"] == 1 and out[6]["survival"] == 0.0
+
+
+def test_kaplan_meier_all_censored_and_partition_invariant(spark):
+    from alphavantage_etl_spark.operators.survival import kaplan_meier
+
+    all_cens = spark.createDataFrame(
+        [(i % 5, 0) for i in range(20)], "duration long, churned int"
+    )
+    assert kaplan_meier(all_cens, "duration", "churned").collect() == []
+
+    subj = spark.createDataFrame(
+        [(i % 7, i % 3 == 0) for i in range(60)],
+        "duration long, churned boolean",
+    ).selectExpr("duration", "CAST(churned AS INT) AS churned")
+    a = sorted(kaplan_meier(subj, "duration", "churned").collect())
+    b = sorted(
+        kaplan_meier(subj.repartition(8), "duration", "churned").collect()
+    )
+    assert a == b
