@@ -237,3 +237,126 @@ def test_remove_boilerplate_invariants(spark, docs, min_docs):
         r = out[i]
         assert r["n_kept"] + r["n_removed"] == len(nz)
         assert r["text"] == "\n".join(want_kept)
+
+
+# ------------------------------------------------- late-r4 op properties
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    st.floats(min_value=0.5, max_value=50, allow_nan=False),
+)
+def test_target_encode_stays_inside_hull(spark, rows, m):
+    """The smoothed encoding is a convex blend of the category mean and
+    the global mean — it can never leave their hull."""
+    from alphavantage_etl_spark.functions.encoding import target_encode
+
+    df = spark.createDataFrame(
+        [(i, c, float(v)) for i, (c, v) in enumerate(rows)],
+        "id long, cat string, y double",
+    )
+    out = target_encode(df, "cat", "y", smoothing=float(m)).collect()
+    mu = sum(v for _, v in rows) / len(rows)
+    by_cat: dict = {}
+    for c, v in rows:
+        by_cat.setdefault(c, []).append(v)
+    for r in out:
+        vals = by_cat[r["cat"]]
+        cat_mean = sum(vals) / len(vals)
+        lo, hi = min(cat_mean, mu), max(cat_mean, mu)
+        assert lo - 1e-6 <= r["enc"] <= hi + 1e-6
+
+
+@SETTINGS
+@given(
+    st.lists(
+        # integer-valued floats: the operator rounds bin edges to 1e-6
+        # BEFORE comparison (the cross-engine discipline), so values
+        # separated by LESS than 1e-6 can legitimately collapse into one
+        # bin — hypothesis found exactly that with denormal-scale floats.
+        # At integer spacing the rounding can never move a boundary
+        # across a value, and the equi-depth bound is clean.
+        st.integers(min_value=-100_000, max_value=100_000).map(float),
+        min_size=10,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_discretize_bins_are_equi_depth(spark, vals, nbins):
+    """Equi-depth: no bin holds more than ceil(n/nbins) + (count of
+    values tied at a boundary) rows; with all-distinct values the bound
+    is tight."""
+    from alphavantage_etl_spark.functions.encoding import quantile_discretize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    out = quantile_discretize(df, "v", nbins).collect()
+    counts: dict = {}
+    for r in out:
+        counts[r["bin"]] = counts.get(r["bin"], 0) + 1
+    assert set(counts) <= set(range(nbins))
+    n = len(vals)
+    max_ties = max(
+        (sum(1 for x in vals if x == v) for v in vals), default=1
+    )
+    import math as _m
+
+    assert max(counts.values()) <= _m.ceil(n / nbins) + max_ties
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kaplan_meier_monotone_and_bounded(spark, subj):
+    """Survival is a non-increasing step function in [0, 1]."""
+    from alphavantage_etl_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(int(d), int(e)) for d, e in subj], "duration long, churned int"
+    )
+    out = sorted(
+        kaplan_meier(df, "duration", "churned").collect(),
+        key=lambda r: r["duration"],
+    )
+    prev = 1.0
+    for r in out:
+        assert 0.0 <= r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pagerank_mass_conserved(spark, edges):
+    """Total rank stays 1 (up to quantization) on any digraph, dangling
+    nodes included."""
+    from alphavantage_etl_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    out = pagerank(df, "src", "dst", iters=3).collect()
+    assert abs(sum(r["rank"] for r in out) - 1.0) < 1e-6
