@@ -597,6 +597,57 @@ def pq_topk_rerank(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """(id, neighbor_id, rank, sim) — each vector's top-``k`` cosine
+    neighbors WITHIN its coarse-quantizer cell (rank 1 = nearest; ties
+    break on the neighbor id). The k-NN graph is the substrate for
+    graph-based semantic dedup, label propagation, outlier scoring, and
+    HNSW-style index seeding — `semantic_dedup` is the thresholded
+    special case of clustering over exactly this structure.
+
+    Scale design (100 TB): reuses `embedding_near_dups`' cell-blocked
+    pair generation verbatim (norms hoisted once per vector, shuffle
+    only on the cell key, the documented IVF within-cell trade) with the
+    threshold OPEN (-1 covers the cosine range); the per-vector top-k is
+    one row_number window over the PAIR table partitioned by vector id —
+    candidate-sized, not corpus-squared. Vectors alone in their cell
+    have no neighbors and emit no rows (raise k or re-quantize coarser,
+    the IVF recall dial).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = embedding_near_dups(
+        df, -1.0, vec_col=vec_col, id_col=id_col, block_col=block_col
+    )
+    sym = pairs.select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("neighbor_id"),
+        "sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("neighbor_id"),
+            "sim",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", F.col("rank").cast("long"), "sim")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float,

@@ -3654,6 +3654,39 @@ FROM cum WHERE d > 0
 """
 
 
+# X50 — k-NN graph (r4): each vector's top-3 cosine neighbors within its
+# quantizer cell — the substrate for graph dedup / label propagation /
+# index seeding (operators/similarity.py:knn_graph).
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3)
+
+
+SQL_KNN_GRAPH = """
+WITH sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round_even(
+      (SELECT sum(x*y) FROM (SELECT CAST(unnest(a.embedding) AS DOUBLE) AS x,
+                                    CAST(unnest(b.embedding) AS DOUBLE) AS y)) /
+      (sqrt((SELECT sum(x*x) FROM (SELECT CAST(unnest(a.embedding) AS DOUBLE) AS x))) *
+       sqrt((SELECT sum(y*y) FROM (SELECT CAST(unnest(b.embedding) AS DOUBLE) AS y)))),
+      6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+sym AS (
+  SELECT id_a AS vec_id, id_b AS neighbor_id, sim FROM sims
+  UNION ALL
+  SELECT id_b, id_a, sim FROM sims),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sym)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+FROM rk WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3771,6 +3804,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_bm25": q_bm25,
     "q_basket_lift": q_basket_lift,
     "q_survival": q_survival,
+    "q_knn_graph": q_knn_graph,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3891,6 +3925,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_bm25": SQL_BM25,
     "q_basket_lift": SQL_BASKET_LIFT,
     "q_survival": SQL_SURVIVAL,
+    "q_knn_graph": SQL_KNN_GRAPH,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

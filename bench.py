@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_bm25",
     "q_basket_lift",
     "q_survival",
+    "q_knn_graph",
 ]
 
 

@@ -722,3 +722,41 @@ def test_bm25_length_normalization(spark):
     out = {r["doc_id"]: r["score"] for r in bm25_topk(
         docs, "doc_id", "text", query_id=7, k=5).collect()}
     assert out[1] > out[2]  # b penalizes the long document
+
+
+# ------------------------------------------------------------ k-NN graph
+def test_knn_graph_rank_order_and_block_isolation(spark):
+    from alphavantage_etl_spark.operators.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.435], 0),   # sim to 1 ≈ 0.9
+            (3, [0.0, 1.0], 0),     # sim to 1 = 0
+            (9, [1.0, 0.0], 1),     # identical to 1 but other cell
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["vec_id"], r["rank"]): r for r in knn_graph(emb, k=2).collect()}
+    # vector 1's nearest is 2, then 3; 9 never appears (cell isolation)
+    assert out[(1, 1)]["neighbor_id"] == 2
+    assert out[(1, 2)]["neighbor_id"] == 3
+    assert not any(r["neighbor_id"] == 9 for (v, _), r in out.items() if v == 1)
+    # 9 is alone in its cell: no rows (documented IVF recall dial)
+    assert not any(v == 9 for (v, _) in out)
+    # symmetry of the underlying pair: 2's nearest is 1
+    assert out[(2, 1)]["neighbor_id"] == 1
+
+
+def test_knn_graph_k_caps_degree(spark):
+    from alphavantage_etl_spark.operators.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = knn_graph(emb, k=3).collect()
+    from collections import Counter
+
+    deg = Counter(r["vec_id"] for r in out)
+    assert all(d == 3 for d in deg.values()) and len(deg) == 10
