@@ -1,0 +1,123 @@
+"""Classifier evaluation — exact AUC (Mann-Whitney rank statistic with
+tie correction) and calibration bins (reliability diagram), closing the
+in-engine train -> predict -> EVALUATE loop around
+`operators.classify`.
+
+Reference scope: none in the reference ETL; the evaluation counterpart
+of X35's trainer.
+
+Determinism: AUC here is PURE integer arithmetic — no ranks
+materialized per row, no transcendentals: group by distinct score, one
+ordered cumulative over the score GRID, and
+
+    AUC = sum over scores s of pos_s * (2 * cum_neg_below(s) + neg_s)
+          / (2 * n_pos * n_neg)
+
+(the tie-corrected Mann-Whitney count: each positive beats every
+lower-scored negative and half of the equal-scored ones). Numerator
+terms multiply as decimal(38,0) (long products overflow at corpus
+scale) and the final value is ONE exact integer division rendered as a
+double — bit-identical everywhere, including tie-heavy score columns.
+
+Scale design (100 TB): the per-score grid is one partial-aggregated
+groupBy; the ordered cumulative runs over DISTINCT scores — for
+quantized model outputs (the classify/lm discipline puts scores on a
+1e-9 grid) that table is far smaller than the corpus, and the
+single-partition window is over that bounded grid, never the subject
+rows. Calibration is one nbins-bounded aggregation with exact
+grid-quantized mean scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def auc_score(
+    df: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """One-row frame (n_pos, n_neg, auc). ``label_col`` 0/1; rows with
+    NULL label or score are excluded; AUC is NULL when either class is
+    empty (undefined, not 0.5-by-fiat)."""
+    y = F.col(label_col).cast("int")
+    g = (
+        df.where(F.col(score_col).isNotNull() & y.isNotNull())
+        .select(F.col(score_col).alias("__s"), y.alias("__y"))
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__y").alias("__pos"),
+        )
+        .withColumn("__neg", F.col("__c") - F.col("__pos"))
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.withColumn(
+        "__cumneg", F.coalesce(F.sum("__neg").over(w), F.lit(0))
+    )
+    term = F.col("__pos").cast("decimal(38,0)") * (
+        F.lit(2) * F.col("__cumneg") + F.col("__neg")
+    ).cast("decimal(38,0)")
+    out = cum.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.coalesce(
+            F.sum(term), F.lit(0).cast("decimal(38,0)")
+        ).alias("__num"),
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("__num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    nbins: int = 10,
+) -> DataFrame:
+    """(bin, n, mean_score, frac_pos) — the reliability diagram: scores
+    bucketed into [i/nbins, (i+1)/nbins) (score 1.0 clamps into the top
+    bin), per-bin mean predicted probability vs empirical positive rate.
+    A calibrated model tracks the diagonal. Mean scores sum exactly on
+    the 1e-9 grid (the classify output grid); frac_pos is one exact
+    integer division."""
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col)
+    b = F.least(
+        F.floor(s * nbins).cast("long"), F.lit(nbins - 1)
+    )
+    qs = F.round(s * F.lit(1e9)).cast("decimal(38,0)")
+    return (
+        df.where(s.isNotNull() & y.isNotNull())
+        .select(b.alias("bin"), qs.alias("__qs"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__qs").alias("__sq"),
+            F.sum("__y").alias("__pos"),
+        )
+        .select(
+            "bin",
+            F.col("__n").cast("long").alias("n"),
+            (
+                F.col("__sq").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(1e9)
+            ).alias("mean_score"),
+            (
+                F.col("__pos").cast("double") / F.col("__n").cast("double")
+            ).alias("frac_pos"),
+        )
+    )

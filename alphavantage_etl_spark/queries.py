@@ -2930,18 +2930,18 @@ wt(iter, bucket, weight) AS (
     CROSS JOIN nd
     GROUP BY 1, 2, nd.n) g
   LEFT JOIN (SELECT * FROM wt WHERE iter < 3) w0
-    ON w0.bucket = g.bucket)
-SELECT f.doc_id,
-       round_even(1.0 / (1.0 + exp(-(
-           CAST(sum(CAST(round(round_even(coalesce(w.weight, 0.0) * f.x, 12)
-                         * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12))), 9) AS p,
-       CAST(CASE WHEN round_even(1.0 / (1.0 + exp(-(
-           CAST(sum(CAST(round(round_even(coalesce(w.weight, 0.0) * f.x, 12)
-                         * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12))), 9) >= 0.5
-            THEN 1 ELSE 0 END AS INTEGER) AS pred
-FROM feats f
-LEFT JOIN (SELECT * FROM wt WHERE iter = 3) w ON f.bucket = w.bucket
-GROUP BY f.doc_id
+    ON w0.bucket = g.bucket),
+scores AS (
+  SELECT f.doc_id,
+         round_even(1.0 / (1.0 + exp(-(
+             CAST(sum(CAST(round(round_even(coalesce(w.weight, 0.0) * f.x, 12)
+                           * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12))), 9) AS p
+  FROM feats f
+  LEFT JOIN (SELECT * FROM wt WHERE iter = 3) w ON f.bucket = w.bucket
+  GROUP BY f.doc_id)
+SELECT doc_id, p,
+       CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS pred
+FROM scores
 """
 
 
@@ -3687,6 +3687,88 @@ FROM rk WHERE rank <= 3
 """
 
 
+# X51 — model evaluation (r4): exact tie-corrected Mann-Whitney AUC and
+# the calibration/reliability table for the X35 classifier on its
+# training labels — pure integer arithmetic over the distinct-score grid
+# (no per-row ranks, no transcendentals)
+# (operators/evaluation.py:auc_score/calibration_bins). Oracles extend
+# the logreg recursive-CTE training replay with the same grid cumulative.
+def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import predict_logreg, train_logreg_hashed
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", (F.col("lang") == "en").cast("int").alias("y"))
+    )
+    w = train_logreg_hashed(
+        d, "doc_id", "text", "y", buckets=256, iters=3, lr=1.0
+    )
+    pred = predict_logreg(d, w, "doc_id", "text", buckets=256)
+    return pred.join(d.select("doc_id", "y"), on="doc_id")
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import auc_score
+
+    return auc_score(_logreg_scored(spark, sf_dir), "y", "p")
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import calibration_bins
+
+    return calibration_bins(_logreg_scored(spark, sf_dir), "y", "p", nbins=10)
+
+
+def _logreg_scores_cte() -> str:
+    # everything through the `scores` CTE, shared by the evaluation oracles
+    return SQL_LOGREG.split("\nSELECT doc_id, p,")[0]
+
+
+_EVAL_JOIN = """,
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+j AS (SELECT s.p AS sc, lab.y FROM scores s JOIN lab USING (doc_id))"""
+
+
+def _sql_auc() -> str:
+    return _logreg_scores_cte() + _EVAL_JOIN + """,
+g AS (SELECT sc, count(*) AS c, sum(y) AS pos FROM j GROUP BY 1),
+cum AS (
+  SELECT *, c - pos AS neg,
+         coalesce(sum(c - pos) OVER (ORDER BY sc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+  FROM g),
+t AS (
+  SELECT sum(pos) AS n_pos, sum(neg) AS n_neg,
+         coalesce(sum(CAST(pos AS HUGEINT)
+                      * CAST(2 * cumneg + neg AS HUGEINT)),
+                  0) AS num
+  FROM cum)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(num AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       END AS auc
+FROM t
+"""
+
+
+def _sql_calibration() -> str:
+    return _logreg_scores_cte() + _EVAL_JOIN + """
+SELECT least(CAST(floor(sc * 10) AS BIGINT), 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(sc * 1e9) AS HUGEINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) / 1e9 AS mean_score,
+       CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_pos
+FROM j GROUP BY 1
+"""
+
+
+SQL_AUC = _sql_auc()
+SQL_CALIBRATION = _sql_calibration()
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3805,6 +3887,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_basket_lift": q_basket_lift,
     "q_survival": q_survival,
     "q_knn_graph": q_knn_graph,
+    "q_auc": q_auc,
+    "q_calibration": q_calibration,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -3926,6 +4010,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_basket_lift": SQL_BASKET_LIFT,
     "q_survival": SQL_SURVIVAL,
     "q_knn_graph": SQL_KNN_GRAPH,
+    "q_auc": SQL_AUC,
+    "q_calibration": SQL_CALIBRATION,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

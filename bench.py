@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "q_basket_lift",
     "q_survival",
     "q_knn_graph",
+    "q_auc",
+    "q_calibration",
 ]
 
 
