@@ -3769,6 +3769,62 @@ SQL_AUC = _sql_auc()
 SQL_CALIBRATION = _sql_calibration()
 
 
+# X52 — deterministic negative sampling (r4): up to 2 contrastive
+# negatives per vector from the content-addressed shuffle ring, with the
+# cosine near-dup pairs EXCLUDED in both orientations (a semantic
+# duplicate can never become a "negative"); positions come from the
+# two-phase distributed ranking — no single-partition window
+# (operators/contrastive.py).
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.contrastive import sample_negatives
+    from .operators.similarity import embedding_near_dups
+
+    emb = load(spark, sf_dir, "embeddings")
+    excl = embedding_near_dups(emb, threshold=0.35)
+    return sample_negatives(
+        emb.select("vec_id"), "vec_id", k=2, exclusions=excl
+    )
+
+
+SQL_NEGATIVE_SAMPLES = f"""
+WITH keyed AS (
+  SELECT vec_id,
+         md5(concat('ring0', ':', CAST(vec_id AS VARCHAR))) AS kk
+  FROM embeddings),
+pos AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY kk, vec_id) - 1 AS BIGINT) AS pos
+  FROM keyed),
+n AS (SELECT count(*) AS n FROM pos),
+cand AS (
+  SELECT p.vec_id AS anchor_id, i.i AS i,
+         (p.pos + i.i * 2654435761) % n.n AS pos
+  FROM pos p
+  CROSS JOIN n
+  CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) i),
+paired AS (
+  SELECT c.anchor_id, t.vec_id AS negative_id, min(c.i) AS i
+  FROM cand c JOIN pos t ON c.pos = t.pos
+  WHERE t.vec_id <> c.anchor_id
+  GROUP BY 1, 2),
+nd AS (SELECT id_a, id_b FROM ({SQL_EMBED_NEAR_DUP}) _nd),
+excl AS (
+  SELECT id_a AS a, id_b AS b FROM nd
+  UNION ALL
+  SELECT id_b, id_a FROM nd),
+filt AS (
+  SELECT p.* FROM paired p
+  LEFT JOIN excl e ON p.anchor_id = e.a AND p.negative_id = e.b
+  WHERE e.a IS NULL),
+rk AS (
+  SELECT anchor_id, negative_id,
+         CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY i)
+              AS BIGINT) AS slot
+  FROM filt)
+SELECT anchor_id, negative_id, slot FROM rk WHERE slot <= 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3889,6 +3945,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_knn_graph": q_knn_graph,
     "q_auc": q_auc,
     "q_calibration": q_calibration,
+    "q_negative_samples": q_negative_samples,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4012,6 +4069,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_knn_graph": SQL_KNN_GRAPH,
     "q_auc": SQL_AUC,
     "q_calibration": SQL_CALIBRATION,
+    "q_negative_samples": SQL_NEGATIVE_SAMPLES,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

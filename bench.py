@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q_knn_graph",
     "q_auc",
     "q_calibration",
+    "q_negative_samples",
 ]
 
 
