@@ -158,3 +158,77 @@ def scd2_lookup(
         keys=[key_col],
         bucket="day",
     ).drop("valid_from", "__end")
+
+
+def join_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """One-row frame profiling a prospective equi-join BEFORE running it:
+    (n_left, n_right, n_keys_left, n_keys_right, n_keys_shared,
+    orphans_left, orphans_right, max_fanout_left, max_fanout_right,
+    est_join_rows) — the planning readout that catches the two join
+    killers early: silent row loss (orphans on the fact side mean a
+    broken dimension) and fan-out explosions (a hot key whose
+    |L_k| x |R_k| product owns the output).
+
+    ``est_join_rows`` is EXACT, not an estimate: sum over shared keys of
+    the per-side count product — what the inner join would emit. NULL
+    keys never join (SQL semantics) and are excluded from key counts;
+    orphans_* counts ROWS (not keys) whose key finds no partner,
+    including NULL-keyed rows.
+
+    Scale design (100 TB): one per-key count aggregation PER SIDE
+    (map-side combine), then every statistic derives from the two
+    KEY-BOUNDED count tables (full-outer joined once) — the data is
+    scanned once per side and never joined. Products in decimal(38,0)
+    (two hot keys at 1e10 rows overflow a long).
+    """
+    lk = (
+        left.select(F.col(left_key).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__cl"))
+    )
+    rk = (
+        right.select(F.col(right_key).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__cr"))
+    )
+    m = lk.join(rk, on="__k", how="full")
+    keyed = F.col("__k").isNotNull()
+    both = keyed & F.col("__cl").isNotNull() & F.col("__cr").isNotNull()
+    return m.agg(
+        F.coalesce(F.sum("__cl"), F.lit(0)).cast("long").alias("n_left"),
+        F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("n_right"),
+        F.count(F.when(keyed & F.col("__cl").isNotNull(), 1)).alias(
+            "n_keys_left"
+        ),
+        F.count(F.when(keyed & F.col("__cr").isNotNull(), 1)).alias(
+            "n_keys_right"
+        ),
+        F.count(F.when(both, 1)).alias("n_keys_shared"),
+        F.coalesce(
+            F.sum(F.when(~both, F.col("__cl"))), F.lit(0)
+        ).cast("long").alias("orphans_left"),
+        F.coalesce(
+            F.sum(F.when(~both, F.col("__cr"))), F.lit(0)
+        ).cast("long").alias("orphans_right"),
+        F.coalesce(
+            F.max(F.when(both, F.col("__cl"))), F.lit(0)
+        ).cast("long").alias("max_fanout_left"),
+        F.coalesce(
+            F.max(F.when(both, F.col("__cr"))), F.lit(0)
+        ).cast("long").alias("max_fanout_right"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    both,
+                    F.col("__cl").cast("decimal(38,0)")
+                    * F.col("__cr").cast("decimal(38,0)"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).cast("decimal(38,0)").cast("string").alias("est_join_rows"),
+    )

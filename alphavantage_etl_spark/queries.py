@@ -3825,6 +3825,53 @@ SELECT anchor_id, negative_id, slot FROM rk WHERE slot <= 2
 """
 
 
+# X53 — join profile (r4): the pre-join diagnostic — per-side rows/keys,
+# shared keys, orphan ROWS, max fan-outs, and the EXACT inner-join output
+# size, all from two key-bounded count tables (one scan per side, the
+# data never joins) (operators/history.py:join_profile). Profiles the
+# orders->lineitem fact join.
+def q_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.history import join_profile
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    return join_profile(o, li, "o_orderkey", "l_orderkey")
+
+
+SQL_JOIN_PROFILE = """
+WITH lk AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders GROUP BY 1),
+rk AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem GROUP BY 1),
+m AS (SELECT k, cl, cr FROM lk FULL OUTER JOIN rk USING (k))
+SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) AS n_left,
+       CAST(coalesce(sum(cr), 0) AS BIGINT) AS n_right,
+       CAST(count(CASE WHEN k IS NOT NULL AND cl IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_keys_left,
+       CAST(count(CASE WHEN k IS NOT NULL AND cr IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_keys_right,
+       CAST(count(CASE WHEN k IS NOT NULL AND cl IS NOT NULL
+                        AND cr IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_keys_shared,
+       CAST(coalesce(sum(CASE WHEN NOT (k IS NOT NULL AND cl IS NOT NULL
+                                        AND cr IS NOT NULL)
+                              THEN cl END), 0) AS BIGINT) AS orphans_left,
+       CAST(coalesce(sum(CASE WHEN NOT (k IS NOT NULL AND cl IS NOT NULL
+                                        AND cr IS NOT NULL)
+                              THEN cr END), 0) AS BIGINT) AS orphans_right,
+       CAST(coalesce(max(CASE WHEN k IS NOT NULL AND cl IS NOT NULL
+                               AND cr IS NOT NULL THEN cl END), 0)
+            AS BIGINT) AS max_fanout_left,
+       CAST(coalesce(max(CASE WHEN k IS NOT NULL AND cl IS NOT NULL
+                               AND cr IS NOT NULL THEN cr END), 0)
+            AS BIGINT) AS max_fanout_right,
+       CAST(CAST(coalesce(sum(CASE WHEN k IS NOT NULL AND cl IS NOT NULL
+                                    AND cr IS NOT NULL
+                                   THEN CAST(cl AS HUGEINT)
+                                        * CAST(cr AS HUGEINT) END),
+                          0) AS HUGEINT) AS VARCHAR) AS est_join_rows
+FROM m
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3946,6 +3993,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_auc": q_auc,
     "q_calibration": q_calibration,
     "q_negative_samples": q_negative_samples,
+    "q_join_profile": q_join_profile,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4070,6 +4118,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_auc": SQL_AUC,
     "q_calibration": SQL_CALIBRATION,
     "q_negative_samples": SQL_NEGATIVE_SAMPLES,
+    "q_join_profile": SQL_JOIN_PROFILE,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q_auc",
     "q_calibration",
     "q_negative_samples",
+    "q_join_profile",
 ]
 
 

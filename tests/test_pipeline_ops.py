@@ -568,3 +568,36 @@ def test_agg_state_merge_rejects_empty_arglist(spark):
 
     with _pytest.raises(ValueError):
         merge_states(["g"])
+
+
+# ------------------------------------------------------------ join profile
+def test_join_profile_known_values(spark):
+    from alphavantage_etl_spark.operators.history import join_profile
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,), (9,)], "k long"
+    )
+    r = join_profile(left, right, "k", "k").first()
+    assert r["n_left"] == 5 and r["n_right"] == 5
+    assert r["n_keys_left"] == 3 and r["n_keys_right"] == 3
+    assert r["n_keys_shared"] == 2  # keys 1 and 2
+    # orphans count ROWS: left key 3 (1 row) + the NULL-keyed row
+    assert r["orphans_left"] == 2
+    assert r["orphans_right"] == 1  # key 9
+    assert r["max_fanout_left"] == 2 and r["max_fanout_right"] == 3
+    # exact inner-join size: key1 2x1 + key2 1x3 = 5
+    assert r["est_join_rows"] == "5"
+
+
+def test_join_profile_disjoint_and_empty(spark):
+    from alphavantage_etl_spark.operators.history import join_profile
+
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(8,), (9,)], "k long")
+    r = join_profile(left, right, "k", "k").first()
+    assert r["n_keys_shared"] == 0 and r["est_join_rows"] == "0"
+    assert r["orphans_left"] == 2 and r["orphans_right"] == 2
+    assert r["max_fanout_left"] == 0 and r["max_fanout_right"] == 0
