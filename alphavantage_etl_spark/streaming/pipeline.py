@@ -761,3 +761,42 @@ def drift_monitor_stream(
     )
     q_.awaitTermination()
     return q_
+
+
+def enrichment_stream(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    sink_path: str,
+    checkpoint: str,
+):
+    """Streaming point-in-time enrichment — the online feature-store
+    lookup: every micro-batch joins the SCD2 dimension version valid AT
+    EACH EVENT'S OWN TIMESTAMP (`operators.history.scd2_lookup` runs
+    UNCHANGED inside ``foreachBatch``, the curation-stream composition
+    pattern), so late-arriving events pick up the version that was true
+    at their event time — not the current one — and features never leak
+    forward even under out-of-order delivery.
+
+    The dimension is a static frame here (the common shape: dims refresh
+    on a slower cadence than the stream; re-create the stream on dim
+    publish, or read the dim fresh inside the closure for
+    micro-batch-latest semantics). Per-batch cost is the batch-sized
+    side of the bucketized interval join only — the dimension side is
+    version-table-sized.
+    """
+    from ..operators.history import scd2_lookup
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = scd2_lookup(batch_df, dim, key_col, ts_col)
+        out.write.mode("append").parquet(sink_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

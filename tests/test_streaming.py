@@ -699,3 +699,58 @@ def test_drift_monitor_stream_quarantines_shifted_batch(spark, tmp_path):
     drain(reports)
     assert len(reports) == 3 and reports[2]["ok"]
     assert spark.read.parquet(sink).count() == 350
+
+
+def test_enrichment_stream_point_in_time_lookup(spark, tmp_path):
+    """Streaming SCD2 enrichment: every micro-batch event joins the
+    dimension version valid at ITS OWN timestamp — a late event arriving
+    after the dimension changed still sees the old version."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.operators.history import scd2_build
+    from alphavantage_etl_spark.streaming.pipeline import enrichment_stream
+
+    from datetime import datetime
+
+    def t(day):
+        return datetime(2024, 1, day)
+
+    # dimension history: key 1 is 'A' for ts [day1, day10), then 'B'
+    log = spark.createDataFrame(
+        [(1, t(1), "A", 10), (1, t(10), "B", 11), (2, t(1), "X", 12)],
+        "k long, ts timestamp, v string, eid long",
+    )
+    dim = scd2_build(log, "k", "ts", ["v"], tiebreak_col="eid")
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            rows, "k long, ts timestamp, eid long"
+        ).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "k long, ts timestamp, eid long"
+        ).parquet(str(in_dir))
+        enrichment_stream(stream, dim, "k", "ts", sink, ckpt)
+
+    land([(1, t(5), 100), (1, t(15), 101), (2, t(2), 102)], "b1")
+    drain()
+    got = {r["eid"]: r["v"] for r in spark.read.parquet(sink).collect()}
+    assert got == {100: "A", 101: "B", 102: "X"}
+
+    # restart: a LATE event (day 6, before the change) still sees 'A',
+    # and an exactly-at-boundary event sees the NEW version (half-open)
+    land([(1, t(6), 103), (1, t(10), 104)], "b2")
+    drain()
+    got = {r["eid"]: r["v"] for r in spark.read.parquet(sink).collect()}
+    assert got[103] == "A" and got[104] == "B"
+    assert len(got) == 5
