@@ -46,3 +46,78 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     b = F.col(b) if isinstance(b, str) else b
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
+def random_projection(
+    df,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dims: int = 8,
+    salt: str = "rp0",
+    ticks: int = 1_000_000,
+):
+    """Johnson-Lindenstrauss sign random projection: reduce each vector
+    to ``out_dims`` components ``p_j = sum_i s(j,i) * x_i`` with
+    content-addressed signs ``s(j,i) = ±1`` from ``md5(salt:j:i)`` — the
+    Achlioptas database-friendly projection (±1 entries preserve pairwise
+    distances in expectation like Gaussian ones). The cheap dimension
+    squeeze before ANN indexing, clustering, or sketching when the full
+    embedding is too wide to shuffle.
+
+    Output columns: (id, p0..p{out_dims-1}). Scalar per-dimension columns
+    (not an array) so the result is driver-canonicalizer-hashable and
+    directly usable as join/sort keys.
+
+    Determinism: components quantize to integer ``ticks`` units BEFORE
+    the signed sum — each p_j is an EXACT integer sum (fold-order- and
+    engine-immune; no floating accumulation anywhere), divided once at
+    the end. The conventional 1/sqrt(k) scale is omitted (a constant
+    factor — distances scale uniformly; apply downstream if magnitudes
+    matter).
+
+    Scale design (100 TB): pure projection — one pass, no shuffle, no
+    UDF; the sign for (j, i) derives in-plan from md5 of two literals
+    and the element index, so there is no weight matrix to broadcast at
+    ANY dimensionality (the matrix is the hash function).
+    """
+    from pyspark.sql import functions as F
+
+    if out_dims < 1:
+        raise ValueError(f"out_dims must be >= 1, got {out_dims}")
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(1), F.size(v))
+    cols = [F.col(id_col)]
+    for j in range(out_dims):
+        # sign = +1 iff the first hex nibble of md5('salt:j:i') is even.
+        # aggregate() folds EXACT LONGS: x_i quantizes to ticks first.
+        term = F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(salt),
+                                F.lit(str(j)),
+                                i.cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            * F.round(F.element_at(v, i).cast("double") * ticks).cast("long"),
+        )
+        cols.append(
+            (term.cast("double") / F.lit(float(ticks))).alias(f"p{j}")
+        )
+    return df.select(*cols)

@@ -3872,6 +3872,43 @@ FROM m
 """
 
 
+# X54 — sign random projection (r4): JL dimension squeeze of the
+# embeddings to 8 scalar components via content-addressed ±1 signs —
+# exact integer signed sums, no weight matrix to broadcast (the matrix
+# IS the hash function) (functions/vectors.py:random_projection).
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import random_projection
+
+    emb = load(spark, sf_dir, "embeddings")
+    return random_projection(emb, "embedding", "vec_id", out_dims=8)
+
+
+def _sql_random_projection() -> str:
+    dims = ",\n".join(
+        "       CAST(sum(CASE WHEN CAST(concat('0x',"
+        f" substring(md5(concat('rp0', ':', '{j}', ':',"
+        " CAST(i AS VARCHAR))), 1, 1)) AS INTEGER) % 2 = 0"
+        f" THEN q ELSE -q END) AS DOUBLE) / 1000000.0 AS p{j}"
+        for j in range(8)
+    )
+    return f"""
+WITH t AS (
+  SELECT vec_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings),
+s AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM t)
+SELECT vec_id,
+{dims}
+FROM s GROUP BY vec_id
+"""
+
+
+SQL_RANDOM_PROJECTION = _sql_random_projection()
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -3994,6 +4031,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_calibration": q_calibration,
     "q_negative_samples": q_negative_samples,
     "q_join_profile": q_join_profile,
+    "q_random_projection": q_random_projection,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4119,6 +4157,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_calibration": SQL_CALIBRATION,
     "q_negative_samples": SQL_NEGATIVE_SAMPLES,
     "q_join_profile": SQL_JOIN_PROFILE,
+    "q_random_projection": SQL_RANDOM_PROJECTION,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

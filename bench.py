@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q_calibration",
     "q_negative_samples",
     "q_join_profile",
+    "q_random_projection",
 ]
 
 

@@ -760,3 +760,57 @@ def test_knn_graph_k_caps_degree(spark):
 
     deg = Counter(r["vec_id"] for r in out)
     assert all(d == 3 for d in deg.values()) and len(deg) == 10
+
+
+# ----------------------------------------------------- random projection
+def test_random_projection_exact_and_layout_invariant(spark):
+    import hashlib
+
+    from alphavantage_etl_spark.functions.vectors import random_projection
+
+    emb = spark.createDataFrame(
+        [(i, [float(i) / 7, -1.5, 2.25, float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in random_projection(
+        emb, out_dims=3).collect()}
+
+    def sign(j, i):
+        h = hashlib.md5(f"rp0:{j}:{i}".encode()).hexdigest()
+        return 1 if int(h[0], 16) % 2 == 0 else -1
+
+    import numpy as np
+
+    for i in range(20):
+        x = [np.float32(v) for v in [i / 7, -1.5, 2.25, i % 3]]
+        for j in range(3):
+            want = sum(
+                sign(j, d + 1) * round(float(x[d]) * 1e6)
+                for d in range(4)
+            ) / 1e6
+            assert abs(out[i][f"p{j}"] - want) < 1e-12, (i, j)
+
+    b = {r["vec_id"]: r for r in random_projection(
+        emb.repartition(6), out_dims=3).collect()}
+    assert all(tuple(out[i]) == tuple(b[i]) for i in range(20))
+
+
+def test_random_projection_roughly_preserves_relative_distance(spark):
+    from alphavantage_etl_spark.functions.vectors import random_projection
+
+    # JL sanity (not a tight bound): a FAR pair stays farther than a
+    # NEAR pair after projection, across the 16-dim fixture
+    near_a = [1.0] * 16
+    near_b = [1.0] * 15 + [1.1]
+    far_c = [-1.0] * 16
+    emb = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, far_c)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+           for r in random_projection(emb, out_dims=8).collect()}
+
+    def d2(u, v):
+        return sum((a - b) ** 2 for a, b in zip(u, v))
+
+    assert d2(out[1], out[3]) > d2(out[1], out[2])
