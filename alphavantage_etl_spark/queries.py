@@ -3909,6 +3909,64 @@ FROM s GROUP BY vec_id
 SQL_RANDOM_PROJECTION = _sql_random_projection()
 
 
+# X55 — Poisson bootstrap (r4): percentile CI for the mean order value
+# per priority from 50 content-addressed Poisson(1) resamples — one
+# pass, shuffle bounded by |groups| x R, pure-integer weight ladder
+# (operators/bootstrap.py:poisson_bootstrap_mean).
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bootstrap import poisson_bootstrap_mean
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return poisson_bootstrap_mean(
+        o, "o_orderkey", "o_totalprice",
+        group_col="o_orderpriority", n_replicates=50,
+    )
+
+
+SQL_BOOTSTRAP_CI = """
+WITH base AS (
+  SELECT o_orderpriority AS g, o_orderkey AS id,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS q
+  FROM orders WHERE o_totalprice IS NOT NULL),
+pt AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) / 100.0
+           / CAST(count(*) AS DOUBLE) AS mean
+  FROM base GROUP BY 1),
+rep AS (
+  SELECT g, id, q, r.r AS r
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 49)) AS r) r),
+wtd AS (
+  SELECT g, r, q,
+         (CASE WHEN b >= 3679 THEN 1 ELSE 0 END
+          + CASE WHEN b >= 7358 THEN 1 ELSE 0 END
+          + CASE WHEN b >= 9197 THEN 1 ELSE 0 END
+          + CASE WHEN b >= 9810 THEN 1 ELSE 0 END
+          + CASE WHEN b >= 9963 THEN 1 ELSE 0 END
+          + CASE WHEN b >= 9994 THEN 1 ELSE 0 END
+          + CASE WHEN b >= 9999 THEN 1 ELSE 0 END) AS w
+  FROM (SELECT g, r, q,
+               CAST(concat('0x', substring(md5(concat('boot', ':',
+                    CAST(r AS VARCHAR), ':', CAST(id AS VARCHAR))), 1, 8))
+                    AS BIGINT) % 10000 AS b
+        FROM rep)),
+m AS (
+  SELECT g, r,
+         CAST(sum(CAST(w AS HUGEINT) * CAST(q AS HUGEINT)) AS DOUBLE)
+           / 100.0 / CAST(sum(w) AS DOUBLE) AS mm
+  FROM wtd GROUP BY 1, 2
+  HAVING sum(w) > 0),
+ci AS (
+  SELECT g, round_even(quantile_cont(mm, 0.025), 6) AS ci_lo,
+         round_even(quantile_cont(mm, 0.975), 6) AS ci_hi
+  FROM m GROUP BY 1)
+SELECT pt.g AS o_orderpriority, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
+FROM pt JOIN ci USING (g)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -4032,6 +4090,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_negative_samples": q_negative_samples,
     "q_join_profile": q_join_profile,
     "q_random_projection": q_random_projection,
+    "q_bootstrap_ci": q_bootstrap_ci,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4158,6 +4217,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_negative_samples": SQL_NEGATIVE_SAMPLES,
     "q_join_profile": SQL_JOIN_PROFILE,
     "q_random_projection": SQL_RANDOM_PROJECTION,
+    "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "q_negative_samples",
     "q_join_profile",
     "q_random_projection",
+    "q_bootstrap_ci",
 ]
 
 

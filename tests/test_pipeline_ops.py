@@ -601,3 +601,58 @@ def test_join_profile_disjoint_and_empty(spark):
     assert r["n_keys_shared"] == 0 and r["est_join_rows"] == "0"
     assert r["orphans_left"] == 2 and r["orphans_right"] == 2
     assert r["max_fanout_left"] == 0 and r["max_fanout_right"] == 0
+
+
+# --------------------------------------------------- Poisson bootstrap
+def test_bootstrap_ci_brackets_mean_and_narrows_with_n(spark):
+    from alphavantage_etl_spark.operators.bootstrap import (
+        poisson_bootstrap_mean,
+    )
+
+    small = spark.createDataFrame(
+        [(i, "g", float(i % 10)) for i in range(40)], "id long, g string, v double"
+    )
+    big = spark.createDataFrame(
+        [(i, "g", float(i % 10)) for i in range(4000)], "id long, g string, v double"
+    )
+    rs = poisson_bootstrap_mean(small, "id", "v", "g", n_replicates=60).first()
+    rb = poisson_bootstrap_mean(big, "id", "v", "g", n_replicates=60).first()
+    for r in (rs, rb):
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    # 100x the data -> a much tighter interval around the same mean
+    assert (rb["ci_hi"] - rb["ci_lo"]) < (rs["ci_hi"] - rs["ci_lo"]) / 3
+
+
+def test_bootstrap_weights_are_poissonish_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from alphavantage_etl_spark.operators.bootstrap import (
+        _LADDER,
+        poisson_bootstrap_mean,
+    )
+
+    # the ladder itself: mean weight over many (r, id) draws ~ 1
+    df = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(2000)], "id long, g string, v double"
+    )
+    a = sorted(map(tuple, poisson_bootstrap_mean(
+        df, "id", "v", "g", n_replicates=20).collect()))
+    b = sorted(map(tuple, poisson_bootstrap_mean(
+        df.repartition(7), "id", "v", "g", n_replicates=20).collect()))
+    assert a == b  # content-addressed: layout-independent
+    assert len(_LADDER) == 7  # protocol constant pinned
+
+
+def test_bootstrap_rejects_degenerate_replicates(spark):
+    import pytest as _pytest
+
+    from alphavantage_etl_spark.operators.bootstrap import (
+        poisson_bootstrap_mean,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_mean(df, "id", "v", n_replicates=1)
+    # ungrouped form works and brackets the trivial mean
+    r = poisson_bootstrap_mean(df, "id", "v", n_replicates=10).first()
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
