@@ -102,6 +102,14 @@ SF_TINY_SLICE = [
     "q_contamination",      # broadcast gram containment
     "q_tfidf_terms",        # corpus-statistics join
     "q_indicators",         # exact-integer window sums (bars CTE)
+    # late-r4 families (one rep per new execution shape)
+    "q_pagerank",           # iterative power method — dangling branch is
+                            # LIVE at sf0.001 (only 10/25 nations supply)
+    "q_dsir_weights",       # bucket-bounded distribution models
+    "q_logreg",             # recursive-CTE-replayed gradient training
+    "q_survival",           # cumulative-product grid with censoring
+    "q_negative_samples",   # two-phase global ranking + ring walk
+    "q_bootstrap_ci",       # integer Poisson ladder + percentile CI
 ]
 
 
