@@ -67,3 +67,80 @@ def flag_anomalies(
             n.cast("long").alias("baseline_n"),
         )
     )
+
+
+def change_point(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    ticks: int = 1,
+) -> DataFrame:
+    """Per-series offline change-point detection (CUSUM argmax): the
+    single index where splitting the series best separates two means —
+    the "when did this metric's regime shift" readout complementing
+    `flag_anomalies`' pointwise outlier test.
+
+    For series x_1..x_n the CUSUM against the global mean is
+    ``c_t = s_t - t * (S / n)``; the change point is the t maximizing
+    |c_t| (earliest t on ties). Computed as the SCALED-EXACT integer
+    ``n * s_t - t * S`` (ticks-quantized values, decimal(38,0) products)
+    so the argmax — the decision that matters — involves no floating
+    point at all; the reported means/shift are exact integer ratios.
+
+    Output per key: (key, t, n, mean_before, mean_after, shift) with
+    ``t`` the 1-based index of the LAST point of the left segment
+    (1 <= t < n); series with n < 2 yield no row.
+
+    Scale design (100 TB): one per-key window Exchange (running sum +
+    row_number share the sort), one `max_by` aggregation per key — the
+    Pregel-free single-pass shape; no corpus-sized second scan (S and n
+    ride the same window, frame-unbounded).
+    """
+    from pyspark.sql import Window
+
+    q = F.round(F.col(value_col).cast("double") * ticks).cast("long")
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = (
+        df.select(F.col(key_col), F.col(order_col), q.alias("__q"))
+        .withColumn("__t", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__s", F.sum(F.col("__q").cast("decimal(38,0)")).over(run)
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(full).cast("long"))
+        .withColumn(
+            "__tot", F.sum(F.col("__q").cast("decimal(38,0)")).over(full)
+        )
+    )
+    c = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__s")
+        - F.col("__t").cast("decimal(38,0)") * F.col("__tot")
+    )
+    cand = d.where(F.col("__t") < F.col("__n")).withColumn(
+        "__absc", F.abs(c)
+    )
+    # max_by struct: largest |c|, ties to the EARLIEST index
+    pick = F.max_by(
+        F.struct("__t", "__s", "__n", "__tot"),
+        F.struct(F.col("__absc"), (-F.col("__t")).alias("nt")),
+    )
+    out = cand.groupBy(key_col).agg(pick.alias("__p"))
+    t = F.col("__p.__t")
+    s = F.col("__p.__s")
+    n = F.col("__p.__n")
+    S = F.col("__p.__tot")
+    qt = F.lit(float(ticks))
+    mb = s.cast("double") / qt / t.cast("double")
+    ma = (S - s).cast("double") / qt / (n - t).cast("double")
+    return out.select(
+        key_col,
+        t.alias("t"),
+        n.alias("n"),
+        mb.alias("mean_before"),
+        ma.alias("mean_after"),
+        (ma - mb).alias("shift"),
+    )

@@ -3967,6 +3967,53 @@ FROM pt JOIN ci USING (g)
 """
 
 
+# X56 — CUSUM change point (r4): per-series regime-shift index over the
+# daily quantity series — the argmax decision in scaled-exact integer
+# arithmetic (n*s_t - t*S), means/shift exact ratios
+# (operators/anomaly.py:change_point).
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomaly import change_point
+
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("date").alias("date"),
+    ).agg(F.round(F.sum("l_quantity")).cast("long").alias("qty"))
+    return change_point(daily, "flag", "date", "qty", ticks=1)
+
+
+SQL_CHANGE_POINT = """
+WITH daily AS (
+  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS date,
+         CAST(round(CAST(sum(l_quantity) AS DOUBLE)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1, 2),
+d AS (
+  SELECT flag, date, x,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         sum(CAST(x AS HUGEINT))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         CAST(count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS st
+  FROM daily WINDOW w AS (PARTITION BY flag ORDER BY date)),
+cand AS (
+  SELECT *, abs(CAST(n AS HUGEINT) * s - CAST(t AS HUGEINT) * st) AS absc
+  FROM d WHERE t < n),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY flag
+                               ORDER BY absc DESC, t ASC) AS rk
+  FROM cand)
+SELECT flag, t, n,
+       CAST(s AS DOUBLE) / 1.0 / CAST(t AS DOUBLE) AS mean_before,
+       CAST(st - s AS DOUBLE) / 1.0 / CAST(n - t AS DOUBLE) AS mean_after,
+       CAST(st - s AS DOUBLE) / 1.0 / CAST(n - t AS DOUBLE)
+         - CAST(s AS DOUBLE) / 1.0 / CAST(t AS DOUBLE) AS shift
+FROM pick WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -4091,6 +4138,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_join_profile": q_join_profile,
     "q_random_projection": q_random_projection,
     "q_bootstrap_ci": q_bootstrap_ci,
+    "q_change_point": q_change_point,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4218,6 +4266,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_join_profile": SQL_JOIN_PROFILE,
     "q_random_projection": SQL_RANDOM_PROJECTION,
     "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "q_change_point": SQL_CHANGE_POINT,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

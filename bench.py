@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q_join_profile",
     "q_random_projection",
     "q_bootstrap_ci",
+    "q_change_point",
 ]
 
 

@@ -656,3 +656,32 @@ def test_bootstrap_rejects_degenerate_replicates(spark):
     # ungrouped form works and brackets the trivial mean
     r = poisson_bootstrap_mean(df, "id", "v", n_replicates=10).first()
     assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+
+
+# ----------------------------------------------------- CUSUM change point
+def test_change_point_finds_planted_shift(spark):
+    from alphavantage_etl_spark.operators.anomaly import change_point
+
+    # mean 10 for t=1..30, mean 50 for t=31..60: the split is at t=30
+    rows = [("s", i, 10.0 if i <= 30 else 50.0) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = change_point(df, "k", "t", "v").first()
+    assert r["t"] == 30 and r["n"] == 60
+    assert r["mean_before"] == 10.0 and r["mean_after"] == 50.0
+    assert r["shift"] == 40.0
+
+
+def test_change_point_ties_earliest_and_keys_isolated(spark):
+    from alphavantage_etl_spark.operators.anomaly import change_point
+
+    # constant series: every |c_t| is 0 — tie resolves to the EARLIEST t
+    rows = [("flat", i, 7.0) for i in range(1, 11)] + [
+        ("step", i, 0.0 if i <= 5 else 100.0) for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {r["k"]: r for r in change_point(df, "k", "t", "v").collect()}
+    assert out["flat"]["t"] == 1 and out["flat"]["shift"] == 0.0
+    assert out["step"]["t"] == 5 and out["step"]["shift"] == 100.0
+    # single-point series yields no row (no valid split)
+    single = spark.createDataFrame([("one", 1, 5.0)], "k string, t long, v double")
+    assert change_point(single, "k", "t", "v").collect() == []
