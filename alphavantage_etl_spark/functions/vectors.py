@@ -121,3 +121,57 @@ def random_projection(
             (term.cast("double") / F.lit(float(ticks))).alias(f"p{j}")
         )
     return df.select(*cols)
+
+
+def embedding_diagnostics(
+    df,
+    vec_col: str = "embedding",
+    ticks: int = 1_000_000,
+):
+    """Per-DIMENSION health profile of an embedding column: (dim, n,
+    mean, variance, min, max) — the "is this embedding space alive"
+    check before indexing or training on it: a dimension with ~zero
+    variance is collapsed (wasted capacity, and a degenerate axis for
+    any quantizer trained on it); wildly uneven variances (anisotropy)
+    degrade cosine retrieval.
+
+    Determinism: components quantize to integer ``ticks`` units; mean
+    and variance derive from exact decimal(38,0) sums of q and q*q
+    (population variance, the sufficient-statistics discipline) with
+    one fixed-order double expression each.
+
+    Scale design (100 TB): one `posexplode` Generate over the scan into
+    a partial-aggregated groupBy(dim) — output bounded by the embedding
+    WIDTH regardless of corpus size; no shuffle beyond the dim-keyed
+    exchange of per-task partials.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(vec_col)
+    q = F.round(F.col("__x").cast("double") * ticks).cast("long")
+    qt = F.lit(float(ticks))
+    exploded = df.select(
+        F.posexplode(v).alias("__d", "__x")
+    ).select(
+        (F.col("__d") + 1).cast("long").alias("dim"), q.alias("__q")
+    )
+    g = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__q").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            F.col("__q").cast("decimal(38,0)") * F.col("__q")
+        ).alias("__ss"),
+        F.min("__q").alias("__mn"),
+        F.max("__q").alias("__mx"),
+    )
+    nf = F.col("n").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    return g.select(
+        "dim",
+        "n",
+        (s / qt / nf).alias("mean"),
+        ((ss - s * s / nf) / nf / qt / qt).alias("variance"),
+        (F.col("__mn").cast("double") / qt).alias("min"),
+        (F.col("__mx").cast("double") / qt).alias("max"),
+    )

@@ -4014,6 +4014,41 @@ FROM pick WHERE rk = 1
 """
 
 
+# X57 — embedding-space diagnostics (r4): per-dimension mean/variance/
+# range of the embedding column — collapsed-dim and anisotropy check,
+# output bounded by the embedding width
+# (functions/vectors.py:embedding_diagnostics).
+def q_embedding_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import embedding_diagnostics
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_diagnostics(emb, "embedding")
+
+
+SQL_EMBEDDING_DIAG = """
+WITH e AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+g AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(q AS HUGEINT)) AS s,
+         sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss,
+         min(q) AS mn, max(q) AS mx
+  FROM e GROUP BY 1)
+SELECT dim, n,
+       CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean,
+       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+         / CAST(n AS DOUBLE) / 1000000.0 / 1000000.0 AS variance,
+       CAST(mn AS DOUBLE) / 1000000.0 AS min,
+       CAST(mx AS DOUBLE) / 1000000.0 AS max
+FROM g
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -4139,6 +4174,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_random_projection": q_random_projection,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_change_point": q_change_point,
+    "q_embedding_diag": q_embedding_diag,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4267,6 +4303,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_random_projection": SQL_RANDOM_PROJECTION,
     "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
     "q_change_point": SQL_CHANGE_POINT,
+    "q_embedding_diag": SQL_EMBEDDING_DIAG,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

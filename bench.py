@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q_random_projection",
     "q_bootstrap_ci",
     "q_change_point",
+    "q_embedding_diag",
 ]
 
 

@@ -814,3 +814,23 @@ def test_random_projection_roughly_preserves_relative_distance(spark):
         return sum((a - b) ** 2 for a, b in zip(u, v))
 
     assert d2(out[1], out[3]) > d2(out[1], out[2])
+
+
+# ------------------------------------------------- embedding diagnostics
+def test_embedding_diag_detects_collapsed_dim(spark):
+    from alphavantage_etl_spark.functions.vectors import (
+        embedding_diagnostics,
+    )
+
+    # dim 2 is constant (collapsed); dim 1 varies
+    emb = spark.createDataFrame(
+        [(i, [float(i), 3.5]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in embedding_diagnostics(emb).collect()}
+    assert out[2]["variance"] == 0.0 and out[2]["mean"] == 3.5
+    assert out[1]["variance"] > 0
+    assert out[1]["n"] == 10
+    # exact population variance of 0..9: 8.25
+    assert abs(out[1]["variance"] - 8.25) < 1e-9
+    assert out[1]["min"] == 0.0 and out[1]["max"] == 9.0
