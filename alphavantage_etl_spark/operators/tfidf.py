@@ -161,3 +161,73 @@ def collocations(
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(k)
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """One-row frame (n_terms, slope, intercept) — the log-log OLS fit of
+    term frequency against frequency rank over the ``top_k`` head terms:
+    natural language sits near slope -1 (Zipf's law), and a corpus that
+    drifts far from it is telling you something (template spam flattens
+    the head, OCR noise fattens the tail) — the corpus-health scalar
+    next to the X27 perplexity profile.
+
+    Determinism: ln(rank) and ln(freq) are half-even-quantized to 1e-9
+    per term (one transcendental pair per HEAD term), the five OLS
+    sufficient statistics are exact decimal(38,0) sums over the
+    top_k-bounded table, and slope/intercept are one fixed-order double
+    expression each (the X31 group_trend discipline).
+
+    Scale design (100 TB): term counts are one vocabulary-bounded
+    aggregation; the head extraction is TakeOrderedAndProject (per-
+    partition heaps); ranking/fitting then run over top_k rows — BOUNDED
+    MODEL STATE (the centroid-table class), so the single-partition
+    window is over <= top_k rows by construction, never the vocabulary.
+    """
+    terms = (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), "w")
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    ranked = terms.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "w")).cast("long")
+    )
+    q = F.lit(10.0**9)
+    lx = F.round(F.bround(F.log(F.col("r").cast("double")), 9) * q).cast(
+        "decimal(38,0)"
+    )
+    ly = F.round(F.bround(F.log(F.col("f").cast("double")), 9) * q).cast(
+        "decimal(38,0)"
+    )
+    g = ranked.select(lx.alias("__x"), ly.alias("__y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    nf = F.col("n_terms").cast("double")
+    sx = F.col("__sx").cast("double") / q
+    sy = F.col("__sy").cast("double") / q
+    sxy = F.col("__sxy").cast("double") / q / q
+    sxx = F.col("__sxx").cast("double") / q / q
+    slope = (sxy - sx * sy / nf) / (sxx - sx * sx / nf)
+    return g.select(
+        "n_terms",
+        F.when(
+            (F.col("n_terms") >= 2) & ((sxx - sx * sx / nf) > 0),
+            F.bround(slope, 9),
+        ).alias("slope"),
+        F.when(
+            (F.col("n_terms") >= 2) & ((sxx - sx * sx / nf) > 0),
+            F.bround((sy - slope * sx) / nf, 9),
+        ).alias("intercept"),
+    )

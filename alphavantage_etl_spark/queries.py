@@ -4049,6 +4049,56 @@ FROM g
 """
 
 
+# X58 — Zipf law fit (r4): log-log OLS slope of term frequency vs rank
+# over the head terms — the corpus-health scalar (natural text ~ -1)
+# (operators/tfidf.py:zipf_fit).
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import zipf_fit
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return zipf_fit(d, "text", top_k=500)
+
+
+SQL_ZIPF = r"""
+WITH terms AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY 1
+  ORDER BY f DESC, w LIMIT 500),
+ranked AS (
+  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+  FROM terms),
+q AS (
+  SELECT CAST(round(round_even(ln(CAST(r AS DOUBLE)), 9) * 1e9)
+              AS HUGEINT) AS x,
+         CAST(round(round_even(ln(CAST(f AS DOUBLE)), 9) * 1e9)
+              AS HUGEINT) AS y
+  FROM ranked),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(x) AS DOUBLE) / 1e9 AS sx,
+         CAST(sum(y) AS DOUBLE) / 1e9 AS sy,
+         CAST(sum(x * y) AS DOUBLE) / 1e9 / 1e9 AS sxy,
+         CAST(sum(x * x) AS DOUBLE) / 1e9 / 1e9 AS sxx
+  FROM q)
+SELECT n_terms,
+       CASE WHEN n_terms >= 2
+             AND (sxx - sx * sx / CAST(n_terms AS DOUBLE)) > 0
+            THEN round_even((sxy - sx * sy / CAST(n_terms AS DOUBLE))
+                            / (sxx - sx * sx / CAST(n_terms AS DOUBLE)), 9)
+       END AS slope,
+       CASE WHEN n_terms >= 2
+             AND (sxx - sx * sx / CAST(n_terms AS DOUBLE)) > 0
+            THEN round_even((sy - ((sxy - sx * sy / CAST(n_terms AS DOUBLE))
+                                   / (sxx - sx * sx
+                                      / CAST(n_terms AS DOUBLE))) * sx)
+                            / CAST(n_terms AS DOUBLE), 9)
+       END AS intercept
+FROM g
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r4 additions with no driver row yet: first, inside any cap or
     #     time budget (same rotation discipline as r3's unverified-first) ---
@@ -4175,6 +4225,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_change_point": q_change_point,
     "q_embedding_diag": q_embedding_diag,
+    "q_zipf": q_zipf,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4304,6 +4355,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
     "q_change_point": SQL_CHANGE_POINT,
     "q_embedding_diag": SQL_EMBEDDING_DIAG,
+    "q_zipf": SQL_ZIPF,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

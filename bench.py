@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q_bootstrap_ci",
     "q_change_point",
     "q_embedding_diag",
+    "q_zipf",
 ]
 
 

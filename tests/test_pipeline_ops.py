@@ -685,3 +685,28 @@ def test_change_point_ties_earliest_and_keys_isolated(spark):
     # single-point series yields no row (no valid split)
     single = spark.createDataFrame([("one", 1, 5.0)], "k string, t long, v double")
     assert change_point(single, "k", "t", "v").collect() == []
+
+
+# ------------------------------------------------------------- Zipf fit
+def test_zipf_fit_recovers_planted_power_law(spark):
+    from alphavantage_etl_spark.operators.tfidf import zipf_fit
+
+    # term w_r appears round(1000/r) times -> exact Zipf, slope -> -1
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = zipf_fit(docs, "text", top_k=100).first()
+    assert r["n_terms"] == 20
+    assert -1.05 < r["slope"] < -0.95  # rounding of 1000/r bends it slightly
+
+
+def test_zipf_fit_flat_corpus_slope_zero(spark):
+    from alphavantage_etl_spark.operators.tfidf import zipf_fit
+
+    # every term equally frequent: ln(f) constant -> slope exactly 0
+    docs = spark.createDataFrame(
+        [(" ".join(f"t{i}" for i in range(10)) + " ") * 3], "string"
+    ).toDF("text")
+    r = zipf_fit(docs, "text", top_k=50).first()
+    assert r["slope"] == 0.0
