@@ -2018,17 +2018,20 @@ SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
 #
 # - queries with no driver row yet are registered FIRST so they are
 #   checked even under a time-budgeted driver (r3: the 9 r02-unverified;
-#   r4: the 8 r3 additions q_boilerplate ... q_epoch_shuffle);
+#   r4 final window: the 20 r4 additions q_temperature_mix ...
+#   q_transition_matrix, then the 8 r3 additions q_boilerplate ...
+#   q_epoch_shuffle);
 # - entries holding two-plus consecutive green driver rows rotate out to
-#   make room (r4: q_scan_project, q_cast_types, q_latest_row,
-#   q_topn_recent, q_filter_today, q_weekday_filter, q_set_ops,
-#   q_pivot_daily — each green in r1+r2+r3);
-# - the rows-only diagnostics (q_dedup_near, q_simhash, ...) and the two
+#   make room (r4 displaced 28 such veterans in two waves — each keeps
+#   its historical driver-green rows);
+# - the LATE-r4 oracle-backed additions (q_dsir_weights ... q_zipf), the
+#   rows-only diagnostics (q_dedup_near, q_simhash, ...), and the two
 #   single-series forms subsumed by their partitioned scale forms
 #   (q_sma_window ⊂ q_sma_partitioned, q_asof_rate ⊂ q_asof_partitioned)
 #   live in EXTRA_QUERIES below: still benchmarked and still locally
 #   oracle-checked (tests/test_contract_queries.py iterates ALL_QUERIES /
-#   ALL_ORACLES), just not declared to the driver.
+#   ALL_ORACLES), just not declared to the driver; rotate the late
+#   additions forward in r5, newest-risk first.
 # --------------------------------------------------------------------------
 # X20 — sliding-window document chunking (r4): long documents -> overlapping
 # fixed-size token windows (window=16, stride=8), the complement of
