@@ -313,12 +313,18 @@ def pagerank(
 
     Determinism discipline (the connected-components + indicator rules
     combined): each per-edge contribution ``rank(u) * p(u,v)`` is
-    half-even-quantized to 1e-12 BEFORE summation and summed as exact
-    decimal(38,0) integers, and the updated rank re-quantizes to 1e-12 —
+    half-even-quantized to 1e-9 BEFORE summation and summed as exact
+    decimal(38,0) integers, and the updated rank re-quantizes to 1e-9 —
     so every iteration's rank frame is bit-identical on any partitioning
     and any engine (p = w/W is one exact IEEE division of integers-cast-
     to-double on both sides). The DuckDB oracle replays the identical
-    arithmetic through a recursive CTE.
+    arithmetic through a recursive CTE. The grid is 1e-9, NOT finer: at
+    a 1e-12 quantum the engines' different round-half-even
+    implementations (exact BigDecimal vs scaled double) sit close
+    enough to boundary cases that one flip appeared across ~5k
+    roundings at sf0.1; at 1e-9 the quantum/ulp ratio is ~1e8 and the
+    same sweep is stable (the target_encode lesson, applied here at
+    O(0.04) magnitudes).
 
     Scale design (100 TB): the edge-normalization table is built once and
     persisted (edge-sized, ONE groupBy + join); each iteration is one
@@ -357,16 +363,16 @@ def pagerank(
     has_dangling = dangling.limit(1).count() > 0
 
     base = F.lit((1.0 - damping) / n_nodes)
-    quant = F.lit(10.0**12)
+    quant = F.lit(10.0**9)
     ranks = nodes.select(
-        "node", F.bround(F.lit(1.0 / n_nodes), 12).alias("rank")
+        "node", F.bround(F.lit(1.0 / n_nodes), 9).alias("rank")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
             ranks.join(enorm, ranks["node"] == enorm["__src"])
             .select(
                 F.col("__dst").alias("node"),
-                F.round(F.bround(F.col("rank") * F.col("__p"), 12) * quant)
+                F.round(F.bround(F.col("rank") * F.col("__p"), 9) * quant)
                 .cast("decimal(38,0)")
                 .alias("__q"),
             )
@@ -404,7 +410,7 @@ def pagerank(
                             / quant
                             / F.lit(float(n_nodes))
                         ),
-                        12,
+                        9,
                     ).alias("rank"),
                 )
             )
@@ -412,7 +418,7 @@ def pagerank(
             new = nodes.join(contrib, on="node", how="left").select(
                 "node",
                 F.bround(
-                    base + F.lit(damping) * contrib_term, 12
+                    base + F.lit(damping) * contrib_term, 9
                 ).alias("rank"),
             )
         ranks = new.localCheckpoint(eager=True)

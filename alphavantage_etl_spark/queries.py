@@ -2781,22 +2781,22 @@ dang AS (
   WHERE node NOT IN (SELECT DISTINCT src FROM e)),
 nn AS (SELECT count(*) AS n FROM nodes),
 pr(iter, node, rank) AS (
-  SELECT 0, node, round_even(1.0 / n, 12) FROM nodes, nn
+  SELECT 0, node, round_even(1.0 / n, 9) FROM nodes, nn
   UNION ALL
   SELECT lvl.iter + 1, nd.node,
          round_even((1.0 - 0.85) / nn.n
-                    + 0.85 * (coalesce(cb.s, 0) / 1e12
-                              + (lvl.qd / 1e12) / nn.n), 12)
+                    + 0.85 * (coalesce(cb.s, 0) / 1e9
+                              + (lvl.qd / 1e9) / nn.n), 9)
   FROM (SELECT pr.iter,
                CAST(sum(CASE WHEN d.node IS NOT NULL
-                             THEN CAST(round(pr.rank * 1e12) AS HUGEINT)
+                             THEN CAST(round(pr.rank * 1e9) AS HUGEINT)
                              ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS qd
         FROM pr LEFT JOIN dang d ON pr.node = d.node
         WHERE pr.iter < 8 GROUP BY pr.iter) lvl
   CROSS JOIN nn
   CROSS JOIN nodes nd
   LEFT JOIN (SELECT en.dst AS node, pr.iter,
-                    CAST(sum(CAST(round(round_even(pr.rank * en.p, 12) * 1e12)
+                    CAST(sum(CAST(round(round_even(pr.rank * en.p, 9) * 1e9)
                                   AS HUGEINT)) AS DOUBLE) AS s
              FROM pr JOIN en ON pr.node = en.src
              WHERE pr.iter < 8 GROUP BY 1, 2) cb

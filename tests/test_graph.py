@@ -216,9 +216,9 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         dmass = r[3]  # node 4 is dangling
         r = 0.15 / 4 + 0.85 * (contrib + dmass / 4)
     for i, n in enumerate(nodes):
-        assert abs(got[n] - r[i]) < 1e-9, (n, got[n], r[i])
-    # total rank mass conserved (up to the 1e-12 quantization)
-    assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert abs(got[n] - r[i]) < 1e-6, (n, got[n], r[i])
+    # total rank mass conserved (up to the 1e-9 quantization)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
 def test_pagerank_partitioning_invariant(spark):
