@@ -2018,20 +2018,21 @@ SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
 #
 # - queries with no driver row yet are registered FIRST so they are
 #   checked even under a time-budgeted driver (r3: the 9 r02-unverified;
-#   r4 final window: the 20 r4 additions q_temperature_mix ...
-#   q_transition_matrix, then the 8 r3 additions q_boilerplate ...
-#   q_epoch_shuffle);
-# - entries holding two-plus consecutive green driver rows rotate out to
-#   make room (r4 displaced 28 such veterans in two waves — each keeps
-#   its historical driver-green rows);
-# - the LATE-r4 oracle-backed additions (q_dsir_weights ... q_zipf), the
-#   rows-only diagnostics (q_dedup_near, q_simhash, ...), and the two
+#   r4: the 28 r3/r4 additions; r5 window: the 29 late-r4 additions
+#   q_dsir_weights ... q_zipf — components X32-X58, CORRECTNESS_r04
+#   predates their registration — then 21 of the 28 one-green r4 entries
+#   for a second consecutive row);
+# - entries holding consecutive green driver rows rotate out to make room
+#   (r5 displaced 29: the 7 one-green entries whose operator family keeps
+#   a sibling in-window, the 9 two-green r3-first-time cohort, and the 13
+#   three-plus-green family representatives — each keeps its historical
+#   driver-green rows);
+# - the rows-only diagnostics (q_dedup_near, q_simhash, ...) and the two
 #   single-series forms subsumed by their partitioned scale forms
 #   (q_sma_window ⊂ q_sma_partitioned, q_asof_rate ⊂ q_asof_partitioned)
 #   live in EXTRA_QUERIES below: still benchmarked and still locally
 #   oracle-checked (tests/test_contract_queries.py iterates ALL_QUERIES /
-#   ALL_ORACLES), just not declared to the driver; rotate the late
-#   additions forward in r5, newest-risk first.
+#   ALL_ORACLES), just not declared to the driver.
 # --------------------------------------------------------------------------
 # X20 — sliding-window document chunking (r4): long documents -> overlapping
 # fixed-size token windows (window=16, stride=8), the complement of
@@ -4103,30 +4104,56 @@ FROM g
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- r4 additions with no driver row yet: first, inside any cap or
-    #     time budget (same rotation discipline as r3's unverified-first) ---
+    # --- late-r4 additions (components X32-X58) with no driver row yet:
+    #     registered FIRST so they are checked even under a time-budgeted
+    #     driver (same unverified-first rotation discipline as r3/r4) ---
+    "q_dsir_weights": q_dsir_weights,
+    "q_pagerank": q_pagerank,
+    "q_mutual_info": q_mutual_info,
+    "q_logreg": q_logreg,
+    "q_block_dedup": q_block_dedup,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_target_encode": q_target_encode,
+    "q_discretize": q_discretize,
+    "q_psi_drift": q_psi_drift,
+    "q_linkage": q_linkage,
+    "q_collocations": q_collocations,
+    "q_agg_state": q_agg_state,
+    "q_acf": q_acf,
+    "q_session_paths": q_session_paths,
+    "q_triangles": q_triangles,
+    "q_profile": q_profile,
+    "q_bm25": q_bm25,
+    "q_basket_lift": q_basket_lift,
+    "q_survival": q_survival,
+    "q_knn_graph": q_knn_graph,
+    "q_auc": q_auc,
+    "q_calibration": q_calibration,
+    "q_negative_samples": q_negative_samples,
+    "q_join_profile": q_join_profile,
+    "q_random_projection": q_random_projection,
+    "q_bootstrap_ci": q_bootstrap_ci,
+    "q_change_point": q_change_point,
+    "q_embedding_diag": q_embedding_diag,
+    "q_zipf": q_zipf,
+    # --- single-green entries kept in-window for a second consecutive
+    #     driver row (r4 was their first); 21 of the 28 one-green entries,
+    #     one representative per operator family — the 7 displaced each
+    #     have a same-family sibling still in-window ---
     "q_temperature_mix": q_temperature_mix,
     "q_cdc_overlap": q_cdc_overlap,
     "q_chunk_windows": q_chunk_windows,
     "q_heavy_hitters": q_heavy_hitters,
     "q_inverted_index": q_inverted_index,
     "q_scd2": q_scd2,
-    "q_dataset_diff": q_dataset_diff,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_bloom_prune": q_bloom_prune,
     "q_cohort_retention": q_cohort_retention,
-    "q_funnel_steps": q_funnel_steps,
     "q_lm_perplexity": q_lm_perplexity,
     "q_resample_ffill": q_resample_ffill,
     "q_histogram": q_histogram,
-    "q_winsorize": q_winsorize,
     "q_sparse_topk": q_sparse_topk,
     "q_group_trend": q_group_trend,
-    "q_temporal_split": q_temporal_split,
-    "q_scd2_lookup": q_scd2_lookup,
-    "q_transition_matrix": q_transition_matrix,
-    # --- r3 additions, also no driver row yet (rotated in earlier this
-    #     round; CORRECTNESS_r03 predates the rotation) ---
     "q_boilerplate": q_boilerplate,
     "q_scrub_pii": q_scrub_pii,
     "q_rep_ngrams": q_rep_ngrams,
@@ -4134,8 +4161,24 @@ QUERIES: dict[str, QueryFn] = {
     "q_vwap": q_vwap,
     "q_corr": q_corr,
     "q_title_dedup": q_title_dedup,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Displaced in r5 to make room for the 29 late-r4 additions: 7 of the
+    # one-green r4 cohort (each has a same-family sibling in-window), the
+    # 9 two-green r3-first-time cohort, and the 13 three-plus-green family
+    # representatives. Each keeps its historical driver-green rows and
+    # stays locally oracle-checked.
+    "q_dataset_diff": q_dataset_diff,
+    "q_funnel_steps": q_funnel_steps,
+    "q_winsorize": q_winsorize,
+    "q_temporal_split": q_temporal_split,
+    "q_scd2_lookup": q_scd2_lookup,
+    "q_transition_matrix": q_transition_matrix,
     "q_epoch_shuffle": q_epoch_shuffle,
-    # --- r03 first-time-green rows (keep a second consecutive row) ---
     "q_contamination": q_contamination,
     "q_dedup_clusters": q_dedup_clusters,
     "q_stratified_sample": q_stratified_sample,
@@ -4145,9 +4188,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_interval_join": q_interval_join,
     "q_quality_calibrated": q_quality_calibrated,
     "q_weighted_sample": q_weighted_sample,
-    # --- two-green (r2+r3) entries kept in-window: one representative per
-    #     heavy execution family (partitioned window, as-of, media, vector,
-    #     event-time, sampling) so a fixture regen surfaces driver-side ---
     "q_sma_partitioned": q_sma_partitioned,
     "q_asof_partitioned": q_asof_partitioned,
     "q_jaccard_pairs": q_jaccard_pairs,
@@ -4161,12 +4201,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_split_assign": q_split_assign,
     "q_source_quota": q_source_quota,
     "q_pack_bins": q_pack_bins,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
     # Displaced in r4 to make room for the r3 additions: each holds two-plus
     # consecutive green driver rows (r1–r3) and stays locally oracle-checked.
     "q_scan_project": q_scan_project,
@@ -4199,36 +4233,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r4 late additions (no driver row yet — rotate forward in r5)
-    "q_dsir_weights": q_dsir_weights,
-    "q_pagerank": q_pagerank,
-    "q_mutual_info": q_mutual_info,
-    "q_logreg": q_logreg,
-    "q_block_dedup": q_block_dedup,
-    "q_semantic_dedup": q_semantic_dedup,
-    "q_target_encode": q_target_encode,
-    "q_discretize": q_discretize,
-    "q_psi_drift": q_psi_drift,
-    "q_linkage": q_linkage,
-    "q_collocations": q_collocations,
-    "q_agg_state": q_agg_state,
-    "q_acf": q_acf,
-    "q_session_paths": q_session_paths,
-    "q_triangles": q_triangles,
-    "q_profile": q_profile,
-    "q_bm25": q_bm25,
-    "q_basket_lift": q_basket_lift,
-    "q_survival": q_survival,
-    "q_knn_graph": q_knn_graph,
-    "q_auc": q_auc,
-    "q_calibration": q_calibration,
-    "q_negative_samples": q_negative_samples,
-    "q_join_profile": q_join_profile,
-    "q_random_projection": q_random_projection,
-    "q_bootstrap_ci": q_bootstrap_ci,
-    "q_change_point": q_change_point,
-    "q_embedding_diag": q_embedding_diag,
-    "q_zipf": q_zipf,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4247,89 +4251,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
-    "q_temperature_mix": SQL_TEMPERATURE_MIX,
-    "q_cdc_overlap": SQL_CDC_OVERLAP,
-    "q_chunk_windows": SQL_CHUNK_WINDOWS,
-    "q_heavy_hitters": SQL_HEAVY_HITTERS,
-    "q_inverted_index": SQL_INVERTED_INDEX,
-    "q_scd2": SQL_SCD2,
-    "q_dataset_diff": SQL_DATASET_DIFF,
-    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
-    "q_bloom_prune": SQL_BLOOM_PRUNE,
-    "q_cohort_retention": SQL_COHORT_RETENTION,
-    "q_funnel_steps": SQL_FUNNEL_STEPS,
-    "q_lm_perplexity": SQL_LM_PERPLEXITY,
-    "q_resample_ffill": SQL_RESAMPLE_FFILL,
-    "q_histogram": SQL_HISTOGRAM,
-    "q_winsorize": SQL_WINSORIZE,
-    "q_sparse_topk": SQL_SPARSE_TOPK,
-    "q_group_trend": SQL_GROUP_TREND,
-    "q_temporal_split": SQL_TEMPORAL_SPLIT,
-    "q_scd2_lookup": SQL_SCD2_LOOKUP,
-    "q_transition_matrix": SQL_TRANSITION_MATRIX,
-    "q_boilerplate": SQL_BOILERPLATE,
-    "q_scrub_pii": SQL_SCRUB_PII,
-    "q_rep_ngrams": SQL_REP_NGRAMS,
-    "q_indicators": SQL_INDICATORS,
-    "q_vwap": SQL_VWAP,
-    "q_corr": SQL_CORR,
-    "q_title_dedup": SQL_TITLE_DEDUP,
-    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
-    "q_contamination": SQL_CONTAMINATION,
-    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "q_budget_mix": SQL_BUDGET_MIX,
-    "q_tfidf_terms": SQL_TFIDF_TERMS,
-    "q_label_centroids": SQL_LABEL_CENTROIDS,
-    "q_interval_join": SQL_INTERVAL_JOIN,
-    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
-    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
-    "q_sma_partitioned": SQL_SMA_PARTITIONED,
-    "q_asof_partitioned": SQL_ASOF_PARTITIONED,
-    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
-    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
-    "q_multimodal_meta": SQL_MULTIMODAL_META,
-    "q_image_features": SQL_IMAGE_FEATURES,
-    "q_cosine_topk": SQL_COSINE_TOPK,
-    "q_window_tumbling": SQL_WINDOW_TUMBLING,
-    "q_window_sliding": SQL_WINDOW_SLIDING,
-    "q_sessionize": SQL_SESSIONIZE,
-    "q_split_assign": SQL_SPLIT_ASSIGN,
-    "q_source_quota": SQL_SOURCE_QUOTA,
-    "q_pack_bins": SQL_PACK_BINS,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    "q_scan_project": SQL_SCAN_PROJECT,
-    "q_cast_types": SQL_CAST_TYPES,
-    "q_latest_row": SQL_LATEST_ROW,
-    "q_topn_recent": SQL_TOPN_RECENT,
-    "q_filter_today": SQL_FILTER_TODAY,
-    "q_weekday_filter": SQL_WEEKDAY_FILTER,
-    "q_set_ops": SQL_SET_OPS,
-    "q_pivot_daily": SQL_PIVOT_DAILY,
-    "q_json_explode": SQL_JSON_EXPLODE,
-    "q_ohlc_daily": SQL_OHLC_DAILY,
-    "q_join_convert": SQL_JOIN_CONVERT,
-    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
-    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
-    "q_busday_gap": SQL_BUSDAY_GAP,
-    "q_agg_pricing": SQL_AGG_PRICING,
-    "q_top_customers": SQL_TOP_CUSTOMERS,
-    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
-    "q_cube_orders": SQL_CUBE_ORDERS,
-    "q_rank_windows": SQL_RANK_WINDOWS,
-    "q_percentiles": SQL_PERCENTILES,
-    "q_dedup_exact": SQL_DEDUP_EXACT,
-    "q_text_stats": SQL_TEXT_STATS,
-    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
-    "q_quality_score": SQL_QUALITY_SCORE,
-    "q_lang_id": SQL_LANG_ID,
-    "q_token_bpe": SQL_TOKEN_BPE,
-    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    # late-r4 additions (X32-X58) — rotated to the front in r5
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_pagerank": SQL_PAGERANK,
     "q_mutual_info": SQL_MUTUAL_INFO,
@@ -4359,6 +4281,92 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_change_point": SQL_CHANGE_POINT,
     "q_embedding_diag": SQL_EMBEDDING_DIAG,
     "q_zipf": SQL_ZIPF,
+    # single-green entries in-window for a second consecutive row
+    "q_temperature_mix": SQL_TEMPERATURE_MIX,
+    "q_cdc_overlap": SQL_CDC_OVERLAP,
+    "q_chunk_windows": SQL_CHUNK_WINDOWS,
+    "q_heavy_hitters": SQL_HEAVY_HITTERS,
+    "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_scd2": SQL_SCD2,
+    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
+    "q_bloom_prune": SQL_BLOOM_PRUNE,
+    "q_cohort_retention": SQL_COHORT_RETENTION,
+    "q_lm_perplexity": SQL_LM_PERPLEXITY,
+    "q_resample_ffill": SQL_RESAMPLE_FFILL,
+    "q_histogram": SQL_HISTOGRAM,
+    "q_sparse_topk": SQL_SPARSE_TOPK,
+    "q_group_trend": SQL_GROUP_TREND,
+    "q_boilerplate": SQL_BOILERPLATE,
+    "q_scrub_pii": SQL_SCRUB_PII,
+    "q_rep_ngrams": SQL_REP_NGRAMS,
+    "q_indicators": SQL_INDICATORS,
+    "q_vwap": SQL_VWAP,
+    "q_corr": SQL_CORR,
+    "q_title_dedup": SQL_TITLE_DEDUP,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # displaced in r5 (each holds one-plus historical driver-green rows)
+    "q_dataset_diff": SQL_DATASET_DIFF,
+    "q_funnel_steps": SQL_FUNNEL_STEPS,
+    "q_winsorize": SQL_WINSORIZE,
+    "q_temporal_split": SQL_TEMPORAL_SPLIT,
+    "q_scd2_lookup": SQL_SCD2_LOOKUP,
+    "q_transition_matrix": SQL_TRANSITION_MATRIX,
+    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "q_contamination": SQL_CONTAMINATION,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "q_budget_mix": SQL_BUDGET_MIX,
+    "q_tfidf_terms": SQL_TFIDF_TERMS,
+    "q_label_centroids": SQL_LABEL_CENTROIDS,
+    "q_interval_join": SQL_INTERVAL_JOIN,
+    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
+    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "q_sma_partitioned": SQL_SMA_PARTITIONED,
+    "q_asof_partitioned": SQL_ASOF_PARTITIONED,
+    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "q_multimodal_meta": SQL_MULTIMODAL_META,
+    "q_image_features": SQL_IMAGE_FEATURES,
+    "q_cosine_topk": SQL_COSINE_TOPK,
+    "q_window_tumbling": SQL_WINDOW_TUMBLING,
+    "q_window_sliding": SQL_WINDOW_SLIDING,
+    "q_sessionize": SQL_SESSIONIZE,
+    "q_split_assign": SQL_SPLIT_ASSIGN,
+    "q_source_quota": SQL_SOURCE_QUOTA,
+    "q_pack_bins": SQL_PACK_BINS,
+    # displaced in r4 (two-plus historical driver-green rows)
+    "q_scan_project": SQL_SCAN_PROJECT,
+    "q_cast_types": SQL_CAST_TYPES,
+    "q_latest_row": SQL_LATEST_ROW,
+    "q_topn_recent": SQL_TOPN_RECENT,
+    "q_filter_today": SQL_FILTER_TODAY,
+    "q_weekday_filter": SQL_WEEKDAY_FILTER,
+    "q_set_ops": SQL_SET_OPS,
+    "q_pivot_daily": SQL_PIVOT_DAILY,
+    "q_json_explode": SQL_JSON_EXPLODE,
+    "q_ohlc_daily": SQL_OHLC_DAILY,
+    "q_join_convert": SQL_JOIN_CONVERT,
+    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
+    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
+    "q_busday_gap": SQL_BUSDAY_GAP,
+    "q_agg_pricing": SQL_AGG_PRICING,
+    "q_top_customers": SQL_TOP_CUSTOMERS,
+    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "q_cube_orders": SQL_CUBE_ORDERS,
+    "q_rank_windows": SQL_RANK_WINDOWS,
+    "q_percentiles": SQL_PERCENTILES,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_stats": SQL_TEXT_STATS,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_quality_score": SQL_QUALITY_SCORE,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_bpe": SQL_TOKEN_BPE,
+    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,
