@@ -185,7 +185,9 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     predict `label`?", "is this split independent of language?").
 
     NULL categories count as a regular level (a real category in drift
-    terms), implemented by coalescing to a sentinel before grouping.
+    terms), implemented as a (is-null flag, coalesced value) compound
+    grouping key — collision-free by construction, unlike a string
+    sentinel that a genuine category value could silently merge with.
 
     Determinism discipline: all probabilities are ratios of exact counts;
     each cell's MI term ``(n_xy/N) * ln(N*n_xy/(n_x*n_y))`` and each
@@ -205,8 +207,14 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """
     q = 12
     quant = F.lit(10.0**q)
-    x = F.coalesce(F.col(x_col).cast("string"), F.lit(" null")).alias("__x")
-    y = F.coalesce(F.col(y_col).cast("string"), F.lit(" null")).alias("__y")
+    x = F.struct(
+        F.col(x_col).isNull().alias("n"),
+        F.coalesce(F.col(x_col).cast("string"), F.lit("")).alias("v"),
+    ).alias("__x")
+    y = F.struct(
+        F.col(y_col).isNull().alias("n"),
+        F.coalesce(F.col(y_col).cast("string"), F.lit("")).alias("v"),
+    ).alias("__y")
     grid = (
         df.select(x, y)
         .groupBy("__x", "__y")

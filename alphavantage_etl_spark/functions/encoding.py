@@ -49,7 +49,9 @@ def target_encode(
     leakage-safe form for encoding the training split. Rows with NULL
     target contribute to neither sum and their ``enc_loo`` equals
     ``enc``; a singleton category under ``smoothing=0`` has no data and
-    no prior left after removing itself, so its ``enc_loo`` is NULL.
+    no prior left after removing itself, so its ``enc_loo`` is NULL —
+    and symmetrically a category whose targets are ALL NULL under
+    ``smoothing=0`` has ``enc`` NULL (no data, no prior).
     NULL categories are a real level (null-safe join, the winsorize
     convention).
     """
@@ -84,8 +86,13 @@ def target_encode(
     # at ~1e5 magnitudes a 1e-9 decimal grid is finer than the scaled-
     # double arithmetic DuckDB's round_even uses, while Spark's bround is
     # exact BigDecimal — they disagree in the last digit.
-    enc = (F.col("__s").cast("double") / qt + m * F.col("__mu")) / (
-        F.col("__n").cast("double") + m
+    # guard the m=0 all-NULL-target category: n+m = 0 leaves no data and
+    # no prior — NULL, not 0/0 (NaN under non-ANSI, error under ANSI);
+    # mirrors the enc_loo singleton guard below
+    enc_denom = F.col("__n").cast("double") + m
+    enc = F.when(
+        enc_denom > 0,
+        (F.col("__s").cast("double") / qt + m * F.col("__mu")) / enc_denom,
     )
     out = df.join(
         F.broadcast(stats), on=F.col(cat_col).eqNullSafe(F.col("__g"))

@@ -13,24 +13,25 @@ from pyspark.sql import functions as F
 
 
 def free_blocks(df: DataFrame) -> None:
-    """Eagerly release a frame's cached blocks, whether it was persist()'d
-    or localCheckpoint()'d.
+    """Release a frame's cached blocks via public API only.
 
-    ``Dataset.unpersist()`` only consults the CacheManager; a
-    localCheckpoint'd frame's blocks belong to the internal RDD behind its
-    LogicalRDD plan node and are otherwise reclaimed only when the driver
-    GC runs the ContextCleaner. Reaching that RDD through the analyzed
-    plan and unpersisting it frees the blocks immediately (verified: the
-    block vanishes from getRDDStorageInfo). Falls back to the
-    ContextCleaner if the internal surface ever moves.
+    For ``persist()``'d frames ``Dataset.unpersist()`` frees the blocks
+    immediately through the CacheManager. For ``localCheckpoint()``'d
+    frames the blocks belong to the internal RDD behind the LogicalRDD
+    plan node, which no public surface reaches — those blocks are
+    reclaimed by the ContextCleaner once the last reference to the frame
+    is dropped (GC-delayed, and accepted: an earlier revision reached the
+    RDD through ``_jdf.queryExecution()`` for eager release, but that is
+    a Spark-private surface and the maintenance hazard outweighs the
+    benefit). The delay is bounded in practice: checkpoint blocks are
+    MEMORY_AND_DESERIALIZED with disk overflow, the frames checkpointed by
+    the iterative operators (CC labels, edge lists, logreg weights) are
+    pair-incident-node-sized — vanishing vs the corpus — and the driver's
+    periodic GC (``spark.cleaner.periodicGC.interval``) backstops a quiet
+    JVM. Callers must drop their own references after calling this so the
+    cleaner can act (the iterative loops rebind per sweep, which does).
     """
     df.unpersist()
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
-    except Exception:  # pragma: no cover - Spark-internal surface
-        pass
 
 
 def release(handles: list[DataFrame]) -> None:

@@ -107,8 +107,9 @@ def connected_components(
             F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         # new_labels is materialized; the prior sweep's checkpoint blocks
-        # are dead. free_blocks (not unpersist: a no-op for checkpointed
-        # frames) releases them eagerly instead of waiting on driver GC.
+        # are dead. free_blocks unpersists CacheManager state and the
+        # rebind below drops the last reference, letting the
+        # ContextCleaner reclaim the checkpoint blocks (see free_blocks).
         free_blocks(labels)
         labels = new_labels
         if new_sum == prev_sum:  # monotone decreasing -> fixpoint reached

@@ -55,21 +55,39 @@ def embedding_near_dups(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = "label",
     round_to: int | None = 6,
+    target_cell_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
 
     ``block_col`` is the coarse quantizer (IVF-style): only same-cell pairs
     are scored, so the self-join shuffles on the block key and the pair count
-    is sum over cells of |cell|^2 instead of |D|^2. With no natural cell
-    column (labels, source shard), derive one with ``lsh_bucket`` — same plan
-    shape. The cross-cell miss rate is the standard IVF recall trade-off;
-    raise recall by probing neighboring cells (union of per-probe runs).
+    is sum over cells of |cell|^2 instead of |D|^2. The cross-cell miss rate
+    is the standard IVF recall trade-off; raise recall by probing
+    neighboring cells (union of per-probe runs).
+
+    ``block_col=None`` derives the cells AUTOMATICALLY with the cells-∝-N
+    discipline (``train_ivf_cells(n_cells="auto")`` at ``target_cell_size``
+    vectors per cell, then nearest-centroid assignment): a FIXED cell
+    population under growing data makes the within-cell pairing quadratic
+    (measured 8-15x wall at 10x data in PERF.md's negative controls), while
+    cells ∝ N holds per-cell work flat. Pass an explicit column for
+    natural blocking (labels, source shard) or a pre-assigned quantizer.
 
     Output: (id_a, id_b, sim), id_a < id_b, sim >= threshold (rounded
     half-even to ``round_to`` first so cross-engine hashes agree).
     """
+    if block_col is None:
+        n = df.count()
+        cents = train_ivf_cells(
+            df,
+            n_cells=resolve_n_cells(n, target_cell_size),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        df = _assign_cells(df, cents, vec_col)
+        block_col = "__cell"
     # Norms are computed ONCE per vector here, not once per pair — the
     # pairwise stage then only pays for the dot product. The final
     # arithmetic (dot / (na * nb)) is unchanged, so results stay bit-equal
@@ -155,12 +173,28 @@ def label_centroids(
     )
 
 
+def resolve_n_cells(
+    n_rows: int, target_cell_size: int = 1024, max_cells: int = 1 << 20
+) -> int:
+    """The cells-∝-N discipline as code: cell count that keeps the
+    expected cell population at ``target_cell_size`` vectors as the
+    corpus grows, so within-cell pairwise work stays flat instead of
+    quadratic (PERF.md's fixed-cells negative controls measured 8-15x
+    wall at 10x data — this is the mitigation users get without reading
+    PERF.md). ``max_cells`` bounds the driver-side centroid model state.
+    """
+    if target_cell_size < 1:
+        raise ValueError(f"target_cell_size must be >= 1, got {target_cell_size}")
+    return max(1, min(max_cells, -(-n_rows // target_cell_size)))
+
+
 def train_ivf_cells(
     df: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_cell_size: int = 1024,
 ) -> list[list[float]]:
     """Train an IVF coarse quantizer: k-means centroids via Lloyd
     iterations expressed as DataFrame ops.
@@ -170,11 +204,22 @@ def train_ivf_cells(
     per-vector work (assignment, partial sums) is fully distributed. Init
     is a deterministic hash-ordered sample, so training is reproducible.
 
+    ``n_cells="auto"`` applies the cells-∝-N discipline
+    (:func:`resolve_n_cells` at ``target_cell_size``): one ``count()``
+    action, then cells grow with the corpus instead of staying fixed —
+    the measured difference between flat and quadratic scaling in
+    PERF.md. An explicit integer keeps the fixed-cells behavior for
+    callers that manage the trade themselves.
+
     Scale: each iteration is one broadcast join (centroid literals) + one
     partial-aggregated groupBy on cell id. For 1B vectors x 16 iterations
     that is 16 scans — amortized by training on a sample, which this
     accepts via ``df`` being any (sampled) frame.
     """
+    if n_cells == "auto":
+        n_cells = resolve_n_cells(df.count(), target_cell_size)
+    elif not isinstance(n_cells, int):
+        raise ValueError(f"n_cells must be an int or 'auto', got {n_cells!r}")
     centroids = [
         list(r[vec_col])
         for r in df.select(vec_col, id_col)
@@ -201,29 +246,59 @@ def train_ivf_cells(
     return centroids
 
 
+# Upper bound on n_cells * dim for the literal-inlined centroid array in
+# _assign_cells. Each float literal becomes Catalyst expression-tree and
+# generated-Java code; past ~10^4 literals the codegen method approaches
+# the JVM's 64KB bytecode-per-method limit and analysis time balloons.
+# Above the bound the centroids travel as DATA through one broadcast
+# single-row join instead — identical arithmetic, bit-identical cells.
+_INLINE_MAX_LITERALS = 8192
+
+
 def _assign_cells(
-    df: DataFrame, centroids: list[list[float]], vec_col: str
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    inline_max: int = _INLINE_MAX_LITERALS,
 ) -> DataFrame:
     """Nearest-centroid (cosine) assignment as a single projection.
 
-    The centroids are model state (n_cells x dim floats, a few KB) so they
-    inline as a literal ``array<struct<cell, cvec>>``; the argmax is
+    The centroids are model state (n_cells x dim floats) and the argmax is
     ``array_max`` over per-centroid (sim, -cell) structs. Assignment is a
-    narrow map — NO shuffle, no join — and duplicate rows keep their
-    multiplicity (the previous broadcast-join + groupBy-all-columns form
-    shuffled the full embedding array as part of the grouping key and
+    narrow map — NO data shuffle, no keyed join — and duplicate rows keep
+    their multiplicity (the previous broadcast-join + groupBy-all-columns
+    form shuffled the full embedding array as part of the grouping key and
     silently merged identical rows). Ties and zero vectors break to the
     lowest cell id, deterministically.
+
+    Small models (n_cells * dim <= ``inline_max``) inline as a literal
+    ``array<struct<cell, cvec>>``; larger ones — the cells-∝-N discipline
+    at the 10^5-cells x high-dim extreme — ride a broadcast ONE-ROW cross
+    join so the array arrives as data, not generated code (the JVM's
+    64KB-per-method codegen limit). Both paths evaluate the identical
+    expression over the identical array value, so assignments are
+    bit-identical (pinned by test).
     """
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    if len(centroids) * len(centroids[0]) <= inline_max:
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        carrier = df
+    else:
+        spark = df.sparkSession
+        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        cent_df = spark.createDataFrame(
+            [(cent_rows,)],
+            "__cents array<struct<cell: int, cvec: array<double>>>",
+        )
+        carrier = df.crossJoin(F.broadcast(cent_df))
+        cents = F.col("__cents")
     scored = F.transform(
         cents,
         lambda s: F.struct(
@@ -234,7 +309,10 @@ def _assign_cells(
         ),
     )
     best = F.array_max(scored)
-    return df.withColumn("__cell", (-best["neg_cell"]).cast("int"))
+    out = carrier.withColumn("__cell", (-best["neg_cell"]).cast("int"))
+    if carrier is not df:
+        out = out.drop("__cents")
+    return out
 
 
 def ivf_topk(
@@ -602,7 +680,7 @@ def knn_graph(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = "label",
 ) -> DataFrame:
     """(id, neighbor_id, rank, sim) — each vector's top-``k`` cosine
     neighbors WITHIN its coarse-quantizer cell (rank 1 = nearest; ties
@@ -648,12 +726,20 @@ def knn_graph(
     )
 
 
+# UnsafeRow footprint of one (long node, long cluster) label row plus
+# broadcast-table overhead — deliberately generous so the gate
+# under-broadcasts, never over-broadcasts (the failure mode that OOMs
+# the driver).
+_LABEL_ROW_BYTES = 64
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = "label",
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space deduplication as one
     keep/drop decision PER VECTOR — cell-blocked cosine near-dup pairs
@@ -668,11 +754,17 @@ def semantic_dedup(
     Scale design (100 TB): the pair stage shuffles only on the coarse-
     quantizer cell (never an all-pairs corpus join — the IVF trade
     documented on `embedding_near_dups`); the closure runs on the
-    PAIR-INCIDENT subgraph only (vanishing vs the corpus, so its label
-    frame broadcasts back); the final assignment is one broadcast join +
-    projection over the corpus. Quality-aware representative choice:
-    use `graph.cluster_representatives` with a quality column instead of
-    the min-id convention here.
+    PAIR-INCIDENT subgraph only (vanishing vs the corpus for real
+    corpora, so its label frame broadcasts back); the final assignment is
+    one join + projection over the corpus. The broadcast is SIZE-GATED,
+    not assumed (same discipline as `contamination.ngram_contamination`):
+    the label frame is checkpoint-materialized by the CC run, so a
+    ``count()`` probe is one cheap cached action, and an adversarial
+    near-dup-dense corpus — where the label frame IS corpus-sized — takes
+    the plain-join path and lets AQE pick the strategy instead of forcing
+    a driver-OOM broadcast. Quality-aware representative choice: use
+    `graph.cluster_representatives` with a quality column instead of the
+    min-id convention here.
     """
     from .graph import connected_components
 
@@ -683,10 +775,12 @@ def semantic_dedup(
     lab = cc.select(
         F.col("node").alias(id_col), F.col("cluster").alias("__cl")
     )
+    if cc.count() * _LABEL_ROW_BYTES <= broadcast_max_bytes:
+        lab = F.broadcast(lab)
     cid = F.coalesce(F.col("__cl"), F.col(id_col).cast("long"))
     return (
         df.select(id_col)
-        .join(F.broadcast(lab), on=id_col, how="left")
+        .join(lab, on=id_col, how="left")
         .select(
             id_col,
             cid.alias("cluster_id"),

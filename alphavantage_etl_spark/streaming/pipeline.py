@@ -710,6 +710,14 @@ def drift_monitor_stream(
             " b -> bround(b, 6))"
         ).alias("e")
     ).first()["e"]
+    # percentile() over zero non-null rows yields NULL (surfacing here as
+    # None, or a list with None elements) — fail at stream BUILD with a
+    # diagnosable error instead of an opaque TypeError from F.lit(None).
+    if edges is None or any(e is None for e in edges):
+        raise ValueError(
+            f"drift_monitor_stream: baseline has no non-null values for "
+            f"{value_col!r} — cannot fit bin edges"
+        )
     edge_arr = F.array(*[F.lit(float(e)) for e in edges])
     v = F.col(value_col)
 

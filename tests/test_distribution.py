@@ -178,6 +178,23 @@ def test_mi_constant_column_yields_null_nmi(spark):
     assert r["h_x"] == 0.0 and r["mi"] == 0.0 and r["nmi"] is None
 
 
+def test_mi_null_level_never_merges_with_lookalike_string(spark):
+    """A genuine category whose VALUE is the old sentinel string ' null'
+    must stay a distinct level from actual NULL (the compound-key fix):
+    with NULL and ' null' as separate x levels bijective to distinct y
+    levels, nmi is exactly 1 — a sentinel collision would merge them and
+    drop nmi below 1."""
+    from alphavantage_etl_spark.functions.distribution import (
+        mutual_information,
+    )
+
+    rows = ([(None, "y0")] * 10) + ([(" null", "y1")] * 10)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information(df, "a", "b").first()
+    assert r["n_cells"] == 2
+    assert abs(r["nmi"] - 1.0) < 1e-9
+
+
 def test_mi_nulls_count_as_level_and_partition_invariant(spark):
     from alphavantage_etl_spark.functions.distribution import (
         mutual_information,

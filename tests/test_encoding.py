@@ -59,6 +59,20 @@ def test_target_encode_null_handling(spark):
     assert out[4]["enc"] == 8.0 and out[4]["enc_loo"] is None
 
 
+def test_target_encode_all_null_category_m0_yields_null(spark):
+    # smoothing=0 and a category whose targets are ALL NULL: no data, no
+    # prior -> enc must be NULL (not 0/0 = NaN under non-ANSI Spark)
+    df = spark.createDataFrame(
+        [(1, "A", None), (2, "A", None), (3, "B", 4.0)],
+        "id long, cat string, y double",
+    )
+    out = {r["id"]: r for r in target_encode(
+        df, "cat", "y", smoothing=0.0, loo=True).collect()}
+    assert out[1]["enc"] is None and out[2]["enc"] is None
+    assert out[1]["enc_loo"] is None  # NULL-target fallback follows enc
+    assert out[3]["enc"] == 4.0
+
+
 def test_discretize_equi_depth_and_boundary_goes_up(spark):
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(1, 11)], "id long, v double"

@@ -455,6 +455,72 @@ def test_ivf_topk_recall(spark):
         assert exact_scores[r["vec_id"]] == r["sim"]
 
 
+def test_assign_cells_inline_and_broadcast_paths_identical(spark):
+    """The centroid-inlining bound (_INLINE_MAX_LITERALS): above it the
+    centroids travel as broadcast data instead of literal codegen. Both
+    paths must produce bit-identical assignments and preserve duplicate
+    rows' multiplicity."""
+    from alphavantage_etl_spark.operators.similarity import (
+        _assign_cells,
+        train_ivf_cells,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings").limit(200)
+    # duplicate the frame so multiplicity preservation is observable
+    emb2 = emb.unionAll(emb)
+    cents = train_ivf_cells(emb, n_cells=8, iters=1)
+    inline = _assign_cells(emb2, cents, "embedding")
+    bcast = _assign_cells(emb2, cents, "embedding", inline_max=0)
+    key = lambda r: (r["vec_id"], r["__cell"])  # noqa: E731
+    a = sorted(map(key, inline.select("vec_id", "__cell").collect()))
+    b = sorted(map(key, bcast.select("vec_id", "__cell").collect()))
+    assert a == b
+    assert len(a) == 400  # duplicates kept
+    assert set(bcast.columns) == set(inline.columns)
+
+
+def test_auto_cells_scale_with_corpus(spark):
+    """n_cells='auto' is the cells-∝-N discipline as code: cell count
+    tracks N / target_cell_size, and block_col=None near-dup runs derive
+    cells automatically while still finding planted near-duplicates."""
+    from alphavantage_etl_spark.operators.similarity import (
+        embedding_near_dups,
+        resolve_n_cells,
+        train_ivf_cells,
+    )
+
+    assert resolve_n_cells(0) == 1
+    assert resolve_n_cells(1024, 1024) == 1
+    assert resolve_n_cells(1025, 1024) == 2
+    assert resolve_n_cells(10_240_000, 1024) == 10_000
+    assert resolve_n_cells(10**12, 1024, max_cells=1 << 20) == 1 << 20
+
+    rows = []
+    for i in range(60):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        rows.append((i, [float(b) for b in base]))
+    # planted exact-duplicate directions: 0~4~8..., same direction family
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_cells(
+        emb, n_cells="auto", iters=1, target_cell_size=10
+    )
+    assert len(cents) == 6  # ceil(60 / 10)
+    pairs = embedding_near_dups(
+        emb, 0.999, block_col=None, target_cell_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical-direction vectors that share a derived cell must pair up;
+    # with 15 copies of each of 4 directions there MUST be some pairs
+    assert got and all(a % 4 == b % 4 for a, b in got)
+
+    with pytest.raises(ValueError, match="n_cells"):
+        train_ivf_cells(emb, n_cells=3.5)  # type: ignore[arg-type]
+
+
 # --- J3 at scale: partitioned as-of join (per-symbol form) ---
 def test_asof_join_partitioned(spark):
     left = spark.createDataFrame(
@@ -665,6 +731,33 @@ def test_semantic_dedup_full_corpus_decision(spark):
     assert out[2]["cluster_id"] == 1 and out[2]["keep"] == 0
     assert out[3]["cluster_id"] == 1 and out[3]["keep"] == 0  # transitive
     assert out[9]["cluster_id"] == 9 and out[9]["keep"] == 1  # singleton
+
+
+def test_semantic_dedup_broadcast_gate_both_branches(spark):
+    """The label broadcast is size-gated: a normal corpus (labels vanish
+    vs corpus) forces the broadcast hint; an adversarial near-dup-dense
+    corpus — simulated by broadcast_max_bytes=0 — takes the plain-join
+    path. Both branches must produce identical assignments."""
+    from alphavantage_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.98, 0.2, 0.0], 0),
+        (3, [0.9, 0.43, 0.0], 0),
+        (9, [0.0, 0.0, 1.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    small = semantic_dedup(emb, 0.97)
+    dense = semantic_dedup(emb, 0.97, broadcast_max_bytes=0)
+    assert "ResolvedHint" in small._jdf.queryExecution().logical().toString()
+    assert (
+        "ResolvedHint"
+        not in dense._jdf.queryExecution().logical().toString()
+    )
+    key = lambda r: (r["vec_id"], r["cluster_id"], r["keep"])  # noqa: E731
+    assert sorted(map(key, small.collect())) == sorted(map(key, dense.collect()))
 
 
 def test_semantic_dedup_blocks_limit_pairing(spark):

@@ -701,6 +701,32 @@ def test_drift_monitor_stream_quarantines_shifted_batch(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 350
 
 
+def test_drift_monitor_stream_rejects_unfittable_baseline(spark, tmp_path):
+    """An empty or all-NULL baseline cannot yield bin edges — the stream
+    build must fail with a diagnosable ValueError, not an opaque
+    TypeError from a NULL percentile."""
+    import pytest
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        drift_monitor_stream,
+    )
+
+    src = tmp_path / "never_read"
+    src.mkdir()
+    stream = spark.readStream.schema("id long, value double").parquet(
+        str(src)
+    )
+    for baseline in (
+        spark.createDataFrame([], "value double"),
+        spark.createDataFrame([(None,), (None,)], "value double"),
+    ):
+        with pytest.raises(ValueError, match="no non-null values"):
+            drift_monitor_stream(
+                stream, baseline, "value",
+                str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+            )
+
+
 def test_enrichment_stream_point_in_time_lookup(spark, tmp_path):
     """Streaming SCD2 enrichment: every micro-batch event joins the
     dimension version valid at ITS OWN timestamp — a late event arriving
