@@ -21,7 +21,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def histogram(
@@ -280,3 +280,58 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Append ``qnorm``: the value's percent-rank WITHIN its group —
+    rank-based score normalization, the standard fix for combining
+    quality/perplexity scores across sources whose raw scales differ (a
+    0.7 from a clean-web source and a 0.7 from a forum dump are not the
+    same signal; their within-source quantiles are comparable).
+
+    ``qnorm = |strictly smaller in group| / (n_group - 1)`` — exactly
+    SQL ``percent_rank()``, ties share a value, single-row groups pin to
+    0.0, NULL values rank as NULL. One int/int division per distinct
+    value: bit-exact across engines.
+
+    Scale design (100 TB): NEVER a per-group window over the data — the
+    rank comes from the (group, value) GRID: one partial-aggregated
+    count per distinct value, a cumulative window over the grid (grid-
+    bounded, quality scores are heavily tied), and one join back keyed
+    on (group, value) that AQE broadcasts when the grid is small. A
+    naive ``percent_rank().over(partitionBy(group))`` would instead
+    sort entire-source partitions — the single-partition-window killer
+    for a 5-source corpus.
+    """
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    grid = g.select(
+        group_col,
+        value_col,
+        (F.sum("__c").over(w_cum) - F.col("__c")).alias("__below"),
+        F.sum("__c").over(w_all).alias("__n"),
+    ).select(
+        group_col,
+        value_col,
+        F.when(
+            F.col("__n") > 1,
+            F.col("__below").cast("double")
+            / (F.col("__n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qnorm"),
+    )
+    return df.join(grid, [group_col, value_col], "left")

@@ -355,3 +355,51 @@ def acf(
             F.bround(cov / F.sqrt(vx * vy), 9),
         ).alias("acf"),
     )
+
+
+def rolling_median(
+    value: Column | str,
+    order_col,
+    k: int,
+    partition_by: tuple = (),
+) -> Column:
+    """Exact rolling median of the trailing ``k`` rows (inclusive of the
+    current row), NULL until a full window has accumulated — the robust
+    complement of the SMA for spike-heavy series (one outlier moves a
+    7-row mean by 1/7 of its magnitude but leaves the median untouched).
+
+    Cross-engine exactness: the median runs over integer CENTS, so the
+    even-count interpolation midpoint is an exact x.5 of integers —
+    representable in a double with no rounding — and the single division
+    back to currency units is one IEEE op over an identical input on
+    both engines. A median over raw doubles would instead hit the
+    engines' differing interpolation expressions ((a+b)/2 vs
+    a+(b-a)/2) in their last bits.
+
+    Implementation: Spark refuses ``median``/``percentile`` over a
+    row frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame
+    is collected into a k-BOUNDED sorted array and the median read by
+    index — order-statistics over an array literal-sized by the window,
+    pure codegen, no UDF. collect_list skips NULLs, matching the
+    non-null count guard.
+
+    Scale: one per-key window Exchange (same sort serves the count
+    guard); never a global sort when ``partition_by`` is set; per-row
+    state is the k-element array, independent of series length.
+    """
+    w = _w(order_col, partition_by, -(k - 1), 0)
+    c = _cents(value)
+    arr = F.sort_array(F.collect_list(c).over(w))
+    n = F.size(arr)
+    mid = F.floor((n + 1) / 2).cast("int")
+    hi = F.floor(n / 2).cast("int") + 1
+    med_cents = F.when(
+        n % 2 == 1, F.element_at(arr, mid).cast("double")
+    ).otherwise(
+        (
+            F.element_at(arr, mid).cast("double")
+            + F.element_at(arr, hi).cast("double")
+        )
+        / F.lit(2.0)
+    )
+    return F.when(F.count(c).over(w) >= k, med_cents / F.lit(100.0))

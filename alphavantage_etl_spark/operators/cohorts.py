@@ -166,3 +166,91 @@ def transition_matrix(
             (F.col("n").cast("double") / F.col("__tot").cast("double")).alias("p"),
         )
     )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion: str = "purchase",
+) -> DataFrame:
+    """Per-channel conversion attribution — (channel, first_touch,
+    last_touch, linear_credit) over every converting user journey.
+
+    A journey is the run of a user's non-conversion events ("touches")
+    since their previous conversion; each touch's journey index is the
+    count of conversions seen so far (one cumulative-sum window), and a
+    journey attributes only if its closing conversion exists. First/last
+    touch are ``min_by``/``max_by`` on the (ts, id) order key; linear
+    credit splits each journey's 1.0 evenly across its touches (exact
+    int/int ratios, half-even-quantized to 1e-9 and summed as exact
+    decimal integers — the repo's standard discipline for sums of
+    per-group doubles, immune to partial-agg merge order).
+
+    Scale (100 TB): one per-user window Exchange (the cumulative
+    conversion count), then every aggregation is keyed on (user,
+    journey) or on the |channels|-bounded output grid; the journey
+    semi-join is (user, journey)-keyed. No self-join of the event
+    stream, no per-conversion scan.
+    """
+    okey = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
+    w = Window.partitionBy(user_col).orderBy(okey)
+    is_conv = F.col(type_col) == conversion
+    e = events.select(
+        user_col, ts_col, id_col, type_col,
+        F.sum(is_conv.cast("long")).over(w).alias("__cc"),
+    )
+    # a touch with j prior conversions belongs to journey j+1; journey j
+    # exists iff a conversion row has inclusive-cumulative count j
+    touches = e.where(F.col(type_col) != conversion).select(
+        user_col, type_col, ts_col, id_col,
+        (F.col("__cc") + 1).alias("__j"),
+    )
+    convs = e.where(is_conv).select(user_col, F.col("__cc").alias("__j"))
+    tj = touches.join(convs, [user_col, "__j"], "semi")
+    okey2 = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
+    per_j = tj.groupBy(user_col, "__j").agg(
+        F.min_by(type_col, okey2).alias("__first"),
+        F.max_by(type_col, okey2).alias("__last"),
+        F.count(F.lit(1)).alias("__total"),
+    )
+    share = (
+        tj.groupBy(user_col, "__j", type_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .join(per_j.select(user_col, "__j", "__total"), [user_col, "__j"])
+        .select(
+            F.col(type_col).alias("channel"),
+            F.round(
+                F.bround(
+                    F.col("__cnt").cast("double")
+                    / F.col("__total").cast("double"),
+                    9,
+                )
+                * F.lit(1e9)
+            )
+            .cast("decimal(38,0)")
+            .alias("__q"),
+        )
+        .groupBy("channel")
+        .agg(
+            (F.sum("__q").cast("double") / F.lit(1e9)).alias("linear_credit")
+        )
+    )
+    firsts = per_j.groupBy(F.col("__first").alias("channel")).agg(
+        F.count(F.lit(1)).alias("first_touch")
+    )
+    lasts = per_j.groupBy(F.col("__last").alias("channel")).agg(
+        F.count(F.lit(1)).alias("last_touch")
+    )
+    return (
+        share.join(firsts, "channel", "full")
+        .join(lasts, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+            F.coalesce("linear_credit", F.lit(0.0)).alias("linear_credit"),
+        )
+    )

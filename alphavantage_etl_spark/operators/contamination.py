@@ -144,3 +144,68 @@ def ngram_contamination(
         "bench_id",
         (F.col("__shared").cast("double") / F.col("__bn")).alias("overlap"),
     ).where(F.col("overlap") >= threshold)
+
+
+def cross_split_leakage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    block_cols: list[str],
+    k: int = 5,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE a train/valid/test boundary —
+    the self-contamination complement of :func:`ngram_contamination`
+    (which checks the corpus against an EXTERNAL benchmark): a held-out
+    split whose items have near-verbatim twins in train measures
+    memorization, not generalization, so these pairs must be found and
+    one side dropped (or the pair co-assigned) BEFORE training.
+
+    Exact character-k-gram Jaccard over block-bounded candidate pairs —
+    the same verifier arithmetic as ``dedup.ngram_jaccard_pairs``
+    (xxhash64'd shingles, single int/int division) with the split
+    carried THROUGH the self-join as a ride-along column: no corpus-
+    sized id->split join afterwards, and the ``split_a != split_b``
+    predicate sits in the join condition where it prunes same-split
+    pairs before any intersection is computed. At 100 TB the blocking
+    discipline is the usual one: run MinHash-LSH first and verify only
+    candidates, or block on (lang, length-bucket) as here.
+
+    Output: (id_a, id_b, split_a, split_b, jaccard), id_a < id_b,
+    jaccard >= threshold.
+    """
+    lowered = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(split_col).alias("__split"),
+        *block_cols,
+        F.lower(F.col(text_col)).alias("__lc"),
+    )
+    c = F.col("__lc")
+    n = F.length(c)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+        )
+    )
+    sh = lowered.select("__id", "__split", *block_cols, shingles.alias("__sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.__id") < F.col("b.__id")) & (
+        F.col("a.__split") != F.col("b.__split")
+    )
+    for bc in block_cols:
+        cond = cond & (F.col(f"a.{bc}") == F.col(f"b.{bc}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__split").alias("split_a"),
+            F.col("b.__split").alias("split_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

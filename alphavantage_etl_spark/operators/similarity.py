@@ -787,3 +787,82 @@ def semantic_dedup(
             (cid == F.col(id_col)).cast("int").alias("keep"),
         )
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    top_frac: float = 0.01,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(id, label, dist2, rank): the ``top_frac`` of each label's vectors
+    FARTHEST from their label centroid (rank 1 = farthest; ties break to
+    the smaller id) — embedding-space outlier mining: mislabeled items,
+    encoder failures, and off-distribution content live in a cluster's
+    tail, and reviewing the per-cluster top-1% is the standard curation
+    audit.
+
+    Exactness: centroids are ratios of 1e-6-quantized EXACT integer sums
+    (the ``label_centroids`` discipline); each (x_j - c_j)^2 term is
+    half-even-quantized to 1e-12 and summed as exact decimal integers, so
+    dist2 is bit-identical across engines and partial-agg merge orders.
+
+    Scale design (100 TB): posexplode collapses map-side into the
+    (|labels| x dim)-bounded sufficient-statistics table; the centroid
+    join back is on (label, dim) against that bounded table (AQE
+    broadcasts it); per-label ranking is a row_number window whose
+    partitions are label-sized — under the cells-∝-N discipline
+    (``resolve_n_cells``) labels stay ``target_cell_size``-bounded, so
+    no partition grows with the corpus.
+    """
+    if not 0 < top_frac <= 1:
+        raise ValueError(f"top_frac must be in (0, 1], got {top_frac}")
+    from pyspark.sql import Window
+
+    u6 = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    ex = df.select(
+        F.col(id_col), F.col(label_col).alias("label"),
+        F.posexplode(u6).alias("dim", "__u6"),
+    )
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__u6").cast("decimal(38,0)")).alias("__s"),
+        )
+        .select(
+            "label", "dim",
+            (
+                F.col("__s").cast("double")
+                / (F.col("__n") * F.lit(1_000_000))
+            ).alias("__c"),
+            "__n",
+        )
+    )
+    term = F.round(
+        F.bround(
+            (F.col("__u6").cast("double") / F.lit(1e6) - F.col("__c"))
+            * (F.col("__u6").cast("double") / F.lit(1e6) - F.col("__c")),
+            12,
+        )
+        * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy(id_col, "label")
+        .agg(
+            (F.sum(term).cast("double") / F.lit(1e12)).alias("dist2"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist2"), F.col(id_col)
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.ceil(F.lit(top_frac) * F.col("__n")))
+        .select(id_col, "label", "dist2", "rank")
+    )

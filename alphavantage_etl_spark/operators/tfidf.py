@@ -231,3 +231,64 @@ def zipf_fit(
             F.bround((sy - slope * sx) / nf, 9),
         ).alias("intercept"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 1000,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_tokens, n_oov, oov_rate) per document: how much of each
+    document falls outside a reference vocabulary — the pre-training
+    tokenizer-fit check ("will this corpus explode the OOV/byte-fallback
+    rate?") and a per-document quality signal (gibberish and non-target-
+    language text score high OOV against a head vocabulary).
+
+    ``vocab`` defaults to the corpus's own ``top_k`` most frequent terms
+    (ties: lexicographically smaller term wins — deterministic across
+    engines); pass an explicit one-column ``term`` frame to audit against
+    a fixed tokenizer/another corpus's vocabulary.
+
+    Scale design (100 TB): the vocabulary is top-k BOUNDED MODEL STATE
+    (TakeOrderedAndProject over the term-count table, never a full sort),
+    broadcast to the token stream; per-document counts collapse map-side
+    (a document's tokens are contiguous in its input split, so the
+    partial aggregation reduces each doc to one row before the
+    exchange). Token multiplicity counts — OOV *occurrences*, not
+    distinct types — matching what a tokenizer would actually emit.
+    """
+    from ..functions.text import tokens as _tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    )
+    if vocab is None:
+        vocab = (
+            toks.groupBy("__tok")
+            .agg(F.count("*").alias("__cnt"))
+            .orderBy(F.desc("__cnt"), F.col("__tok"))
+            .limit(top_k)
+            .select(F.col("__tok").alias("term"))
+        )
+    flagged = toks.join(
+        F.broadcast(vocab.select(F.col("term").alias("__v"))),
+        toks["__tok"] == F.col("__v"),
+        "left",
+    )
+    n_tok = F.count(F.lit(1)).alias("n_tokens")
+    n_oov = F.sum(F.col("__v").isNull().cast("long")).alias("n_oov")
+    return (
+        flagged.groupBy(id_col)
+        .agg(n_tok, n_oov)
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )

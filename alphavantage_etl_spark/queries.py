@@ -4125,6 +4125,246 @@ FROM g
 """
 
 
+# X59 — cross-split near-dup leakage (r5): exact k-gram Jaccard pairs
+# that STRADDLE the content-addressed train/valid/test boundary — the
+# self-contamination audit run before training (a held-out twin of a
+# train doc measures memorization). Split rides THROUGH the blocked
+# self-join as a carried column; split_a != split_b prunes in the join
+# condition (operators/contamination.py:cross_split_leakage).
+def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.contamination import cross_split_leakage
+    from .operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    d = hash_split(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return cross_split_leakage(
+        d, "text", "doc_id", "split",
+        block_cols=["lang", "len_bucket"], k=5, threshold=0.25,
+    )
+
+
+SQL_CROSS_SPLIT_LEAKAGE = """
+WITH sh AS (
+  SELECT doc_id, lang, n_chars // 100 AS lb,
+         list_distinct([substring(lower(text), i, 5)
+                        for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+  FROM documents),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 8000 THEN 'train'
+              WHEN b < 9000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substring(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS b
+        FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sa.split AS split_a, sb.split AS split_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+  JOIN sp sa ON sa.doc_id = a.doc_id
+  JOIN sp sb ON sb.doc_id = b.doc_id
+  WHERE sa.split <> sb.split)
+SELECT id_a, id_b, split_a, split_b, CAST(inter AS DOUBLE) / un AS jaccard
+FROM pairs WHERE CAST(inter AS DOUBLE) / un >= 0.25
+"""
+
+
+# X60 — vocabulary coverage / OOV rate (r5): per-document share of token
+# occurrences outside the corpus's top-k head vocabulary — the
+# tokenizer-fit and gibberish signal. Vocabulary is TakeOrdered bounded
+# model state (ties: lexicographic), broadcast to the token stream
+# (operators/tfidf.py:vocab_coverage). top_k=20 of the 31-term synthetic
+# vocabulary so the OOV tail is live at every SF.
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import vocab_coverage
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_coverage(d, "text", "doc_id", top_k=20)
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents),
+vc AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT term FROM vc ORDER BY c DESC, term LIMIT 20),
+f AS (
+  SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+FROM f GROUP BY doc_id
+"""
+
+
+# X61 — exact rolling median (r5): per-user trailing-7-event median of
+# the event value, NULL under a full window — the robust (spike-immune)
+# complement of the SMA. Median over integer cents so the even-count
+# interpolation midpoint is exactly representable — cross-engine
+# bit-identical (functions/indicators.py:rolling_median).
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.indicators import rolling_median
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    okey = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        rolling_median("value", okey, 7, ("user_id",)).alias("med7"),
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+WITH r AS (
+  SELECT event_id, user_id,
+         median(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+           OVER w / 100.0 AS m,
+         count(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+           OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, CASE WHEN c >= 7 THEN m END AS med7 FROM r
+"""
+
+
+# X62 — conversion attribution (r5): first-touch / last-touch / linear
+# credit per channel over every converting user journey (touches since
+# the previous conversion). One per-user cumulative window segments
+# journeys; everything downstream is (user, journey)- or channel-keyed.
+# Linear credit = exact int/int journey shares, 1e-9-quantized and
+# summed as exact integers (operators/cohorts.py:conversion_attribution).
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import conversion_attribution
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return conversion_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        conversion="purchase",
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS UNBOUNDED PRECEDING) AS cc
+  FROM events),
+touches AS (
+  SELECT user_id, event_type, ts, event_id, cc + 1 AS j
+  FROM e WHERE event_type <> 'purchase'),
+convs AS (SELECT DISTINCT user_id, cc AS j FROM e WHERE event_type = 'purchase'),
+tj AS (
+  SELECT t.user_id, t.event_type, t.ts, t.event_id, t.j
+  FROM touches t JOIN convs c ON t.user_id = c.user_id AND t.j = c.j),
+rk AS (
+  SELECT user_id, j, event_type,
+         row_number() OVER (PARTITION BY user_id, j ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, j) AS total
+  FROM tj),
+sh AS (SELECT user_id, j, event_type, count(*) AS cnt FROM tj GROUP BY 1, 2, 3),
+tot AS (SELECT user_id, j, count(*) AS total FROM tj GROUP BY 1, 2),
+lin AS (
+  SELECT sh.event_type AS channel,
+         CAST(sum(CAST(round(round_even(CAST(cnt AS DOUBLE) / total, 9) * 1e9)
+                       AS HUGEINT)) AS DOUBLE) / 1e9 AS linear_credit
+  FROM sh JOIN tot ON sh.user_id = tot.user_id AND sh.j = tot.j
+  GROUP BY 1),
+fi AS (SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS first_touch
+       FROM rk WHERE rn = 1 GROUP BY 1),
+la AS (SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS last_touch
+       FROM rk WHERE rn = total GROUP BY 1)
+SELECT channel,
+       coalesce(first_touch, 0) AS first_touch,
+       coalesce(last_touch, 0) AS last_touch,
+       coalesce(linear_credit, 0.0) AS linear_credit
+FROM lin
+FULL JOIN fi USING (channel)
+FULL JOIN la USING (channel)
+"""
+
+
+# X63 — cross-source quantile normalization (r5): percent-rank of each
+# document's quality score WITHIN its source — rank-based calibration
+# that makes scores comparable across sources with different raw scales.
+# Grid-based: the rank comes from the (source, value) count grid, never
+# a per-source window over the data
+# (functions/distribution.py:quantile_normalize).
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import quantile_normalize
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = with_quality_score(d, "text").select("doc_id", "source", "q")
+    return quantile_normalize(scored, "q", "source")
+
+
+SQL_QUANTILE_NORM = f"""
+WITH qs AS (SELECT * FROM ({SQL_QUALITY_SCORE}) _q),
+j AS (
+  SELECT d.doc_id, d.source, qs.q
+  FROM qs JOIN documents d ON d.doc_id = qs.doc_id)
+SELECT doc_id, source, q,
+       CASE WHEN count(*) OVER (PARTITION BY source) > 1
+            THEN percent_rank() OVER (PARTITION BY source ORDER BY q)
+            ELSE 0.0 END AS qnorm
+FROM j
+"""
+
+
+# X64 — centroid-distance outlier mining (r5): the top-5% of each
+# label's vectors farthest from their label centroid — the mislabeled-
+# item / encoder-failure audit. Exact integer sufficient statistics,
+# 1e-12-quantized squared-distance terms, label-bounded ranking
+# (operators/similarity.py:centroid_outliers).
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import centroid_outliers
+
+    emb = load(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, top_frac=0.05)
+
+
+SQL_CENTROID_OUTLIERS = """
+WITH u AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS u6
+  FROM (SELECT vec_id, label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+c AS (
+  SELECT label, dim, count(*) AS n,
+         CAST(sum(CAST(u6 AS HUGEINT)) AS DOUBLE)
+           / (count(*) * 1000000.0) AS c
+  FROM u GROUP BY 1, 2),
+t AS (
+  SELECT u.vec_id, u.label,
+         sum(CAST(round(round_even(
+               (CAST(u6 AS DOUBLE) / 1e6 - c.c)
+               * (CAST(u6 AS DOUBLE) / 1e6 - c.c), 12) * 1e12)
+             AS HUGEINT)) AS qd,
+         max(c.n) AS n
+  FROM u JOIN c ON u.label = c.label AND u.dim = c.dim
+  GROUP BY 1, 2),
+r AS (
+  SELECT vec_id, label, CAST(qd AS DOUBLE) / 1e12 AS dist2, n,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY CAST(qd AS DOUBLE) / 1e12 DESC, vec_id) AS rk
+  FROM t)
+SELECT vec_id, label, dist2, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= ceil(0.05 * n)
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4255,6 +4495,14 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
+    # r5 additions (components X59-X64, no driver row yet — rotate
+    # forward in r6, newest-risk first)
+    "q_cross_split_leakage": q_cross_split_leakage,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_rolling_median": q_rolling_median,
+    "q_attribution": q_attribution,
+    "q_quantile_norm": q_quantile_norm,
+    "q_centroid_outliers": q_centroid_outliers,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4389,6 +4637,13 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    # r5 additions (X59-X64)
+    "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
+    "q_vocab_coverage": SQL_VOCAB_COVERAGE,
+    "q_rolling_median": SQL_ROLLING_MEDIAN,
+    "q_attribution": SQL_ATTRIBUTION,
+    "q_quantile_norm": SQL_QUANTILE_NORM,
+    "q_centroid_outliers": SQL_CENTROID_OUTLIERS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -120,6 +120,13 @@ BENCH_QUERIES = [
     "q_change_point",
     "q_embedding_diag",
     "q_zipf",
+    # round-5 additions
+    "q_cross_split_leakage",
+    "q_vocab_coverage",
+    "q_rolling_median",
+    "q_attribution",
+    "q_quantile_norm",
+    "q_centroid_outliers",
 ]
 
 

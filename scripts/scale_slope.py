@@ -63,8 +63,32 @@ DOC_QUERIES = [
     "q_logreg",
     "q_block_dedup",
     "q_collocations",
+    # r5: train + exact AUC over the 10x corpus (score grid stays
+    # distinct-score-bounded; training is the dominant, linear part)
+    "q_auc",
 ]
-EMB_QUERIES = ["q_embed_near_dup", "q_dedup_clusters", "q_semantic_dedup"]
+EMB_QUERIES = [
+    "q_embed_near_dup",
+    "q_dedup_clusters",
+    "q_semantic_dedup",
+    # r5: cell-blocked candidate top-k and two-phase global ranking —
+    # both share the cells-∝-N discipline measured by the x10/fixedcells
+    # pair
+    "q_knn_graph",
+    "q_negative_samples",
+]
+# r5: the TPC-H-shaped heavies. Replication offsets order/cust/supp keys
+# per replica while NATIONS STAY FIXED — orders, customers, suppliers and
+# line items grow with the business; the nation graph does not. PageRank
+# and triangle counting therefore aggregate 10x the edge-weight input
+# into the same 25-node graph (the realistic growth mode for an
+# entity-graph rollup), and the bootstrap resamples 10x the orders into
+# the same 5 priority groups.
+TPCH_QUERIES = [
+    "q_bootstrap_ci",
+    "q_pagerank",
+    "q_triangles",
+]
 
 # Optional narrowing for incremental runs (comma-separated query names):
 # re-measuring one fixed query must not pay the full five-query sweep.
@@ -73,6 +97,7 @@ if _ONLY:
     only = {q.strip() for q in _ONLY.split(",")}
     DOC_QUERIES = [q for q in DOC_QUERIES if q in only]
     EMB_QUERIES = [q for q in EMB_QUERIES if q in only]
+    TPCH_QUERIES = [q for q in TPCH_QUERIES if q in only]
 
 _CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 
@@ -147,6 +172,71 @@ def generate(spark, out_dir: str, scale_cells: bool) -> None:
     e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
+# Key offset between replicas — far above any sf0.1 key, well inside
+# int64, so replicated join keys never collide across replicas.
+_KEY_OFF = 10**10
+
+
+def _replicate_keyed(spark, out_dir: str, specs) -> None:
+    """Union REPLICAS key-shifted copies of each (table, key_cols) spec:
+    join structure preserved WITHIN a replica, disjoint across replicas."""
+    from pyspark.sql import functions as F
+
+    for name, keys in specs:
+        df = spark.read.parquet(f"{BASE_SF}/{name}.parquet")
+        parts = []
+        for r in range(REPLICAS):
+            parts.append(
+                df.select(
+                    *[
+                        (F.col(c) + F.lit(r * _KEY_OFF)).alias(c)
+                        if c in keys
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def generate_tpch(spark, out_dir: str) -> None:
+    """Replicate orders/lineitem/customer/supplier 10x with per-replica
+    key offsets; nation/region stay fixed — entity graphs don't grow
+    with transaction volume."""
+    _replicate_keyed(
+        spark,
+        out_dir,
+        [
+            ("orders", {"o_orderkey", "o_custkey"}),
+            ("lineitem", {"l_orderkey", "l_suppkey", "l_partkey"}),
+            ("customer", {"c_custkey"}),
+            ("supplier", {"s_suppkey"}),
+        ],
+    )
+    for t in ("nation", "region"):
+        link = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"{BASE_SF}/{t}.parquet", link)
+
+
+def generate_aux(spark, out_dir: str) -> None:
+    """Replicate events and part 10x (fresh event/user/part keys, same
+    time span — 10x the traffic over the same calendar, which is how an
+    event stream actually grows) so the FULL headline set can run against
+    the replicated corpus."""
+    _replicate_keyed(
+        spark,
+        out_dir,
+        [
+            ("events", {"event_id", "user_id"}),
+            ("part", {"p_partkey"}),
+        ],
+    )
+
+
 def bench(spark, queries, sf_dir: str, n_reps: int) -> dict[str, float]:
     from alphavantage_etl_spark.queries import ALL_QUERIES
 
@@ -176,7 +266,10 @@ def main() -> None:
     x10 = os.path.join(WORK, f"x{REPLICAS}")
     x10f = os.path.join(WORK, f"x{REPLICAS}_fixedcells")
     os.makedirs(x1, exist_ok=True)
-    for t in ("documents", "embeddings"):
+    for t in (
+        "documents", "embeddings",
+        "orders", "lineitem", "customer", "supplier", "nation", "region",
+    ):
         link = os.path.join(x1, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(f"{BASE_SF}/{t}.parquet", link)
@@ -185,6 +278,8 @@ def main() -> None:
     if not os.path.exists(f"{x10f}/embeddings.parquet/_SUCCESS"):
         # documents identical across variants: share via copy of the x10 set
         generate(spark, x10f, scale_cells=False)
+    if TPCH_QUERIES and not os.path.exists(f"{x10}/lineitem.parquet/_SUCCESS"):
+        generate_tpch(spark, x10)
 
     # warmup (JIT/codegen) on the smallest SF
     ALL_QUERIES["q_tfidf_terms"](spark, "/root/testdata/sf0.001").write.format(
@@ -194,14 +289,15 @@ def main() -> None:
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
+    main_set = DOC_QUERIES + EMB_QUERIES + TPCH_QUERIES
     results = {
-        "x1": bench(spark, DOC_QUERIES + EMB_QUERIES, x1, n_reps),
-        f"x{REPLICAS}": bench(spark, DOC_QUERIES + EMB_QUERIES, x10, n_reps),
+        "x1": bench(spark, main_set, x1, n_reps),
+        f"x{REPLICAS}": bench(spark, main_set, x10, n_reps),
         f"x{REPLICAS}_fixedcells": bench(spark, EMB_QUERIES, x10f, n_reps),
     }
     slopes = {
         name: round(results[f"x{REPLICAS}"][name] / results["x1"][name], 2)
-        for name in DOC_QUERIES + EMB_QUERIES
+        for name in main_set
     }
     slopes_fixed = {
         name: round(

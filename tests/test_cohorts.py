@@ -272,3 +272,77 @@ def test_kaplan_meier_all_censored_and_partition_invariant(spark):
         kaplan_meier(subj.repartition(8), "duration", "churned").collect()
     )
     assert a == b
+
+
+# ------------------------------------------------- conversion attribution
+def test_attribution_first_last_linear_known_journeys(spark):
+    """Hand-computed journeys: user 1 has touches a,b then purchase, then
+    touch c then purchase; user 2 has touches but never converts (no
+    attribution); user 3 converts with no prior touches (no rows)."""
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.cohorts import (
+        conversion_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1, journey 1: a (first), b (last) -> purchase
+        (1, ts(0), 10, "a"),
+        (1, ts(1), 11, "b"),
+        (1, ts(2), 12, "purchase"),
+        # user 1, journey 2: c alone -> purchase
+        (1, ts(3), 13, "c"),
+        (1, ts(4), 14, "purchase"),
+        # user 2: touches, never converts
+        (2, ts(0), 20, "a"),
+        (2, ts(1), 21, "b"),
+        # user 3: purchase with no touches
+        (3, ts(0), 30, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in conversion_attribution(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    # journey 1: a first, b last, linear 0.5 each; journey 2: c both, 1.0
+    assert out["a"]["first_touch"] == 1 and out["a"]["last_touch"] == 0
+    assert out["b"]["first_touch"] == 0 and out["b"]["last_touch"] == 1
+    assert out["c"]["first_touch"] == 1 and out["c"]["last_touch"] == 1
+    assert abs(out["a"]["linear_credit"] - 0.5) < 1e-9
+    assert abs(out["b"]["linear_credit"] - 0.5) < 1e-9
+    assert abs(out["c"]["linear_credit"] - 1.0) < 1e-9
+
+
+def test_attribution_same_timestamp_tiebreaks_on_id(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.cohorts import (
+        conversion_attribution,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 2, "b"),          # same ts: id 2 > 1 -> last touch
+        (1, t, 1, "a"),          # same ts: id 1 -> first touch
+        (1, t, 3, "purchase"),   # same ts: id 3 closes the journey
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in conversion_attribution(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert out["a"]["first_touch"] == 1 and out["b"]["last_touch"] == 1

@@ -1,0 +1,171 @@
+"""Unit tests for the r5 operator additions (X59-X64): cross-split
+leakage, vocabulary coverage, rolling median, quantile normalization,
+centroid outliers. (Attribution lives in test_cohorts.py.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ cross-split leakage
+def test_cross_split_leakage_only_straddling_pairs(spark):
+    from alphavantage_etl_spark.operators.contamination import (
+        cross_split_leakage,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "train"),
+        (2, base + " x", "en", "test"),   # near-dup of 1, straddles
+        (3, base + " y", "en", "train"),  # near-dup of 1, same split
+        (4, "completely different content with other words", "en", "test"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, split string"
+    )
+    out = cross_split_leakage(
+        df, "text", "doc_id", "split", block_cols=["lang"], threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # (1,2) straddles; (1,3) and (2,3)... (2,3) straddles too (test/train)
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs, "same-split pair must be pruned"
+    for r in out:
+        assert r["split_a"] != r["split_b"]
+        assert r["jaccard"] >= 0.5
+
+
+def test_cross_split_leakage_blocks_limit_pairing(spark):
+    from alphavantage_etl_spark.operators.contamination import (
+        cross_split_leakage,
+    )
+
+    base = "identical text content for both rows here"
+    df = spark.createDataFrame(
+        [(1, base, "en", "train"), (2, base, "de", "test")],
+        "doc_id long, text string, lang string, split string",
+    )
+    out = cross_split_leakage(
+        df, "text", "doc_id", "split", block_cols=["lang"], threshold=0.1
+    ).collect()
+    assert out == []  # different blocks are never compared
+
+
+# ------------------------------------------------ vocabulary coverage
+def test_vocab_coverage_counts_and_rates(spark):
+    from alphavantage_etl_spark.operators.tfidf import vocab_coverage
+
+    rows = [
+        (1, "aa aa bb"),       # aa, bb in head vocab
+        (2, "aa zz"),          # zz is OOV (1 occurrence)
+        (3, "zz qq qq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus counts: aa=3, qq=2, zz=2, bb=1 -> top 2 = aa, qq
+    # (ties at count 2: qq < zz lexicographically)
+    out = {
+        r["doc_id"]: r
+        for r in vocab_coverage(df, "text", "doc_id", top_k=2).collect()
+    }
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 1  # bb OOV
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1  # zz OOV
+    assert out[3]["n_tokens"] == 3 and out[3]["n_oov"] == 1  # zz OOV
+    assert out[2]["oov_rate"] == pytest.approx(0.5)
+
+
+def test_vocab_coverage_explicit_vocab_and_multiplicity(spark):
+    from alphavantage_etl_spark.operators.tfidf import vocab_coverage
+
+    df = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("y",)], "term string")
+    r = vocab_coverage(df, "text", "doc_id", vocab=vocab).first()
+    assert r["n_tokens"] == 4 and r["n_oov"] == 3  # occurrences, not types
+    assert r["oov_rate"] == pytest.approx(0.75)
+
+
+# ------------------------------------------------ rolling median
+def test_rolling_median_exact_and_null_under_k(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.functions.indicators import rolling_median
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [1.0, 100.0, 3.0]  # median of the 3 = 3.0 (spike-immune)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp_ntz, i long, v double"
+    )
+    okey = F.struct(F.col("ts"), F.col("i"))
+    out = sorted(
+        df.select("i", rolling_median("v", okey, 3, ("k",)).alias("m"))
+        .collect(),
+        key=lambda r: r["i"],
+    )
+    assert out[0]["m"] is None and out[1]["m"] is None  # under k
+    assert out[2]["m"] == 3.0  # the mean would be 34.67
+
+    # even-count interpolation midpoint is exact (x.5 cents)
+    df2 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=i), i, v)
+         for i, v in enumerate([1.0, 2.0])],
+        "k long, ts timestamp_ntz, i long, v double",
+    )
+    out2 = df2.select(
+        "i", rolling_median("v", F.struct(F.col("ts"), F.col("i")), 2, ("k",))
+        .alias("m")
+    ).collect()
+    assert {r["m"] for r in out2} == {None, 1.5}
+
+
+# ------------------------------------------------ quantile normalization
+def test_quantile_normalize_percent_rank_semantics(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        quantile_normalize,
+    )
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 20.0),
+        (3, "a", 20.0),   # tie shares the rank
+        (4, "a", 30.0),
+        (5, "b", 999.0),  # singleton group -> 0.0
+        (6, "c", None),   # NULL value -> NULL qnorm
+        (7, "c", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r["qnorm"] for r in quantile_normalize(df, "v", "g").collect()}
+    assert out[1] == 0.0
+    assert out[2] == out[3] == pytest.approx(1 / 3)
+    assert out[4] == 1.0
+    assert out[5] == 0.0
+    assert out[6] is None
+    assert out[7] == 0.0
+    # every input row survives (the join is left)
+    assert len(out) == 7
+
+
+# ------------------------------------------------ centroid outliers
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from alphavantage_etl_spark.operators.similarity import centroid_outliers
+
+    # label 0: ten near-identical vectors + one far outlier
+    rows = [(i, [1.0, 0.0], 0) for i in range(10)]
+    rows.append((99, [-5.0, 5.0], 0))
+    # label 1: uniform cluster, top_frac picks its farthest member
+    rows += [(100 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = centroid_outliers(df, top_frac=0.1, id_col="vec_id")
+    got = {(r["label"], r["vec_id"]): r for r in out.collect()}
+    # ceil(0.1 * 11) = 2 for label 0; ceil(0.1 * 10) = 1 for label 1
+    assert sum(1 for (lbl, _) in got if lbl == 0) == 2
+    assert sum(1 for (lbl, _) in got if lbl == 1) == 1
+    assert (0, 99) in got and got[(0, 99)]["rank"] == 1
+    assert got[(0, 99)]["dist2"] > 10
+
+    with pytest.raises(ValueError, match="top_frac"):
+        centroid_outliers(df, top_frac=0.0)
