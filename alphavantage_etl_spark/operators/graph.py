@@ -146,18 +146,26 @@ def cluster_representatives(
     clusters: DataFrame,
     id_col: str,
     quality_col: str | None = None,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """One surviving row per duplicate cluster: the max-quality member
     (ties: min id), or the min-id member when no quality column is given.
     Rows in no cluster (not incident to any near-dup edge) always survive.
 
-    One broadcast-able join (clusters is |nodes in pairs|-sized, vanishing
-    vs the corpus) plus one shuffle on cluster id for the argmax.
+    One label join (clusters is |nodes in pairs|-sized, vanishing vs the
+    corpus for real corpora) plus one shuffle on cluster id for the
+    argmax. The broadcast is SIZE-GATED, not assumed (the semantic_dedup
+    discipline): ``clusters`` is checkpoint-materialized by the CC run
+    that produces it, so the ``count()`` probe is one cheap cached
+    action, and an adversarial near-dup-dense corpus takes the
+    plain-join/AQE path instead of a forced driver-OOM broadcast.
     """
     lab = clusters.select(
         F.col("node").alias(id_col), F.col("cluster").alias("__cluster")
     )
-    tagged = docs.join(F.broadcast(lab), id_col, "left").withColumn(
+    if clusters.count() * 64 <= broadcast_max_bytes:
+        lab = F.broadcast(lab)
+    tagged = docs.join(lab, id_col, "left").withColumn(
         "__cluster", F.coalesce("__cluster", F.col(id_col).cast("long"))
     )
     # struct ordering is lexicographic, so (quality, -id) makes max_by pick

@@ -30,11 +30,20 @@ def new_rows(incoming: DataFrame, existing: DataFrame, key: str) -> DataFrame:
     """Rows of ``incoming`` whose key is absent from ``existing``
     (av_etl.py:79's ``tail(gap)``, made order-independent).
 
-    ``left_anti`` on the deduplicated key projection; Catalyst broadcasts
-    the key set when small (check: BroadcastHashJoin ... LeftAnti in the
-    plan)."""
+    ``left_anti`` on the deduplicated key projection. The broadcast hint
+    is SIZE-GATED on the existing side's input-file bytes (the
+    contamination probe — conservative: unknown sizes fall through to
+    no hint): the reference's sink is a small daily table where the
+    broadcast always wins, but a 100 TB sink's key set must go through
+    a shuffled anti-join (AQE still upgrades genuinely small sides at
+    runtime). Check: BroadcastHashJoin ... LeftAnti in the plan for the
+    small case."""
+    from .contamination import _should_broadcast
+
     keys = existing.select(key).dropDuplicates([key])
-    return incoming.join(F.broadcast(keys), key, "left_anti")
+    if _should_broadcast(existing, 64 << 20):
+        keys = F.broadcast(keys)
+    return incoming.join(keys, key, "left_anti")
 
 
 def merge_incremental(incoming: DataFrame, existing: DataFrame, key: str) -> DataFrame:

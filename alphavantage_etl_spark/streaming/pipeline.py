@@ -808,3 +808,110 @@ def enrichment_stream(
     )
     q.awaitTermination()
     return q
+
+
+class OOVError(RuntimeError):
+    """A micro-batch's OOV rate exceeded the threshold and no quarantine
+    path was configured; the report dict rides on the exception."""
+
+    def __init__(self, rate: float, report: dict):
+        super().__init__(f"batch OOV rate {rate:.4f} exceeded threshold")
+        self.rate = rate
+        self.report = report
+
+
+def oov_monitor_stream(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    text_col: str,
+    sink_path: str,
+    checkpoint: str,
+    top_k: int = 1000,
+    oov_threshold: float = 0.5,
+    oov_reports: list | None = None,
+    quarantine_path: str | None = None,
+):
+    """Streaming vocabulary gate — the online twin of
+    ``operators.tfidf.vocab_coverage``: every micro-batch's token stream
+    is scored against the REFERENCE corpus's top-k head vocabulary, and
+    a batch whose OOV occurrence rate exceeds ``oov_threshold`` is
+    quarantined WHOLE (or fails the stream when no ``quarantine_path``)
+    — the quality-gate poison-batch policy applied to vocabulary shift:
+    a producer that starts delivering another language, base64 blobs, or
+    template spam should stop the pipeline, not silently degrade the
+    tokenizer fit of everything trained downstream.
+
+    The vocabulary is fitted ONCE at stream build (top-k terms, ties
+    lexicographic — BOUNDED MODEL STATE, the centroid/codebook class)
+    and collected driver-side; per batch the cost is one broadcast
+    semi-probe of the batch's exploded tokens against the k-row
+    vocabulary frame and a 2-number aggregation. Reports (batch_id,
+    n_tokens, n_oov, oov_rate, ok) append to ``oov_reports``.
+    """
+    from ..functions.text import tokens as _tokens
+
+    ref_toks = reference.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    vocab_rows = (
+        ref_toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.col("__tok"))
+        .limit(top_k)
+        .collect()
+    )
+    if not vocab_rows:
+        raise ValueError(
+            f"oov_monitor_stream: reference corpus has no tokens in "
+            f"{text_col!r} — cannot fit a vocabulary"
+        )
+    vocab_terms = [r["__tok"] for r in vocab_rows]
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        vocab_df = spark.createDataFrame(
+            [(t,) for t in vocab_terms], "term string"
+        )
+        toks = batch_df.select(
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("__tok")
+        )
+        agg = (
+            toks.join(
+                F.broadcast(vocab_df),
+                toks["__tok"] == F.col("term"),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("term").isNull().cast("long")).alias("oov"),
+            )
+            .first()
+        )
+        n_tokens = agg["n"] or 0
+        n_oov = agg["oov"] or 0
+        rate = (n_oov / n_tokens) if n_tokens else 0.0
+        ok = rate <= oov_threshold
+        report = {
+            "batch_id": batch_id,
+            "n_tokens": n_tokens,
+            "n_oov": n_oov,
+            "oov_rate": rate,
+            "ok": ok,
+        }
+        if oov_reports is not None:
+            oov_reports.append(report)
+        if not ok:
+            if quarantine_path is None:
+                raise OOVError(rate, report)
+            batch_df.write.mode("append").parquet(quarantine_path)
+            return
+        batch_df.write.mode("append").parquet(sink_path)
+
+    q_ = (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return q_

@@ -312,3 +312,27 @@ def test_should_broadcast_supported_api_branches(spark):
     assert _should_broadcast(backed, 0) is False
     mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     assert _should_broadcast(mem, 64 << 20) is False
+
+
+def test_new_rows_broadcast_gate(spark):
+    """new_rows forces the broadcast hint only when the existing side's
+    file bytes are provably small (the contamination probe); an
+    in-memory frame (no resolvable files) falls through to no hint and
+    leaves the strategy to Catalyst/AQE."""
+    from alphavantage_etl_spark.operators.incremental import new_rows
+
+    incoming = load(spark, SF_SMALL, "orders").select("o_orderkey")
+    existing_files = load(spark, SF_SMALL, "orders").select("o_orderkey")
+    plan = _plan(new_rows(incoming, existing_files, "o_orderkey"))
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan, plan  # file-backed small side: forced
+
+    existing_mem = spark.createDataFrame([(1,)], "o_orderkey long")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan2 = _plan(new_rows(incoming, existing_mem, "o_orderkey"))
+        assert "LeftAnti" in plan2
+        assert "BroadcastHashJoin" not in plan2, plan2  # no forced hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

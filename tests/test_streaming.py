@@ -780,3 +780,68 @@ def test_enrichment_stream_point_in_time_lookup(spark, tmp_path):
     got = {r["eid"]: r["v"] for r in spark.read.parquet(sink).collect()}
     assert got[103] == "A" and got[104] == "B"
     assert len(got) == 5
+
+
+def test_oov_monitor_stream_quarantines_vocab_shift(spark, tmp_path):
+    """Streaming vocabulary gate: in-vocabulary batches append to the
+    sink; a batch from a different vocabulary regime (gibberish) is
+    quarantined WHOLE; an unfittable reference fails at build."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from alphavantage_etl_spark.streaming.pipeline import oov_monitor_stream
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    sink = str(tmp_path / "sink")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    reference = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    def land(texts, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain(reports):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(in_dir)
+        )
+        oov_monitor_stream(
+            stream, reference, "text", sink, ckpt,
+            top_k=10, oov_threshold=0.3,
+            oov_reports=reports, quarantine_path=quarantine,
+        )
+
+    reports: list = []
+    land(["the quick brown fox", "lazy dog jumps over"] * 5, "b1")
+    drain(reports)
+    assert len(reports) == 1 and reports[0]["ok"]
+    assert reports[0]["n_oov"] == 0
+    assert spark.read.parquet(sink).count() == 10
+
+    land(["zzq wvx kkjj qpl mnb"] * 8, "b2")  # vocabulary regime shift
+    drain(reports)
+    assert len(reports) == 2 and not reports[1]["ok"]
+    assert reports[1]["oov_rate"] > 0.9
+    assert spark.read.parquet(sink).count() == 10        # sink untouched
+    assert spark.read.parquet(quarantine).count() == 8   # whole batch kept
+
+    # unfittable reference fails at build with a diagnosable error
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(in_dir)
+    )
+    with pytest.raises(ValueError, match="no tokens"):
+        oov_monitor_stream(
+            stream, empty_ref, "text", sink, str(tmp_path / "ckpt2")
+        )
