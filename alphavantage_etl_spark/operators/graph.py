@@ -514,3 +514,79 @@ def triangle_count(
             ).alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+) -> DataFrame:
+    """(id, label) after ``iters`` synchronous rounds of majority-vote
+    label propagation over an undirected graph: seed nodes (non-NULL
+    ``label_col``) stay FIXED; every other node takes the most common
+    label among its currently-labeled neighbors (ties: the smallest
+    label id; no labeled neighbor: stays NULL this round). The
+    semi-supervised curation pattern — a few human quality/topic labels
+    spread through the near-dup or k-NN similarity graph so review
+    effort covers whole neighborhoods, not single documents.
+
+    Pure integer logic (counts + min-tiebreak argmax) — bit-identical
+    across engines and partitionings with NO quantization; the DuckDB
+    oracle replays the identical rounds through a recursive CTE.
+
+    Scale design (100 TB): per round, one edge⋈label join shuffling on
+    node ids + one (node, label) partial-aggregated count + one max_by
+    argmax — the Pregel shape PageRank uses; per-round frames are
+    ``localCheckpoint``'d to kill the iterative lineage, prior rounds'
+    blocks released via :func:`free_blocks` (ContextCleaner reclaim).
+    Labels never propagate FROM unlabeled nodes, so a round's work is
+    bounded by the labeled frontier.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).localCheckpoint(eager=True)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    seeds = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(label_col).cast("long").alias("seed"),
+    )
+    labels = seeds.select(
+        "node", F.col("seed").alias("lab")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        neigh = (
+            sym.join(
+                labels.where(F.col("lab").isNotNull()),
+                sym["a"] == F.col("node"),
+            )
+            .groupBy(F.col("b").alias("node"), F.col("lab").alias("cand"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.max_by(
+                    "cand",
+                    F.struct(F.col("cnt").alias("c"), (-F.col("cand")).alias("t")),
+                ).alias("vote")
+            )
+        )
+        new_labels = (
+            seeds.join(neigh, "node", "left")
+            .join(labels.select("node", "lab"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("seed", "vote", "lab").alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_blocks(labels)
+        labels = new_labels
+    free_blocks(e)
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lab").alias(label_col)
+    )

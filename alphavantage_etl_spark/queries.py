@@ -4365,6 +4365,121 @@ FROM r WHERE rk <= ceil(0.05 * n)
 """
 
 
+# X65 — corpus divergence profile (r5): pairwise vocabulary Jaccard +
+# Jensen-Shannon divergence between per-source term distributions — the
+# mixing-decision profile (which sources are distribution-near-dups,
+# which are novel). One corpus scan into the (source, term) grid;
+# everything downstream bounded by |vocab| x |sources|^2
+# (operators/tfidf.py:corpus_divergence).
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import corpus_divergence
+
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    return corpus_divergence(d, "text", "source")
+
+
+SQL_CORPUS_DIVERGENCE = r"""
+WITH tok AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS t
+  FROM documents),
+grid AS (SELECT g, t, count(*) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT g, sum(c) AS n, count(*) AS v FROM grid GROUP BY 1),
+j AS (
+  SELECT a.g AS ga, b.g AS gb, a.t,
+         a.c AS ca, b.c AS cb, ta.n AS na, tb.n AS nb,
+         ta.v AS va, tb.v AS vb
+  FROM grid a JOIN grid b ON a.t = b.t AND a.g < b.g
+  JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g),
+inter AS (
+  SELECT ga, gb,
+         sum(CAST(round(round_even(
+               (CAST(ca AS DOUBLE) / na) * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+                 / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))
+               + (CAST(cb AS DOUBLE) / nb) * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+                 / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb))), 12)
+               * 1e12) AS HUGEINT)) AS qjs,
+         sum(ca) AS ma, sum(cb) AS mb, count(*) AS vi,
+         max(na) AS na, max(nb) AS nb, max(va) AS va, max(vb) AS vb
+  FROM j GROUP BY 1, 2)
+SELECT ga AS src_a, gb AS src_b,
+       CAST(vi AS DOUBLE) / (va + vb - vi) AS vocab_jaccard,
+       round_even(
+         0.5 * (CAST(qjs AS DOUBLE) / 1e12)
+         + 0.5 * ln(2.0)
+           * (2.0 - CAST(ma AS DOUBLE) / na - CAST(mb AS DOUBLE) / nb),
+         9) AS js_divergence
+FROM inter
+"""
+
+
+# X66 — majority-vote label propagation (r5): 20% of the embedding
+# labels kept as seeds, spread through the (deduplicated, canonical)
+# k-NN graph for 3 synchronous rounds — the semi-supervised curation
+# pattern. Pure integer logic (counts + min-tiebreak argmax), oracle
+# replays the rounds through a recursive CTE
+# (operators/graph.py:label_propagation).
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+    from .operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph(emb, k=3)
+        .select(
+            F.least("vec_id", "neighbor_id").alias("id_a"),
+            F.greatest("vec_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    seeds = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).alias("label"),
+    )
+    out = label_propagation(
+        seeds, edges, id_col="vec_id", label_col="label", iters=3
+    )
+    return out.select("vec_id", F.col("label").cast("long").alias("label"))
+
+
+SQL_LABEL_PROPAGATION = f"""
+WITH RECURSIVE knn AS (SELECT * FROM ({SQL_KNN_GRAPH}) _k),
+edges0 AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                  greatest(vec_id, neighbor_id) AS b
+  FROM knn),
+edges AS (
+  SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0),
+seeds AS (
+  SELECT vec_id AS node,
+         CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS seed
+  FROM embeddings),
+lp(iter, node, lab) AS (
+  SELECT 0, node, seed FROM seeds
+  UNION ALL
+  SELECT l.iter + 1, l.node, coalesce(s.seed, v.vote, l.lab)
+  FROM lp l
+  JOIN seeds s ON s.node = l.node
+  LEFT JOIN (
+    SELECT c.iter, c.node, min(c.cand) AS vote
+    FROM (SELECT l2.iter, e.b AS node, l2.lab AS cand, count(*) AS cnt
+          FROM edges e JOIN lp l2 ON l2.node = e.a
+          WHERE l2.lab IS NOT NULL
+          GROUP BY 1, 2, 3) c
+    JOIN (SELECT iter, node, max(cnt) AS mx
+          FROM (SELECT l2.iter, e.b AS node, l2.lab AS cand, count(*) AS cnt
+                FROM edges e JOIN lp l2 ON l2.node = e.a
+                WHERE l2.lab IS NOT NULL
+                GROUP BY 1, 2, 3) _m
+          GROUP BY 1, 2) m
+      ON m.iter = c.iter AND m.node = c.node AND c.cnt = m.mx
+    GROUP BY 1, 2) v
+    ON v.iter = l.iter AND v.node = l.node
+  WHERE l.iter < 3)
+SELECT node AS vec_id, lab AS label FROM lp WHERE iter = 3
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4495,7 +4610,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X64, no driver row yet — rotate
+    # r5 additions (components X59-X66, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4503,6 +4618,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_attribution": q_attribution,
     "q_quantile_norm": q_quantile_norm,
     "q_centroid_outliers": q_centroid_outliers,
+    "q_corpus_divergence": q_corpus_divergence,
+    "q_label_propagation": q_label_propagation,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4637,13 +4754,15 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X64)
+    # r5 additions (X59-X66)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
     "q_attribution": SQL_ATTRIBUTION,
     "q_quantile_norm": SQL_QUANTILE_NORM,
     "q_centroid_outliers": SQL_CENTROID_OUTLIERS,
+    "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
+    "q_label_propagation": SQL_LABEL_PROPAGATION,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -120,8 +120,12 @@ BENCH_QUERIES = [
     "q_change_point",
     "q_embedding_diag",
     "q_zipf",
-    # round-5 additions
-    "q_cross_split_leakage",
+    # round-5 additions. q_cross_split_leakage is NOT here: like
+    # q_jaccard_pairs (whose verifier arithmetic it reuses) it is the
+    # quadratic-by-design exact-verification mirror — production runs
+    # MinHash-LSH candidates first — and is fenced from the headline set
+    # per the established perf_weak convention (42.6 s at sf0.1 of
+    # by-design within-block pairwise work).
     "q_vocab_coverage",
     "q_rolling_median",
     "q_attribution",

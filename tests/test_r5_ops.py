@@ -169,3 +169,90 @@ def test_centroid_outliers_flags_planted_outlier(spark):
 
     with pytest.raises(ValueError, match="top_frac"):
         centroid_outliers(df, top_frac=0.0)
+
+
+# ------------------------------------------------ corpus divergence
+def test_corpus_divergence_identical_and_disjoint(spark):
+    import math
+
+    from alphavantage_etl_spark.operators.tfidf import corpus_divergence
+
+    rows = [
+        (1, "a", "x y z"),
+        (2, "b", "x y z"),          # identical distribution to a
+        (3, "c", "x q q"),          # overlaps a on x only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in corpus_divergence(df, "text", "source").collect()
+    }
+    # identical distributions: JS = 0, vocab jaccard = 1
+    assert out[("a", "b")]["js_divergence"] == 0.0
+    assert out[("a", "b")]["vocab_jaccard"] == 1.0
+    # partial overlap: 0 < JS < ln 2, jaccard = 1/4 (x of {x,y,z,q})
+    ac = out[("a", "c")]
+    assert 0 < ac["js_divergence"] < math.log(2)
+    assert ac["vocab_jaccard"] == 0.25
+    # hand value: p=(1/3,1/3,1/3) over (x,y,z); q=(1/3,2/3) over (x,q)
+    # JS = 0.5*[px ln(2px/(px+qx))] + 0.5*[qx ln(2qx/(px+qx))]
+    #      + 0.5*ln2*((1-1/3)+(1-1/3))  with px=qx=1/3 -> first terms 0
+    want = 0.5 * math.log(2) * (2 - 1 / 3 - 1 / 3)
+    assert ac["js_divergence"] == pytest.approx(want, abs=1e-9)
+
+
+def test_corpus_divergence_no_shared_vocab_pair_absent(spark):
+    from alphavantage_etl_spark.operators.tfidf import corpus_divergence
+
+    df = spark.createDataFrame(
+        [(1, "a", "x x"), (2, "b", "y y")],
+        "doc_id long, source string, text string",
+    )
+    assert corpus_divergence(df, "text", "source").collect() == []
+
+
+# ------------------------------------------------ label propagation
+def test_label_propagation_spreads_and_ties_break_low(spark):
+    from alphavantage_etl_spark.operators.graph import label_propagation
+
+    # seeds: 1 -> label 10, 5 -> label 20; chain 1-2-3, 5-4-3:
+    # round 1: 2 gets 10, 4 gets 20; round 2: 3 sees {10, 20} -> tie
+    # on count 1 each -> smallest label 10
+    nodes = spark.createDataFrame(
+        [(1, 10), (2, None), (3, None), (4, None), (5, 20), (9, None)],
+        "id long, label long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3), (5, 4)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=3).collect()
+    }
+    assert out[1] == 10 and out[5] == 20          # seeds fixed
+    assert out[2] == 10 and out[4] == 20          # round-1 spread
+    assert out[3] == 10                            # tie -> smaller label
+    assert out[9] is None                          # isolated: unreached
+    assert len(out) == 6                           # total assignment
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iters"):
+        label_propagation(nodes, edges, iters=0)
+
+
+def test_label_propagation_majority_beats_minority(spark):
+    from alphavantage_etl_spark.operators.graph import label_propagation
+
+    # node 0 has three labeled neighbors: two vote 7, one votes 3
+    nodes = spark.createDataFrame(
+        [(0, None), (1, 7), (2, 7), (3, 3)], "id long, label long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=1).collect()
+    }
+    assert out[0] == 7
