@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "q_attribution",
     "q_quantile_norm",
     "q_centroid_outliers",
+    "q_corpus_divergence",
+    "q_label_propagation",
 ]
 
 

@@ -227,13 +227,23 @@ def test_label_propagation_spreads_and_ties_break_low(spark):
     )
     out = {
         r["id"]: r["label"]
-        for r in label_propagation(nodes, edges, iters=3).collect()
+        for r in label_propagation(nodes, edges, iters=2).collect()
     }
     assert out[1] == 10 and out[5] == 20          # seeds fixed
     assert out[2] == 10 and out[4] == 20          # round-1 spread
     assert out[3] == 10                            # tie -> smaller label
     assert out[9] is None                          # isolated: unreached
     assert len(out) == 6                           # total assignment
+
+    # synchronous LPA re-votes every round: in round 3 node 4's labeled
+    # neighborhood becomes {3: 10, 5: 20}, a tie that breaks to the
+    # SMALLER label — non-seed labels may legitimately flip (pinned so
+    # a refactor to sticky labels is a visible semantic change)
+    out3 = {
+        r["id"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=3).collect()
+    }
+    assert out3[4] == 10 and out3[3] == 10
 
     import pytest as _pt
 
