@@ -4480,6 +4480,93 @@ SELECT node AS vec_id, lab AS label FROM lp WHERE iter = 3
 """
 
 
+# X67 — in-engine BPE merge learning (r5): the first k byte-pair merges
+# learned from the corpus word-frequency table (one corpus scan; k
+# rounds over the vocab-bounded state), plus the resulting vocabulary
+# segmentation. Pure integer counts + lexicographic tie-breaks — no
+# floats. Oracle UNROLLS the same k greedy rounds as chained CTE stages
+# (list_reduce replays the left-to-right merge fold exactly)
+# (operators/bpe.py).
+_BPE_K = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_learn
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return bpe_learn(d, "text", k=_BPE_K)
+
+
+def q_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_segment_vocab
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return bpe_segment_vocab(d, "text", k=_BPE_K)
+
+
+def _sql_bpe(k: int) -> tuple[str, str]:
+    """(merges_sql, segments_sql): the k BPE rounds unrolled as chained
+    CTE stages — no recursion, so DuckDB's lambda/list machinery works
+    unrestricted. Stage i: pair counts over state i-1, one-row argmax
+    (count DESC, lexicographic pair), list_reduce greedy rewrite."""
+    stages = [
+        r"""w AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY 1),
+s0 AS (
+  SELECT word, freq,
+         [word[i] for i in range(1, len(word) + 1)] AS toks
+  FROM w)"""
+    ]
+    for i in range(1, k + 1):
+        p, b, sp, sn = f"p{i}", f"b{i}", f"s{i-1}", f"s{i}"
+        stages.append(
+            f"""{p} AS (
+  SELECT t.p[1] AS x, t.p[2] AS y, sum(freq) AS c
+  FROM {sp}, unnest([[toks[i], toks[i + 1]]
+                     for i in range(1, len(toks))]) AS t(p)
+  GROUP BY 1, 2),
+{b} AS (SELECT x, y, c FROM {p} ORDER BY c DESC, x, y LIMIT 1),
+{b}_ AS (
+  SELECT coalesce((SELECT x FROM {b}), '') AS x,
+         coalesce((SELECT y FROM {b}), '') AS y),
+{sn} AS (
+  SELECT word, freq,
+         list_reduce(
+           list_transform(toks, t -> [t]),
+           (acc, cur) -> CASE
+              WHEN acc[-1] = {b}_.x AND cur[1] = {b}_.y
+              THEN list_concat(acc[1:len(acc) - 1], [{b}_.x || {b}_.y])
+              ELSE list_concat(acc, cur) END
+         ) AS toks
+  FROM {sp} CROSS JOIN {b}_)"""
+        )
+        # a dried-out stage leaves b_i empty: the merges UNION emits no
+        # row for that rank (mirroring the Spark-side break) while the
+        # b_i_ sentinel ('' never matches a character token) keeps the
+        # state CTEs populated so the segments query still sees the
+        # final vocabulary
+    body = ",\n".join(stages)
+    merges = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, x AS lhs, y AS rhs,"
+        f" x || y AS merged, CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    merges_sql = f"WITH {body}\n{merges}"
+    segments_sql = (
+        f"WITH {body}\n"
+        f"SELECT word, CAST(freq AS BIGINT) AS freq,"
+        f" array_to_string(toks, ' ') AS segmentation FROM s{k}"
+    )
+    return merges_sql, segments_sql
+
+
+SQL_BPE_MERGES, SQL_BPE_SEGMENTS = _sql_bpe(_BPE_K)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4610,7 +4697,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X66, no driver row yet — rotate
+    # r5 additions (components X59-X67, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4620,6 +4707,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_centroid_outliers": q_centroid_outliers,
     "q_corpus_divergence": q_corpus_divergence,
     "q_label_propagation": q_label_propagation,
+    "q_bpe_merges": q_bpe_merges,
+    "q_bpe_segments": q_bpe_segments,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4754,7 +4843,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X66)
+    # r5 additions (X59-X67)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -4763,6 +4852,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_centroid_outliers": SQL_CENTROID_OUTLIERS,
     "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
     "q_label_propagation": SQL_LABEL_PROPAGATION,
+    "q_bpe_merges": SQL_BPE_MERGES,
+    "q_bpe_segments": SQL_BPE_SEGMENTS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "q_centroid_outliers",
     "q_corpus_divergence",
     "q_label_propagation",
+    "q_bpe_merges",
+    "q_bpe_segments",
 ]
 
 

@@ -266,3 +266,49 @@ def test_label_propagation_majority_beats_minority(spark):
         for r in label_propagation(nodes, edges, iters=1).collect()
     }
     assert out[0] == 7
+
+
+# ------------------------------------------------ BPE merge learning
+def test_bpe_learn_known_merges_and_greedy_nonoverlap(spark):
+    from alphavantage_etl_spark.operators.bpe import (
+        bpe_learn,
+        bpe_segment_vocab,
+    )
+
+    # 'abab' x3, 'ab' x2: pair counts r1: (a,b)=8, (b,a)=3 -> merge 'ab'
+    # r2 state: abab -> [ab, ab], ab -> [ab]; pairs: (ab,ab)=3 -> 'abab'
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string"
+    )
+    m = [tuple(r) for r in bpe_learn(docs, "text", k=3).collect()]
+    assert m[0] == (1, "a", "b", "ab", 8)
+    assert m[1] == (2, "ab", "ab", "abab", 3)
+    # r3: no pairs left -> learning stops early (2 rows, not 3)
+    assert len(m) == 2
+
+    seg = {
+        r["word"]: r["segmentation"]
+        for r in bpe_segment_vocab(docs, "text", k=3).collect()
+    }
+    assert seg == {"abab": "abab", "ab": "ab"}
+
+
+def test_bpe_greedy_left_to_right_on_runs(spark):
+    from alphavantage_etl_spark.operators.bpe import bpe_segment_vocab
+
+    # 'aaa': merge (a,a) applies left-to-right without overlap -> [aa, a]
+    docs = spark.createDataFrame([(1, "aaa aaa aa")], "doc_id long, text string")
+    seg = {
+        r["word"]: r["segmentation"]
+        for r in bpe_segment_vocab(docs, "text", k=1).collect()
+    }
+    assert seg["aaa"] == "aa a"
+    assert seg["aa"] == "aa"
+
+
+def test_bpe_rejects_bad_k(spark):
+    from alphavantage_etl_spark.operators.bpe import bpe_learn
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must"):
+        bpe_learn(docs, "text", k=0)
