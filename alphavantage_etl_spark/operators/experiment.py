@@ -1,0 +1,145 @@
+"""A/B experiment analysis with CUPED variance reduction (X68).
+
+The experimentation read-out is a first-class analytics-engine workload:
+assign users to variants (content-addressed, engine-portable —
+``sampling.split_bucket``), aggregate a post-period metric per user, and
+estimate the treatment lift. CUPED (Deng et al., WSDM 2013: "Improving
+the Sensitivity of Online Controlled Experiments by Utilizing
+Pre-Experiment Data") regresses out each user's PRE-period covariate —
+``y' = y - theta * (x - mean_x)`` with ``theta = cov(x, y) / var(x)`` —
+which leaves the expected lift unchanged (assignment is independent of
+pre-period behavior) while shrinking its variance by the squared
+pre/post correlation. The standard big win for metric sensitivity.
+
+Scale design (100 TB): one shuffle on the user key builds the per-user
+(pre, post) frame; everything after is ONE aggregation producing SIX
+sufficient statistics per variant (n, Σx, Σy, Σx², Σy², Σxy — map-side
+partial, 2 output rows) and O(1) driver-side-free arithmetic. No second
+pass over the data for the adjusted metric: Var(y − θx) expands to
+Var(y) − 2θCov(x,y) + θ²Var(x), all from the same six sums.
+
+Cross-engine exactness: metrics are quantized to integer cents at the
+per-user stage, so every sufficient statistic is an EXACT decimal
+integer sum (immune to partial-agg merge order); each output is one
+fixed-order double expression over those integers (single IEEE rounding
+path — including sqrt, which is correctly-rounded), mirrored verbatim
+in the DuckDB oracle. Pure rational outputs ship unrounded (the
+target_encode rule); only documentation, not rounding, differs from
+the quantized-transcendental convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ab_assign(
+    df: DataFrame, id_col: str, salt: str = "experiment", buckets: int = 10_000
+) -> "F.Column":
+    """'A'/'B' variant from the content-addressed split bucket — stable
+    under corpus growth, reproducible outside Spark (md5, not hash)."""
+    from .sampling import split_bucket
+
+    b = split_bucket(id_col, salt, buckets)
+    return F.when(b < buckets // 2, F.lit("A")).otherwise(F.lit("B"))
+
+
+def ab_test_cuped(
+    users: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """One-row experiment read-out from a per-user frame with variant,
+    pre-period covariate and post-period metric columns:
+
+    (n_a, n_b, mean_a, mean_b, lift_raw, theta, lift_cuped,
+    var_reduction, se_cuped, z_cuped)
+
+    - ``theta`` is pooled over both variants (the standard CUPED
+      estimator — assignment independence makes the pooled regression
+      unbiased for the lift);
+    - ``var_reduction`` = 1 − Var(y′)/Var(y), the sensitivity gain;
+    - ``z_cuped`` = lift_cuped / sqrt(Var_A(y′)/n_A + Var_B(y′)/n_B)
+      (Welch form); NULL when both arms are constant (zero SE). An
+      experiment with an EMPTY arm produces an empty result (the
+      cross join has no row) — there is nothing to compare.
+
+    Missing pre/post values are treated as 0 cents (a user with no
+    pre-period activity has a zero covariate — the CUPED convention),
+    so every assigned user counts toward n.
+    """
+    cents = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.col(c).cast("double") * 100).cast("long"), F.lit(0)
+    )
+    x, y = cents(pre_col), cents(post_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_variant = (
+        users.select(F.col(variant_col).alias("v"), x.alias("x"), y.alias("y"))
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
+            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        )
+    )
+    a = per_variant.where(F.col("v") == "A").alias("a")
+    b = per_variant.where(F.col("v") == "B").alias("b")
+    j = a.crossJoin(b)
+
+    def d(side: str, col: str):
+        return F.col(f"{side}.{col}").cast("double")
+
+    na, nb = d("a", "n"), d("b", "n")
+    n = na + nb
+    sx = d("a", "sx") + d("b", "sx")
+    sy = d("a", "sy") + d("b", "sy")
+    sxx = d("a", "sxx") + d("b", "sxx")
+    syy = d("a", "syy") + d("b", "syy")
+    sxy = d("a", "sxy") + d("b", "sxy")
+    # pooled population moments in cents
+    mx, my = sx / n, sy / n
+    var_x = sxx / n - mx * mx
+    var_y = syy / n - my * my
+    cov_xy = sxy / n - mx * my
+    theta = F.when(var_x > 0, cov_xy / var_x).otherwise(F.lit(0.0))
+    # per-arm adjusted means/variances from the same sums:
+    #   mean(y') = mean(y) - theta * (mean(x) - mx)
+    #   var(y')  = var(y) - 2 theta cov(x,y) + theta^2 var(x)   (per arm)
+    mean_a_adj = d("a", "sy") / na - theta * (d("a", "sx") / na - mx)
+    mean_b_adj = d("b", "sy") / nb - theta * (d("b", "sx") / nb - mx)
+    def var_arm(s: str):
+        # explicit m*m, never pow(): Math.pow and DuckDB power() can
+        # differ in the last ulp; multiplication cannot
+        ns = d(s, "n")
+        mxs, mys = d(s, "sx") / ns, d(s, "sy") / ns
+        return (
+            (d(s, "syy") / ns - mys * mys)
+            - 2 * theta * (d(s, "sxy") / ns - mxs * mys)
+            + theta * theta * (d(s, "sxx") / ns - mxs * mxs)
+        )
+
+    var_a_adj, var_b_adj = var_arm("a"), var_arm("b")
+    var_y_adj = var_y - 2 * theta * cov_xy + theta * theta * var_x
+    lift_raw = d("b", "sy") / nb - d("a", "sy") / na
+    lift_cuped = mean_b_adj - mean_a_adj
+    se = F.sqrt(var_a_adj / na + var_b_adj / nb)
+    c100 = F.lit(100.0)  # cents -> metric units
+    return j.select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (d("a", "sy") / na / c100).alias("mean_a"),
+        (d("b", "sy") / nb / c100).alias("mean_b"),
+        (lift_raw / c100).alias("lift_raw"),
+        theta.alias("theta"),
+        (lift_cuped / c100).alias("lift_cuped"),
+        F.when(var_y > 0, F.lit(1.0) - var_y_adj / var_y).alias(
+            "var_reduction"
+        ),
+        (se / c100).alias("se_cuped"),
+        F.when(se > 0, lift_cuped / se).alias("z_cuped"),
+    )

@@ -4567,6 +4567,114 @@ s0 AS (
 SQL_BPE_MERGES, SQL_BPE_SEGMENTS = _sql_bpe(_BPE_K)
 
 
+# X68 — A/B experiment read-out with CUPED variance reduction (r5):
+# content-addressed variant assignment, per-user pre/post metric sums
+# (exact cents), one six-sufficient-statistics aggregation per arm, and
+# a single fixed-order expression row for lift/theta/variance-reduction/
+# Welch z (operators/experiment.py). Pre-period = events before
+# 2024-01-16 (the fixture spans Jan 1-30 at every SF).
+_AB_CUT = "2024-01-16 00:00:00"
+
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.experiment import ab_assign, ab_test_cuped
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cents = F.round(F.col("value").cast("double") * 100).cast("long")
+    cut = F.lit(_AB_CUT).cast("timestamp_ntz")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+            ).cast("double")
+            / 100.0
+        ).alias("pre_v"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+            ).cast("double")
+            / 100.0
+        ).alias("post_v"),
+    )
+    users = per_user.withColumn("variant", ab_assign(per_user, "user_id"))
+    return ab_test_cuped(users, "variant", "pre_v", "post_v")
+
+
+SQL_AB_CUPED = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS pre_v,
+         CAST(coalesce(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) END), 0) AS DOUBLE) / 100.0 AS post_v
+  FROM events GROUP BY 1),
+u AS (
+  SELECT CASE WHEN CAST(concat('0x', substring(md5(concat('experiment', ':', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 5000
+              THEN 'A' ELSE 'B' END AS v,
+         coalesce(CAST(round(pre_v * 100) AS BIGINT), 0) AS x,
+         coalesce(CAST(round(post_v * 100) AS BIGINT), 0) AS y
+  FROM pu),
+pv AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM u GROUP BY 1),
+j AS (
+  SELECT a.n AS an, a.sx AS asx, a.sy AS asy, a.sxx AS asxx, a.syy AS asyy, a.sxy AS asxy,
+         b.n AS bn, b.sx AS bsx, b.sy AS bsy, b.sxx AS bsxx, b.syy AS bsyy, b.sxy AS bsxy
+  FROM (SELECT * FROM pv WHERE v = 'A') a CROSS JOIN (SELECT * FROM pv WHERE v = 'B') b),
+e AS (
+  SELECT *,
+         CAST(an AS DOUBLE) AS na, CAST(bn AS DOUBLE) AS nb,
+         CAST(an AS DOUBLE) + CAST(bn AS DOUBLE) AS n,
+         CAST(asx AS DOUBLE) + CAST(bsx AS DOUBLE) AS sx,
+         CAST(asy AS DOUBLE) + CAST(bsy AS DOUBLE) AS sy,
+         CAST(asxx AS DOUBLE) + CAST(bsxx AS DOUBLE) AS sxx,
+         CAST(asyy AS DOUBLE) + CAST(bsyy AS DOUBLE) AS syy,
+         CAST(asxy AS DOUBLE) + CAST(bsxy AS DOUBLE) AS sxy
+  FROM j),
+m AS (
+  SELECT *, sx / n AS mx, sy / n AS my FROM e),
+v2 AS (
+  SELECT *,
+         sxx / n - mx * mx AS var_x,
+         syy / n - my * my AS var_y,
+         sxy / n - mx * my AS cov_xy
+  FROM m),
+t AS (
+  SELECT *, CASE WHEN var_x > 0 THEN cov_xy / var_x ELSE 0.0 END AS theta
+  FROM v2),
+f AS (
+  SELECT *,
+         CAST(asy AS DOUBLE) / na - theta * (CAST(asx AS DOUBLE) / na - mx) AS mean_a_adj,
+         CAST(bsy AS DOUBLE) / nb - theta * (CAST(bsx AS DOUBLE) / nb - mx) AS mean_b_adj,
+         (CAST(asyy AS DOUBLE) / na - (CAST(asy AS DOUBLE) / na) * (CAST(asy AS DOUBLE) / na))
+           - 2 * theta * (CAST(asxy AS DOUBLE) / na - (CAST(asx AS DOUBLE) / na) * (CAST(asy AS DOUBLE) / na))
+           + theta * theta * (CAST(asxx AS DOUBLE) / na - (CAST(asx AS DOUBLE) / na) * (CAST(asx AS DOUBLE) / na)) AS var_a_adj,
+         (CAST(bsyy AS DOUBLE) / nb - (CAST(bsy AS DOUBLE) / nb) * (CAST(bsy AS DOUBLE) / nb))
+           - 2 * theta * (CAST(bsxy AS DOUBLE) / nb - (CAST(bsx AS DOUBLE) / nb) * (CAST(bsy AS DOUBLE) / nb))
+           + theta * theta * (CAST(bsxx AS DOUBLE) / nb - (CAST(bsx AS DOUBLE) / nb) * (CAST(bsx AS DOUBLE) / nb)) AS var_b_adj,
+         var_y - 2 * theta * cov_xy + theta * theta * var_x AS var_y_adj
+  FROM t),
+g AS (
+  SELECT *, sqrt(var_a_adj / na + var_b_adj / nb) AS se,
+         mean_b_adj - mean_a_adj AS lift_cuped
+  FROM f)
+SELECT an AS n_a, bn AS n_b,
+       CAST(asy AS DOUBLE) / na / 100.0 AS mean_a,
+       CAST(bsy AS DOUBLE) / nb / 100.0 AS mean_b,
+       (CAST(bsy AS DOUBLE) / nb - CAST(asy AS DOUBLE) / na) / 100.0 AS lift_raw,
+       theta,
+       lift_cuped / 100.0 AS lift_cuped,
+       CASE WHEN var_y > 0 THEN 1.0 - var_y_adj / var_y END AS var_reduction,
+       se / 100.0 AS se_cuped,
+       CASE WHEN se > 0 THEN lift_cuped / se END AS z_cuped
+FROM g
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4697,7 +4805,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X67, no driver row yet — rotate
+    # r5 additions (components X59-X68, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4709,6 +4817,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_label_propagation": q_label_propagation,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_segments": q_bpe_segments,
+    "q_ab_cuped": q_ab_cuped,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4843,7 +4952,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X67)
+    # r5 additions (X59-X68)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -4854,6 +4963,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_label_propagation": SQL_LABEL_PROPAGATION,
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_segments": SQL_BPE_SEGMENTS,
+    "q_ab_cuped": SQL_AB_CUPED,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

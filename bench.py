@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q_label_propagation",
     "q_bpe_merges",
     "q_bpe_segments",
+    "q_ab_cuped",
 ]
 
 

@@ -312,3 +312,69 @@ def test_bpe_rejects_bad_k(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k must"):
         bpe_learn(docs, "text", k=0)
+
+
+# ------------------------------------------------ CUPED A/B analysis
+def test_ab_cuped_reduces_variance_and_keeps_lift(spark):
+    """Synthetic experiment: y = x + effect(B) + small noise. CUPED must
+    (a) recover the planted lift, (b) slash the variance (x explains
+    most of y), (c) keep lift_cuped ~ lift_raw (unbiasedness)."""
+    import random
+
+    from alphavantage_etl_spark.operators.experiment import ab_test_cuped
+
+    rng = random.Random(13)
+    rows = []
+    for u in range(400):
+        v = "A" if u % 2 == 0 else "B"
+        x = round(rng.uniform(10, 110), 2)       # pre-period covariate
+        eff = 5.0 if v == "B" else 0.0
+        y = round(x + eff + rng.uniform(-1, 1), 2)
+        rows.append((v, x, y))
+    users = spark.createDataFrame(rows, "variant string, pre double, post double")
+    r = ab_test_cuped(users, "variant", "pre", "post").first()
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert r["lift_cuped"] == pytest.approx(5.0, abs=0.3)
+    assert r["lift_raw"] == pytest.approx(5.0, abs=6.0)  # noisy without CUPED
+    assert r["theta"] == pytest.approx(1.0, abs=0.05)
+    assert r["var_reduction"] > 0.95
+    assert abs(r["z_cuped"]) > 10  # the effect is unmistakable after CUPED
+
+
+def test_ab_cuped_degenerate_cases(spark):
+    from alphavantage_etl_spark.operators.experiment import ab_test_cuped
+
+    # constant covariate: var_x = 0 -> theta 0, CUPED == raw
+    users = spark.createDataFrame(
+        [("A", 1.0, 2.0), ("A", 1.0, 4.0), ("B", 1.0, 5.0), ("B", 1.0, 7.0)],
+        "variant string, pre double, post double",
+    )
+    r = ab_test_cuped(users, "variant", "pre", "post").first()
+    assert r["theta"] == 0.0
+    assert r["lift_cuped"] == r["lift_raw"] == pytest.approx(3.0)
+
+    # empty arm: nothing to compare -> empty result
+    solo = spark.createDataFrame(
+        [("A", 1.0, 2.0)], "variant string, pre double, post double"
+    )
+    assert ab_test_cuped(solo, "variant", "pre", "post").collect() == []
+
+    # both arms constant: zero SE -> z NULL
+    const = spark.createDataFrame(
+        [("A", 1.0, 2.0), ("A", 1.0, 2.0), ("B", 1.0, 3.0), ("B", 1.0, 3.0)],
+        "variant string, pre double, post double",
+    )
+    rc = ab_test_cuped(const, "variant", "pre", "post").first()
+    assert rc["z_cuped"] is None and rc["lift_cuped"] == pytest.approx(1.0)
+
+
+def test_ab_assign_is_content_addressed(spark):
+    from alphavantage_etl_spark.operators.experiment import ab_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "user_id long")
+    a1 = {r["user_id"]: r["v"] for r in df.select("user_id", ab_assign(df, "user_id").alias("v")).collect()}
+    # stable under re-evaluation and roughly balanced
+    a2 = {r["user_id"]: r["v"] for r in df.select("user_id", ab_assign(df, "user_id").alias("v")).collect()}
+    assert a1 == a2
+    n_a = sum(1 for v in a1.values() if v == "A")
+    assert 200 <= n_a <= 300
