@@ -254,3 +254,165 @@ def conversion_attribution(
             F.coalesce("linear_credit", F.lit(0.0)).alias("linear_credit"),
         )
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion: str = "purchase",
+    iters: int = 16,
+) -> DataFrame:
+    """(channel, base_p, p_removed, removal_effect): data-driven
+    multi-touch attribution via an absorbing Markov chain (Anderl et
+    al., "Mapping the Customer Journey"): journeys become transition
+    counts over states {(start), channels..., (conv), (null)}, the
+    chain's conversion probability from (start) is solved by ``iters``
+    truncated power iterations, and a channel's REMOVAL EFFECT is the
+    relative drop in that probability when every transition INTO the
+    channel is redirected to (null) — "how much conversion would we
+    lose if this channel vanished", the credit that first/last/linear
+    heuristics cannot see.
+
+    Journey segmentation matches :func:`conversion_attribution` (touches
+    since the previous conversion; the closing conversion — or its
+    absence — decides the absorbing endpoint). All |channels|+1 chain
+    variants (none-removed plus one per channel) are solved in ONE
+    iteration loop by carrying the removal as a key column.
+
+    Determinism discipline (the PageRank rules): transition
+    probabilities are exact count ratios; each per-edge contribution
+    ``P(s,t) * p(t)`` is half-even-quantized to 1e-9 BEFORE summation,
+    summed as exact decimal(38,0) integers, and the updated probability
+    re-quantizes to 1e-9 — every iteration's state is bit-identical on
+    any partitioning and any engine. The DuckDB oracle replays the
+    identical arithmetic through a recursive CTE with the removal as an
+    extra grid dimension.
+
+    Scale design (100 TB): the event stream is touched ONCE (the same
+    windowed journey build as ``conversion_attribution``); everything
+    iterative runs over the (|channels|+1) x |states|^2-bounded
+    transition grid — model state, not data. Driver holds nothing but
+    control flow.
+    """
+    from .dedup import free_blocks
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    START, CONV, NULL = "(start)", "(conv)", "(null)"
+    okey = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
+    w = Window.partitionBy(user_col).orderBy(okey)
+    is_conv = F.col(type_col) == conversion
+    e = events.select(
+        user_col, ts_col, id_col, type_col,
+        F.sum(is_conv.cast("long")).over(w).alias("__cc"),
+    )
+    touches = e.where(F.col(type_col) != conversion).select(
+        user_col, type_col, ts_col, id_col, (F.col("__cc") + 1).alias("__j")
+    )
+    convs = e.where(is_conv).select(
+        user_col, F.col("__cc").alias("__j"), F.lit(1).alias("__conv")
+    )
+    wj = Window.partitionBy(user_col, "__j").orderBy(okey)
+    seq = touches.withColumn("__prev", F.lag(type_col).over(wj)).withColumn(
+        "__next", F.lead(type_col).over(wj)
+    )
+    tagged = seq.join(convs, [user_col, "__j"], "left")
+    frm = F.coalesce(F.col("__prev"), F.lit(START))
+    # transitions: prev->cur for every touch (start for the first), and
+    # cur->absorber for the last touch of the journey
+    steps = tagged.select(frm.alias("f"), F.col(type_col).alias("t"))
+    ends = tagged.where(F.col("__next").isNull()).select(
+        F.col(type_col).alias("f"),
+        F.when(F.col("__conv").isNotNull(), F.lit(CONV))
+        .otherwise(F.lit(NULL))
+        .alias("t"),
+    )
+    counts = (
+        steps.unionByName(ends).groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("f").agg(F.sum("c").alias("n"))
+    probs = counts.join(tot, "f").select(
+        "f", "t", (F.col("c").cast("double") / F.col("n").cast("double")).alias("p")
+    )
+    channels = probs.select(F.col("f").alias("ch")).where(
+        F.col("ch") != START
+    ).distinct()
+    rms = channels.select(F.col("ch").alias("rm")).unionByName(
+        probs.sparkSession.createDataFrame([("-",)], "rm string")
+    )
+    # removal rm: transitions INTO rm redirect to (null); re-aggregate
+    grid = (
+        probs.crossJoin(rms)
+        .select(
+            "rm", "f",
+            F.when(F.col("t") == F.col("rm"), F.lit(NULL))
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "p",
+        )
+        .groupBy("rm", "f", "t")
+        .agg(F.sum("p").alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    # p(rm, state): conversion probability per non-absorbing state
+    states = grid.select("rm", F.col("f").alias("s")).distinct()
+    p = states.select("rm", "s", F.lit(0.0).alias("p")).localCheckpoint(
+        eager=True
+    )
+    direct = grid.where(F.col("t") == CONV).select(
+        "rm", F.col("f").alias("s"), F.col("p").alias("d")
+    )
+    trans = grid.where(~F.col("t").isin(CONV, NULL))
+    for _ in range(iters):
+        contrib = F.round(F.bround(trans["p"] * F.col("pp"), 9) * F.lit(1e9)).cast(
+            "decimal(38,0)"
+        )
+        acc = (
+            trans.join(
+                p.select("rm", F.col("s").alias("t"), F.col("p").alias("pp")),
+                ["rm", "t"],
+            )
+            .groupBy("rm", F.col("f").alias("s"))
+            .agg(F.sum(contrib).alias("__q"))
+        )
+        new_p = (
+            states.join(acc, ["rm", "s"], "left")
+            .join(direct, ["rm", "s"], "left")
+            .select(
+                "rm", "s",
+                F.bround(
+                    F.coalesce(F.col("__q").cast("double") / F.lit(1e9), F.lit(0.0))
+                    + F.coalesce("d", F.lit(0.0)),
+                    9,
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        free_blocks(p)
+        p = new_p
+    start_p = p.where(F.col("s") == START).select(
+        "rm", F.col("p").alias("sp")
+    )
+    base = start_p.where(F.col("rm") == "-").select(
+        F.col("sp").alias("base_p")
+    )
+    out = (
+        start_p.where(F.col("rm") != "-")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("rm").alias("channel"),
+            "base_p",
+            F.col("sp").alias("p_removed"),
+            F.when(
+                F.col("base_p") > 0,
+                F.bround(
+                    (F.col("base_p") - F.col("sp")) / F.col("base_p"), 9
+                ),
+            ).alias("removal_effect"),
+        )
+    )
+    free_blocks(grid)
+    return out

@@ -4675,6 +4675,93 @@ FROM g
 """
 
 
+# X69 — Markov removal-effect attribution (r5): absorbing-chain
+# conversion probability from (start) via 16 truncated power iterations
+# over the (|channels|+1)-variant transition grid; a channel's removal
+# effect = relative conversion drop when transitions into it redirect
+# to (null). PageRank determinism rules (1e-9 contribution quantum,
+# exact integer sums, 1e-9 state grid); oracle replays the iterations
+# through a recursive CTE with the removal as a grid dimension
+# (operators/cohorts.py:markov_attribution).
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import markov_attribution
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return markov_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        conversion="purchase", iters=16,
+    )
+
+
+SQL_MARKOV_ATTRIBUTION = """
+WITH RECURSIVE e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS UNBOUNDED PRECEDING) AS cc
+  FROM events),
+touches AS (
+  SELECT user_id, event_type, ts, event_id, cc + 1 AS j
+  FROM e WHERE event_type <> 'purchase'),
+convs AS (SELECT * FROM (SELECT DISTINCT user_id, cc AS j
+                         FROM e WHERE event_type = 'purchase') _c),
+seq AS (
+  SELECT user_id, event_type, ts, event_id, j,
+         lag(event_type) OVER w AS prev,
+         lead(event_type) OVER w AS next
+  FROM touches
+  WINDOW w AS (PARTITION BY user_id, j ORDER BY ts, event_id)),
+tagged AS (
+  SELECT s.*, c.j IS NOT NULL AS conv
+  FROM seq s LEFT JOIN convs c ON s.user_id = c.user_id AND s.j = c.j),
+steps AS (
+  SELECT * FROM (
+    SELECT coalesce(prev, '(start)') AS f, event_type AS t FROM tagged
+    UNION ALL
+    SELECT event_type, CASE WHEN conv THEN '(conv)' ELSE '(null)' END
+    FROM tagged WHERE next IS NULL) _s),
+counts AS (SELECT f, t, count(*) AS c FROM steps GROUP BY 1, 2),
+tot AS (SELECT f, sum(c) AS n FROM counts GROUP BY 1),
+probs AS (
+  SELECT counts.f, counts.t, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+  FROM counts JOIN tot ON counts.f = tot.f),
+rms AS (
+  SELECT * FROM (
+    SELECT DISTINCT f AS rm FROM probs WHERE f <> '(start)'
+    UNION ALL
+    SELECT '-') _r),
+grid AS (
+  SELECT rm, f, CASE WHEN t = rm THEN '(null)' ELSE t END AS t, sum(p) AS p
+  FROM probs CROSS JOIN rms GROUP BY 1, 2, 3),
+states AS (SELECT * FROM (SELECT DISTINCT rm, f AS s FROM grid) _st),
+direct AS (SELECT rm, f AS s, p AS d FROM grid WHERE t = '(conv)'),
+trans AS (SELECT * FROM grid WHERE t NOT IN ('(conv)', '(null)')),
+it(iter, rm, s, p) AS (
+  SELECT 0, rm, s, CAST(0.0 AS DOUBLE) FROM states
+  UNION ALL
+  SELECT l.iter + 1, l.rm, l.s,
+         round_even(coalesce(a.acc, 0.0) + coalesce(d.d, 0.0), 9)
+  FROM it l
+  LEFT JOIN (
+    SELECT i2.iter, tr.rm, tr.f AS s,
+           CAST(sum(CAST(round(round_even(tr.p * i2.p, 9) * 1e9)
+                         AS HUGEINT)) AS DOUBLE) / 1e9 AS acc
+    FROM trans tr JOIN it i2 ON i2.rm = tr.rm AND i2.s = tr.t
+    GROUP BY 1, 2, 3) a
+    ON a.iter = l.iter AND a.rm = l.rm AND a.s = l.s
+  LEFT JOIN direct d ON d.rm = l.rm AND d.s = l.s
+  WHERE l.iter < 16),
+sp AS (SELECT rm, p FROM it WHERE iter = 16 AND s = '(start)')
+SELECT c.rm AS channel, b.p AS base_p, c.p AS p_removed,
+       CASE WHEN b.p > 0 THEN round_even((b.p - c.p) / b.p, 9) END
+         AS removal_effect
+FROM (SELECT * FROM sp WHERE rm <> '-') c
+CROSS JOIN (SELECT p FROM sp WHERE rm = '-') b
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4805,7 +4892,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X68, no driver row yet — rotate
+    # r5 additions (components X59-X69, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4818,6 +4905,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_segments": q_bpe_segments,
     "q_ab_cuped": q_ab_cuped,
+    "q_markov_attribution": q_markov_attribution,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -4952,7 +5040,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X68)
+    # r5 additions (X59-X69)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -4964,6 +5052,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_segments": SQL_BPE_SEGMENTS,
     "q_ab_cuped": SQL_AB_CUPED,
+    "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

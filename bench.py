@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q_bpe_merges",
     "q_bpe_segments",
     "q_ab_cuped",
+    "q_markov_attribution",
 ]
 
 

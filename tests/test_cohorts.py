@@ -346,3 +346,48 @@ def test_attribution_same_timestamp_tiebreaks_on_id(spark):
         ).collect()
     }
     assert out["a"]["first_touch"] == 1 and out["b"]["last_touch"] == 1
+
+
+def test_markov_attribution_hand_chain(spark):
+    """Two-channel chain with hand-checkable absorption: channel 'a'
+    always leads to conversion, channel 'b' always to abandonment —
+    removing 'a' must kill ALL conversion (removal_effect 1.0),
+    removing 'b' must not reduce it (effect 0.0)."""
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.cohorts import markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = []
+    eid = 0
+    # 3 users: a -> purchase
+    for u in range(3):
+        rows += [(u, ts(0), (eid := eid + 1), "a"),
+                 (u, ts(1), (eid := eid + 1), "purchase")]
+    # 2 users: b -> (no conversion)
+    for u in range(10, 12):
+        rows.append((u, ts(0), (eid := eid + 1), "b"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    # chain: start -> a (3/5) -> conv; start -> b (2/5) -> null
+    assert out["a"]["base_p"] == pytest.approx(0.6, abs=1e-9)
+    assert out["a"]["removal_effect"] == pytest.approx(1.0, abs=1e-9)
+    assert out["b"]["removal_effect"] == pytest.approx(0.0, abs=1e-9)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iters"):
+        markov_attribution(
+            ev, "user_id", "ts", "event_type", "event_id", iters=0
+        )
