@@ -1,6 +1,8 @@
-"""Unit tests for the r5 operator additions (X59-X64): cross-split
+"""Unit tests for the r5 operator additions (X59-X68): cross-split
 leakage, vocabulary coverage, rolling median, quantile normalization,
-centroid outliers. (Attribution lives in test_cohorts.py.)"""
+centroid outliers, corpus divergence, label propagation, BPE merge
+learning, CUPED A/B analysis. (Linear/Markov attribution live in
+test_cohorts.py.)"""
 
 from __future__ import annotations
 
