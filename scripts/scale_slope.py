@@ -66,6 +66,10 @@ DOC_QUERIES = [
     # r5: train + exact AUC over the 10x corpus (score grid stays
     # distinct-score-bounded; training is the dominant, linear part)
     "q_auc",
+    # r5 additions: BPE rounds run over the vocab-bounded word-frequency
+    # table (expect ~flat); the replicas' translated vocabularies make
+    # the word table grow linearly, the realistic mode
+    "q_bpe_merges",
 ]
 EMB_QUERIES = [
     "q_embed_near_dup",
@@ -76,6 +80,9 @@ EMB_QUERIES = [
     # pair
     "q_knn_graph",
     "q_negative_samples",
+    # r5 addition: LPA over the k-NN graph — candidate generation
+    # dominates, same cells discipline
+    "q_label_propagation",
 ]
 # r5: the TPC-H-shaped heavies. Replication offsets order/cust/supp keys
 # per replica while NATIONS STAY FIXED — orders, customers, suppliers and
@@ -89,6 +96,15 @@ TPCH_QUERIES = [
     "q_pagerank",
     "q_triangles",
 ]
+# r5: event-stream heavies — events replicate 10x with fresh
+# event/user ids over the same calendar (generate_aux), so journeys
+# and series grow in NUMBER while per-user depth stays fixed.
+EVENT_QUERIES = [
+    "q_markov_attribution",
+    "q_attribution",
+    "q_rolling_median",
+    "q_ab_cuped",
+]
 
 # Optional narrowing for incremental runs (comma-separated query names):
 # re-measuring one fixed query must not pay the full five-query sweep.
@@ -98,6 +114,7 @@ if _ONLY:
     DOC_QUERIES = [q for q in DOC_QUERIES if q in only]
     EMB_QUERIES = [q for q in EMB_QUERIES if q in only]
     TPCH_QUERIES = [q for q in TPCH_QUERIES if q in only]
+    EVENT_QUERIES = [q for q in EVENT_QUERIES if q in only]
 
 _CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 
@@ -280,6 +297,8 @@ def main() -> None:
         generate(spark, x10f, scale_cells=False)
     if TPCH_QUERIES and not os.path.exists(f"{x10}/lineitem.parquet/_SUCCESS"):
         generate_tpch(spark, x10)
+    if EVENT_QUERIES and not os.path.exists(f"{x10}/events.parquet/_SUCCESS"):
+        generate_aux(spark, x10)
 
     # warmup (JIT/codegen) on the smallest SF
     ALL_QUERIES["q_tfidf_terms"](spark, "/root/testdata/sf0.001").write.format(
@@ -289,7 +308,7 @@ def main() -> None:
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
-    main_set = DOC_QUERIES + EMB_QUERIES + TPCH_QUERIES
+    main_set = DOC_QUERIES + EMB_QUERIES + TPCH_QUERIES + EVENT_QUERIES
     results = {
         "x1": bench(spark, main_set, x1, n_reps),
         f"x{REPLICAS}": bench(spark, main_set, x10, n_reps),
