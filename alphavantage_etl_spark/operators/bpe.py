@@ -98,7 +98,6 @@ def _learn(docs: DataFrame, text_col: str, k: int):
     """Run k merge rounds; returns (merge list, final state frame)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    spark = docs.sparkSession
     chars = F.filter(
         F.split(F.col("word"), ""), lambda ch: ch != ""
     )
