@@ -360,3 +360,111 @@ def test_pagerank_mass_conserved(spark, edges):
     )
     out = pagerank(df, "src", "dst", iters=3).collect()
     assert abs(sum(r["rank"] for r in out) - 1.0) < 1e-6
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_quantile_normalize_is_a_valid_percent_rank(spark, rows):
+    """qnorm is always in [0, 1], NULL iff the value is NULL, monotone
+    with the value within a group, and tied values share it."""
+    from alphavantage_etl_spark.functions.distribution import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id long, g string, v double",
+    )
+    out = quantile_normalize(df, "v", "g").collect()
+    assert len(out) == len(rows)
+    by_group: dict = {}
+    for r in out:
+        if r["v"] is None:
+            assert r["qnorm"] is None
+            continue
+        assert 0.0 <= r["qnorm"] <= 1.0
+        by_group.setdefault(r["g"], []).append((r["v"], r["qnorm"]))
+    for pairs in by_group.values():
+        pairs.sort()
+        for (v1, q1), (v2, q2) in zip(pairs, pairs[1:]):
+            assert (q1 <= q2) and (v1 != v2 or q1 == q2)
+
+
+@SETTINGS
+@given(
+    st.lists(st.floats(-1000, 1000, allow_nan=False), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=6),
+)
+def test_rolling_median_bounded_by_window_extremes(spark, vals, k):
+    """Wherever defined, the rolling median lies within [min, max] of its
+    own trailing window (cents-rounded), and is NULL exactly while the
+    window is short."""
+    import datetime as dt
+
+    from alphavantage_etl_spark.functions.indicators import rolling_median
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g long, ts timestamp_ntz, i long, v double")
+    okey = F.struct(F.col("ts"), F.col("i"))
+    out = sorted(
+        df.select("i", rolling_median("v", okey, k, ("g",)).alias("m")).collect(),
+        key=lambda r: r["i"],
+    )
+    cents = [round(v * 100) for v in vals]
+    for i, r in enumerate(out):
+        if i < k - 1:
+            assert r["m"] is None
+        else:
+            w = cents[i - k + 1 : i + 1]
+            assert min(w) / 100.0 <= r["m"] <= max(w) / 100.0
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.sampled_from(["a", "b", "c", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_attribution_conservation_laws(spark, events):
+    """Linear credit sums to the number of attributable journeys; first
+    and last touch counts each sum to the same journey count."""
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.cohorts import (
+        conversion_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), i, ty)
+        for i, (u, ty) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = conversion_attribution(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).collect()
+    n_first = sum(r["first_touch"] for r in out)
+    n_last = sum(r["last_touch"] for r in out)
+    linear = sum(r["linear_credit"] for r in out)
+    assert n_first == n_last
+    assert linear == pytest.approx(float(n_first), abs=1e-6)
