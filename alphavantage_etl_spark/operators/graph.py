@@ -590,3 +590,79 @@ def label_propagation(
     return labels.select(
         F.col("node").alias(id_col), F.col("lab").alias(label_col)
     )
+
+
+def graph_walks(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    walk_len: int = 4,
+    salt: str = "walk",
+) -> DataFrame:
+    """(start_id, step, node_id): one deterministic random walk of
+    ``walk_len`` steps from EVERY node of the undirected graph — the
+    DeepWalk/node2vec positive-pair generator: (start, node@step) pairs
+    are the (center, context) examples contrastive embedding training
+    consumes (negatives come from ``contrastive.sample_negatives``).
+
+    "Random" is content-addressed, not seeded RNG: step s from node v on
+    the walk started at u picks neighbor index
+    ``md5(salt:u:s:v) % degree(v)`` — the ``sampling.split_bucket``
+    construction, so walks are reproducible on ANY engine, stable under
+    partitioning, and append-stable (a new node never changes an
+    existing node's walk). Neighbor arrays are SORTED, making the index
+    choice well-defined.
+
+    Scale design (100 TB): the adjacency table is built once (one
+    groupBy on the node key; per-node array bounded by degree — for
+    k-NN graphs that is <= 2k); each of the ``walk_len`` steps is ONE
+    equi-join of the walk frontier against the adjacency table keyed on
+    the current node. No per-walk state beyond the frontier row; total
+    output is |nodes| x walk_len.
+    """
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = sym.groupBy(F.col("a").alias("node")).agg(
+        F.sort_array(F.collect_list("b")).alias("nbrs")
+    )
+    cur = adj.select(
+        F.col("node").alias("start"), F.col("node").alias("cur")
+    )
+    out_parts = []
+    for s in range(1, walk_len + 1):
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.col("start").cast("string"),
+                F.lit(str(s)),
+                F.col("cur").cast("string"),
+            )
+        )
+        idx = (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.size("nbrs")
+        ) + 1
+        step = (
+            cur.join(adj, cur["cur"] == adj["node"])
+            .select(
+                "start",
+                F.element_at("nbrs", idx.cast("int")).alias("cur"),
+            )
+        )
+        out_parts.append(
+            step.select(
+                F.col("start").alias("start_id"),
+                F.lit(s).cast("long").alias("step"),
+                F.col("cur").alias("node_id"),
+            )
+        )
+        cur = step
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4762,6 +4762,51 @@ CROSS JOIN (SELECT p FROM sp WHERE rm = '-') b
 """
 
 
+# X70 — deterministic graph walks (r5): one content-addressed random
+# walk of 4 steps from every node of the deduplicated k-NN graph — the
+# DeepWalk/node2vec (center, context) positive-pair generator for
+# contrastive embedding training; md5 neighbor choice makes every walk
+# engine-reproducible (operators/graph.py:graph_walks).
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import graph_walks
+    from .operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = (
+        knn_graph(emb, k=3)
+        .select(
+            F.least("vec_id", "neighbor_id").alias("id_a"),
+            F.greatest("vec_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return graph_walks(edges, walk_len=4)
+
+
+SQL_GRAPH_WALKS = f"""
+WITH RECURSIVE knn AS (SELECT * FROM ({SQL_KNN_GRAPH}) _k),
+e0 AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+                  greatest(vec_id, neighbor_id) AS b
+  FROM knn),
+ee AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+adj AS (SELECT a AS node, list(b ORDER BY b) AS nbrs FROM ee GROUP BY 1),
+wk(step, start, cur) AS (
+  SELECT 0, node, node FROM adj
+  UNION ALL
+  SELECT w.step + 1, w.start,
+         ad.nbrs[CAST(
+           CAST(concat('0x', substring(md5(concat_ws(':', 'walk',
+                  CAST(w.start AS VARCHAR), CAST(w.step + 1 AS VARCHAR),
+                  CAST(w.cur AS VARCHAR))), 1, 8)) AS BIGINT)
+           % len(ad.nbrs) + 1 AS INT)]
+  FROM wk w JOIN adj ad ON ad.node = w.cur
+  WHERE w.step < 4)
+SELECT start AS start_id, CAST(step AS BIGINT) AS step, cur AS node_id
+FROM wk WHERE step >= 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4892,7 +4937,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X69, no driver row yet — rotate
+    # r5 additions (components X59-X70, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4906,6 +4951,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_bpe_segments": q_bpe_segments,
     "q_ab_cuped": q_ab_cuped,
     "q_markov_attribution": q_markov_attribution,
+    "q_graph_walks": q_graph_walks,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5040,7 +5086,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X69)
+    # r5 additions (X59-X70)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5053,6 +5099,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_bpe_segments": SQL_BPE_SEGMENTS,
     "q_ab_cuped": SQL_AB_CUPED,
     "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
+    "q_graph_walks": SQL_GRAPH_WALKS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q_bpe_segments",
     "q_ab_cuped",
     "q_markov_attribution",
+    "q_graph_walks",
 ]
 
 

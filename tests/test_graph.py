@@ -302,3 +302,28 @@ def test_triangle_count_hub_graph_exact(spark):
     df = spark.createDataFrame(hub + chain, "src long, dst long")
     r = triangle_count(df, "src", "dst").first()
     assert r["n_triangles"] == 39
+
+
+def test_graph_walks_deterministic_and_edge_respecting(spark):
+    from alphavantage_etl_spark.operators.graph import graph_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "id_a long, id_b long"
+    )
+    nbrs = {1: {2, 3}, 2: {1, 3}, 3: {1, 2, 4}, 4: {3}}
+    w1 = sorted(map(tuple, graph_walks(edges, walk_len=3).collect()))
+    w2 = sorted(map(tuple, graph_walks(edges, walk_len=3).collect()))
+    assert w1 == w2, "walks must be reproducible"
+    assert len(w1) == 4 * 3  # every node walks every step
+    pos = {(s, st): n for s, st, n in w1}
+    for (start, step), node in pos.items():
+        prev = start if step == 1 else pos[(start, step - 1)]
+        assert node in nbrs[prev], "each step must follow an edge"
+    # a different salt takes (at least some) different turns
+    w3 = sorted(map(tuple, graph_walks(edges, walk_len=3, salt="other").collect()))
+    assert w3 != w1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="walk_len"):
+        graph_walks(edges, walk_len=0)
