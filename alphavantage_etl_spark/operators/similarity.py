@@ -866,3 +866,81 @@ def centroid_outliers(
         .where(F.col("rank") <= F.ceil(F.lit(top_frac) * F.col("__n")))
         .select(id_col, "label", "dist2", "rank")
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(center_rank, id, cover_dist2): ``k`` greedy k-center picks — the
+    classic 2-approximation coreset: start from the min-id vector
+    (deterministic seed), then repeatedly take the point FARTHEST from
+    the already-selected set (max over points of min over centers of
+    squared distance; ties to the smaller id). The selection order is a
+    diversity ranking and ``cover_dist2`` (the winner's distance at
+    selection, NULL for the seed) is the shrinking covering-radius
+    sequence — the standard diverse-subset pick for labeling budgets,
+    eval-set construction and prototype selection.
+
+    Scale design (100 TB): the selected centers are BOUNDED MODEL STATE
+    (k vectors, driver-side); each round updates a per-point running
+    min-distance with ONE scan against the single newest center (a
+    narrow map — never a |points| x |centers| join) followed by a
+    TakeOrdered(1) argmax; per-round state is ``localCheckpoint``'d
+    (the iterative-lineage rule). Total cost: k corpus scans — the
+    textbook trade; sample first for k beyond the labeling-budget
+    regime.
+
+    Cross-engine exactness: distances fold sequentially in array order
+    (the cosine/k-NN discipline) and are half-even-quantized to 1e-9
+    before the running min and the argmax, so every round's selection
+    is bit-identical across engines and partitionings.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def dist2(center: list[float]):
+        c = F.array(*[F.lit(float(v)) for v in center])
+        sq = F.zip_with(
+            F.col("__v"), c,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        )
+        return F.bround(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 9
+        )
+
+    pts = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    seed = pts.orderBy("__id").limit(1).collect()
+    if not seed:
+        return df.sparkSession.createDataFrame(
+            [], f"center_rank long, {id_col} long, cover_dist2 double"
+        )
+    chosen = [(1, int(seed[0]["__id"]), None)]
+    state = pts.select(
+        "__id", "__v", dist2(list(seed[0]["__v"])).alias("__mind2")
+    ).localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        ids = [c[1] for c in chosen]
+        best = (
+            state.where(~F.col("__id").isin(ids))
+            .orderBy(F.desc("__mind2"), F.col("__id"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # fewer distinct points than k
+        chosen.append((r, int(best[0]["__id"]), float(best[0]["__mind2"])))
+        prev = state
+        state = state.select(
+            "__id", "__v",
+            F.least("__mind2", dist2(list(best[0]["__v"]))).alias("__mind2"),
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    state.unpersist()
+    return df.sparkSession.createDataFrame(
+        chosen, f"center_rank long, {id_col} long, cover_dist2 double"
+    )

@@ -4807,6 +4807,68 @@ FROM wk WHERE step >= 1
 """
 
 
+# X71 — greedy k-center coreset (r5): 6 diversity-ranked picks over the
+# embedding corpus (min-id seed, then farthest-from-selected with 1e-9
+# quantized distances and min-id ties). Oracle UNROLLS the rounds as
+# chained CTE stages mirroring the scan-argmax-update loop
+# (operators/similarity.py:kcenter_coreset).
+_KCENTER_K = 6
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kcenter_coreset
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=_KCENTER_K)
+
+
+def _sql_kcenter(k: int) -> str:
+    """Unrolled greedy k-center: c1 = min-id row; stage i: argmax of the
+    running min-distance excluding prior centers, then the running-min
+    update against the new center. dist2 folds in array order (the
+    k-NN subquery pattern) and quantizes to 1e-9 before comparisons."""
+    d2 = (
+        "round_even((SELECT sum((xx - yy) * (xx - yy))"
+        " FROM (SELECT CAST(unnest(s.embedding) AS DOUBLE) AS xx,"
+        " CAST(unnest({c}.embedding) AS DOUBLE) AS yy)), 9)"
+    )
+    stages = [
+        """c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+s1 AS (
+  SELECT s.vec_id, s.embedding, """
+        + d2.format(c="c1")
+        + """ AS mind2
+  FROM embeddings s CROSS JOIN c1)"""
+    ]
+    for i in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(1, i)
+        )
+        stages.append(
+            f"""c{i} AS (
+  SELECT vec_id, embedding, mind2 FROM s{i-1}
+  WHERE vec_id NOT IN (SELECT vec_id FROM ({prior}) _p)
+  ORDER BY mind2 DESC, vec_id LIMIT 1),
+s{i} AS (
+  SELECT s.vec_id, s.embedding, least(s.mind2, {d2.format(c=f"c{i}")}) AS mind2
+  FROM s{i-1} s CROSS JOIN c{i})"""
+        )
+    picks = "\nUNION ALL\n".join(
+        [
+            "SELECT CAST(1 AS BIGINT) AS center_rank, vec_id,"
+            " CAST(NULL AS DOUBLE) AS cover_dist2 FROM c1"
+        ]
+        + [
+            f"SELECT CAST({i} AS BIGINT), vec_id, mind2 FROM c{i}"
+            for i in range(2, k + 1)
+        ]
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + picks
+
+
+SQL_KCENTER_CORESET = _sql_kcenter(_KCENTER_K)
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4937,7 +4999,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X70, no driver row yet — rotate
+    # r5 additions (components X59-X71, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -4952,6 +5014,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_ab_cuped": q_ab_cuped,
     "q_markov_attribution": q_markov_attribution,
     "q_graph_walks": q_graph_walks,
+    "q_kcenter_coreset": q_kcenter_coreset,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5086,7 +5149,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X70)
+    # r5 additions (X59-X71)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5100,6 +5163,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_ab_cuped": SQL_AB_CUPED,
     "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
     "q_graph_walks": SQL_GRAPH_WALKS,
+    "q_kcenter_coreset": SQL_KCENTER_CORESET,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

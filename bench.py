@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q_ab_cuped",
     "q_markov_attribution",
     "q_graph_walks",
+    "q_kcenter_coreset",
 ]
 
 

@@ -380,3 +380,44 @@ def test_ab_assign_is_content_addressed(spark):
     assert a1 == a2
     n_a = sum(1 for v in a1.values() if v == "A")
     assert 200 <= n_a <= 300
+
+
+# ------------------------------------------------ k-center coreset
+def test_kcenter_picks_farthest_and_radius_shrinks(spark):
+    from alphavantage_etl_spark.operators.similarity import kcenter_coreset
+
+    # three tight clumps far apart + the min-id seed in clump A: the
+    # first picks must cover each clump before refining within one
+    rows = []
+    for i, base in enumerate([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]):
+        for j in range(4):
+            rows.append((i * 10 + j, [base[0] + 0.01 * j, base[1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(
+        map(tuple, kcenter_coreset(df, k=4).collect())
+    )
+    ranks = {r: (vid, d) for r, vid, d in out}
+    assert ranks[1][0] == 0 and ranks[1][1] is None        # min-id seed
+    # picks 2 and 3 land in the two OTHER clumps (ids 10-13 and 20-23)
+    clumps = {ranks[2][0] // 10, ranks[3][0] // 10}
+    assert clumps == {1, 2}
+    # covering radius is monotone non-increasing
+    assert ranks[2][1] >= ranks[3][1] >= ranks[4][1] >= 0
+    # pick 4 refines WITHIN a clump: distance collapses vs pick 3
+    assert ranks[4][1] < 1.0 < ranks[3][1]
+
+
+def test_kcenter_bounds_and_degenerate(spark):
+    import pytest as _pt
+
+    from alphavantage_etl_spark.operators.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0])], "vec_id long, embedding array<float>"
+    )
+    out = kcenter_coreset(df, k=5).collect()  # k > |points|: stops early
+    assert [r["center_rank"] for r in sorted(out, key=lambda r: r["center_rank"])] == [1, 2]
+    with _pt.raises(ValueError, match="k must"):
+        kcenter_coreset(df, k=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kcenter_coreset(empty, k=3).collect() == []
