@@ -416,3 +416,69 @@ def markov_attribution(
     )
     free_blocks(grid)
     return out
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    week: int = 7,
+    month: int = 28,
+) -> DataFrame:
+    """(day, dau, wau, mau, stickiness): exact distinct active users per
+    day and per trailing ``week``/``month``-day window, plus the
+    DAU/MAU stickiness ratio — the canonical engagement rollup. Early
+    days report their genuinely-partial windows (a day-3 WAU covers
+    three days); trailing days never read past the corpus.
+
+    Scale design (100 TB): the event stream collapses FIRST to the
+    distinct (user, day) grid (one exact-distinct aggregation — the
+    only corpus-sized shuffle); each grid row then explodes into the
+    <= 1 + week + month future days it contributes to (a bounded
+    constant multiplier over the GRID, not the events) and the per-day
+    distinct counts aggregate over day-keyed partitions. No window
+    functions, no per-day scans.
+
+    ``stickiness`` is a pure int/int ratio — engine-exact unrounded.
+    """
+    if not 1 <= week <= month:
+        raise ValueError(f"need 1 <= week <= month, got {week}, {month}")
+    ud = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).cast("date").alias("d"),
+        )
+        .where(F.col("u").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    last_day = ud.agg(F.max("d").alias("m"))
+
+    def contributions(w: int, name: str) -> DataFrame:
+        days = F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), w - 1))
+        ).alias("day")
+        return (
+            ud.select("u", days)
+            .crossJoin(F.broadcast(last_day))
+            .where(F.col("day") <= F.col("m"))
+            .groupBy("day")
+            .agg(F.count_distinct("u").alias(name))
+        )
+
+    dau = contributions(1, "dau")
+    wau = contributions(week, "wau")
+    mau = contributions(month, "mau")
+    return (
+        mau.join(wau, "day", "left")
+        .join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("wau", F.lit(0)).alias("wau"),
+            "mau",
+            (
+                F.coalesce("dau", F.lit(0)).cast("double")
+                / F.col("mau").cast("double")
+            ).alias("stickiness"),
+        )
+    )

@@ -4869,6 +4869,42 @@ s{i} AS (
 SQL_KCENTER_CORESET = _sql_kcenter(_KCENTER_K)
 
 
+# X72 — rolling active users (r5): exact DAU/WAU/MAU per day from the
+# distinct (user, day) grid exploded into the bounded set of future
+# days each visit contributes to — no window functions, no per-day
+# scans (operators/cohorts.py:active_users).
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import active_users
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return active_users(ev, "user_id", "ts")
+
+
+SQL_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+last_day AS (SELECT max(d) AS m FROM ud),
+dau AS (
+  SELECT day, count(DISTINCT u) AS dau FROM (
+    SELECT u, unnest(generate_series(d, d, INTERVAL 1 DAY))::DATE AS day
+    FROM ud) _x CROSS JOIN last_day WHERE day <= m GROUP BY 1),
+wau AS (
+  SELECT day, count(DISTINCT u) AS wau FROM (
+    SELECT u, unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS day
+    FROM ud) _x CROSS JOIN last_day WHERE day <= m GROUP BY 1),
+mau AS (
+  SELECT day, count(DISTINCT u) AS mau FROM (
+    SELECT u, unnest(generate_series(d, d + 27, INTERVAL 1 DAY))::DATE AS day
+    FROM ud) _x CROSS JOIN last_day WHERE day <= m GROUP BY 1)
+SELECT mau.day AS day, coalesce(dau.dau, 0) AS dau,
+       coalesce(wau.wau, 0) AS wau, mau.mau AS mau,
+       CAST(coalesce(dau.dau, 0) AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+         AS stickiness
+FROM mau LEFT JOIN wau ON mau.day = wau.day LEFT JOIN dau ON mau.day = dau.day
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -4999,7 +5035,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X71, no driver row yet — rotate
+    # r5 additions (components X59-X72, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5015,6 +5051,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_markov_attribution": q_markov_attribution,
     "q_graph_walks": q_graph_walks,
     "q_kcenter_coreset": q_kcenter_coreset,
+    "q_active_users": q_active_users,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5149,7 +5186,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X71)
+    # r5 additions (X59-X72)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5164,6 +5201,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
     "q_graph_walks": SQL_GRAPH_WALKS,
     "q_kcenter_coreset": SQL_KCENTER_CORESET,
+    "q_active_users": SQL_ACTIVE_USERS,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

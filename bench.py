@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_markov_attribution",
     "q_graph_walks",
     "q_kcenter_coreset",
+    "q_active_users",
 ]
 
 

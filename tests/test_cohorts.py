@@ -391,3 +391,33 @@ def test_markov_attribution_hand_chain(spark):
         markov_attribution(
             ev, "user_id", "ts", "event_type", "event_id", iters=0
         )
+
+
+def test_active_users_window_arithmetic(spark):
+    """Hand-checkable DAU/WAU/MAU: user 1 visits days 1 and 9, user 2
+    visits day 1 only. WAU(day 7) still counts day-1 visitors; WAU(day
+    8) no longer does; trailing days never extend past the corpus."""
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.cohorts import active_users
+
+    def ts(day, h=12):
+        return dt.datetime(2024, 1, day, h)
+
+    ev = spark.createDataFrame(
+        [(1, ts(1)), (2, ts(1)), (1, ts(1, 18)), (1, ts(9))],
+        "user_id long, ts timestamp_ntz",
+    )
+    out = {r["day"].day: r for r in active_users(ev, "user_id", "ts").collect()}
+    assert out[1]["dau"] == 2 and out[1]["wau"] == 2 and out[1]["mau"] == 2
+    assert out[2]["dau"] == 0 and out[2]["wau"] == 2  # day-1 visitors linger
+    assert out[7]["wau"] == 2 and out[8]["wau"] == 0  # 7-day horizon
+    assert out[9]["dau"] == 1 and out[9]["wau"] == 1 and out[9]["mau"] == 2
+    assert out[9]["stickiness"] == 0.5
+    assert max(out) == 9  # never emits days past the last event
+    assert len(out) == 9  # every day in range present (mau carries)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="week"):
+        active_users(ev, "user_id", "ts", week=9, month=7)
