@@ -83,6 +83,8 @@ EMB_QUERIES = [
     # r5 addition: LPA over the k-NN graph — candidate generation
     # dominates, same cells discipline
     "q_label_propagation",
+    "q_graph_walks",
+    "q_kcenter_coreset",
 ]
 # r5: the TPC-H-shaped heavies. Replication offsets order/cust/supp keys
 # per replica while NATIONS STAY FIXED — orders, customers, suppliers and
@@ -104,6 +106,7 @@ EVENT_QUERIES = [
     "q_attribution",
     "q_rolling_median",
     "q_ab_cuped",
+    "q_active_users",
 ]
 
 # Optional narrowing for incremental runs (comma-separated query names):
