@@ -1,8 +1,9 @@
-"""Unit tests for the r5 operator additions (X59-X68): cross-split
+"""Unit tests for the r5 operator additions (X59-X71): cross-split
 leakage, vocabulary coverage, rolling median, quantile normalization,
 centroid outliers, corpus divergence, label propagation, BPE merge
-learning, CUPED A/B analysis. (Linear/Markov attribution live in
-test_cohorts.py.)"""
+learning, CUPED A/B analysis, k-center coreset. (Linear/Markov
+attribution and active users live in test_cohorts.py; graph walks in
+test_graph.py.)"""
 
 from __future__ import annotations
 
