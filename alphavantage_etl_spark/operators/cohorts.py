@@ -482,3 +482,66 @@ def active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion: str = "purchase",
+) -> DataFrame:
+    """(channel, n_conversions, p50_latency_s, p90_latency_s): how long
+    journeys that STARTED on each channel take to convert — the latency
+    complement of the attribution counts (a channel can win last-touch
+    credit while initiating the slowest funnels). Latency = whole
+    seconds from the journey's first touch to its closing conversion
+    (``timestampdiff`` on naive timestamps — no epoch conversion, no
+    session-timezone dependence); percentiles are exact interpolated
+    quantiles over integer seconds, half-even-rounded to 1e-6 before
+    comparison (the q_percentiles cross-engine discipline).
+
+    Both endpoints are ``date_trunc``'d to whole seconds BEFORE the
+    diff: engines disagree on sub-second boundaries (boundary-crossing
+    counts vs truncated-microsecond division), but on whole-second
+    stamps every definition yields the same integer.
+
+    Journey segmentation is :func:`conversion_attribution`'s; journeys
+    with no touches never appear (no first touch to measure from).
+
+    Scale (100 TB): the same one-window journey build, then everything
+    is (user, journey)- or |channels|-keyed; the percentile aggregation
+    is one exact-percentile pass over the |conversions|-sized latency
+    table, grouped on the bounded channel key.
+    """
+    okey = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
+    w = Window.partitionBy(user_col).orderBy(okey)
+    is_conv = F.col(type_col) == conversion
+    e = events.select(
+        user_col, ts_col, id_col, type_col,
+        F.sum(is_conv.cast("long")).over(w).alias("__cc"),
+    )
+    touches = e.where(F.col(type_col) != conversion).select(
+        user_col, type_col, ts_col, id_col, (F.col("__cc") + 1).alias("__j")
+    )
+    convs = e.where(is_conv).select(
+        user_col, F.col("__cc").alias("__j"), F.col(ts_col).alias("__cts")
+    )
+    okey2 = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
+    per_j = touches.groupBy(user_col, "__j").agg(
+        F.min_by(type_col, okey2).alias("channel"),
+        F.min(ts_col).alias("__fts"),
+    )
+    lat = per_j.join(convs, [user_col, "__j"]).select(
+        "channel",
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', __fts),"
+            " date_trunc('second', __cts))"
+        ).alias("__s"),
+    )
+    return lat.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.bround(F.expr("percentile(__s, 0.5)"), 6).alias("p50_latency_s"),
+        F.bround(F.expr("percentile(__s, 0.9)"), 6).alias("p90_latency_s"),
+    )

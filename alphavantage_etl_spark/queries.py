@@ -4905,6 +4905,53 @@ FROM mau LEFT JOIN wau ON mau.day = wau.day LEFT JOIN dau ON mau.day = dau.day
 """
 
 
+# X73 — conversion latency percentiles (r5): p50/p90 whole seconds from
+# a journey's first touch to its closing conversion, grouped by the
+# first-touch channel — the latency complement of the attribution
+# counts (operators/cohorts.py:conversion_latency). Endpoints truncated
+# to whole seconds before the diff (cross-engine boundary semantics);
+# percentiles interpolated + bround 6 (the q_percentiles discipline).
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import conversion_latency
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return conversion_latency(
+        ev, "user_id", "ts", "event_type", "event_id", conversion="purchase"
+    )
+
+
+SQL_CONVERSION_LATENCY = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS UNBOUNDED PRECEDING) AS cc
+  FROM events),
+touches AS (
+  SELECT user_id, event_type, ts, event_id, cc + 1 AS j
+  FROM e WHERE event_type <> 'purchase'),
+convs AS (
+  SELECT user_id, cc AS j, ts AS cts FROM e WHERE event_type = 'purchase'),
+rk AS (
+  SELECT user_id, j, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, j ORDER BY ts, event_id) AS rn,
+         min(ts) OVER (PARTITION BY user_id, j) AS fts
+  FROM touches),
+perj AS (SELECT user_id, j, event_type AS channel, fts FROM rk WHERE rn = 1),
+lat AS (
+  SELECT channel,
+         date_diff('second', date_trunc('second', fts),
+                   date_trunc('second', cts)) AS s
+  FROM perj JOIN convs ON perj.user_id = convs.user_id AND perj.j = convs.j)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       round_even(quantile_cont(s, 0.5), 6) AS p50_latency_s,
+       round_even(quantile_cont(s, 0.9), 6) AS p90_latency_s
+FROM lat GROUP BY channel
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -5035,7 +5082,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X72, no driver row yet — rotate
+    # r5 additions (components X59-X73, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5052,6 +5099,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_graph_walks": q_graph_walks,
     "q_kcenter_coreset": q_kcenter_coreset,
     "q_active_users": q_active_users,
+    "q_conversion_latency": q_conversion_latency,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5186,7 +5234,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X72)
+    # r5 additions (X59-X73)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5202,6 +5250,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_graph_walks": SQL_GRAPH_WALKS,
     "q_kcenter_coreset": SQL_KCENTER_CORESET,
     "q_active_users": SQL_ACTIVE_USERS,
+    "q_conversion_latency": SQL_CONVERSION_LATENCY,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q_graph_walks",
     "q_kcenter_coreset",
     "q_active_users",
+    "q_conversion_latency",
 ]
 
 

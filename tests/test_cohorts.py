@@ -421,3 +421,40 @@ def test_active_users_window_arithmetic(spark):
 
     with _pt.raises(ValueError, match="week"):
         active_users(ev, "user_id", "ts", week=9, month=7)
+
+
+def test_conversion_latency_hand_values(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.cohorts import conversion_latency
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: a at 0s -> purchase at 100s (latency 100)
+        (1, ts(0), 1, "a"), (1, ts(100), 2, "purchase"),
+        # user 2: a at 0s, b at 10s -> purchase at 300s (first touch a, 300)
+        (2, ts(0), 3, "a"), (2, ts(10), 4, "b"), (2, ts(300), 5, "purchase"),
+        # user 3: b touches but never converts -> no row
+        (3, ts(0), 6, "b"),
+        # sub-second straddle: first touch at 0.9s, purchase at 1.0s ->
+        # whole-second truncation gives 1, identically on both engines
+        (4, ts(0) + dt.timedelta(milliseconds=900), 7, "c"),
+        (4, ts(1), 8, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in conversion_latency(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert set(out) == {"a", "c"}
+    assert out["a"]["n_conversions"] == 2
+    assert out["a"]["p50_latency_s"] == 200.0  # interpolated between 100, 300
+    assert out["c"]["p50_latency_s"] == 1.0
