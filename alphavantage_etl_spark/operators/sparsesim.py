@@ -171,3 +171,52 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    id_col: str,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """(id, rrf_score, rank_a, rank_b): reciprocal-rank fusion of two
+    ranked retrieval lists — THE standard hybrid-search combiner
+    (Cormack et al., SIGIR 2009): ``sum over lists of 1/(k + rank)``,
+    which needs no score calibration between rankers whose scales are
+    incomparable (BM25 lexical vs dense cosine — exactly the two paths
+    this engine ships). Items missing from a list contribute nothing
+    for it; ranks break score ties on the id, so fusion is fully
+    deterministic and the arithmetic is a fixed-order sum of exact
+    int-ratio doubles — engine-identical unrounded.
+
+    Both inputs must carry (id, score). The global rank windows run
+    over the TOP-K LISTS — bounded model-state-sized inputs by
+    construction (the head-bounded window class), never the corpus.
+    """
+    from pyspark.sql import Window
+
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        score = [c for c in df.columns if c != id_col][0]
+        w = Window.orderBy(F.desc(score), F.col(id_col))
+        return df.select(
+            id_col, F.row_number().over(w).cast("long").alias(name)
+        )
+
+    ra = ranked(rank_a, "rank_a")
+    rb = ranked(rank_b, "rank_b")
+    kk = F.lit(float(k_rrf))
+
+    def contrib(c: str):
+        return F.when(
+            F.col(c).isNotNull(), F.lit(1.0) / (kk + F.col(c))
+        ).otherwise(F.lit(0.0))
+
+    return (
+        ra.join(rb, id_col, "full")
+        .select(
+            id_col,
+            (contrib("rank_a") + contrib("rank_b")).alias("rrf_score"),
+            "rank_a",
+            "rank_b",
+        )
+    )

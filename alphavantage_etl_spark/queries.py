@@ -4952,6 +4952,67 @@ FROM lat GROUP BY channel
 """
 
 
+# X74 — hybrid retrieval via reciprocal-rank fusion (r5): BM25 lexical
+# top-10 and dense cosine top-10 for the same query item (doc/vec 7),
+# fused with RRF (k=60) — no score calibration between incomparable
+# scales (operators/sparsesim.py:rrf_fuse). The fixture's doc_id and
+# vec_id share the id space, so the fusion join is meaningful.
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+    from .operators.sparsesim import bm25_topk, rrf_fuse
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    bm = bm25_topk(d, "doc_id", "text", query_id=7, k=10)
+    de = cosine_topk(emb.where(F.col("vec_id") != 7), qv, k=10).select(
+        F.col("vec_id").alias("doc_id"), F.col("sim").alias("score")
+    )
+    return rrf_fuse(bm, de, "doc_id")
+
+
+SQL_RRF_FUSION = f"""
+WITH bm AS (SELECT * FROM ({SQL_BM25}) _b),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+de AS (
+  SELECT vec_id, sim FROM (
+    SELECT e.vec_id,
+           round_even(
+             (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+              FROM (SELECT unnest(e.embedding) AS x, unnest(qv.qe) AS y))
+             / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                      FROM (SELECT unnest(e.embedding) AS x)))
+                * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                        FROM (SELECT unnest(qv.qe) AS y)))),
+             6) AS sim
+    FROM embeddings e, qv WHERE e.vec_id <> 7) _s
+  ORDER BY sim DESC, vec_id LIMIT 10),
+ra AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank_a
+  FROM bm),
+rb AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+           AS rank_b
+  FROM de),
+f AS (
+  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b
+  FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT doc_id,
+       (CASE WHEN rank_a IS NOT NULL THEN 1.0 / (60.0 + rank_a)
+             ELSE 0.0 END
+        + CASE WHEN rank_b IS NOT NULL THEN 1.0 / (60.0 + rank_b)
+               ELSE 0.0 END) AS rrf_score,
+       rank_a, rank_b
+FROM f
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -5082,7 +5143,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X73, no driver row yet — rotate
+    # r5 additions (components X59-X74, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5100,6 +5161,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_kcenter_coreset": q_kcenter_coreset,
     "q_active_users": q_active_users,
     "q_conversion_latency": q_conversion_latency,
+    "q_rrf_fusion": q_rrf_fusion,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5234,7 +5296,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X73)
+    # r5 additions (X59-X74)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5251,6 +5313,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_kcenter_coreset": SQL_KCENTER_CORESET,
     "q_active_users": SQL_ACTIVE_USERS,
     "q_conversion_latency": SQL_CONVERSION_LATENCY,
+    "q_rrf_fusion": SQL_RRF_FUSION,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_kcenter_coreset",
     "q_active_users",
     "q_conversion_latency",
+    "q_rrf_fusion",
 ]
 
 

@@ -927,3 +927,36 @@ def test_embedding_diag_detects_collapsed_dim(spark):
     # exact population variance of 0..9: 8.25
     assert abs(out[1]["variance"] - 8.25) < 1e-9
     assert out[1]["min"] == 0.0 and out[1]["max"] == 9.0
+
+
+# ---------------------------------------------------------------- RRF
+def test_rrf_fusion_arithmetic_and_missing_items(spark):
+    from alphavantage_etl_spark.operators.sparsesim import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.5)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 2: rank 2 in a, rank 1 in b
+    assert out[2]["rank_a"] == 2 and out[2]["rank_b"] == 1
+    assert out[2]["rrf_score"] == 1 / 62 + 1 / 61
+    # items missing from one list contribute only the present term
+    assert out[1]["rrf_score"] == 1 / 61 and out[1]["rank_b"] is None
+    assert out[4]["rrf_score"] == 1 / 62 and out[4]["rank_a"] is None  # rank 2 in b
+    # the doubly-ranked item outranks every single-list item here
+    assert out[2]["rrf_score"] > max(out[1]["rrf_score"], out[4]["rrf_score"])
+
+
+def test_rrf_rank_ties_break_on_id(spark):
+    from alphavantage_etl_spark.operators.sparsesim import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([], "doc_id long, score double")
+    out = {r["doc_id"]: r["rank_a"] for r in rrf_fuse(a, b, "doc_id").collect()}
+    assert out == {3: 1, 5: 2}  # equal scores: smaller id ranks first
