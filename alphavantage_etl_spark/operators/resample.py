@@ -62,3 +62,63 @@ def resample_ffill(
         ],
         F.col("__obs").isNull().alias("is_filled"),
     )
+
+
+def seasonal_profile(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, isodow, n, dow_mean, seasonal_index): the day-of-week
+    seasonality profile per group — index = day-mean / group-mean, the
+    multiplicative weekly component a forecaster divides out (and the
+    sanity check that "weekend dips" in a metric are seasonality, not
+    incidents: an anomaly detector that ignores a 0.7 Sunday index
+    pages every Sunday).
+
+    ``isodow`` (1 = Monday .. 7 = Sunday) is computed as
+    ``((days_since_epoch + 3) % 7) + 1`` — pure integer arithmetic on
+    the epoch day, identical on every engine, instead of the engines'
+    mutually-incompatible dayofweek() conventions (Spark 1=Sunday,
+    DuckDB 0=Sunday).
+
+    Exactness: values quantize to integer cents before summation (exact
+    decimal sums, merge-order-immune); both means and the index are
+    fixed-order double expressions over those integers, shipped
+    unrounded (pure rational — the target_encode rule).
+
+    Scale: ONE corpus scan into the |groups| x 7 grid (map-side
+    partial); the group totals derive from the grid.
+    """
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    epoch_day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
+    isodow = ((epoch_day + 3) % 7 + 1).cast("long")
+    grid = (
+        events.select(
+            F.col(group_col).alias("g"),
+            isodow.alias("isodow"),
+            cents.alias("__c"),
+        )
+        .where(F.col("__c").isNotNull())
+        .groupBy("g", "isodow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__c").cast("decimal(38,0)")).alias("__s"),
+        )
+    )
+    tot = grid.groupBy("g").agg(
+        F.sum("n").alias("__tn"), F.sum("__s").alias("__ts")
+    )
+    dow_mean = F.col("__s").cast("double") / F.col("n").cast("double") / 100.0
+    g_mean = F.col("__ts").cast("double") / F.col("__tn").cast("double") / 100.0
+    return (
+        grid.join(tot, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "isodow",
+            "n",
+            dow_mean.alias("dow_mean"),
+            F.when(g_mean != 0, dow_mean / g_mean).alias("seasonal_index"),
+        )
+    )

@@ -5013,6 +5013,39 @@ FROM f
 """
 
 
+# X75 — weekly seasonal profile (r5): per-event-type day-of-week mean
+# and multiplicative seasonal index from one scan into the |types| x 7
+# grid; ISO dow via epoch-day integer arithmetic (engines disagree on
+# dayofweek() conventions) (operators/resample.py:seasonal_profile).
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import seasonal_profile
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return seasonal_profile(ev, "ts", "value", "event_type")
+
+
+SQL_SEASONAL_PROFILE = """
+WITH grid AS (
+  SELECT event_type AS g,
+         ((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' + 3) % 7
+          + 1)::BIGINT AS isodow,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                  AS HUGEINT)) AS s
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT g, sum(n) AS tn, sum(s) AS ts FROM grid GROUP BY 1)
+SELECT grid.g AS event_type, grid.isodow, grid.n,
+       CAST(grid.s AS DOUBLE) / CAST(grid.n AS DOUBLE) / 100.0 AS dow_mean,
+       CASE WHEN CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE) / 100.0 <> 0
+            THEN (CAST(grid.s AS DOUBLE) / CAST(grid.n AS DOUBLE) / 100.0)
+                 / (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE) / 100.0)
+       END AS seasonal_index
+FROM grid JOIN tot ON grid.g = tot.g
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -5143,7 +5176,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X74, no driver row yet — rotate
+    # r5 additions (components X59-X75, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5162,6 +5195,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_active_users": q_active_users,
     "q_conversion_latency": q_conversion_latency,
     "q_rrf_fusion": q_rrf_fusion,
+    "q_seasonal_profile": q_seasonal_profile,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5296,7 +5330,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X74)
+    # r5 additions (X59-X75)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5314,6 +5348,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_active_users": SQL_ACTIVE_USERS,
     "q_conversion_latency": SQL_CONVERSION_LATENCY,
     "q_rrf_fusion": SQL_RRF_FUSION,
+    "q_seasonal_profile": SQL_SEASONAL_PROFILE,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

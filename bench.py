@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_active_users",
     "q_conversion_latency",
     "q_rrf_fusion",
+    "q_seasonal_profile",
 ]
 
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from alphavantage_etl_spark.operators.resample import resample_ffill
@@ -76,3 +78,26 @@ def test_observed_row_with_null_first_value_is_not_marked_filled(spark):
     # forward-filled per column (pandas ffill semantics), w observed
     assert out[1]["is_filled"] is False
     assert (out[1]["v"], out[1]["w"]) == (1, 20.0)
+
+
+def test_seasonal_profile_known_index_and_isodow(spark):
+    """Planted weekly pattern: Mondays average 2.0, every other day 1.0.
+    isodow must be ISO (1=Monday; 2024-01-01 IS a Monday) and the index
+    multiplicative around the group mean."""
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.resample import seasonal_profile
+
+    rows = []
+    for day in range(14):  # two full weeks starting Mon 2024-01-01
+        d = dt.datetime(2024, 1, 1 + day, 12)
+        v = 2.0 if day % 7 == 0 else 1.0
+        rows.append(("a", d, v))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz, value double")
+    out = {r["isodow"]: r for r in seasonal_profile(ev, "ts", "value", "event_type").collect()}
+    assert set(out) == set(range(1, 8))
+    assert out[1]["dow_mean"] == 2.0 and out[1]["n"] == 2  # Monday
+    assert out[2]["dow_mean"] == 1.0
+    g_mean = (2 * 2.0 + 12 * 1.0) / 14
+    assert out[1]["seasonal_index"] == pytest.approx(2.0 / g_mean)
+    assert out[7]["seasonal_index"] == pytest.approx(1.0 / g_mean)  # Sunday
