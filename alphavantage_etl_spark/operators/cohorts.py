@@ -545,3 +545,47 @@ def conversion_latency(
         F.bround(F.expr("percentile(__s, 0.5)"), 6).alias("p50_latency_s"),
         F.bround(F.expr("percentile(__s, 0.9)"), 6).alias("p90_latency_s"),
     )
+
+
+def retention_decay(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(cohort_week, n, slope, intercept): exponential retention decay
+    per weekly cohort — the log-linear OLS fit of
+    ``ln(retained / cohort_size)`` against week offset (offsets >= 1),
+    whose slope is the weekly log-decay rate (half-life =
+    ln 2 / -slope). Cohorts with fewer than two post-week points return
+    NULL slope/intercept. The single scalar per cohort that "retention
+    is improving" claims should be measured against, instead of
+    eyeballing curve tails.
+
+    Pure composition of two existing oracle-backed operators:
+    :func:`cohort_retention` builds the (cohort, offset, users) grid,
+    and ``trend.group_trend`` fits it with the X31 exact-sufficient-
+    statistics discipline (ln ratios quantized to 1e-9 ticks per row
+    BEFORE the exact decimal sums — merge-order-immune, the
+    transcendental-output rule). Everything after the retention grid is
+    |cohorts| x |weeks|-bounded.
+    """
+    from .trend import group_trend
+
+    ret = cohort_retention(events, key_col, ts_col)
+    base = ret.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("users").alias("__base")
+    )
+    pts = (
+        ret.where(F.col("week_offset") >= 1)
+        .join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.log(
+                F.col("users").cast("double") / F.col("__base").cast("double")
+            ).alias("__lnr"),
+        )
+    )
+    return group_trend(
+        pts, "cohort_week", "week_offset", "__lnr", y_scale=10**9
+    )

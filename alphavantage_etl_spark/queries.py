@@ -5046,6 +5046,45 @@ FROM grid JOIN tot ON grid.g = tot.g
 """
 
 
+# X76 — retention decay fit (r5): per-cohort log-linear OLS of
+# ln(retained / cohort size) vs week offset — the weekly log-decay rate
+# (half-life = ln2 / -slope). Pure composition: X26's retention grid
+# fitted by X31's exact-sufficient-statistics trend (ln ratios
+# quantized to 1e-9 ticks per row) (operators/cohorts.py:retention_decay).
+def q_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import retention_decay
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return retention_decay(ev, "user_id", "ts")
+
+
+SQL_RETENTION_DECAY = f"""
+WITH ret AS (SELECT * FROM ({SQL_COHORT_RETENTION}) _r),
+base AS (SELECT cohort_week, users AS b FROM ret WHERE week_offset = 0),
+pts AS (
+  SELECT r.cohort_week, CAST(r.week_offset AS HUGEINT) AS x,
+         CAST(round(ln(CAST(r.users AS DOUBLE) / CAST(b.b AS DOUBLE))
+                    * 1000000000) AS HUGEINT) AS yq
+  FROM ret r JOIN base b ON r.cohort_week = b.cohort_week
+  WHERE r.week_offset >= 1),
+a AS (
+  SELECT cohort_week, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(yq) AS sy,
+         sum(x * yq) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY 1)
+SELECT cohort_week, CAST(n AS BIGINT) AS n,
+       round_even(CASE WHEN n * sxx - sx * sx != 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) END / 1000000000, 9) AS slope,
+       round_even(CASE WHEN n * sxx - sx * sx != 0 THEN
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) END / 1000000000, 9) AS intercept
+FROM a
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -5176,7 +5215,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X75, no driver row yet — rotate
+    # r5 additions (components X59-X76, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5196,6 +5235,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_conversion_latency": q_conversion_latency,
     "q_rrf_fusion": q_rrf_fusion,
     "q_seasonal_profile": q_seasonal_profile,
+    "q_retention_decay": q_retention_decay,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5330,7 +5370,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X75)
+    # r5 additions (X59-X76)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5349,6 +5389,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_conversion_latency": SQL_CONVERSION_LATENCY,
     "q_rrf_fusion": SQL_RRF_FUSION,
     "q_seasonal_profile": SQL_SEASONAL_PROFILE,
+    "q_retention_decay": SQL_RETENTION_DECAY,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_conversion_latency",
     "q_rrf_fusion",
     "q_seasonal_profile",
+    "q_retention_decay",
 ]
 
 

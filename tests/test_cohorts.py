@@ -458,3 +458,31 @@ def test_conversion_latency_hand_values(spark):
     assert out["a"]["n_conversions"] == 2
     assert out["a"]["p50_latency_s"] == 200.0  # interpolated between 100, 300
     assert out["c"]["p50_latency_s"] == 1.0
+
+
+def test_retention_decay_recovers_planted_rate(spark):
+    """Synthetic cohort with exact geometric retention 0.5^offset: the
+    log-linear fit must recover slope = ln(0.5) exactly (every point is
+    on the line) and intercept ~ 0."""
+    import datetime as dt
+    import math
+
+    from alphavantage_etl_spark.operators.cohorts import retention_decay
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 12)  # a Monday
+    # 8 users arrive week 0; 4 return week 1; 2 week 2; 1 week 3
+    for u in range(8):
+        rows.append((u, base))
+    for u in range(4):
+        rows.append((u, base + dt.timedelta(weeks=1)))
+    for u in range(2):
+        rows.append((u, base + dt.timedelta(weeks=2)))
+    rows.append((0, base + dt.timedelta(weeks=3)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = retention_decay(ev, "user_id", "ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 3  # offsets 1..3
+    assert r["slope"] == pytest.approx(math.log(0.5), abs=1e-6)
+    assert r["intercept"] == pytest.approx(0.0, abs=1e-6)
