@@ -200,3 +200,45 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def corpus_digest(df, cols: list[str]):
+    """One-row (n_rows, n_distinct, digest): an ORDER-INDEPENDENT exact
+    content digest of the selected columns — the dataset version id a
+    pipeline caches on ("did the input actually change?") and the cheap
+    cross-environment equality probe (two corpora with equal digests,
+    row counts and distinct counts are content-identical up to 64-bit
+    collision odds; unequal digests are PROOF of difference).
+
+    digest = exact decimal sum over rows of the first-48-bit integer of
+    ``md5(col1 || 0x1f || col2 ...)`` (12 hex chars — safely inside a
+    signed 64-bit parse on every engine, unlike the full 64 bits) —
+    md5 (not xxhash64) so ANY
+    engine or a plain Python script reproduces it; summation is
+    commutative, so the digest is independent of row order,
+    partitioning and merge order by construction (no sort needed,
+    unlike a hash-of-sorted-concat). NULLs encode as an explicit
+    sentinel distinct from empty strings.
+
+    Scale: one projection + one all-collapsing aggregation — map-side
+    partials carry three numbers per task.
+    """
+    from pyspark.sql import functions as F
+
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ],
+    )
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.select(
+        canon.alias("__c"), h48.alias("__h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("__c").alias("n_distinct"),
+        F.sum("__h").cast("decimal(38,0)").cast("string").alias("digest"),
+    )

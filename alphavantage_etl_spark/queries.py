@@ -5085,6 +5085,35 @@ FROM a
 """
 
 
+# X77 — corpus digest (r5): order/partitioning-independent exact
+# content digest of (doc_id, text) — the dataset version id pipelines
+# cache on; one projection + one all-collapsing aggregation
+# (plans/quality.py:corpus_digest).
+def q_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.quality import corpus_digest
+
+    d = load(spark, sf_dir, "documents")
+    return corpus_digest(d, ["doc_id", "text"])
+
+
+SQL_CORPUS_DIGEST = """
+WITH c AS (
+  SELECT concat_ws(chr(31),
+                   coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null'),
+                   coalesce(text, chr(0) || 'null')) AS c
+  FROM documents),
+h AS (
+  SELECT c,
+         CAST(concat('0x', substring(md5(c), 1, 12)) AS BIGINT) AS h
+  FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_distinct,
+       CAST(CAST(sum(CAST(h AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR)
+         AS digest
+FROM h
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -5215,7 +5244,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X76, no driver row yet — rotate
+    # r5 additions (components X59-X77, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5236,6 +5265,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_rrf_fusion": q_rrf_fusion,
     "q_seasonal_profile": q_seasonal_profile,
     "q_retention_decay": q_retention_decay,
+    "q_corpus_digest": q_corpus_digest,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5370,7 +5400,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X76)
+    # r5 additions (X59-X77)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5390,6 +5420,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_rrf_fusion": SQL_RRF_FUSION,
     "q_seasonal_profile": SQL_SEASONAL_PROFILE,
     "q_retention_decay": SQL_RETENTION_DECAY,
+    "q_corpus_digest": SQL_CORPUS_DIGEST,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

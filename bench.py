@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_rrf_fusion",
     "q_seasonal_profile",
     "q_retention_decay",
+    "q_corpus_digest",
 ]
 
 

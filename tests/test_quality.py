@@ -195,3 +195,26 @@ def test_profile_table_rejects_empty_columns(spark):
 
     with _pytest.raises(ValueError):
         profile_table(spark.range(1), [])
+
+
+def test_corpus_digest_order_independent_and_change_sensitive(spark):
+    from alphavantage_etl_spark.plans.quality import corpus_digest
+
+    rows = [(1, "alpha"), (2, "beta"), (3, None)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string")
+    ra = corpus_digest(a, ["doc_id", "text"]).first()
+    rb = corpus_digest(b.repartition(7), ["doc_id", "text"]).first()
+    assert ra["digest"] == rb["digest"]  # order/partitioning independent
+    assert ra["n_rows"] == 3 and ra["n_distinct"] == 3
+
+    # any single-cell change moves the digest
+    c = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta!"), (3, None)], "doc_id long, text string"
+    )
+    assert corpus_digest(c, ["doc_id", "text"]).first()["digest"] != ra["digest"]
+    # NULL and empty string are distinct contents
+    d = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "")], "doc_id long, text string"
+    )
+    assert corpus_digest(d, ["doc_id", "text"]).first()["digest"] != ra["digest"]
