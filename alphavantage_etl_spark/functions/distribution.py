@@ -335,3 +335,65 @@ def quantile_normalize(
         .alias("qnorm"),
     )
     return df.join(grid, [group_col, value_col], "left")
+
+
+def ks_test(
+    a: DataFrame, b: DataFrame, value_col: str, ticks: int = 100
+) -> DataFrame:
+    """One-row (n_a, n_b, ks_d): the two-sample Kolmogorov-Smirnov
+    statistic — max over values of |ECDF_a - ECDF_b| — the EXACT
+    distribution-equality test beside the binned PSI monitor (PSI sees
+    only nbins cells; KS sees every quantized value, so a shift PSI's
+    bins straddle still registers). NULL values are excluded; empty
+    sides yield a NULL statistic rather than a fabricated 0.
+
+    Values quantize to ``ticks`` units (cents by default) so the value
+    GRID — not the data — drives everything past the per-side counts:
+    one full-outer merge of the two count tables, one cumulative window
+    over the grid, one max. Each ECDF value is an exact int/int ratio;
+    the max of identical doubles is engine-identical unrounded.
+
+    Scale: the cumulative window runs over the DISTINCT-quantized-value
+    grid in a single partition — bounded by the metric's quantized
+    range (the head-bounded window class), never by row count. For
+    unbounded-range metrics, coarsen ``ticks`` or pre-clip.
+    """
+    q = lambda df: (  # noqa: E731
+        df.select(
+            F.round(F.col(value_col).cast("double") * ticks)
+            .cast("long")
+            .alias("v")
+        )
+        .where(F.col("v").isNotNull())
+    )
+    ca = q(a).groupBy("v").agg(F.count(F.lit(1)).alias("na_v"))
+    cb = q(b).groupBy("v").agg(F.count(F.lit(1)).alias("nb_v"))
+    grid = (
+        ca.join(cb, "v", "full")
+        .select(
+            "v",
+            F.coalesce("na_v", F.lit(0)).alias("na_v"),
+            F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = grid.agg(
+        F.sum("na_v").alias("__na"), F.sum("nb_v").alias("__nb")
+    )
+    ecdf = grid.select(
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    ).crossJoin(F.broadcast(tot))
+    d = F.abs(
+        F.col("ca").cast("double") / F.col("__na").cast("double")
+        - F.col("cb").cast("double") / F.col("__nb").cast("double")
+    )
+    return ecdf.agg(
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.max(
+            F.when((F.col("__na") > 0) & (F.col("__nb") > 0), d)
+        ).alias("ks_d"),
+    )

@@ -5114,6 +5114,47 @@ FROM h
 """
 
 
+# X78 — two-sample Kolmogorov-Smirnov (r5): exact max-ECDF-gap between
+# the click and purchase event-value distributions — the unbinned
+# drift/equality test beside PSI; everything past the per-side counts
+# runs on the quantized-value grid
+# (functions/distribution.py:ks_test).
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import ks_test
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    a = ev.where(F.col("event_type") == "click").select("value")
+    b = ev.where(F.col("event_type") == "purchase").select("value")
+    return ks_test(a, b, "value")
+
+
+SQL_KS_TEST = """
+WITH qa AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'click'
+    AND round(CAST(value AS DOUBLE) * 100) IS NOT NULL),
+qb AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+    AND round(CAST(value AS DOUBLE) * 100) IS NOT NULL),
+ca AS (SELECT v, count(*) AS na_v FROM qa GROUP BY 1),
+cb AS (SELECT v, count(*) AS nb_v FROM qb GROUP BY 1),
+grid AS (
+  SELECT coalesce(ca.v, cb.v) AS v,
+         coalesce(na_v, 0) AS na_v, coalesce(nb_v, 0) AS nb_v
+  FROM ca FULL JOIN cb ON ca.v = cb.v),
+tot AS (SELECT sum(na_v) AS na, sum(nb_v) AS nb FROM grid),
+ecdf AS (
+  SELECT sum(na_v) OVER w AS cum_a, sum(nb_v) OVER w AS cum_b
+  FROM grid WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING))
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       max(CASE WHEN na > 0 AND nb > 0 THEN
+         abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)) END) AS ks_d
+FROM ecdf CROSS JOIN tot GROUP BY na, nb
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- late-r4 additions (components X32-X58) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -5244,7 +5285,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X77, no driver row yet — rotate
+    # r5 additions (components X59-X78, no driver row yet — rotate
     # forward in r6, newest-risk first)
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
@@ -5266,6 +5307,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_seasonal_profile": q_seasonal_profile,
     "q_retention_decay": q_retention_decay,
     "q_corpus_digest": q_corpus_digest,
+    "q_ks_test": q_ks_test,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5400,7 +5442,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X77)
+    # r5 additions (X59-X78)
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -5421,6 +5463,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_seasonal_profile": SQL_SEASONAL_PROFILE,
     "q_retention_decay": SQL_RETENTION_DECAY,
     "q_corpus_digest": SQL_CORPUS_DIGEST,
+    "q_ks_test": SQL_KS_TEST,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

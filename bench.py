@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q_seasonal_profile",
     "q_retention_decay",
     "q_corpus_digest",
+    "q_ks_test",
 ]
 
 

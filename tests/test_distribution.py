@@ -206,3 +206,29 @@ def test_mi_nulls_count_as_level_and_partition_invariant(spark):
     b = mutual_information(df.repartition(7), "a", "b").collect()
     assert a == b
     assert a[0]["n_rows"] == 60  # null level kept, not dropped
+
+
+# ------------------------------------------------------ KS two-sample
+def test_ks_identical_zero_and_disjoint_one(spark):
+    from alphavantage_etl_spark.functions.distribution import ks_test
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    r = ks_test(a, a, "v").first()
+    assert r["ks_d"] == 0.0 and r["n_a"] == r["n_b"] == 10
+    # fully separated supports: D = 1
+    b = spark.createDataFrame([(float(100 + i),) for i in range(5)], "v double")
+    assert ks_test(a, b, "v").first()["ks_d"] == 1.0
+
+
+def test_ks_hand_value_and_empty_side(spark):
+    from alphavantage_etl_spark.functions.distribution import ks_test
+
+    # a = {1, 2, 3, 4}; b = {3, 4}: max gap at v=2: |2/4 - 0/2| = 0.5
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    r = ks_test(a, b, "v").first()
+    assert r["ks_d"] == 0.5
+
+    empty = spark.createDataFrame([], "v double")
+    r2 = ks_test(a, empty, "v").first()
+    assert r2["ks_d"] is None and r2["n_b"] == 0
