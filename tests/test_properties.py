@@ -468,3 +468,94 @@ def test_attribution_conservation_laws(spark, events):
     linear = sum(r["linear_credit"] for r in out)
     assert n_first == n_last
     assert linear == pytest.approx(float(n_first), abs=1e-6)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.one_of(st.none(), st.text(max_size=8))),
+        min_size=1,
+        max_size=25,
+    ),
+    st.randoms(),
+)
+def test_corpus_digest_permutation_invariant_everywhere(spark, rows, rng):
+    """Any permutation and any repartitioning of the same content must
+    produce the identical digest and counts."""
+    from alphavantage_etl_spark.plans.quality import corpus_digest
+
+    shuffled = list(rows)
+    rng.shuffle(shuffled)
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(shuffled, "doc_id long, text string").repartition(5)
+    ra = corpus_digest(a, ["doc_id", "text"]).first()
+    rb = corpus_digest(b, ["doc_id", "text"]).first()
+    assert ra["digest"] == rb["digest"]
+    assert ra["n_rows"] == rb["n_rows"] == len(rows)
+    assert ra["n_distinct"] == rb["n_distinct"]
+
+
+@SETTINGS
+@given(
+    st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
+    st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
+)
+def test_ks_statistic_is_a_valid_distance(spark, xs, ys):
+    """0 <= D <= 1 always; D == 0 exactly when the quantized multisets
+    coincide; symmetric in its arguments."""
+    from collections import Counter
+
+    from alphavantage_etl_spark.functions.distribution import ks_test
+
+    a = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    b = spark.createDataFrame([(float(y),) for y in ys], "v double")
+    d_ab = ks_test(a, b, "v").first()["ks_d"]
+    d_ba = ks_test(b, a, "v").first()["ks_d"]
+    assert 0.0 <= d_ab <= 1.0
+    assert d_ab == d_ba
+    same = Counter(round(x * 100) for x in xs) == Counter(
+        round(y * 100) for y in ys
+    )
+    assert (d_ab == 0.0) == same
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 27),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_seasonal_profile_mass_conservation(spark, rows):
+    """Per-group: counts over dows sum to the group total, and the
+    n-weighted mean of dow_means reproduces the group mean exactly
+    (an algebraic identity over the exact integer sums)."""
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.resample import seasonal_profile
+
+    ev = spark.createDataFrame(
+        [
+            (g, dt.datetime(2024, 1, 1, 6) + dt.timedelta(days=day), float(v))
+            for g, day, v in rows
+        ],
+        "event_type string, ts timestamp_ntz, value double",
+    )
+    out = seasonal_profile(ev, "ts", "value", "event_type").collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["event_type"], []).append(r)
+    want_n = {}
+    want_sum = {}
+    for g, day, v in rows:
+        want_n[g] = want_n.get(g, 0) + 1
+        want_sum[g] = want_sum.get(g, 0) + round(v * 100)
+    for g, rs in by_g.items():
+        assert sum(r["n"] for r in rs) == want_n[g]
+        weighted = sum(r["n"] * r["dow_mean"] for r in rs)
+        assert weighted == pytest.approx(want_sum[g] / 100.0, rel=1e-9)
