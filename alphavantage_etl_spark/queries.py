@@ -5156,31 +5156,56 @@ FROM ecdf CROSS JOIN tot GROUP BY na, nb
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- late-r4 additions (components X32-X58) with no driver row yet:
+    # --- r5 additions (components X59-X78) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
-    #     driver (same unverified-first rotation discipline as r3/r4) ---
+    #     driver (same unverified-first rotation discipline as r3/r4/r5) ---
+    "q_cross_split_leakage": q_cross_split_leakage,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_rolling_median": q_rolling_median,
+    "q_attribution": q_attribution,
+    "q_quantile_norm": q_quantile_norm,
+    "q_centroid_outliers": q_centroid_outliers,
+    "q_corpus_divergence": q_corpus_divergence,
+    "q_label_propagation": q_label_propagation,
+    "q_bpe_merges": q_bpe_merges,
+    "q_bpe_segments": q_bpe_segments,
+    "q_ab_cuped": q_ab_cuped,
+    "q_markov_attribution": q_markov_attribution,
+    "q_graph_walks": q_graph_walks,
+    "q_kcenter_coreset": q_kcenter_coreset,
+    "q_active_users": q_active_users,
+    "q_conversion_latency": q_conversion_latency,
+    "q_rrf_fusion": q_rrf_fusion,
+    "q_seasonal_profile": q_seasonal_profile,
+    "q_retention_decay": q_retention_decay,
+    "q_corpus_digest": q_corpus_digest,
+    "q_ks_test": q_ks_test,
+    # --- one-green entries kept in-window for a second consecutive driver
+    #     row (r5 was their first); 24 of the 29 one-green X32-X58 entries
+    #     — the 5 displaced each have a same-family sibling still
+    #     in-window exercising the same code path (q_pagerank /
+    #     q_triangles -> graph power-iteration siblings
+    #     q_label_propagation / q_graph_walks / q_markov_attribution;
+    #     q_session_paths -> path siblings q_markov_attribution /
+    #     q_attribution; q_calibration -> shared-scores siblings q_logreg
+    #     + q_auc; q_discretize -> X38 encode sibling q_target_encode) ---
     "q_dsir_weights": q_dsir_weights,
-    "q_pagerank": q_pagerank,
     "q_mutual_info": q_mutual_info,
     "q_logreg": q_logreg,
     "q_block_dedup": q_block_dedup,
     "q_semantic_dedup": q_semantic_dedup,
     "q_target_encode": q_target_encode,
-    "q_discretize": q_discretize,
     "q_psi_drift": q_psi_drift,
     "q_linkage": q_linkage,
     "q_collocations": q_collocations,
     "q_agg_state": q_agg_state,
     "q_acf": q_acf,
-    "q_session_paths": q_session_paths,
-    "q_triangles": q_triangles,
     "q_profile": q_profile,
     "q_bm25": q_bm25,
     "q_basket_lift": q_basket_lift,
     "q_survival": q_survival,
     "q_knn_graph": q_knn_graph,
     "q_auc": q_auc,
-    "q_calibration": q_calibration,
     "q_negative_samples": q_negative_samples,
     "q_join_profile": q_join_profile,
     "q_random_projection": q_random_projection,
@@ -5188,10 +5213,25 @@ QUERIES: dict[str, QueryFn] = {
     "q_change_point": q_change_point,
     "q_embedding_diag": q_embedding_diag,
     "q_zipf": q_zipf,
-    # --- single-green entries kept in-window for a second consecutive
-    #     driver row (r4 was their first); 21 of the 28 one-green entries,
-    #     one representative per operator family — the 7 displaced each
-    #     have a same-family sibling still in-window ---
+    # --- canary slots (ROTATION.md): 5 of the 50 reserved each round for
+    #     a rotating sample of the OLDEST greens, starting with the §2
+    #     reference-parity keys (none has a driver row since r3) — closes
+    #     the regression-detection hole the 50-entry cap creates ---
+    "q_scan_project": q_scan_project,
+    "q_json_explode": q_json_explode,
+    "q_join_convert": q_join_convert,
+    "q_anti_new_rows": q_anti_new_rows,
+    "q_incremental_merge": q_incremental_merge,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Displaced in r6: the 21 two-green r4 cohort (r4+r5 driver rows) and
+    # 5 of the one-green X32-X58 cohort whose operator family keeps an
+    # in-window sibling (see the QUERIES comment). Each keeps its
+    # historical driver-green rows and stays locally oracle-checked.
     "q_temperature_mix": q_temperature_mix,
     "q_cdc_overlap": q_cdc_overlap,
     "q_chunk_windows": q_chunk_windows,
@@ -5213,12 +5253,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_vwap": q_vwap,
     "q_corr": q_corr,
     "q_title_dedup": q_title_dedup,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q_pagerank": q_pagerank,
+    "q_triangles": q_triangles,
+    "q_session_paths": q_session_paths,
+    "q_calibration": q_calibration,
+    "q_discretize": q_discretize,
     # Displaced in r5 to make room for the 29 late-r4 additions: 7 of the
     # one-green r4 cohort (each has a same-family sibling in-window), the
     # 9 two-green r3-first-time cohort, and the 13 three-plus-green family
@@ -5255,7 +5294,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_pack_bins": q_pack_bins,
     # Displaced in r4 to make room for the r3 additions: each holds two-plus
     # consecutive green driver rows (r1–r3) and stays locally oracle-checked.
-    "q_scan_project": q_scan_project,
+    # (q_scan_project / q_json_explode / q_join_convert / q_anti_new_rows /
+    # q_incremental_merge rotated back in as r6 canary slots.)
     "q_cast_types": q_cast_types,
     "q_latest_row": q_latest_row,
     "q_topn_recent": q_topn_recent,
@@ -5265,11 +5305,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_pivot_daily": q_pivot_daily,
     # Displaced later in r4 to make room for the 20 r4 additions: each holds
     # three consecutive green driver rows (r1+r2+r3).
-    "q_json_explode": q_json_explode,
     "q_ohlc_daily": q_ohlc_daily,
-    "q_join_convert": q_join_convert,
-    "q_anti_new_rows": q_anti_new_rows,
-    "q_incremental_merge": q_incremental_merge,
     "q_busday_gap": q_busday_gap,
     "q_agg_pricing": q_agg_pricing,
     "q_top_customers": q_top_customers,
@@ -5285,29 +5321,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r5 additions (components X59-X78, no driver row yet — rotate
-    # forward in r6, newest-risk first)
-    "q_cross_split_leakage": q_cross_split_leakage,
-    "q_vocab_coverage": q_vocab_coverage,
-    "q_rolling_median": q_rolling_median,
-    "q_attribution": q_attribution,
-    "q_quantile_norm": q_quantile_norm,
-    "q_centroid_outliers": q_centroid_outliers,
-    "q_corpus_divergence": q_corpus_divergence,
-    "q_label_propagation": q_label_propagation,
-    "q_bpe_merges": q_bpe_merges,
-    "q_bpe_segments": q_bpe_segments,
-    "q_ab_cuped": q_ab_cuped,
-    "q_markov_attribution": q_markov_attribution,
-    "q_graph_walks": q_graph_walks,
-    "q_kcenter_coreset": q_kcenter_coreset,
-    "q_active_users": q_active_users,
-    "q_conversion_latency": q_conversion_latency,
-    "q_rrf_fusion": q_rrf_fusion,
-    "q_seasonal_profile": q_seasonal_profile,
-    "q_retention_decay": q_retention_decay,
-    "q_corpus_digest": q_corpus_digest,
-    "q_ks_test": q_ks_test,
+    # (the r5 additions X59-X78 rotated into the driver window in r6)
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5326,29 +5340,46 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
-    # late-r4 additions (X32-X58) — rotated to the front in r5
+    # r5 additions (X59-X78) — rotated to the front in r6
+    "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
+    "q_vocab_coverage": SQL_VOCAB_COVERAGE,
+    "q_rolling_median": SQL_ROLLING_MEDIAN,
+    "q_attribution": SQL_ATTRIBUTION,
+    "q_quantile_norm": SQL_QUANTILE_NORM,
+    "q_centroid_outliers": SQL_CENTROID_OUTLIERS,
+    "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
+    "q_label_propagation": SQL_LABEL_PROPAGATION,
+    "q_bpe_merges": SQL_BPE_MERGES,
+    "q_bpe_segments": SQL_BPE_SEGMENTS,
+    "q_ab_cuped": SQL_AB_CUPED,
+    "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
+    "q_graph_walks": SQL_GRAPH_WALKS,
+    "q_kcenter_coreset": SQL_KCENTER_CORESET,
+    "q_active_users": SQL_ACTIVE_USERS,
+    "q_conversion_latency": SQL_CONVERSION_LATENCY,
+    "q_rrf_fusion": SQL_RRF_FUSION,
+    "q_seasonal_profile": SQL_SEASONAL_PROFILE,
+    "q_retention_decay": SQL_RETENTION_DECAY,
+    "q_corpus_digest": SQL_CORPUS_DIGEST,
+    "q_ks_test": SQL_KS_TEST,
+    # one-green X32-X58 entries in-window for a second consecutive row
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
-    "q_pagerank": SQL_PAGERANK,
     "q_mutual_info": SQL_MUTUAL_INFO,
     "q_logreg": SQL_LOGREG,
     "q_block_dedup": SQL_BLOCK_DEDUP,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
     "q_target_encode": SQL_TARGET_ENCODE,
-    "q_discretize": SQL_DISCRETIZE,
     "q_psi_drift": SQL_PSI_DRIFT,
     "q_linkage": SQL_LINKAGE,
     "q_collocations": SQL_COLLOCATIONS,
     "q_agg_state": SQL_AGG_STATE,
     "q_acf": SQL_ACF,
-    "q_session_paths": SQL_SESSION_PATHS,
-    "q_triangles": SQL_TRIANGLES,
     "q_profile": SQL_PROFILE,
     "q_bm25": SQL_BM25,
     "q_basket_lift": SQL_BASKET_LIFT,
     "q_survival": SQL_SURVIVAL,
     "q_knn_graph": SQL_KNN_GRAPH,
     "q_auc": SQL_AUC,
-    "q_calibration": SQL_CALIBRATION,
     "q_negative_samples": SQL_NEGATIVE_SAMPLES,
     "q_join_profile": SQL_JOIN_PROFILE,
     "q_random_projection": SQL_RANDOM_PROJECTION,
@@ -5356,7 +5387,18 @@ ORACLES: dict[str, str] = {
     "q_change_point": SQL_CHANGE_POINT,
     "q_embedding_diag": SQL_EMBEDDING_DIAG,
     "q_zipf": SQL_ZIPF,
-    # single-green entries in-window for a second consecutive row
+    # canary slots — oldest greens (ROTATION.md)
+    "q_scan_project": SQL_SCAN_PROJECT,
+    "q_json_explode": SQL_JSON_EXPLODE,
+    "q_join_convert": SQL_JOIN_CONVERT,
+    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
+    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # displaced in r6 (each holds one-plus historical driver-green rows)
     "q_temperature_mix": SQL_TEMPERATURE_MIX,
     "q_cdc_overlap": SQL_CDC_OVERLAP,
     "q_chunk_windows": SQL_CHUNK_WINDOWS,
@@ -5378,11 +5420,11 @@ ORACLES: dict[str, str] = {
     "q_vwap": SQL_VWAP,
     "q_corr": SQL_CORR,
     "q_title_dedup": SQL_TITLE_DEDUP,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
+    "q_pagerank": SQL_PAGERANK,
+    "q_triangles": SQL_TRIANGLES,
+    "q_session_paths": SQL_SESSION_PATHS,
+    "q_calibration": SQL_CALIBRATION,
+    "q_discretize": SQL_DISCRETIZE,
     # displaced in r5 (each holds one-plus historical driver-green rows)
     "q_dataset_diff": SQL_DATASET_DIFF,
     "q_funnel_steps": SQL_FUNNEL_STEPS,
@@ -5413,8 +5455,9 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_split_assign": SQL_SPLIT_ASSIGN,
     "q_source_quota": SQL_SOURCE_QUOTA,
     "q_pack_bins": SQL_PACK_BINS,
-    # displaced in r4 (two-plus historical driver-green rows)
-    "q_scan_project": SQL_SCAN_PROJECT,
+    # displaced in r4 (two-plus historical driver-green rows);
+    # q_scan_project / q_json_explode / q_join_convert / q_anti_new_rows /
+    # q_incremental_merge rotated back in as r6 canary slots
     "q_cast_types": SQL_CAST_TYPES,
     "q_latest_row": SQL_LATEST_ROW,
     "q_topn_recent": SQL_TOPN_RECENT,
@@ -5422,11 +5465,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_set_ops": SQL_SET_OPS,
     "q_pivot_daily": SQL_PIVOT_DAILY,
-    "q_json_explode": SQL_JSON_EXPLODE,
     "q_ohlc_daily": SQL_OHLC_DAILY,
-    "q_join_convert": SQL_JOIN_CONVERT,
-    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
-    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
     "q_busday_gap": SQL_BUSDAY_GAP,
     "q_agg_pricing": SQL_AGG_PRICING,
     "q_top_customers": SQL_TOP_CUSTOMERS,
@@ -5442,28 +5481,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r5 additions (X59-X78)
-    "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
-    "q_vocab_coverage": SQL_VOCAB_COVERAGE,
-    "q_rolling_median": SQL_ROLLING_MEDIAN,
-    "q_attribution": SQL_ATTRIBUTION,
-    "q_quantile_norm": SQL_QUANTILE_NORM,
-    "q_centroid_outliers": SQL_CENTROID_OUTLIERS,
-    "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
-    "q_label_propagation": SQL_LABEL_PROPAGATION,
-    "q_bpe_merges": SQL_BPE_MERGES,
-    "q_bpe_segments": SQL_BPE_SEGMENTS,
-    "q_ab_cuped": SQL_AB_CUPED,
-    "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
-    "q_graph_walks": SQL_GRAPH_WALKS,
-    "q_kcenter_coreset": SQL_KCENTER_CORESET,
-    "q_active_users": SQL_ACTIVE_USERS,
-    "q_conversion_latency": SQL_CONVERSION_LATENCY,
-    "q_rrf_fusion": SQL_RRF_FUSION,
-    "q_seasonal_profile": SQL_SEASONAL_PROFILE,
-    "q_retention_decay": SQL_RETENTION_DECAY,
-    "q_corpus_digest": SQL_CORPUS_DIGEST,
-    "q_ks_test": SQL_KS_TEST,
+    # (the r5 additions X59-X78 rotated into the driver window in r6)
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,
