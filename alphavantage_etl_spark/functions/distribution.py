@@ -338,7 +338,11 @@ def quantile_normalize(
 
 
 def ks_test(
-    a: DataFrame, b: DataFrame, value_col: str, ticks: int = 100
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    ticks: int = 100,
+    max_grid: int = 1_000_000,
 ) -> DataFrame:
     """One-row (n_a, n_b, ks_d): the two-sample Kolmogorov-Smirnov
     statistic — max over values of |ECDF_a - ECDF_b| — the EXACT
@@ -355,8 +359,18 @@ def ks_test(
 
     Scale: the cumulative window runs over the DISTINCT-quantized-value
     grid in a single partition — bounded by the metric's quantized
-    range (the head-bounded window class), never by row count. For
-    unbounded-range metrics, coarsen ``ticks`` or pre-clip.
+    range (the head-bounded window class), never by row count. That
+    bound is ENFORCED, not advised: one bounded probe job counts the
+    grid (early-exit at ``max_grid + 1``), and a grid wider than
+    ``max_grid`` is auto-coarsened onto <= ``max_grid`` equal-width
+    cells over the observed [min, max] span before the cumulative
+    window, so a wide-range double column can never hand the window a
+    data-sized single partition. Coarsening preserves per-side counts
+    exactly; the reported ``ks_d`` becomes the max over cell BOUNDARIES
+    — a lower bound on the exact statistic that converges as max_grid
+    grows (error <= the largest probability mass inside one cell).
+    Below the bound (the default ``ticks=100`` money grid always is)
+    results are bit-identical to the unguarded form.
     """
     q = lambda df: (  # noqa: E731
         df.select(
@@ -366,6 +380,8 @@ def ks_test(
         )
         .where(F.col("v").isNotNull())
     )
+    if max_grid < 2:
+        raise ValueError(f"max_grid must be >= 2, got {max_grid}")
     ca = q(a).groupBy("v").agg(F.count(F.lit(1)).alias("na_v"))
     cb = q(b).groupBy("v").agg(F.count(F.lit(1)).alias("nb_v"))
     grid = (
@@ -376,6 +392,23 @@ def ks_test(
             F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
         )
     )
+    # bounded guard probe: is the grid wider than the single-partition
+    # window can be trusted with?  limit() early-exits the count, so the
+    # probe never materializes more than max_grid + 1 grid rows.
+    if grid.limit(max_grid + 1).count() > max_grid:
+        lo, hi = grid.agg(F.min("v"), F.max("v")).first()
+        # ceil-div cell width puts the span into <= max_grid cells
+        cell = (int(hi) - int(lo)) // max_grid + 1
+        grid = (
+            grid.groupBy(
+                F.floor((F.col("v") - F.lit(int(lo))) / F.lit(cell)).alias(
+                    "v"
+                )
+            )
+            .agg(
+                F.sum("na_v").alias("na_v"), F.sum("nb_v").alias("nb_v")
+            )
+        )
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

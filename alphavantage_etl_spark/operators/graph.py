@@ -619,9 +619,19 @@ def graph_walks(
     equi-join of the walk frontier against the adjacency table keyed on
     the current node. No per-walk state beyond the frontier row; total
     output is |nodes| x walk_len.
+
+    Iterative-lineage rule (same as pagerank / label_propagation / BPE):
+    each step's plan nests the previous step's join, so node2vec-scale
+    walk lengths (40-80) would otherwise compound walk_len joins into
+    one plan. The frontier is ``localCheckpoint``-ed every
+    ``checkpoint_every`` (8) steps, bounding every emitted part and the
+    final union to <= 8 joins of lineage past the latest checkpoint.
+    Checkpointed frontiers stay pinned until the result is consumed
+    (walk_len/8 frames of |nodes| narrow rows — bounded model state).
     """
     if walk_len < 1:
         raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    checkpoint_every = 8
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -654,6 +664,8 @@ def graph_walks(
                 F.element_at("nbrs", idx.cast("int")).alias("cur"),
             )
         )
+        if s % checkpoint_every == 0 and s < walk_len:
+            step = step.localCheckpoint(eager=True)
         out_parts.append(
             step.select(
                 F.col("start").alias("start_id"),

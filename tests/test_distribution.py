@@ -232,3 +232,49 @@ def test_ks_hand_value_and_empty_side(spark):
     empty = spark.createDataFrame([], "v double")
     r2 = ks_test(a, empty, "v").first()
     assert r2["ks_d"] is None and r2["n_b"] == 0
+
+
+def test_ks_grid_bound_auto_coarsens_wide_range(spark):
+    """Adversarial case from the r5 verdict: a wide-range double column
+    whose quantized grid approaches |distinct values|. With max_grid
+    far below the distinct count the cumulative window must run over
+    <= max_grid coarsened cells, and the coarsened statistic must stay
+    a tight lower bound of the exact D (here the exact D is driven by a
+    bulk location shift, which equal-width cells capture)."""
+    from alphavantage_etl_spark.functions.distribution import ks_test
+
+    # 4000 distinct quantized values per side, shifted by half a span:
+    # exact D = 0.5 (b's support starts at a's midpoint)
+    a = spark.range(4000).selectExpr("cast(id as double) / 100 as v")
+    b = spark.range(4000).selectExpr(
+        "cast(id + 2000 as double) / 100 as v"
+    )
+    exact = ks_test(a, b, "v").first()["ks_d"]
+    assert abs(exact - 0.5) < 1e-9
+    coarse = ks_test(a, b, "v", max_grid=100).first()
+    assert coarse["n_a"] == coarse["n_b"] == 4000
+    # lower bound, within one cell's probability mass of exact
+    assert coarse["ks_d"] <= exact + 1e-12
+    assert coarse["ks_d"] > exact - (1.0 / 100) * 2
+
+    # identical wide-range sides stay exactly 0 under coarsening
+    assert ks_test(a, a, "v", max_grid=100).first()["ks_d"] == 0.0
+
+
+def test_ks_below_bound_identical_to_unguarded(spark):
+    """The guard must be invisible when the grid fits: same result with
+    a huge max_grid and with one barely above the distinct count."""
+    from alphavantage_etl_spark.functions.distribution import ks_test
+
+    a = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    b = spark.createDataFrame(
+        [(float(i) + 10.0,) for i in range(50)], "v double"
+    )
+    wide = ks_test(a, b, "v").first()
+    tight = ks_test(a, b, "v", max_grid=20_000).first()
+    assert wide == tight
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ks_test(a, b, "v", max_grid=1)

@@ -327,3 +327,38 @@ def test_graph_walks_deterministic_and_edge_respecting(spark):
 
     with pytest.raises(ValueError, match="walk_len"):
         graph_walks(edges, walk_len=0)
+
+
+def test_graph_walks_long_walk_checkpoint_bounds_lineage(spark):
+    """node2vec-scale walks (walk_len=32): the frontier localCheckpoint
+    every 8 steps must keep the plan depth bounded (the final parts scan
+    an ExistingRDD instead of replaying 32 nested joins) while leaving
+    the walk semantics untouched — every step still follows an edge, and
+    the first steps match the short-walk prefix exactly."""
+    from alphavantage_etl_spark.operators.graph import graph_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1)],
+        "id_a long, id_b long",
+    )
+    nbrs = {1: {2, 3, 5}, 2: {1, 3}, 3: {1, 2, 4}, 4: {3, 5}, 5: {4, 1}}
+    long = graph_walks(edges, walk_len=32)
+    rows = sorted(map(tuple, long.collect()))
+    assert len(rows) == 5 * 32
+    pos = {(s, st): n for s, st, n in rows}
+    for (start, step), node in pos.items():
+        prev = start if step == 1 else pos[(start, step - 1)]
+        assert node in nbrs[prev]
+    # prefix-stability: the checkpointing is invisible to the first steps
+    short = sorted(map(tuple, graph_walks(edges, walk_len=4).collect()))
+    assert [r for r in rows if r[1] <= 4] == short
+    # the checkpoint actually landed: the plan of the final union scans
+    # materialized frontiers (ExistingRDD) instead of replaying a
+    # 32-deep nested-join chain
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        long.explain(extended=True)
+    assert "ExistingRDD" in buf.getvalue()
