@@ -138,3 +138,35 @@ def test_oracle_match_tiny_sf(spark, name):
 
     sdf = ALL_QUERIES[name](spark, SF_SMALL)
     assert_matches_oracle(sdf, SF_SMALL, ALL_ORACLES[name], name)
+
+
+def test_session_shared_cache_evicts_stale_apps(spark):
+    """_session_shared must bound itself to the live application: entries
+    recorded under a dead applicationId are evicted on the next insert
+    (ADVICE r5: the scored-frame cache grew without bound across apps)."""
+    from alphavantage_etl_spark import queries as Q
+
+    calls = []
+
+    def build_a():
+        calls.append("a")
+        return spark.range(1)
+
+    def build_b():
+        calls.append("b")
+        return spark.range(2)
+
+    Q._SHARED_FRAME_CACHE.clear()
+    Q._SHARED_FRAME_CACHE[("dead-app-id", "x")] = spark.range(0)
+    f1 = Q._session_shared(spark, ("t", "a"), build_a)
+    assert ("dead-app-id", "x") not in Q._SHARED_FRAME_CACHE
+    # hit: same key returns the same frame without rebuilding
+    assert Q._session_shared(spark, ("t", "a"), build_a) is f1
+    Q._session_shared(spark, ("t", "b"), build_b)
+    assert calls == ["a", "b"]
+    # both live-app entries coexist (per-sf_dir frames stay valid)
+    live = [k for k in Q._SHARED_FRAME_CACHE]
+    assert len(live) == 2 and all(
+        k[0] == spark.sparkContext.applicationId for k in live
+    )
+    Q._SHARED_FRAME_CACHE.clear()
