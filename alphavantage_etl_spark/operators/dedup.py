@@ -27,8 +27,10 @@ def free_blocks(df: DataFrame) -> None:
     MEMORY_AND_DESERIALIZED with disk overflow, the frames checkpointed by
     the iterative operators (CC labels, edge lists, logreg weights) are
     pair-incident-node-sized — vanishing vs the corpus — and the driver's
-    periodic GC (``spark.cleaner.periodicGC.interval``) backstops a quiet
-    JVM. Callers must drop their own references after calling this so the
+    periodic GC backstops a quiet JVM (``session.get_spark`` lowers
+    ``spark.cleaner.periodicGC.interval`` to 5min for exactly this;
+    sessions built elsewhere should do the same for iterative
+    workloads). Callers must drop their own references after calling this so the
     cleaner can act (the iterative loops rebind per sweep, which does).
     """
     df.unpersist()

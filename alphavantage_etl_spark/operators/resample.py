@@ -78,10 +78,12 @@ def seasonal_profile(
     pages every Sunday).
 
     ``isodow`` (1 = Monday .. 7 = Sunday) is computed as
-    ``((days_since_epoch + 3) % 7) + 1`` — pure integer arithmetic on
+    ``pmod(days_since_epoch + 3, 7) + 1`` — pure integer arithmetic on
     the epoch day, identical on every engine, instead of the engines'
     mutually-incompatible dayofweek() conventions (Spark 1=Sunday,
-    DuckDB 0=Sunday).
+    DuckDB 0=Sunday). pmod (not %) because both engines' % keep the
+    dividend's sign: a plain modulo would label pre-1970 timestamps
+    with isodow <= 0 (r5 ADVICE).
 
     Exactness: values quantize to integer cents before summation (exact
     decimal sums, merge-order-immune); both means and the index are
@@ -93,7 +95,7 @@ def seasonal_profile(
     """
     cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
     epoch_day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
-    isodow = ((epoch_day + 3) % 7 + 1).cast("long")
+    isodow = (F.pmod(epoch_day + 3, F.lit(7)) + 1).cast("long")
     grid = (
         events.select(
             F.col(group_col).alias("g"),

@@ -178,6 +178,8 @@ def rrf_fuse(
     rank_b: DataFrame,
     id_col: str,
     k_rrf: int = 60,
+    score_a: str | None = None,
+    score_b: str | None = None,
 ) -> DataFrame:
     """(id, rrf_score, rank_a, rank_b): reciprocal-rank fusion of two
     ranked retrieval lists — THE standard hybrid-search combiner
@@ -189,21 +191,38 @@ def rrf_fuse(
     deterministic and the arithmetic is a fixed-order sum of exact
     int-ratio doubles — engine-identical unrounded.
 
-    Both inputs must carry (id, score). The global rank windows run
-    over the TOP-K LISTS — bounded model-state-sized inputs by
-    construction (the head-bounded window class), never the corpus.
+    Both inputs must carry (id, score). Name the score columns via
+    ``score_a`` / ``score_b``; when omitted, the input must have
+    EXACTLY the two columns (id, score) — anything wider raises instead
+    of silently ranking by whichever extra column happened to come
+    first (r5 ADVICE). The global rank windows run over the TOP-K
+    LISTS — bounded model-state-sized inputs by construction (the
+    head-bounded window class), never the corpus.
     """
     from pyspark.sql import Window
 
-    def ranked(df: DataFrame, name: str) -> DataFrame:
-        score = [c for c in df.columns if c != id_col][0]
+    def ranked(df: DataFrame, name: str, score: str | None) -> DataFrame:
+        if score is None:
+            others = [c for c in df.columns if c != id_col]
+            if id_col not in df.columns or len(others) != 1:
+                raise ValueError(
+                    f"rrf_fuse: cannot infer the score column for "
+                    f"'{name}' from columns {df.columns}; expected "
+                    f"exactly ('{id_col}', <score>) or an explicit "
+                    f"score_a/score_b"
+                )
+            score = others[0]
+        elif score not in df.columns:
+            raise ValueError(
+                f"rrf_fuse: score column '{score}' not in {df.columns}"
+            )
         w = Window.orderBy(F.desc(score), F.col(id_col))
         return df.select(
             id_col, F.row_number().over(w).cast("long").alias(name)
         )
 
-    ra = ranked(rank_a, "rank_a")
-    rb = ranked(rank_b, "rank_b")
+    ra = ranked(rank_a, "rank_a", score_a)
+    rb = ranked(rank_b, "rank_b", score_b)
     kk = F.lit(float(k_rrf))
 
     def contrib(c: str):

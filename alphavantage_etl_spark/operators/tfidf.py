@@ -304,7 +304,11 @@ def corpus_divergence(
     are near-duplicates of each other distribution-wise (candidates for
     merging/deduping a mix) and which are genuinely novel (candidates
     for upweighting). JS divergence is symmetric, bounded by ln 2, and
-    zero iff the term distributions match exactly.
+    zero iff the term distributions match exactly. Pairs sharing NO
+    vocabulary — exactly the most-divergent pairs a mixing decision
+    cares about — are emitted too, with ``vocab_jaccard = 0`` and
+    ``js_divergence = ln 2`` (the pair grid comes from the bounded
+    per-group totals table, so the intersection join can't drop them).
 
     Exactness: per-term JS contributions over the INTERSECTION
     vocabulary are half-even-quantized to 1e-12 and summed as exact
@@ -358,8 +362,34 @@ def corpus_divergence(
         F.sum("ca").alias("__ma"),
         F.sum("cb").alias("__mb"),
         F.count(F.lit(1)).alias("__vi"),
-        F.first("na").alias("na"), F.first("nb").alias("nb"),
-        F.first("va").alias("va"), F.first("vb").alias("vb"),
+    )
+    # pair grid from the |groups|-bounded totals table: disjoint-vocab
+    # pairs survive with zero intersection mass instead of vanishing
+    # into the inner join (r5 ADVICE)
+    ta = tot.select(
+        F.col("__g").alias("ga"),
+        F.col("__n").alias("na"),
+        F.col("__v").alias("va"),
+    )
+    tb = tot.select(
+        F.col("__g").alias("gb"),
+        F.col("__n").alias("nb"),
+        F.col("__v").alias("vb"),
+    )
+    pairs = ta.crossJoin(F.broadcast(tb)).where(F.col("ga") < F.col("gb"))
+    full = pairs.join(inter, ["ga", "gb"], "left").select(
+        "ga",
+        "gb",
+        "na",
+        "nb",
+        "va",
+        "vb",
+        F.coalesce(F.col("__qjs"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__qjs"
+        ),
+        F.coalesce(F.col("__ma"), F.lit(0)).alias("__ma"),
+        F.coalesce(F.col("__mb"), F.lit(0)).alias("__mb"),
+        F.coalesce(F.col("__vi"), F.lit(0)).alias("__vi"),
     )
     import math
 
@@ -370,7 +400,7 @@ def corpus_divergence(
         + F.lit(0.5 * math.log(2.0))
         * (F.lit(2.0) - mass_a - mass_b)
     )
-    return inter.select(
+    return full.select(
         F.col("ga").alias("src_a"),
         F.col("gb").alias("src_b"),
         (

@@ -4443,9 +4443,17 @@ inter AS (
                + (CAST(cb AS DOUBLE) / nb) * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
                  / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb))), 12)
                * 1e12) AS HUGEINT)) AS qjs,
-         sum(ca) AS ma, sum(cb) AS mb, count(*) AS vi,
-         max(na) AS na, max(nb) AS nb, max(va) AS va, max(vb) AS vb
-  FROM j GROUP BY 1, 2)
+         sum(ca) AS ma, sum(cb) AS mb, count(*) AS vi
+  FROM j GROUP BY 1, 2),
+pairs AS (
+  SELECT ta.g AS ga, tb.g AS gb, ta.n AS na, tb.n AS nb,
+         ta.v AS va, tb.v AS vb
+  FROM tot ta JOIN tot tb ON ta.g < tb.g),
+allp AS (
+  SELECT p.ga, p.gb, p.na, p.nb, p.va, p.vb,
+         coalesce(i.qjs, 0) AS qjs, coalesce(i.ma, 0) AS ma,
+         coalesce(i.mb, 0) AS mb, coalesce(i.vi, 0) AS vi
+  FROM pairs p LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb)
 SELECT ga AS src_a, gb AS src_b,
        CAST(vi AS DOUBLE) / (va + vb - vi) AS vocab_jaccard,
        round_even(
@@ -4453,7 +4461,7 @@ SELECT ga AS src_a, gb AS src_b,
          + 0.5 * ln(2.0)
            * (2.0 - CAST(ma AS DOUBLE) / na - CAST(mb AS DOUBLE) / nb),
          9) AS js_divergence
-FROM inter
+FROM allp
 """
 
 
@@ -5053,8 +5061,8 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEASONAL_PROFILE = """
 WITH grid AS (
   SELECT event_type AS g,
-         ((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' + 3) % 7
-          + 1)::BIGINT AS isodow,
+         ((((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' + 3) % 7
+            + 7) % 7) + 1)::BIGINT AS isodow,
          CAST(count(*) AS BIGINT) AS n,
          sum(CAST(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
                   AS HUGEINT)) AS s

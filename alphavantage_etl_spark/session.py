@@ -47,6 +47,18 @@ def get_spark(
         # matching DuckDB's ns->us truncation.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # localCheckpoint blocks from iterative operators (connected
+        # components, pagerank, label propagation, markov attribution,
+        # k-center) are reclaimed by the ContextCleaner only after driver
+        # GC notices the dropped references (operators/dedup.py:
+        # free_blocks). A quiet driver heap can postpone that
+        # indefinitely; lowering the periodic-GC backstop from the 30min
+        # default bounds dead-block accumulation between rounds to ~5min
+        # of iterations at negligible GC cost (r5 ADVICE).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -204,14 +204,24 @@ def test_corpus_divergence_identical_and_disjoint(spark):
     assert ac["js_divergence"] == pytest.approx(want, abs=1e-9)
 
 
-def test_corpus_divergence_no_shared_vocab_pair_absent(spark):
+def test_corpus_divergence_disjoint_pair_emitted_at_ln2(spark):
+    """r5 ADVICE: pairs sharing no vocabulary are the MOST divergent —
+    they must surface with jaccard 0 and JS = ln 2, not silently vanish
+    into the intersection join."""
+    import math
+
     from alphavantage_etl_spark.operators.tfidf import corpus_divergence
 
     df = spark.createDataFrame(
         [(1, "a", "x x"), (2, "b", "y y")],
         "doc_id long, source string, text string",
     )
-    assert corpus_divergence(df, "text", "source").collect() == []
+    rows = corpus_divergence(df, "text", "source").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("a", "b")
+    assert r["vocab_jaccard"] == 0.0
+    assert r["js_divergence"] == pytest.approx(math.log(2), abs=1e-9)
 
 
 # ------------------------------------------------ label propagation

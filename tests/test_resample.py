@@ -101,3 +101,27 @@ def test_seasonal_profile_known_index_and_isodow(spark):
     g_mean = (2 * 2.0 + 12 * 1.0) / 14
     assert out[1]["seasonal_index"] == pytest.approx(2.0 / g_mean)
     assert out[7]["seasonal_index"] == pytest.approx(1.0 / g_mean)  # Sunday
+
+
+def test_seasonal_profile_pre_1970_isodow_in_range(spark):
+    """pmod, not %: both engines' % keep the dividend's sign, so
+    pre-1970 timestamps (negative epoch days) must still label 1..7 —
+    1969-12-28 was a Sunday (7), 1969-12-26 a Friday (5)."""
+    from datetime import datetime
+
+    from alphavantage_etl_spark.operators.resample import seasonal_profile
+
+    ev = spark.createDataFrame(
+        [
+            (datetime(1969, 12, 28, 12, 0), 1.0, "a"),  # Sunday
+            (datetime(1969, 12, 26, 9, 0), 2.0, "a"),  # Friday
+            (datetime(1960, 2, 29, 0, 0), 3.0, "a"),  # leap-day Monday
+        ],
+        "ts timestamp, value double, event_type string",
+    )
+    rows = {
+        r["isodow"]: r
+        for r in seasonal_profile(ev, "ts", "value", "event_type").collect()
+    }
+    assert set(rows) == {7, 5, 1}
+    assert all(1 <= d <= 7 for d in rows)

@@ -960,3 +960,30 @@ def test_rrf_rank_ties_break_on_id(spark):
     b = spark.createDataFrame([], "doc_id long, score double")
     out = {r["doc_id"]: r["rank_a"] for r in rrf_fuse(a, b, "doc_id").collect()}
     assert out == {3: 1, 5: 2}  # equal scores: smaller id ranks first
+
+
+def test_rrf_rejects_ambiguous_and_accepts_explicit_score(spark):
+    """r5 ADVICE: an input with an extra column must raise instead of
+    silently ranking by whichever non-id column comes first; explicit
+    score_a/score_b selects the right one."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.sparsesim import rrf_fuse
+
+    clean = spark.createDataFrame(
+        [(1, 1.0), (2, 0.5)], "doc_id long, score double"
+    )
+    wide = spark.createDataFrame(
+        [(1, 99.0, 0.5), (2, 0.0, 1.0)],
+        "doc_id long, junk double, score double",
+    )
+    with pytest.raises(ValueError, match="cannot infer"):
+        rrf_fuse(wide, clean, "doc_id")
+    with pytest.raises(ValueError, match="not in"):
+        rrf_fuse(clean, clean, "doc_id", score_a="nope")
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse(wide, clean, "doc_id", score_a="score").collect()
+    }
+    # ranked by 'score' (doc 2 first in a), not by 'junk'
+    assert out[2]["rank_a"] == 1 and out[1]["rank_a"] == 2
