@@ -206,3 +206,87 @@ def curation_report(curated: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(token_count_bpe(text_col)).cast("long").alias("total_tokens_bpe"),
         F.bround(F.avg("q"), 6).alias("avg_quality"),
     )
+
+
+def curate_to_shards(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_quality: float = 0.5,
+    min_chars: int = 100,
+    jaccard_threshold: float = 0.6,
+    resolution: str = "pairwise",
+    contamination_k: int = 8,
+    contamination_threshold: float = 0.5,
+    chunk_window: int = 64,
+    chunk_stride: int = 48,
+    shard_tokens: int = 100_000,
+    handles: list[DataFrame] | None = None,
+) -> dict:
+    """The FULL corpus-to-trainer pipeline as one composition (VERDICT r5
+    #7): curate (quality gate + exact + near dedup) -> decontaminate
+    (drop documents containing benchmark items above the n-gram
+    containment bar) -> chunk into overlapping token windows -> pack
+    chunks into token-budget shards -> write shard-partitioned parquet +
+    manifest. Returns the manifest dict (plans/export.py semantics: the
+    totals a training job trusts without re-scanning).
+
+    Everything through the shard assignment is ONE lazy plan — the only
+    actions are the operators' own bounded probes (minhash candidate
+    persists), the partitioned write, and the shard-count-sized manifest
+    aggregate. Chunk ids are ``<doc_id>:<chunk_idx>`` strings (content-
+    addressed, append-stable); chunk token counts feed pack_bins as the
+    shard size, so a shard's ``tokens`` manifest field is the training-
+    visible token budget, not a raw-document proxy.
+    """
+    from ..operators.chunking import chunk_documents
+    from ..operators.contamination import ngram_contamination
+    from .export import write_training_shards
+
+    curated = curate(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=min_quality,
+        min_chars=min_chars,
+        jaccard_threshold=jaccard_threshold,
+        resolution=resolution,
+        handles=handles,
+    )
+    hits = ngram_contamination(
+        curated,
+        benchmark,
+        text_col,
+        id_col,
+        k=contamination_k,
+        threshold=contamination_threshold,
+    )
+    clean = curated.join(
+        hits.select(id_col).distinct(), id_col, "left_anti"
+    )
+    chunks = chunk_documents(
+        clean, text_col, id_col, window=chunk_window, stride=chunk_stride
+    )
+    rows = (
+        chunks.join(clean.select(id_col, source_col), id_col)
+        .select(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.col("chunk_idx")
+            ).alias("chunk_id"),
+            F.col("chunk_text"),
+            F.col(source_col),
+            F.col("n_tokens"),
+        )
+    )
+    return write_training_shards(
+        rows,
+        out_path,
+        text_col="chunk_text",
+        id_col="chunk_id",
+        source_col=source_col,
+        size_col="n_tokens",
+        shard_tokens=shard_tokens,
+    )

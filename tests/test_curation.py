@@ -217,3 +217,80 @@ def test_cluster_resolution_survives_120_doc_revision_chain(spark):
     )
     kept = sorted(r["doc_id"] for r in out.collect())
     assert len(kept) == 1, kept
+
+
+# ---------------------------------------------- end-to-end to shards
+def test_curate_to_shards_manifest_matches_duckdb(spark, tmp_path):
+    """VERDICT r5 #7: the full curate -> decontaminate -> chunk -> pack
+    -> shard-export composition, with the manifest cross-checked by a
+    SECOND engine: DuckDB re-scans the written shard-partitioned parquet
+    and must reproduce every per-shard row/token count and the totals.
+    The checksums are verified by Spark re-reads (verify_shard) since
+    xxhash64 is not portable to DuckDB."""
+    import json
+    import os
+
+    import duckdb
+
+    from alphavantage_etl_spark.plans.curation import curate_to_shards
+    from alphavantage_etl_spark.plans.export import verify_shard
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    d = load(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    bench = d.where(F.col("doc_id") % 47 == 0)
+    corp = d.where(F.col("doc_id") % 47 != 0)
+    out = str(tmp_path / "shards")
+    manifest = curate_to_shards(
+        corp,
+        bench,
+        out,
+        contamination_threshold=0.25,
+        chunk_window=64,
+        chunk_stride=48,
+        shard_tokens=5_000,
+    )
+    assert manifest["n_shards"] >= 2 and manifest["total_rows"] > 0
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f) == manifest
+
+    # DuckDB re-derives the per-shard stats from the physical files
+    con = duckdb.connect()
+    got = con.execute(
+        f"""
+        SELECT shard, count(*) AS rows, sum(n_tokens) AS tokens
+        FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1)
+        GROUP BY shard ORDER BY shard
+        """
+    ).fetchall()
+    want = [(s["shard"], s["rows"], s["tokens"]) for s in manifest["shards"]]
+    assert [(r[0], int(r[1]), int(r[2])) for r in got] == want
+    assert sum(r[1] for r in got) == manifest["total_rows"]
+    assert int(sum(r[2] for r in got)) == manifest["total_tokens"]
+
+    # spark-side integrity: every shard's checksum verifies
+    for s in manifest["shards"]:
+        assert verify_shard(
+            spark, out, s["shard"], manifest,
+            text_col="chunk_text", id_col="chunk_id",
+        )
+
+    # decontamination is live in the composition: planted containments
+    # exist at this SF (q_contamination finds them), and none of the
+    # surviving chunks' parent docs are contaminated
+    from alphavantage_etl_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    hits = ngram_contamination(
+        corp, bench, "text", "doc_id", k=8, threshold=0.25
+    )
+    hit_ids = {r["doc_id"] for r in hits.collect()}
+    assert hit_ids, "fixture must plant at least one containment"
+    exported = spark.read.parquet(out).select("chunk_id").collect()
+    parent_ids = {int(r["chunk_id"].split(":")[0]) for r in exported}
+    assert not (parent_ids & hit_ids)
