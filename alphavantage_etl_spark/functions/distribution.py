@@ -430,3 +430,324 @@ def ks_test(
             F.when((F.col("__na") > 0) & (F.col("__nb") > 0), d)
         ).alias("ks_d"),
     )
+
+
+def mann_whitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    ticks: int = 100,
+    max_grid: int = 1_000_000,
+) -> DataFrame:
+    """One row (n_a, n_b, u_stat, z): the exact tie-corrected
+    Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    location-shift counterpart to :func:`ks_test`'s shape test: KS
+    asks "are these the same distribution", U asks "does one side
+    stochastically dominate" and stays powerful when a mean shift
+    hides under equal supports. NULLs are excluded; an empty side
+    yields NULL statistics.
+
+    Exactness: values quantize to ``ticks`` units and ALL rank
+    arithmetic is integer — midranks enter doubled (2*rank is an
+    integer even when a tie run has odd length), so
+    ``2*R_a = sum(na_v * (2*c_below + na_v + nb_v + 1))`` accumulates
+    exactly in decimal(38,0) and U = R_a - n_a(n_a+1)/2 (scipy's U1:
+    the count of (a, b) pairs with a > b, half-credit for ties) is an
+    exact multiple of 0.5. The z-statistic (continuity-corrected,
+    tie-corrected variance) is the one transcendental output —
+    half-even-rounded to 1e-9.
+
+    Scale: same head-bounded-grid class as ks_test — the cumulative
+    window runs over the distinct-quantized-value grid in a single
+    partition, and the bound is ENFORCED: a grid wider than
+    ``max_grid`` raises (coarsening would silently change ranks, so
+    unlike ks_test there is no auto-degrade; pass coarser ``ticks`` or
+    pre-clip instead).
+    """
+    if max_grid < 2:
+        raise ValueError(f"max_grid must be >= 2, got {max_grid}")
+    q = lambda df: (  # noqa: E731
+        df.select(
+            F.round(F.col(value_col).cast("double") * ticks)
+            .cast("long")
+            .alias("v")
+        ).where(F.col("v").isNotNull())
+    )
+    ca = q(a).groupBy("v").agg(F.count(F.lit(1)).alias("na_v"))
+    cb = q(b).groupBy("v").agg(F.count(F.lit(1)).alias("nb_v"))
+    grid = ca.join(cb, "v", "full").select(
+        "v",
+        F.coalesce("na_v", F.lit(0)).alias("na_v"),
+        F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
+    )
+    if grid.limit(max_grid + 1).count() > max_grid:
+        raise ValueError(
+            f"mann_whitney_u: quantized grid exceeds max_grid="
+            f"{max_grid}; coarsen ticks or pre-clip the metric"
+        )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.col("na_v") + F.col("nb_v")
+    cum = grid.select(
+        "na_v",
+        "nb_v",
+        t.alias("t_v"),
+        (F.sum(t).over(w) - t).alias("c_below"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = cum.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(
+            dec(F.col("na_v"))
+            * dec(2 * F.col("c_below") + F.col("na_v") + F.col("nb_v") + 1)
+        ).alias("r2a"),
+        F.sum(
+            dec(F.col("t_v")) * dec(F.col("t_v")) * dec(F.col("t_v"))
+            - dec(F.col("t_v"))
+        ).alias("tie3"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    # scipy's U1 convention: U = R_a - n_a(n_a+1)/2, the number of
+    # (a, b) pairs with a > b (+ half-credit for ties)
+    u = (
+        F.col("r2a").cast("double") / F.lit(2.0)
+        - n_a * (n_a + 1) / F.lit(2.0)
+    )
+    var = (
+        n_a
+        * n_b
+        / F.lit(12.0)
+        * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1)))
+    )
+    mean_u = n_a * n_b / F.lit(2.0)
+    # continuity correction toward the mean; z undefined for var = 0
+    zraw = (
+        u
+        - mean_u
+        - F.when(u > mean_u, F.lit(0.5))
+        .when(u < mean_u, F.lit(-0.5))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(var)
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), u).alias("u_stat"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            F.bround(zraw, 9),
+        ).alias("z"),
+    )
+
+
+def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row (n_rows, n_x, n_y, dof, chi2, cramers_v): Pearson's
+    chi-squared test of independence between two categorical columns
+    plus Cramer's V effect size (bias-uncorrected) — the categorical
+    counterpart to :func:`mutual_information`: MI measures shared
+    information in nats, chi2/V gives the classical significance-
+    testable statistic reviewers expect. NULL levels count as a real
+    level (the MI convention).
+
+    Exactness: expected counts are exact int ratios; each cell's
+    (o-e)^2/e term is half-even-quantized to 1e-12 and summed as exact
+    decimal integers (merge-order-immune), final chi2 and V rounded
+    half-even to 1e-9.
+
+    Scale: one scan into the |X| x |Y| contingency grid (map-side
+    combine); marginals and the term sum run over the grid, never the
+    data. Degenerate marginals (min(|X|,|Y|) = 1) yield NULL V.
+    """
+    sx = F.coalesce(F.col(x_col).cast("string"), F.lit(" NULL"))
+    sy = F.coalesce(F.col(y_col).cast("string"), F.lit(" NULL"))
+    cells = (
+        df.select(sx.alias("x"), sy.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rx = cells.groupBy("x").agg(F.sum("o").alias("rx"))
+    ry = cells.groupBy("y").agg(F.sum("o").alias("ry"))
+    # FULL |X| x |Y| grid from the marginals: an unobserved cell still
+    # contributes (0-e)^2/e = e to the statistic — dropping empty cells
+    # (an inner join on the observed table) systematically understates
+    # chi2 exactly when association is strongest
+    g = (
+        rx.crossJoin(F.broadcast(ry))
+        .join(cells, ["x", "y"], "left")
+        .select(
+            "x", "y", "rx", "ry", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("x").alias("nx"),
+    ).crossJoin(cells.agg(F.count_distinct("y").alias("ny")))
+    e = (
+        F.col("rx").cast("double")
+        * F.col("ry").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = F.round(
+        F.bround((F.col("o") - e) * (F.col("o") - e) / e, 12) * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    s = g.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n_rows"),
+        F.first("nx").alias("n_x"),
+        F.first("ny").alias("n_y"),
+        F.sum(term).alias("__q"),
+    )
+    chi2 = F.col("__q").cast("double") / F.lit(1e12)
+    mindim = F.least(F.col("n_x"), F.col("n_y")) - 1
+    return s.select(
+        "n_rows",
+        "n_x",
+        "n_y",
+        ((F.col("n_x") - 1) * (F.col("n_y") - 1)).cast("long").alias("dof"),
+        F.bround(chi2, 9).alias("chi2"),
+        F.when(
+            mindim > 0,
+            F.bround(
+                F.sqrt(
+                    chi2
+                    / (F.col("n_rows").cast("double") * mindim.cast("double"))
+                ),
+                9,
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def benford_deviation(
+    df: DataFrame, value_col: str, group_col: str | None = None
+) -> DataFrame:
+    """(group?, digit, n, observed_p, expected_p, chi2_term): the
+    first-significant-digit profile of a positive metric against
+    Benford's law — the classic fabricated-/synthetic-data smell test
+    for financial columns (genuine multiplicative processes follow
+    log10(1+1/d); uniform or hand-typed data does not).
+
+    The first digit comes from the metric quantized to integer cents
+    and STRINGIFIED — integer-to-string is engine-stable, where
+    floating-point formatting is not. Non-positive and NULL values are
+    excluded (Benford applies to magnitudes). observed_p is an exact
+    int ratio; expected_p and the chi2 term round half-even to 1e-9 /
+    1e-12 (transcendental outputs). All nine digits are emitted even
+    at zero observed count (the deviation a detector cares about).
+
+    Scale: one scan into the (group x 9)-row grid; the digit spine is
+    a 9-row literal crossed with the bounded group list.
+    """
+    import math
+
+    g = group_col or "__all"
+    base = df if group_col else df.withColumn("__all", F.lit("all"))
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    obs = (
+        base.select(F.col(g).alias("grp"), cents.alias("c"))
+        .where(F.col("c") > 0)
+        .select(
+            "grp",
+            F.substring(F.col("c").cast("string"), 1, 1).alias("digit"),
+        )
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    groups = obs.select("grp").distinct()
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(str(d), math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit string, expected_p double",
+    )
+    grid = groups.crossJoin(F.broadcast(spine))
+    tot = obs.groupBy("grp").agg(F.sum("n").alias("tot"))
+    j = (
+        grid.join(obs, ["grp", "digit"], "left")
+        .join(F.broadcast(tot), "grp")
+        .select(
+            "grp",
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "expected_p",
+            "tot",
+        )
+    )
+    op = F.col("n").cast("double") / F.col("tot").cast("double")
+    # the 1e-9-rounded law is THE expected value everywhere — rounding
+    # only for display while the chi2 term consumes the raw double
+    # would leak the engines' log10 ulp into the term at ~1e-5 relative
+    ep = F.bround("expected_p", 9)
+    e = ep * F.col("tot").cast("double")
+    out = j.select(
+        F.col("grp").alias(group_col if group_col else "grp"),
+        "digit",
+        "n",
+        op.alias("observed_p"),
+        ep.alias("expected_p"),
+        F.bround((F.col("n") - e) * (F.col("n") - e) / e, 12).alias(
+            "chi2_term"
+        ),
+    )
+    return out if group_col else out.drop("grp")
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(group, n_entities, total, gini): the Gini coefficient of how a
+    metric concentrates across entities within a group — "do 1% of
+    customers carry 50% of revenue", the inequality profile a
+    mix-rebalancing or risk review reads. 0 = perfectly even, ->1 =
+    one entity owns everything.
+
+    Formula over entities ranked ascending by (value, entity):
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` with integer
+    cent values — numerator and denominator accumulate exactly in
+    decimal(38,0), the final division is one exact-int double ratio
+    shipped UNROUNDED (pure rational — the target_encode rule). Groups
+    with zero total yield NULL gini.
+
+    Scale: entities aggregate first (one hash agg over the corpus);
+    the rank window partitions by GROUP over the entity-level table —
+    post-aggregation rows, corpus-independent; for a group whose
+    entity count itself is data-sized, feed a coarser entity key.
+    """
+    ent = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(entity_col).alias("e"),
+            F.round(F.col(value_col).cast("double") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .groupBy("g", "e")
+        .agg(F.sum("c").alias("x"))
+    )
+    w = Window.partitionBy("g").orderBy("x", "e")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = ent.select("g", "x", F.row_number().over(w).alias("i"))
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("i")) * dec(F.col("x"))).alias("six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("sx")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("sx")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_entities"),
+        (F.col("sx").cast("double") / F.lit(100.0)).alias("total"),
+        F.when(
+            F.col("sx") != 0,
+            num.cast("double") / den.cast("double"),
+        ).alias("gini"),
+    )

@@ -279,3 +279,51 @@ def rep_ngram_ratio(col: Column | str, n: int = 2) -> Column:
             F.lit(1.0) - F.size(F.array_distinct(grams)) / total, 6
         ),
     ).otherwise(F.lit(0.0))
+
+def token_fertility(
+    df, text_col: str, group_col: str
+):
+    """(group, n_docs, ws_tokens, bpe_tokens, fertility,
+    chars_per_bpe_token): tokenizer fertility per group — how many
+    BPE-ish subword tokens the corpus pays per whitespace word, the
+    per-language cost profile a tokenizer/mix review reads (a language
+    with fertility 3 burns 3x the context window of fertility-1 text;
+    budgets in ws-words systematically underfeed it).
+
+    All counts are exact integer sums; the two ratios are exact-int
+    double divisions shipped unrounded (pure rational). Documents with
+    zero whitespace tokens are excluded from the ratio (NULL-safe).
+
+    Scale: one scan, one hash aggregation to |groups| rows.
+    """
+    return (
+        df.select(
+            F.col(group_col).alias("g"),
+            token_count(F.col(text_col)).cast("long").alias("ws"),
+            token_count_bpe(F.col(text_col)).cast("long").alias("bpe"),
+            F.length(F.col(text_col)).cast("long").alias("ch"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("ch").alias("__chars"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.when(
+                F.col("ws_tokens") > 0,
+                F.col("bpe_tokens").cast("double")
+                / F.col("ws_tokens").cast("double"),
+            ).alias("fertility"),
+            F.when(
+                F.col("bpe_tokens") > 0,
+                F.col("__chars").cast("double")
+                / F.col("bpe_tokens").cast("double"),
+            ).alias("chars_per_bpe_token"),
+        )
+    )

@@ -144,3 +144,54 @@ def change_point(
         ma.alias("mean_after"),
         (ma - mb).alias("shift"),
     )
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """(group, n, med, mad, n_outliers): the robust outlier profile per
+    group — median + median-absolute-deviation, flagging values where
+    ``|v - med| > k * 1.4826 * MAD`` (1.4826 scales MAD to sigma under
+    normality). The robust counterpart to the rolling z-score above:
+    z-scores let one extreme value inflate its own sigma and hide; MAD
+    does not (50% breakdown point), which is what a data-quality gate
+    over heavy-tailed metrics needs.
+
+    Both medians are exact interpolated percentiles rounded half-even
+    to 1e-6 BEFORE comparison (the winsorize fence discipline); the
+    deviation compare quantizes |v - med| the same way so an engine-ulp
+    cannot flip a fence-sitter. NULL values are excluded.
+
+    Scale: two aggregations over the data (group medians, then MAD of
+    the deviations) + one final count aggregation; the join back is
+    |groups|-sized (broadcast). No windows.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("g"), v.alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    med = base.groupBy("g").agg(
+        F.bround(F.expr("percentile(v, 0.5)"), 6).alias("med")
+    )
+    dev = base.join(F.broadcast(med), "g").select(
+        "g", "v", "med", F.bround(F.abs(F.col("v") - F.col("med")), 6).alias("d")
+    )
+    mad = dev.groupBy("g").agg(
+        F.bround(F.expr("percentile(d, 0.5)"), 6).alias("mad")
+    )
+    fence = F.bround(F.lit(k) * F.lit(1.4826) * F.col("mad"), 6)
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("d") > fence).cast("long")).alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias(group_col), "n", "med", "mad", "n_outliers"
+        )
+    )

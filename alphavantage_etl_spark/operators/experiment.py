@@ -143,3 +143,77 @@ def ab_test_cuped(
         (se / c100).alias("se_cuped"),
         F.when(se > 0, lift_cuped / se).alias("z_cuped"),
     )
+
+
+def ipw_effect(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    clip: tuple = (0.05, 0.95),
+) -> DataFrame:
+    """One row (n, n_treat, mean_treat, mean_ctrl, ate): the Hajek
+    (self-normalized) inverse-propensity-weighted treatment-effect
+    estimate from an OBSERVATIONAL frame — the causal companion to
+    ab_test_cuped: CUPED reads a randomized experiment; IPW de-biases a
+    natural split (treated = docs that got the property by
+    circumstance) using a propensity model's scores — e.g. the X35
+    logreg's p doubles as the propensity when the "treatment" is its
+    label.
+
+    ``mean_treat = sum(T*y/p) / sum(T/p)`` and symmetrically for
+    control with 1-p; propensities clip into ``clip`` first (the
+    standard overlap guard — an unclipped p near 0 hands one row the
+    whole estimate). Each weighted term is half-even-quantized to
+    1e-12 and summed as exact decimal integers (merge-order-immune);
+    the two means and the ATE are fixed-order double expressions over
+    those sums, shipped unrounded. NULL outcome/propensity rows are
+    excluded; an empty arm yields NULL means/ATE.
+
+    Scale: one scan, one global aggregation (map-side combine) — no
+    window, no join.
+    """
+    lo, hi = clip
+    if not (0 < lo < hi < 1):
+        raise ValueError(f"clip must satisfy 0 < lo < hi < 1, got {clip}")
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    p = F.least(F.greatest(F.col(propensity_col).cast("double"), F.lit(lo)), F.lit(hi))
+    qd = lambda c: F.round(F.bround(c, 12) * F.lit(1e12)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
+    w1 = t.cast("double") / p
+    w0 = (1 - t).cast("double") / (F.lit(1.0) - p)
+    agg = (
+        df.where(y.isNotNull() & F.col(propensity_col).isNotNull())
+        .select(
+            t.alias("t"),
+            qd(w1 * y).alias("q1y"),
+            qd(w1).alias("q1"),
+            qd(w0 * y).alias("q0y"),
+            qd(w0).alias("q0"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").cast("long").alias("n_treat"),
+            F.sum("q1y").alias("s1y"),
+            F.sum("q1").alias("s1"),
+            F.sum("q0y").alias("s0y"),
+            F.sum("q0").alias("s0"),
+        )
+    )
+    mt = F.when(
+        F.col("s1") != 0,
+        F.col("s1y").cast("double") / F.col("s1").cast("double"),
+    )
+    mc = F.when(
+        F.col("s0") != 0,
+        F.col("s0y").cast("double") / F.col("s0").cast("double"),
+    )
+    return agg.select(
+        "n",
+        "n_treat",
+        mt.alias("mean_treat"),
+        mc.alias("mean_ctrl"),
+        (mt - mc).alias("ate"),
+    )

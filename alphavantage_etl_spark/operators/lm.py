@@ -32,7 +32,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _Q = 9  # log-prob quantization decimals (1e-9 units)
 
@@ -151,4 +151,66 @@ def lm_perplexity_scores(
                 / F.lit(10.0**_Q)
             ).alias("avg_logp"),
         )
+    )
+
+
+def bigram_next_tokens(
+    df: DataFrame,
+    text_col: str,
+    top_contexts: int = 20,
+    top_next: int = 3,
+) -> DataFrame:
+    """(context, context_n, next_token, n, prob, rank): the ``top_next``
+    most likely next tokens for each of the corpus's ``top_contexts``
+    most frequent context tokens — the word-level bigram LM surface
+    (autocomplete / corpus-fingerprint view) beside the char-level
+    perplexity scorer above: perplexity SCORES documents against a
+    model; this EXPOSES the model's head for inspection.
+
+    prob = n(context, next) / n(context as a bigram left side) — a
+    single exact int/int division, shipped unrounded. Ranks break count
+    ties on the token string (fully deterministic).
+
+    Scale design (100 TB): bigram counts are one explode + one hash
+    aggregation (map-side combine on the pair). The per-context rank
+    window runs ONLY over the bigrams of the broadcast-joined
+    top_contexts list — a k-bounded slice, never the full bigram
+    vocabulary; the top-contexts list itself lowers to
+    TakeOrderedAndProject. Pair token slices zip via arrays_zip on a
+    PROJECTED token column (the lambda-capture rule: never rebuild the
+    token array per element).
+    """
+    if top_contexts < 1 or top_next < 1:
+        raise ValueError("top_contexts and top_next must be >= 1")
+    from ..functions.text import tokens as _tokens
+
+    toked = df.select(
+        _tokens(F.lower(F.col(text_col))).alias("__t")
+    ).where(F.size("__t") >= 2)
+    pairs = toked.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    ctx = bi.groupBy("w1").agg(F.sum("n").alias("context_n"))
+    top = ctx.orderBy(F.desc("context_n"), F.col("w1")).limit(top_contexts)
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.col("w2"))
+    ranked = (
+        bi.join(F.broadcast(top), "w1")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_next)
+    )
+    return ranked.select(
+        F.col("w1").alias("context"),
+        "context_n",
+        F.col("w2").alias("next_token"),
+        "n",
+        (F.col("n").cast("double") / F.col("context_n").cast("double")).alias(
+            "prob"
+        ),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -124,3 +124,50 @@ def seasonal_profile(
             F.when(g_mean != 0, dow_mean / g_mean).alias("seasonal_index"),
         )
     )
+
+def percentile_bands(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    probs: tuple = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """(group, week_start, n, p10, p50, p90): the weekly percentile-band
+    trend per group — the metric-drift view an SLO/latency review reads
+    (the median tells you the typical; the band tells you whether the
+    TAIL is what moved). Weeks start Monday, labeled by epoch-day
+    arithmetic (pmod, engine-portable — the seasonal_profile isodow
+    discipline, pre-1970-safe).
+
+    Percentiles are exact interpolated values rounded half-even to 1e-6
+    (the winsorize/percentiles convention — oracle-pinned elsewhere in
+    the repo). NULL values are excluded.
+
+    Scale: one hash aggregation into the (group x week) grid; exact
+    percentiles aggregate per grid cell (Spark's percentile is a
+    partial-aggregatable TypedImperativeAggregate — map-side combine,
+    no window, no sort).
+    """
+    epoch_day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
+    week_start = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        (epoch_day - F.pmod(epoch_day + 3, F.lit(7))).cast("int"),
+    )
+    v = F.col(value_col).cast("double")
+    cols = [
+        F.bround(F.expr(f"percentile(v, {p})"), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return (
+        events.select(
+            F.col(group_col).alias("g"),
+            week_start.alias("week_start"),
+            v.alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("g", "week_start")
+        .agg(F.count(F.lit(1)).alias("n"), *cols)
+        .withColumnRenamed("g", group_col)
+    )

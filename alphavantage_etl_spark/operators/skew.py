@@ -17,7 +17,7 @@ retried tasks must salt identically or results are nondeterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,93 @@ def salted_agg(
         for name, (op, _) in aggs.items()
     ]
     return stage1.groupBy(*keys).agg(*mergers)
+
+
+def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
+    """One row (key_col, n_rows, n_keys, max_freq, p50_freq, p99_freq,
+    avg_freq, skew_ratio): the pre-join skew profile of a key column —
+    the number the 100 TB engineer reads BEFORE shuffling on a key
+    (``skew_ratio`` = max/avg partition-weight imbalance; a ratio in the
+    hundreds means salt this join or let AQE split it, and the p99/p50
+    gap says whether the heat is one pathological key or a fat tail).
+
+    Exact percentiles WITHOUT a data-sized window: per-key frequencies
+    aggregate once, then collapse into the frequency-OF-frequency grid
+    (one row per distinct frequency VALUE — bounded by the heaviest
+    key's count in the worst case, typically tiny); the p50/p99 keys-
+    by-frequency positions come from a cumulative window over that
+    grid. avg_freq and skew_ratio are exact-int double ratios, shipped
+    unrounded (pure rational).
+    """
+    freq = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    fof = freq.groupBy("f").agg(F.count(F.lit(1)).alias("nk"))
+    w = Window.orderBy("f").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = fof.select(
+        "f", "nk", F.sum("nk").over(w).alias("ck")
+    )
+    tot = fof.agg(
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("nk")).alias("nr"),
+        F.sum("nk").alias("nkeys"),
+        F.max("f").alias("maxf"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("ck") >= F.ceil(F.col("nkeys") * F.lit(p)), F.col("f")
+        )
+    )
+    out = j.groupBy().agg(
+        F.first("nr").cast("long").alias("n_rows"),
+        F.first("nkeys").alias("n_keys"),
+        F.first("maxf").alias("max_freq"),
+        pick(0.5).alias("p50_freq"),
+        pick(0.99).alias("p99_freq"),
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return out.select(
+        F.lit(key_col).alias("key_col"),
+        "n_rows",
+        "n_keys",
+        "max_freq",
+        "p50_freq",
+        "p99_freq",
+        avg.alias("avg_freq"),
+        (F.col("max_freq").cast("double") / avg).alias("skew_ratio"),
+    )
+
+
+def hot_keys(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """(key, freq, share): the ``top_k`` heaviest values of a join/agg
+    key with their row share — the concrete salting targets
+    key_skew_stats' ratio points at. orderBy+limit lowers to
+    TakeOrderedAndProject (per-partition top-k then a k-sized merge —
+    never a global sort); ties break on the key value for determinism.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    freq = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = freq.agg(
+        F.sum(F.col("freq").cast("decimal(38,0)")).alias("nr")
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("freq"), F.col("key"))
+        .limit(top_k)
+        .select(
+            "key",
+            "freq",
+            (
+                F.col("freq").cast("double") / F.col("nr").cast("double")
+            ).alias("share"),
+        )
+    )

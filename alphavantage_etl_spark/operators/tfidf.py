@@ -409,3 +409,91 @@ def corpus_divergence(
         ).alias("vocab_jaccard"),
         F.bround(js, 9).alias("js_divergence"),
     )
+
+
+def doc_novelty(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 20
+) -> DataFrame:
+    """(id, n_terms, novelty, rank): the ``top_k`` most novel documents
+    — novelty = mean smoothed IDF of the document's DISTINCT terms,
+    ``idf(t) = ln((N+1)/(df_t+1)) + 1``. High scores mark documents
+    built from corpus-rare vocabulary: the upweighting candidates of a
+    data-mixing decision, and the review queue for gibberish that
+    quality heuristics scored well (rare terms are either signal or
+    noise; either way a human wants the top of this list).
+
+    Exactness: per-term IDF is half-even-quantized to 1e-12 and summed
+    as exact decimal integers per document (merge-order-immune); the
+    mean divides by the exact distinct-term count and rounds half-even
+    to 1e-9 (transcendental-output convention). Ranks break novelty
+    ties on the id.
+
+    Scale design (100 TB): one scan builds per-doc distinct terms, one
+    aggregation builds the document-frequency table (vocabulary-
+    bounded), the IDF join is term-keyed (postings shape), and the
+    top-k lowers to TakeOrderedAndProject. No corpus-wide window.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from ..functions.text import tokens as _tokens
+
+    dt = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(_tokens(F.lower(F.col(text_col))))
+            ).alias("__t"),
+        )
+        .distinct()
+    )
+    tot = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    dfreq = dt.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # N rides in as a plan-side scalar (broadcast 1-row cross join) —
+    # no driver action at plan-construction time
+    idf_q = F.round(
+        F.bround(
+            F.log(
+                (F.col("__nd") + 1).cast("double")
+                / (F.col("__df") + 1).cast("double")
+            )
+            + F.lit(1.0),
+            12,
+        )
+        * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    scored = (
+        dt.join(
+            dfreq.crossJoin(F.broadcast(tot)).select(
+                "__t", idf_q.alias("__qidf")
+            ),
+            "__t",
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__qidf").alias("__s"),
+        )
+        .select(
+            "__id",
+            "n_terms",
+            F.bround(
+                F.col("__s").cast("double")
+                / F.lit(1e12)
+                / F.col("n_terms").cast("double"),
+                9,
+            ).alias("novelty"),
+        )
+    )
+    w = Window.orderBy(F.desc("novelty"), F.col("__id"))
+    return (
+        scored.orderBy(F.desc("novelty"), F.col("__id"))
+        .limit(top_k)
+        .select(
+            F.col("__id").alias(id_col),
+            "n_terms",
+            "novelty",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

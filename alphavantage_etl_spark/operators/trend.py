@@ -22,7 +22,7 @@ applied to regression).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def group_trend(
@@ -65,4 +65,173 @@ def group_trend(
         n.cast("long").alias("n"),
         F.bround(slope_ticks / y_scale, round_to).alias("slope"),
         F.bround(intercept_ticks / y_scale, round_to).alias("intercept"),
+    )
+
+
+def _pair_grid(
+    df: DataFrame, group_col: str, x_col: str, y_col: str, y_scale: int
+):
+    """(g, xi, yi, xj, yj) for every i<j pair WITHIN a group, over the
+    per-(group, x) aggregated series — the shared input of the robust
+    (rank/median-based) trend statistics. x must be integer-valued; y
+    quantizes to ``y_scale`` ticks and duplicate x's collapse to their
+    tick SUM first (one series point per x), so the pair count is
+    C(|grid|, 2) per group — grid-bounded (the x spine is a calendar,
+    not the data), never corpus-sized."""
+    pts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(x_col).cast("long").alias("x"),
+            F.round(F.col(y_col).cast("double") * y_scale)
+            .cast("long")
+            .alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("g", "x")
+        .agg(F.sum("y").alias("y"))
+    )
+    a = pts.select(
+        "g", F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = pts.select(
+        "g", F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    return a.join(b, "g").where(F.col("xi") < F.col("xj"))
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    y_scale: int = 100,
+) -> DataFrame:
+    """(group, n_points, n_pairs, sen_slope): the Theil-Sen slope per
+    group — the MEDIAN of all pairwise slopes, the robust complement to
+    :func:`group_trend`'s OLS line (a single spiked day can own an OLS
+    slope; the median slope shrugs it off, which is what a metric-drift
+    review wants).
+
+    Exactness: each pairwise slope is ONE exact-integer double ratio
+    ``(yj-yi)/(xj-xi)`` (tick units per x unit); the median is the
+    explicit two-middle formula — elements at positions ceil(m/2) and
+    ceil((m+1)/2) of the slope-sorted list, averaged — identical
+    arithmetic on any engine (never an engine's median() whose
+    interpolation form may differ in the last bit). Slopes are
+    de-ticked by ``y_scale`` at the end, unrounded (pure rational).
+
+    Scale: pair generation and the rank window both run over the
+    per-group pair GRID (C(|x grid|,2) rows — see _pair_grid), with the
+    window partitioned by group. Groups with < 2 points yield no row.
+    """
+    pairs = _pair_grid(df, group_col, x_col, y_col, y_scale)
+    slope = (F.col("yj") - F.col("yi")).cast("double") / (
+        F.col("xj") - F.col("xi")
+    ).cast("double")
+    # deterministic rank order: ties on the slope value are positionally
+    # interchangeable for middle-element selection
+    ranked = pairs.select("g", slope.alias("s"), "xi", "xj").select(
+        "g", "s", F.row_number().over(
+            Window.partitionBy("g").orderBy("s", "xi", "xj")
+        ).alias("i")
+    )
+    m = ranked.groupBy("g").agg(F.count(F.lit(1)).alias("m"))
+    mid = ranked.join(F.broadcast(m), "g").where(
+        (F.col("i") == F.ceil(F.col("m") / 2))
+        | (F.col("i") == F.ceil((F.col("m") + 1) / 2))
+    )
+    npts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(x_col).cast("long").alias("x"),
+        )
+        .where(F.col("x").isNotNull())
+        .groupBy("g")
+        .agg(F.count_distinct("x").alias("n_points"))
+    )
+    out = (
+        mid.groupBy("g")
+        .agg(
+            F.first("m").alias("n_pairs"),
+            # one or two middle rows; avg of <= 2 doubles is exact-form
+            (F.sum("s") / F.count(F.lit(1))).alias("sen_ticks"),
+        )
+        .join(npts, "g")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_points",
+        "n_pairs",
+        (F.col("sen_ticks") / F.lit(float(y_scale))).alias("sen_slope"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    y_scale: int = 100,
+) -> DataFrame:
+    """(group, n_points, s_stat, z): the Mann-Kendall monotonic-trend
+    test per group — S = sum over i<j of sign(y_j - y_i), with the
+    tie-corrected normal approximation
+    ``Var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18`` and the
+    continuity-corrected z — the non-parametric "is this metric
+    actually trending" gate that pairs with :func:`theil_sen`'s "how
+    fast" (same pair grid, same quantization).
+
+    S and Var are pure integer arithmetic (decimal-exact); z is the
+    one transcendental output, half-even-rounded to 1e-9. Groups with
+    fewer than 2 points emit NULL z (Var = 0).
+    """
+    pairs = _pair_grid(df, group_col, x_col, y_col, y_scale)
+    s_term = F.signum((F.col("yj") - F.col("yi")).cast("double")).cast(
+        "long"
+    )
+    s = pairs.groupBy("g").agg(F.sum(s_term).alias("s_stat"))
+    pts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(x_col).cast("long").alias("x"),
+            F.round(F.col(y_col).cast("double") * y_scale)
+            .cast("long")
+            .alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("g", "x")
+        .agg(F.sum("y").alias("y"))
+    )
+    n = pts.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ties = (
+        pts.groupBy("g", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                dec(F.col("t"))
+                * dec(F.col("t") - 1)
+                * dec(2 * F.col("t") + 5)
+            ).alias("tt")
+        )
+    )
+    j = n.join(s, "g", "left").join(ties, "g", "left")
+    nn = F.col("n").cast("decimal(38,0)")
+    var18 = nn * (nn - 1) * (2 * nn + 5) - F.coalesce(
+        F.col("tt"), F.lit(0).cast("decimal(38,0)")
+    )
+    var = var18.cast("double") / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    zraw = (
+        sd
+        - F.when(sd > 0, F.lit(1.0))
+        .when(sd < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(var)
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_points"),
+        F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+        F.when(var > 0, F.bround(zraw, 9)).alias("z"),
     )

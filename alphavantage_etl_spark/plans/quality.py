@@ -242,3 +242,82 @@ def corpus_digest(df, cols: list[str]):
         F.count_distinct("__c").alias("n_distinct"),
         F.sum("__h").cast("decimal(38,0)").cast("string").alias("digest"),
     )
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str] | None = None,
+    null_shift_bar: float = 0.01,
+    distinct_ratio_band: tuple = (0.5, 2.0),
+) -> DataFrame:
+    """(column, old/new n_rows·n_null·n_distinct·min·max, null_rate_shift,
+    distinct_ratio, range_changed, drift_flag): the snapshot-over-
+    snapshot schema/statistics drift report — run profile_table on both
+    snapshots (each ONE scan) and join per column. ``drift_flag`` fires
+    when the null rate moved more than ``null_shift_bar``, the distinct
+    count moved outside ``distinct_ratio_band``, or the value range
+    changed — the pre-publish gate that catches a silently truncated
+    load or an upstream type regression before a consumer does.
+
+    Rates and ratios are exact-int double divisions (unrounded, pure
+    rational); everything downstream of the two profiles is |cols|-row
+    arithmetic.
+    """
+    po = profile_table(old, cols)
+    pn = profile_table(new, cols)
+    o = po.select(
+        "column",
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_null").alias("old_null"),
+        F.col("n_distinct").alias("old_distinct"),
+        F.col("min_value").alias("old_min"),
+        F.col("max_value").alias("old_max"),
+    )
+    n = pn.select(
+        "column",
+        F.col("n_rows").alias("new_rows"),
+        F.col("n_null").alias("new_null"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("min_value").alias("new_min"),
+        F.col("max_value").alias("new_max"),
+    )
+    j = o.join(n, "column")
+    null_rate = lambda nl, nr: F.when(  # noqa: E731
+        F.col(nr) > 0, F.col(nl).cast("double") / F.col(nr).cast("double")
+    ).otherwise(F.lit(0.0))
+    shift = null_rate("new_null", "new_rows") - null_rate(
+        "old_null", "old_rows"
+    )
+    dratio = F.when(
+        F.col("old_distinct") > 0,
+        F.col("new_distinct").cast("double")
+        / F.col("old_distinct").cast("double"),
+    )
+    range_changed = (
+        ~F.col("new_min").eqNullSafe(F.col("old_min"))
+    ) | (~F.col("new_max").eqNullSafe(F.col("old_max")))
+    lo, hi = distinct_ratio_band
+    flag = (
+        (F.abs(shift) > F.lit(null_shift_bar))
+        | F.coalesce(
+            (dratio < F.lit(lo)) | (dratio > F.lit(hi)), F.lit(True)
+        )
+        | range_changed
+    )
+    return j.select(
+        "column",
+        "old_rows",
+        "new_rows",
+        "old_null",
+        "new_null",
+        "old_distinct",
+        "new_distinct",
+        "old_min",
+        "new_min",
+        "old_max",
+        "new_max",
+        shift.alias("null_rate_shift"),
+        dratio.alias("distinct_ratio"),
+        range_changed.alias("range_changed"),
+        flag.alias("drift_flag"),
+    )

@@ -5189,6 +5189,695 @@ FROM ecdf CROSS JOIN tot GROUP BY na, nb
 """
 
 
+# ==========================================================================
+# r6 additions (components X79-X96): classical-statistics, corpus-analysis
+# and operational-diagnostics families. All registered in EXTRA (the
+# 50-entry driver window is consumed by the r6 rotation — ROTATION.md);
+# every one locally oracle-checked and benchmarked, rotating forward in r7.
+# ==========================================================================
+
+
+# X79 — Mann-Whitney U rank-sum test (r6): exact tie-corrected two-sample
+# location test over the quantized-value grid, enforced grid bound
+# (functions/distribution.py:mann_whitney_u). Purchase vs click values.
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import mann_whitney_u
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    a = ev.where(F.col("event_type") == "purchase").select("value")
+    b = ev.where(F.col("event_type") == "click").select("value")
+    return mann_whitney_u(a, b, "value", ticks=100)
+
+
+SQL_MANN_WHITNEY = """
+WITH va AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+    AND round(CAST(value AS DOUBLE) * 100) IS NOT NULL),
+vb AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type = 'click'
+    AND round(CAST(value AS DOUBLE) * 100) IS NOT NULL),
+ca AS (SELECT v, count(*) AS na_v FROM va GROUP BY 1),
+cb AS (SELECT v, count(*) AS nb_v FROM vb GROUP BY 1),
+grid AS (
+  SELECT v, coalesce(na_v, 0) AS na_v, coalesce(nb_v, 0) AS nb_v
+  FROM ca FULL JOIN cb USING (v)),
+cum AS (
+  SELECT na_v, nb_v, na_v + nb_v AS t_v,
+         sum(na_v + nb_v) OVER (ORDER BY v) - (na_v + nb_v) AS c_below
+  FROM grid),
+st AS (
+  SELECT sum(na_v) AS n_a, sum(nb_v) AS n_b,
+         sum(CAST(na_v AS HUGEINT)
+             * CAST(2 * c_below + na_v + nb_v + 1 AS HUGEINT)) AS r2a,
+         sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS tie3
+  FROM cum),
+calc AS (
+  SELECT n_a, n_b,
+         CAST(r2a AS DOUBLE) / 2.0
+           - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0 AS u,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+              - CAST(tie3 AS DOUBLE)
+                / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1)))
+           AS var,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mean_u
+  FROM st)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN u END AS u_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 AND var > 0 THEN
+         round_even((u - mean_u
+                     - CASE WHEN u > mean_u THEN 0.5
+                            WHEN u < mean_u THEN -0.5 ELSE 0.0 END)
+                    / sqrt(var), 9)
+       END AS z
+FROM calc
+"""
+
+
+# X80 — chi-squared independence + Cramer's V (r6): the classical
+# categorical-association test beside X33's mutual information; exact
+# contingency grid, 1e-12-quantized term sums
+# (functions/distribution.py:chi2_independence). lang vs source.
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import chi2_independence
+
+    d = load(spark, sf_dir, "documents")
+    return chi2_independence(d, "lang", "source")
+
+
+SQL_CHI2 = """
+WITH cells AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), ' NULL') AS x,
+         coalesce(CAST(source AS VARCHAR), ' NULL') AS y,
+         count(*) AS o
+  FROM documents GROUP BY 1, 2),
+rx AS (SELECT x, sum(o) AS rx FROM cells GROUP BY 1),
+ry AS (SELECT y, sum(o) AS ry FROM cells GROUP BY 1),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT x) AS nx, count(DISTINCT y) AS ny
+  FROM cells),
+grid AS (
+  SELECT r1.x, r2.y, r1.rx, r2.ry, coalesce(c.o, 0) AS o
+  FROM rx r1 CROSS JOIN ry r2
+  LEFT JOIN cells c ON c.x = r1.x AND c.y = r2.y),
+terms AS (
+  SELECT CAST(round(round_even((o - e) * (o - e) / e, 12) * 1e12)
+              AS HUGEINT) AS q
+  FROM (
+    SELECT g.o,
+           CAST(g.rx AS DOUBLE) * CAST(g.ry AS DOUBLE)
+             / CAST(t.n AS DOUBLE) AS e
+    FROM grid g CROSS JOIN tot t) z),
+s AS (SELECT sum(q) AS qq FROM terms)
+SELECT CAST(t.n AS BIGINT) AS n_rows, t.nx AS n_x, t.ny AS n_y,
+       CAST((t.nx - 1) * (t.ny - 1) AS BIGINT) AS dof,
+       round_even(CAST(qq AS DOUBLE) / 1e12, 9) AS chi2,
+       CASE WHEN least(t.nx, t.ny) - 1 > 0 THEN
+         round_even(sqrt(CAST(qq AS DOUBLE) / 1e12
+                         / (CAST(t.n AS DOUBLE)
+                            * CAST(least(t.nx, t.ny) - 1 AS DOUBLE))), 9)
+       END AS cramers_v
+FROM s CROSS JOIN tot t
+"""
+
+
+# X84 — Benford first-digit deviation (r6): first significant digit of
+# order totals (integer-cent stringification, engine-stable) vs the
+# log10(1+1/d) law — the fabricated-data smell test
+# (functions/distribution.py:benford_deviation).
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import benford_deviation
+
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_deviation(o, "o_totalprice")
+
+
+SQL_BENFORD = """
+WITH c AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
+  FROM orders
+  WHERE round(CAST(o_totalprice AS DOUBLE) * 100) > 0),
+obs AS (
+  SELECT substring(CAST(c AS VARCHAR), 1, 1) AS digit, count(*) AS n
+  FROM c GROUP BY 1),
+spine AS (
+  SELECT CAST(d AS VARCHAR) AS digit,
+         round_even(log10(1.0 + 1.0 / d), 9) AS ep
+  FROM (SELECT unnest(generate_series(1, 9)) AS d) z),
+tot AS (SELECT sum(n) AS tot FROM obs),
+j AS (
+  SELECT s.digit, coalesce(o.n, 0) AS n, s.ep, t.tot
+  FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS observed_p,
+       ep AS expected_p,
+       round_even((n - ep * tot) * (n - ep * tot) / (ep * tot), 12)
+         AS chi2_term
+FROM j
+"""
+
+
+# X83 — Gini revenue concentration (r6): per-priority inequality of
+# order revenue across customers; exact decimal rank-sum formula
+# (functions/distribution.py:gini_concentration).
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import gini_concentration
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey").isNotNull())
+        .select("o_orderpriority", "o_custkey", "o_totalprice")
+    )
+    return gini_concentration(
+        o, "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+
+
+SQL_GINI = """
+WITH ent AS (
+  SELECT o_orderpriority AS g, o_custkey AS e,
+         sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS x
+  FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND round(CAST(o_totalprice AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, e) AS i
+  FROM ent),
+a AS (
+  SELECT g, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+  FROM r GROUP BY 1)
+SELECT g AS o_orderpriority, n AS n_entities,
+       CAST(sx AS DOUBLE) / 100.0 AS total,
+       CASE WHEN sx <> 0 THEN
+         CAST(2 * six - (n + 1) * sx AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE)
+       END AS gini
+FROM a
+"""
+
+
+# X82 — Theil-Sen robust trend (r6): median of pairwise weekly-revenue
+# slopes per priority, explicit two-middle median over the C(weeks,2)
+# grid (operators/trend.py:theil_sen).
+def _weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    week = F.floor(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        / 7
+    )
+    return o.select(
+        "o_orderpriority", week.alias("week"), "o_totalprice"
+    )
+
+
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.trend import theil_sen
+
+    return theil_sen(
+        _weekly_revenue(spark, sf_dir),
+        "o_orderpriority",
+        "week",
+        "o_totalprice",
+    )
+
+
+SQL_ROBUST_PTS = """
+pts AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor((CAST(o_orderdate AS DATE) - DATE '1970-01-01') / 7)
+              AS BIGINT) AS x,
+         sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS y
+  FROM orders
+  WHERE floor((CAST(o_orderdate AS DATE) - DATE '1970-01-01') / 7)
+          IS NOT NULL
+    AND round(CAST(o_totalprice AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.g, a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj
+  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x)
+"""
+
+SQL_THEILSEN = f"""
+WITH {SQL_ROBUST_PTS.strip()},
+sl AS (
+  SELECT g, CAST(yj - yi AS DOUBLE) / CAST(xj - xi AS DOUBLE) AS s, xi, xj
+  FROM pairs),
+rk AS (
+  SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s, xi, xj) AS i
+  FROM sl),
+m AS (SELECT g, count(*) AS m FROM rk GROUP BY 1),
+mid AS (
+  SELECT rk.g, rk.s, m.m
+  FROM rk JOIN m ON m.g = rk.g
+  WHERE rk.i = ceil(m.m / 2.0) OR rk.i = ceil((m.m + 1) / 2.0)),
+np AS (
+  SELECT o_orderpriority AS g, count(DISTINCT CAST(floor(
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') / 7) AS BIGINT))
+         AS n_points
+  FROM orders
+  WHERE floor((CAST(o_orderdate AS DATE) - DATE '1970-01-01') / 7)
+          IS NOT NULL
+  GROUP BY 1),
+agg AS (
+  SELECT g, max(m) AS n_pairs, sum(s) / count(*) AS sen_ticks
+  FROM mid GROUP BY 1)
+SELECT agg.g AS o_orderpriority, np.n_points, agg.n_pairs,
+       sen_ticks / 100.0 AS sen_slope
+FROM agg JOIN np ON np.g = agg.g
+"""
+
+
+# X91 — Mann-Kendall trend test (r6): S statistic + tie-corrected
+# continuity-corrected z over the same weekly pair grid — "is it
+# trending" beside Theil-Sen's "how fast" (operators/trend.py:
+# mann_kendall).
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.trend import mann_kendall
+
+    return mann_kendall(
+        _weekly_revenue(spark, sf_dir),
+        "o_orderpriority",
+        "week",
+        "o_totalprice",
+    )
+
+
+SQL_MANN_KENDALL = f"""
+WITH {SQL_ROBUST_PTS.strip()},
+s AS (
+  SELECT g, sum(CAST(sign(CAST(yj - yi AS DOUBLE)) AS BIGINT)) AS s_stat
+  FROM pairs GROUP BY 1),
+n AS (SELECT g, count(*) AS n FROM pts GROUP BY 1),
+ties AS (
+  SELECT g, sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tt
+  FROM (SELECT g, y, count(*) AS t FROM pts GROUP BY 1, 2) z
+  GROUP BY 1),
+j AS (
+  SELECT n.g, n.n, coalesce(s.s_stat, 0) AS s_stat,
+         (CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
+          - coalesce(ties.tt, 0)) AS var18
+  FROM n LEFT JOIN s ON s.g = n.g LEFT JOIN ties ON ties.g = n.g)
+SELECT g AS o_orderpriority, n AS n_points, CAST(s_stat AS BIGINT) AS s_stat,
+       CASE WHEN CAST(var18 AS DOUBLE) / 18.0 > 0 THEN
+         round_even((CAST(s_stat AS DOUBLE)
+                     - CASE WHEN s_stat > 0 THEN 1.0
+                            WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
+                    / sqrt(CAST(var18 AS DOUBLE) / 18.0), 9)
+       END AS z
+FROM j
+"""
+
+
+# X89 — join-key skew diagnostics (r6): the pre-shuffle profile (max/p50/
+# p99 key frequency via the frequency-of-frequency grid — exact
+# percentiles, no data-sized window) for the two hot lineitem join keys,
+# plus the concrete top-10 salting targets (operators/skew.py:
+# key_skew_stats / hot_keys — the measurement side of that module's
+# salted_join/salted_agg mitigations).
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import key_skew_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    return key_skew_stats(li, "l_suppkey").unionByName(
+        key_skew_stats(li, "l_partkey")
+    )
+
+
+def _sql_skew_one(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS key_col, CAST(nr AS BIGINT) AS n_rows,
+         nkeys AS n_keys, maxf AS max_freq,
+         min(CASE WHEN ck >= ceil(nkeys * 0.5) THEN f END) AS p50_freq,
+         min(CASE WHEN ck >= ceil(nkeys * 0.99) THEN f END) AS p99_freq,
+         CAST(nr AS DOUBLE) / CAST(nkeys AS DOUBLE) AS avg_freq,
+         CAST(maxf AS DOUBLE)
+           / (CAST(nr AS DOUBLE) / CAST(nkeys AS DOUBLE)) AS skew_ratio
+  FROM (
+    SELECT f, nk, sum(nk) OVER (ORDER BY f) AS ck
+    FROM (SELECT f, count(*) AS nk
+          FROM (SELECT {col} AS k, count(*) AS f FROM lineitem
+                WHERE {col} IS NOT NULL GROUP BY 1) kf
+          GROUP BY 1) fof) cum
+  CROSS JOIN (
+    SELECT sum(CAST(f AS HUGEINT) * nk) AS nr, sum(nk) AS nkeys,
+           max(f) AS maxf
+    FROM (SELECT f, count(*) AS nk
+          FROM (SELECT {col} AS k, count(*) AS f FROM lineitem
+                WHERE {col} IS NOT NULL GROUP BY 1) kf2
+          GROUP BY 1) fof2) tot
+  GROUP BY nr, nkeys, maxf"""
+
+
+SQL_SKEW_STATS = (
+    "SELECT * FROM (" + _sql_skew_one("l_suppkey") + "\n) a\n"
+    "UNION ALL\nSELECT * FROM (" + _sql_skew_one("l_partkey") + "\n) b"
+)
+
+
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import hot_keys
+
+    return hot_keys(load(spark, sf_dir, "lineitem"), "l_suppkey", top_k=10)
+
+
+SQL_HOT_KEYS = """
+WITH f AS (
+  SELECT l_suppkey AS key, count(*) AS freq
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+t AS (SELECT sum(CAST(freq AS HUGEINT)) AS nr FROM f)
+SELECT key, freq, CAST(freq AS DOUBLE) / CAST(nr AS DOUBLE) AS share
+FROM f CROSS JOIN t
+ORDER BY freq DESC, key LIMIT 10
+"""
+
+
+# X85 — Drain-lite template mining (r6): digit/whitespace-masked message
+# signatures, top-20 by volume with deterministic examples
+# (operators/templates.py:mine_templates).
+def q_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.templates import mine_templates
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return mine_templates(d, "text", "doc_id", top_k=20)
+
+
+SQL_TEMPLATES = r"""
+WITH m AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                             '\s+', ' ', 'g')) AS template,
+         doc_id
+  FROM documents)
+SELECT template, count(*) AS n_docs, min(doc_id) AS example_id
+FROM m WHERE length(template) > 0
+GROUP BY 1 ORDER BY n_docs DESC, template LIMIT 20
+"""
+
+
+# X95 — bigram next-token surface (r6): top-3 continuations for the 20
+# most frequent context tokens — the word-level LM head beside X27's
+# char-level perplexity scorer (operators/lm.py:bigram_next_tokens).
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.lm import bigram_next_tokens
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return bigram_next_tokens(d, "text", top_contexts=20, top_next=3)
+
+
+SQL_BIGRAM_LM = r"""
+WITH tok AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+t2 AS (SELECT t FROM tok WHERE len(t) >= 2),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t2) z),
+bi AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(n) AS context_n FROM bi GROUP BY 1),
+top AS (SELECT w1, context_n FROM ctx ORDER BY context_n DESC, w1 LIMIT 20),
+r AS (
+  SELECT b.w1, t.context_n, b.w2, b.n,
+         row_number() OVER (PARTITION BY b.w1
+                            ORDER BY b.n DESC, b.w2) AS rank
+  FROM bi b JOIN top t ON t.w1 = b.w1)
+SELECT w1 AS context, CAST(context_n AS BIGINT) AS context_n,
+       w2 AS next_token, n,
+       CAST(n AS DOUBLE) / CAST(context_n AS DOUBLE) AS prob,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+# X96 — document novelty vs corpus (r6): mean smoothed IDF of each
+# document's distinct terms, top-20 — the upweighting-candidate /
+# gibberish-review queue (operators/tfidf.py:doc_novelty).
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tfidf import doc_novelty
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_novelty(d, "text", "doc_id", top_k=20)
+
+
+SQL_NOVELTY = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS t
+  FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfq AS (SELECT t, count(*) AS dfc FROM dt GROUP BY 1),
+idf AS (
+  SELECT t,
+         CAST(round(round_even(
+           ln((CAST(n AS DOUBLE) + 1) / CAST(dfc + 1 AS DOUBLE)) + 1.0, 12)
+           * 1e12) AS HUGEINT) AS qidf
+  FROM dfq CROSS JOIN nd),
+sc AS (
+  SELECT doc_id, count(*) AS n_terms, sum(qidf) AS s
+  FROM dt JOIN idf USING (t) GROUP BY 1),
+r AS (
+  SELECT doc_id, n_terms,
+         round_even(CAST(s AS DOUBLE) / 1e12 / CAST(n_terms AS DOUBLE), 9)
+           AS novelty
+  FROM sc),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY novelty DESC, doc_id) AS rank
+  FROM r)
+SELECT doc_id, n_terms, novelty, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 20
+"""
+
+
+# X92 — tokenizer fertility profile (r6): BPE-pieces-per-whitespace-word
+# and chars-per-piece by language — the per-language context-window cost
+# a tokenizer/mix review reads (functions/text.py:token_fertility).
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_fertility
+
+    d = load(spark, sf_dir, "documents").select("lang", "text")
+    return token_fertility(d, "text", "lang")
+
+
+SQL_FERTILITY = rf"""
+WITH t AS (
+  SELECT lang AS g,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS ws,
+         len(regexp_extract_all(text, $${BPE_PIECE_RE}$$)) AS bpe,
+         length(text) AS ch
+  FROM documents)
+SELECT g AS lang, count(*) AS n_docs,
+       sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+       CASE WHEN sum(ws) > 0
+            THEN CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
+       END AS fertility,
+       CASE WHEN sum(bpe) > 0
+            THEN CAST(sum(ch) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE)
+       END AS chars_per_bpe_token
+FROM t GROUP BY 1
+"""
+
+
+# X93 — weekly percentile-band trends (r6): exact P10/P50/P90 of event
+# values per (type, Monday-start week) — the tail-vs-typical drift view
+# (operators/resample.py:percentile_bands).
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import percentile_bands
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return percentile_bands(ev, "ts", "value", "event_type")
+
+
+SQL_PERCENTILE_BANDS = """
+WITH e AS (
+  SELECT event_type AS g,
+         (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') AS d,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL)
+SELECT g AS event_type,
+       DATE '1970-01-01'
+         + CAST(d - (((d + 3) % 7 + 7) % 7) AS INT) AS week_start,
+       count(*) AS n,
+       round_even(quantile_cont(v, 0.1), 6) AS p10,
+       round_even(quantile_cont(v, 0.5), 6) AS p50,
+       round_even(quantile_cont(v, 0.9), 6) AS p90
+FROM e GROUP BY 1, 2
+"""
+
+
+# X81 — MAD robust outlier profile (r6): median + scaled median-absolute-
+# deviation fences per event type — the 50%-breakdown complement to X22's
+# rolling z-score (operators/anomaly.py:mad_outliers).
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomaly import mad_outliers
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return mad_outliers(ev, "event_type", "value")
+
+
+SQL_MAD_OUTLIERS = """
+WITH b AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE CAST(value AS DOUBLE) IS NOT NULL),
+med AS (
+  SELECT g, round_even(quantile_cont(v, 0.5), 6) AS med FROM b GROUP BY 1),
+dev AS (
+  SELECT b.g, b.v, med.med, round_even(abs(b.v - med.med), 6) AS d
+  FROM b JOIN med ON med.g = b.g),
+mad AS (
+  SELECT g, round_even(quantile_cont(d, 0.5), 6) AS mad FROM dev GROUP BY 1)
+SELECT dev.g AS event_type, count(*) AS n,
+       max(dev.med) AS med, max(mad.mad) AS mad,
+       CAST(sum(CASE WHEN dev.d > round_even(3.0 * 1.4826 * mad.mad, 6)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON mad.g = dev.g
+GROUP BY 1
+"""
+
+
+# X88 — snapshot profile diff (r6): per-column stats of two order
+# snapshots (pre/post 1998) joined into a drift report — the pre-publish
+# gate over X44's single-table profile (plans/quality.py:profile_diff).
+# Double columns are excluded by projection: float-to-string min/max
+# formatting is NOT engine-portable (Spark scientific vs DuckDB shortest
+# round-trip); dates cast to DATE first for the same reason.
+_PROFILE_DIFF_COLS = ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"]
+_PROFILE_DIFF_SPLIT = "1998-01-01"
+
+
+def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.quality import profile_diff
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    old = base.where(F.col("o_orderdate") < F.lit(_PROFILE_DIFF_SPLIT))
+    new = base.where(F.col("o_orderdate") >= F.lit(_PROFILE_DIFF_SPLIT))
+    return profile_diff(old, new, _PROFILE_DIFF_COLS)
+
+
+def _sql_profile_snapshot(pred: str) -> str:
+    blocks = []
+    for c in _PROFILE_DIFF_COLS:
+        expr = (
+            "CAST(o_orderdate AS DATE)" if c == "o_orderdate" else c
+        )
+        blocks.append(
+            f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(min({expr}) AS VARCHAR) AS min_value,
+       CAST(max({expr}) AS VARCHAR) AS max_value
+FROM orders WHERE {pred}"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+SQL_PROFILE_DIFF = f"""
+WITH po AS (
+  {_sql_profile_snapshot(
+      "CAST(o_orderdate AS DATE) < DATE '" + _PROFILE_DIFF_SPLIT + "'"
+  )}),
+pn AS (
+  {_sql_profile_snapshot(
+      "CAST(o_orderdate AS DATE) >= DATE '" + _PROFILE_DIFF_SPLIT + "'"
+  )}),
+j AS (
+  SELECT po."column",
+         po.n_rows AS old_rows, pn.n_rows AS new_rows,
+         po.n_null AS old_null, pn.n_null AS new_null,
+         po.n_distinct AS old_distinct, pn.n_distinct AS new_distinct,
+         po.min_value AS old_min, pn.min_value AS new_min,
+         po.max_value AS old_max, pn.max_value AS new_max
+  FROM po JOIN pn ON pn."column" = po."column"),
+c AS (
+  SELECT *,
+         (CASE WHEN new_rows > 0
+               THEN CAST(new_null AS DOUBLE) / CAST(new_rows AS DOUBLE)
+               ELSE 0.0 END
+          - CASE WHEN old_rows > 0
+                 THEN CAST(old_null AS DOUBLE) / CAST(old_rows AS DOUBLE)
+                 ELSE 0.0 END) AS null_rate_shift,
+         CASE WHEN old_distinct > 0
+              THEN CAST(new_distinct AS DOUBLE)
+                     / CAST(old_distinct AS DOUBLE)
+         END AS distinct_ratio,
+         (new_min IS DISTINCT FROM old_min
+          OR new_max IS DISTINCT FROM old_max) AS range_changed
+  FROM j)
+SELECT "column", old_rows, new_rows, old_null, new_null,
+       old_distinct, new_distinct, old_min, new_min, old_max, new_max,
+       null_rate_shift, distinct_ratio, range_changed,
+       (abs(null_rate_shift) > 0.01
+        OR coalesce(distinct_ratio < 0.5 OR distinct_ratio > 2.0, TRUE)
+        OR range_changed) AS drift_flag
+FROM c
+"""
+
+
+# X90 — IPW treatment-effect estimate (r6): Hajek inverse-propensity
+# weighting of the quality score over the en/non-en "treatment", with
+# the X35 logreg's calibrated p as the propensity (shared scored frame —
+# never re-trained) and clipped overlap (operators/experiment.py:
+# ipw_effect).
+def q_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.experiment import ipw_effect
+
+    scored = _logreg_scored(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = with_quality_score(d, "text").select("doc_id", "q")
+    return ipw_effect(scored.join(q, "doc_id"), "y", "q", "p")
+
+
+SQL_IPW = _logreg_scores_cte() + f""",
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+qual AS (SELECT * FROM ({SQL_QUALITY_SCORE}) _q),
+jj AS (
+  SELECT s.p, lab.y, qual.q
+  FROM scores s JOIN lab USING (doc_id) JOIN qual USING (doc_id)),
+w AS (
+  SELECT y, least(greatest(p, 0.05), 0.95) AS pc, q
+  FROM jj WHERE q IS NOT NULL AND p IS NOT NULL),
+terms AS (
+  SELECT y,
+    CAST(round(round_even(CAST(y AS DOUBLE) / pc * q, 12) * 1e12)
+         AS HUGEINT) AS q1y,
+    CAST(round(round_even(CAST(y AS DOUBLE) / pc, 12) * 1e12)
+         AS HUGEINT) AS q1,
+    CAST(round(round_even(CAST(1 - y AS DOUBLE) / (1.0 - pc) * q, 12)
+               * 1e12) AS HUGEINT) AS q0y,
+    CAST(round(round_even(CAST(1 - y AS DOUBLE) / (1.0 - pc), 12) * 1e12)
+         AS HUGEINT) AS q0
+  FROM w),
+st AS (
+  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_treat,
+         sum(q1y) AS s1y, sum(q1) AS s1, sum(q0y) AS s0y, sum(q0) AS s0
+  FROM terms)
+SELECT n, n_treat,
+  CASE WHEN s1 <> 0 THEN CAST(s1y AS DOUBLE) / CAST(s1 AS DOUBLE) END
+    AS mean_treat,
+  CASE WHEN s0 <> 0 THEN CAST(s0y AS DOUBLE) / CAST(s0 AS DOUBLE) END
+    AS mean_ctrl,
+  CASE WHEN s1 <> 0 THEN CAST(s1y AS DOUBLE) / CAST(s1 AS DOUBLE) END
+    - CASE WHEN s0 <> 0 THEN CAST(s0y AS DOUBLE) / CAST(s0 AS DOUBLE) END
+    AS ate
+FROM st
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r5 additions (components X59-X78) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -5356,6 +6045,24 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
     # (the r5 additions X59-X78 rotated into the driver window in r6)
+    # r6 additions (components X79-X96, no driver row yet -- rotate
+    # forward in r7, newest-risk first; ROTATION.md)
+    "q_mann_whitney": q_mann_whitney,
+    "q_chi2": q_chi2,
+    "q_benford": q_benford,
+    "q_gini": q_gini,
+    "q_theilsen": q_theilsen,
+    "q_mann_kendall": q_mann_kendall,
+    "q_skew_stats": q_skew_stats,
+    "q_hot_keys": q_hot_keys,
+    "q_templates": q_templates,
+    "q_bigram_lm": q_bigram_lm,
+    "q_novelty": q_novelty,
+    "q_fertility": q_fertility,
+    "q_percentile_bands": q_percentile_bands,
+    "q_mad_outliers": q_mad_outliers,
+    "q_profile_diff": q_profile_diff,
+    "q_ipw": q_ipw,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -5516,6 +6223,23 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     # (the r5 additions X59-X78 rotated into the driver window in r6)
+    # r6 additions (X79-X96)
+    "q_mann_whitney": SQL_MANN_WHITNEY,
+    "q_chi2": SQL_CHI2,
+    "q_benford": SQL_BENFORD,
+    "q_gini": SQL_GINI,
+    "q_theilsen": SQL_THEILSEN,
+    "q_mann_kendall": SQL_MANN_KENDALL,
+    "q_skew_stats": SQL_SKEW_STATS,
+    "q_hot_keys": SQL_HOT_KEYS,
+    "q_templates": SQL_TEMPLATES,
+    "q_bigram_lm": SQL_BIGRAM_LM,
+    "q_novelty": SQL_NOVELTY,
+    "q_fertility": SQL_FERTILITY,
+    "q_percentile_bands": SQL_PERCENTILE_BANDS,
+    "q_mad_outliers": SQL_MAD_OUTLIERS,
+    "q_profile_diff": SQL_PROFILE_DIFF,
+    "q_ipw": SQL_IPW,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -146,6 +146,23 @@ BENCH_QUERIES = [
     "q_retention_decay",
     "q_corpus_digest",
     "q_ks_test",
+    # round-6 additions
+    "q_mann_whitney",
+    "q_chi2",
+    "q_benford",
+    "q_gini",
+    "q_theilsen",
+    "q_mann_kendall",
+    "q_skew_stats",
+    "q_hot_keys",
+    "q_templates",
+    "q_bigram_lm",
+    "q_novelty",
+    "q_fertility",
+    "q_percentile_bands",
+    "q_mad_outliers",
+    "q_profile_diff",
+    "q_ipw",
 ]
 
 

@@ -1,0 +1,329 @@
+"""Hand-value unit tests for the r6 operator families (X79-X96)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ X79 Mann-Whitney U
+def test_mwu_hand_value_no_ties(spark):
+    from alphavantage_etl_spark.functions.distribution import mann_whitney_u
+
+    # a = {1,2,3}, b = {4,5}: all b above all a -> U_a = 0
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    b = spark.createDataFrame([(4.0,), (5.0,)], "v double")
+    r = mann_whitney_u(a, b, "v").first()
+    assert r["n_a"] == 3 and r["n_b"] == 2
+    assert r["u_stat"] == 0.0  # no (a, b) pair has a > b
+    # symmetric: swapping sides gives U = n_a*n_b
+    r2 = mann_whitney_u(b, a, "v").first()
+    assert r2["u_stat"] == 6.0
+    # z magnitudes equal, signs opposite
+    assert r["z"] == pytest.approx(-r2["z"])
+
+
+def test_mwu_ties_midrank_and_identical(spark):
+    from alphavantage_etl_spark.functions.distribution import mann_whitney_u
+
+    # identical samples: U = n*n/2, z undefined direction -> 0/sqrt -> 0
+    a = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+    r = mann_whitney_u(a, a, "v").first()
+    assert r["u_stat"] == pytest.approx(4.5)  # n1*n2/2
+    assert r["z"] == 0.0
+    # scipy-checked hand case with a tie across sides:
+    # a={1,2}, b={2,3}: ranks 1, 2.5, 2.5, 4 -> R_a=3.5, U=2*2+3-3.5=3.5...
+    a2 = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b2 = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    u = mann_whitney_u(a2, b2, "v").first()["u_stat"]
+    # U1 = R_a - n1(n1+1)/2 = 3.5 - 3 = 0.5 (scipy-checked)
+    assert u == pytest.approx(0.5)
+
+
+def test_mwu_grid_bound_raises_and_empty_side(spark):
+    from alphavantage_etl_spark.functions.distribution import mann_whitney_u
+
+    a = spark.range(500).selectExpr("cast(id as double) as v")
+    with pytest.raises(ValueError, match="max_grid"):
+        mann_whitney_u(a, a, "v", max_grid=10).first()
+    empty = spark.createDataFrame([], "v double")
+    r = mann_whitney_u(a.limit(3), empty, "v").first()
+    assert r["u_stat"] is None and r["z"] is None and r["n_b"] == 0
+
+
+# ------------------------------------------------ X80 chi-squared
+def test_chi2_perfect_association_and_independence(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        chi2_independence,
+    )
+
+    # perfect association: x determines y -> V = 1
+    rows = [("a", "p")] * 10 + [("b", "q")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, "x", "y").first()
+    assert r["cramers_v"] == pytest.approx(1.0)
+    assert r["chi2"] == pytest.approx(20.0)
+    assert r["dof"] == 1
+    # independence: uniform product -> chi2 = 0
+    rows2 = [(x, y) for x in "ab" for y in "pq" for _ in range(5)]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = chi2_independence(df2, "x", "y").first()
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+
+def test_chi2_null_level_counts(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        chi2_independence,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "p"), (None, "q"), (None, "q"), ("a", "p")],
+        "x string, y string",
+    )
+    r = chi2_independence(df, "x", "y").first()
+    assert r["n_rows"] == 4 and r["n_x"] == 2  # NULL is a level
+    assert r["cramers_v"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------ X84 Benford
+def test_benford_all_digits_emitted_and_probs(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        benford_deviation,
+    )
+
+    # values 1.00..9.00 once each -> first digits 1..9 observed once;
+    # 0 and negatives excluded
+    vals = [(float(d),) for d in range(1, 10)] + [(0.0,), (-5.0,), (None,)]
+    df = spark.createDataFrame(vals, "v double")
+    rows = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert set(rows) == {str(d) for d in range(1, 10)}
+    assert all(r["n"] == 1 for r in rows.values())
+    assert rows["1"]["observed_p"] == pytest.approx(1 / 9)
+    assert rows["1"]["expected_p"] == pytest.approx(math.log10(2), abs=1e-9)
+    # zero-count digit still emitted
+    df2 = spark.createDataFrame([(1.23,), (19.0,)], "v double")
+    rows2 = {r["digit"]: r for r in benford_deviation(df2, "v").collect()}
+    assert rows2["9"]["n"] == 0 and len(rows2) == 9
+
+
+# ------------------------------------------------ X83 Gini
+def test_gini_even_and_concentrated(spark):
+    from alphavantage_etl_spark.functions.distribution import (
+        gini_concentration,
+    )
+
+    # perfectly even: 4 entities x 25 -> G = 0
+    even = [("g1", i, 25.0) for i in range(4)]
+    # fully concentrated: one entity holds everything -> G = (n-1)/n
+    conc = [("g2", 0, 100.0)] + [("g2", i, 0.0) for i in range(1, 4)]
+    df = spark.createDataFrame(even + conc, "g string, e long, v double")
+    out = {r["g"]: r for r in gini_concentration(df, "g", "e", "v").collect()}
+    assert out["g1"]["gini"] == pytest.approx(0.0)
+    assert out["g2"]["gini"] == pytest.approx(3 / 4)
+    assert out["g1"]["total"] == pytest.approx(100.0)
+
+
+# ------------------------------------------------ X82/X91 robust trend
+def test_theil_sen_resists_outlier(spark):
+    from alphavantage_etl_spark.operators.trend import group_trend, theil_sen
+
+    # y = 2x with one wild spike at x=5
+    rows = [("s", x, 2.0 * x) for x in range(10) if x != 5] + [("s", 5, 500.0)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    sen = theil_sen(df, "g", "x", "y").first()
+    assert sen["sen_slope"] == pytest.approx(2.0)
+    assert sen["n_points"] == 10 and sen["n_pairs"] == 45
+    ols = group_trend(df, "g", "x", "y").first()
+    assert abs(ols["slope"] - 2.0) > 1  # OLS dragged well off by the spike
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from alphavantage_etl_spark.operators.trend import mann_kendall
+
+    up = [("u", x, float(x)) for x in range(8)]
+    flat = [("f", x, 7.0) for x in range(8)]
+    df = spark.createDataFrame(up + flat, "g string, x long, y double")
+    out = {r["g"]: r for r in mann_kendall(df, "g", "x", "y").collect()}
+    assert out["u"]["s_stat"] == 28  # C(8,2), all increasing
+    assert out["u"]["z"] > 3
+    assert out["f"]["s_stat"] == 0
+    # all-tied group: variance fully tie-corrected to 0 -> NULL z
+    assert out["f"]["z"] is None
+
+
+# ------------------------------------------------ X89 skew diagnostics
+def test_key_skew_stats_hand_values(spark):
+    from alphavantage_etl_spark.operators.skew import hot_keys, key_skew_stats
+
+    # key 1 x6, keys 2..5 x1 -> n=10, keys=5, max=6, avg=2
+    rows = [(1,)] * 6 + [(2,), (3,), (4,), (5,)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_stats(df, "k").first()
+    assert r["n_rows"] == 10 and r["n_keys"] == 5
+    assert r["max_freq"] == 6 and r["avg_freq"] == 2.0
+    assert r["skew_ratio"] == 3.0
+    assert r["p50_freq"] == 1  # 4 of 5 keys have freq 1
+    assert r["p99_freq"] == 6
+    hk = hot_keys(df, "k", top_k=2).collect()
+    assert [(h["key"], h["freq"]) for h in hk] == [(1, 6), (2, 1)]
+    assert hk[0]["share"] == pytest.approx(0.6)
+
+
+# ------------------------------------------------ X85 templates
+def test_mine_templates_masks_and_ranks(spark):
+    from alphavantage_etl_spark.operators.templates import mine_templates
+
+    rows = [
+        (1, "error 404 at node 7"),
+        (2, "Error 500 at   node 12"),
+        (3, "ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = mine_templates(df, "text", "doc_id", top_k=5).collect()
+    assert out[0]["template"] == "error # at node #"
+    assert out[0]["n_docs"] == 2 and out[0]["example_id"] == 1
+    assert out[1]["template"] == "ok"
+
+
+# ------------------------------------------------ X95 bigram LM
+def test_bigram_next_tokens_probs(spark):
+    from alphavantage_etl_spark.operators.lm import bigram_next_tokens
+
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("the dog sat",)],
+        "text string",
+    )
+    out = bigram_next_tokens(df, "text", top_contexts=2, top_next=2).collect()
+    by_ctx = {}
+    for r in out:
+        by_ctx.setdefault(r["context"], []).append(r)
+    # 'the' appears 3x as context: cat (2), dog (1)
+    the = sorted(by_ctx["the"], key=lambda r: r["rank"])
+    assert the[0]["next_token"] == "cat"
+    assert the[0]["prob"] == pytest.approx(2 / 3)
+    assert the[1]["next_token"] == "dog"
+    # 'cat' -> ran/sat tie broken lexicographically
+    cat = sorted(by_ctx["cat"], key=lambda r: r["rank"])
+    assert [c["next_token"] for c in cat] == ["ran", "sat"]
+
+
+# ------------------------------------------------ X96 novelty
+def test_doc_novelty_rare_terms_rank_first(spark):
+    from alphavantage_etl_spark.operators.tfidf import doc_novelty
+
+    rows = [
+        (1, "common common words"),
+        (2, "common words"),
+        (3, "xylophone quartz zephyr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = doc_novelty(df, "text", "doc_id", top_k=3).collect()
+    assert out[0]["doc_id"] == 3 and out[0]["rank"] == 1
+    assert out[0]["n_terms"] == 3
+    assert out[0]["novelty"] > out[-1]["novelty"]
+
+
+# ------------------------------------------------ X92 fertility
+def test_token_fertility_ratios(spark):
+    from alphavantage_etl_spark.functions.text import token_fertility
+
+    df = spark.createDataFrame(
+        [("en", "hello world"), ("en", "a b"), ("xx", "")],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r for r in token_fertility(df, "text", "lang").collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["ws_tokens"] == 4
+    assert en["fertility"] == en["bpe_tokens"] / 4
+    assert out["xx"]["fertility"] is None  # zero ws tokens
+
+
+# ------------------------------------------------ X93 percentile bands
+def test_percentile_bands_week_grid(spark):
+    from datetime import datetime
+
+    from alphavantage_etl_spark.operators.resample import percentile_bands
+
+    # 1970-01-05 was a Monday
+    rows = [
+        (datetime(1970, 1, 5 + d, 12), float(v), "t")
+        for d, v in [(0, 1), (1, 2), (2, 3), (7, 10), (8, 20)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double, g string")
+    out = {
+        str(r["week_start"]): r
+        for r in percentile_bands(df, "ts", "value", "g").collect()
+    }
+    assert set(out) == {"1970-01-05", "1970-01-12"}
+    w1 = out["1970-01-05"]
+    assert w1["n"] == 3 and w1["p50"] == 2.0
+    assert out["1970-01-12"]["p50"] == 15.0  # interpolated
+
+
+# ------------------------------------------------ X81 MAD outliers
+def test_mad_outliers_flags_spike_zscore_misses(spark):
+    from alphavantage_etl_spark.operators.anomaly import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 10.2, 11.8, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = mad_outliers(df, "g", "v").first()
+    assert r["n"] == 8 and r["n_outliers"] == 1
+    assert 10 <= r["med"] <= 12
+    # constant group: MAD 0, nothing beyond the 0 fence but the spike
+    df2 = spark.createDataFrame(
+        [("c", 5.0)] * 5 + [("c", 6.0)], "g string, v double"
+    )
+    r2 = mad_outliers(df2, "g", "v").first()
+    assert r2["mad"] == 0.0 and r2["n_outliers"] == 1
+
+
+# ------------------------------------------------ X88 profile diff
+def test_profile_diff_flags_null_and_range_shift(spark):
+    from alphavantage_etl_spark.plans.quality import profile_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (9, None)], "k long, s string"
+    )
+    out = {r["column"]: r for r in profile_diff(old, new).collect()}
+    k = out["k"]
+    assert k["range_changed"] and k["drift_flag"]  # max 3 -> 9
+    s = out["s"]
+    assert s["null_rate_shift"] == pytest.approx(2 / 3)
+    assert s["drift_flag"]
+    # identical snapshots: no flags
+    same = {
+        r["column"]: r for r in profile_diff(old, old).collect()
+    }
+    assert not same["k"]["drift_flag"] and not same["s"]["drift_flag"]
+
+
+# ------------------------------------------------ X90 IPW
+def test_ipw_recovers_effect_under_confounding(spark):
+    from alphavantage_etl_spark.operators.experiment import ipw_effect
+
+    # stratum A (p=0.8 treated), stratum B (p=0.2): outcome = 1.0 + 0.5*T
+    # + stratum effect (A: +1). Naive diff is confounded; IPW with the
+    # true propensity recovers ~0.5.
+    rows = []
+    for strat, p, base, n in [("A", 0.8, 2.0, 100), ("B", 0.2, 1.0, 100)]:
+        n_t = int(n * p)
+        for i in range(n):
+            t = 1 if i < n_t else 0
+            rows.append((t, base + 0.5 * t, p))
+    df = spark.createDataFrame(rows, "t int, y double, p double")
+    r = ipw_effect(df, "t", "y", "p").first()
+    assert r["n"] == 200 and r["n_treat"] == 100
+    assert r["ate"] == pytest.approx(0.5, abs=1e-6)
+    # naive diff-of-means: treated pool is 80% stratum A (base 2.0),
+    # control pool only 20% -> E[y|T=1]=2.3, E[y|T=0]=1.2, naive=1.1:
+    # confounded by 0.6 where IPW recovered the true 0.5
+    naive = (80 * 2.5 + 20 * 1.5) / 100 - (20 * 2.0 + 80 * 1.0) / 100
+    assert abs(naive - 1.1) < 1e-9
+
+    with pytest.raises(ValueError, match="clip"):
+        ipw_effect(df, "t", "y", "p", clip=(0.5, 0.4))
