@@ -634,7 +634,8 @@ def benford_deviation(
     floating-point formatting is not. Non-positive and NULL values are
     excluded (Benford applies to magnitudes). observed_p is an exact
     int ratio; expected_p and the chi2 term round half-even to 1e-9 /
-    1e-12 (transcendental outputs). All nine digits are emitted even
+    1e-6 (transcendental outputs; the term's grid is coarser because
+    its magnitude grows with the data). All nine digits are emitted even
     at zero observed count (the deviation a detector cares about).
 
     Scale: one scan into the (group x 9)-row grid; the digit spine is
@@ -686,7 +687,12 @@ def benford_deviation(
         "n",
         op.alias("observed_p"),
         ep.alias("expected_p"),
-        F.bround((F.col("n") - e) * (F.col("n") - e) / e, 12).alias(
+        # 6 decimals, not 12: the term's magnitude grows with the data
+        # (~1e4 at sf0.1), and a 1e-12 grid on 1e4 values is beyond
+        # double precision — DuckDB's round_even scales through doubles
+        # and diverges in the last ulp there (the decimal-rounding-at-
+        # large-magnitude rule from the verify notes)
+        F.bround((F.col("n") - e) * (F.col("n") - e) / e, 6).alias(
             "chi2_term"
         ),
     )

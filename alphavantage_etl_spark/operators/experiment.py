@@ -167,8 +167,13 @@ def ipw_effect(
     whole estimate). Each weighted term is half-even-quantized to
     1e-12 and summed as exact decimal integers (merge-order-immune);
     the two means and the ATE are fixed-order double expressions over
-    those sums, shipped unrounded. NULL outcome/propensity rows are
-    excluded; an empty arm yields NULL means/ATE.
+    those sums, half-even-rounded to 1e-9: the means' inputs are
+    already 1e-12-quantized (not pure rationals), and the ATE is a
+    CANCELLATION output — a last-ulp disagreement in a 0.82-magnitude
+    mean becomes 1e-13 RELATIVE error in a 1e-3 difference, so the
+    difference must be quantized even though the means look stable.
+    NULL outcome/propensity rows are excluded; an empty arm yields
+    NULL means/ATE.
 
     Scale: one scan, one global aggregation (map-side combine) — no
     window, no join.
@@ -213,7 +218,7 @@ def ipw_effect(
     return agg.select(
         "n",
         "n_treat",
-        mt.alias("mean_treat"),
-        mc.alias("mean_ctrl"),
-        (mt - mc).alias("ate"),
+        F.bround(mt, 9).alias("mean_treat"),
+        F.bround(mc, 9).alias("mean_ctrl"),
+        F.bround(mt - mc, 9).alias("ate"),
     )

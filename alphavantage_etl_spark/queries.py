@@ -5336,7 +5336,7 @@ j AS (
 SELECT digit, n,
        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS observed_p,
        ep AS expected_p,
-       round_even((n - ep * tot) * (n - ep * tot) / (ep * tot), 12)
+       round_even((n - ep * tot) * (n - ep * tot) / (ep * tot), 6)
          AS chi2_term
 FROM j
 """
@@ -5867,12 +5867,16 @@ st AS (
          sum(q1y) AS s1y, sum(q1) AS s1, sum(q0y) AS s0y, sum(q0) AS s0
   FROM terms)
 SELECT n, n_treat,
-  CASE WHEN s1 <> 0 THEN CAST(s1y AS DOUBLE) / CAST(s1 AS DOUBLE) END
+  round_even(CASE WHEN s1 <> 0
+                  THEN CAST(s1y AS DOUBLE) / CAST(s1 AS DOUBLE) END, 9)
     AS mean_treat,
-  CASE WHEN s0 <> 0 THEN CAST(s0y AS DOUBLE) / CAST(s0 AS DOUBLE) END
+  round_even(CASE WHEN s0 <> 0
+                  THEN CAST(s0y AS DOUBLE) / CAST(s0 AS DOUBLE) END, 9)
     AS mean_ctrl,
-  CASE WHEN s1 <> 0 THEN CAST(s1y AS DOUBLE) / CAST(s1 AS DOUBLE) END
-    - CASE WHEN s0 <> 0 THEN CAST(s0y AS DOUBLE) / CAST(s0 AS DOUBLE) END
+  round_even(CASE WHEN s1 <> 0
+                  THEN CAST(s1y AS DOUBLE) / CAST(s1 AS DOUBLE) END
+             - CASE WHEN s0 <> 0
+                    THEN CAST(s0y AS DOUBLE) / CAST(s0 AS DOUBLE) END, 9)
     AS ate
 FROM st
 """
