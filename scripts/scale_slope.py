@@ -76,6 +76,9 @@ DOC_QUERIES = [
     # rrf: both rankers (BM25 over documents, dense cosine over
     # embeddings) run in full; fusion itself is top-k-bounded
     "q_rrf_fusion",
+    # r6 additions over documents >= 1 s at sf0.1
+    "q_novelty",
+    "q_ipw",
 ]
 EMB_QUERIES = [
     "q_embed_near_dup",
@@ -111,11 +114,15 @@ TPCH_QUERIES = [
     # — the 5.5x "worst ratio" the r5 full-suite run flagged was that
     # degenerate-corpus artifact, not the operator's slope.
     "q_linkage",
+    # r6 additions over orders >= 1 s at sf0.1 (weekly pair grids)
+    "q_theilsen",
 ]
 # r5: event-stream heavies — events replicate 10x with fresh
 # event/user ids over the same calendar (generate_aux), so journeys
 # and series grow in NUMBER while per-user depth stays fixed.
 EVENT_QUERIES = [
+    # r6 addition over events >= 1 s at sf0.1 (quantized-value grid)
+    "q_mann_whitney",
     "q_markov_attribution",
     "q_attribution",
     "q_rolling_median",
