@@ -757,3 +757,71 @@ def gini_concentration(
             num.cast("double") / den.cast("double"),
         ).alias("gini"),
     )
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    ticks: int = 100,
+) -> DataFrame:
+    """(group, n, total_weight, wmedian): the exact weighted median per
+    group — the smallest value whose cumulative weight reaches half the
+    total (weighted percentile_disc semantics: DETERMINISTIC, no
+    interpolation form for engines to disagree on) — the
+    volume-weighted "typical price" class of statistic an unweighted
+    median misstates whenever weight correlates with value.
+
+    Values quantize to ``ticks`` units and weights to integer units
+    (exact decimal cumulative sums); the half-total comparison is
+    2*cum >= total in INTEGERS — no float ever enters the selection.
+    NULL values/weights and non-positive weights are excluded.
+
+    Scale: one aggregation to the (group, value) grid, one cumulative
+    window PARTITIONED BY GROUP over the grid (value-grid-bounded rows
+    per group, the head-bounded window class), one min-pick aggregate.
+    """
+    v = F.round(F.col(value_col).cast("double") * ticks).cast("long")
+    wt = F.round(F.col(weight_col).cast("double")).cast("long")
+    g = (
+        df.select(
+            F.col(group_col).alias("g"), v.alias("v"), wt.alias("w")
+        )
+        .where(F.col("v").isNotNull() & (F.col("w") > 0))
+        .groupBy("g", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_v"),
+            F.sum(F.col("w").cast("decimal(38,0)")).alias("w_v"),
+        )
+    )
+    win = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "g",
+        "v",
+        "n_v",
+        F.sum("w_v").over(win).alias("cw"),
+    )
+    tot = g.groupBy("g").agg(
+        F.sum("n_v").alias("n"), F.sum("w_v").alias("tw")
+    )
+    pick = (
+        cum.join(tot, "g")
+        .where(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").alias("__mv"))
+    )
+    return (
+        tot.join(pick, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            F.col("tw").cast("double").alias("total_weight"),
+            (F.col("__mv").cast("double") / F.lit(float(ticks))).alias(
+                "wmedian"
+            ),
+        )
+    )

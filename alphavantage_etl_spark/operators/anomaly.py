@@ -195,3 +195,96 @@ def mad_outliers(
             F.col("g").alias(group_col), "n", "med", "mad", "n_outliers"
         )
     )
+
+def seasonal_adjusted_anomalies(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """(group, date, raw_cents, adjusted, z, is_anomaly): daily totals
+    DESEASONALIZED by the X75 weekly profile before z-scoring — the
+    incident detector that does NOT page every Sunday: a 0.7x weekend
+    index divides out, so only deviations from the group's OWN weekly
+    rhythm flag. Composes seasonal_profile (one grid) with the
+    population z-score over the adjusted daily series.
+
+    Exactness: daily sums are exact cents; the seasonal index joins by
+    (group, isodow); adjusted = raw / index is one double ratio,
+    quantized half-even to 1e-6 BEFORE the moment sums (the fence
+    discipline) so z and the flag are engine-identical; z bround 1e-9.
+    Days whose isodow index is NULL or 0 (a group never active on that
+    weekday in the profile window) are excluded rather than divided
+    into infinity.
+
+    Scale: one scan to the (group, date) daily grid, the |groups| x 7
+    profile broadcast back, moments per group over the daily grid
+    (map-side combine) — no data-sized window.
+    """
+    from ..operators.resample import seasonal_profile
+
+    prof = seasonal_profile(events, ts_col, value_col, group_col).select(
+        F.col(group_col).alias("g"),
+        "isodow",
+        "seasonal_index",
+    )
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    epoch_day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).cast("date").alias("date"),
+            (F.pmod(epoch_day + 3, F.lit(7)) + 1).cast("long").alias(
+                "isodow"
+            ),
+            cents.alias("__c"),
+        )
+        .where(F.col("__c").isNotNull())
+        .groupBy("g", "date", "isodow")
+        .agg(F.sum("__c").alias("raw_cents"))
+    )
+    adj = (
+        daily.join(F.broadcast(prof), ["g", "isodow"])
+        .where(
+            F.col("seasonal_index").isNotNull()
+            & (F.col("seasonal_index") != 0)
+        )
+        .select(
+            "g",
+            "date",
+            "raw_cents",
+            F.bround(
+                F.col("raw_cents").cast("double")
+                / F.col("seasonal_index"),
+                6,
+            ).alias("adjusted"),
+        )
+    )
+    qadj = F.round(F.col("adjusted") * F.lit(1e6)).cast("decimal(38,0)")
+    mom = adj.select("g", qadj.alias("qa")).groupBy("g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("qa").alias("__s1"),
+        F.sum(F.col("qa") * F.col("qa")).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s1").cast("double") / F.lit(1e6) / n
+    var = (
+        F.col("__s2").cast("double") / F.lit(1e12) / n - mean * mean
+    )
+    z = F.when(
+        var > 0, (F.col("adjusted") - mean) / F.sqrt(var)
+    )
+    return (
+        adj.join(F.broadcast(mom), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "date",
+            "raw_cents",
+            "adjusted",
+            F.bround(z, 9).alias("z"),
+            F.coalesce(
+                F.abs(F.bround(z, 9)) >= F.lit(z_threshold), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+    )

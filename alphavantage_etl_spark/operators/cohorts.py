@@ -589,3 +589,94 @@ def retention_decay(
     return group_trend(
         pts, "cohort_week", "week_offset", "__lnr", y_scale=10**9
     )
+
+def rfm_scores(
+    orders: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    value_col: str,
+    nbins: int = 5,
+) -> DataFrame:
+    """(customer, recency_days, frequency, monetary, r_score, f_score,
+    m_score, segment): the classic RFM customer segmentation — each
+    dimension scored 1..nbins by exact within-corpus percentile bins
+    (5 = most recent / most frequent / highest spend), ``segment`` the
+    concatenated "RFM" digit string a campaign list filters on.
+
+    Recency anchors at the CORPUS max timestamp (reproducible — "now"
+    would change every run) and is scored on the NEGATED day count so
+    high scores mean recent, matching the other two dimensions.
+
+    Scoring uses broadcast percentile BOUNDS (the winsorize/PSI fence
+    discipline: exact interpolated percentiles rounded half-even to
+    1e-6, score = 1 + #bounds <= value) — never an ntile window over
+    the customer table, which would single-partition the corpus'
+    entity set. Ties at a bound score identically by construction.
+
+    Scale: one aggregation to customer grain, one 1-row bounds
+    aggregate per dimension (broadcast), one projection.
+    """
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    per_cust = (
+        orders.where(F.col(customer_col).isNotNull())
+        .groupBy(F.col(customer_col).alias("customer"))
+        .agg(
+            F.max(F.col(ts_col).cast("date")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents).alias("__cents"),
+        )
+    )
+    anchor = per_cust.agg(F.max("__last").alias("__anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "customer",
+        F.datediff("__anchor", "__last").cast("long").alias("recency_days"),
+        "frequency",
+        (F.col("__cents").cast("double") / 100.0).alias("monetary"),
+    )
+    probs = ", ".join(str(i / nbins) for i in range(1, nbins))
+
+    def bounds_of(col: str):
+        return base.agg(
+            F.expr(
+                f"transform(percentile({col}, array({probs})),"
+                " b -> bround(b, 6))"
+            ).alias(f"__b_{col}")
+        )
+
+    scored = (
+        base.crossJoin(F.broadcast(bounds_of("recency_days")))
+        .crossJoin(F.broadcast(bounds_of("frequency")))
+        .crossJoin(F.broadcast(bounds_of("monetary")))
+    )
+
+    def score(col: str, invert: bool):
+        v = F.col(col).cast("double")
+        hits = F.size(
+            F.filter(F.col(f"__b_{col}"), lambda b: v >= b)
+        )
+        s = 1 + hits
+        # recency: small day counts are GOOD -> flip the bin index
+        return (F.lit(nbins + 1) - s if invert else s).cast("long")
+
+    r, fq, m = (
+        score("recency_days", True),
+        score("frequency", False),
+        score("monetary", False),
+    )
+    return scored.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        fq.alias("f_score"),
+        m.alias("m_score"),
+        F.concat_ws(
+            "",
+            r.cast("string"),
+            fq.cast("string"),
+            m.cast("string"),
+        ).alias("segment"),
+    )

@@ -141,3 +141,66 @@ def top_session_paths(
         .orderBy(F.desc("occurrences"), "path")
         .limit(k)
     )
+
+def skipgram_sequences(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    max_gap: int = 3,
+    min_support: int = 2,
+) -> DataFrame:
+    """(antecedent, consequent, support, n_antecedent, confidence):
+    frequent ORDERED event-type pairs where the consequent follows the
+    antecedent within ``max_gap`` steps of the same user's timeline —
+    the PrefixSpan-lite sequence miner beside the adjacent-only
+    collocations (X41) and full-path table (X42): "signup is followed
+    by purchase within 3 actions" is a skip-gram, invisible to both.
+
+    support = # users exhibiting the pair (distinct, so a single hyper-
+    active user cannot fabricate a "frequent" pattern); confidence =
+    support / #users with the antecedent at all. Exact int ratio,
+    unrounded. Events order by (ts, event type) per user — total and
+    deterministic under timestamp ties.
+
+    Scale: positions come from a per-USER window (bounded by per-user
+    depth, the sessionize class); the pair self-join is user-keyed with
+    the gap predicate bounding fan-out to depth x max_gap per user;
+    distinct-user support is one aggregation over the pair table.
+    """
+    if max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1, got {max_gap}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy("ts", "t")
+    pos = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("t"),
+    ).withColumn("i", F.row_number().over(w))
+    a = pos.select("u", F.col("t").alias("antecedent"), F.col("i").alias("ia"))
+    b = pos.select("u", F.col("t").alias("consequent"), F.col("i").alias("ib"))
+    pairs = a.join(b, "u").where(
+        (F.col("ib") > F.col("ia"))
+        & (F.col("ib") <= F.col("ia") + max_gap)
+    )
+    sup = pairs.groupBy("antecedent", "consequent").agg(
+        F.count_distinct("u").alias("support")
+    )
+    ante = pos.groupBy(F.col("t").alias("antecedent")).agg(
+        F.count_distinct("u").alias("n_antecedent")
+    )
+    return (
+        sup.where(F.col("support") >= min_support)
+        .join(ante, "antecedent")
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            "n_antecedent",
+            (
+                F.col("support").cast("double")
+                / F.col("n_antecedent").cast("double")
+            ).alias("confidence"),
+        )
+    )

@@ -944,3 +944,62 @@ def kcenter_coreset(
     return df.sparkSession.createDataFrame(
         chosen, f"center_rank long, {id_col} long, cover_dist2 double"
     )
+
+def label_noise_audit(
+    graph: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    min_disagree: float = 0.5,
+) -> DataFrame:
+    """(id, label, n_neighbors, n_disagree, disagree_frac): the k-NN
+    label-consistency audit — items whose graph neighborhood votes
+    against their own label at >= ``min_disagree`` are the mislabeled-
+    example suspects a labeling-quality review queues first (the
+    "confident learning" neighborhood heuristic reduced to its exact,
+    engine-portable core).
+
+    ``graph`` is a (id, neighbor_id, ...) k-NN edge table — build it
+    once with :func:`knn_graph` and REUSE it (the r6 shared-graph
+    discipline: production never rebuilds the candidate stage per
+    consumer). Fractions are exact int ratios shipped unrounded; the
+    fence compares against the exact rational, no float rounding
+    needed.
+
+    Scale: two label equi-joins onto the edge table (k·|items| rows)
+    and one per-id aggregation; no windows, no corpus scans.
+    """
+    if not 0 < min_disagree <= 1:
+        raise ValueError(f"min_disagree must be in (0, 1], got {min_disagree}")
+    lab = labels.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lab")
+    )
+    e = graph.select(
+        F.col(id_col).alias("a"), F.col("neighbor_id").alias("b")
+    )
+    j = (
+        e.join(lab.withColumnRenamed("__id", "a").withColumnRenamed("__lab", "la"), "a")
+        .join(lab.withColumnRenamed("__id", "b").withColumnRenamed("__lab", "lb"), "b")
+    )
+    agg = j.groupBy("a", "la").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum((~F.col("lb").eqNullSafe(F.col("la"))).cast("long")).alias(
+            "n_disagree"
+        ),
+    )
+    frac = F.col("n_disagree").cast("double") / F.col("n_neighbors").cast(
+        "double"
+    )
+    return (
+        agg.where(
+            F.col("n_disagree") * F.lit(1.0)
+            >= F.lit(min_disagree) * F.col("n_neighbors")
+        )
+        .select(
+            F.col("a").alias(id_col),
+            F.col("la").alias(label_col),
+            "n_neighbors",
+            "n_disagree",
+            frac.alias("disagree_frac"),
+        )
+    )

@@ -5882,6 +5882,248 @@ FROM st
 """
 
 
+
+
+# X97 — RFM customer segmentation (r6): exact percentile-bin recency/
+# frequency/monetary scores anchored at the corpus max date — broadcast
+# bounds, never an ntile window over the entity set
+# (operators/cohorts.py:rfm_scores).
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cohorts import rfm_scores
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+SQL_RFM = """
+WITH pc AS (
+  SELECT o_custkey AS customer,
+         max(CAST(o_orderdate AS DATE)) AS last_d,
+         count(*) AS frequency,
+         sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+           AS cents
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+anchor AS (SELECT max(last_d) AS a FROM pc),
+base AS (
+  SELECT customer,
+         CAST(anchor.a - last_d AS BIGINT) AS recency_days,
+         frequency,
+         CAST(cents AS DOUBLE) / 100.0 AS monetary
+  FROM pc CROSS JOIN anchor),
+b AS (
+  SELECT
+    list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round_even(x, 6)) AS br,
+    list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round_even(x, 6)) AS bf,
+    list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+                   x -> round_even(x, 6)) AS bm
+  FROM base),
+s AS (
+  SELECT customer, recency_days, frequency, monetary,
+         CAST(6 - (1 + len(list_filter(b.br,
+              x -> CAST(recency_days AS DOUBLE) >= x))) AS BIGINT)
+           AS r_score,
+         CAST(1 + len(list_filter(b.bf,
+              x -> CAST(frequency AS DOUBLE) >= x)) AS BIGINT) AS f_score,
+         CAST(1 + len(list_filter(b.bm,
+              x -> monetary >= x)) AS BIGINT) AS m_score
+  FROM base CROSS JOIN b)
+SELECT customer, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s
+"""
+
+
+# X98 — k-NN label-noise audit (r6): items whose shared-graph (X56)
+# neighborhood votes against their own label — the mislabeled-example
+# review queue; consumes the SAME localCheckpoint-ed graph as the r6
+# trio (operators/similarity.py:label_noise_audit).
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import label_noise_audit
+
+    graph = _knn_graph_shared(spark, sf_dir)
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return label_noise_audit(graph, labels, min_disagree=0.5)
+
+
+SQL_LABEL_NOISE = f"""
+WITH knn AS (SELECT * FROM ({SQL_KNN_GRAPH}) _k),
+lab AS (SELECT vec_id AS id, label FROM embeddings),
+j AS (
+  SELECT k.vec_id AS a, la.label AS la, lb.label AS lb
+  FROM knn k
+  JOIN lab la ON la.id = k.vec_id
+  JOIN lab lb ON lb.id = k.neighbor_id),
+agg AS (
+  SELECT a, la, count(*) AS n_neighbors,
+         CAST(sum(CASE WHEN lb IS DISTINCT FROM la THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_disagree
+  FROM j GROUP BY 1, 2)
+SELECT a AS vec_id, la AS label, n_neighbors, n_disagree,
+       CAST(n_disagree AS DOUBLE) / CAST(n_neighbors AS DOUBLE)
+         AS disagree_frac
+FROM agg
+WHERE CAST(n_disagree AS DOUBLE) * 1.0 >= 0.5 * n_neighbors
+"""
+
+
+# X87 — skip-gram sequence mining (r6): ordered event-type pairs within
+# a max_gap-step window of each user's timeline, distinct-user support +
+# confidence — the PrefixSpan-lite miner beside adjacent-only
+# collocations (operators/sessionize.py:skipgram_sequences).
+def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import skipgram_sequences
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return skipgram_sequences(
+        ev, "user_id", "ts", "event_type", max_gap=3, min_support=2
+    )
+
+
+SQL_SKIPGRAM = """
+WITH pos AS (
+  SELECT user_id AS u, event_type AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_type)
+           AS i
+  FROM events),
+pairs AS (
+  SELECT a.u, a.t AS antecedent, b.t AS consequent
+  FROM pos a JOIN pos b
+    ON a.u = b.u AND b.i > a.i AND b.i <= a.i + 3),
+sup AS (
+  SELECT antecedent, consequent, count(DISTINCT u) AS support
+  FROM pairs GROUP BY 1, 2),
+ante AS (
+  SELECT t AS antecedent, count(DISTINCT u) AS n_antecedent
+  FROM pos GROUP BY 1)
+SELECT s.antecedent, s.consequent, s.support, a.n_antecedent,
+       CAST(s.support AS DOUBLE) / CAST(a.n_antecedent AS DOUBLE)
+         AS confidence
+FROM sup s JOIN ante a ON a.antecedent = s.antecedent
+WHERE s.support >= 2
+"""
+
+
+# X100 — exact weighted median (r6): smallest value whose cumulative
+# weight reaches half the total — integer-only selection over the
+# (group, value) grid, the volume-weighted "typical price"
+# (functions/distribution.py:weighted_median).
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import weighted_median
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH g AS (
+  SELECT l_returnflag AS g,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v,
+         count(*) AS n_v,
+         sum(CAST(round(CAST(l_quantity AS DOUBLE)) AS HUGEINT)) AS w_v
+  FROM lineitem
+  WHERE round(CAST(l_extendedprice AS DOUBLE) * 100) IS NOT NULL
+    AND round(CAST(l_quantity AS DOUBLE)) > 0
+  GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, n_v,
+         sum(w_v) OVER (PARTITION BY g ORDER BY v) AS cw
+  FROM g),
+tot AS (SELECT g, sum(n_v) AS n, sum(w_v) AS tw FROM g GROUP BY 1),
+pick AS (
+  SELECT cum.g, min(cum.v) AS mv
+  FROM cum JOIN tot ON tot.g = cum.g
+  WHERE 2 * cum.cw >= tot.tw
+  GROUP BY 1)
+SELECT tot.g AS l_returnflag, tot.n,
+       CAST(tot.tw AS DOUBLE) AS total_weight,
+       CAST(pick.mv AS DOUBLE) / 100.0 AS wmedian
+FROM tot LEFT JOIN pick ON pick.g = tot.g
+"""
+
+
+# X99 — seasonally-adjusted anomaly flags (r6): daily totals divided by
+# the X75 weekly index before z-scoring — the detector that does not
+# page every Sunday (operators/anomaly.py:seasonal_adjusted_anomalies).
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomaly import seasonal_adjusted_anomalies
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return seasonal_adjusted_anomalies(ev, "ts", "value", "event_type")
+
+
+SQL_SEASONAL_ANOMALY = """
+WITH grid AS (
+  SELECT event_type AS g,
+         ((((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' + 3)
+            % 7 + 7) % 7) + 1)::BIGINT AS isodow,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+                  AS HUGEINT)) AS s
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT g, sum(n) AS tn, sum(s) AS ts FROM grid GROUP BY 1),
+prof AS (
+  SELECT grid.g, grid.isodow,
+         CASE WHEN CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE) / 100.0
+                   <> 0
+              THEN (CAST(grid.s AS DOUBLE) / CAST(grid.n AS DOUBLE) / 100.0)
+                   / (CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE)
+                      / 100.0)
+         END AS seasonal_index
+  FROM grid JOIN tot ON grid.g = tot.g),
+daily AS (
+  SELECT event_type AS g,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+         ((((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' + 3)
+            % 7 + 7) % 7) + 1)::BIGINT AS isodow,
+         sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+           AS raw_cents
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2, 3),
+adj AS (
+  SELECT d.g, d.date, d.raw_cents,
+         round_even(CAST(d.raw_cents AS DOUBLE) / p.seasonal_index, 6)
+           AS adjusted
+  FROM daily d
+  JOIN prof p ON p.g = d.g AND p.isodow = d.isodow
+  WHERE p.seasonal_index IS NOT NULL AND p.seasonal_index <> 0),
+mom AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(round(adjusted * 1e6) AS HUGEINT)) AS s1,
+         sum(CAST(round(adjusted * 1e6) AS HUGEINT)
+             * CAST(round(adjusted * 1e6) AS HUGEINT)) AS s2
+  FROM adj GROUP BY 1),
+z AS (
+  SELECT adj.g, adj.date, adj.raw_cents, adj.adjusted,
+         CASE WHEN (CAST(s2 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) > 0
+              THEN round_even(
+                (adj.adjusted
+                 - CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                / sqrt(CAST(s2 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))),
+                9)
+         END AS z
+  FROM adj JOIN mom ON mom.g = adj.g)
+SELECT g AS event_type, date, raw_cents, adjusted, z,
+       coalesce(abs(z) >= 3.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r5 additions (components X59-X78) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -6067,6 +6309,11 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_mad_outliers": q_mad_outliers,
     "q_profile_diff": q_profile_diff,
     "q_ipw": q_ipw,
+    "q_rfm": q_rfm,
+    "q_label_noise": q_label_noise,
+    "q_skipgram": q_skipgram,
+    "q_weighted_median": q_weighted_median,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -6244,6 +6491,11 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_mad_outliers": SQL_MAD_OUTLIERS,
     "q_profile_diff": SQL_PROFILE_DIFF,
     "q_ipw": SQL_IPW,
+    "q_rfm": SQL_RFM,
+    "q_label_noise": SQL_LABEL_NOISE,
+    "q_skipgram": SQL_SKIPGRAM,
+    "q_weighted_median": SQL_WEIGHTED_MEDIAN,
+    "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -163,6 +163,11 @@ BENCH_QUERIES = [
     "q_mad_outliers",
     "q_profile_diff",
     "q_ipw",
+    "q_rfm",
+    "q_label_noise",
+    "q_skipgram",
+    "q_weighted_median",
+    "q_seasonal_anomaly",
 ]
 
 

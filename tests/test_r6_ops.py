@@ -327,3 +327,124 @@ def test_ipw_recovers_effect_under_confounding(spark):
 
     with pytest.raises(ValueError, match="clip"):
         ipw_effect(df, "t", "y", "p", clip=(0.5, 0.4))
+
+
+# ------------------------------------------------ X97 RFM
+def test_rfm_scores_inversion_and_segments(spark):
+    from datetime import datetime
+
+    from alphavantage_etl_spark.operators.cohorts import rfm_scores
+
+    # 5 customers with strictly increasing recency/frequency/monetary
+    rows = []
+    for c in range(5):
+        for k in range(c + 1):  # frequency 1..5
+            rows.append((c, datetime(2020, 1 + c, 1), 100.0 * (c + 1)))
+    df = spark.createDataFrame(rows, "cust long, ts timestamp, v double")
+    out = {r["customer"]: r for r in rfm_scores(df, "cust", "ts", "v").collect()}
+    # customer 4 ordered most recently, most often, most value
+    assert out[4]["r_score"] == 5 and out[4]["f_score"] == 5
+    assert out[4]["m_score"] == 5 and out[4]["segment"] == "555"
+    # customer 0 is the stalest/least: all 1s
+    assert out[0]["segment"] == "111"
+    assert out[4]["recency_days"] == 0
+    assert out[0]["frequency"] == 1 and out[0]["monetary"] == 100.0
+
+
+# ------------------------------------------------ X98 label noise
+def test_label_noise_audit_flags_minority(spark):
+    from alphavantage_etl_spark.operators.similarity import label_noise_audit
+
+    # node 1 labeled 'b' inside an 'a' neighborhood -> 100% disagree
+    graph = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)],
+        "vec_id long, neighbor_id long",
+    )
+    labels = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "a")], "vec_id long, label string"
+    )
+    out = {r["vec_id"]: r for r in label_noise_audit(graph, labels).collect()}
+    assert out[1]["disagree_frac"] == 1.0 and out[1]["n_neighbors"] == 2
+    # nodes 2/3 disagree only with node 1 (1 of 2 = 0.5 >= bar)
+    assert out[2]["disagree_frac"] == 0.5
+    # a tighter bar drops them
+    strict = label_noise_audit(graph, labels, min_disagree=0.9).collect()
+    assert [r["vec_id"] for r in strict] == [1]
+
+
+# ------------------------------------------------ X87 skip-grams
+def test_skipgram_gap_window_and_support(spark):
+    from datetime import datetime
+
+    from alphavantage_etl_spark.operators.sessionize import (
+        skipgram_sequences,
+    )
+
+    def ev(u, i, t):
+        return (u, datetime(2020, 1, 1, 0, i), t)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "buy"),
+        ev(2, 0, "view"), ev(2, 1, "x"), ev(2, 2, "y"), ev(2, 3, "buy"),
+        ev(3, 0, "view"), ev(3, 1, "x"), ev(3, 2, "y"), ev(3, 3, "z"),
+        ev(3, 4, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, t string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in skipgram_sequences(
+            df, "u", "ts", "t", max_gap=3, min_support=2
+        ).collect()
+    }
+    # view->buy within 3 steps for users 1 and 2; user 3's buy is 4 away
+    vb = out[("view", "buy")]
+    assert vb["support"] == 2 and vb["n_antecedent"] == 3
+    assert vb["confidence"] == pytest.approx(2 / 3)
+
+
+# ------------------------------------------------ X100 weighted median
+def test_weighted_median_vs_unweighted(spark):
+    from alphavantage_etl_spark.functions.distribution import weighted_median
+
+    # values 1..4; weight on 4 dominates -> weighted median 4
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    r = weighted_median(df, "g", "v", "w").first()
+    assert r["wmedian"] == 4.0 and r["total_weight"] == 13.0 and r["n"] == 4
+    # equal weights: smallest v with 2*cum >= total -> 2.0
+    df2 = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (1, 2, 3, 4)], "g string, v double, w double"
+    )
+    assert weighted_median(df2, "g", "v", "w").first()["wmedian"] == 2.0
+    # zero/negative weights excluded
+    df3 = spark.createDataFrame(
+        [("g", 1.0, 0.0), ("g", 9.0, 1.0)], "g string, v double, w double"
+    )
+    assert weighted_median(df3, "g", "v", "w").first()["wmedian"] == 9.0
+
+
+# ------------------------------------------------ X99 seasonal anomaly
+def test_seasonal_anomaly_ignores_weekly_rhythm(spark):
+    from datetime import datetime, timedelta
+
+    from alphavantage_etl_spark.operators.anomaly import (
+        seasonal_adjusted_anomalies,
+    )
+
+    # 8 weeks: Sundays always 10, other days always 100 — a pure weekly
+    # rhythm; plus ONE genuinely anomalous Sunday at 100 (10x its dow
+    # norm but equal to the weekday level a raw z-score would accept).
+    rows = []
+    d0 = datetime(2020, 1, 6)  # a Monday
+    for day in range(56):
+        d = d0 + timedelta(days=day)
+        v = 10.0 if d.weekday() == 6 else 100.0
+        if day == 48:  # a Sunday
+            assert d.weekday() == 6
+            v = 100.0
+        rows.append((d, v, "t"))
+    df = spark.createDataFrame(rows, "ts timestamp, value double, g string")
+    out = seasonal_adjusted_anomalies(df, "ts", "value", "g", z_threshold=2.0)
+    flagged = [r for r in out.collect() if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["date"].isoformat() == (d0 + timedelta(days=48)).date().isoformat()
