@@ -288,3 +288,118 @@ def seasonal_adjusted_anomalies(
             ).alias("is_anomaly"),
         )
     )
+
+
+def ewma_control_chart(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    span: int = 10,
+    limit_sigmas: float = 3.0,
+) -> DataFrame:
+    """(group, date, day_value, ewma, is_breach): the EWMA control
+    chart over each group's daily totals — the small-persistent-shift
+    detector beside the spike detectors (a 0.5-sigma drift never trips
+    a z-score or MAD fence; the EWMA accumulates it): breach when the
+    smoothed line leaves mean ± L·sigma·sqrt(a/(2-a)) (the asymptotic
+    EWMA control limit, Lucas & Saccucci 1990), a = 2/(span+1). The
+    first ``span`` points never flag (burn-in): the asymptotic band is
+    too tight for the startup transient, where the EWMA still carries
+    most of its seed value — the standard practical guard, and exactly
+    mirrorable (a step index, not a transcendental time-varying band
+    that pow()'s cross-engine ulp would poison).
+
+    Exactness discipline (the logreg/pagerank recursion rule, applied
+    to a pandas fold): the recursion ``e_t = a·x_t + (1-a)·e_{t-1}``
+    runs in DOLLARS (O(1e2-1e3) magnitude) with EVERY step's result
+    rounded half-even to 1e-6 via numpy round — numpy and DuckDB's
+    round_even both scale through doubles, so a recursive CTE replays
+    the fold bit-exactly (dollars + 1e-6 keeps the scaled value inside
+    2^53, the regime where that method is exact; cents + 1e-9 would
+    not be). mean/sigma come from exact decimal micro-unit sums; the
+    breach fence rounds both sides to 1e-6 before comparing.
+
+    The fold is the documented legitimate Pandas case (per-key
+    sequential state, Arrow-batched, one group per series); day counts
+    bound each group's rows, so a series is calendar-sized, never
+    corpus-sized.
+    """
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a = 2.0 / (span + 1)
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).cast("date").alias("date"),
+            cents.alias("__c"),
+        )
+        .where(F.col("__c").isNotNull())
+        .groupBy("g", "date")
+        .agg(F.sum("__c").alias("__cents"))
+        .select(
+            "g",
+            "date",
+            (F.col("__cents").cast("double") / 100.0).alias("day_value"),
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("g", daily.schema["g"].dataType, True),
+            T.StructField("date", T.DateType(), True),
+            T.StructField("day_value", T.DoubleType(), True),
+            T.StructField("ewma", T.DoubleType(), True),
+            T.StructField("step", T.LongType(), True),
+        ]
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        out = []
+        e = None
+        for x in pdf["day_value"].astype("float64"):
+            e = x if e is None else a * x + (1.0 - a) * e
+            e = float(np.round(e, 6))
+            out.append(e)
+        pdf["ewma"] = out
+        pdf["step"] = range(1, len(out) + 1)
+        return pdf
+
+    smoothed = daily.groupBy("g").applyInPandas(fold, schema)
+
+    qv = F.round(F.col("day_value") * F.lit(1e6)).cast("decimal(38,0)")
+    mom = daily.select("g", qv.alias("q")).groupBy("g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("q").alias("__s1"),
+        F.sum(F.col("q") * F.col("q")).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s1").cast("double") / F.lit(1e6) / n
+    var = F.col("__s2").cast("double") / F.lit(1e12) / n - mean * mean
+    width = F.bround(
+        F.lit(limit_sigmas)
+        * F.sqrt(var)
+        * F.sqrt(F.lit(a) / F.lit(2.0 - a)),
+        6,
+    )
+    return (
+        smoothed.join(F.broadcast(mom), "g")
+        .select(
+            F.col("g").alias(group_col),
+            "date",
+            "day_value",
+            "ewma",
+            F.when(
+                (var > 0) & (F.col("step") > span),
+                F.bround(F.abs(F.col("ewma") - mean), 6) > width,
+            )
+            .otherwise(F.lit(False))
+            .alias("is_breach"),
+        )
+    )

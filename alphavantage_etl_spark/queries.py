@@ -6124,6 +6124,64 @@ FROM z
 """
 
 
+# X94 — EWMA control chart (r6): the small-persistent-shift detector —
+# per-step-rounded recursion (pandas fold, replayed bit-exactly by a
+# recursive CTE under the logreg/pagerank quantized-step rule) with
+# asymptotic Lucas-Saccucci control limits
+# (operators/anomaly.py:ewma_control_chart).
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomaly import ewma_control_chart
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ewma_control_chart(ev, "ts", "value", "event_type", span=10)
+
+
+SQL_EWMA_CHART = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS g,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+         CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+              AS DOUBLE) / 100.0 AS x
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2),
+idx AS (
+  SELECT g, date, x,
+         row_number() OVER (PARTITION BY g ORDER BY date) AS i
+  FROM daily),
+rec(g, i, date, x, e) AS (
+  SELECT g, i, date, x, CAST(round_even(x, 6) AS DOUBLE)
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.g, idx.i, idx.date, idx.x,
+         round_even((2.0 / 11.0) * idx.x
+                    + (1.0 - 2.0 / 11.0) * rec.e, 6)
+  FROM rec JOIN idx ON idx.g = rec.g AND idx.i = rec.i + 1),
+mom AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(round(x * 1e6) AS HUGEINT)) AS s1,
+         sum(CAST(round(x * 1e6) AS HUGEINT)
+             * CAST(round(x * 1e6) AS HUGEINT)) AS s2
+  FROM daily GROUP BY 1)
+SELECT rec.g AS event_type, rec.date, rec.x AS day_value, rec.e AS ewma,
+       CASE WHEN rec.i > 10
+             AND (CAST(s2 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) > 0
+            THEN round_even(abs(rec.e
+                   - CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)), 6)
+                 > round_even(3.0
+                     * sqrt(CAST(s2 AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) / 1e6
+                               / CAST(n AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE) / 1e6
+                                 / CAST(n AS DOUBLE)))
+                     * sqrt((2.0 / 11.0) / (2.0 - 2.0 / 11.0)), 6)
+            ELSE FALSE
+       END AS is_breach
+FROM rec JOIN mom ON mom.g = rec.g
+"""
+
 QUERIES: dict[str, QueryFn] = {
     # --- r5 additions (components X59-X78) with no driver row yet:
     #     registered FIRST so they are checked even under a time-budgeted
@@ -6314,6 +6372,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_skipgram": q_skipgram,
     "q_weighted_median": q_weighted_median,
     "q_seasonal_anomaly": q_seasonal_anomaly,
+    "q_ewma_chart": q_ewma_chart,
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -6496,6 +6555,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_skipgram": SQL_SKIPGRAM,
     "q_weighted_median": SQL_WEIGHTED_MEDIAN,
     "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
+    "q_ewma_chart": SQL_EWMA_CHART,
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "q_skipgram",
     "q_weighted_median",
     "q_seasonal_anomaly",
+    "q_ewma_chart",
 ]
 
 

@@ -448,3 +448,35 @@ def test_seasonal_anomaly_ignores_weekly_rhythm(spark):
     flagged = [r for r in out.collect() if r["is_anomaly"]]
     assert len(flagged) == 1
     assert flagged[0]["date"].isoformat() == (d0 + timedelta(days=48)).date().isoformat()
+
+
+# ------------------------------------------------ X94 EWMA chart
+def test_ewma_chart_catches_drift_spike_detectors_miss(spark):
+    from datetime import datetime, timedelta
+
+    from alphavantage_etl_spark.operators.anomaly import ewma_control_chart
+
+    # 60 days around 100 with small noise, then 30 days at a persistent
+    # +0.6-sigma-ish shift: no single day is a spike, but the EWMA line
+    # walks out of the control band.
+    rows = []
+    d0 = datetime(2020, 1, 1)
+    for day in range(90):
+        base = 100.0 + (1.0 if day % 2 else -1.0)  # sigma ~ 1
+        if day >= 60:
+            base += 2.5
+        rows.append((d0 + timedelta(days=day), base, "t"))
+    df = spark.createDataFrame(rows, "ts timestamp, value double, g string")
+    out = ewma_control_chart(df, "ts", "value", "g", span=10).collect()
+    by_day = sorted(out, key=lambda r: r["date"])
+    assert not any(r["is_breach"] for r in by_day[:55])
+    assert any(r["is_breach"] for r in by_day[60:])
+    # recursion sanity: first ewma equals the first value
+    assert by_day[0]["ewma"] == by_day[0]["day_value"]
+    # constant series: zero variance -> no breaches, not NULL noise
+    flat = spark.createDataFrame(
+        [(d0 + timedelta(days=d), 5.0, "c") for d in range(10)],
+        "ts timestamp, value double, g string",
+    )
+    fr = ewma_control_chart(flat, "ts", "value", "g").collect()
+    assert all(r["is_breach"] is False for r in fr)
