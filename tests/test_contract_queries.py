@@ -129,6 +129,10 @@ SF_TINY_SLICE = [
     "q_survival",           # cumulative-product grid with censoring
     "q_negative_samples",   # two-phase global ranking + ring walk
     "q_bootstrap_ci",       # integer Poisson ladder + percentile CI
+    # r6 families (one rep per new execution shape)
+    "q_ewma_chart",         # per-step-rounded pandas recursion vs
+                            # recursive-CTE replay
+    "q_rfm",                # broadcast percentile-bound scoring
 ]
 
 
