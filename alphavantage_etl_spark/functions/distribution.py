@@ -360,17 +360,25 @@ def ks_test(
     Scale: the cumulative window runs over the DISTINCT-quantized-value
     grid in a single partition — bounded by the metric's quantized
     range (the head-bounded window class), never by row count. That
-    bound is ENFORCED, not advised: one bounded probe job counts the
-    grid (early-exit at ``max_grid + 1``), and a grid wider than
-    ``max_grid`` is auto-coarsened onto <= ``max_grid`` equal-width
-    cells over the observed [min, max] span before the cumulative
-    window, so a wide-range double column can never hand the window a
-    data-sized single partition. Coarsening preserves per-side counts
-    exactly; the reported ``ks_d`` becomes the max over cell BOUNDARIES
-    — a lower bound on the exact statistic that converges as max_grid
-    grows (error <= the largest probability mass inside one cell).
-    Below the bound (the default ``ticks=100`` money grid always is)
-    results are bit-identical to the unguarded form.
+    bound is ENFORCED, not advised, and — since r7 — enforced LAZILY
+    inside the one plan: a single auxiliary aggregate over the grid
+    collects (min, max, n_a, n_b), is broadcast back onto the grid,
+    and every value maps through an equal-width cell expression whose
+    width is ``(max - min) div max_grid + 1`` — the IDENTITY mapping
+    whenever the observed span fits ``max_grid``, a <= ``max_grid``
+    coarsening when it does not. No eager probe job runs (the r6 form
+    paid a full extra distinct-aggregation per call); Catalyst's
+    exchange reuse dedupes the two per-side aggregation shuffles
+    between the bounds subtree and the main path, so each input is
+    shuffled once. The guard triggers on SPAN rather than distinct
+    count — strictly more conservative (distinct <= span + 1), so the
+    single-partition window still never sees more than ``max_grid``
+    rows. Coarsening preserves per-side counts exactly; the reported
+    ``ks_d`` becomes the max over cell BOUNDARIES — a lower bound on
+    the exact statistic that converges as max_grid grows (error <= the
+    largest probability mass inside one cell). Below the bound (the
+    default ``ticks=100`` money grid always is) results are
+    bit-identical to the unguarded form.
     """
     q = lambda df: (  # noqa: E731
         df.select(
@@ -392,33 +400,43 @@ def ks_test(
             F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
         )
     )
-    # bounded guard probe: is the grid wider than the single-partition
-    # window can be trusted with?  limit() early-exits the count, so the
-    # probe never materializes more than max_grid + 1 grid rows.
-    if grid.limit(max_grid + 1).count() > max_grid:
-        lo, hi = grid.agg(F.min("v"), F.max("v")).first()
-        # ceil-div cell width puts the span into <= max_grid cells
-        cell = (int(hi) - int(lo)) // max_grid + 1
-        grid = (
-            grid.groupBy(
-                F.floor((F.col("v") - F.lit(int(lo))) / F.lit(cell)).alias(
-                    "v"
-                )
-            )
-            .agg(
-                F.sum("na_v").alias("na_v"), F.sum("nb_v").alias("nb_v")
-            )
+    # lazy span guard: one auxiliary aggregate carries (lo, hi, totals);
+    # broadcast back, values map through a ceil-div equal-width cell —
+    # identity when the span fits max_grid, <= max_grid cells otherwise.
+    # All integer arithmetic (`div`, not double /): no precision cliff
+    # on wide long-valued grids.
+    bounds = grid.agg(
+        F.min("v").alias("__lo"),
+        F.max("v").alias("__hi"),
+        F.sum("na_v").alias("__na"),
+        F.sum("nb_v").alias("__nb"),
+    )
+    coarse = (
+        grid.join(F.broadcast(bounds))
+        .withColumn(
+            "__cell", F.expr(f"(__hi - __lo) div {max_grid} + 1L")
         )
+        .groupBy(
+            F.expr(
+                "__lo + ((v - __lo) div __cell) * __cell"
+            ).alias("v")
+        )
+        .agg(
+            F.sum("na_v").alias("na_v"),
+            F.sum("nb_v").alias("nb_v"),
+            F.max("__na").alias("__na"),
+            F.max("__nb").alias("__nb"),
+        )
+    )
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = grid.agg(
-        F.sum("na_v").alias("__na"), F.sum("nb_v").alias("__nb")
-    )
-    ecdf = grid.select(
+    ecdf = coarse.select(
         F.sum("na_v").over(w).alias("ca"),
         F.sum("nb_v").over(w).alias("cb"),
-    ).crossJoin(F.broadcast(tot))
+        "__na",
+        "__nb",
+    )
     d = F.abs(
         F.col("ca").cast("double") / F.col("__na").cast("double")
         - F.col("cb").cast("double") / F.col("__nb").cast("double")
@@ -559,7 +577,9 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     Scale: one scan into the |X| x |Y| contingency grid (map-side
     combine); marginals and the term sum run over the grid, never the
-    data. Degenerate marginals (min(|X|,|Y|) = 1) yield NULL V.
+    data. Degenerate marginals (min(|X|,|Y|) = 1) yield NULL V; an
+    EMPTY input yields the SQL-aggregate row (n_rows NULL, n_x = n_y =
+    0, dof = 1, NULL chi2/V), not an all-NULL collapse.
     """
     sx = F.coalesce(F.col(x_col).cast("string"), F.lit(" NULL"))
     sy = F.coalesce(F.col(y_col).cast("string"), F.lit(" NULL"))
@@ -593,11 +613,16 @@ def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     term = F.round(
         F.bround((F.col("o") - e) * (F.col("o") - e) / e, 12) * F.lit(1e12)
     ).cast("decimal(38,0)")
-    s = g.crossJoin(F.broadcast(tot)).agg(
-        F.first("n").alias("n_rows"),
-        F.first("nx").alias("n_x"),
-        F.first("ny").alias("n_y"),
-        F.sum(term).alias("__q"),
+    # term sum as its own always-one-row aggregate, then crossed with the
+    # marginal totals row — the oracle's `FROM s CROSS JOIN tot` shape —
+    # so a degenerate EMPTY input still reports (n_x, n_y) = (0, 0) and
+    # dof = (0-1)*(0-1) = 1 instead of collapsing to an all-NULL row
+    qsum = g.crossJoin(F.broadcast(tot)).agg(F.sum(term).alias("__q"))
+    s = tot.crossJoin(F.broadcast(qsum)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("nx").alias("n_x"),
+        F.col("ny").alias("n_y"),
+        "__q",
     )
     chi2 = F.col("__q").cast("double") / F.lit(1e12)
     mindim = F.least(F.col("n_x"), F.col("n_y")) - 1
@@ -636,7 +661,11 @@ def benford_deviation(
     int ratio; expected_p and the chi2 term round half-even to 1e-9 /
     1e-6 (transcendental outputs; the term's grid is coarser because
     its magnitude grows with the data). All nine digits are emitted even
-    at zero observed count (the deviation a detector cares about).
+    at zero observed count (the deviation a detector cares about) — in
+    the ungrouped form even when NO value qualifies (9 rows, n = 0,
+    NULL ratios — matching the SQL spine-LEFT-JOIN shape); in the
+    grouped form the group list is the groups with >= 1 qualifying
+    value.
 
     Scale: one scan into the (group x 9)-row grid; the digit spine is
     a 9-row literal crossed with the bounded group list.
@@ -656,8 +685,17 @@ def benford_deviation(
         .groupBy("grp", "digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    groups = obs.select("grp").distinct()
     spark = df.sparkSession
+    # ungrouped: a literal one-group spine, so an input with NO positive
+    # values still emits the 9 digit rows (n = 0, NULL ratios) the
+    # oracle's unconditional `spine LEFT JOIN obs` produces; grouped:
+    # the group list is the groups with >= 1 qualifying value (a group
+    # of all non-positive/NULL values has no Benford profile to report)
+    groups = (
+        obs.select("grp").distinct()
+        if group_col
+        else spark.createDataFrame([("all",)], "grp string")
+    )
     spine = spark.createDataFrame(
         [(str(d), math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
         "digit string, expected_p double",
@@ -666,7 +704,7 @@ def benford_deviation(
     tot = obs.groupBy("grp").agg(F.sum("n").alias("tot"))
     j = (
         grid.join(obs, ["grp", "digit"], "left")
-        .join(F.broadcast(tot), "grp")
+        .join(F.broadcast(tot), "grp", "left")
         .select(
             "grp",
             "digit",

@@ -161,7 +161,9 @@ def skipgram_sequences(
     active user cannot fabricate a "frequent" pattern); confidence =
     support / #users with the antecedent at all. Exact int ratio,
     unrounded. Events order by (ts, event type) per user — total and
-    deterministic under timestamp ties.
+    deterministic under timestamp ties; rows with a NULL timestamp are
+    EXCLUDED (they have no position on a timeline, and engines disagree
+    on NULL sort placement — Spark first, ANSI-default last).
 
     Scale: positions come from a per-USER window (bounded by per-user
     depth, the sessionize class); the pair self-join is user-keyed with
@@ -173,11 +175,15 @@ def skipgram_sequences(
     from pyspark.sql import Window
 
     w = Window.partitionBy("u").orderBy("ts", "t")
-    pos = events.select(
-        F.col(user_col).alias("u"),
-        F.col(ts_col).alias("ts"),
-        F.col(type_col).alias("t"),
-    ).withColumn("i", F.row_number().over(w))
+    pos = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("t"),
+        )
+        .where(F.col("ts").isNotNull())
+        .withColumn("i", F.row_number().over(w))
+    )
     a = pos.select("u", F.col("t").alias("antecedent"), F.col("i").alias("ia"))
     b = pos.select("u", F.col("t").alias("consequent"), F.col("i").alias("ib"))
     pairs = a.join(b, "u").where(

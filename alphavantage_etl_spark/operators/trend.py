@@ -77,7 +77,10 @@ def _pair_grid(
     quantizes to ``y_scale`` ticks and duplicate x's collapse to their
     tick SUM first (one series point per x), so the pair count is
     C(|grid|, 2) per group — grid-bounded (the x spine is a calendar,
-    not the data), never corpus-sized."""
+    not the data), never corpus-sized. Returns (pts, pairs) so callers
+    count n_points from the SAME filtered grid the pairs come from
+    (an x whose every y is NULL is not a series point — counting it
+    would break the n_pairs == C(n_points, 2) invariant)."""
     pts = (
         df.select(
             F.col(group_col).alias("g"),
@@ -96,7 +99,7 @@ def _pair_grid(
     b = pts.select(
         "g", F.col("x").alias("xj"), F.col("y").alias("yj")
     )
-    return a.join(b, "g").where(F.col("xi") < F.col("xj"))
+    return pts, a.join(b, "g").where(F.col("xi") < F.col("xj"))
 
 
 def theil_sen(
@@ -123,8 +126,10 @@ def theil_sen(
     Scale: pair generation and the rank window both run over the
     per-group pair GRID (C(|x grid|,2) rows — see _pair_grid), with the
     window partitioned by group. Groups with < 2 points yield no row.
+    n_points counts the SAME (x, y-non-null) grid the pairs are built
+    from, so n_pairs == C(n_points, 2) holds by construction.
     """
-    pairs = _pair_grid(df, group_col, x_col, y_col, y_scale)
+    pts, pairs = _pair_grid(df, group_col, x_col, y_col, y_scale)
     slope = (F.col("yj") - F.col("yi")).cast("double") / (
         F.col("xj") - F.col("xi")
     ).cast("double")
@@ -140,15 +145,7 @@ def theil_sen(
         (F.col("i") == F.ceil(F.col("m") / 2))
         | (F.col("i") == F.ceil((F.col("m") + 1) / 2))
     )
-    npts = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.col(x_col).cast("long").alias("x"),
-        )
-        .where(F.col("x").isNotNull())
-        .groupBy("g")
-        .agg(F.count_distinct("x").alias("n_points"))
-    )
+    npts = pts.groupBy("g").agg(F.count(F.lit(1)).alias("n_points"))
     out = (
         mid.groupBy("g")
         .agg(
@@ -185,23 +182,11 @@ def mann_kendall(
     one transcendental output, half-even-rounded to 1e-9. Groups with
     fewer than 2 points emit NULL z (Var = 0).
     """
-    pairs = _pair_grid(df, group_col, x_col, y_col, y_scale)
+    pts, pairs = _pair_grid(df, group_col, x_col, y_col, y_scale)
     s_term = F.signum((F.col("yj") - F.col("yi")).cast("double")).cast(
         "long"
     )
     s = pairs.groupBy("g").agg(F.sum(s_term).alias("s_stat"))
-    pts = (
-        df.select(
-            F.col(group_col).alias("g"),
-            F.col(x_col).cast("long").alias("x"),
-            F.round(F.col(y_col).cast("double") * y_scale)
-            .cast("long")
-            .alias("y"),
-        )
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
-        .groupBy("g", "x")
-        .agg(F.sum("y").alias("y"))
-    )
     n = pts.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     ties = (

@@ -5190,7 +5190,8 @@ FROM ecdf CROSS JOIN tot GROUP BY na, nb
 
 
 # ==========================================================================
-# r6 additions (components X79-X96): classical-statistics, corpus-analysis
+# r6 additions (components X79-X100, 22 queries / 21 families):
+# classical-statistics, corpus-analysis
 # and operational-diagnostics families. All registered in EXTRA (the
 # 50-entry driver window is consumed by the r6 rotation — ROTATION.md);
 # every one locally oracle-checked and benchmarked, rotating forward in r7.
@@ -5438,13 +5439,7 @@ mid AS (
   FROM rk JOIN m ON m.g = rk.g
   WHERE rk.i = ceil(m.m / 2.0) OR rk.i = ceil((m.m + 1) / 2.0)),
 np AS (
-  SELECT o_orderpriority AS g, count(DISTINCT CAST(floor(
-           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') / 7) AS BIGINT))
-         AS n_points
-  FROM orders
-  WHERE floor((CAST(o_orderdate AS DATE) - DATE '1970-01-01') / 7)
-          IS NOT NULL
-  GROUP BY 1),
+  SELECT g, count(*) AS n_points FROM pts GROUP BY 1),
 agg AS (
   SELECT g, max(m) AS n_pairs, sum(s) / count(*) AS sen_ticks
   FROM mid GROUP BY 1)
@@ -5991,7 +5986,8 @@ WITH pos AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY CAST(ts AS TIMESTAMP), event_type)
            AS i
-  FROM events),
+  FROM events
+  WHERE ts IS NOT NULL),
 pairs AS (
   SELECT a.u, a.t AS antecedent, b.t AS consequent
   FROM pos a JOIN pos b
@@ -6349,7 +6345,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
     # (the r5 additions X59-X78 rotated into the driver window in r6)
-    # r6 additions (components X79-X96, no driver row yet -- rotate
+    # r6 additions (components X79-X100, no driver row yet -- rotate
     # forward in r7, newest-risk first; ROTATION.md)
     "q_mann_whitney": q_mann_whitney,
     "q_chi2": q_chi2,
@@ -6533,7 +6529,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     # (the r5 additions X59-X78 rotated into the driver window in r6)
-    # r6 additions (X79-X96)
+    # r6 additions (X79-X100)
     "q_mann_whitney": SQL_MANN_WHITNEY,
     "q_chi2": SQL_CHI2,
     "q_benford": SQL_BENFORD,

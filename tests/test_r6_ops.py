@@ -1,4 +1,4 @@
-"""Hand-value unit tests for the r6 operator families (X79-X96)."""
+"""Hand-value unit tests for the r6 operator families (X79-X100)."""
 
 from __future__ import annotations
 
@@ -480,3 +480,88 @@ def test_ewma_chart_catches_drift_spike_detectors_miss(spark):
     )
     fr = ewma_control_chart(flat, "ts", "value", "g").collect()
     assert all(r["is_breach"] is False for r in fr)
+
+
+# --------------------------------------- r7 degenerate-contract pins
+def test_chi2_empty_input_matches_sql_aggregate_shape(spark):
+    """An EMPTY input must produce the oracle's `FROM s CROSS JOIN tot`
+    row — n_x = n_y = 0 and dof = (0-1)*(0-1) = 1 with NULL n_rows /
+    chi2 / V — not an all-NULL collapse (r6 advisor finding)."""
+    from alphavantage_etl_spark.functions.distribution import (
+        chi2_independence,
+    )
+
+    empty = spark.createDataFrame([], "a string, b string")
+    r = chi2_independence(empty, "a", "b").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_rows"] is None
+    assert row["n_x"] == 0 and row["n_y"] == 0
+    assert row["dof"] == 1
+    assert row["chi2"] is None and row["cramers_v"] is None
+
+
+def test_benford_emits_spine_with_no_qualifying_values(spark):
+    """Ungrouped benford over an input with NO positive values must
+    still emit the 9-digit spine (n = 0, NULL ratios) — the SQL
+    spine-LEFT-JOIN shape (r6 advisor finding)."""
+    from alphavantage_etl_spark.functions.distribution import (
+        benford_deviation,
+    )
+
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (None,)], "v double"
+    )
+    rows = benford_deviation(df, "v").orderBy("digit").collect()
+    assert [r["digit"] for r in rows] == [str(d) for d in range(1, 10)]
+    assert all(r["n"] == 0 for r in rows)
+    assert all(r["observed_p"] is None for r in rows)
+    assert all(r["chi2_term"] is None for r in rows)
+    assert rows[0]["expected_p"] == pytest.approx(math.log10(2.0))
+
+
+def test_theil_sen_n_points_matches_pair_grid(spark):
+    """A group with an x whose every y is NULL: that x is not a series
+    point, so n_pairs == C(n_points, 2) must hold (r6 advisor finding:
+    n_points used to count x-non-null only)."""
+    from alphavantage_etl_spark.operators.trend import theil_sen
+
+    rows = [
+        ("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, None), ("g", 4, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    r = theil_sen(df, "g", "x", "y").first()
+    assert r["n_points"] == 3
+    assert r["n_pairs"] == 3  # C(3,2), not C(4,2)
+
+
+def test_skipgram_null_ts_rows_excluded(spark):
+    """Rows with NULL ts have no timeline position and engines disagree
+    on NULL sort placement — they must be filtered, not sorted-first
+    (r6 advisor finding)."""
+    from datetime import datetime
+
+    from alphavantage_etl_spark.operators.sessionize import (
+        skipgram_sequences,
+    )
+
+    rows = [
+        (1, None, "zzz"),
+        (1, datetime(2020, 1, 1, 0, 0), "view"),
+        (1, datetime(2020, 1, 1, 0, 1), "buy"),
+        (2, None, "zzz"),
+        (2, datetime(2020, 1, 1, 0, 0), "view"),
+        (2, datetime(2020, 1, 1, 0, 1), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, t string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in skipgram_sequences(
+            df, "u", "ts", "t", max_gap=1, min_support=1
+        ).collect()
+    }
+    # with NULL-ts rows sorted first, (zzz -> view) would be a pair;
+    # with them excluded, only (view -> buy) exists
+    assert ("zzz", "view") not in out
+    assert out[("view", "buy")]["support"] == 2
+    assert all(a != "zzz" and c != "zzz" for (a, c) in out)
