@@ -6179,9 +6179,34 @@ FROM rec JOIN mom ON mom.g = rec.g
 """
 
 QUERIES: dict[str, QueryFn] = {
-    # --- r5 additions (components X59-X78) with no driver row yet:
-    #     registered FIRST so they are checked even under a time-budgeted
-    #     driver (same unverified-first rotation discipline as r3/r4/r5) ---
+    # --- r6 additions (components X79-X100, 22 queries / 21 families)
+    #     with no driver row yet: registered FIRST so they are checked
+    #     even under a time-budgeted driver (the unverified-first
+    #     rotation discipline, ROTATION.md) ---
+    "q_mann_whitney": q_mann_whitney,
+    "q_chi2": q_chi2,
+    "q_benford": q_benford,
+    "q_gini": q_gini,
+    "q_theilsen": q_theilsen,
+    "q_mann_kendall": q_mann_kendall,
+    "q_skew_stats": q_skew_stats,
+    "q_hot_keys": q_hot_keys,
+    "q_templates": q_templates,
+    "q_bigram_lm": q_bigram_lm,
+    "q_novelty": q_novelty,
+    "q_fertility": q_fertility,
+    "q_percentile_bands": q_percentile_bands,
+    "q_mad_outliers": q_mad_outliers,
+    "q_profile_diff": q_profile_diff,
+    "q_ipw": q_ipw,
+    "q_rfm": q_rfm,
+    "q_label_noise": q_label_noise,
+    "q_skipgram": q_skipgram,
+    "q_weighted_median": q_weighted_median,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
+    "q_ewma_chart": q_ewma_chart,
+    # --- one-green X59-X78 entries kept in-window for a second
+    #     consecutive driver row (r6 was their first) ---
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
     "q_rolling_median": q_rolling_median,
@@ -6203,15 +6228,24 @@ QUERIES: dict[str, QueryFn] = {
     "q_retention_decay": q_retention_decay,
     "q_corpus_digest": q_corpus_digest,
     "q_ks_test": q_ks_test,
-    # --- one-green entries kept in-window for a second consecutive driver
-    #     row (r5 was their first); 24 of the 29 one-green X32-X58 entries
-    #     — the 5 displaced each have a same-family sibling still
-    #     in-window exercising the same code path (q_pagerank /
-    #     q_triangles -> graph power-iteration siblings
-    #     q_label_propagation / q_graph_walks / q_markov_attribution;
-    #     q_session_paths -> path siblings q_markov_attribution /
-    #     q_attribution; q_calibration -> shared-scores siblings q_logreg
-    #     + q_auc; q_discretize -> X38 encode sibling q_target_encode) ---
+    # --- canary slots (ROTATION.md): rotating sample of the OLDEST
+    #     greens — these five SURVEY §2 reference-parity keys (P4/P5,
+    #     P8, P9/D2, D1, S1) have no driver row since r3 ---
+    "q_cast_types": q_cast_types,
+    "q_filter_today": q_filter_today,
+    "q_weekday_filter": q_weekday_filter,
+    "q_busday_gap": q_busday_gap,
+    "q_latest_row": q_latest_row,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Displaced in r7: the 24 X32-X58 entries (two consecutive green
+    # driver rows, r5+r6) and the 5 r6 canary keys (re-greened in r6).
+    # Each keeps its historical driver rows and stays locally
+    # oracle-checked (ALL_ORACLES) and benchmarked.
     "q_dsir_weights": q_dsir_weights,
     "q_mutual_info": q_mutual_info,
     "q_logreg": q_logreg,
@@ -6236,21 +6270,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_change_point": q_change_point,
     "q_embedding_diag": q_embedding_diag,
     "q_zipf": q_zipf,
-    # --- canary slots (ROTATION.md): 5 of the 50 reserved each round for
-    #     a rotating sample of the OLDEST greens, starting with the §2
-    #     reference-parity keys (none has a driver row since r3) — closes
-    #     the regression-detection hole the 50-entry cap creates ---
     "q_scan_project": q_scan_project,
     "q_json_explode": q_json_explode,
     "q_join_convert": q_join_convert,
     "q_anti_new_rows": q_anti_new_rows,
     "q_incremental_merge": q_incremental_merge,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
     # Displaced in r6: the 21 two-green r4 cohort (r4+r5 driver rows) and
     # 5 of the one-green X32-X58 cohort whose operator family keeps an
     # in-window sibling (see the QUERIES comment). Each keeps its
@@ -6317,19 +6341,14 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_pack_bins": q_pack_bins,
     # Displaced in r4 to make room for the r3 additions: each holds two-plus
     # consecutive green driver rows (r1–r3) and stays locally oracle-checked.
-    # (q_scan_project / q_json_explode / q_join_convert / q_anti_new_rows /
-    # q_incremental_merge rotated back in as r6 canary slots.)
-    "q_cast_types": q_cast_types,
-    "q_latest_row": q_latest_row,
+    # (q_cast_types / q_filter_today / q_weekday_filter / q_busday_gap /
+    # q_latest_row rotated back in as r7 canary slots.)
     "q_topn_recent": q_topn_recent,
-    "q_filter_today": q_filter_today,
-    "q_weekday_filter": q_weekday_filter,
     "q_set_ops": q_set_ops,
     "q_pivot_daily": q_pivot_daily,
     # Displaced later in r4 to make room for the 20 r4 additions: each holds
     # three consecutive green driver rows (r1+r2+r3).
     "q_ohlc_daily": q_ohlc_daily,
-    "q_busday_gap": q_busday_gap,
     "q_agg_pricing": q_agg_pricing,
     "q_top_customers": q_top_customers,
     "q_revenue_by_nation": q_revenue_by_nation,
@@ -6344,31 +6363,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    # (the r5 additions X59-X78 rotated into the driver window in r6)
-    # r6 additions (components X79-X100, no driver row yet -- rotate
-    # forward in r7, newest-risk first; ROTATION.md)
-    "q_mann_whitney": q_mann_whitney,
-    "q_chi2": q_chi2,
-    "q_benford": q_benford,
-    "q_gini": q_gini,
-    "q_theilsen": q_theilsen,
-    "q_mann_kendall": q_mann_kendall,
-    "q_skew_stats": q_skew_stats,
-    "q_hot_keys": q_hot_keys,
-    "q_templates": q_templates,
-    "q_bigram_lm": q_bigram_lm,
-    "q_novelty": q_novelty,
-    "q_fertility": q_fertility,
-    "q_percentile_bands": q_percentile_bands,
-    "q_mad_outliers": q_mad_outliers,
-    "q_profile_diff": q_profile_diff,
-    "q_ipw": q_ipw,
-    "q_rfm": q_rfm,
-    "q_label_noise": q_label_noise,
-    "q_skipgram": q_skipgram,
-    "q_weighted_median": q_weighted_median,
-    "q_seasonal_anomaly": q_seasonal_anomaly,
-    "q_ewma_chart": q_ewma_chart,
+    # (r5 additions X59-X78 rotated in-window in r6; r6 additions
+    # X79-X100 rotated in-window in r7)
     # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
     "q_sma_window": q_sma_window,
@@ -6387,7 +6383,30 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
-    # r5 additions (X59-X78) — rotated to the front in r6
+    # r6 additions (X79-X100) — rotated to the front in r7
+    "q_mann_whitney": SQL_MANN_WHITNEY,
+    "q_chi2": SQL_CHI2,
+    "q_benford": SQL_BENFORD,
+    "q_gini": SQL_GINI,
+    "q_theilsen": SQL_THEILSEN,
+    "q_mann_kendall": SQL_MANN_KENDALL,
+    "q_skew_stats": SQL_SKEW_STATS,
+    "q_hot_keys": SQL_HOT_KEYS,
+    "q_templates": SQL_TEMPLATES,
+    "q_bigram_lm": SQL_BIGRAM_LM,
+    "q_novelty": SQL_NOVELTY,
+    "q_fertility": SQL_FERTILITY,
+    "q_percentile_bands": SQL_PERCENTILE_BANDS,
+    "q_mad_outliers": SQL_MAD_OUTLIERS,
+    "q_profile_diff": SQL_PROFILE_DIFF,
+    "q_ipw": SQL_IPW,
+    "q_rfm": SQL_RFM,
+    "q_label_noise": SQL_LABEL_NOISE,
+    "q_skipgram": SQL_SKIPGRAM,
+    "q_weighted_median": SQL_WEIGHTED_MEDIAN,
+    "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
+    "q_ewma_chart": SQL_EWMA_CHART,
+    # one-green X59-X78 entries in-window for a second consecutive row
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -6409,7 +6428,18 @@ ORACLES: dict[str, str] = {
     "q_retention_decay": SQL_RETENTION_DECAY,
     "q_corpus_digest": SQL_CORPUS_DIGEST,
     "q_ks_test": SQL_KS_TEST,
-    # one-green X32-X58 entries in-window for a second consecutive row
+    # canary slots — oldest greens (ROTATION.md)
+    "q_cast_types": SQL_CAST_TYPES,
+    "q_filter_today": SQL_FILTER_TODAY,
+    "q_weekday_filter": SQL_WEEKDAY_FILTER,
+    "q_busday_gap": SQL_BUSDAY_GAP,
+    "q_latest_row": SQL_LATEST_ROW,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # displaced in r7 (each holds two-plus historical driver-green rows)
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_mutual_info": SQL_MUTUAL_INFO,
     "q_logreg": SQL_LOGREG,
@@ -6434,17 +6464,11 @@ ORACLES: dict[str, str] = {
     "q_change_point": SQL_CHANGE_POINT,
     "q_embedding_diag": SQL_EMBEDDING_DIAG,
     "q_zipf": SQL_ZIPF,
-    # canary slots — oldest greens (ROTATION.md)
     "q_scan_project": SQL_SCAN_PROJECT,
     "q_json_explode": SQL_JSON_EXPLODE,
     "q_join_convert": SQL_JOIN_CONVERT,
     "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
     "q_incremental_merge": SQL_INCREMENTAL_MERGE,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
     # displaced in r6 (each holds one-plus historical driver-green rows)
     "q_temperature_mix": SQL_TEMPERATURE_MIX,
     "q_cdc_overlap": SQL_CDC_OVERLAP,
@@ -6503,17 +6527,12 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_source_quota": SQL_SOURCE_QUOTA,
     "q_pack_bins": SQL_PACK_BINS,
     # displaced in r4 (two-plus historical driver-green rows);
-    # q_scan_project / q_json_explode / q_join_convert / q_anti_new_rows /
-    # q_incremental_merge rotated back in as r6 canary slots
-    "q_cast_types": SQL_CAST_TYPES,
-    "q_latest_row": SQL_LATEST_ROW,
+    # q_cast_types / q_filter_today / q_weekday_filter / q_busday_gap /
+    # q_latest_row rotated back in as r7 canary slots
     "q_topn_recent": SQL_TOPN_RECENT,
-    "q_filter_today": SQL_FILTER_TODAY,
-    "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_set_ops": SQL_SET_OPS,
     "q_pivot_daily": SQL_PIVOT_DAILY,
     "q_ohlc_daily": SQL_OHLC_DAILY,
-    "q_busday_gap": SQL_BUSDAY_GAP,
     "q_agg_pricing": SQL_AGG_PRICING,
     "q_top_customers": SQL_TOP_CUSTOMERS,
     "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
@@ -6528,30 +6547,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # (the r5 additions X59-X78 rotated into the driver window in r6)
-    # r6 additions (X79-X100)
-    "q_mann_whitney": SQL_MANN_WHITNEY,
-    "q_chi2": SQL_CHI2,
-    "q_benford": SQL_BENFORD,
-    "q_gini": SQL_GINI,
-    "q_theilsen": SQL_THEILSEN,
-    "q_mann_kendall": SQL_MANN_KENDALL,
-    "q_skew_stats": SQL_SKEW_STATS,
-    "q_hot_keys": SQL_HOT_KEYS,
-    "q_templates": SQL_TEMPLATES,
-    "q_bigram_lm": SQL_BIGRAM_LM,
-    "q_novelty": SQL_NOVELTY,
-    "q_fertility": SQL_FERTILITY,
-    "q_percentile_bands": SQL_PERCENTILE_BANDS,
-    "q_mad_outliers": SQL_MAD_OUTLIERS,
-    "q_profile_diff": SQL_PROFILE_DIFF,
-    "q_ipw": SQL_IPW,
-    "q_rfm": SQL_RFM,
-    "q_label_noise": SQL_LABEL_NOISE,
-    "q_skipgram": SQL_SKIPGRAM,
-    "q_weighted_median": SQL_WEIGHTED_MEDIAN,
-    "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
-    "q_ewma_chart": SQL_EWMA_CHART,
+    # (r5 additions X59-X78 rotated in-window in r6; r6 additions
+    # X79-X100 rotated in-window in r7)
     # q_cm_sketch: self-validating approximation (within_bound column),
     # rows-only by design like q_distinct_sketch / q_quantile_sketch
     "q_sma_window": SQL_SMA_WINDOW,

@@ -17,16 +17,43 @@ ROWS_ONLY = sorted(set(ALL_QUERIES) - set(ALL_ORACLES))
 
 def test_driver_registry_shape():
     """The driver checks only the first ~50 registered queries
-    (CORRECTNESS_r02..r05 were exactly the first 50 dict entries). Pin
+    (CORRECTNESS_r02..r06 were exactly the first 50 dict entries). Pin
     the contract (ROTATION.md): at most 50 driver-facing entries, every
     one oracle-backed, queries with no prior driver row registered FIRST
-    (r6: the 21 r5 additions q_cross_split_leakage ... q_ks_test,
-    components X59-X78), and the LAST ~5 slots reserved as canaries
-    re-greening the oldest driver greens (r6: the §2 reference-parity
-    keys, none with a driver row since r3)."""
+    (r7: the 22 r6 additions q_mann_whitney ... q_ewma_chart, components
+    X79-X100), then the one-green X59-X78 cohort for its second
+    consecutive row, and the LAST ~5 slots reserved as canaries
+    re-greening the oldest driver greens (r7: §2 parity keys
+    P4/P5/P8/P9/D1/D2/S1, none with a driver row since r3)."""
     assert len(QUERIES) <= 50
     assert set(QUERIES) == set(ORACLES)
-    assert list(QUERIES)[:21] == [
+    assert list(QUERIES)[:22] == [
+        "q_mann_whitney",
+        "q_chi2",
+        "q_benford",
+        "q_gini",
+        "q_theilsen",
+        "q_mann_kendall",
+        "q_skew_stats",
+        "q_hot_keys",
+        "q_templates",
+        "q_bigram_lm",
+        "q_novelty",
+        "q_fertility",
+        "q_percentile_bands",
+        "q_mad_outliers",
+        "q_profile_diff",
+        "q_ipw",
+        "q_rfm",
+        "q_label_noise",
+        "q_skipgram",
+        "q_weighted_median",
+        "q_seasonal_anomaly",
+        "q_ewma_chart",
+    ]
+    # the one-green X59-X78 cohort stays in-window for a second
+    # consecutive row (all 21 fit this round)
+    assert list(QUERIES)[22:43] == [
         "q_cross_split_leakage",
         "q_vocab_coverage",
         "q_rolling_median",
@@ -49,42 +76,13 @@ def test_driver_registry_shape():
         "q_corpus_digest",
         "q_ks_test",
     ]
-    # the one-green X32-X58 cohort stays in-window for a second
-    # consecutive row (24 of 29; the 5 displaced each keep a same-family
-    # sibling in-window)
-    assert list(QUERIES)[21:45] == [
-        "q_dsir_weights",
-        "q_mutual_info",
-        "q_logreg",
-        "q_block_dedup",
-        "q_semantic_dedup",
-        "q_target_encode",
-        "q_psi_drift",
-        "q_linkage",
-        "q_collocations",
-        "q_agg_state",
-        "q_acf",
-        "q_profile",
-        "q_bm25",
-        "q_basket_lift",
-        "q_survival",
-        "q_knn_graph",
-        "q_auc",
-        "q_negative_samples",
-        "q_join_profile",
-        "q_random_projection",
-        "q_bootstrap_ci",
-        "q_change_point",
-        "q_embedding_diag",
-        "q_zipf",
-    ]
     # canary slots: oldest greens rotate back in for a fresh driver row
-    assert list(QUERIES)[45:50] == [
-        "q_scan_project",
-        "q_json_explode",
-        "q_join_convert",
-        "q_anti_new_rows",
-        "q_incremental_merge",
+    assert list(QUERIES)[43:48] == [
+        "q_cast_types",
+        "q_filter_today",
+        "q_weekday_filter",
+        "q_busday_gap",
+        "q_latest_row",
     ]
 
 
