@@ -297,6 +297,7 @@ def ewma_control_chart(
     group_col: str,
     span: int = 10,
     limit_sigmas: float = 3.0,
+    max_group_rows: int = 200_000,
 ) -> DataFrame:
     """(group, date, day_value, ewma, is_breach): the EWMA control
     chart over each group's daily totals — the small-persistent-shift
@@ -323,10 +324,20 @@ def ewma_control_chart(
     The fold is the documented legitimate Pandas case (per-key
     sequential state, Arrow-batched, one group per series); day counts
     bound each group's rows, so a series is calendar-sized, never
-    corpus-sized.
+    corpus-sized. That contract is ENFORCED, not assumed: the fold is
+    the only per-row Python loop in the repo, and it raises if any
+    group exceeds ``max_group_rows`` (default 200k ≈ 500 years of
+    daily points) — a caller who re-keys the chart by a data-sized
+    column (per-entity raw series instead of per-group daily totals)
+    gets a loud error, never a silent corpus-sized driver-style loop
+    on an executor.
     """
     if span < 1:
         raise ValueError(f"span must be >= 1, got {span}")
+    if max_group_rows < 1:
+        raise ValueError(
+            f"max_group_rows must be >= 1, got {max_group_rows}"
+        )
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -360,6 +371,14 @@ def ewma_control_chart(
     )
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_group_rows:
+            g = pdf["g"].iloc[0] if len(pdf) else "?"
+            raise ValueError(
+                f"ewma_control_chart: group {g!r} has {len(pdf)} rows, "
+                f"over the calendar-bounded contract of "
+                f"{max_group_rows} — the chart folds daily TOTALS per "
+                f"group; re-key or pre-aggregate the input"
+            )
         pdf = pdf.sort_values("date").reset_index(drop=True)
         out = []
         e = None

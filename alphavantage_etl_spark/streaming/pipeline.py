@@ -915,3 +915,121 @@ def oov_monitor_stream(
     )
     q_.awaitTermination()
     return q_
+
+
+def ewma_chart_stream(
+    daily: DataFrame,
+    reference_daily: DataFrame,
+    span: int = 10,
+    limit_sigmas: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.anomaly.ewma_control_chart`` —
+    the small-persistent-shift monitor running live over the daily
+    rollup stream (g, date, day_value).
+
+    Split of concerns mirrors the batch op and the drift monitors:
+    the CONTROL LIMITS (mean ± L·sigma·sqrt(a/(2-a))) are MODEL STATE
+    fixed from ``reference_daily`` (a batch frame — e.g. the trained
+    baseline period; exact decimal micro-unit moments, the same
+    arithmetic as the batch op), joined broadcast-static after the
+    fold so the breach comparison runs through the SAME JVM bround
+    expressions as batch — bit-identical flags, no Python re-rounding.
+    The EWMA recursion itself is per-key streaming state via
+    ``applyInPandasWithState``: (ewma double, step long) = 16 bytes
+    per key, bounded by construction, surviving restarts through the
+    checkpoint. Rows inside a micro-batch sort by date before the
+    fold; feed batches in event-time order (the anomaly_stream
+    contract) and the output reproduces the batch chart row-for-row
+    (asserted by the parity test, across a restart).
+    """
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a = 2.0 / (span + 1)
+    g_type = daily.schema["g"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("g", g_type, True),
+            T.StructField("date", T.DateType(), True),
+            T.StructField("day_value", T.DoubleType(), True),
+            T.StructField("ewma", T.DoubleType(), True),
+            T.StructField("step", T.LongType(), True),
+        ]
+    )
+    state_schema = "e double, step bigint"
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (g,) = key
+        if state.exists:
+            e, step = state.get
+        else:
+            e, step = None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out = []
+        if chunks:
+            whole = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            ).sort_values("date")
+            for r in whole.itertuples():
+                x = float(r.day_value)
+                e = x if e is None else a * x + (1.0 - a) * e
+                e = float(np.round(e, 6))
+                step += 1
+                out.append(
+                    {
+                        "g": g,
+                        "date": r.date,
+                        "day_value": x,
+                        "ewma": e,
+                        "step": step,
+                    }
+                )
+        state.update((e, step))
+        yield pd.DataFrame(
+            out, columns=["g", "date", "day_value", "ewma", "step"]
+        )
+
+    smoothed = daily.groupBy("g").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    qv = F.round(F.col("day_value") * F.lit(1e6)).cast("decimal(38,0)")
+    mom = (
+        reference_daily.select("g", qv.alias("q"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("q").alias("__s1"),
+            F.sum(F.col("q") * F.col("q")).alias("__s2"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s1").cast("double") / F.lit(1e6) / n
+    var = F.col("__s2").cast("double") / F.lit(1e12) / n - mean * mean
+    width = F.bround(
+        F.lit(limit_sigmas)
+        * F.sqrt(var)
+        * F.sqrt(F.lit(a) / F.lit(2.0 - a)),
+        6,
+    )
+    return smoothed.join(F.broadcast(mom), "g").select(
+        "g",
+        "date",
+        "day_value",
+        "ewma",
+        F.when(
+            (var > 0) & (F.col("step") > span),
+            F.bround(F.abs(F.col("ewma") - mean), 6) > width,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_breach"),
+    )

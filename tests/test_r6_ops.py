@@ -565,3 +565,36 @@ def test_skipgram_null_ts_rows_excluded(spark):
     assert ("zzz", "view") not in out
     assert out[("view", "buy")]["support"] == 2
     assert all(a != "zzz" and c != "zzz" for (a, c) in out)
+
+
+def test_ewma_calendar_bound_enforced(spark):
+    """The EWMA fold is the only per-row Python loop in the repo; its
+    calendar-bounded contract is enforced — a group exceeding
+    max_group_rows raises instead of silently running a corpus-sized
+    loop on an executor (r6 verdict item #5)."""
+    from datetime import date, timedelta
+
+    from alphavantage_etl_spark.operators.anomaly import ewma_control_chart
+
+    rows = [
+        ("g", date(2020, 1, 1) + timedelta(days=i), 1.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts date, v double")
+    # under the bound: fine
+    assert (
+        ewma_control_chart(df, "ts", "v", "g", span=3, max_group_rows=20)
+        .count()
+        == 20
+    )
+    # over the bound: loud failure, not a silent loop
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        ewma_control_chart(
+            df, "ts", "v", "g", span=3, max_group_rows=10
+        ).count()
+    assert "calendar-bounded contract" in str(exc.value)
+
+    with pytest.raises(ValueError):
+        ewma_control_chart(df, "ts", "v", "g", max_group_rows=0)
