@@ -561,6 +561,109 @@ def mann_whitney_u(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ticks: int = 100,
+    max_grid: int = 1_000_000,
+) -> DataFrame:
+    """One row (n_groups, n, dof, h, h_corrected): the Kruskal-Wallis
+    H test — "do any of these k groups differ in location" — the
+    k-sample generalization of :func:`mann_whitney_u` (same quantized
+    rank machinery, one test instead of C(k,2) pairwise U tests and
+    their multiple-comparison problem).
+
+    Exactness: ranks enter DOUBLED over the pooled quantized grid
+    (``2*R_g = sum(n_gv * (2*c_below + t_v + 1))``, exact in
+    decimal(38,0)); each group's ``R_g^2 / n_g`` term is floored onto
+    the integer grid (error <= 1 on an O(N^2)-magnitude term — the
+    statistic shifts < 1e-9 at fixture scale) and summed exactly, so
+    the one H = 12*S/(N(N+1)) - 3(N+1) evaluation is a fixed op
+    sequence over exact integers — engine-identical without rounding,
+    despite the classic catastrophic cancellation in that formula (the
+    two terms agree to ~N digits; determinism survives because both
+    engines run the SAME doubles through the SAME ops). Tie correction
+    divides by ``1 - sum(t^3 - t)/(N^3 - N)`` (exact integer sums).
+
+    Scale: the cumulative window runs over the pooled distinct-
+    quantized-value grid in a single partition — the mann_whitney_u
+    head-bounded class, and like it the bound RAISES rather than
+    coarsens (coarsening changes ranks). Decimal headroom: R_g^2 needs
+    ~2*log10(2N^2) digits — fine through N ~ 1e8 per call; shard the
+    test beyond that.
+    """
+    if max_grid < 2:
+        raise ValueError(f"max_grid must be >= 2, got {max_grid}")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col).cast("double") * ticks)
+        .cast("long")
+        .alias("v"),
+    ).where(F.col("v").isNotNull() & F.col("g").isNotNull())
+    gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n_gv"))
+    tv = gv.groupBy("v").agg(F.sum("n_gv").alias("t_v"))
+    if tv.limit(max_grid + 1).count() > max_grid:
+        raise ValueError(
+            f"kruskal_wallis: quantized grid exceeds max_grid="
+            f"{max_grid}; coarsen ticks or pre-clip the metric"
+        )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tv.select(
+        "v",
+        "t_v",
+        (F.sum("t_v").over(w) - F.col("t_v")).alias("c_below"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        gv.join(cum, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n_gv").alias("n_g"),
+            F.sum(
+                dec(F.col("n_gv"))
+                * dec(2 * F.col("c_below") + F.col("t_v") + 1)
+            ).alias("r2_g"),
+        )
+    )
+    # floor(R2_g^2 / (4 n_g)) onto the integer grid: deterministic on
+    # both engines (same double in, floor out), summed exactly after
+    term = F.floor(
+        (F.col("r2_g") * F.col("r2_g")).cast("double")
+        / (F.lit(4.0) * F.col("n_g").cast("double"))
+    ).cast("decimal(38,0)")
+    ties = tv.agg(
+        F.sum(
+            dec(F.col("t_v")) * dec(F.col("t_v")) * dec(F.col("t_v"))
+            - dec(F.col("t_v"))
+        ).alias("tie3")
+    )
+    s = per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_g").alias("n"),
+        F.sum(term).alias("__s"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) * F.col("__s").cast("double") / (nd * (nd + 1.0))
+        - F.lit(3.0) * (nd + 1.0)
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return s.select(
+        "n_groups",
+        "n",
+        (F.col("n_groups") - 1).cast("long").alias("dof"),
+        F.when(F.col("n") > 1, h).alias("h"),
+        F.when((F.col("n") > 1) & (corr > 0), h / corr).alias(
+            "h_corrected"
+        ),
+    )
+
+
 def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """One row (n_rows, n_x, n_y, dof, chi2, cramers_v): Pearson's
     chi-squared test of independence between two categorical columns

@@ -422,3 +422,124 @@ def ewma_control_chart(
             .alias("is_breach"),
         )
     )
+
+
+def cusum_chart(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_col: str,
+    slack_pct: int = 5,
+    h_sigmas: float = 4.0,
+) -> DataFrame:
+    """(group, date, day_value, cusum_pos, cusum_neg, is_breach): the
+    two-sided tabular CUSUM chart over each group's daily totals — the
+    classical persistent-shift detector beside :func:`ewma_control_
+    chart` (Page 1954: EWMA weights recency smoothly; CUSUM accumulates
+    every excursion past a slack band and detects sustained small
+    shifts fastest). ``C+_i = max(0, C+_{i-1} + x_i - (mu + K))``,
+    ``C-_i = max(0, C-_{i-1} + (mu - K) - x_i)``, K = ``slack_pct``% of
+    the group mean; breach when either side exceeds ``h_sigmas`` daily
+    sigmas.
+
+    NO recursion and NO Python: the max(0, ...) fold linearizes through
+    the running-minimum identity ``C+_i = CS_i - min(0, min_{j<=i}
+    CS_j)`` with ``CS = cumsum(x - mu - K)`` — two cumulative windows
+    per side over the per-group DAILY grid (calendar-bounded partitions,
+    the sessionize window class), where the EWMA recursion needed an
+    Arrow fold. This is the vectorization the EWMA's docstring rules
+    out for itself: CUSUM's fold is piecewise-linear in prefix sums,
+    EWMA's is a geometric contraction.
+
+    Exactness: with integer day-cents ``c_i``, mean ``s1/n`` and slack
+    ``slack_pct*s1/(100*n)``, every CS term scales to the exact integer
+    ``100*n*c_i - (100 + slack_pct)*s1`` (positive side; ``- (100 -
+    slack_pct)*s1`` negative side) accumulated in decimal(38,0); the
+    reported dollar CUSUMs are single exact-int double ratios (divisor
+    ``100*n*100``), shipped UNROUNDED (pure rational). The breach fence
+    is the one transcendental comparison — both sides bround 1e-6, the
+    EWMA convention.
+    """
+    if not 0 <= slack_pct <= 100:
+        raise ValueError(f"slack_pct must be in [0, 100], got {slack_pct}")
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).cast("date").alias("date"),
+            cents.alias("__c"),
+        )
+        .where(F.col("__c").isNotNull())
+        .groupBy("g", "date")
+        .agg(F.sum("__c").alias("__cents"))
+    )
+    qv = F.col("__cents").cast("decimal(38,0)")
+    mom = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(qv).alias("__s1"),
+        F.sum(qv * qv).alias("__s2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = daily.join(F.broadcast(mom), "g")
+    # exact integer CS terms, scaled by 100*n (see docstring)
+    up_term = (
+        dec(F.lit(100)) * dec(F.col("__n")) * dec(F.col("__cents"))
+        - dec(F.lit(100 + slack_pct)) * F.col("__s1")
+    )
+    dn_term = (
+        dec(F.lit(100 - slack_pct)) * F.col("__s1")
+        - dec(F.lit(100)) * dec(F.col("__n")) * dec(F.col("__cents"))
+    )
+    w = Window.partitionBy("g").orderBy("date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs_up = F.sum(up_term).over(w)
+    cs_dn = F.sum(dn_term).over(w)
+    run = j.select(
+        "g",
+        "date",
+        (F.col("__cents").cast("double") / 100.0).alias("day_value"),
+        "__n",
+        "__s1",
+        "__s2",
+        cs_up.alias("__csu"),
+        cs_dn.alias("__csd"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    minu = F.least(zero, F.min("__csu").over(w))
+    mind = F.least(zero, F.min("__csd").over(w))
+    scale = F.col("__n").cast("double") * 10000.0  # 100*n cents -> dollars
+    n = F.col("__n").cast("double")
+    mean = F.col("__s1").cast("double") / 100.0 / n
+    var = (
+        F.col("__s2").cast("double") / 10000.0 / n - mean * mean
+    )
+    fence = F.bround(F.lit(h_sigmas) * F.sqrt(var), 6)
+    cpos = (F.col("__csu") - minu).cast("double") / scale
+    cneg = (F.col("__csd") - mind).cast("double") / scale
+    return (
+        run.select(
+            "g",
+            "date",
+            "day_value",
+            "__n",
+            "__s1",
+            "__s2",
+            cpos.alias("cusum_pos"),
+            cneg.alias("cusum_neg"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "date",
+            "day_value",
+            "cusum_pos",
+            "cusum_neg",
+            F.when(
+                var > 0,
+                (F.bround(F.col("cusum_pos"), 6) > fence)
+                | (F.bround(F.col("cusum_neg"), 6) > fence),
+            )
+            .otherwise(F.lit(False))
+            .alias("is_breach"),
+        )
+    )

@@ -121,3 +121,99 @@ def calibration_bins(
             ).alias("frac_pos"),
         )
     )
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    rels: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """(query, n_ranked, ideal_n, dcg, idcg, ndcg): normalized
+    discounted cumulative gain at k per query — THE graded ranking-
+    quality metric for a retrieval stack (AUC scores a classifier's
+    order over all pairs; NDCG scores the top-of-list order a user or
+    a RAG context window actually consumes, with graded relevance).
+
+    ``ranked``: (query, doc, rank) — the system's 1-based ranking.
+    ``rels``: (query, doc, rel) — graded relevance labels (small ints);
+    docs absent from ``rels`` gain 0. DCG = sum_{rank<=k}
+    (2^rel - 1)/log2(rank+1); IDCG uses the label table's own ideal
+    order (rel DESC, doc ASC — a PINNED total order, mirrored in the
+    oracle). ndcg = dcg/idcg, NULL when idcg = 0 (no relevant docs).
+
+    Exactness: each gain/discount term is half-even-quantized to 1e-12
+    (O(1) magnitude — the chi2-term discipline) and summed as exact
+    decimal integers, so dcg/idcg and their ratio are engine-identical;
+    the ratio ships unrounded (exact-int double ratio).
+
+    Scale: everything is top-k-bounded per query after one rank filter
+    and one row_number window over the LABEL table partitioned by
+    query — label tables are assessment-sized, not corpus-sized; the
+    join to labels is (query, doc)-keyed.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)
+
+    def terms(rank_expr):
+        return F.round(
+            F.bround(
+                gain / F.log2(rank_expr.cast("double") + F.lit(1.0)), 12
+            )
+            * F.lit(1e12)
+        ).cast("decimal(38,0)")
+
+    r = (
+        ranked.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.col(rank_col).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .join(
+            rels.select(
+                F.col(query_col).alias("q"),
+                F.col(doc_col).alias("d"),
+                F.col(rel_col).alias("rel"),
+            ),
+            ["q", "d"],
+            "left",
+        )
+        .na.fill({"rel": 0})
+    )
+    dcg = r.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum(terms(F.col("rank"))).alias("__dcg"),
+    )
+    wi = Window.partitionBy("q").orderBy(F.desc("rel"), "d")
+    ideal = (
+        rels.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.col(rel_col).alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+        .withColumn("rank", F.row_number().over(wi))
+        .where(F.col("rank") <= k)
+    )
+    idcg = ideal.groupBy("q").agg(
+        F.count(F.lit(1)).alias("ideal_n"),
+        F.sum(terms(F.col("rank"))).alias("__idcg"),
+    )
+    j = dcg.join(idcg, "q", "left")
+    return j.select(
+        F.col("q").alias(query_col),
+        "n_ranked",
+        F.coalesce("ideal_n", F.lit(0)).alias("ideal_n"),
+        (F.col("__dcg").cast("double") / 1e12).alias("dcg"),
+        (F.coalesce(F.col("__idcg"), F.lit(0).cast("decimal(38,0)"))
+         .cast("double") / 1e12).alias("idcg"),
+        F.when(
+            F.coalesce("__idcg", F.lit(0).cast("decimal(38,0)")) > 0,
+            F.col("__dcg").cast("double") / F.col("__idcg").cast("double"),
+        ).alias("ndcg"),
+    )

@@ -385,3 +385,83 @@ def temporal_split(
         .when(ts >= t1, F.lit("test"))
         .otherwise(F.lit("embargo")),
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    quality_col: str,
+    size_col: str,
+    n_phases: int = 4,
+    q_decimals: int = 6,
+    max_grid: int = 1_000_000,
+) -> DataFrame:
+    """(phase, n_docs, tokens, min_q, max_q): split a scored corpus
+    into ``n_phases`` curriculum phases of (approximately) equal TOKEN
+    budget, highest quality first — the "train on clean data early,
+    anneal onto the tail" ordering a staged pretraining run consumes
+    (phase 0 = the cleanest ~1/P of the token budget, not of the doc
+    count: doc-count phases would hand phase 0 a token budget dictated
+    by whatever lengths the cleanest docs happen to have).
+
+    Assignment is GRID-based, not sort-based: quality rounds to
+    ``q_decimals`` (its own storage precision), docs aggregate onto the
+    distinct-quality-value grid, one DESC cumulative window over the
+    grid yields each cell's strictly-better token mass, and
+    ``phase = (P * better_tokens) div total_tokens`` (exact integer
+    arithmetic, clamped to P-1). All docs in one quality cell share a
+    phase — deterministic, no tiebreak dependence, and the window runs
+    over the value grid (<= 10^q_decimals + 1 cells, enforced against
+    ``max_grid``), never over the corpus. NULL quality or NULL/negative
+    size docs are excluded.
+    """
+    if n_phases < 1:
+        raise ValueError(f"n_phases must be >= 1, got {n_phases}")
+    base = df.select(
+        F.bround(F.col(quality_col).cast("double"), q_decimals).alias("q"),
+        F.col(size_col).cast("long").alias("sz"),
+    ).where(F.col("q").isNotNull() & (F.col("sz") >= 0))
+    cells = base.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sz").alias("toks"),
+    )
+    if cells.limit(max_grid + 1).count() > max_grid:
+        raise ValueError(
+            f"curriculum_phases: quality grid exceeds max_grid="
+            f"{max_grid}; coarsen q_decimals"
+        )
+    w = Window.orderBy(F.desc("q"))
+    better = F.coalesce(
+        F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum("toks").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    staged = (
+        cells.withColumn("__better", better)
+        .withColumn("__total", total)
+        .select(
+            "q",
+            "n_docs",
+            "toks",
+            F.when(
+                F.col("__total") > 0,
+                F.least(
+                    F.expr(f"({n_phases} * __better) div __total"),
+                    F.lit(n_phases - 1).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("phase"),
+        )
+    )
+    return (
+        staged.groupBy("phase")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("toks").alias("tokens"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("phase")
+    )

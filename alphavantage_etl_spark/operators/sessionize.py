@@ -210,3 +210,62 @@ def skipgram_sequences(
             ).alias("confidence"),
         )
     )
+
+
+def burstiness(
+    events: DataFrame,
+    group_col: str,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """(group, n_gaps, mean_gap_s, burstiness): the Goh-Barabasi
+    burstiness coefficient ``B = (sigma - mu) / (sigma + mu)`` of the
+    inter-arrival gaps within each group's user timelines — "is this
+    traffic a steady drumbeat (B -> -1), Poisson (B ~ 0), or bursty
+    sessions (B -> 1)" — the arrival-process profile that sessionize
+    thresholds and capacity planning read.
+
+    Gaps are whole SECONDS between consecutive events of the same
+    (group, user), ordered by (ts, tiebreak) — integer-exact via
+    timestampdiff (INTERVAL arithmetic: no epoch conversion, no
+    session-timezone dependence). Moments accumulate in decimal(38,0);
+    mean_gap_s is an exact int ratio (unrounded), B is the one
+    transcendental output (sigma), half-even-rounded to 1e-9. Groups
+    with no gaps or sigma + mu = 0 yield NULL B.
+
+    Scale: one lag window partitioned by (group, user) — per-user-
+    timeline partitions, the sessionize class — then one hash
+    aggregation per group. No corpus-sized partitions, no self-joins.
+    """
+    base = events.select(
+        F.col(group_col).alias("g"),
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+    ).where(F.col("ts").isNotNull())
+    gaps = base.select(
+        "g",
+        F.expr(
+            "timestampdiff(SECOND, lag(ts) over "
+            "(partition by g, u order by ts, tb), ts)"
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(dec(F.col("gap"))).alias("__s1"),
+        F.sum(dec(F.col("gap")) * dec(F.col("gap"))).alias("__s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("__s1").cast("double") / n
+    var = F.col("__s2").cast("double") / n - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_gaps",
+        mu.alias("mean_gap_s"),
+        F.when(
+            sigma + mu > 0, F.bround((sigma - mu) / (sigma + mu), 9)
+        ).alias("burstiness"),
+    )

@@ -220,3 +220,61 @@ def mann_kendall(
         F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
         F.when(var > 0, F.bround(zraw, 9)).alias("z"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """(group, n, d2_sum, rho): Spearman rank correlation between two
+    metrics per group — "do these series move together MONOTONICALLY"
+    — the robust complement to the Pearson ``corr`` family (X30): a
+    nonlinear but monotone coupling scores rho = 1 here while Pearson
+    dilutes, and a single outlier pair moves rho by O(1/n) instead of
+    O(outlier).
+
+    Ranks are ``row_number`` over (metric, tiebreak) — a PINNED total
+    order (deterministic distinct ranks; the convention, mirrored in
+    the oracle, trades midrank tie handling for exactness — with a
+    tiebreak column the rank vector is unique, so
+    ``rho = 1 - 6*sum(d^2) / (n(n^2-1))`` is EXACT: d^2 sums in
+    decimal(38,0) and rho is one exact-int double ratio, shipped
+    unrounded). Rows with NULL in either metric are excluded. Groups
+    with n < 2 yield NULL rho.
+
+    Scale: two rank windows partitioned by GROUP over the (group, x, y)
+    rows + one aggregation — for per-group series this is the calendar-
+    bounded window class (daily/weekly rollups), never corpus-sized
+    partitions.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.col(tiebreak_col).alias("tb"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    wx = Window.partitionBy("g").orderBy("x", "tb")
+    wy = Window.partitionBy("g").orderBy("y", "tb")
+    ranked = base.select(
+        "g",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d = (F.col("rx") - F.col("ry")).cast("decimal(38,0)")
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d * d).alias("d2_sum"),
+    )
+    nd = F.col("n").cast("double")
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("d2_sum").cast("double") / (
+        nd * (nd * nd - 1.0)
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.col("d2_sum").cast("long").alias("d2_sum"),
+        F.when(F.col("n") > 1, rho).alias("rho"),
+    )

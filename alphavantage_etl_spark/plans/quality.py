@@ -321,3 +321,71 @@ def profile_diff(
         range_changed.alias("range_changed"),
         flag.alias("drift_flag"),
     )
+
+
+def shard_balance(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    n_shards: int = 32,
+    salt: str = "shard",
+) -> DataFrame:
+    """One row (n_shards, n_rows, total_tokens, mean_tokens, cv,
+    max_over_mean, chi2): the balance audit of a content-addressed
+    shard assignment — "will shard 17 finish an epoch 3x after the
+    others" — run BEFORE a training job burns a cluster on a skewed
+    layout. Shards are ``md5(salt ':' id) mod n_shards`` (the
+    engine-portable split_bucket hash, reproducible by any downstream
+    consumer), sizes are the per-row token counts.
+
+    cv = sigma/mean of per-shard token totals (bround 1e-9, the one
+    transcendental); max_over_mean and chi2 (= (S*sum(o^2) -
+    total^2)/total over all S cells, empty shards included via the
+    sum-of-squares form) are exact-integer double ratios, unrounded.
+    NULL ids / sizes are excluded.
+
+    Scale: one hash aggregation onto the S-row shard table, one S-row
+    final aggregate — no windows, no joins; S is a config constant.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from ..operators.sampling import split_bucket
+
+    base = df.select(
+        split_bucket(id_col, salt=salt, buckets=n_shards),
+        F.col(size_col).cast("long").alias("sz"),
+    ).where(F.col("sz").isNotNull())
+    per = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sz").alias("o"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = per.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(dec(F.col("o"))).alias("__tot"),
+        F.sum(dec(F.col("o")) * dec(F.col("o"))).alias("__o2"),
+        F.max("o").alias("__mx"),
+    )
+    S = F.lit(float(n_shards))
+    tot = F.col("__tot").cast("double")
+    mean = tot / S
+    var = F.col("__o2").cast("double") / S - mean * mean
+    return s.select(
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        "n_rows",
+        F.col("__tot").cast("long").alias("total_tokens"),
+        mean.alias("mean_tokens"),
+        F.when(
+            tot > 0, F.bround(F.sqrt(F.greatest(var, F.lit(0.0))) / mean, 9)
+        ).alias("cv"),
+        F.when(tot > 0, F.col("__mx").cast("double") / mean).alias(
+            "max_over_mean"
+        ),
+        F.when(
+            tot > 0,
+            (
+                S * F.col("__o2").cast("double") - tot * tot
+            )
+            / tot,
+        ).alias("chi2"),
+    )

@@ -6178,6 +6178,438 @@ SELECT rec.g AS event_type, rec.date, rec.x AS day_value, rec.e AS ewma,
 FROM rec JOIN mom ON mom.g = rec.g
 """
 
+
+
+# ---------------------------------------------------------------------------
+# r7 additions (components X101-X107): control charts, k-sample and rank
+# statistics, ranking-quality eval, curriculum/layout audits for the
+# training-data pipeline. Every family is oracle-backed; q_cusum and
+# q_kruskal take the two free r7 driver-window slots, the rest rotate in
+# from EXTRA in r8 (ROTATION.md).
+# ---------------------------------------------------------------------------
+
+
+# X101 — two-sided tabular CUSUM control chart (r7): the persistent-shift
+# detector beside X94's EWMA — and, unlike the EWMA's per-step-rounded
+# recursion, fully VECTORIZED via the running-minimum identity
+# C+_i = CS_i - min(0, min_j<=i CS_j) (operators/anomaly.py:cusum_chart).
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.anomaly import cusum_chart
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return cusum_chart(ev, "ts", "value", "event_type", slack_pct=5)
+
+
+SQL_CUSUM = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+         sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS c
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2),
+mom AS (
+  SELECT g, count(*) AS n, sum(CAST(c AS HUGEINT)) AS s1,
+         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+  FROM daily GROUP BY 1),
+t AS (
+  SELECT d.g, d.date, d.c, m.n, m.s1, m.s2,
+         100 * CAST(m.n AS HUGEINT) * CAST(d.c AS HUGEINT)
+           - 105 * m.s1 AS up,
+         95 * m.s1
+           - 100 * CAST(m.n AS HUGEINT) * CAST(d.c AS HUGEINT) AS dn
+  FROM daily d JOIN mom m ON m.g = d.g),
+cs AS (
+  SELECT *, sum(up) OVER w AS csu, sum(dn) OVER w AS csd
+  FROM t
+  WINDOW w AS (PARTITION BY g ORDER BY date ROWS UNBOUNDED PRECEDING)),
+mn AS (
+  SELECT *, least(CAST(0 AS HUGEINT), min(csu) OVER w) AS mnu,
+         least(CAST(0 AS HUGEINT), min(csd) OVER w) AS mnd
+  FROM cs
+  WINDOW w AS (PARTITION BY g ORDER BY date ROWS UNBOUNDED PRECEDING))
+SELECT g AS event_type, date, CAST(c AS DOUBLE) / 100.0 AS day_value,
+  CAST(csu - mnu AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) AS cusum_pos,
+  CAST(csd - mnd AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0) AS cusum_neg,
+  CASE WHEN (CAST(s2 AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))) > 0
+       THEN (round_even(CAST(csu - mnu AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 10000.0), 6)
+             > round_even(4.0 * sqrt(CAST(s2 AS DOUBLE) / 10000.0
+                                     / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))), 6))
+         OR (round_even(CAST(csd - mnd AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 10000.0), 6)
+             > round_even(4.0 * sqrt(CAST(s2 AS DOUBLE) / 10000.0
+                                     / CAST(n AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))), 6))
+       ELSE FALSE END AS is_breach
+FROM mn
+"""
+
+
+# X102 — Kruskal-Wallis H (r7): the k-sample rank test over the pooled
+# quantized grid — one "do any groups differ" test instead of C(k,2)
+# pairwise Mann-Whitneys (functions/distribution.py:kruskal_wallis).
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.distribution import kruskal_wallis
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return kruskal_wallis(ev, "event_type", "value")
+
+
+SQL_KRUSKAL = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+    AND event_type IS NOT NULL),
+gv AS (SELECT g, v, count(*) AS n_gv FROM base GROUP BY 1, 2),
+tv AS (SELECT v, sum(n_gv) AS t_v FROM gv GROUP BY 1),
+cum AS (
+  SELECT v, t_v, sum(t_v) OVER (ORDER BY v) - t_v AS c_below FROM tv),
+per_g AS (
+  SELECT g, sum(n_gv) AS n_g,
+         sum(CAST(n_gv AS HUGEINT)
+             * CAST(2 * c_below + t_v + 1 AS HUGEINT)) AS r2_g
+  FROM gv JOIN cum USING (v) GROUP BY 1),
+term AS (
+  SELECT g, n_g,
+         CAST(floor(CAST(r2_g * r2_g AS DOUBLE)
+                    / (4.0 * CAST(n_g AS DOUBLE))) AS HUGEINT) AS t
+  FROM per_g),
+ties AS (
+  SELECT sum(CAST(t_v AS HUGEINT) * CAST(t_v AS HUGEINT)
+             * CAST(t_v AS HUGEINT)
+             - CAST(t_v AS HUGEINT)) AS tie3 FROM tv),
+s AS (
+  SELECT count(*) AS n_groups, sum(n_g) AS n, sum(t) AS st FROM term)
+SELECT s.n_groups, CAST(s.n AS BIGINT) AS n,
+       CAST(s.n_groups - 1 AS BIGINT) AS dof,
+       CASE WHEN s.n > 1 THEN
+         12.0 * CAST(st AS DOUBLE)
+           / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1.0))
+         - 3.0 * (CAST(s.n AS DOUBLE) + 1.0)
+       END AS h,
+       CASE WHEN s.n > 1
+             AND (1.0 - CAST(t2.tie3 AS DOUBLE)
+                  / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
+                     * CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE))) > 0
+       THEN (12.0 * CAST(st AS DOUBLE)
+               / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1.0))
+             - 3.0 * (CAST(s.n AS DOUBLE) + 1.0))
+            / (1.0 - CAST(t2.tie3 AS DOUBLE)
+               / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
+                  * CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE)))
+       END AS h_corrected
+FROM s CROSS JOIN ties t2
+"""
+
+
+# X103 — Spearman rank correlation (r7): monotone coupling of two daily
+# metrics per group under a PINNED (value, date) total rank order — the
+# robust sibling of X30's Pearson corr (operators/trend.py:spearman_corr).
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.trend import spearman_corr
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = (
+        ev.where(
+            F.round(F.col("value").cast("double") * 100)
+            .cast("long")
+            .isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.col("ts").cast("date").alias("date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value").cast("double") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    return spearman_corr(daily, "g", "n_events", "cents", "date").select(
+        F.col("g").alias("event_type"), "n", "d2_sum", "rho"
+    )
+
+
+SQL_SPEARMAN = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+         count(*) AS n_events,
+         sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS cents
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT g,
+         row_number() OVER (PARTITION BY g ORDER BY n_events, date) AS rx,
+         row_number() OVER (PARTITION BY g ORDER BY cents, date) AS ry
+  FROM daily),
+agg AS (
+  SELECT g, count(*) AS n,
+         sum(CAST(rx - ry AS HUGEINT) * CAST(rx - ry AS HUGEINT))
+           AS d2_sum
+  FROM ranked GROUP BY 1)
+SELECT g AS event_type, n, CAST(d2_sum AS BIGINT) AS d2_sum,
+       CASE WHEN n > 1 THEN
+         1.0 - 6.0 * CAST(d2_sum AS DOUBLE)
+           / (CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+       END AS rho
+FROM agg
+"""
+
+
+# X104 — Goh-Barabasi burstiness (r7): (sigma-mu)/(sigma+mu) of per-user
+# inter-arrival gaps per event type — steady drumbeat vs bursty sessions
+# (operators/sessionize.py:burstiness).
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sessionize import burstiness
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    return burstiness(ev, "event_type", "user_id", "ts", "event_id")
+
+
+SQL_BURSTINESS = """
+WITH gaps AS (
+  SELECT event_type AS g,
+         date_diff('second',
+                   lag(CAST(ts AS TIMESTAMP)) OVER
+                     (PARTITION BY event_type, user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                   CAST(ts AS TIMESTAMP)) AS gap
+  FROM events WHERE ts IS NOT NULL),
+agg AS (
+  SELECT g, count(*) AS n_gaps, sum(CAST(gap AS HUGEINT)) AS s1,
+         sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS s2
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+SELECT g AS event_type, n_gaps,
+       CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+       CASE WHEN sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+                 + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+       THEN round_even(
+         (sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+          - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+         / (sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+            + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 9)
+       END AS burstiness
+FROM agg
+"""
+
+
+# X105 — NDCG@k ranking eval (r7): graded top-of-list retrieval quality —
+# term-frequency ranking scored against density-graded relevance labels
+# (operators/evaluation.py:ndcg_at_k).
+_NDCG_TERMS = ["spark", "hash", "stream"]
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import ndcg_at_k
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    terms = spark.createDataFrame(
+        [(t,) for t in _NDCG_TERMS], "term string"
+    )
+    cnt = (
+        d.select("doc_id", toks.alias("tk"))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("term").alias("q"),
+            F.col("doc_id").alias("doc"),
+            F.size(
+                F.filter(F.col("tk"), lambda t: t == F.col("term"))
+            ).alias("cnt"),
+            F.size("tk").alias("ntok"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+    wr = Window.partitionBy("q").orderBy(F.desc("cnt"), "doc")
+    ranked = cnt.select(
+        "q", "doc", F.row_number().over(wr).alias("rank")
+    )
+    rels = cnt.select(
+        "q",
+        "doc",
+        F.least(F.lit(3), F.expr("(cnt * 200) div ntok")).alias("rel"),
+    )
+    return ndcg_at_k(ranked, rels, "q", "doc", "rank", "rel", k=10)
+
+
+SQL_NDCG = r"""
+WITH terms(term) AS (VALUES ('spark'), ('hash'), ('stream')),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents),
+cnt AS (
+  SELECT t.term AS q, d.doc_id AS doc,
+         len(list_filter(d.tk, x -> x = t.term)) AS cnt,
+         len(d.tk) AS ntok
+  FROM toks d CROSS JOIN terms t),
+pos AS (SELECT * FROM cnt WHERE cnt > 0),
+ranked AS (
+  SELECT q, doc,
+         row_number() OVER (PARTITION BY q ORDER BY cnt DESC, doc) AS rank
+  FROM pos),
+rels AS (
+  SELECT q, doc, least(3, (cnt * 200) // ntok) AS rel FROM pos),
+dcg AS (
+  SELECT r.q, count(*) AS n_ranked,
+         sum(CAST(round(round_even(
+               (pow(2.0, coalesce(l.rel, 0)) - 1.0)
+                 / log2(CAST(r.rank AS DOUBLE) + 1.0), 12) * 1e12)
+             AS HUGEINT)) AS dq
+  FROM ranked r LEFT JOIN rels l ON l.q = r.q AND l.doc = r.doc
+  WHERE r.rank <= 10
+  GROUP BY 1),
+ideal AS (
+  SELECT q, rel,
+         row_number() OVER (PARTITION BY q ORDER BY rel DESC, doc) AS rank
+  FROM rels WHERE rel > 0),
+idcg AS (
+  SELECT q, count(*) AS ideal_n,
+         sum(CAST(round(round_even(
+               (pow(2.0, rel) - 1.0)
+                 / log2(CAST(rank AS DOUBLE) + 1.0), 12) * 1e12)
+             AS HUGEINT)) AS iq
+  FROM ideal WHERE rank <= 10 GROUP BY 1)
+SELECT d.q, d.n_ranked, coalesce(i.ideal_n, 0) AS ideal_n,
+       CAST(d.dq AS DOUBLE) / 1e12 AS dcg,
+       CAST(coalesce(i.iq, 0) AS DOUBLE) / 1e12 AS idcg,
+       CASE WHEN coalesce(i.iq, 0) > 0
+            THEN CAST(d.dq AS DOUBLE) / CAST(i.iq AS DOUBLE) END AS ndcg
+FROM dcg d LEFT JOIN idcg i ON i.q = d.q
+"""
+
+
+# X106 — curriculum phases (r7): equal-TOKEN-budget quality tiers over the
+# bround-1e-6 quality grid — staged-pretraining ordering without a global
+# sort (operators/sampling.py:curriculum_phases).
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score, token_count
+    from .operators.sampling import curriculum_phases
+
+    d = load(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("ntok"),
+    )
+    return curriculum_phases(d, "q", "ntok", n_phases=4)
+
+
+SQL_CURRICULUM = rf"""
+WITH t AS (
+  SELECT length(text) AS n,
+         length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_nopunct,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT len(toks) AS ntok,
+         least(n / 200.0, 1.0) AS len_ok,
+         1.0 - least(coalesce(CASE WHEN n > 0 THEN (n - n_nopunct) / n END,
+                              1.0) * 4, 1.0) AS punct_ok,
+         least(coalesce(CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks,
+                                      x -> lower(x) IN ({_stop_list})))
+                                  / len(toks) END,
+                        0.0) * 5, 1.0) AS stop_ok,
+         CASE WHEN coalesce(CASE WHEN len(toks) > 0
+                                 THEN list_aggregate(list_transform(toks,
+                                          x -> length(x)), 'sum')
+                                      / len(toks) END,
+                            0.0) BETWEEN 3 AND 10
+              THEN 1.0 ELSE 0.5 END AS wordlen_ok
+  FROM t),
+scored AS (
+  SELECT round_even(round_even(0.4 * len_ok + 0.2 * punct_ok
+                               + 0.2 * stop_ok + 0.2 * wordlen_ok, 6),
+                    6) AS q,
+         ntok
+  FROM m
+  WHERE ntok >= 0),
+cells AS (
+  SELECT q, count(*) AS n_docs, sum(CAST(ntok AS BIGINT)) AS toks
+  FROM scored GROUP BY 1),
+cum AS (
+  SELECT q, n_docs, toks,
+         coalesce(sum(toks) OVER (ORDER BY q DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS better,
+         sum(toks) OVER () AS total
+  FROM cells),
+ph AS (
+  SELECT q, n_docs, toks,
+         CASE WHEN total > 0
+              THEN least((4 * better) // total, 3)
+              ELSE 0 END AS phase
+  FROM cum)
+SELECT phase, sum(n_docs) AS n_docs, sum(toks) AS tokens,
+       min(q) AS min_q, max(q) AS max_q
+FROM ph GROUP BY 1
+"""
+
+
+# X107 — shard-balance audit (r7): CV / max-over-mean / chi2 of token
+# totals across md5-addressed shards — "will shard 17 finish the epoch
+# 3x late" before the cluster burns (plans/quality.py:shard_balance).
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count
+    from .plans.quality import shard_balance
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("ntok")
+    )
+    return shard_balance(d, "doc_id", "ntok", n_shards=32)
+
+
+SQL_SHARD_BALANCE = r"""
+WITH b AS (
+  SELECT CAST(concat('0x', substring(md5(concat('shard', ':',
+           CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 32 AS bucket,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS sz
+  FROM documents),
+per AS (
+  SELECT bucket, count(*) AS n, sum(CAST(sz AS HUGEINT)) AS o
+  FROM b WHERE sz IS NOT NULL GROUP BY 1),
+s AS (
+  SELECT sum(n) AS n_rows, sum(o) AS tot,
+         sum(o * o) AS o2, max(o) AS mx
+  FROM per)
+SELECT CAST(32 AS BIGINT) AS n_shards, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(tot AS BIGINT) AS total_tokens,
+       CAST(tot AS DOUBLE) / 32.0 AS mean_tokens,
+       CASE WHEN CAST(tot AS DOUBLE) > 0 THEN
+         round_even(sqrt(greatest(CAST(o2 AS DOUBLE) / 32.0
+             - (CAST(tot AS DOUBLE) / 32.0) * (CAST(tot AS DOUBLE) / 32.0),
+             0.0)) / (CAST(tot AS DOUBLE) / 32.0), 9)
+       END AS cv,
+       CASE WHEN CAST(tot AS DOUBLE) > 0 THEN
+         CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / 32.0)
+       END AS max_over_mean,
+       CASE WHEN CAST(tot AS DOUBLE) > 0 THEN
+         (32.0 * CAST(o2 AS DOUBLE)
+          - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+         / CAST(tot AS DOUBLE)
+       END AS chi2
+FROM s
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # --- r6 additions (components X79-X100, 22 queries / 21 families)
     #     with no driver row yet: registered FIRST so they are checked

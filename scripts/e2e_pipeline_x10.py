@@ -4,8 +4,19 @@
 Runs plans.curation.curate_to_shards — curate (quality gate + exact +
 near dedup) -> n-gram decontaminate -> chunk -> pack -> shard-partitioned
 parquet + manifest — as ONE composition over the sf0.1 documents corpus
-and over scripts/scale_slope.py's 10x replicated corpus (translated
-replicas: dup families and gram joins grow linearly, the realistic mode).
+and over a 10x replicated corpus.
+
+Growth model (r7, VERDICT r6 #4 — TOKEN-NEUTRAL): each replica applies a
+WORD-level consonant rotation that leaves STOPWORDS verbatim — length,
+punctuation, stopword ratio and mean token length are all preserved, so
+the quality gate scores every replica exactly like the original and the
+pipeline's selectivity is constant across replicas (token growth ==
+docs growth). Content-word consonants rotate by a replica-specific
+offset, so replica vocabularies stay (near-)disjoint and dup families /
+gram joins still grow linearly — the realistic mode. (The r6 run used
+scale_slope.py's CHARACTER-level vowel translation, which destroyed
+stopwords; the gate then scored replicas more harshly and token growth
+read 7.76x for 10x docs — a fixture artifact, not pipeline behavior.)
 
 The wall covers the ENTIRE run including the partitioned write and the
 manifest aggregate — this is composition-level evidence, not a per-stage
@@ -30,20 +41,92 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 X10_DIR = os.path.join(
-    os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"), "x10"
+    os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"),
+    "x10_tokenneutral",
 )
 OUT = os.environ.get("SPARK_GRAFT_E2E_OUT", "/tmp/spark_graft_e2e")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
 
 
-def run(spark, sf_dir: str, out_path: str) -> tuple[float, dict]:
+def generate_token_neutral(spark, out_dir: str) -> None:
+    """10x documents with the token-neutral per-replica translation:
+    stopwords verbatim, content-word consonants rotated by 5*r places
+    within the 21-letter consonant alphabet (length-preserving
+    bijection; 5*r mod 21 is distinct and nonzero for r = 1..9, so all
+    ten replica vocabularies are pairwise disjoint — an offset that
+    collides mod 21 would hand near-dup dedup byte-identical replica
+    pairs and silently collapse the corpus), digits rotated by r.
+    Quality-gate features are replica-invariant; content vocabularies
+    are replica-disjoint."""
+    from pyspark.sql import functions as F
+
+    from alphavantage_etl_spark.functions.text import STOPWORDS
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    n_docs = docs.count()
+    parts = []
+    for r in range(REPLICAS):
+        if r == 0:
+            txt = F.col("text")
+        else:
+            src = _CONSONANTS + _CONSONANTS.upper() + "0123456789"
+            rot = "".join(
+                _CONSONANTS[(i + 5 * r) % 21] for i in range(21)
+            )
+            dst = (
+                rot
+                + rot.upper()
+                + "".join(str((d + r) % 10) for d in range(10))
+            )
+
+            def _tok_fn(s=src, d=dst):
+                def fn(t):
+                    return F.when(
+                        F.lower(t).isin(list(STOPWORDS)), t
+                    ).otherwise(F.translate(t, s, d))
+
+                return fn
+
+            txt = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " ", -1), _tok_fn()
+                ),
+                " ",
+            )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n_docs)).alias("doc_id"),
+                txt.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def run(
+    spark, sf_dir: str, out_path: str, base_mod: int | None = None
+) -> tuple[float, dict]:
     from pyspark.sql import functions as F
 
     from alphavantage_etl_spark.plans.curation import curate_to_shards
     from alphavantage_etl_spark.sources import load
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    bench = d.where(F.col("doc_id") % 47 == 0)
-    corp = d.where(F.col("doc_id") % 47 != 0)
+    # bench/corp split on the BASE id (doc_id mod the base-corpus size),
+    # so every replica benches the SAME underlying documents — replica
+    # selectivity is then identical by construction and token growth
+    # measures the PIPELINE's scaling, not which-docs-got-benched
+    # variance (at x1 ids are < base_mod, so this is the identity split)
+    bid = (F.col("doc_id") % base_mod) if base_mod else F.col("doc_id")
+    bench = d.where(bid % 47 == 0)
+    corp = d.where(bid % 47 != 0)
     if os.path.exists(out_path):
         shutil.rmtree(out_path)
     t0 = time.perf_counter()
@@ -66,12 +149,16 @@ def main() -> None:
     spark = get_spark(app_name="e2e_pipeline_x10")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if not os.path.exists(f"{X10_DIR}/documents.parquet/_SUCCESS"):
+        generate_token_neutral(spark, X10_DIR)
+
     # warmup: JIT the minhash/shingle codegen on the smallest SF
     run(spark, "/root/testdata/sf0.001", os.path.join(OUT, "warm"))
 
-    w1, m1 = run(spark, BASE_SF, os.path.join(OUT, "x1"))
+    n_base = spark.read.parquet(f"{BASE_SF}/documents.parquet").count()
+    w1, m1 = run(spark, BASE_SF, os.path.join(OUT, "x1"), n_base)
     spark.catalog.clearCache()
-    w10, m10 = run(spark, X10_DIR, os.path.join(OUT, "x10"))
+    w10, m10 = run(spark, X10_DIR, os.path.join(OUT, "x10"), n_base)
     print(
         json.dumps(
             {

@@ -116,6 +116,12 @@ TPCH_QUERIES = [
     "q_linkage",
     # r6 additions over orders >= 1 s at sf0.1 (weekly pair grids)
     "q_theilsen",
+    # r7 (VERDICT r6 #3): the r6 second-batch heavies. weighted_median's
+    # cumulative window runs over the (group, cent-value) grid — value-
+    # range-bounded, expect ~flat; rfm is two hash aggs + one ntile
+    # window over the per-customer table (grows 10x in rows, linear).
+    "q_weighted_median",
+    "q_rfm",
 ]
 # r5: event-stream heavies — events replicate 10x with fresh
 # event/user ids over the same calendar (generate_aux), so journeys
