@@ -576,22 +576,24 @@ def kruskal_wallis(
 
     Exactness: ranks enter DOUBLED over the pooled quantized grid
     (``2*R_g = sum(n_gv * (2*c_below + t_v + 1))``, exact in
-    decimal(38,0)); each group's ``R_g^2 / n_g`` term is floored onto
-    the integer grid (error <= 1 on an O(N^2)-magnitude term — the
-    statistic shifts < 1e-9 at fixture scale) and summed exactly, so
-    the one H = 12*S/(N(N+1)) - 3(N+1) evaluation is a fixed op
-    sequence over exact integers — engine-identical without rounding,
-    despite the classic catastrophic cancellation in that formula (the
-    two terms agree to ~N digits; determinism survives because both
-    engines run the SAME doubles through the SAME ops). Tie correction
-    divides by ``1 - sum(t^3 - t)/(N^3 - N)`` (exact integer sums).
+    decimal(38,0)); each group's ``R_g^2 / n_g = R2_g^2 / (4 n_g)``
+    term splits into its EXACT integer quotient (decimal ``div``) plus
+    a fractional remainder in [0, 1) quantized half-even at 1e-12 (the
+    O(1)-magnitude safe zone for cross-engine round_even) — both parts
+    sum exactly, so S carries at most k*1e-12 absolute error and the
+    one H = 12*S/(N(N+1)) - 3(N+1) evaluation is a fixed op sequence
+    over exact integers — engine-identical, despite the classic
+    catastrophic cancellation in that formula (the two terms agree to
+    ~N digits; determinism survives because both engines run the SAME
+    doubles through the SAME ops). Tie correction divides by
+    ``1 - sum(t^3 - t)/(N^3 - N)`` (exact integer sums).
 
     Scale: the cumulative window runs over the pooled distinct-
     quantized-value grid in a single partition — the mann_whitney_u
     head-bounded class, and like it the bound RAISES rather than
-    coarsens (coarsening changes ranks). Decimal headroom: R_g^2 needs
-    ~2*log10(2N^2) digits — fine through N ~ 1e8 per call; shard the
-    test beyond that.
+    coarsens (coarsening changes ranks). Headroom: the integer
+    quotient ~N^3/4 must fit int64 (Spark's decimal ``div`` yields
+    BIGINT), so N <= ~3e6 per call; shard the test beyond that.
     """
     if max_grid < 2:
         raise ValueError(f"max_grid must be >= 2, got {max_grid}")
@@ -628,11 +630,21 @@ def kruskal_wallis(
             ).alias("r2_g"),
         )
     )
-    # floor(R2_g^2 / (4 n_g)) onto the integer grid: deterministic on
-    # both engines (same double in, floor out), summed exactly after
-    term = F.floor(
-        (F.col("r2_g") * F.col("r2_g")).cast("double")
-        / (F.lit(4.0) * F.col("n_g").cast("double"))
+    # R2_g^2/(4 n_g) = exact integer quotient + [0,1) remainder ratio
+    # quantized at 1e-12 — both decimal-summed, no large-magnitude
+    # rounding anywhere (the quantize-before-sum discipline)
+    quot = F.expr(
+        "CAST((r2_g * r2_g) div (4 * n_g) AS DECIMAL(38,0))"
+    )
+    frac = F.round(
+        F.bround(
+            F.expr(
+                "CAST((r2_g * r2_g) % (4 * n_g) AS DOUBLE)"
+                " / CAST(4 * n_g AS DOUBLE)"
+            ),
+            12,
+        )
+        * F.lit(1e12)
     ).cast("decimal(38,0)")
     ties = tv.agg(
         F.sum(
@@ -643,11 +655,16 @@ def kruskal_wallis(
     s = per_g.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n_g").alias("n"),
-        F.sum(term).alias("__s"),
+        F.sum(quot).alias("__si"),
+        F.sum(frac).alias("__sf"),
     ).crossJoin(F.broadcast(ties))
     nd = F.col("n").cast("double")
+    sd = (
+        F.col("__si").cast("double")
+        + F.col("__sf").cast("double") / F.lit(1e12)
+    )
     h = (
-        F.lit(12.0) * F.col("__s").cast("double") / (nd * (nd + 1.0))
+        F.lit(12.0) * sd / (nd * (nd + 1.0))
         - F.lit(3.0) * (nd + 1.0)
     )
     corr = F.lit(1.0) - F.col("tie3").cast("double") / (

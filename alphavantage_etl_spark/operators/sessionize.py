@@ -227,7 +227,10 @@ def burstiness(
     thresholds and capacity planning read.
 
     Gaps are whole SECONDS between consecutive events of the same
-    (group, user), ordered by (ts, tiebreak) — integer-exact via
+    (group, user), ordered by (ts, tiebreak) — SECOND-boundary
+    crossings (both stamps truncate to the second first: the ANSI
+    date_diff convention; an untruncated floor-of-interval diff
+    disagrees with it on sub-second timestamps), integer-exact via
     timestampdiff (INTERVAL arithmetic: no epoch conversion, no
     session-timezone dependence). Moments accumulate in decimal(38,0);
     mean_gap_s is an exact int ratio (unrounded), B is the one
@@ -247,8 +250,9 @@ def burstiness(
     gaps = base.select(
         "g",
         F.expr(
-            "timestampdiff(SECOND, lag(ts) over "
-            "(partition by g, u order by ts, tb), ts)"
+            "timestampdiff(SECOND, date_trunc('second', lag(ts) over "
+            "(partition by g, u order by ts, tb)), "
+            "date_trunc('second', ts))"
         ).alias("gap"),
     ).where(F.col("gap").isNotNull())
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731

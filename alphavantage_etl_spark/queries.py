@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import (
@@ -6278,19 +6278,22 @@ per_g AS (
   FROM gv JOIN cum USING (v) GROUP BY 1),
 term AS (
   SELECT g, n_g,
-         CAST(floor(CAST(r2_g * r2_g AS DOUBLE)
-                    / (4.0 * CAST(n_g AS DOUBLE))) AS HUGEINT) AS t
+         (r2_g * r2_g) // (4 * CAST(n_g AS HUGEINT)) AS tq,
+         CAST(round(round_even(
+             CAST((r2_g * r2_g) % (4 * CAST(n_g AS HUGEINT)) AS DOUBLE)
+               / CAST(4 * n_g AS DOUBLE), 12) * 1e12) AS HUGEINT) AS tf
   FROM per_g),
 ties AS (
   SELECT sum(CAST(t_v AS HUGEINT) * CAST(t_v AS HUGEINT)
              * CAST(t_v AS HUGEINT)
              - CAST(t_v AS HUGEINT)) AS tie3 FROM tv),
 s AS (
-  SELECT count(*) AS n_groups, sum(n_g) AS n, sum(t) AS st FROM term)
+  SELECT count(*) AS n_groups, sum(n_g) AS n,
+         sum(tq) AS si, sum(tf) AS sf FROM term)
 SELECT s.n_groups, CAST(s.n AS BIGINT) AS n,
        CAST(s.n_groups - 1 AS BIGINT) AS dof,
        CASE WHEN s.n > 1 THEN
-         12.0 * CAST(st AS DOUBLE)
+         12.0 * (CAST(si AS DOUBLE) + CAST(sf AS DOUBLE) / 1e12)
            / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1.0))
          - 3.0 * (CAST(s.n AS DOUBLE) + 1.0)
        END AS h,
@@ -6298,7 +6301,7 @@ SELECT s.n_groups, CAST(s.n AS BIGINT) AS n,
              AND (1.0 - CAST(t2.tie3 AS DOUBLE)
                   / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)
                      * CAST(s.n AS DOUBLE) - CAST(s.n AS DOUBLE))) > 0
-       THEN (12.0 * CAST(st AS DOUBLE)
+       THEN (12.0 * (CAST(si AS DOUBLE) + CAST(sf AS DOUBLE) / 1e12)
                / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1.0))
              - 3.0 * (CAST(s.n AS DOUBLE) + 1.0))
             / (1.0 - CAST(t2.tie3 AS DOUBLE)
@@ -6637,6 +6640,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_weighted_median": q_weighted_median,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_ewma_chart": q_ewma_chart,
+    # --- r7 additions taking the two free slots (never-checked, newest
+    #     cohort; X101/X102) ---
+    "q_cusum": q_cusum,
+    "q_kruskal": q_kruskal,
     # --- one-green X59-X78 entries kept in-window for a second
     #     consecutive driver row (r6 was their first) ---
     "q_cross_split_leakage": q_cross_split_leakage,
@@ -6795,6 +6802,13 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
+    # r7 additions (X103-X107, no driver row yet -- rotate forward in r8,
+    # newest first; ROTATION.md)
+    "q_spearman": q_spearman,
+    "q_burstiness": q_burstiness,
+    "q_ndcg": q_ndcg,
+    "q_curriculum": q_curriculum,
+    "q_shard_balance": q_shard_balance,
     # (r5 additions X59-X78 rotated in-window in r6; r6 additions
     # X79-X100 rotated in-window in r7)
     # Rows-only / self-validating diagnostics and subsumed single-series forms
@@ -6838,6 +6852,9 @@ ORACLES: dict[str, str] = {
     "q_weighted_median": SQL_WEIGHTED_MEDIAN,
     "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     "q_ewma_chart": SQL_EWMA_CHART,
+    # r7 additions (X101/X102)
+    "q_cusum": SQL_CUSUM,
+    "q_kruskal": SQL_KRUSKAL,
     # one-green X59-X78 entries in-window for a second consecutive row
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
@@ -6979,6 +6996,12 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    # r7 additions (X103-X107)
+    "q_spearman": SQL_SPEARMAN,
+    "q_burstiness": SQL_BURSTINESS,
+    "q_ndcg": SQL_NDCG,
+    "q_curriculum": SQL_CURRICULUM,
+    "q_shard_balance": SQL_SHARD_BALANCE,
     # (r5 additions X59-X78 rotated in-window in r6; r6 additions
     # X79-X100 rotated in-window in r7)
     # q_cm_sketch: self-validating approximation (within_bound column),

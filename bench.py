@@ -169,6 +169,14 @@ BENCH_QUERIES = [
     "q_weighted_median",
     "q_seasonal_anomaly",
     "q_ewma_chart",
+    # round-7 additions
+    "q_cusum",
+    "q_kruskal",
+    "q_spearman",
+    "q_burstiness",
+    "q_ndcg",
+    "q_curriculum",
+    "q_shard_balance",
 ]
 
 

@@ -21,13 +21,14 @@ def test_driver_registry_shape():
     the contract (ROTATION.md): at most 50 driver-facing entries, every
     one oracle-backed, queries with no prior driver row registered FIRST
     (r7: the 22 r6 additions q_mann_whitney ... q_ewma_chart, components
-    X79-X100), then the one-green X59-X78 cohort for its second
+    X79-X100, then the two r7 additions q_cusum/q_kruskal, X101/X102),
+    then the one-green X59-X78 cohort for its second
     consecutive row, and the LAST ~5 slots reserved as canaries
     re-greening the oldest driver greens (r7: §2 parity keys
     P4/P5/P8/P9/D1/D2/S1, none with a driver row since r3)."""
     assert len(QUERIES) <= 50
     assert set(QUERIES) == set(ORACLES)
-    assert list(QUERIES)[:22] == [
+    assert list(QUERIES)[:24] == [
         "q_mann_whitney",
         "q_chi2",
         "q_benford",
@@ -50,10 +51,12 @@ def test_driver_registry_shape():
         "q_weighted_median",
         "q_seasonal_anomaly",
         "q_ewma_chart",
+        "q_cusum",
+        "q_kruskal",
     ]
     # the one-green X59-X78 cohort stays in-window for a second
     # consecutive row (all 21 fit this round)
-    assert list(QUERIES)[22:43] == [
+    assert list(QUERIES)[24:45] == [
         "q_cross_split_leakage",
         "q_vocab_coverage",
         "q_rolling_median",
@@ -77,7 +80,7 @@ def test_driver_registry_shape():
         "q_ks_test",
     ]
     # canary slots: oldest greens rotate back in for a fresh driver row
-    assert list(QUERIES)[43:48] == [
+    assert list(QUERIES)[45:50] == [
         "q_cast_types",
         "q_filter_today",
         "q_weekday_filter",
