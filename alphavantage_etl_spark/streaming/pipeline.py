@@ -1033,3 +1033,144 @@ def ewma_chart_stream(
         .otherwise(F.lit(False))
         .alias("is_breach"),
     )
+
+
+def cusum_chart_stream(
+    daily: DataFrame,
+    reference_daily: DataFrame,
+    slack_pct: int = 5,
+    h_sigmas: float = 4.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.anomaly.cusum_chart`` — the
+    CUSUM accumulators running live over the daily rollup stream
+    (g, date, day_value), with target mean / slack / decision fence
+    fixed from ``reference_daily`` (model state, the ewma_chart_stream
+    split) and the same running-minimum linearization as batch carried
+    as per-key streaming state.
+
+    State per key is FOUR longs: (cs_up, min_up, cs_dn, min_dn) — the
+    prefix sum and running minimum of the exact scaled-integer CS
+    terms ``100*n*c_i - (100 ± slack)*s1``. The terms are integers by
+    construction, so the fold is pure integer addition/min — no float
+    state drift across restarts; headroom |term| * days must stay
+    inside int64 (fine for daily series through ~1e5 days at ~1e9
+    daily cents against a ~1e3-day reference; the batch operator's
+    decimal(38,0) path covers anything larger). The dollar ratios and
+    the h-sigma breach fence evaluate in the PLAN after the fold,
+    through the same JVM expressions as batch — row-for-row parity,
+    restart-tested.
+    """
+    if not 0 <= slack_pct <= 100:
+        raise ValueError(f"slack_pct must be in [0, 100], got {slack_pct}")
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    g_type = daily.schema["g"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("g", g_type, True),
+            T.StructField("date", T.DateType(), True),
+            T.StructField("day_value", T.DoubleType(), True),
+            T.StructField("csu", T.LongType(), True),
+            T.StructField("mnu", T.LongType(), True),
+            T.StructField("csd", T.LongType(), True),
+            T.StructField("mnd", T.LongType(), True),
+        ]
+    )
+    state_schema = (
+        "cs_up bigint, min_up bigint, cs_dn bigint, min_dn bigint"
+    )
+
+    qv = F.round(F.col("day_value") * F.lit(1e6)).cast("decimal(38,0)")
+    mom = (
+        reference_daily.select(
+            "g",
+            F.round(F.col("day_value") * 100).cast("long").alias("__c"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("__c").cast("decimal(38,0)")).alias("__s1"),
+            F.sum(
+                F.col("__c").cast("decimal(38,0)")
+                * F.col("__c").cast("decimal(38,0)")
+            ).alias("__s2"),
+        )
+        .select(
+            "g",
+            F.col("__n").cast("long").alias("n"),
+            F.col("__s1").cast("long").alias("s1"),
+            "__s2",
+        )
+    )
+    limits = {
+        r["g"]: (r["n"], r["s1"]) for r in mom.collect()
+    }  # bounded model state: |groups| rows, the drift-monitor pattern
+    up_pct, dn_pct = 100 + slack_pct, 100 - slack_pct
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (g,) = key
+        if state.exists:
+            csu, mnu, csd, mnd = state.get
+        else:
+            csu = mnu = csd = mnd = 0
+        n, s1 = limits.get(g, (0, 0))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out = []
+        if chunks and n > 0:
+            whole = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            ).sort_values("date")
+            for r in whole.itertuples():
+                c = int(round(r.day_value * 100))
+                csu += 100 * n * c - up_pct * s1
+                csd += dn_pct * s1 - 100 * n * c
+                mnu = min(mnu, csu)
+                mnd = min(mnd, csd)
+                out.append(
+                    {
+                        "g": g,
+                        "date": r.date,
+                        "day_value": float(r.day_value),
+                        "csu": csu,
+                        "mnu": min(0, mnu),
+                        "csd": csd,
+                        "mnd": min(0, mnd),
+                    }
+                )
+        state.update((csu, mnu, csd, mnd))
+        yield pd.DataFrame(
+            out,
+            columns=["g", "date", "day_value", "csu", "mnu", "csd", "mnd"],
+        )
+
+    folded = daily.groupBy("g").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / 100.0 / n
+    var = F.col("__s2").cast("double") / 10000.0 / n - mean * mean
+    fence = F.bround(F.lit(h_sigmas) * F.sqrt(var), 6)
+    scale = F.col("n").cast("double") * 10000.0
+    cpos = (F.col("csu") - F.col("mnu")).cast("double") / scale
+    cneg = (F.col("csd") - F.col("mnd")).cast("double") / scale
+    return folded.join(F.broadcast(mom), "g").select(
+        "g",
+        "date",
+        "day_value",
+        cpos.alias("cusum_pos"),
+        cneg.alias("cusum_neg"),
+        F.when(
+            var > 0,
+            (F.bround(cpos, 6) > fence) | (F.bround(cneg, 6) > fence),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_breach"),
+    )
