@@ -403,8 +403,11 @@ def ks_test(
     # lazy span guard: one auxiliary aggregate carries (lo, hi, totals);
     # broadcast back, values map through a ceil-div equal-width cell —
     # identity when the span fits max_grid, <= max_grid cells otherwise.
-    # All integer arithmetic (`div`, not double /): no precision cliff
-    # on wide long-valued grids.
+    # Span and cell arithmetic run in decimal(38,0), NOT long: with
+    # quantized values near opposite int64 extremes `__hi - __lo` (and
+    # `v - __lo`) would silently wrap under non-ANSI long subtraction
+    # (ADVICE r7), yielding a negative cell width and wrong grouping.
+    # `div` on decimal operands still returns exact BIGINT quotients.
     bounds = grid.agg(
         F.min("v").alias("__lo"),
         F.max("v").alias("__hi"),
@@ -414,11 +417,19 @@ def ks_test(
     coarse = (
         grid.join(F.broadcast(bounds))
         .withColumn(
-            "__cell", F.expr(f"(__hi - __lo) div {max_grid} + 1L")
+            "__cell",
+            F.expr(
+                "(CAST(__hi AS DECIMAL(38,0))"
+                " - CAST(__lo AS DECIMAL(38,0)))"
+                f" div {max_grid} + 1L"
+            ),
         )
         .groupBy(
             F.expr(
-                "__lo + ((v - __lo) div __cell) * __cell"
+                "CAST(__lo AS DECIMAL(38,0))"
+                " + ((CAST(v AS DECIMAL(38,0))"
+                " - CAST(__lo AS DECIMAL(38,0))) div __cell)"
+                " * CAST(__cell AS DECIMAL(38,0))"
             ).alias("v")
         )
         .agg(
@@ -498,11 +509,27 @@ def mann_whitney_u(
         F.coalesce("na_v", F.lit(0)).alias("na_v"),
         F.coalesce("nb_v", F.lit(0)).alias("nb_v"),
     )
-    if grid.limit(max_grid + 1).count() > max_grid:
-        raise ValueError(
-            f"mann_whitney_u: quantized grid exceeds max_grid="
-            f"{max_grid}; coarsen ticks or pre-clip the metric"
+    # lazy in-plan bound (r7 verdict wrong #2: the eager
+    # `limit(max_grid+1).count()` probe paid a full extra job per
+    # call): one auxiliary count over the grid subtree — exchange
+    # reuse dedupes its shuffles against the main path — broadcast
+    # back, and assert_true raises AT ACTION TIME the moment any grid
+    # row sees a count past the bound. Coarsening would silently
+    # change ranks, so unlike ks_test the guard raises, never degrades.
+    guard = grid.agg(F.count(F.lit(1)).alias("__ng"))
+    grid = (
+        grid.join(F.broadcast(guard))
+        .where(
+            F.assert_true(
+                F.col("__ng") <= max_grid,
+                F.lit(
+                    "mann_whitney_u: quantized grid exceeds max_grid="
+                    f"{max_grid}; coarsen ticks or pre-clip the metric"
+                ),
+            ).isNull()
         )
+        .drop("__ng")
+    )
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -605,11 +632,22 @@ def kruskal_wallis(
     ).where(F.col("v").isNotNull() & F.col("g").isNotNull())
     gv = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n_gv"))
     tv = gv.groupBy("v").agg(F.sum("n_gv").alias("t_v"))
-    if tv.limit(max_grid + 1).count() > max_grid:
-        raise ValueError(
-            f"kruskal_wallis: quantized grid exceeds max_grid="
-            f"{max_grid}; coarsen ticks or pre-clip the metric"
+    # lazy in-plan bound — same assert_true-on-broadcast-count form as
+    # mann_whitney_u (r7 verdict wrong #2); raises, never coarsens
+    guard = tv.agg(F.count(F.lit(1)).alias("__ng"))
+    tv = (
+        tv.join(F.broadcast(guard))
+        .where(
+            F.assert_true(
+                F.col("__ng") <= max_grid,
+                F.lit(
+                    "kruskal_wallis: quantized grid exceeds max_grid="
+                    f"{max_grid}; coarsen ticks or pre-clip the metric"
+                ),
+            ).isNull()
         )
+        .drop("__ng")
+    )
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

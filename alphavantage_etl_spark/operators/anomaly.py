@@ -469,7 +469,11 @@ def cusum_chart(
             F.col(ts_col).cast("date").alias("date"),
             cents.alias("__c"),
         )
-        .where(F.col("__c").isNotNull())
+        # NULL ts → NULL date would sort FIRST under Spark's ORDER BY
+        # but LAST under the DuckDB oracle's, corrupting every prefix
+        # sum in the group — exclude it, the skipgram_sequences NULL-ts
+        # convention (ADVICE r7).
+        .where(F.col("__c").isNotNull() & F.col("date").isNotNull())
         .groupBy("g", "date")
         .agg(F.sum("__c").alias("__cents"))
     )

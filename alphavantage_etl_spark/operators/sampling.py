@@ -424,11 +424,23 @@ def curriculum_phases(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("sz").alias("toks"),
     )
-    if cells.limit(max_grid + 1).count() > max_grid:
-        raise ValueError(
-            f"curriculum_phases: quality grid exceeds max_grid="
-            f"{max_grid}; coarsen q_decimals"
+    # lazy in-plan bound — the mann_whitney_u assert_true-on-broadcast-
+    # count form (r7 verdict wrong #2: the eager limit/count probe paid
+    # an extra job per call); raises at action time, never coarsens
+    guard = cells.agg(F.count(F.lit(1)).alias("__ng"))
+    cells = (
+        cells.join(F.broadcast(guard))
+        .where(
+            F.assert_true(
+                F.col("__ng") <= max_grid,
+                F.lit(
+                    "curriculum_phases: quality grid exceeds max_grid="
+                    f"{max_grid}; coarsen q_decimals"
+                ),
+            ).isNull()
         )
+        .drop("__ng")
+    )
     w = Window.orderBy(F.desc("q"))
     better = F.coalesce(
         F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, -1)),

@@ -351,10 +351,18 @@ def shard_balance(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     from ..operators.sampling import split_bucket
 
-    base = df.select(
-        split_bucket(id_col, salt=salt, buckets=n_shards),
-        F.col(size_col).cast("long").alias("sz"),
-    ).where(F.col("sz").isNotNull())
+    # NULL ids must be excluded BEFORE hashing (ADVICE r7): concat_ws
+    # inside split_bucket silently drops a NULL id, so Spark would hash
+    # the bare salt into a real bucket while a SQL oracle's concat
+    # yields a NULL bucket — a phantom cell and engine divergence.
+    base = (
+        df.where(F.col(id_col).isNotNull())
+        .select(
+            split_bucket(id_col, salt=salt, buckets=n_shards),
+            F.col(size_col).cast("long").alias("sz"),
+        )
+        .where(F.col("sz").isNotNull())
+    )
     per = base.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("sz").alias("o"),

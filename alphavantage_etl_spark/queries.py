@@ -5248,7 +5248,7 @@ calc AS (
            AS var,
          CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mean_u
   FROM st)
-SELECT n_a, n_b,
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CASE WHEN n_a > 0 AND n_b > 0 THEN u END AS u_stat,
        CASE WHEN n_a > 0 AND n_b > 0 AND var > 0 THEN
          round_even((u - mean_u
@@ -5508,7 +5508,7 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_skew_one(col: str) -> str:
     return f"""
   SELECT '{col}' AS key_col, CAST(nr AS BIGINT) AS n_rows,
-         nkeys AS n_keys, maxf AS max_freq,
+         CAST(nkeys AS BIGINT) AS n_keys, maxf AS max_freq,
          min(CASE WHEN ck >= ceil(nkeys * 0.5) THEN f END) AS p50_freq,
          min(CASE WHEN ck >= ceil(nkeys * 0.99) THEN f END) AS p99_freq,
          CAST(nr AS DOUBLE) / CAST(nkeys AS DOUBLE) AS avg_freq,
@@ -5669,7 +5669,8 @@ WITH t AS (
          length(text) AS ch
   FROM documents)
 SELECT g AS lang, count(*) AS n_docs,
-       sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
        CASE WHEN sum(ws) > 0
             THEN CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
        END AS fertility,
@@ -6039,7 +6040,7 @@ pick AS (
   FROM cum JOIN tot ON tot.g = cum.g
   WHERE 2 * cum.cw >= tot.tw
   GROUP BY 1)
-SELECT tot.g AS l_returnflag, tot.n,
+SELECT tot.g AS l_returnflag, CAST(tot.n AS BIGINT) AS n,
        CAST(tot.tw AS DOUBLE) AS total_weight,
        CAST(pick.mv AS DOUBLE) / 100.0 AS wmedian
 FROM tot LEFT JOIN pick ON pick.g = tot.g
@@ -6082,8 +6083,8 @@ daily AS (
          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
          ((((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' + 3)
             % 7 + 7) % 7) + 1)::BIGINT AS isodow,
-         sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
-           AS raw_cents
+         CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS raw_cents
   FROM events
   WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
   GROUP BY 1, 2, 3),
@@ -6206,6 +6207,7 @@ WITH daily AS (
          sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS c
   FROM events
   WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+    AND CAST(CAST(ts AS TIMESTAMP) AS DATE) IS NOT NULL
   GROUP BY 1, 2),
 mom AS (
   SELECT g, count(*) AS n, sum(CAST(c AS HUGEINT)) AS s1,
@@ -6560,7 +6562,9 @@ ph AS (
               THEN least((4 * better) // total, 3)
               ELSE 0 END AS phase
   FROM cum)
-SELECT phase, sum(n_docs) AS n_docs, sum(toks) AS tokens,
+SELECT CAST(phase AS BIGINT) AS phase,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS tokens,
        min(q) AS min_q, max(q) AS max_q
 FROM ph GROUP BY 1
 """
@@ -6585,7 +6589,7 @@ WITH b AS (
            CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 32 AS bucket,
          CAST(len(list_filter(string_split_regex(text, '\s+'),
                               x -> x <> '')) AS BIGINT) AS sz
-  FROM documents),
+  FROM documents WHERE doc_id IS NOT NULL),
 per AS (
   SELECT bucket, count(*) AS n, sum(CAST(sz AS HUGEINT)) AS o
   FROM b WHERE sz IS NOT NULL GROUP BY 1),

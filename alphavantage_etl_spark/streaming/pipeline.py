@@ -1081,7 +1081,6 @@ def cusum_chart_stream(
         "cs_up bigint, min_up bigint, cs_dn bigint, min_dn bigint"
     )
 
-    qv = F.round(F.col("day_value") * F.lit(1e6)).cast("decimal(38,0)")
     mom = (
         reference_daily.select(
             "g",

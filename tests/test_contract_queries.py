@@ -89,6 +89,39 @@ def test_driver_registry_shape():
     ]
 
 
+def test_no_hugeint_oracle_columns():
+    """Registry-wide oracle OUTPUT-TYPE guard (r7 verdict, wrong #1).
+
+    DuckDB types sum(BIGINT) as HUGEINT; the driver's canonicalize-then-
+    hash treats a HUGEINT output column differently from Spark's bigint
+    even when every value is equal — the sole cause of the 5 r7 driver
+    reds (rows/schema matched, hash didn't; judge verified bitwise-equal
+    cells). The local `==`-based gate in tests/oracle.py is structurally
+    blind to this (Python ints compare equal regardless of width), so
+    this test DESCRIBEs every oracle in ALL_ORACLES and rejects any
+    HUGEINT/UHUGEINT output column. DECIMAL is driver-safe per
+    q_histogram's green rows; HUGEINT is the proven trap.
+    """
+    import duckdb
+
+    from .oracle import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS FROM '{SF_ORACLE}/{t}.parquet'")
+    offenders = {}
+    for name in sorted(ALL_ORACLES):
+        desc = con.execute(f"DESCRIBE {ALL_ORACLES[name]}").fetchall()
+        bad = [(r[0], r[1]) for r in desc if "HUGEINT" in str(r[1]).upper()]
+        if bad:
+            offenders[name] = bad
+    con.close()
+    assert not offenders, (
+        "oracle SQLs with HUGEINT output columns (driver hash-mismatch "
+        f"trap — add CAST(... AS BIGINT)): {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_oracle_match(spark, name):
     sdf = ALL_QUERIES[name](spark, SF_ORACLE)

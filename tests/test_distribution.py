@@ -278,3 +278,70 @@ def test_ks_below_bound_identical_to_unguarded(spark):
 
     with _pytest.raises(ValueError):
         ks_test(a, b, "v", max_grid=1)
+
+
+def test_ks_span_guard_survives_extreme_long_values(spark):
+    """ADVICE r7: the span/cell arithmetic must run in decimal(38,0) —
+    with quantized values near OPPOSITE int64 extremes, a long
+    `__hi - __lo` silently wraps (non-ANSI), producing a negative cell
+    width and wrong grouping. With two extreme singletons per side the
+    exact KS statistic is known by hand."""
+    from alphavantage_etl_spark.functions.distribution import ks_test
+
+    lo, hi = -(2**62) / 100.0, (2**62) / 100.0
+    a = spark.createDataFrame([(lo,), (lo + 1.0,)], "v double")
+    b = spark.createDataFrame([(hi,), (hi - 1.0,)], "v double")
+    r = ks_test(a, b, "v").first()
+    # span ~ 2^63 cents: the coarsened grid still fully separates the
+    # two sides, so D = 1.0 exactly
+    assert (r["n_a"], r["n_b"], r["ks_d"]) == (2, 2, 1.0)
+
+
+def test_grid_guards_are_lazy_no_construction_job(spark, monkeypatch):
+    """r7 verdict wrong #2: mann_whitney_u / kruskal_wallis /
+    curriculum_phases paid an eager `limit(max_grid+1).count()` probe
+    job at CONSTRUCTION time. The bound is now an in-plan
+    assert_true over a broadcast count: building the frame must run no
+    action, and the bound must still raise at action time."""
+    from pyspark.sql import DataFrame
+
+    from alphavantage_etl_spark.functions.distribution import (
+        kruskal_wallis,
+        mann_whitney_u,
+    )
+    from alphavantage_etl_spark.operators.sampling import curriculum_phases
+
+    a = spark.createDataFrame([(float(i),) for i in range(40)], "v double")
+    b = spark.createDataFrame(
+        [(float(i) + 5.0,) for i in range(40)], "v double"
+    )
+    kw = spark.createDataFrame(
+        [("g%d" % (i % 3), float(i % 11)) for i in range(60)],
+        "g string, v double",
+    )
+    docs = spark.createDataFrame(
+        [(round(0.1 + (i % 9) * 0.1, 1), i % 50 + 1) for i in range(100)],
+        "q double, sz long",
+    )
+
+    def _boom(self):
+        raise AssertionError("driver-side action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    mwu = mann_whitney_u(a, b, "v")
+    mwu_tight = mann_whitney_u(a, b, "v", max_grid=3)
+    kwf = kruskal_wallis(kw, "g", "v")
+    kw_tight = kruskal_wallis(kw, "g", "v", max_grid=3)
+    cur = curriculum_phases(docs, "q", "sz")
+    cur_tight = curriculum_phases(docs, "q", "sz", max_grid=3)
+    monkeypatch.undo()
+
+    assert mwu.first()["n_a"] == 40
+    assert kwf.first()["n"] == 60
+    assert cur.count() == 4
+    import pytest as _pytest
+
+    for frame in (mwu_tight, kw_tight, cur_tight):
+        with _pytest.raises(Exception, match="max_grid"):
+            frame.collect()

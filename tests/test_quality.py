@@ -218,3 +218,25 @@ def test_corpus_digest_order_independent_and_change_sensitive(spark):
         [(1, "alpha"), (2, "beta"), (3, "")], "doc_id long, text string"
     )
     assert corpus_digest(d, ["doc_id", "text"]).first()["digest"] != ra["digest"]
+
+
+def test_shard_balance_excludes_null_ids(spark):
+    """ADVICE r7: concat_ws silently drops a NULL id, so an unfiltered
+    NULL id would hash md5('shard') into a REAL bucket while a SQL
+    oracle's concat yields a NULL bucket — phantom cell, engine
+    divergence. Contract ('NULL ids / sizes are excluded'): output with
+    NULL-id rows == output without them."""
+    from alphavantage_etl_spark.plans.quality import shard_balance
+
+    clean = spark.createDataFrame(
+        [(f"d{i}", i % 7 + 1) for i in range(60)], "id string, sz long"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(None, 999), (None, 5)], "id string, sz long"
+        )
+    )
+    want = clean.transform(lambda d: shard_balance(d, "id", "sz")).first()
+    got = dirty.transform(lambda d: shard_balance(d, "id", "sz")).first()
+    assert got == want
+    assert got["n_rows"] == 60

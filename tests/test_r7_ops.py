@@ -235,3 +235,28 @@ def test_shard_balance_uniform_and_skewed(spark):
     )
     rs = shard_balance(skew, "id", "sz", n_shards=32).first()
     assert rs["max_over_mean"] > 5.0
+
+
+def test_cusum_excludes_null_ts(spark):
+    """A NULL ts must be excluded before the daily rollup (ADVICE r7):
+    a NULL-date row would sort FIRST under Spark's cumulative windows
+    but LAST under the DuckDB oracle's, corrupting every prefix sum in
+    the group. Pin the skipgram_sequences NULL-ts convention: output
+    with a NULL-ts row == output without it."""
+    from datetime import date, timedelta
+
+    from alphavantage_etl_spark.operators.anomaly import cusum_chart
+
+    rows = [
+        ("g", date(2020, 1, 1) + timedelta(days=i), 100.0 + (i % 3))
+        for i in range(12)
+    ]
+    clean = spark.createDataFrame(rows, "g string, ts date, v double")
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("g", None, 500.0)], "g string, ts date, v double"
+        )
+    )
+    want = sorted(map(tuple, cusum_chart(clean, "ts", "v", "g").collect()))
+    got = sorted(map(tuple, cusum_chart(dirty, "ts", "v", "g").collect()))
+    assert got == want and len(got) == 12
