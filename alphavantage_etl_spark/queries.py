@@ -6618,22 +6618,81 @@ FROM s
 
 
 QUERIES: dict[str, QueryFn] = {
-    # --- r6 additions (components X79-X100, 22 queries / 21 families)
-    #     with no driver row yet: registered FIRST so they are checked
-    #     even under a time-budgeted driver (the unverified-first
-    #     rotation discipline, ROTATION.md) ---
+    # r8 window under the pinned compressed rotation
+    # (ROTATION.md): (a) never-driver-checked first, newest
+    # additions first (5 entries), then (b) the full
+    # oracle-backed surface oldest-last-green-row first (the
+    # 5 red-only entries sort oldest of all;
+    # ties: SURVEY §2 parity keys, then registration order).
+    "q_shard_balance": q_shard_balance,
+    "q_curriculum": q_curriculum,
+    "q_ndcg": q_ndcg,
+    "q_burstiness": q_burstiness,
+    "q_spearman": q_spearman,
     "q_mann_whitney": q_mann_whitney,
+    "q_skew_stats": q_skew_stats,
+    "q_fertility": q_fertility,
+    "q_weighted_median": q_weighted_median,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
+    "q_sma_window": q_sma_window,
+    "q_asof_rate": q_asof_rate,
+    "q_topn_recent": q_topn_recent,
+    "q_ohlc_daily": q_ohlc_daily,
+    "q_set_ops": q_set_ops,
+    "q_pivot_daily": q_pivot_daily,
+    "q_agg_pricing": q_agg_pricing,
+    "q_top_customers": q_top_customers,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_orders": q_cube_orders,
+    "q_rank_windows": q_rank_windows,
+    "q_percentiles": q_percentiles,
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_stats": q_text_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_token_bpe": q_token_bpe,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
+    "q_interval_join": q_interval_join,
+    "q_sma_partitioned": q_sma_partitioned,
+    "q_asof_partitioned": q_asof_partitioned,
+    "q_dataset_diff": q_dataset_diff,
+    "q_funnel_steps": q_funnel_steps,
+    "q_winsorize": q_winsorize,
+    "q_temporal_split": q_temporal_split,
+    "q_scd2_lookup": q_scd2_lookup,
+    "q_transition_matrix": q_transition_matrix,
+    "q_epoch_shuffle": q_epoch_shuffle,
+    "q_contamination": q_contamination,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_stratified_sample": q_stratified_sample,
+    "q_budget_mix": q_budget_mix,
+    "q_tfidf_terms": q_tfidf_terms,
+    "q_label_centroids": q_label_centroids,
+    "q_quality_calibrated": q_quality_calibrated,
+    "q_weighted_sample": q_weighted_sample,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_embed_near_dup": q_embed_near_dup,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Outside the r8 driver window (compressed rotation,
+    # ROTATION.md). Every oracle-backed entry stays under the
+    # strict local gate via ALL_ORACLES and in bench.py's
+    # headline set; rows-only diagnostics live here always.
     "q_chi2": q_chi2,
     "q_benford": q_benford,
     "q_gini": q_gini,
     "q_theilsen": q_theilsen,
     "q_mann_kendall": q_mann_kendall,
-    "q_skew_stats": q_skew_stats,
     "q_hot_keys": q_hot_keys,
     "q_templates": q_templates,
     "q_bigram_lm": q_bigram_lm,
     "q_novelty": q_novelty,
-    "q_fertility": q_fertility,
     "q_percentile_bands": q_percentile_bands,
     "q_mad_outliers": q_mad_outliers,
     "q_profile_diff": q_profile_diff,
@@ -6641,15 +6700,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_rfm": q_rfm,
     "q_label_noise": q_label_noise,
     "q_skipgram": q_skipgram,
-    "q_weighted_median": q_weighted_median,
-    "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_ewma_chart": q_ewma_chart,
-    # --- r7 additions taking the two free slots (never-checked, newest
-    #     cohort; X101/X102) ---
     "q_cusum": q_cusum,
     "q_kruskal": q_kruskal,
-    # --- one-green X59-X78 entries kept in-window for a second
-    #     consecutive driver row (r6 was their first) ---
     "q_cross_split_leakage": q_cross_split_leakage,
     "q_vocab_coverage": q_vocab_coverage,
     "q_rolling_median": q_rolling_median,
@@ -6671,24 +6724,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_retention_decay": q_retention_decay,
     "q_corpus_digest": q_corpus_digest,
     "q_ks_test": q_ks_test,
-    # --- canary slots (ROTATION.md): rotating sample of the OLDEST
-    #     greens — these five SURVEY §2 reference-parity keys (P4/P5,
-    #     P8, P9/D2, D1, S1) have no driver row since r3 ---
     "q_cast_types": q_cast_types,
     "q_filter_today": q_filter_today,
     "q_weekday_filter": q_weekday_filter,
     "q_busday_gap": q_busday_gap,
     "q_latest_row": q_latest_row,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
-    # Displaced in r7: the 24 X32-X58 entries (two consecutive green
-    # driver rows, r5+r6) and the 5 r6 canary keys (re-greened in r6).
-    # Each keeps its historical driver rows and stays locally
-    # oracle-checked (ALL_ORACLES) and benchmarked.
     "q_dsir_weights": q_dsir_weights,
     "q_mutual_info": q_mutual_info,
     "q_logreg": q_logreg,
@@ -6718,10 +6758,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_join_convert": q_join_convert,
     "q_anti_new_rows": q_anti_new_rows,
     "q_incremental_merge": q_incremental_merge,
-    # Displaced in r6: the 21 two-green r4 cohort (r4+r5 driver rows) and
-    # 5 of the one-green X32-X58 cohort whose operator family keeps an
-    # in-window sibling (see the QUERIES comment). Each keeps its
-    # historical driver-green rows and stays locally oracle-checked.
     "q_temperature_mix": q_temperature_mix,
     "q_cdc_overlap": q_cdc_overlap,
     "q_chunk_windows": q_chunk_windows,
@@ -6748,31 +6784,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_session_paths": q_session_paths,
     "q_calibration": q_calibration,
     "q_discretize": q_discretize,
-    # Displaced in r5 to make room for the 29 late-r4 additions: 7 of the
-    # one-green r4 cohort (each has a same-family sibling in-window), the
-    # 9 two-green r3-first-time cohort, and the 13 three-plus-green family
-    # representatives. Each keeps its historical driver-green rows and
-    # stays locally oracle-checked.
-    "q_dataset_diff": q_dataset_diff,
-    "q_funnel_steps": q_funnel_steps,
-    "q_winsorize": q_winsorize,
-    "q_temporal_split": q_temporal_split,
-    "q_scd2_lookup": q_scd2_lookup,
-    "q_transition_matrix": q_transition_matrix,
-    "q_epoch_shuffle": q_epoch_shuffle,
-    "q_contamination": q_contamination,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_stratified_sample": q_stratified_sample,
-    "q_budget_mix": q_budget_mix,
-    "q_tfidf_terms": q_tfidf_terms,
-    "q_label_centroids": q_label_centroids,
-    "q_interval_join": q_interval_join,
-    "q_quality_calibrated": q_quality_calibrated,
-    "q_weighted_sample": q_weighted_sample,
-    "q_sma_partitioned": q_sma_partitioned,
-    "q_asof_partitioned": q_asof_partitioned,
-    "q_jaccard_pairs": q_jaccard_pairs,
-    "q_embed_near_dup": q_embed_near_dup,
     "q_multimodal_meta": q_multimodal_meta,
     "q_image_features": q_image_features,
     "q_cosine_topk": q_cosine_topk,
@@ -6782,43 +6793,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_split_assign": q_split_assign,
     "q_source_quota": q_source_quota,
     "q_pack_bins": q_pack_bins,
-    # Displaced in r4 to make room for the r3 additions: each holds two-plus
-    # consecutive green driver rows (r1–r3) and stays locally oracle-checked.
-    # (q_cast_types / q_filter_today / q_weekday_filter / q_busday_gap /
-    # q_latest_row rotated back in as r7 canary slots.)
-    "q_topn_recent": q_topn_recent,
-    "q_set_ops": q_set_ops,
-    "q_pivot_daily": q_pivot_daily,
-    # Displaced later in r4 to make room for the 20 r4 additions: each holds
-    # three consecutive green driver rows (r1+r2+r3).
-    "q_ohlc_daily": q_ohlc_daily,
-    "q_agg_pricing": q_agg_pricing,
-    "q_top_customers": q_top_customers,
-    "q_revenue_by_nation": q_revenue_by_nation,
-    "q_rollup_revenue": q_rollup_revenue,
-    "q_cube_orders": q_cube_orders,
-    "q_rank_windows": q_rank_windows,
-    "q_percentiles": q_percentiles,
-    "q_dedup_exact": q_dedup_exact,
-    "q_text_stats": q_text_stats,
-    "q_doc_fingerprint": q_doc_fingerprint,
-    "q_quality_score": q_quality_score,
-    "q_lang_id": q_lang_id,
-    "q_token_bpe": q_token_bpe,
-    "q_rolling_fingerprint": q_rolling_fingerprint,
-    # r7 additions (X103-X107, no driver row yet -- rotate forward in r8,
-    # newest first; ROTATION.md)
-    "q_spearman": q_spearman,
-    "q_burstiness": q_burstiness,
-    "q_ndcg": q_ndcg,
-    "q_curriculum": q_curriculum,
-    "q_shard_balance": q_shard_balance,
-    # (r5 additions X59-X78 rotated in-window in r6; r6 additions
-    # X79-X100 rotated in-window in r7)
-    # Rows-only / self-validating diagnostics and subsumed single-series forms
     "q_cm_sketch": q_cm_sketch,
-    "q_sma_window": q_sma_window,
-    "q_asof_rate": q_asof_rate,
     "q_distinct_sketch": q_distinct_sketch,
     "q_quantile_sketch": q_quantile_sketch,
     "q_dedup_near": q_dedup_near,
@@ -6833,19 +6808,72 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
-    # r6 additions (X79-X100) — rotated to the front in r7
+    # mirrors QUERIES order exactly (the driver zips them)
+    "q_shard_balance": SQL_SHARD_BALANCE,
+    "q_curriculum": SQL_CURRICULUM,
+    "q_ndcg": SQL_NDCG,
+    "q_burstiness": SQL_BURSTINESS,
+    "q_spearman": SQL_SPEARMAN,
     "q_mann_whitney": SQL_MANN_WHITNEY,
+    "q_skew_stats": SQL_SKEW_STATS,
+    "q_fertility": SQL_FERTILITY,
+    "q_weighted_median": SQL_WEIGHTED_MEDIAN,
+    "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
+    "q_sma_window": SQL_SMA_WINDOW,
+    "q_asof_rate": SQL_ASOF_RATE,
+    "q_topn_recent": SQL_TOPN_RECENT,
+    "q_ohlc_daily": SQL_OHLC_DAILY,
+    "q_set_ops": SQL_SET_OPS,
+    "q_pivot_daily": SQL_PIVOT_DAILY,
+    "q_agg_pricing": SQL_AGG_PRICING,
+    "q_top_customers": SQL_TOP_CUSTOMERS,
+    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "q_cube_orders": SQL_CUBE_ORDERS,
+    "q_rank_windows": SQL_RANK_WINDOWS,
+    "q_percentiles": SQL_PERCENTILES,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_stats": SQL_TEXT_STATS,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_quality_score": SQL_QUALITY_SCORE,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_bpe": SQL_TOKEN_BPE,
+    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "q_interval_join": SQL_INTERVAL_JOIN,
+    "q_sma_partitioned": SQL_SMA_PARTITIONED,
+    "q_asof_partitioned": SQL_ASOF_PARTITIONED,
+    "q_dataset_diff": SQL_DATASET_DIFF,
+    "q_funnel_steps": SQL_FUNNEL_STEPS,
+    "q_winsorize": SQL_WINSORIZE,
+    "q_temporal_split": SQL_TEMPORAL_SPLIT,
+    "q_scd2_lookup": SQL_SCD2_LOOKUP,
+    "q_transition_matrix": SQL_TRANSITION_MATRIX,
+    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "q_contamination": SQL_CONTAMINATION,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "q_budget_mix": SQL_BUDGET_MIX,
+    "q_tfidf_terms": SQL_TFIDF_TERMS,
+    "q_label_centroids": SQL_LABEL_CENTROIDS,
+    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
+    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # oracle-backed entries currently outside the driver window
     "q_chi2": SQL_CHI2,
     "q_benford": SQL_BENFORD,
     "q_gini": SQL_GINI,
     "q_theilsen": SQL_THEILSEN,
     "q_mann_kendall": SQL_MANN_KENDALL,
-    "q_skew_stats": SQL_SKEW_STATS,
     "q_hot_keys": SQL_HOT_KEYS,
     "q_templates": SQL_TEMPLATES,
     "q_bigram_lm": SQL_BIGRAM_LM,
     "q_novelty": SQL_NOVELTY,
-    "q_fertility": SQL_FERTILITY,
     "q_percentile_bands": SQL_PERCENTILE_BANDS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
     "q_profile_diff": SQL_PROFILE_DIFF,
@@ -6853,13 +6881,9 @@ ORACLES: dict[str, str] = {
     "q_rfm": SQL_RFM,
     "q_label_noise": SQL_LABEL_NOISE,
     "q_skipgram": SQL_SKIPGRAM,
-    "q_weighted_median": SQL_WEIGHTED_MEDIAN,
-    "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     "q_ewma_chart": SQL_EWMA_CHART,
-    # r7 additions (X101/X102)
     "q_cusum": SQL_CUSUM,
     "q_kruskal": SQL_KRUSKAL,
-    # one-green X59-X78 entries in-window for a second consecutive row
     "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
     "q_vocab_coverage": SQL_VOCAB_COVERAGE,
     "q_rolling_median": SQL_ROLLING_MEDIAN,
@@ -6881,18 +6905,11 @@ ORACLES: dict[str, str] = {
     "q_retention_decay": SQL_RETENTION_DECAY,
     "q_corpus_digest": SQL_CORPUS_DIGEST,
     "q_ks_test": SQL_KS_TEST,
-    # canary slots — oldest greens (ROTATION.md)
     "q_cast_types": SQL_CAST_TYPES,
     "q_filter_today": SQL_FILTER_TODAY,
     "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_busday_gap": SQL_BUSDAY_GAP,
     "q_latest_row": SQL_LATEST_ROW,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    # displaced in r7 (each holds two-plus historical driver-green rows)
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_mutual_info": SQL_MUTUAL_INFO,
     "q_logreg": SQL_LOGREG,
@@ -6922,7 +6939,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_join_convert": SQL_JOIN_CONVERT,
     "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
     "q_incremental_merge": SQL_INCREMENTAL_MERGE,
-    # displaced in r6 (each holds one-plus historical driver-green rows)
     "q_temperature_mix": SQL_TEMPERATURE_MIX,
     "q_cdc_overlap": SQL_CDC_OVERLAP,
     "q_chunk_windows": SQL_CHUNK_WINDOWS,
@@ -6949,27 +6965,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_session_paths": SQL_SESSION_PATHS,
     "q_calibration": SQL_CALIBRATION,
     "q_discretize": SQL_DISCRETIZE,
-    # displaced in r5 (each holds one-plus historical driver-green rows)
-    "q_dataset_diff": SQL_DATASET_DIFF,
-    "q_funnel_steps": SQL_FUNNEL_STEPS,
-    "q_winsorize": SQL_WINSORIZE,
-    "q_temporal_split": SQL_TEMPORAL_SPLIT,
-    "q_scd2_lookup": SQL_SCD2_LOOKUP,
-    "q_transition_matrix": SQL_TRANSITION_MATRIX,
-    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
-    "q_contamination": SQL_CONTAMINATION,
-    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "q_budget_mix": SQL_BUDGET_MIX,
-    "q_tfidf_terms": SQL_TFIDF_TERMS,
-    "q_label_centroids": SQL_LABEL_CENTROIDS,
-    "q_interval_join": SQL_INTERVAL_JOIN,
-    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
-    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
-    "q_sma_partitioned": SQL_SMA_PARTITIONED,
-    "q_asof_partitioned": SQL_ASOF_PARTITIONED,
-    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
-    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_multimodal_meta": SQL_MULTIMODAL_META,
     "q_image_features": SQL_IMAGE_FEATURES,
     "q_cosine_topk": SQL_COSINE_TOPK,
@@ -6979,46 +6974,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_split_assign": SQL_SPLIT_ASSIGN,
     "q_source_quota": SQL_SOURCE_QUOTA,
     "q_pack_bins": SQL_PACK_BINS,
-    # displaced in r4 (two-plus historical driver-green rows);
-    # q_cast_types / q_filter_today / q_weekday_filter / q_busday_gap /
-    # q_latest_row rotated back in as r7 canary slots
-    "q_topn_recent": SQL_TOPN_RECENT,
-    "q_set_ops": SQL_SET_OPS,
-    "q_pivot_daily": SQL_PIVOT_DAILY,
-    "q_ohlc_daily": SQL_OHLC_DAILY,
-    "q_agg_pricing": SQL_AGG_PRICING,
-    "q_top_customers": SQL_TOP_CUSTOMERS,
-    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
-    "q_cube_orders": SQL_CUBE_ORDERS,
-    "q_rank_windows": SQL_RANK_WINDOWS,
-    "q_percentiles": SQL_PERCENTILES,
-    "q_dedup_exact": SQL_DEDUP_EXACT,
-    "q_text_stats": SQL_TEXT_STATS,
-    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
-    "q_quality_score": SQL_QUALITY_SCORE,
-    "q_lang_id": SQL_LANG_ID,
-    "q_token_bpe": SQL_TOKEN_BPE,
-    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    # r7 additions (X103-X107)
-    "q_spearman": SQL_SPEARMAN,
-    "q_burstiness": SQL_BURSTINESS,
-    "q_ndcg": SQL_NDCG,
-    "q_curriculum": SQL_CURRICULUM,
-    "q_shard_balance": SQL_SHARD_BALANCE,
-    # (r5 additions X59-X78 rotated in-window in r6; r6 additions
-    # X79-X100 rotated in-window in r7)
-    # q_cm_sketch: self-validating approximation (within_bound column),
-    # rows-only by design like q_distinct_sketch / q_quantile_sketch
-    "q_sma_window": SQL_SMA_WINDOW,
-    "q_asof_rate": SQL_ASOF_RATE,
-    # q_distinct_sketch / q_quantile_sketch / q_cm_sketch: self-validating
-    # approximations (within_bound columns). q_dedup_near /
-    # q_cosine_topk_{lsh,ivf,pq} / q_simhash / q_dedup_near_verified /
-    # q_image_near_dup: hash-family ops, rows-only by design (xxhash64 /
-    # Python dHash have no DuckDB equivalent); their arithmetic is
-    # oracle-pinned via q_jaccard_pairs / q_cosine_topk /
-    # q_embed_near_dup and the planted-pair unit tests.
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
