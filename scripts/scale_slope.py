@@ -79,6 +79,13 @@ DOC_QUERIES = [
     # r6 additions over documents >= 1 s at sf0.1
     "q_novelty",
     "q_ipw",
+    # r8 (VERDICT r7 #7): the two unmeasured >= 1 s r7 newcomers.
+    # curriculum: the window runs over the distinct-quality grid
+    # (1e-6-quantized score in [0,1] — value-bounded, expect ~flat past
+    # the scoring scan); ndcg: per-(term, doc) counts are corpus-linear,
+    # the rank window runs per-term over docs-containing-term.
+    "q_curriculum",
+    "q_ndcg",
 ]
 EMB_QUERIES = [
     "q_embed_near_dup",
