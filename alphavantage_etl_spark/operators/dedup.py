@@ -755,3 +755,71 @@ def dedup_repeated_blocks(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    fp_col: str,
+    source_col: str,
+) -> DataFrame:
+    """(source_a, source_b, shared_fps, docs_a, docs_b, overlap_coef):
+    the cross-source exact-duplicate matrix — "which feeds are
+    re-crawling each other": for every unordered source pair, how many
+    distinct content fingerprints appear in BOTH, normalized by the
+    smaller side's distinct-fingerprint count (the overlap
+    coefficient). The corpus-governance view that decides which source
+    to DROP rather than dedup one document at a time — a pair with
+    overlap_coef near 1 means one feed is a subset mirror of the other
+    (reference analog: none; this is the X12 exact-dedup family lifted
+    from row level to source level).
+
+    source_a < source_b lexically; docs_a/docs_b are the sources'
+    distinct-fingerprint counts (not row counts — re-posts within one
+    source don't inflate the denominator). NULL fingerprints/sources
+    are excluded. Pairs with zero overlap are absent (the matrix is
+    sparse by construction).
+
+    Scale: one distinct on (fingerprint, source) — partial-agg,
+    32-byte keys — then a self-join ON FINGERPRINT whose per-key
+    fan-out is bounded by |sources| (a fingerprint appears once per
+    source after the distinct), never by duplicate family size; one
+    final groupBy over at most |sources|^2 cells.
+    """
+    fs = (
+        df.where(F.col(fp_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(F.col(fp_col).alias("__fp"), F.col(source_col).alias("__src"))
+        .distinct()
+    )
+    per_src = fs.groupBy("__src").agg(
+        F.count(F.lit(1)).alias("__nfp")
+    )
+    pairs = (
+        fs.alias("l")
+        .join(fs.alias("r"), "__fp")
+        .where(F.col("l.__src") < F.col("r.__src"))
+        .groupBy(
+            F.col("l.__src").alias("source_a"),
+            F.col("r.__src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    na = per_src.select(
+        F.col("__src").alias("source_a"), F.col("__nfp").alias("docs_a")
+    )
+    nb = per_src.select(
+        F.col("__src").alias("source_b"), F.col("__nfp").alias("docs_b")
+    )
+    j = pairs.join(F.broadcast(na), "source_a").join(
+        F.broadcast(nb), "source_b"
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        F.col("shared_fps").cast("long").alias("shared_fps"),
+        F.col("docs_a").cast("long").alias("docs_a"),
+        F.col("docs_b").cast("long").alias("docs_b"),
+        (
+            F.col("shared_fps").cast("double")
+            / F.least("docs_a", "docs_b").cast("double")
+        ).alias("overlap_coef"),
+    )

@@ -217,3 +217,176 @@ def ndcg_at_k(
             F.col("__dcg").cast("double") / F.col("__idcg").cast("double"),
         ).alias("ndcg"),
     )
+
+
+def average_precision(
+    df: DataFrame, label_col: str, score_col: str, tiebreak_col: str
+) -> DataFrame:
+    """One-row (n_pos, n, avg_precision): exact average precision —
+    the area under the precision-recall curve as a ranking metric:
+    ``AP = (1/n_pos) * sum over positive rows of precision@rank``. The
+    PR-side complement to :func:`auc_score`: ROC-AUC is insensitive to
+    class imbalance (a 1:10^4 corpus filter can score 0.99 AUC while
+    drowning every positive in false alarms); AP weights exactly the
+    top-of-ranking region a curation pipeline consumes.
+
+    Ranks are a PINNED total order (score DESC, tiebreak ASC —
+    deterministic distinct ranks, the spearman convention, mirrored in
+    the oracle; midrank tie-handling would trade exactness for a
+    convention no consumer of a materialized ranking actually sees).
+    Each precision@k = cum_pos(k)/k is half-even-quantized at 1e-12
+    (O(1) magnitude — the chi2-term discipline) and summed in
+    decimal(38,0); AP = sum/1e12/n_pos evaluates in that fixed op
+    order. NULL label/score rows are excluded; n_pos = 0 yields NULL.
+
+    Scale (100 TB): NO corpus-sized single-partition rank window. The
+    global rank splits two-level: block offsets from ONE cumulative
+    window over the distinct-score grid (bounded, the auc_score
+    class), within-block row_number/cumulative-positives PARTITIONED
+    BY score (distributed) — global rank = offset + within-rank,
+    global cum_pos = block-prefix + within-prefix.
+    """
+    y = F.col(label_col).cast("int")
+    base = df.where(
+        F.col(score_col).isNotNull() & y.isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"),
+        F.col(tiebreak_col).alias("__tb"),
+        y.alias("__y"),
+    )
+    blocks = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum("__y").alias("__p"),
+    )
+    wg = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = blocks.select(
+        "__s",
+        F.coalesce(F.sum("__c").over(wg), F.lit(0)).alias("__koff"),
+        F.coalesce(F.sum("__p").over(wg), F.lit(0)).alias("__poff"),
+    )
+    win = Window.partitionBy("__s").orderBy("__tb")
+    ranked = (
+        base.join(off, "__s")
+        .select(
+            "__y",
+            (F.col("__koff") + F.row_number().over(win)).alias("__k"),
+            (
+                F.col("__poff")
+                + F.sum("__y").over(
+                    win.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("__cp"),
+        )
+    )
+    term = F.round(
+        F.bround(
+            F.col("__cp").cast("double") / F.col("__k").cast("double"), 12
+        )
+        * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    st = ranked.agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__y") == 1, term)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__ap"),
+    )
+    return st.select(
+        "n_pos",
+        "n",
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("__ap").cast("double")
+            / F.lit(1e12)
+            / F.col("n_pos").cast("double"),
+        ).alias("avg_precision"),
+    )
+
+
+def mrr_hits(
+    ranked: DataFrame,
+    rels: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    rel_col: str,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """One-row (n_queries, mrr, hit_1, hit_5, hit_10, ...): mean
+    reciprocal rank and hit@k over a materialized ranking — the
+    binary-relevance siblings of :func:`ndcg_at_k` (NDCG grades the
+    whole top-k order; MRR asks only "how deep is the FIRST useful
+    result", the metric an agentic retrieve-then-read loop that stops
+    at the first hit actually experiences).
+
+    ``ranked``: (query, doc, rank); ``rels``: (query, doc, rel) with
+    rel > 0 meaning relevant. Per query r_q = min rank of a relevant
+    doc (infinite — contributing 0 — when no relevant doc is ranked:
+    the standard convention, so unanswerable queries PENALIZE).
+    n_queries counts DISTINCT queries in ``ranked``. Each 1/r_q is
+    half-even-quantized at 1e-12 and summed in decimal(38,0)
+    (mrr = sum/1e12/n_queries, fixed op order); hit@k are exact
+    integer ratios.
+
+    Scale: one (query, doc) equi-join, one min-aggregation per query,
+    one final row — no windows at all.
+    """
+    firsts = (
+        ranked.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.col(rank_col).alias("rank"),
+        )
+        .join(
+            rels.select(
+                F.col(query_col).alias("q"),
+                F.col(doc_col).alias("d"),
+                F.col(rel_col).alias("rel"),
+            ).where(F.col("rel") > 0),
+            ["q", "d"],
+            "left",
+        )
+        .groupBy("q")
+        .agg(
+            F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("__r1")
+        )
+    )
+    rr = F.round(
+        F.bround(F.lit(1.0) / F.col("__r1").cast("double"), 12)
+        * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).alias("n_queries"),
+        F.coalesce(
+            F.sum(F.when(F.col("__r1").isNotNull(), rr)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__mrr"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(
+                F.when(F.col("__r1") <= k, 1).otherwise(0)
+            ).alias(f"__h{k}")
+        )
+    st = firsts.agg(*aggs)
+    sel = [
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("__mrr").cast("double")
+            / F.lit(1e12)
+            / F.col("n_queries").cast("double"),
+        ).alias("mrr"),
+    ]
+    for k in ks:
+        sel.append(
+            F.when(
+                F.col("n_queries") > 0,
+                F.col(f"__h{k}").cast("double")
+                / F.col("n_queries").cast("double"),
+            ).alias(f"hit_{k}")
+        )
+    return st.select(*sel)

@@ -30,7 +30,7 @@ the quantized-transcendental convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -221,4 +221,127 @@ def ipw_effect(
         F.bround(mt, 9).alias("mean_treat"),
         F.bround(mc, 9).alias("mean_ctrl"),
         F.bround(mt - mc, 9).alias("ate"),
+    )
+
+
+def conformal_coverage(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    salt: str = "conformal",
+) -> DataFrame:
+    """One-row (n_train, n_calib, n_test, k, q_hat, coverage, target):
+    split-conformal prediction-interval calibration for the per-group
+    mean model — "how wide must the error band be so 90% of unseen
+    rows land inside, with a finite-sample guarantee and no
+    distributional assumptions" (Vovk et al.; the Papadopoulos split
+    form). The model is deliberately the simplest honest one — the
+    TRAIN-split per-group mean — because the interesting output is the
+    calibration machinery itself: swap any scorer in, the guarantee
+    survives.
+
+    Splits are content-addressed (``sampling.split_bucket``, md5
+    engine-portable): buckets [0,5000) train, [5000,7500) calibration,
+    the rest test. Scores are QUANTIZED absolute residuals in
+    micro-dollars: with per-group train sums (n_g, S_g) and row cents
+    c, ``r = round(|n_g*c - S_g| / n_g * 1e4)`` — an exact-int double
+    ratio rounded once (conformal's guarantee holds for ANY measurable
+    score function, so quantizing the score keeps the finite-sample
+    property EXACT while making the quantile grid value-range-bounded).
+    q_hat is the k-th smallest calibration score with
+    ``k = ceil((n_calib + 1) * (1 - alpha))`` — the finite-sample
+    correction — found as the smallest grid value whose cumulative
+    count reaches k; coverage is the exact fraction of test scores
+    <= q_hat. Rows whose group never appears in train have no
+    prediction and are EXCLUDED from calibration/test (pinned). If
+    k > n_calib the interval is the whole line: q_hat NULL,
+    coverage 1.0 by convention.
+
+    Scale: model = one train aggregation broadcast as a |groups|-row
+    table; the quantile runs over the DISTINCT-quantized-score grid
+    (the weighted_median head-bounded window class), never the corpus;
+    coverage is one broadcast-join + aggregation.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    from .sampling import split_bucket
+
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & cents.isNotNull()
+    ).select(
+        split_bucket(id_col, salt=salt, buckets=10_000),
+        F.col(group_col).alias("__g"),
+        cents.alias("__c"),
+    )
+    train = base.where(F.col("bucket") < 5000)
+    calib = base.where((F.col("bucket") >= 5000) & (F.col("bucket") < 7500))
+    test = base.where(F.col("bucket") >= 7500)
+
+    model = train.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum(F.col("__c").cast("decimal(38,0)")).alias("__sg"),
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+
+    def score(side: DataFrame) -> DataFrame:
+        r = F.round(
+            F.abs(
+                F.col("__ng").cast("decimal(38,0)")
+                * F.col("__c").cast("decimal(38,0)")
+                - F.col("__sg")
+            ).cast("double")
+            / F.col("__ng").cast("double")
+            * F.lit(1e4)
+        ).cast("long")
+        return side.join(F.broadcast(model), "__g").select(r.alias("__r"))
+
+    grid = score(calib).groupBy("__r").agg(F.count(F.lit(1)).alias("__cnt"))
+    wcum = Window.orderBy("__r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wfull = Window.orderBy("__r").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g2 = grid.select(
+        "__r",
+        F.sum("__cnt").over(wcum).alias("__cum"),
+        F.sum("__cnt").over(wfull).alias("__ncal"),
+    )
+    k = F.ceil(
+        (F.col("__ncal") + F.lit(1)).cast("double") * F.lit(1.0 - alpha)
+    ).cast("long")
+    qrow = g2.agg(
+        F.max("__ncal").alias("n_calib"),
+        F.max(k).alias("k"),
+        F.min(F.when(F.col("__cum") >= k, F.col("__r"))).alias("__qu"),
+    )
+    tst = (
+        score(test)
+        .join(F.broadcast(qrow))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.max("n_calib").alias("n_calib"),
+            F.max("k").alias("k"),
+            F.max("__qu").alias("__qu"),
+            F.sum(
+                F.when(F.col("__r") <= F.col("__qu"), 1).otherwise(0)
+            ).alias("__cov"),
+        )
+    )
+    return tst.join(F.broadcast(n_train)).select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.coalesce(F.col("n_calib"), F.lit(0)).cast("long").alias("n_calib"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("k").cast("long").alias("k"),
+        (F.col("__qu").cast("double") / F.lit(1e6)).alias("q_hat"),
+        F.when(F.col("__qu").isNotNull(),
+               F.col("__cov").cast("double") / F.col("n_test").cast("double"))
+        .when(F.col("k").isNotNull() & (F.col("n_test") > 0), F.lit(1.0))
+        .alias("coverage"),
+        F.lit(1.0 - alpha).alias("target"),
     )

@@ -1003,3 +1003,122 @@ def label_noise_audit(
             frac.alias("disagree_frac"),
         )
     )
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(label, n, mean_silhouette): the simplified (centroid-based)
+    silhouette per label — "are these labels actually geometric
+    clusters": a(i) = distance to the OWN label centroid, b(i) = min
+    distance to any OTHER label's centroid, s(i) = (b-a)/max(a,b) —
+    the medoid-free variant (Hruschka et al.'s simplified silhouette)
+    whose per-point cost is |labels| centroid distances instead of the
+    classic O(n) pairwise pass, which is the only form that survives a
+    corpus-sized n. Near +1: tight, well-separated labels (IVF cells
+    and X52 centroid-outlier fences will behave); near 0: overlapping
+    label geometry (semantic dedup across labels will fire); negative:
+    points sit closer to a FOREIGN centroid — label noise (X97's
+    audit) or a collapsed embedding space.
+
+    Exactness: components quantize to micro-units u6 = round(x*1e6)
+    (the label_centroids contract); the own/other squared distance per
+    (point, label) is the exact integer sum((n_c*u6_d - S_d)^2) in
+    decimal(38,0) over the centroid's exact integer sums S_d, divided
+    ONCE by (n_c*1e6)^2 — so the b-argmin compares exact-int double
+    ratios and sqrt is the one transcendental: s(i) brounds at 1e-9,
+    sums in decimal, and the label mean is sum/1e9/n in fixed op
+    order. s(i) = 0 when a = b = 0 (point ON a shared centroid);
+    single-label corpora yield NULL mean (no "other" centroid). NULL
+    label/vector rows are excluded.
+
+    Scale: one (label, dim) partial aggregation, an L-row broadcast of
+    centroid arrays, one map-side-combined groupBy(label) — the
+    exploded (point x L) stream never shuffles (the X52 broadcast-
+    model-table shape); L is the bounded label vocabulary.
+    """
+    u6 = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lab"),
+        u6.alias("__u"),
+    )
+    per_dim = base.select(
+        "__lab", F.posexplode("__u").alias("dim", "__u6")
+    ).groupBy("__lab", "dim").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__u6").cast("decimal(38,0)")).alias("__s"),
+    )
+    cents = per_dim.groupBy("__lab").agg(
+        F.max("__n").alias("__nc"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "__s"))
+            ),
+            lambda st: st["__s"],
+        ).alias("__cs"),
+    ).select(
+        F.col("__lab").alias("__clab"), "__nc", "__cs"
+    )
+    # exact integer squared-distance numerator; one double division
+    nc = F.col("__nc").cast("decimal(38,0)")
+    num = F.aggregate(
+        F.zip_with(
+            F.col("__u"),
+            F.col("__cs"),
+            lambda u, s: (nc * u.cast("decimal(38,0)") - s)
+            * (nc * u.cast("decimal(38,0)") - s),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+    d2 = num.cast("double") / (
+        F.col("__nc").cast("double")
+        * F.col("__nc").cast("double")
+        * F.lit(1e12)
+    )
+    pl = base.join(F.broadcast(cents)).select(
+        "__id",
+        "__lab",
+        "__clab",
+        d2.alias("__d2"),
+    )
+    per_point = pl.groupBy("__id", "__lab").agg(
+        F.max(F.when(F.col("__lab") == F.col("__clab"), F.col("__d2")))
+        .alias("__a2"),
+        F.min(F.when(F.col("__lab") != F.col("__clab"), F.col("__d2")))
+        .alias("__b2"),
+    )
+    a = F.sqrt("__a2")
+    b = F.sqrt("__b2")
+    s = F.when(
+        F.greatest(a, b) > 0, F.bround((b - a) / F.greatest(a, b), 9)
+    ).otherwise(F.lit(0.0))
+    q9 = F.round(s * F.lit(1e9)).cast("decimal(38,0)")
+    st = per_point.where(F.col("__b2").isNotNull()).groupBy("__lab").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q9).alias("__sq"),
+    )
+    # single-label corpora: every __b2 is NULL -> group filtered out
+    # entirely; reintroduce labels with NULL mean via the centroid table
+    return (
+        cents.select(F.col("__clab").alias("__lab"))
+        .join(st, "__lab", "left")
+        .select(
+            F.col("__lab").alias(label_col),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            (
+                F.col("__sq").cast("double")
+                / F.lit(1e9)
+                / F.col("n").cast("double")
+            ).alias("mean_silhouette"),
+        )
+    )

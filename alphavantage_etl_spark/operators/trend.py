@@ -278,3 +278,79 @@ def spearman_corr(
         F.col("d2_sum").cast("long").alias("d2_sum"),
         F.when(F.col("n") > 1, rho).alias("rho"),
     )
+
+
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    date_col: str,
+    value_col: str,
+    max_lag: int = 3,
+    ticks: int = 100,
+) -> DataFrame:
+    """(lag, n_pairs, r): lead-lag Pearson cross-correlation between
+    two daily series at calendar lags -``max_lag``..+``max_lag`` — "do
+    clicks TODAY predict purchases in two days": the alignment readout
+    behind attribution windows (X44) and conversion-latency SLAs (X71).
+    ``r[lag]`` correlates a's value at date d with b's at d + lag, so a
+    peak at POSITIVE lag means a LEADS b.
+
+    Pairs are matched by CALENDAR date (d vs d + lag days) over the
+    inner join of observed dates — a gap day pairs with nothing, the
+    convention that keeps lag semantics physical (the ACF's
+    observation-index convention would slide across gaps). Values
+    quantize to ``ticks`` units; (n, Sx, Sy, Sxy, Sxx, Syy) accumulate
+    in decimal(38,0) and
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    is evaluated over exact integers — sqrt is the one transcendental,
+    so r ships bround 1e-9 (the z-statistic convention). Degenerate
+    sides (zero variance) and empty overlaps yield NULL.
+
+    Scale: the lag fan-out is |lags| copies of the SMALLER daily frame
+    (2*max_lag+1 rows per day — bounded by calendar, not corpus), one
+    equi-join on the shifted date, one partial-agg groupBy(lag).
+    """
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    q = lambda df: (  # noqa: E731
+        df.select(
+            F.col(date_col).cast("date").alias("d"),
+            F.round(F.col(value_col).cast("double") * ticks)
+            .cast("long")
+            .alias("v"),
+        ).where(F.col("v").isNotNull() & F.col("d").isNotNull())
+    )
+    xa, xb = q(a), q(b)
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    # pair (d, x) with b at (d + lag): shift b's date by -lag so the
+    # join key is plain d
+    shifted = xb.select(F.col("v").alias("__y"), F.col("d"), lags).select(
+        "__y", F.date_sub(F.col("d"), F.col("lag")).alias("d"), "lag"
+    )
+    j = xa.join(shifted, "d")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(dec(F.col("v"))).alias("__sx"),
+        F.sum(dec(F.col("__y"))).alias("__sy"),
+        F.sum(dec(F.col("v")) * dec(F.col("__y"))).alias("__sxy"),
+        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("__sxx"),
+        F.sum(dec(F.col("__y")) * dec(F.col("__y"))).alias("__syy"),
+    )
+    n = dec(F.col("n_pairs"))
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r = F.bround(
+        num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")),
+        9,
+    )
+    return st.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when((vx > 0) & (vy > 0), r).alias("r"),
+    ).orderBy("lag")

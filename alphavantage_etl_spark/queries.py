@@ -6617,18 +6617,380 @@ FROM s
 """
 
 
+# --- r8 additions (components X108-X113) -------------------------------
+
+
+# X108 — lead-lag cross-correlation (r8): Pearson r between the click
+# and purchase daily series at calendar lags -3..+3 — "do clicks today
+# predict purchases in two days"; exact decimal moment sums, sqrt the
+# one transcendental (bround 1e-9) (operators/trend.py:cross_correlation).
+def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.trend import cross_correlation
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cents = F.round(F.col("value").cast("double") * 100).cast("long")
+
+    def daily(et: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == et)
+            .select(
+                F.col("ts").cast("date").alias("date"), cents.alias("__c")
+            )
+            .where(F.col("__c").isNotNull() & F.col("date").isNotNull())
+            .groupBy("date")
+            .agg((F.sum("__c").cast("double") / 100.0).alias("day_value"))
+        )
+
+    return cross_correlation(
+        daily("click"), daily("purchase"), "date", "day_value", max_lag=3
+    )
+
+
+SQL_CROSSCORR = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS x
+  FROM events
+  WHERE round(CAST(value AS DOUBLE) * 100) IS NOT NULL
+    AND CAST(CAST(ts AS TIMESTAMP) AS DATE) IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+a AS (SELECT d, x FROM daily WHERE g = 'click'),
+b AS (SELECT d, x FROM daily WHERE g = 'purchase'),
+lags AS (SELECT unnest(range(-3, 4)) AS lag),
+sh AS (SELECT b.x AS y, b.d - CAST(lags.lag AS INTEGER) AS d, lags.lag
+       FROM b CROSS JOIN lags),
+j AS (SELECT a.x, sh.y, sh.lag FROM a JOIN sh USING (d)),
+st AS (
+  SELECT lag, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM j GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+             AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+            THEN round_even(
+              CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+              9)
+       END AS r
+FROM st
+"""
+
+
+# X109 — exact average precision (r8): the PR-side ranking metric over
+# the shared X35 logreg scores — AP weights the top-of-ranking region a
+# curation filter actually consumes where imbalance-blind ROC-AUC
+# saturates; pinned (score DESC, doc_id) total order, 1e-12-quantized
+# precision@k terms, two-level rank (no corpus-sized window)
+# (operators/evaluation.py:average_precision).
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import average_precision
+
+    return average_precision(
+        _logreg_scored(spark, sf_dir), "y", "p", "doc_id"
+    )
+
+
+def _sql_avg_precision() -> str:
+    return _logreg_scores_cte() + """,
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+j AS (SELECT s.doc_id AS id, s.p AS sc, lab.y
+      FROM scores s JOIN lab USING (doc_id)),
+rk AS (
+  SELECT y, row_number() OVER wo AS k, sum(y) OVER wo AS cp
+  FROM j WINDOW wo AS (ORDER BY sc DESC, id ROWS UNBOUNDED PRECEDING)),
+t AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos, count(*) AS n,
+         coalesce(sum(CASE WHEN y = 1 THEN
+           CAST(round(round_even(CAST(cp AS DOUBLE) / CAST(k AS DOUBLE), 12)
+                      * 1e12) AS HUGEINT) END), 0) AS ap
+  FROM rk)
+SELECT n_pos, CAST(n AS BIGINT) AS n,
+       CASE WHEN n_pos > 0
+            THEN CAST(ap AS DOUBLE) / 1e12 / CAST(n_pos AS DOUBLE)
+       END AS avg_precision
+FROM t
+"""
+
+
+SQL_AVG_PRECISION = _sql_avg_precision()
+
+
+# X110 — MRR + hit@k (r8): binary-relevance retrieval metrics over the
+# X105 ranking base — "how deep is the first useful result", the
+# stop-at-first-hit experience of an agentic retrieve-then-read loop;
+# 1e-12-quantized reciprocal ranks, exact hit ratios
+# (operators/evaluation.py:mrr_hits).
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import mrr_hits
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    terms = spark.createDataFrame(
+        [(t,) for t in _NDCG_TERMS], "term string"
+    )
+    cnt = (
+        d.select("doc_id", toks.alias("tk"))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("term").alias("q"),
+            F.col("doc_id").alias("doc"),
+            F.size(
+                F.filter(F.col("tk"), lambda t: t == F.col("term"))
+            ).alias("cnt"),
+            F.size("tk").alias("ntok"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+    wr = Window.partitionBy("q").orderBy(F.desc("cnt"), "doc")
+    ranked = cnt.select(
+        "q", "doc", F.row_number().over(wr).alias("rank")
+    )
+    rels = cnt.select(
+        "q",
+        "doc",
+        F.least(F.lit(3), F.expr("(cnt * 200) div ntok")).alias("rel"),
+    )
+    return mrr_hits(ranked, rels, "q", "doc", "rank", "rel", ks=(1, 5, 10))
+
+
+SQL_MRR = r"""
+WITH terms(term) AS (VALUES ('spark'), ('hash'), ('stream')),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+  FROM documents),
+cnt AS (
+  SELECT t.term AS q, d.doc_id AS doc,
+         len(list_filter(d.tk, x -> x = t.term)) AS cnt,
+         len(d.tk) AS ntok
+  FROM toks d CROSS JOIN terms t),
+pos AS (SELECT * FROM cnt WHERE cnt > 0),
+ranked AS (
+  SELECT q, doc,
+         row_number() OVER (PARTITION BY q ORDER BY cnt DESC, doc) AS rank
+  FROM pos),
+rels AS (
+  SELECT q, doc, least(3, (cnt * 200) // ntok) AS rel FROM pos
+  WHERE least(3, (cnt * 200) // ntok) > 0),
+fr AS (
+  SELECT r.q, min(CASE WHEN rel.rel > 0 THEN r.rank END) AS r1
+  FROM ranked r LEFT JOIN rels rel ON rel.q = r.q AND rel.doc = r.doc
+  GROUP BY 1),
+t AS (
+  SELECT count(*) AS nq,
+         coalesce(sum(CASE WHEN r1 IS NOT NULL THEN
+           CAST(round(round_even(1.0 / CAST(r1 AS DOUBLE), 12) * 1e12)
+                AS HUGEINT) END), 0) AS m,
+         sum(CASE WHEN r1 <= 1 THEN 1 ELSE 0 END) AS h1,
+         sum(CASE WHEN r1 <= 5 THEN 1 ELSE 0 END) AS h5,
+         sum(CASE WHEN r1 <= 10 THEN 1 ELSE 0 END) AS h10
+  FROM fr)
+SELECT CAST(nq AS BIGINT) AS n_queries,
+       CASE WHEN nq > 0
+            THEN CAST(m AS DOUBLE) / 1e12 / CAST(nq AS DOUBLE) END AS mrr,
+       CASE WHEN nq > 0
+            THEN CAST(h1 AS DOUBLE) / CAST(nq AS DOUBLE) END AS hit_1,
+       CASE WHEN nq > 0
+            THEN CAST(h5 AS DOUBLE) / CAST(nq AS DOUBLE) END AS hit_5,
+       CASE WHEN nq > 0
+            THEN CAST(h10 AS DOUBLE) / CAST(nq AS DOUBLE) END AS hit_10
+FROM t
+"""
+
+
+# X111 — simplified silhouette (r8): centroid-based cluster-quality
+# score per embedding label — "are these labels geometric clusters";
+# exact-int squared distances against exact centroid sums, sqrt the one
+# transcendental, per-point s bround 1e-9 then decimal-summed
+# (operators/similarity.py:silhouette_by_label).
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import silhouette_by_label
+
+    e = load(spark, sf_dir, "embeddings")
+    return silhouette_by_label(e, "embedding", "label", "vec_id")
+
+
+SQL_SILHOUETTE = """
+WITH pts AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+u AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS u6
+  FROM pts, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+cent AS (
+  SELECT label AS clab, dim, CAST(count(*) AS BIGINT) AS nc,
+         sum(CAST(u6 AS HUGEINT)) AS s
+  FROM u GROUP BY 1, 2),
+d2 AS (
+  SELECT u.vec_id, u.label, c.clab, max(c.nc) AS nc,
+         sum((CAST(c.nc AS HUGEINT) * CAST(u.u6 AS HUGEINT) - c.s)
+             * (CAST(c.nc AS HUGEINT) * CAST(u.u6 AS HUGEINT) - c.s)) AS num
+  FROM u JOIN cent c ON c.dim = u.dim
+  GROUP BY 1, 2, 3),
+pp AS (
+  SELECT vec_id, label,
+         max(CASE WHEN label = clab THEN
+           CAST(num AS DOUBLE)
+           / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) * 1e12) END) AS a2,
+         min(CASE WHEN label <> clab THEN
+           CAST(num AS DOUBLE)
+           / (CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) * 1e12) END) AS b2
+  FROM d2 GROUP BY 1, 2),
+sv AS (
+  SELECT label,
+         CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+              THEN round_even((sqrt(b2) - sqrt(a2))
+                              / greatest(sqrt(a2), sqrt(b2)), 9)
+              ELSE 0.0 END AS sil
+  FROM pp WHERE b2 IS NOT NULL),
+st AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(sil * 1e9) AS HUGEINT)) AS sq
+  FROM sv GROUP BY 1)
+SELECT c.label, CAST(coalesce(st.n, 0) AS BIGINT) AS n,
+       CAST(st.sq AS DOUBLE) / 1e9 / CAST(st.n AS DOUBLE) AS mean_silhouette
+FROM (SELECT DISTINCT clab AS label FROM cent) c
+LEFT JOIN st ON st.label = c.label
+"""
+
+
+# X112 — cross-source duplication matrix (r8): which feeds re-crawl
+# each other — distinct 12-token-prefix fingerprints shared per source
+# pair, overlap coefficient against the smaller side; the source-level
+# governance view over the X1 dedup family
+# (operators/dedup.py:source_overlap_matrix).
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import source_overlap_matrix
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    prefix_fp = F.sha2(
+        F.concat_ws(" ", F.slice(toks, 1, 12)), 256
+    )
+    base = d.select(prefix_fp.alias("fp"), F.col("source"))
+    return source_overlap_matrix(base, "fp", "source")
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH fs AS (
+  SELECT DISTINCT
+    sha256(array_to_string(
+      list_slice(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> ''), 1, 12), ' ')) AS fp,
+    source AS src
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+ps AS (SELECT src, CAST(count(*) AS BIGINT) AS nfp FROM fs GROUP BY 1),
+pr AS (
+  SELECT l.src AS source_a, r.src AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM fs l JOIN fs r ON l.fp = r.fp AND l.src < r.src
+  GROUP BY 1, 2)
+SELECT pr.source_a, pr.source_b, pr.shared_fps,
+       pa.nfp AS docs_a, pb.nfp AS docs_b,
+       CAST(pr.shared_fps AS DOUBLE)
+         / CAST(least(pa.nfp, pb.nfp) AS DOUBLE) AS overlap_coef
+FROM pr
+JOIN ps pa ON pa.src = pr.source_a
+JOIN ps pb ON pb.src = pr.source_b
+"""
+
+
+# X113 — split-conformal interval calibration (r8): distribution-free
+# finite-sample error band around the train-split per-group mean —
+# q_hat = k-th smallest quantized calibration residual with
+# k = ceil((n+1)(1-alpha)), exact test coverage; md5 content-addressed
+# splits (operators/experiment.py:conformal_coverage).
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.experiment import conformal_coverage
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return conformal_coverage(
+        o, "o_orderkey", "o_orderpriority", "o_totalprice", alpha=0.1
+    )
+
+
+SQL_CONFORMAL = """
+WITH base AS (
+  SELECT CAST(concat('0x', substring(md5(concat('conformal', ':',
+           CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+           AS bucket,
+         o_orderpriority AS g,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+    AND round(CAST(o_totalprice AS DOUBLE) * 100) IS NOT NULL),
+model AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng, sum(CAST(c AS HUGEINT)) AS sg
+  FROM base WHERE bucket < 5000 GROUP BY 1),
+ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+        FROM base WHERE bucket < 5000),
+cal AS (
+  SELECT CAST(round(CAST(abs(CAST(m.ng AS HUGEINT) * CAST(b.c AS HUGEINT)
+                              - m.sg) AS DOUBLE)
+               / CAST(m.ng AS DOUBLE) * 1e4) AS BIGINT) AS r
+  FROM base b JOIN model m USING (g)
+  WHERE bucket >= 5000 AND bucket < 7500),
+grid AS (SELECT r, count(*) AS cnt FROM cal GROUP BY 1),
+g2 AS (SELECT r,
+              sum(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(cnt) OVER () AS ncal
+       FROM grid),
+q AS (SELECT CAST(max(ncal) AS BIGINT) AS n_calib,
+             max(CAST(ceil(CAST(ncal + 1 AS DOUBLE) * 0.9) AS BIGINT)) AS k,
+             min(CASE WHEN cum >= CAST(ceil(CAST(ncal + 1 AS DOUBLE) * 0.9)
+                                       AS BIGINT)
+                      THEN r END) AS qu
+      FROM g2),
+tst AS (
+  SELECT CAST(round(CAST(abs(CAST(m.ng AS HUGEINT) * CAST(b.c AS HUGEINT)
+                              - m.sg) AS DOUBLE)
+               / CAST(m.ng AS DOUBLE) * 1e4) AS BIGINT) AS r
+  FROM base b JOIN model m USING (g) WHERE bucket >= 7500),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+             max(q.n_calib) AS n_calib, max(q.k) AS k, max(q.qu) AS qu,
+             sum(CASE WHEN tst.r <= q.qu THEN 1 ELSE 0 END) AS cov
+      FROM tst CROSS JOIN q)
+SELECT ntr.n_train,
+       CAST(coalesce(t.n_calib, 0) AS BIGINT) AS n_calib,
+       t.n_test, t.k,
+       CAST(t.qu AS DOUBLE) / 1e6 AS q_hat,
+       CASE WHEN t.qu IS NOT NULL
+            THEN CAST(t.cov AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+            WHEN t.k IS NOT NULL AND t.n_test > 0 THEN 1.0
+       END AS coverage,
+       0.9 AS target
+FROM t CROSS JOIN ntr
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
-    # additions first (5 entries), then (b) the full
+    # additions first (11 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
     # 5 red-only entries sort oldest of all;
     # ties: SURVEY §2 parity keys, then registration order).
-    "q_shard_balance": q_shard_balance,
-    "q_curriculum": q_curriculum,
-    "q_ndcg": q_ndcg,
-    "q_burstiness": q_burstiness,
+    "q_conformal": q_conformal,
+    "q_source_overlap": q_source_overlap,
+    "q_silhouette": q_silhouette,
+    "q_mrr": q_mrr,
+    "q_avg_precision": q_avg_precision,
+    "q_crosscorr": q_crosscorr,
     "q_spearman": q_spearman,
+    "q_burstiness": q_burstiness,
+    "q_ndcg": q_ndcg,
+    "q_curriculum": q_curriculum,
+    "q_shard_balance": q_shard_balance,
     "q_mann_whitney": q_mann_whitney,
     "q_skew_stats": q_skew_stats,
     "q_fertility": q_fertility,
@@ -6668,12 +7030,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_stratified_sample": q_stratified_sample,
     "q_budget_mix": q_budget_mix,
-    "q_tfidf_terms": q_tfidf_terms,
-    "q_label_centroids": q_label_centroids,
-    "q_quality_calibrated": q_quality_calibrated,
-    "q_weighted_sample": q_weighted_sample,
-    "q_jaccard_pairs": q_jaccard_pairs,
-    "q_embed_near_dup": q_embed_near_dup,
 }
 
 # Not declared to the driver (keeps QUERIES inside the 50-entry correctness
@@ -6684,6 +7040,12 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     # ROTATION.md). Every oracle-backed entry stays under the
     # strict local gate via ALL_ORACLES and in bench.py's
     # headline set; rows-only diagnostics live here always.
+    "q_tfidf_terms": q_tfidf_terms,
+    "q_label_centroids": q_label_centroids,
+    "q_quality_calibrated": q_quality_calibrated,
+    "q_weighted_sample": q_weighted_sample,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_embed_near_dup": q_embed_near_dup,
     "q_chi2": q_chi2,
     "q_benford": q_benford,
     "q_gini": q_gini,
@@ -6739,7 +7101,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_linkage": q_linkage,
     "q_collocations": q_collocations,
     "q_agg_state": q_agg_state,
-    "q_acf": q_acf,
     "q_profile": q_profile,
     "q_bm25": q_bm25,
     "q_basket_lift": q_basket_lift,
@@ -6750,6 +7111,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_join_profile": q_join_profile,
     "q_random_projection": q_random_projection,
     "q_bootstrap_ci": q_bootstrap_ci,
+    "q_acf": q_acf,
     "q_change_point": q_change_point,
     "q_embedding_diag": q_embedding_diag,
     "q_zipf": q_zipf,
@@ -6809,11 +7171,17 @@ ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
     # mirrors QUERIES order exactly (the driver zips them)
-    "q_shard_balance": SQL_SHARD_BALANCE,
-    "q_curriculum": SQL_CURRICULUM,
-    "q_ndcg": SQL_NDCG,
-    "q_burstiness": SQL_BURSTINESS,
+    "q_conformal": SQL_CONFORMAL,
+    "q_source_overlap": SQL_SOURCE_OVERLAP,
+    "q_silhouette": SQL_SILHOUETTE,
+    "q_mrr": SQL_MRR,
+    "q_avg_precision": SQL_AVG_PRECISION,
+    "q_crosscorr": SQL_CROSSCORR,
     "q_spearman": SQL_SPEARMAN,
+    "q_burstiness": SQL_BURSTINESS,
+    "q_ndcg": SQL_NDCG,
+    "q_curriculum": SQL_CURRICULUM,
+    "q_shard_balance": SQL_SHARD_BALANCE,
     "q_mann_whitney": SQL_MANN_WHITNEY,
     "q_skew_stats": SQL_SKEW_STATS,
     "q_fertility": SQL_FERTILITY,
@@ -6853,18 +7221,18 @@ ORACLES: dict[str, str] = {
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_budget_mix": SQL_BUDGET_MIX,
-    "q_tfidf_terms": SQL_TFIDF_TERMS,
-    "q_label_centroids": SQL_LABEL_CENTROIDS,
-    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
-    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
-    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
-    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
 }
 
 # Oracles for queries outside the driver window — the local pytest gate
 # holds these to the same exact-match bar as the driver-declared set.
 EXTRA_ORACLES: dict[str, str] = {
     # oracle-backed entries currently outside the driver window
+    "q_tfidf_terms": SQL_TFIDF_TERMS,
+    "q_label_centroids": SQL_LABEL_CENTROIDS,
+    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
+    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_chi2": SQL_CHI2,
     "q_benford": SQL_BENFORD,
     "q_gini": SQL_GINI,

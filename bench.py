@@ -177,6 +177,13 @@ BENCH_QUERIES = [
     "q_ndcg",
     "q_curriculum",
     "q_shard_balance",
+    # round-8 additions
+    "q_crosscorr",
+    "q_avg_precision",
+    "q_mrr",
+    "q_silhouette",
+    "q_source_overlap",
+    "q_conformal",
 ]
 
 
