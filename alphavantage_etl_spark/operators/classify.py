@@ -182,3 +182,110 @@ def predict_logreg(
     return _scores(feats, weights, id_col, []).select(
         id_col, "p", (F.col("p") >= 0.5).alias("pred")
     )
+
+
+def gini_stump(
+    df: DataFrame,
+    label_col: str,
+    feature_col: str,
+    max_grid: int = 1_000_000,
+) -> DataFrame:
+    """One-row (n, n_pos, best_threshold, gini_parent, gini_split,
+    gain): the best single-feature decision stump by Gini impurity —
+    the feature-screening primitive behind tree learners and
+    curation-filter design: "how much does ONE integer feature
+    (length, token count, quality grade) already separate the label",
+    and at which threshold. A gain near 0 means the feature is noise
+    for this label; the threshold is the natural cut for a cheap
+    rule-based pre-filter.
+
+    For every candidate cut t (each distinct feature value, split
+    ``feature <= t`` left), weighted Gini
+
+        split(t) = (nL/n)*(1 - (posL^2+negL^2)/nL^2)
+                 + (nR/n)*(1 - (posR^2+negR^2)/nR^2)
+
+    is minimized; gain = gini(parent) - split(best). Gini is PURE
+    rational arithmetic — unlike entropy gain there is no logarithm,
+    so every score is a fixed-order IEEE expression over exact
+    integers (squares in decimal(38,0); long squares overflow at
+    corpus scale) and the argmin is engine-identical, tie-broken by
+    threshold ascending. Outputs ship unrounded (target_encode rule).
+    The last grid value (empty right side) is not a candidate; a
+    single-valued feature yields zero rows. NULL label/feature rows
+    are excluded.
+
+    Scale (100 TB): the histogram-class design — one map-side-combined
+    groupBy onto the distinct-feature-value grid; the cumulative
+    window and the TakeOrdered argmin run over that grid only. The
+    feature must be integer-quantized with bounded cardinality (the
+    curriculum-grid contract); the bound is ENFORCED lazily in-plan
+    (the mann_whitney_u guard: one auxiliary count over the same grid
+    subtree, exchange-reused, assert_true at action time — coarsening
+    would move candidate cuts, so the guard raises, never degrades).
+    """
+    if max_grid < 2:
+        raise ValueError(f"max_grid must be >= 2, got {max_grid}")
+    y = F.col(label_col).cast("long")
+    base = df.where(
+        F.col(feature_col).isNotNull() & y.isNotNull()
+    ).select(
+        F.col(feature_col).cast("long").alias("__v"), y.alias("__y")
+    )
+    grid = base.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__p")
+    )
+    guard = grid.agg(F.count(F.lit(1)).alias("__ng"))
+    grid = (
+        grid.join(F.broadcast(guard))
+        .where(
+            F.assert_true(
+                F.col("__ng") <= max_grid,
+                F.lit(
+                    "gini_stump: feature grid exceeds max_grid="
+                    f"{max_grid}; quantize the feature coarser"
+                ),
+            ).isNull()
+        )
+        .drop("__ng")
+    )
+    tot = grid.agg(
+        F.sum("__n").alias("__N"), F.sum("__p").alias("__P")
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "__v",
+        F.sum("__n").over(w).alias("__nl"),
+        F.sum("__p").over(w).alias("__pl"),
+    ).crossJoin(F.broadcast(tot))
+    cand = cum.where(F.col("__nl") < F.col("__N"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dd = lambda x: x.cast("double")  # noqa: E731
+
+    def sq2(pos, neg):
+        return dec(pos) * dec(pos) + dec(neg) * dec(neg)
+
+    nl, pl = F.col("__nl"), F.col("__pl")
+    ql = nl - pl
+    nr = F.col("__N") - nl
+    pr = F.col("__P") - pl
+    qr = nr - pr
+    gini_l = F.lit(1.0) - dd(sq2(pl, ql)) / (dd(nl) * dd(nl))
+    gini_r = F.lit(1.0) - dd(sq2(pr, qr)) / (dd(nr) * dd(nr))
+    split = (dd(nl) / dd(F.col("__N"))) * gini_l + (
+        dd(nr) / dd(F.col("__N"))
+    ) * gini_r
+    gini_parent = F.lit(1.0) - dd(
+        sq2(F.col("__P"), F.col("__N") - F.col("__P"))
+    ) / (dd(F.col("__N")) * dd(F.col("__N")))
+    scored = cand.select(
+        F.col("__N").alias("n"),
+        F.col("__P").alias("n_pos"),
+        F.col("__v").alias("best_threshold"),
+        gini_parent.alias("gini_parent"),
+        split.alias("gini_split"),
+        (gini_parent - split).alias("gain"),
+    )
+    return scored.orderBy("gini_split", "best_threshold").limit(1)

@@ -390,3 +390,158 @@ def mrr_hits(
             ).alias(f"hit_{k}")
         )
     return st.select(*sel)
+
+
+def cohen_kappa(
+    df: DataFrame, rater_a_col: str, rater_b_col: str
+) -> DataFrame:
+    """One-row (n, agree, po, pe, kappa): Cohen's kappa — chance-
+    corrected inter-annotator agreement over two categorical label
+    columns. THE label-QA gate for a training-data pipeline: raw
+    percent agreement (po) flatters any pair of raters that both
+    over-predict the majority class; kappa subtracts the agreement
+    two INDEPENDENT raters with the same marginals would reach by
+    luck (pe), so a kappa near 0 flags a labeling process that is
+    noise even when po looks high.
+
+    ``kappa = (po - pe) / (1 - pe)`` computed as ONE exact integer
+    ratio: with confusion-cell counts c_ab, marginals ra_k / rb_k and
+    n = sum(c),
+
+        kappa = (n * agree - sum_k ra_k*rb_k)
+              / (n * n     - sum_k ra_k*rb_k)
+
+    — numerator and denominator multiply in decimal(38,0) (long
+    products overflow at corpus scale), one double division at the
+    end, shipped unrounded (bit-identical cross-engine). po and pe
+    are exact-int double ratios in a pinned op order. kappa is NULL
+    when pe = 1 (a single shared label — chance correction
+    undefined). Rows with a NULL label on either side are excluded.
+
+    Scale (100 TB): one map-side-combined groupBy onto the k x k
+    confusion grid; marginals, the pe sum, and the diagonal all
+    derive from that bounded grid (label vocabularies are small by
+    construction), never from a second corpus pass.
+    """
+    pairs = df.where(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(rater_a_col).alias("__a"), F.col(rater_b_col).alias("__b")
+    )
+    cell = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ra = cell.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    rb = cell.groupBy("__b").agg(F.sum("__c").alias("__rb"))
+    pe_num = (
+        ra.join(rb, ra["__a"] == rb["__b"])
+        .agg(
+            F.coalesce(
+                F.sum(dec(F.col("__ra")) * dec(F.col("__rb"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__pen")
+        )
+    )
+    tot = cell.agg(
+        F.sum("__c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))),
+            F.lit(0),
+        ).alias("agree"),
+    )
+    j = tot.crossJoin(F.broadcast(pe_num))
+    n_d = F.col("n").cast("double")
+    den = dec(F.col("n")) * dec(F.col("n")) - F.col("__pen")
+    num = dec(F.col("n")) * dec(F.col("agree")) - F.col("__pen")
+    return j.select(
+        "n",
+        "agree",
+        (F.col("agree").cast("double") / n_d).alias("po"),
+        (F.col("__pen").cast("double") / n_d / n_d).alias("pe"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("kappa"),
+    )
+
+
+def rank_biased_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_col: str,
+    p: float = 0.9,
+    depth: int = 50,
+) -> DataFrame:
+    """One-row (depth, n_common, agreement_at_depth, rbo): truncated
+    rank-biased overlap (Webber et al.'s RBO) between two top-``depth``
+    rankings of the same id space — the comparison metric for two
+    RANKERS rather than one ranking against labels (ndcg_at_k's job):
+    "did swapping the retriever / quality scorer actually change what
+    the top of the list shows", with geometric top-weighting p^(i-1)
+    so rank-1 disagreements dominate tail churn.
+
+        rbo_d = (1 - p) * sum_{i=1..d} p^(i-1) * |A_1..i ∩ B_1..i| / i
+
+    An item in both prefixes enters every depth i >= max(rank_a,
+    rank_b), so the overlap curve X_i is one bounded count per depth.
+    Each term is half-even-quantized at 1e-12 (O(1) magnitude — the
+    ndcg gain/discount discipline: pow is the one transcendental) and
+    summed in decimal(38,0); agreement_at_depth = X_d / d is an
+    exact-int double ratio shipped unrounded.
+
+    Scale (100 TB): both inputs must already be top-``depth``
+    prefixes (build them with orderBy().limit(d) —
+    TakeOrderedAndProject, never a corpus-wide row_number window); all
+    joins here are depth-bounded (d x d at worst), executed as a
+    broadcast nested loop over <= d rows per side.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    ra = ranked_a.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__ra")
+    ).where(F.col("__ra") <= depth)
+    rb = ranked_b.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("__rb")
+    ).where(F.col("__rb") <= depth)
+    both = ra.join(rb, "__id").select(
+        F.greatest("__ra", "__rb").alias("__m")
+    )
+    spark = ranked_a.sparkSession
+    depths = spark.range(1, depth + 1).select(F.col("id").alias("__i"))
+    x = (
+        depths.join(
+            F.broadcast(both), F.col("__m") <= F.col("__i"), "left"
+        )
+        .groupBy("__i")
+        .agg(F.count("__m").alias("__x"))
+    )
+    term = F.round(
+        F.bround(
+            F.lit(1.0 - p)
+            * F.pow(F.lit(p), F.col("__i").cast("double") - F.lit(1.0))
+            * F.col("__x").cast("double")
+            / F.col("__i").cast("double"),
+            12,
+        )
+        * F.lit(1e12)
+    ).cast("decimal(38,0)")
+    return x.agg(
+        F.max("__i").alias("depth"),
+        F.coalesce(
+            F.max(F.when(F.col("__i") == depth, F.col("__x"))), F.lit(0)
+        ).alias("n_common"),
+        (
+            F.coalesce(
+                F.max(F.when(F.col("__i") == depth, F.col("__x"))),
+                F.lit(0),
+            ).cast("double")
+            / F.lit(float(depth))
+        ).alias("agreement_at_depth"),
+        (
+            F.coalesce(
+                F.sum(term), F.lit(0).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e12)
+        ).alias("rbo"),
+    )

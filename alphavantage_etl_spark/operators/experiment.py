@@ -345,3 +345,134 @@ def conformal_coverage(
         .alias("coverage"),
         F.lit(1.0 - alpha).alias("target"),
     )
+
+
+def two_prop_scan(
+    df: DataFrame, key_col: str, flag_col: str
+) -> DataFrame:
+    """Per-key (key, n, pos, stat, p_proxy): one-vs-rest two-proportion
+    screen over a binary flag — for every key k, the 1-df chi-squared
+    statistic of the 2x2 table (k vs all other keys) x (flag vs not):
+
+        stat = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    The slice-scan that feeds :func:`bh_reject`: "which segments'
+    conversion/label share actually deviates", computed for EVERY key
+    in one pass so the multiple-testing correction downstream is
+    honest about how many looks were taken.
+
+    Exactness: cell counts are exact integers from one grouped
+    aggregation; ``a*d - b*c`` multiplies in decimal(38,0) (long
+    products overflow at corpus scale) and ``stat`` is ONE pinned-order
+    double expression over exact integers (the squared numerator can
+    exceed decimal(38,0) at 100 TB, so the division runs in doubles —
+    identical IEEE path both engines). Degenerate margins (an empty
+    class either way) pin ``stat = 0`` (no evidence, not NULL — the
+    row still enters the BH ranking). ``p_proxy = 1 / (1 + stat)``: a
+    PINNED monotone surrogate for the 1-df upper-tail p-value (both
+    strictly decreasing in stat), chosen because the true survival
+    function needs erf — a transcendental with no cross-engine-exact
+    form. BH only consumes p-values through their ORDER and a
+    threshold; the order under the surrogate is the true order.
+
+    Scale: one map-side-combined groupBy on the key, totals from the
+    bounded key grid (broadcast back), zero corpus-sized joins.
+    """
+    g = df.where(
+        F.col(key_col).isNotNull() & F.col(flag_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(flag_col).cast("long").alias("__f"),
+    )
+    cells = g.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__f").alias("__p")
+    )
+    tot = cells.agg(
+        F.sum("__n").alias("__tn"), F.sum("__p").alias("__tp")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = F.col("__p")
+    b = F.col("__n") - F.col("__p")
+    c = F.col("__tp") - F.col("__p")
+    d = (F.col("__tn") - F.col("__tp")) - b
+    adbc = dec(a) * dec(d) - dec(b) * dec(c)
+    m1 = F.col("__n")  # a + b
+    m2 = F.col("__tn") - F.col("__n")  # c + d
+    m3 = F.col("__tp")  # a + c
+    m4 = F.col("__tn") - F.col("__tp")  # b + d
+    dd = lambda x: x.cast("double")  # noqa: E731
+    stat = F.when(
+        (m1 > 0) & (m2 > 0) & (m3 > 0) & (m4 > 0),
+        dd(F.col("__tn"))
+        * dd(adbc)
+        * dd(adbc)
+        / dd(m1)
+        / dd(m2)
+        / dd(m3)
+        / dd(m4),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").alias("n"),
+        F.col("__p").alias("pos"),
+        stat.alias("stat"),
+        (F.lit(1.0) / (F.lit(1.0) + stat)).alias("p_proxy"),
+    )
+
+
+def bh_reject(
+    scored: DataFrame, key_col: str, p_col: str, q: float = 0.1
+) -> DataFrame:
+    """Per-key (key, p, rank, m, rejected): Benjamini-Hochberg step-up
+    FDR control over a bounded family of per-key p-values — the
+    multiple-testing correction every slice-scan needs: run a chi2 /
+    MWU screen across hundreds of segments and ~5% of null segments
+    "fire" at p < .05 by construction; BH keeps the expected FALSE
+    DISCOVERY share of what you act on below ``q`` instead.
+
+    Procedure (exact, rank-based): sort p ascending (tie-break key
+    ascending — a pinned total order), find the largest rank i with
+    ``p_i * m <= q * i`` (the multiplied form — no division, so the
+    comparison is two IEEE products over identical doubles in both
+    engines), reject ranks 1..i. No rejections when no rank passes.
+    ``rejected`` ships as 0/1 BIGINT.
+
+    Scale: the family is the KEY grid, already aggregated and bounded
+    (segments, not rows) — the rank window and the step-up max run
+    single-partition over m rows by design; m at 100 TB is the number
+    of slices scanned, thousands at most.
+    """
+    base = scored.where(F.col(p_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.col(p_col).cast("double").alias("__p"),
+    )
+    m = base.agg(F.count(F.lit(1)).alias("__m"))
+    wr = Window.orderBy("__p", "__k")
+    ranked = (
+        base.crossJoin(F.broadcast(m))
+        .withColumn("__i", F.row_number().over(wr).cast("long"))
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    passes = F.when(
+        F.col("__p") * F.col("__m").cast("double")
+        <= F.lit(q) * F.col("__i").cast("double"),
+        F.col("__i"),
+    )
+    out = ranked.withColumn("__istar", F.max(passes).over(wall))
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__p").alias("p"),
+        F.col("__i").alias("rank"),
+        F.col("__m").cast("long").alias("m"),
+        F.when(
+            F.col("__istar").isNotNull()
+            & (F.col("__i") <= F.col("__istar")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rejected"),
+    )

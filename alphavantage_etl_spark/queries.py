@@ -6973,6 +6973,266 @@ FROM t CROSS JOIN ntr
 """
 
 
+# X114 — Cohen's kappa (r8): chance-corrected agreement between two
+# deterministic "raters" (token-count bins vs char-length bins) — the
+# label-QA gate: raw agreement flatters majority-class raters, kappa
+# subtracts the marginal-luck term; one exact-int double ratio
+# (operators/evaluation.py:cohen_kappa).
+def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import cohen_kappa
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    )
+    r = d.select(
+        F.when(ntok < 40, 0).when(ntok < 70, 1).otherwise(2).alias("ra"),
+        F.when(F.col("n_chars") < 220, 0)
+        .when(F.col("n_chars") < 380, 1)
+        .otherwise(2)
+        .alias("rb"),
+    )
+    return cohen_kappa(r, "ra", "rb")
+
+
+SQL_KAPPA = r"""
+WITH toks AS (
+  SELECT len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS ntok,
+         n_chars
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+r AS (
+  SELECT CASE WHEN ntok < 40 THEN 0 WHEN ntok < 70 THEN 1 ELSE 2 END AS a,
+         CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1
+              ELSE 2 END AS b
+  FROM toks),
+cell AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cell GROUP BY 1),
+mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS rb FROM cell GROUP BY 1),
+pe AS (
+  SELECT coalesce(sum(CAST(ma.ra AS HUGEINT) * CAST(mb.rb AS HUGEINT)),
+                  0) AS pen
+  FROM ma JOIN mb ON ma.a = mb.b),
+t AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT)
+           AS agree
+  FROM cell)
+SELECT n, agree,
+       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(pen AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) AS pe,
+       CASE WHEN CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pen <> 0
+            THEN CAST(CAST(n AS HUGEINT) * CAST(agree AS HUGEINT) - pen
+                      AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - pen
+                      AS DOUBLE)
+       END AS kappa
+FROM t CROSS JOIN pe
+"""
+
+
+# X115 — Benjamini-Hochberg FDR control (r8): the multiple-testing
+# correction over a one-vs-rest two-proportion slice scan (per-source
+# 'en' share) — ~5% of null slices "fire" at p<.05 by construction,
+# BH bounds the false-discovery share of what you act on; p surrogate
+# 1/(1+chi2) pinned (same ORDER as the true 1-df p — erf has no
+# cross-engine-exact form), step-up in the no-division multiplied
+# comparison (operators/experiment.py:two_prop_scan, bh_reject).
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.experiment import bh_reject, two_prop_scan
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    )
+    flagged = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    scored = two_prop_scan(flagged, "source", "is_en")
+    return bh_reject(scored, "source", "p_proxy", q=0.1)
+
+
+SQL_BH_FDR = """
+WITH cells AS (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS p
+  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(p) AS BIGINT) AS pp
+        FROM cells),
+st AS (
+  SELECT k,
+         CASE WHEN n > 0 AND nn - n > 0 AND pp > 0 AND nn - pp > 0
+              THEN CAST(nn AS DOUBLE)
+                   * CAST(CAST(p AS HUGEINT) * CAST(nn - pp - (n - p)
+                                                    AS HUGEINT)
+                          - CAST(n - p AS HUGEINT) * CAST(pp - p AS HUGEINT)
+                          AS DOUBLE)
+                   * CAST(CAST(p AS HUGEINT) * CAST(nn - pp - (n - p)
+                                                    AS HUGEINT)
+                          - CAST(n - p AS HUGEINT) * CAST(pp - p AS HUGEINT)
+                          AS DOUBLE)
+                   / CAST(n AS DOUBLE) / CAST(nn - n AS DOUBLE)
+                   / CAST(pp AS DOUBLE) / CAST(nn - pp AS DOUBLE)
+              ELSE 0.0 END AS stat
+  FROM cells CROSS JOIN tot),
+pp2 AS (
+  SELECT k, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + stat) AS p
+  FROM st),
+ranked AS (
+  SELECT k, p,
+         CAST(row_number() OVER (ORDER BY p, k) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pp2),
+istar AS (
+  SELECT max(CASE WHEN p * CAST(m AS DOUBLE)
+                       <= CAST(0.1 AS DOUBLE) * CAST(i AS DOUBLE)
+                  THEN i END) AS i_star
+  FROM ranked)
+SELECT k AS source, p, i AS rank, m,
+       CAST(CASE WHEN i_star IS NOT NULL AND i <= i_star THEN 1 ELSE 0 END
+            AS BIGINT) AS rejected
+FROM ranked CROSS JOIN istar
+"""
+
+
+# X116 — rank-biased overlap (r8): truncated RBO between the
+# length-ranked and char-ranked top-50 doc lists — "did swapping the
+# scorer change what the top of the list shows", geometric p^(i-1)
+# top-weighting; prefixes via TakeOrderedAndProject, never a corpus
+# row_number window (operators/evaluation.py:rank_biased_overlap).
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evaluation import rank_biased_overlap
+
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    )
+    base = d.select("doc_id", ntok.alias("ntok"), "n_chars")
+
+    def top(order_col: str) -> DataFrame:
+        # TakeOrderedAndProject prefix first; the rank window then
+        # runs over 50 rows, never the corpus
+        pre = base.orderBy(F.desc(order_col), "doc_id").limit(50)
+        w = Window.orderBy(F.desc(order_col), "doc_id")
+        return pre.select(
+            "doc_id", F.row_number().over(w).alias("rank")
+        )
+
+    return rank_biased_overlap(
+        top("ntok"), top("n_chars"), "doc_id", "rank", p=0.9, depth=50
+    )
+
+
+SQL_RBO = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS ntok,
+         n_chars
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+ra AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY ntok DESC, doc_id) AS r
+    FROM toks) WHERE r <= 50),
+rb AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+    FROM toks) WHERE r <= 50),
+ovl AS (
+  SELECT greatest(ra.r, rb.r) AS m FROM ra JOIN rb USING (doc_id)),
+depths AS (SELECT CAST(g AS BIGINT) AS i FROM generate_series(1, 50) t(g)),
+x AS (
+  SELECT d.i, count(b.m) AS x
+  FROM depths d LEFT JOIN ovl b ON b.m <= d.i GROUP BY 1),
+terms AS (
+  SELECT i, x,
+         CAST(round(round_even(
+           CAST(0.09999999999999998 AS DOUBLE)
+           * power(CAST(0.9 AS DOUBLE), CAST(i AS DOUBLE) - 1.0)
+           * CAST(x AS DOUBLE) / CAST(i AS DOUBLE), 12) * 1e12)
+           AS HUGEINT) AS t
+  FROM x)
+SELECT CAST(max(i) AS BIGINT) AS depth,
+       CAST(coalesce(max(CASE WHEN i = 50 THEN x END), 0) AS BIGINT)
+         AS n_common,
+       CAST(coalesce(max(CASE WHEN i = 50 THEN x END), 0) AS DOUBLE)
+         / CAST(50 AS DOUBLE) AS agreement_at_depth,
+       CAST(coalesce(sum(t), 0) AS DOUBLE) / 1e12 AS rbo
+FROM terms
+"""
+
+
+# X117 — Gini decision stump (r8): best single-feature split of the
+# 'en' label on token count — the feature-screening primitive behind
+# curation-filter design; Gini is pure rational arithmetic (no log),
+# argmin over the bounded feature grid, lazily guarded
+# (operators/classify.py:gini_stump).
+def q_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.classify import gini_stump
+
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    )
+    base = d.select(
+        ntok.alias("ntok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return gini_stump(base, "y", "ntok")
+
+
+SQL_GINI_STUMP = r"""
+WITH base AS (
+  SELECT len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS v,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE text IS NOT NULL),
+grid AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+  FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(p) AS BIGINT) AS pp
+        FROM grid),
+cum AS (
+  SELECT v,
+         CAST(sum(n) OVER w AS BIGINT) AS nl,
+         CAST(sum(p) OVER w AS BIGINT) AS pl
+  FROM grid WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+scored AS (
+  SELECT nn AS n, pp AS n_pos, v AS best_threshold,
+         CAST(1 AS DOUBLE)
+           - CAST(CAST(pp AS HUGEINT) * CAST(pp AS HUGEINT)
+                  + CAST(nn - pp AS HUGEINT) * CAST(nn - pp AS HUGEINT)
+                  AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS gini_parent,
+         (CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+           * (CAST(1 AS DOUBLE)
+              - CAST(CAST(pl AS HUGEINT) * CAST(pl AS HUGEINT)
+                     + CAST(nl - pl AS HUGEINT) * CAST(nl - pl AS HUGEINT)
+                     AS DOUBLE)
+                / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE)))
+         + (CAST(nn - nl AS DOUBLE) / CAST(nn AS DOUBLE))
+           * (CAST(1 AS DOUBLE)
+              - CAST(CAST(pp - pl AS HUGEINT) * CAST(pp - pl AS HUGEINT)
+                     + CAST((nn - nl) - (pp - pl) AS HUGEINT)
+                       * CAST((nn - nl) - (pp - pl) AS HUGEINT)
+                     AS DOUBLE)
+                / (CAST(nn - nl AS DOUBLE) * CAST(nn - nl AS DOUBLE)))
+           AS gini_split
+  FROM cum CROSS JOIN tot WHERE nl < nn)
+SELECT n, n_pos, best_threshold, gini_parent, gini_split,
+       gini_parent - gini_split AS gain
+FROM scored
+ORDER BY gini_split, best_threshold LIMIT 1
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -7165,6 +7425,12 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
+    # r8 late additions (X114-X117) — enter the driver window at the
+    # next rotation per the pinned policy (never-checked first)
+    "q_kappa": q_kappa,
+    "q_bh_fdr": q_bh_fdr,
+    "q_rbo": q_rbo,
+    "q_gini_stump": q_gini_stump,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -7342,6 +7608,11 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_split_assign": SQL_SPLIT_ASSIGN,
     "q_source_quota": SQL_SOURCE_QUOTA,
     "q_pack_bins": SQL_PACK_BINS,
+    # r8 late additions (X114-X117)
+    "q_kappa": SQL_KAPPA,
+    "q_bh_fdr": SQL_BH_FDR,
+    "q_rbo": SQL_RBO,
+    "q_gini_stump": SQL_GINI_STUMP,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
