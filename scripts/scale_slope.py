@@ -86,6 +86,12 @@ DOC_QUERIES = [
     # the rank window runs per-term over docs-containing-term.
     "q_curriculum",
     "q_ndcg",
+    # late r8: the >= 1 s r8 newcomers over documents. avg_precision
+    # rides the shared logreg scores (two-level rank: block offsets
+    # over the distinct-score grid + per-score row_numbers — expect
+    # ~training-bound); mrr is one (query, doc) join + per-query min.
+    "q_avg_precision",
+    "q_mrr",
 ]
 EMB_QUERIES = [
     "q_embed_near_dup",
@@ -101,6 +107,10 @@ EMB_QUERIES = [
     "q_label_propagation",
     "q_graph_walks",
     "q_kcenter_coreset",
+    # late r8: per-point cost is |labels| centroid distances; labels
+    # grow with N under the x10 fresh-label-range discipline, so the
+    # (point x label) frame grows ~linearly at fixed per-replica k
+    "q_silhouette",
 ]
 # r5: the TPC-H-shaped heavies. Replication offsets order/cust/supp keys
 # per replica while NATIONS STAY FIXED — orders, customers, suppliers and
@@ -129,6 +139,9 @@ TPCH_QUERIES = [
     # window over the per-customer table (grows 10x in rows, linear).
     "q_weighted_median",
     "q_rfm",
+    # late r8: conformal's residual grid is micro-dollar-quantized and
+    # value-range-bounded; the splits/model joins grow linearly
+    "q_conformal",
 ]
 # r5: event-stream heavies — events replicate 10x with fresh
 # event/user ids over the same calendar (generate_aux), so journeys
