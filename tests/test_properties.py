@@ -501,9 +501,13 @@ def test_corpus_digest_permutation_invariant_everywhere(spark, rows, rng):
     st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
 )
 def test_ks_statistic_is_a_valid_distance(spark, xs, ys):
-    """0 <= D <= 1 always; D == 0 exactly when the quantized multisets
-    coincide; symmetric in its arguments."""
+    """0 <= D <= 1 always; D == 0 exactly when the quantized empirical
+    DISTRIBUTIONS coincide (proportions, not multisets — [0] vs [0, 0]
+    have identical CDFs, so D is genuinely 0 at different sample
+    sizes; hypothesis found that counterexample to the old
+    multiset-equality form in r8); symmetric in its arguments."""
     from collections import Counter
+    from fractions import Fraction
 
     from alphavantage_etl_spark.functions.distribution import ks_test
 
@@ -513,9 +517,13 @@ def test_ks_statistic_is_a_valid_distance(spark, xs, ys):
     d_ba = ks_test(b, a, "v").first()["ks_d"]
     assert 0.0 <= d_ab <= 1.0
     assert d_ab == d_ba
-    same = Counter(round(x * 100) for x in xs) == Counter(
-        round(y * 100) for y in ys
-    )
+
+    def dist(vals):
+        c = Counter(round(v * 100) for v in vals)
+        n = sum(c.values())
+        return {k: Fraction(v, n) for k, v in c.items()}
+
+    same = dist(xs) == dist(ys)
     assert (d_ab == 0.0) == same
 
 
