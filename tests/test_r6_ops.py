@@ -46,7 +46,9 @@ def test_mwu_grid_bound_raises_and_empty_side(spark):
     from alphavantage_etl_spark.functions.distribution import mann_whitney_u
 
     a = spark.range(500).selectExpr("cast(id as double) as v")
-    with pytest.raises(ValueError, match="max_grid"):
+    # the r8 lazy in-plan guard raises at ACTION time as a Spark
+    # runtime error (assert_true), no longer a driver-side ValueError
+    with pytest.raises(Exception, match="max_grid"):
         mann_whitney_u(a, a, "v", max_grid=10).first()
     empty = spark.createDataFrame([], "v double")
     r = mann_whitney_u(a.limit(3), empty, "v").first()

@@ -106,7 +106,9 @@ def test_kruskal_identical_groups_and_grid_bound(spark):
     # identical samples: H ~ 0 (exactly 0 up to the term flooring)
     assert abs(r["h_corrected"]) < 1e-6
 
-    with pytest.raises(ValueError):
+    # the r8 lazy in-plan guard raises at ACTION time as a Spark
+    # runtime error (assert_true), no longer a driver-side ValueError
+    with pytest.raises(Exception, match="max_grid"):
         kruskal_wallis(df, "g", "v", max_grid=5).first()
 
 
