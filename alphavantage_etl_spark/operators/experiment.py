@@ -387,6 +387,32 @@ def two_prop_scan(
     cells = g.groupBy("__k").agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__f").alias("__p")
     )
+    return two_prop_from_counts(cells, "__k", "__n", "__p", out_key=key_col)
+
+
+def two_prop_from_counts(
+    cells: DataFrame,
+    key_col: str,
+    n_col: str,
+    pos_col: str,
+    out_key: str | None = None,
+) -> DataFrame:
+    """:func:`two_prop_scan` over PRE-AGGREGATED per-key counts
+    (key, n, pos) — the entry point for callers that maintain the
+    counts themselves, e.g. a streaming monitor merging mergeable
+    count state across micro-batches (the aggregate_state discipline:
+    exact integer counts merge associatively, so the scan over merged
+    state equals the scan over the full data by construction). Same
+    output contract and arithmetic as two_prop_scan.
+    """
+    cells = cells.select(
+        F.col(key_col).alias("__k"),
+        F.col(n_col).cast("long").alias("__n"),
+        F.col(pos_col).cast("long").alias("__p"),
+    )
+    if out_key is None:
+        out_key = key_col
+    key_col = out_key
     tot = cells.agg(
         F.sum("__n").alias("__tn"), F.sum("__p").alias("__tp")
     )

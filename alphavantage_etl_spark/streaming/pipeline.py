@@ -1173,3 +1173,87 @@ def cusum_chart_stream(
         .otherwise(F.lit(False))
         .alias("is_breach"),
     )
+
+
+def fdr_monitor_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    flag_col: str,
+    state_path: str,
+    checkpoint: str,
+    q: float = 0.1,
+    reports: list | None = None,
+):
+    """Streaming twin of the X115 slice scan — `two_prop_scan |>
+    bh_reject` running live: every micro-batch's per-key (n, positives)
+    counts MERGE into a persisted cumulative count table (the
+    aggregate_state discipline: exact integer counts form a
+    commutative monoid, so the merged state equals the counts over all
+    rows ever seen, independent of batch boundaries or restarts), and
+    the Benjamini-Hochberg rejection table re-evaluates over the
+    CUMULATIVE counts — "which segments' label share is anomalous
+    RIGHT NOW, false-discovery-controlled", the honest version of a
+    dashboard that eyeballs dozens of segment deltas every refresh.
+
+    Parity by construction: because the state is exact merged
+    integers, the post-restart rejection table is IDENTICAL to batch
+    `bh_reject(two_prop_scan(all_rows))` — asserted row-for-row by the
+    restart test, like the EWMA/CUSUM twins.
+
+    Scale: per batch, ONE map-side-combined aggregation of the batch
+    plus a key-grid-bounded merge (the state table is segments, not
+    rows) and the bounded BH windows; the driver-side report append is
+    one collect of that same bounded grid. The state parquet rewrite
+    localCheckpoints the merged frame first (parquet overwrite of a
+    path in the plan's own lineage — the r3 signature-index lesson).
+    """
+    from ..operators.experiment import bh_reject, two_prop_from_counts
+
+    flag = F.col(flag_col)
+    key = F.col(key_col)
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cells = (
+            batch_df.where(key.isNotNull() & flag.isNotNull())
+            .groupBy(key.alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(flag.cast("long")).alias("pos"),
+            )
+        )
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(cells)
+                .groupBy("k")
+                .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+            )
+        except Exception:
+            merged = cells
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+        rej = bh_reject(
+            two_prop_from_counts(merged, "k", "n", "pos"),
+            "k",
+            "p_proxy",
+            q=q,
+        )
+        if reports is not None:
+            reports.append(
+                {
+                    "batch_id": batch_id,
+                    "rejected": sorted(
+                        r["k"] for r in rej.collect() if r["rejected"] == 1
+                    ),
+                }
+            )
+
+    qr = (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qr.awaitTermination()
+    return qr

@@ -1005,3 +1005,75 @@ def test_cusum_chart_stream_matches_batch_and_restarts(spark, tmp_path):
         for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_fdr_monitor_stream_matches_batch_and_restarts(spark, tmp_path):
+    """Streaming FDR slice monitor: (key, flag) rows fed across two
+    micro-batches with a query restart between them; the merged count
+    state must survive the restart and the FINAL rejection table must
+    equal batch bh_reject(two_prop_scan(all rows)) row-for-row (exact
+    integer state -> parity by construction, asserted anyway)."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.operators.experiment import (
+        bh_reject,
+        two_prop_scan,
+    )
+    from alphavantage_etl_spark.streaming.pipeline import fdr_monitor_stream
+
+    ev = load(spark, SF_SMALL, "events").select("event_type", "value")
+    rows = ev.select(
+        F.col("event_type").alias("k"),
+        (F.col("value") > 100.0).cast("int").alias("f"),
+    ).where(F.col("k").isNotNull() & F.col("f").isNotNull())
+
+    in_dir = tmp_path / "fdr_in"
+    in_dir.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    state = str(tmp_path / "fdr_state")
+    ckpt = str(tmp_path / "ckpt_fdr")
+    reports: list = []
+
+    def drain():
+        stream = spark.readStream.schema("k string, f int").parquet(
+            str(in_dir)
+        )
+        fdr_monitor_stream(
+            stream, "k", "f", state, ckpt, q=0.5, reports=reports
+        )
+
+    # split by a value-free hash of the key row position: use event
+    # subsets by key prefix so both batches carry several keys
+    land(rows.where(F.col("k") <= "m"), "b1")
+    drain()
+    land(rows.where(F.col("k") > "m"), "b2")
+    drain()  # restart: cumulative counts reload from the state parquet
+
+    # final cumulative state must equal the batch scan's counts
+    got_state = sorted(
+        (r["k"], r["n"], r["pos"])
+        for r in spark.read.parquet(state).collect()
+    )
+    want_counts = sorted(
+        (r["k"], r["n"], r["pos"])
+        for r in two_prop_scan(rows, "k", "f").collect()
+    )
+    assert got_state == want_counts and len(got_state) > 0
+
+    # final rejection table must equal the batch BH table
+    want_rej = sorted(
+        r["k"]
+        for r in bh_reject(
+            two_prop_scan(rows, "k", "f"), "k", "p_proxy", q=0.5
+        ).collect()
+        if r["rejected"] == 1
+    )
+    assert reports[-1]["rejected"] == want_rej
+    assert len(reports) >= 2
