@@ -502,3 +502,156 @@ def bh_reject(
         .cast("long")
         .alias("rejected"),
     )
+
+
+def perm_test_means(
+    df: DataFrame,
+    id_col: str,
+    flag_col: str,
+    value_col: str,
+    n_perms: int = 99,
+    salt: str = "perm",
+) -> DataFrame:
+    """One-row (n, n1, n0, obs_diff, n_perms, n_ge, p_value): a
+    permutation test for the difference in group means — the
+    SIGNIFICANCE sibling of the Poisson bootstrap (X-bootstrap gives a
+    CI around the estimate; this asks "could a difference this large
+    arise with labels assigned at random", the exact-under-the-null
+    test that needs no variance formula, normality, or equal-n
+    assumption).
+
+    Permutations are PSEUDO-permutations by content-addressed hashing
+    (the split_bucket discipline): permutation p reassigns each row to
+    side ``md5(salt ':' p ':' id) mod 2`` — a deterministic function
+    of (salt, p, id), so the null distribution is reproducible by any
+    engine, any partitioning, any run (true random shuffles are
+    neither cross-engine nor restart stable). Hash sides are Bernoulli
+    (1/2) rather than exactly-n1 draws — the standard large-sample
+    randomization-test variant; at corpus n the binomial n1 jitter is
+    O(sqrt(n)) and immaterial, and determinism is the contract here.
+
+    Exactness: values quantize to cents; per-(perm, side) sums are
+    exact decimal(38,0) integers (immune to partial-agg merge order);
+    each diff is two exact-int double ratios subtracted in pinned
+    order; the >= comparison is on identical doubles both engines.
+    p_value = (1 + #{p : |diff_p| >= |obs|}) / (n_perms + 1) — the
+    add-one form, so p is never 0 and the observed assignment counts
+    as its own permutation.
+
+    Scale (100 TB): the perm fan-out multiplies CPU, not shuffle —
+    the bootstrap_ci class: rows explode x n_perms but collapse
+    map-side into per-partition (perm, side) partials, so the
+    exchange carries O(partitions * n_perms * 2) rows; the final
+    p-value fold is one aggregation over 2 * n_perms cells. NULL
+    id/flag/value rows are excluded.
+    """
+    if n_perms < 1:
+        raise ValueError(f"n_perms must be >= 1, got {n_perms}")
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(flag_col).isNotNull()
+        & cents.isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.col(flag_col).cast("int").alias("__f"),
+        cents.alias("__c"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dd = lambda c: c.cast("double")  # noqa: E731
+
+    def diff(s1, n1, s0, n0):
+        return dd(s1) / 100.0 / dd(n1) - dd(s0) / 100.0 / dd(n0)
+
+    obs = base.groupBy("__f").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(dec(F.col("__c"))).alias("__s")
+    )
+    obs_row = (
+        obs.agg(
+            F.sum("__n").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("__f") == 1, F.col("__n"))), F.lit(0)
+            ).alias("n1"),
+            F.coalesce(
+                F.sum(F.when(F.col("__f") == 0, F.col("__n"))), F.lit(0)
+            ).alias("n0"),
+            F.sum(F.when(F.col("__f") == 1, F.col("__s"))).alias("__s1"),
+            F.sum(F.when(F.col("__f") == 0, F.col("__s"))).alias("__s0"),
+        )
+        .withColumn(
+            "obs_diff",
+            F.when(
+                (F.col("n1") > 0) & (F.col("n0") > 0),
+                diff(F.col("__s1"), F.col("n1"), F.col("__s0"), F.col("n0")),
+            ),
+        )
+        .drop("__s1", "__s0")
+    )
+    side = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("__p").cast("string"), F.col("__id")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perms = (
+        base.select(
+            "__id",
+            "__c",
+            F.explode(F.sequence(F.lit(1), F.lit(n_perms))).alias("__p"),
+        )
+        .select("__c", "__p", side.alias("__side"))
+        .groupBy("__p", "__side")
+        .agg(
+            F.count(F.lit(1)).alias("__n"), F.sum(dec(F.col("__c"))).alias("__s")
+        )
+    )
+    pd_ = perms.groupBy("__p").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == 1, F.col("__n"))), F.lit(0)
+        ).alias("__n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__side") == 0, F.col("__n"))), F.lit(0)
+        ).alias("__n0"),
+        F.sum(F.when(F.col("__side") == 1, F.col("__s"))).alias("__s1"),
+        F.sum(F.when(F.col("__side") == 0, F.col("__s"))).alias("__s0"),
+    )
+    pdiff = pd_.select(
+        "__p",
+        F.when(
+            (F.col("__n1") > 0) & (F.col("__n0") > 0),
+            diff(F.col("__s1"), F.col("__n1"), F.col("__s0"), F.col("__n0")),
+        ).alias("__d"),
+    )
+    tail = pdiff.crossJoin(F.broadcast(obs_row)).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("__d")) >= F.abs(F.col("obs_diff")), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_ge")
+    )
+    return obs_row.crossJoin(F.broadcast(tail)).select(
+        "n",
+        "n1",
+        "n0",
+        "obs_diff",
+        F.lit(n_perms).cast("long").alias("n_perms"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        F.when(
+            F.col("obs_diff").isNotNull(),
+            (F.lit(1.0) + dd(F.col("n_ge")))
+            / (F.lit(float(n_perms)) + F.lit(1.0)),
+        ).alias("p_value"),
+    )

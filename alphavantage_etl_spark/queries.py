@@ -7233,6 +7233,96 @@ ORDER BY gini_split, best_threshold LIMIT 1
 """
 
 
+# X118 — hash-permutation significance test (r8): "is the purchase
+# events' mean value actually different from the rest, or label
+# noise" — the significance sibling of the Poisson bootstrap CI:
+# pseudo-permutations by content-addressed md5 (engine-portable,
+# restart-stable), exact cent-integer sums per (perm, side), add-one
+# p-value; CPU fans out x n_perms, the exchange carries only
+# map-side-combined (perm, side) partials
+# (operators/experiment.py:perm_test_means).
+def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.experiment import perm_test_means
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_purchase"),
+        "value",
+    )
+    return perm_test_means(
+        ev, "event_id", "is_purchase", "value", n_perms=99, salt="perm"
+    )
+
+
+SQL_PERM_TEST = """
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_id IS NOT NULL
+    AND round(CAST(value AS DOUBLE) * 100) IS NOT NULL),
+obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n0,
+         sum(CASE WHEN f = 1 THEN CAST(c AS HUGEINT) END) AS s1,
+         sum(CASE WHEN f = 0 THEN CAST(c AS HUGEINT) END) AS s0
+  FROM base),
+obs2 AS (
+  SELECT n, n1, n0,
+         CASE WHEN n1 > 0 AND n0 > 0
+              THEN CAST(s1 AS DOUBLE) / CAST(100 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE)
+                 - CAST(s0 AS DOUBLE) / CAST(100 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)
+         END AS obs_diff
+  FROM obs),
+perms AS (
+  SELECT p.p,
+         CAST(concat('0x', substring(md5(concat_ws(':', 'perm',
+                CAST(p.p AS VARCHAR), b.id)), 1, 8)) AS BIGINT) % 2
+           AS side,
+         b.c
+  FROM base b CROSS JOIN generate_series(1, 99) p(p)),
+g AS (
+  SELECT p, side, count(*) AS n, sum(CAST(c AS HUGEINT)) AS s
+  FROM perms GROUP BY 1, 2),
+pd AS (
+  SELECT p,
+         coalesce(sum(CASE WHEN side = 1 THEN n END), 0) AS n1,
+         coalesce(sum(CASE WHEN side = 0 THEN n END), 0) AS n0,
+         sum(CASE WHEN side = 1 THEN s END) AS s1,
+         sum(CASE WHEN side = 0 THEN s END) AS s0
+  FROM g GROUP BY 1),
+pdiff AS (
+  SELECT p,
+         CASE WHEN n1 > 0 AND n0 > 0
+              THEN CAST(s1 AS DOUBLE) / CAST(100 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE)
+                 - CAST(s0 AS DOUBLE) / CAST(100 AS DOUBLE)
+                     / CAST(n0 AS DOUBLE)
+         END AS d
+  FROM pd),
+tl AS (
+  SELECT coalesce(sum(CASE WHEN abs(d) >= abs(o.obs_diff) THEN 1
+                           ELSE 0 END), 0) AS n_ge
+  FROM pdiff CROSS JOIN obs2 o)
+SELECT o.n, o.n1, o.n0, o.obs_diff,
+       CAST(99 AS BIGINT) AS n_perms,
+       CAST(t.n_ge AS BIGINT) AS n_ge,
+       CASE WHEN o.obs_diff IS NOT NULL
+            THEN (CAST(1 AS DOUBLE) + CAST(t.n_ge AS DOUBLE))
+               / (CAST(99 AS DOUBLE) + CAST(1 AS DOUBLE))
+       END AS p_value
+FROM obs2 o CROSS JOIN tl t
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -7431,6 +7521,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_bh_fdr": q_bh_fdr,
     "q_rbo": q_rbo,
     "q_gini_stump": q_gini_stump,
+    "q_perm_test": q_perm_test,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -7613,6 +7704,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_bh_fdr": SQL_BH_FDR,
     "q_rbo": SQL_RBO,
     "q_gini_stump": SQL_GINI_STUMP,
+    "q_perm_test": SQL_PERM_TEST,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -147,6 +147,10 @@ TPCH_QUERIES = [
 # event/user ids over the same calendar (generate_aux), so journeys
 # and series grow in NUMBER while per-user depth stays fixed.
 EVENT_QUERIES = [
+    # late r8: hash-permutation test — the bootstrap CPU-fan-out class
+    # (rows x n_perms explode collapses map-side; shuffle carries only
+    # (perm, side) partials). Expect near-linear CPU, flat-ish wall.
+    "q_perm_test",
     # r6 addition over events >= 1 s at sf0.1 (quantized-value grid)
     "q_mann_whitney",
     "q_markov_attribution",

@@ -198,3 +198,40 @@ def test_gini_stump_hand_value_and_edges(spark):
     )
     with pytest.raises(Exception, match="max_grid"):
         gini_stump(wide, "y", "v", max_grid=5).collect()
+
+
+# ------------------------------------------------ X118 permutation test
+def test_perm_test_planted_effect(spark):
+    """Flag separates values 0 vs 100 exactly: the observed diff is
+    far outside the hash-permutation null, so p is small; the add-one
+    identity p = (1 + n_ge)/(P + 1) holds exactly (deterministic
+    content-addressed permutations -> stable across runs/engines)."""
+    from alphavantage_etl_spark.operators.experiment import perm_test_means
+
+    rows = [(i, 1, 100.0) for i in range(30)] + [
+        (i + 100, 0, 0.0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, f int, v double")
+    r = perm_test_means(df, "id", "f", "v", n_perms=19).first()
+    assert (r["n"], r["n1"], r["n0"]) == (60, 30, 30)
+    assert r["obs_diff"] == 100.0
+    assert r["p_value"] == (1.0 + r["n_ge"]) / 20.0
+    assert r["p_value"] <= 0.2  # planted effect: at most light tail mass
+
+    # no effect: both groups identical constants -> every pseudo-perm
+    # diff is 0 = |obs| -> n_ge = n_perms -> p = 1
+    flat = spark.createDataFrame(
+        [(i, i % 2, 5.0) for i in range(40)], "id long, f int, v double"
+    )
+    r = perm_test_means(flat, "id", "f", "v", n_perms=9).first()
+    assert r["obs_diff"] == 0.0 and r["p_value"] == 1.0
+
+    # single-sided label -> no observed diff -> NULL p
+    one = spark.createDataFrame(
+        [(i, 1, 5.0) for i in range(5)], "id long, f int, v double"
+    )
+    r = perm_test_means(one, "id", "f", "v", n_perms=5).first()
+    assert r["obs_diff"] is None and r["p_value"] is None
+
+    with pytest.raises(ValueError):
+        perm_test_means(df, "id", "f", "v", n_perms=0)
