@@ -184,6 +184,12 @@ BENCH_QUERIES = [
     "q_silhouette",
     "q_source_overlap",
     "q_conformal",
+    # late round-8 additions
+    "q_kappa",
+    "q_bh_fdr",
+    "q_rbo",
+    "q_gini_stump",
+    "q_perm_test",
 ]
 
 
