@@ -64,6 +64,10 @@ def poisson_bootstrap_mean(
             / F.count(F.lit(1)).cast("double")
         ).alias("mean"),
     )
+    # the R-fold hash fan-out runs inside the stage carrying `base`
+    from ..functions.parallelism import spread_scan
+
+    base = spread_scan(base)
     rep = base.select(
         *gcols,
         "__id",

@@ -59,6 +59,11 @@ def _features(
     (bucket = -1, x = 1.0) per document."""
     toks = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok")
     cols = [F.col(id_col)] + ([F.col(label_col)] if label_col else [])
+    # NOT spread_scan'd (functions/parallelism.py): the tokenize cost
+    # here is amortized over ``iters`` replays of the PERSISTED feature
+    # frame, and widening that small cached frame costs more per-
+    # iteration task scheduling than the one-off tokenize saves
+    # (measured: 5.6 s -> 7.2 s at sf0.1 with the spread).
     tok = (
         docs.select(*cols, toks)
         .where(F.col("__tok") != "")

@@ -40,9 +40,11 @@ def _grams(df: DataFrame, text_col: str, id_col: str, out_id: str, k: int):
     before the transform — referencing it inside the lambda re-lowercases
     the document per gram index (O(len²), the measured 4x trap).
     """
-    lowered = df.select(
+    from ..functions.parallelism import spread_scan
+
+    lowered = spread_scan(df.select(
         F.col(id_col).alias(out_id), F.lower(F.col(text_col)).alias("__lc")
-    )
+    ))
     c = F.col("__lc")
     grams = F.array_distinct(
         F.transform(

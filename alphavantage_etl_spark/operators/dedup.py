@@ -97,9 +97,11 @@ def ngram_jaccard_pairs(
     # lower() is projected ONCE per row before the transform: referencing it
     # inside the lambda would re-lowercase the whole document per shingle
     # index (O(len^2) per doc — measured 4x slower on the sf0.1 corpus).
-    lowered = df.select(
+    from ..functions.parallelism import spread_scan
+
+    lowered = spread_scan(df.select(
         F.col(id_col).alias("__id"), *block_cols, F.lower(F.col(text_col)).alias("__lc")
-    )
+    ))
     c = F.col("__lc")
     n = F.length(c)
     shingles = F.array_distinct(
@@ -167,9 +169,11 @@ def minhash_verified_near_dups(
     # corpus, so the verify stage's shingling cost tracks |candidates|, not
     # |corpus|.
     ids = cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
-    lowered = df.join(ids, id_col, "semi").select(
+    from ..functions.parallelism import spread_scan
+
+    lowered = spread_scan(df.join(ids, id_col, "semi").select(
         F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__lc")
-    )
+    ))
     c = F.col("__lc")
     n = F.length(c)
     sets = lowered.select(
@@ -311,9 +315,11 @@ def minhash_signatures(
     p = _MERSENNE31
     rng = __import__("random").Random(0x5EED)
     ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
-    lowered = df.select(
+    from ..functions.parallelism import spread_scan
+
+    lowered = spread_scan(df.select(
         F.col(id_col).alias("__id"), F.lower(F.col(text_col)).alias("__lc")
-    )
+    ))
     exploded = lowered.select(
         "__id", F.explode(_shingles(F.col("__lc"), shingle_k)).alias("__sh")
     )

@@ -603,16 +603,10 @@ def perm_test_means(
         ).cast("long")
         % 2
     )
-    # The x n_perms hash fan-out runs INSIDE whatever stage carries
-    # `base` — with a small/single-file input that is one task doing
-    # all the md5 work. Spread the N pre-explode rows across the
-    # cluster first when the scan is narrower than the cores (one
-    # bounded shuffle of N rows, nothing at 100 TB where scans already
-    # carry thousands of partitions; exact integer sums make the
-    # result partitioning-immune).
-    par = base.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    # the x n_perms hash fan-out runs inside the stage carrying `base`
+    from ..functions.parallelism import spread_scan
+
+    base = spread_scan(base)
     perms = (
         base.select(
             "__id",

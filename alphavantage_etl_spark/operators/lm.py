@@ -48,7 +48,11 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # hoist lower() to a projected column: a lambda capturing the
     # expression would re-lowercase the whole string per gram position
     # (the CDC bounds-hoist lesson)
-    low = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    from ..functions.parallelism import spread_scan
+
+    low = spread_scan(
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lc"))
+    )
     c = F.col("__lc")
     grams = F.filter(
         F.transform(
