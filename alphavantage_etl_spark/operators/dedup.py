@@ -602,8 +602,12 @@ def cdc_chunk_hashes(
     short strings. Duplicate chunk hashes within one document collapse
     (array_distinct) — self-repetition is ``rep_ngram_ratio``'s job.
     """
+    from ..functions.parallelism import spread_scan
+
     c = F.lower(F.col(text_col))
-    lowered = df.select(F.col(id_col).alias("__id"), c.alias("__lc"))
+    lowered = spread_scan(
+        df.select(F.col(id_col).alias("__id"), c.alias("__lc"))
+    )
     lc = F.col("__lc")
     n = F.length(lc)
     idx = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
