@@ -278,6 +278,12 @@ def _assign_cells(
     64KB-per-method codegen limit). Both paths evaluate the identical
     expression over the identical array value, so assignments are
     bit-identical (pinned by test).
+
+    NOT spread_scan'd (functions/parallelism.py): at fixture scale the
+    per-row n_cells-dot-product cost is small and the assignment
+    output usually shuffles right after (cell groupBy), so the extra
+    repartition measured neutral-to-negative (semantic_dedup
+    3.9 -> 5.0 s); at cluster scale the input is already wide.
     """
     if len(centroids) * len(centroids[0]) <= inline_max:
         cents = F.array(
