@@ -567,3 +567,103 @@ def test_seasonal_profile_mass_conservation(spark, rows):
         assert sum(r["n"] for r in rs) == want_n[g]
         weighted = sum(r["n"] * r["dow_mean"] for r in rs)
         assert weighted == pytest.approx(want_sum[g] / 100.0, rel=1e-9)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cohen_kappa_bounds_and_identities(spark, pairs):
+    """kappa (when defined) stays in [-1, 1]; po/pe are valid
+    probabilities; kappa = 1 exactly when agreement is perfect AND
+    more than one label is in play (single shared label -> pe = 1 ->
+    NULL); and kappa has the sign of po - pe."""
+    from alphavantage_etl_spark.operators.evaluation import cohen_kappa
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = cohen_kappa(df, "a", "b").first()
+    assert r["n"] == len(pairs)
+    assert 0.0 <= r["po"] <= 1.0 and 0.0 <= r["pe"] <= 1.0
+    if r["kappa"] is not None:
+        assert -1.0 - 1e-12 <= r["kappa"] <= 1.0 + 1e-12
+        if r["po"] > r["pe"]:
+            assert r["kappa"] > 0
+        elif r["po"] < r["pe"]:
+            assert r["kappa"] < 0
+        else:
+            assert r["kappa"] == 0.0
+        all_agree = all(a == b for a, b in pairs)
+        assert (r["kappa"] == 1.0) == (all_agree and r["pe"] < 1.0)
+    else:
+        assert r["pe"] == 1.0
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(
+            min_value=1e-6, max_value=1.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_bh_reject_monotone_in_q_and_prefix(spark, ps):
+    """BH invariants: the rejected set is a PREFIX of the p-ascending
+    ranking, and it can only GROW as q grows."""
+    from alphavantage_etl_spark.operators.experiment import bh_reject
+
+    df = spark.createDataFrame(
+        [(f"k{i}", p) for i, p in enumerate(ps)], "k string, p double"
+    )
+
+    def rejected(q):
+        rows = bh_reject(df, "k", "p", q=q).collect()
+        by_rank = sorted(rows, key=lambda r: r["rank"])
+        rejs = [r["rejected"] for r in by_rank]
+        # prefix property: no 1 after the first 0
+        assert 1 not in rejs[rejs.index(0):] if 0 in rejs else True
+        return sum(rejs)
+
+    n_small, n_big = rejected(0.05), rejected(0.5)
+    assert n_small <= n_big
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(1, 60), min_size=1, max_size=15, unique=True),
+    st.lists(st.integers(1, 60), min_size=1, max_size=15, unique=True),
+)
+def test_rbo_bounds_and_symmetry(spark, ids_a, ids_b):
+    """RBO stays in [0, 1), is symmetric in its arguments, and equals
+    the closed-form geometric sum when the rankings are identical."""
+    from alphavantage_etl_spark.operators.evaluation import (
+        rank_biased_overlap,
+    )
+
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_a)], "id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_b)], "id long, rank long"
+    )
+    d = 15
+    r_ab = rank_biased_overlap(a, b, "id", "rank", p=0.8, depth=d).first()
+    r_ba = rank_biased_overlap(b, a, "id", "rank", p=0.8, depth=d).first()
+    assert 0.0 <= r_ab["rbo"] < 1.0
+    assert r_ab["rbo"] == r_ba["rbo"]
+    assert r_ab["n_common"] == r_ba["n_common"]
+    r_aa = rank_biased_overlap(a, a, "id", "rank", p=0.8, depth=d).first()
+    k = min(len(ids_a), d)
+    # identical rankings of length k at depth d: X_i = min(i, k), so
+    # agreement is 1 through depth k and k/i in the tail beyond it
+    expect = sum(
+        (1.0 - 0.8) * 0.8 ** (i - 1) * min(i, k) / i for i in range(1, d + 1)
+    )
+    assert r_aa["rbo"] == pytest.approx(expect, abs=1e-9)
