@@ -667,3 +667,56 @@ def test_rbo_bounds_and_symmetry(spark, ids_a, ids_b):
         (1.0 - 0.8) * 0.8 ** (i - 1) * min(i, k) / i for i in range(1, d + 1)
     )
     assert r_aa["rbo"] == pytest.approx(expect, abs=1e-9)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(0, 1)),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda rs: len({v for v, _ in rs}) >= 2)
+)
+def test_gini_stump_gain_nonnegative(spark, rows):
+    """Gini is concave: NO split increases weighted impurity, so the
+    best split's gain is >= 0; the threshold is a real feature value
+    strictly below the max (the empty-right cut is not a candidate);
+    n/n_pos match the input."""
+    from alphavantage_etl_spark.operators.classify import gini_stump
+
+    df = spark.createDataFrame(rows, "v int, y int")
+    r = gini_stump(df, "y", "v").first()
+    assert r["n"] == len(rows)
+    assert r["n_pos"] == sum(y for _, y in rows)
+    vals = sorted({v for v, _ in rows})
+    assert r["best_threshold"] in vals and r["best_threshold"] < vals[-1]
+    assert r["gain"] >= -1e-12
+    assert 0.0 <= r["gini_split"] <= r["gini_parent"] + 1e-12 <= 0.5 + 1e-12
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.floats(0.0, 100.0, allow_nan=False)),
+        min_size=4,
+        max_size=30,
+    ).filter(lambda rs: {f for f, _ in rs} == {0, 1})
+)
+def test_perm_test_flag_flip_invariance(spark, rows):
+    """Flipping the flag negates obs_diff but preserves |diff| per
+    pseudo-permutation relabeling, so n_ge and p_value are invariant;
+    p always lies in [1/(P+1), 1]."""
+    from alphavantage_etl_spark.operators.experiment import perm_test_means
+
+    df = spark.createDataFrame(
+        [(i, f, v) for i, (f, v) in enumerate(rows)],
+        "id long, f int, v double",
+    )
+    flipped = df.select("id", (1 - F.col("f")).alias("f"), "v")
+    P = 9
+    r1 = perm_test_means(df, "id", "f", "v", n_perms=P).first()
+    r2 = perm_test_means(flipped, "id", "f", "v", n_perms=P).first()
+    assert r1["obs_diff"] == pytest.approx(-r2["obs_diff"], abs=1e-12)
+    assert r1["n_ge"] == r2["n_ge"] and r1["p_value"] == r2["p_value"]
+    assert 1.0 / (P + 1) <= r1["p_value"] <= 1.0
+    assert 0 <= r1["n_ge"] <= P
