@@ -1257,3 +1257,60 @@ def fdr_monitor_stream(
     )
     qr.awaitTermination()
     return qr
+
+
+def cm_sketch_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    state_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 2048,
+    delimiter: str = " ",
+):
+    """Streaming twin of the X21 count-min sketch — the mergeable
+    (depth x width) counter grid maintained live: every micro-batch's
+    term cells MERGE into a persisted cumulative grid by cell-wise
+    sum, the textbook mergeability property of the sketch (a CM grid
+    is a vector of counters, so the merged grid is EXACTLY the grid of
+    all rows ever seen, independent of batch boundaries or restarts).
+    Point-query the state parquet at any time with
+    ``operators.sketches.cm_estimate`` — "how often has this term
+    appeared across the whole stream so far" with bounded memory,
+    the frequency side of the monitoring stack beside the FDR slice
+    monitor (proportions) and the drift/OOV gates (distributions).
+
+    Parity by construction (exact integer cell sums), asserted
+    row-for-row against the batch sketch by the restart test. Scale:
+    per batch ONE map-side-combined aggregation onto the bounded grid
+    plus a grid-sized merge; the state table is <= depth*width rows
+    forever. The rewrite localCheckpoints the merged grid first (the
+    parquet-overwrite-own-lineage rule).
+    """
+    from ..operators.sketches import count_min_sketch
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cells = count_min_sketch(
+            batch_df, text_col, depth=depth, width=width, delimiter=delimiter
+        )
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(cells)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:
+            merged = cells
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

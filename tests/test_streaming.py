@@ -1077,3 +1077,70 @@ def test_fdr_monitor_stream_matches_batch_and_restarts(spark, tmp_path):
     )
     assert reports[-1]["rejected"] == want_rej
     assert len(reports) >= 2
+
+
+def test_cm_sketch_stream_matches_batch_and_restarts(spark, tmp_path):
+    """Streaming count-min sketch: document batches fed across a query
+    restart; the merged cumulative grid must equal the batch sketch of
+    all rows cell-for-cell (mergeability is exact integer cell sums),
+    and point estimates through the state must match the batch path."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.operators.sketches import (
+        cm_estimate,
+        count_min_sketch,
+    )
+    from alphavantage_etl_spark.streaming.pipeline import cm_sketch_stream
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+
+    in_dir = tmp_path / "cm_in"
+    in_dir.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    state = str(tmp_path / "cm_state")
+    ckpt = str(tmp_path / "ckpt_cm")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(in_dir)
+        )
+        cm_sketch_stream(stream, "text", state, ckpt, depth=4, width=256)
+
+    land(docs.where(F.col("doc_id") % 2 == 0), "b1")
+    drain()
+    land(docs.where(F.col("doc_id") % 2 == 1), "b2")
+    drain()  # restart: the grid reloads from the state parquet
+
+    got = sorted(
+        (r["row"], r["bucket"], r["cnt"])
+        for r in spark.read.parquet(state).collect()
+    )
+    want = sorted(
+        (r["row"], r["bucket"], r["cnt"])
+        for r in count_min_sketch(docs, "text", depth=4, width=256).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # point estimates through the streamed state == batch estimates
+    cand = spark.createDataFrame([("spark",), ("hash",)], "term string")
+    streamed = {
+        r["term"]: r["cm_estimate"]
+        for r in cm_estimate(
+            spark.read.parquet(state), cand, depth=4, width=256
+        ).collect()
+    }
+    batch = {
+        r["term"]: r["cm_estimate"]
+        for r in cm_estimate(
+            count_min_sketch(docs, "text", depth=4, width=256),
+            cand, depth=4, width=256,
+        ).collect()
+    }
+    assert streamed == batch
