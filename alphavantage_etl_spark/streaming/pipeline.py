@@ -1213,6 +1213,8 @@ def fdr_monitor_stream(
     key = F.col(key_col)
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         cells = (
             batch_df.where(key.isNotNull() & flag.isNotNull())
@@ -1229,7 +1231,9 @@ def fdr_monitor_stream(
                 .groupBy("k")
                 .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
             )
-        except Exception:
+        except AnalysisException:
+            # first batch only (PATH_NOT_FOUND) — a CORRUPT state file
+            # must fail the stream, never silently reset the counts
             merged = cells
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(state_path)
@@ -1290,6 +1294,8 @@ def cm_sketch_stream(
     from ..operators.sketches import count_min_sketch
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         cells = count_min_sketch(
             batch_df, text_col, depth=depth, width=width, delimiter=delimiter
@@ -1301,7 +1307,9 @@ def cm_sketch_stream(
                 .groupBy("row", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        except Exception:
+        except AnalysisException:
+            # first batch only (PATH_NOT_FOUND) — a CORRUPT state file
+            # must fail the stream, never silently reset the grid
             merged = cells
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(state_path)
