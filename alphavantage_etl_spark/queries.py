@@ -7326,10 +7326,70 @@ FROM obs2 o CROSS JOIN tl t
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
-    # additions first (11 entries), then (b) the full
+    # additions first (5 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
-    # 5 red-only entries sort oldest of all;
+    # 0 red-only entries sort oldest of all;
     # ties: SURVEY §2 parity keys, then registration order).
+    "q_perm_test": q_perm_test,
+    "q_gini_stump": q_gini_stump,
+    "q_rbo": q_rbo,
+    "q_bh_fdr": q_bh_fdr,
+    "q_kappa": q_kappa,
+    "q_tfidf_terms": q_tfidf_terms,
+    "q_label_centroids": q_label_centroids,
+    "q_quality_calibrated": q_quality_calibrated,
+    "q_weighted_sample": q_weighted_sample,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_image_features": q_image_features,
+    "q_cosine_topk": q_cosine_topk,
+    "q_window_tumbling": q_window_tumbling,
+    "q_window_sliding": q_window_sliding,
+    "q_sessionize": q_sessionize,
+    "q_split_assign": q_split_assign,
+    "q_source_quota": q_source_quota,
+    "q_pack_bins": q_pack_bins,
+    "q_temperature_mix": q_temperature_mix,
+    "q_cdc_overlap": q_cdc_overlap,
+    "q_chunk_windows": q_chunk_windows,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_inverted_index": q_inverted_index,
+    "q_scd2": q_scd2,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_bloom_prune": q_bloom_prune,
+    "q_cohort_retention": q_cohort_retention,
+    "q_lm_perplexity": q_lm_perplexity,
+    "q_resample_ffill": q_resample_ffill,
+    "q_histogram": q_histogram,
+    "q_sparse_topk": q_sparse_topk,
+    "q_group_trend": q_group_trend,
+    "q_boilerplate": q_boilerplate,
+    "q_scrub_pii": q_scrub_pii,
+    "q_rep_ngrams": q_rep_ngrams,
+    "q_indicators": q_indicators,
+    "q_vwap": q_vwap,
+    "q_corr": q_corr,
+    "q_title_dedup": q_title_dedup,
+    "q_pagerank": q_pagerank,
+    "q_triangles": q_triangles,
+    "q_session_paths": q_session_paths,
+    "q_calibration": q_calibration,
+    "q_discretize": q_discretize,
+    "q_scan_project": q_scan_project,
+    "q_json_explode": q_json_explode,
+    "q_join_convert": q_join_convert,
+    "q_anti_new_rows": q_anti_new_rows,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Outside the r8 driver window (compressed rotation,
+    # ROTATION.md). Every oracle-backed entry stays under the
+    # strict local gate via ALL_ORACLES and in bench.py's
+    # headline set; rows-only diagnostics live here always.
     "q_conformal": q_conformal,
     "q_source_overlap": q_source_overlap,
     "q_silhouette": q_silhouette,
@@ -7380,22 +7440,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_stratified_sample": q_stratified_sample,
     "q_budget_mix": q_budget_mix,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
-    # Outside the r8 driver window (compressed rotation,
-    # ROTATION.md). Every oracle-backed entry stays under the
-    # strict local gate via ALL_ORACLES and in bench.py's
-    # headline set; rows-only diagnostics live here always.
-    "q_tfidf_terms": q_tfidf_terms,
-    "q_label_centroids": q_label_centroids,
-    "q_quality_calibrated": q_quality_calibrated,
-    "q_weighted_sample": q_weighted_sample,
-    "q_jaccard_pairs": q_jaccard_pairs,
-    "q_embed_near_dup": q_embed_near_dup,
     "q_chi2": q_chi2,
     "q_benford": q_benford,
     "q_gini": q_gini,
@@ -7465,46 +7509,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_change_point": q_change_point,
     "q_embedding_diag": q_embedding_diag,
     "q_zipf": q_zipf,
-    "q_scan_project": q_scan_project,
-    "q_json_explode": q_json_explode,
-    "q_join_convert": q_join_convert,
-    "q_anti_new_rows": q_anti_new_rows,
     "q_incremental_merge": q_incremental_merge,
-    "q_temperature_mix": q_temperature_mix,
-    "q_cdc_overlap": q_cdc_overlap,
-    "q_chunk_windows": q_chunk_windows,
-    "q_heavy_hitters": q_heavy_hitters,
-    "q_inverted_index": q_inverted_index,
-    "q_scd2": q_scd2,
-    "q_anomaly_zscore": q_anomaly_zscore,
-    "q_bloom_prune": q_bloom_prune,
-    "q_cohort_retention": q_cohort_retention,
-    "q_lm_perplexity": q_lm_perplexity,
-    "q_resample_ffill": q_resample_ffill,
-    "q_histogram": q_histogram,
-    "q_sparse_topk": q_sparse_topk,
-    "q_group_trend": q_group_trend,
-    "q_boilerplate": q_boilerplate,
-    "q_scrub_pii": q_scrub_pii,
-    "q_rep_ngrams": q_rep_ngrams,
-    "q_indicators": q_indicators,
-    "q_vwap": q_vwap,
-    "q_corr": q_corr,
-    "q_title_dedup": q_title_dedup,
-    "q_pagerank": q_pagerank,
-    "q_triangles": q_triangles,
-    "q_session_paths": q_session_paths,
-    "q_calibration": q_calibration,
-    "q_discretize": q_discretize,
-    "q_multimodal_meta": q_multimodal_meta,
-    "q_image_features": q_image_features,
-    "q_cosine_topk": q_cosine_topk,
-    "q_window_tumbling": q_window_tumbling,
-    "q_window_sliding": q_window_sliding,
-    "q_sessionize": q_sessionize,
-    "q_split_assign": q_split_assign,
-    "q_source_quota": q_source_quota,
-    "q_pack_bins": q_pack_bins,
     "q_cm_sketch": q_cm_sketch,
     "q_distinct_sketch": q_distinct_sketch,
     "q_quantile_sketch": q_quantile_sketch,
@@ -7515,19 +7520,68 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
-    # r8 late additions (X114-X117) — enter the driver window at the
-    # next rotation per the pinned policy (never-checked first)
-    "q_kappa": q_kappa,
-    "q_bh_fdr": q_bh_fdr,
-    "q_rbo": q_rbo,
-    "q_gini_stump": q_gini_stump,
-    "q_perm_test": q_perm_test,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
     # mirrors QUERIES order exactly (the driver zips them)
+    "q_perm_test": SQL_PERM_TEST,
+    "q_gini_stump": SQL_GINI_STUMP,
+    "q_rbo": SQL_RBO,
+    "q_bh_fdr": SQL_BH_FDR,
+    "q_kappa": SQL_KAPPA,
+    "q_tfidf_terms": SQL_TFIDF_TERMS,
+    "q_label_centroids": SQL_LABEL_CENTROIDS,
+    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
+    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "q_multimodal_meta": SQL_MULTIMODAL_META,
+    "q_image_features": SQL_IMAGE_FEATURES,
+    "q_cosine_topk": SQL_COSINE_TOPK,
+    "q_window_tumbling": SQL_WINDOW_TUMBLING,
+    "q_window_sliding": SQL_WINDOW_SLIDING,
+    "q_sessionize": SQL_SESSIONIZE,
+    "q_split_assign": SQL_SPLIT_ASSIGN,
+    "q_source_quota": SQL_SOURCE_QUOTA,
+    "q_pack_bins": SQL_PACK_BINS,
+    "q_temperature_mix": SQL_TEMPERATURE_MIX,
+    "q_cdc_overlap": SQL_CDC_OVERLAP,
+    "q_chunk_windows": SQL_CHUNK_WINDOWS,
+    "q_heavy_hitters": SQL_HEAVY_HITTERS,
+    "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_scd2": SQL_SCD2,
+    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
+    "q_bloom_prune": SQL_BLOOM_PRUNE,
+    "q_cohort_retention": SQL_COHORT_RETENTION,
+    "q_lm_perplexity": SQL_LM_PERPLEXITY,
+    "q_resample_ffill": SQL_RESAMPLE_FFILL,
+    "q_histogram": SQL_HISTOGRAM,
+    "q_sparse_topk": SQL_SPARSE_TOPK,
+    "q_group_trend": SQL_GROUP_TREND,
+    "q_boilerplate": SQL_BOILERPLATE,
+    "q_scrub_pii": SQL_SCRUB_PII,
+    "q_rep_ngrams": SQL_REP_NGRAMS,
+    "q_indicators": SQL_INDICATORS,
+    "q_vwap": SQL_VWAP,
+    "q_corr": SQL_CORR,
+    "q_title_dedup": SQL_TITLE_DEDUP,
+    "q_pagerank": SQL_PAGERANK,
+    "q_triangles": SQL_TRIANGLES,
+    "q_session_paths": SQL_SESSION_PATHS,
+    "q_calibration": SQL_CALIBRATION,
+    "q_discretize": SQL_DISCRETIZE,
+    "q_scan_project": SQL_SCAN_PROJECT,
+    "q_json_explode": SQL_JSON_EXPLODE,
+    "q_join_convert": SQL_JOIN_CONVERT,
+    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # oracle-backed entries currently outside the driver window
     "q_conformal": SQL_CONFORMAL,
     "q_source_overlap": SQL_SOURCE_OVERLAP,
     "q_silhouette": SQL_SILHOUETTE,
@@ -7578,18 +7632,6 @@ ORACLES: dict[str, str] = {
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_budget_mix": SQL_BUDGET_MIX,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    # oracle-backed entries currently outside the driver window
-    "q_tfidf_terms": SQL_TFIDF_TERMS,
-    "q_label_centroids": SQL_LABEL_CENTROIDS,
-    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
-    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
-    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
-    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
     "q_chi2": SQL_CHI2,
     "q_benford": SQL_BENFORD,
     "q_gini": SQL_GINI,
@@ -7645,7 +7687,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_linkage": SQL_LINKAGE,
     "q_collocations": SQL_COLLOCATIONS,
     "q_agg_state": SQL_AGG_STATE,
-    "q_acf": SQL_ACF,
     "q_profile": SQL_PROFILE,
     "q_bm25": SQL_BM25,
     "q_basket_lift": SQL_BASKET_LIFT,
@@ -7656,55 +7697,11 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_join_profile": SQL_JOIN_PROFILE,
     "q_random_projection": SQL_RANDOM_PROJECTION,
     "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "q_acf": SQL_ACF,
     "q_change_point": SQL_CHANGE_POINT,
     "q_embedding_diag": SQL_EMBEDDING_DIAG,
     "q_zipf": SQL_ZIPF,
-    "q_scan_project": SQL_SCAN_PROJECT,
-    "q_json_explode": SQL_JSON_EXPLODE,
-    "q_join_convert": SQL_JOIN_CONVERT,
-    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
     "q_incremental_merge": SQL_INCREMENTAL_MERGE,
-    "q_temperature_mix": SQL_TEMPERATURE_MIX,
-    "q_cdc_overlap": SQL_CDC_OVERLAP,
-    "q_chunk_windows": SQL_CHUNK_WINDOWS,
-    "q_heavy_hitters": SQL_HEAVY_HITTERS,
-    "q_inverted_index": SQL_INVERTED_INDEX,
-    "q_scd2": SQL_SCD2,
-    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
-    "q_bloom_prune": SQL_BLOOM_PRUNE,
-    "q_cohort_retention": SQL_COHORT_RETENTION,
-    "q_lm_perplexity": SQL_LM_PERPLEXITY,
-    "q_resample_ffill": SQL_RESAMPLE_FFILL,
-    "q_histogram": SQL_HISTOGRAM,
-    "q_sparse_topk": SQL_SPARSE_TOPK,
-    "q_group_trend": SQL_GROUP_TREND,
-    "q_boilerplate": SQL_BOILERPLATE,
-    "q_scrub_pii": SQL_SCRUB_PII,
-    "q_rep_ngrams": SQL_REP_NGRAMS,
-    "q_indicators": SQL_INDICATORS,
-    "q_vwap": SQL_VWAP,
-    "q_corr": SQL_CORR,
-    "q_title_dedup": SQL_TITLE_DEDUP,
-    "q_pagerank": SQL_PAGERANK,
-    "q_triangles": SQL_TRIANGLES,
-    "q_session_paths": SQL_SESSION_PATHS,
-    "q_calibration": SQL_CALIBRATION,
-    "q_discretize": SQL_DISCRETIZE,
-    "q_multimodal_meta": SQL_MULTIMODAL_META,
-    "q_image_features": SQL_IMAGE_FEATURES,
-    "q_cosine_topk": SQL_COSINE_TOPK,
-    "q_window_tumbling": SQL_WINDOW_TUMBLING,
-    "q_window_sliding": SQL_WINDOW_SLIDING,
-    "q_sessionize": SQL_SESSIONIZE,
-    "q_split_assign": SQL_SPLIT_ASSIGN,
-    "q_source_quota": SQL_SOURCE_QUOTA,
-    "q_pack_bins": SQL_PACK_BINS,
-    # r8 late additions (X114-X117)
-    "q_kappa": SQL_KAPPA,
-    "q_bh_fdr": SQL_BH_FDR,
-    "q_rbo": SQL_RBO,
-    "q_gini_stump": SQL_GINI_STUMP,
-    "q_perm_test": SQL_PERM_TEST,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
