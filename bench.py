@@ -192,6 +192,52 @@ BENCH_QUERIES = [
     "q_perm_test",
 ]
 
+# Deliberate non-bench registry entries. Every registered query must be in
+# exactly one of BENCH_QUERIES or BENCH_EXCLUSIONS — pinned by
+# tests/test_contract_queries.py::test_bench_covers_registry so a new family
+# can never silently skip the bench: omitting it from both lists fails CI.
+BENCH_EXCLUSIONS = [
+    # Fenced quadratic exact mirrors of the LSH/banded scale paths — kept
+    # out of the headline set by design (perf_weak fence, PERF.md r4/r6).
+    "q_jaccard_pairs",
+    "q_cross_split_leakage",
+    # Rows-only sketch diagnostics: approximate outputs with no value
+    # oracle; their exact stages are bench-covered via sibling queries.
+    "q_cm_sketch",
+    "q_distinct_sketch",
+    "q_quantile_sketch",
+    # Rows-only ANN / near-dup recall diagnostics; the benched baselines
+    # are q_cosine_topk (brute exact) and q_dedup_near_verified (LSH +
+    # exact verify), which dominate the same plans.
+    "q_cosine_topk_ivf",
+    "q_cosine_topk_lsh",
+    "q_cosine_topk_pq",
+    "q_dedup_near",
+    "q_simhash",
+    # Trivial reference-parity scans/filters (sub-100ms single-stage plans;
+    # timing them measures session overhead, not the engine).
+    "q_scan_project",
+    "q_cast_types",
+    "q_filter_today",
+    "q_weekday_filter",
+    "q_latest_row",
+    "q_topn_recent",
+    "q_anti_new_rows",
+    "q_json_explode",
+    "q_busday_gap",
+    "q_incremental_merge",
+    "q_doc_fingerprint",
+    "q_pivot_daily",
+    "q_cube_orders",
+    # Partitioned-scale variants of benched single-series forms
+    # (q_sma_window / q_asof_rate cover the same operators' hot plans).
+    "q_sma_partitioned",
+    "q_asof_partitioned",
+    # Arrow mapInPandas decode path with deterministic stand-in kernels;
+    # timing the stub would not represent real codec cost.
+    "q_image_features",
+]
+
 
 def main() -> None:
     from alphavantage_etl_spark.session import get_spark
