@@ -17,6 +17,20 @@ shuffle at scale. Only correct for derivations whose downstream
 results are partitioning-immune (exact-integer aggregation, hash
 grouping — the engine-wide discipline here).
 
+The width probe is METADATA-ONLY (r8 verdict, wrong #2): it reads the
+plan's leaf input files and the optimizer's size-in-bytes statistic —
+both computed from file metadata without materializing the physical
+plan, converting to an RDD, or running a job. (The previous
+``df.rdd.getNumPartitions()`` probe materialized the plan per
+operator build.) The estimate ``max(#files, size/maxPartitionBytes)``
+mirrors how FilePartition packing derives split count, so it
+no-ops at scale exactly where the physical scan would be wide.
+
+Session conf ``spark.graft.spreadScan``: ``auto`` (default — the
+metadata heuristic), ``off`` (never repartition; use on clusters
+where even the metadata probe should be skipped), ``force`` (always
+repartition to default parallelism; diagnostic).
+
 Measured (sf0.1, local[32], warm): q_bootstrap_ci 10.2 -> 1.5-2.2 s,
 q_perm_test 10.5 -> 2.4 s.
 """
@@ -25,12 +39,66 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+}
+
+
+def _parse_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    v = value.strip().lower()
+    for suffix in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if v.endswith(suffix):
+            return int(v[: -len(suffix)]) * _SIZE_SUFFIXES[suffix]
+    return int(v)
+
+
+def _estimated_scan_width(df: DataFrame) -> int:
+    """Estimate the scan stage's task count from metadata only.
+
+    ``inputFiles()`` walks the analyzed plan's file-source leaves;
+    ``optimizedPlan().stats().sizeInBytes`` is the catalog/file-size
+    statistic. Neither materializes the physical plan nor runs a job.
+    A file source yields roughly ``max(#files, bytes/maxPartitionBytes)``
+    scan partitions (file packing can merge small files, so this is an
+    upper bound — i.e. conservative: we only skip the repartition when
+    the scan is provably already wide).
+    """
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    size_splits = 0
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_bytes = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        if max_bytes > 0:
+            size_splits = size // max_bytes
+    except Exception:
+        pass
+    return max(n_files, size_splits)
+
 
 def spread_scan(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to the cluster's default parallelism iff its
-    current partitioning is narrower. Call on the smallest projection
-    BEFORE a CPU-heavy per-row derivation or explode fan-out."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    estimated scan width is narrower. Call on the smallest projection
+    BEFORE a CPU-heavy per-row derivation or explode fan-out. Lazy:
+    the probe reads plan metadata only (no RDD conversion, no job)."""
+    sess = df.sparkSession
+    mode = sess.conf.get("spark.graft.spreadScan", "auto")
+    if mode == "off":
+        return df
+    par = sess.sparkContext.defaultParallelism
+    if mode == "force":
+        return df.repartition(par)
+    if _estimated_scan_width(df) < par:
         return df.repartition(par)
     return df
