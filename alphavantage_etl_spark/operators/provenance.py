@@ -1,0 +1,180 @@
+"""Web-corpus provenance operators: URL canonicalization, registrable-
+domain caps, and license/robots gating (X119-X121).
+
+The standard curation rules a web-scale training corpus applies before
+mixing: normalize each document's URL so duplicates-by-address collapse,
+cap how many documents any single registrable domain may contribute (the
+"no more than N docs per domain" rule that stops SEO farms from dominating
+a mix), and drop documents whose license tag or robots directive forbids
+training use.
+
+No reference analogue (the reference is a market-data ETL with no
+provenance surface); these follow the repo-wide discipline: built-in
+Catalyst expressions only (no UDFs), bounded-key shuffles, broadcast
+joins on provably small sides, and content-addressed determinism so
+every operator is oracle-checkable in plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^15: exclusive upper bound of the 15-hex-digit numeric rank-key space
+# (fits in a signed 64-bit long; 16^16 would not).
+_KEY_SPACE = 16**15
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_REST = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$"
+
+
+def canonical_url(url: Column):
+    """Canonical form of ``url`` as (canon_url, host, domain, scheme)
+    columns, computed with Catalyst regex/string expressions only.
+
+    Rules (each one a plain regex both Java and RE2 accept, so the same
+    algorithm is expressible verbatim in the DuckDB oracle):
+      1. strip the fragment (``#...``);
+      2. lowercase the scheme and the host;
+      3. drop a default port (``:80``/``:443``) and a leading ``www.``;
+      4. drop tracking query params (``utm_*``), tidying separators;
+      5. strip trailing ``/`` from the end of the URL (so ``/path/`` and
+         ``/path`` collapse; a trailing slash *before* a query string is
+         part of the path and kept);
+      6. registrable domain = last two host labels (a public-suffix list
+         is a deployment-time swap; two labels is the fixture-safe rule).
+
+    Pure projection: no shuffle, survives any partitioning, and at 100 TB
+    runs fused into the scan stage.
+    """
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME, 1))
+    hostport = F.lower(F.regexp_extract(nofrag, _HOSTPORT, 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_extract(nofrag, _REST, 1)
+    rest = F.regexp_replace(rest, r"utm_[^&?#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&]utm_[^&?#]*$", "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    canon = F.concat(scheme, F.lit("://"), host, rest)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return canon, host, domain, scheme
+
+
+def canonicalize_urls(df: DataFrame, url_col: str) -> DataFrame:
+    """Add ``canon_url``, ``host``, ``domain``, ``scheme`` derived from
+    ``url_col`` (see :func:`canonical_url` for the rules)."""
+    canon, host, domain, scheme = canonical_url(F.col(url_col))
+    return (
+        df.withColumn("canon_url", canon)
+        .withColumn("host", host)
+        .withColumn("domain", domain)
+        .withColumn("scheme", scheme)
+    )
+
+
+def domain_caps(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "dcap",
+    slack: float = 4.0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, selected deterministically by
+    content-addressed hash rank — the "no more than N docs per registrable
+    domain" curation rule. Adds ``n_total`` (the domain's pre-cap count).
+
+    Which rows survive is content-addressed (``md5(salt:domain:id)``
+    ascending, id tiebreak), so the selection is stable under corpus
+    growth for rows already present, reproducible by any engine, and
+    oracle-checkable as a plain ``row_number()`` in SQL.
+
+    Scale design — exact top-``cap`` per domain WITHOUT sorting whole
+    domains: a hot domain at 100 TB can hold 10^9 rows, and a naive
+    ``row_number() OVER (PARTITION BY domain)`` sorts all of them in one
+    task. Instead:
+      1. one domain-key agg -> per-domain counts (output bounded at
+         |domains|, broadcast back — the same bounded-dimension contract
+         as ``temperature_mix``);
+      2. candidate pruning: the rank key is uniform on [0, 16^15), so the
+         true ``cap`` smallest keys of an n-row domain all lie below the
+         ``slack*cap/n`` quantile with overwhelming probability — filter
+         to that threshold first, leaving ~``slack*cap`` expected
+         candidates per over-cap domain (under-cap domains pass a
+         threshold of 1.0, i.e. unfiltered);
+      3. the row_number window then sorts only candidates: per-domain
+         window input is O(slack*cap), independent of domain size.
+
+    Exactness guard: a same-window candidate count is asserted
+    ``>= least(cap, n_total)`` in-plan (``assert_true`` raises at action
+    time), so a pruning shortfall fails loudly instead of silently
+    returning fewer rows. The per-row assert cannot fire when a domain
+    loses ALL candidates (no row left to carry it), so ``slack`` is
+    floored at 2: the zero-candidate event then requires every one of
+    ~2*cap expected uniform draws to miss, probability < e^{-2*cap}
+    (< 2e-9 at cap=10) — strictly rarer than the partial-shortfall tail
+    the assert does catch. Use cap >= ~10 or raise ``slack`` further for
+    tiny caps.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if slack < 2.0:
+        raise ValueError(
+            f"slack must be >= 2 (zero-candidate guard floor), got {slack}"
+        )
+    dom = F.col(domain_col)
+    rid = F.col(id_col)
+    h = F.md5(F.concat_ws(":", F.lit(salt), dom, rid.cast("string")))
+    key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_total"))
+    thr = F.when(F.col("n_total") <= cap, F.lit(_KEY_SPACE)).otherwise(
+        F.ceil(F.lit(float(slack * cap)) / F.col("n_total") * _KEY_SPACE).cast(
+            "long"
+        )
+    )
+    counts = counts.withColumn("__thr", thr)
+
+    cand = (
+        df.withColumn("__h", h)
+        .withColumn("__k", key)
+        .join(F.broadcast(counts), domain_col)
+        .where(F.col("__k") < F.col("__thr"))
+    )
+    w = Window.partitionBy(domain_col)
+    ordered = w.orderBy("__h", id_col)
+    cand = cand.withColumn("__rn", F.row_number().over(ordered)).withColumn(
+        "__cand_n", F.count(F.lit(1)).over(w)
+    )
+    guarded = cand.where(
+        F.assert_true(
+            F.col("__cand_n") >= F.least(F.lit(cap), F.col("n_total")),
+            F.lit(
+                f"domain_caps: hash-prune shortfall (slack={slack}); "
+                "raise slack for this cap"
+            ),
+        ).isNull()
+        & (F.col("__rn") <= cap)
+    )
+    return guarded.drop("__h", "__k", "__thr", "__rn", "__cand_n")
+
+
+def license_gate(
+    df: DataFrame,
+    license_col: str,
+    allowed: list[str],
+    robots_col: str | None = None,
+) -> DataFrame:
+    """Keep rows whose license tag is in ``allowed`` and (when
+    ``robots_col`` is given) whose robots/no-AI directive is false.
+
+    Pure projection filter — no shuffle, pushes to the scan at 100 TB.
+    ``allowed`` is inlined as an IN-list literal (license vocabularies
+    are small, fixed sets), never a join.
+    """
+    cond = F.col(license_col).isin(list(allowed))
+    if robots_col is not None:
+        cond = cond & ~F.col(robots_col)
+    return df.where(cond)

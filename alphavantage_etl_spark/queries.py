@@ -7323,8 +7323,220 @@ FROM obs2 o CROSS JOIN tl t
 """
 
 
+
+
+# X119 — URL canonicalization (web-corpus provenance): strip fragment,
+# lowercase scheme/host, drop default port / leading www. / utm_* tracking
+# params / trailing slash, derive the registrable domain — all Catalyst
+# regex projections that fuse into the scan (operators/provenance.py).
+# The corpus carries no URL column, so fixture URLs are synthesized
+# deterministically from (doc_id, source, lang); the oracle synthesizes
+# the same strings and canonicalizes them INDEPENDENTLY in DuckDB SQL.
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.provenance import canonicalize_urls
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example"),
+        F.when(did % 4 == 0, F.lit(".ORG")).otherwise(F.lit(".com")),
+        F.when(
+            did % 5 == 0,
+            F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        did.cast("string"),
+        F.when(did % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0, F.concat(F.lit("?utm_source=feed&ref="), F.col("lang"))
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("?id="), did.cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    u = canonicalize_urls(d.withColumn("url", url), "url")
+    return (
+        u.groupBy("domain", "host", "scheme")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("canon_url").alias("sample_url"),
+        )
+        .orderBy("domain", "host", "scheme")
+    )
+
+
+SQL_URL_CANON = r"""
+WITH u AS (
+  SELECT doc_id, source, lang,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+           CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+           source, '.Example',
+           CASE WHEN doc_id % 4 = 0 THEN '.ORG' ELSE '.com' END,
+           CASE WHEN doc_id % 5 = 0 THEN
+             CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+           ELSE '' END,
+           '/docs/', CAST(doc_id AS VARCHAR),
+           CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat('?utm_source=feed&ref=', lang)
+                WHEN doc_id % 3 = 1
+                THEN concat('?id=', CAST(doc_id AS VARCHAR), '&utm_campaign=x')
+                ELSE '' END,
+           CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+c0 AS (SELECT *, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u),
+c1 AS (
+  SELECT *,
+    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+      AS hostport,
+    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+      AS rest0
+  FROM c0),
+c2 AS (
+  SELECT *,
+    regexp_replace(regexp_replace(hostport, ':(80|443)$', '', 'g'),
+                   '^www\.', '', 'g') AS host,
+    regexp_replace(regexp_replace(regexp_replace(
+      rest0, 'utm_[^&?#]*&', '', 'g'),
+      '[?&]utm_[^&?#]*$', '', 'g'),
+      '/+$', '', 'g') AS rest
+  FROM c1),
+c3 AS (
+  SELECT *,
+    concat(scheme, '://', host, rest) AS canon_url,
+    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+  FROM c2)
+SELECT domain, host, scheme,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       min(canon_url) AS sample_url
+FROM c3 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+# X120 — registrable-domain caps (web-corpus provenance): keep at most N
+# docs per domain, selected by content-addressed hash rank. The Spark side
+# is the SCALE path — one bounded domain-count agg broadcast back, hash
+# candidate pruning so the per-domain window sorts O(slack*cap) rows
+# instead of the whole domain, with an in-plan assert_true exactness
+# guard (operators/provenance.py:domain_caps). The oracle is the naive
+# full row_number() — same result, independently derived.
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.provenance import domain_caps
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    # skewed fixture domains: two hub domains holding 3/4 of the corpus
+    # (both far over the cap) plus one small per-source domain each
+    dom = F.when(
+        did % 4 < 3,
+        F.concat(
+            F.lit("hub-"), (did % 2).cast("string"), F.lit(".example.com")
+        ),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.org")))
+    capped = domain_caps(
+        d.withColumn("domain", dom), "domain", "doc_id", cap=25
+    )
+    return (
+        capped.groupBy("domain")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("domain")
+    )
+
+
+SQL_DOMAIN_CAPS = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 < 3
+              THEN concat('hub-', CAST(doc_id % 2 AS VARCHAR),
+                          '.example.com')
+              ELSE concat(source, '.example.org') END AS domain
+  FROM documents),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY md5(concat_ws(':', 'dcap', domain,
+                                  CAST(doc_id AS VARCHAR))), doc_id) AS rn,
+         count(*) OVER (PARTITION BY domain) AS n_total
+  FROM u)
+SELECT domain,
+       CAST(max(n_total) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+FROM r WHERE rn <= 25
+GROUP BY domain ORDER BY domain
+"""
+
+
+# X121 — license/robots gate (web-corpus provenance): keep docs whose
+# license tag is train-allowed and whose robots/no-AI directive is unset —
+# a pure projection filter that pushes to the scan at 100 TB
+# (operators/provenance.py:license_gate), then a bounded per-source agg.
+def q_license_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.provenance import license_gate
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    did = F.col("doc_id")
+    lic = (
+        F.when(did % 5 == 0, F.lit("cc-by"))
+        .when(did % 5 == 1, F.lit("cc-by-sa"))
+        .when(did % 5 == 2, F.lit("cc0"))
+        .when(did % 5 == 3, F.lit("all-rights-reserved"))
+        .otherwise(F.lit("noai"))
+    )
+    gated = license_gate(
+        d.withColumn("license", lic).withColumn(
+            "robots_noai", did % 11 == 0
+        ),
+        "license",
+        ["cc-by", "cc-by-sa", "cc0"],
+        robots_col="robots_noai",
+    )
+    return (
+        gated.groupBy("source", "license")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("source", "license")
+    )
+
+
+SQL_LICENSE_GATE = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CASE doc_id % 5 WHEN 0 THEN 'cc-by'
+                         WHEN 1 THEN 'cc-by-sa'
+                         WHEN 2 THEN 'cc0'
+                         WHEN 3 THEN 'all-rights-reserved'
+                         ELSE 'noai' END AS license,
+         doc_id % 11 = 0 AS robots_noai
+  FROM documents)
+SELECT source, license,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM t
+WHERE license IN ('cc-by', 'cc-by-sa', 'cc0') AND NOT robots_noai
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
-    # r8 window under the pinned compressed rotation
+    # r9 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
     # additions first (5 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
@@ -7520,6 +7732,10 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
+    # r9 additions (X119-X121) — end of EXTRA per the rotation policy
+    "q_url_canon": q_url_canon,
+    "q_domain_caps": q_domain_caps,
+    "q_license_gate": q_license_gate,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -7702,6 +7918,10 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_embedding_diag": SQL_EMBEDDING_DIAG,
     "q_zipf": SQL_ZIPF,
     "q_incremental_merge": SQL_INCREMENTAL_MERGE,
+    # r9 additions (X119-X121)
+    "q_url_canon": SQL_URL_CANON,
+    "q_domain_caps": SQL_DOMAIN_CAPS,
+    "q_license_gate": SQL_LICENSE_GATE,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     "q_rbo",
     "q_gini_stump",
     "q_perm_test",
+    # round-9 additions (web-corpus provenance)
+    "q_url_canon",
+    "q_domain_caps",
+    "q_license_gate",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -1,0 +1,181 @@
+"""Web-corpus provenance operators (X119-X121): URL canonicalization,
+registrable-domain caps, license/robots gate.
+
+The contract queries pin the oracle-level hashes; these tests pin the
+operator-level semantics on hand-built rows (every canonicalization rule
+individually) and the scale properties of domain_caps (candidate pruning
+actually prunes; the exactness guard raises on an engineered shortfall).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.operators.provenance import (
+    canonicalize_urls,
+    domain_caps,
+    license_gate,
+)
+
+
+def _canon(spark, url: str) -> Row:
+    df = spark.createDataFrame([Row(url=url)])
+    return canonicalize_urls(df, "url").select(
+        "canon_url", "host", "domain", "scheme"
+    ).first()
+
+
+def test_canon_lowercases_scheme_and_host(spark):
+    r = _canon(spark, "HTTPS://WWW.News.Example.COM/Path")
+    assert r.scheme == "https"
+    assert r.host == "news.example.com"
+    assert r.canon_url == "https://news.example.com/Path"  # path case kept
+
+
+def test_canon_strips_default_ports_and_www(spark):
+    assert _canon(spark, "http://www.a.example.com:80/x").host == "a.example.com"
+    assert _canon(spark, "https://a.example.com:443/x").host == "a.example.com"
+    # non-default port is kept
+    assert _canon(spark, "https://a.example.com:8443/x").host == "a.example.com:8443"
+
+
+def test_canon_strips_fragment_and_trailing_slash(spark):
+    r = _canon(spark, "https://a.example.com/p/q/#sec2")
+    assert r.canon_url == "https://a.example.com/p/q"
+    # root path collapses to bare authority
+    assert _canon(spark, "https://a.example.com/").canon_url == "https://a.example.com"
+
+
+def test_canon_drops_utm_params_only(spark):
+    assert (
+        _canon(spark, "https://a.example.com/p?utm_source=f&ref=en").canon_url
+        == "https://a.example.com/p?ref=en"
+    )
+    assert (
+        _canon(spark, "https://a.example.com/p?id=5&utm_campaign=x").canon_url
+        == "https://a.example.com/p?id=5"
+    )
+    assert (
+        _canon(spark, "https://a.example.com/p?utm_a=1&utm_b=2").canon_url
+        == "https://a.example.com/p"
+    )
+
+
+def test_canon_registrable_domain(spark):
+    assert _canon(spark, "https://deep.sub.example.co/x").domain == "example.co"
+    assert _canon(spark, "https://example.org/x").domain == "example.org"
+
+
+def test_domain_caps_exact_and_stable(spark):
+    # 3 domains: big (30 rows, over cap), edge (exactly cap), small
+    rows = (
+        [Row(doc_id=i, domain="big.com") for i in range(30)]
+        + [Row(doc_id=100 + i, domain="edge.com") for i in range(5)]
+        + [Row(doc_id=200, domain="small.com")]
+    )
+    df = spark.createDataFrame(rows)
+    out = domain_caps(df, "domain", "doc_id", cap=5, slack=8.0)
+    got = {r.domain: r for r in out.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("k"), F.max("n_total").alias("n")
+    ).collect()}
+    assert got["big.com"].k == 5 and got["big.com"].n == 30
+    assert got["edge.com"].k == 5 and got["edge.com"].n == 5
+    assert got["small.com"].k == 1 and got["small.com"].n == 1
+    # content-addressed: kept set for the big domain is unchanged when
+    # unrelated rows are added (growth stability) — md5 rank is per-row
+    kept1 = {r.doc_id for r in out.where(F.col("domain") == "big.com").collect()}
+    grown = spark.createDataFrame(
+        rows + [Row(doc_id=300 + i, domain="other.com") for i in range(10)]
+    )
+    out2 = domain_caps(grown, "domain", "doc_id", cap=5, slack=8.0)
+    kept2 = {r.doc_id for r in out2.where(F.col("domain") == "big.com").collect()}
+    assert kept1 == kept2
+
+
+def test_domain_caps_prunes_candidates(spark):
+    """The hash threshold must actually bound the window input: with a
+    4096-row domain and cap=8, candidates reaching the window should be
+    ~slack*cap, not the whole domain."""
+    df = spark.createDataFrame([Row(doc_id=i, domain="hot.com") for i in range(4096)])
+    capped = domain_caps(df, "domain", "doc_id", cap=8, slack=4.0)
+    assert capped.count() == 8
+    # re-derive the threshold's candidate count independently: the plan
+    # filters __k < ceil(slack*cap/n * 16^15) before the window
+    from alphavantage_etl_spark.operators.provenance import _KEY_SPACE
+
+    thr = int(-(-4.0 * 8 / 4096 * _KEY_SPACE // 1))
+    h = F.md5(F.concat_ws(":", F.lit("dcap"), F.col("domain"), F.col("doc_id").cast("string")))
+    k = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    n_cand = df.where(k < thr).count()
+    assert n_cand < 4096 // 8  # pruned far below the domain size
+    assert n_cand >= 8  # but enough for exactness
+
+
+def test_domain_caps_guard_raises_on_shortfall(spark):
+    """Engineered partial pruning shortfall must raise via the in-plan
+    assert, never silently return fewer rows. The md5 rank key is
+    engine-portable, so the test precomputes keys in Python and builds a
+    domain whose ids are almost all ABOVE the prune threshold — only 3
+    candidates survive against cap=10 — making the shortfall
+    deterministic instead of a 2^-something lottery."""
+    import hashlib
+
+    from alphavantage_etl_spark.operators.provenance import _KEY_SPACE
+
+    def key(i: int) -> int:
+        h = hashlib.md5(f"dcap:hot.com:{i}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    # threshold for n=2000, cap=10, slack=2.0 -> 1% of the key space;
+    # select with a wide margin so float-rounding of the in-plan ceil()
+    # cannot flip a row across the boundary
+    thr = int(2.0 * 10 / 2000 * _KEY_SPACE)
+    margin = 10**9
+    high, low = [], []
+    i = 0
+    while len(high) < 1997 or len(low) < 3:
+        k = key(i)
+        if k >= thr + margin and len(high) < 1997:
+            high.append(i)
+        elif k < thr - margin and len(low) < 3:
+            low.append(i)
+        i += 1
+    df = spark.createDataFrame(
+        [Row(doc_id=i, domain="hot.com") for i in high + low]
+    )
+    bad = domain_caps(df, "domain", "doc_id", cap=10, slack=2.0)
+    with pytest.raises(Exception) as ei:
+        bad.count()
+    assert "shortfall" in str(ei.value)
+
+
+def test_domain_caps_rejects_bad_params(spark):
+    df = spark.createDataFrame([Row(doc_id=1, domain="a.com")])
+    with pytest.raises(ValueError):
+        domain_caps(df, "domain", "doc_id", cap=0)
+    with pytest.raises(ValueError):
+        # slack below the zero-candidate guard floor
+        domain_caps(df, "domain", "doc_id", cap=5, slack=0.5)
+
+
+def test_license_gate_filters(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, license="cc-by", robots_noai=False),
+            Row(doc_id=2, license="cc-by", robots_noai=True),
+            Row(doc_id=3, license="all-rights-reserved", robots_noai=False),
+            Row(doc_id=4, license="cc0", robots_noai=False),
+        ]
+    )
+    kept = {
+        r.doc_id
+        for r in license_gate(
+            df, "license", ["cc-by", "cc0"], robots_col="robots_noai"
+        ).collect()
+    }
+    assert kept == {1, 4}
+    # without a robots column, only the license list gates
+    kept2 = {r.doc_id for r in license_gate(df, "license", ["cc-by"]).collect()}
+    assert kept2 == {1, 2}
