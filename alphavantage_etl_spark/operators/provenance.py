@@ -1,10 +1,11 @@
 """Web-corpus provenance operators: URL canonicalization, registrable-
-domain caps, and license/robots gating (X119-X121).
+domain caps (doc-count and token-budget forms), and license/robots
+gating (X119-X122).
 
 The standard curation rules a web-scale training corpus applies before
 mixing: normalize each document's URL so duplicates-by-address collapse,
-cap how many documents any single registrable domain may contribute (the
-"no more than N docs per domain" rule that stops SEO farms from dominating
+cap how much any single registrable domain may contribute — by document
+count or by token budget (the rules that stop SEO farms from dominating
 a mix), and drop documents whose license tag or robots directive forbids
 training use.
 
@@ -159,6 +160,104 @@ def domain_caps(
         & (F.col("__rn") <= cap)
     )
     return guarded.drop("__h", "__k", "__thr", "__rn", "__cand_n")
+
+
+def token_budget_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "tbudget",
+    slack: float = 4.0,
+) -> DataFrame:
+    """Keep each domain's rows in content-addressed hash order until the
+    domain's token ``budget`` is reached — the token-denominated sibling
+    of :func:`domain_caps` (a mix is budgeted in tokens, and doc-count
+    caps under-constrain domains full of long documents). A row is kept
+    iff the token sum of the rows BEFORE it (hash order, id tiebreak) is
+    still under budget, so the crossing row is included (soft cap: every
+    non-empty domain contributes at least one row; guarantees progress
+    and is the rule a greedy packer applies). Adds ``n_total`` and
+    ``tok_total`` (the domain's pre-cap totals).
+
+    Scale design mirrors :func:`domain_caps` — no whole-domain sorts:
+      1. one domain-key agg -> (count, token sum) per domain, broadcast;
+      2. candidate pruning at the ``slack * budget / tok_total`` key-space
+         quantile: the kept prefix holds ~``budget/avg_tokens`` rows, so
+         the expected candidate count is ``slack`` times that, independent
+         of domain size (under-budget domains pass a threshold of 1.0);
+      3. the per-domain cumulative-sum window then runs over candidates
+         only. The candidate set is downward-closed in the rank order
+         (numeric key is monotone in the hex prefix the order uses), so
+         the candidates' cumulative sums equal the full domain's for
+         every candidate row — the selection is EXACT, not approximate.
+
+    Exactness guard (in-plan ``assert_true``): a domain's candidate set
+    is sufficient iff the candidates' token total reaches ``budget`` or
+    the candidates are the whole domain; anything else means needed rows
+    were pruned and the plan raises at action time. As in
+    :func:`domain_caps`, a zero-candidate set cannot carry the per-row
+    assert, so ``slack`` is floored at 2 (miss probability decays like
+    e^{-2*expected_prefix_rows}).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if slack < 2.0:
+        raise ValueError(
+            f"slack must be >= 2 (zero-candidate guard floor), got {slack}"
+        )
+    dom = F.col(domain_col)
+    rid = F.col(id_col)
+    h = F.md5(F.concat_ws(":", F.lit(salt), dom, rid.cast("string")))
+    key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+    totals = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col(tokens_col).cast("long")).alias("tok_total"),
+    )
+    thr = F.when(F.col("tok_total") <= budget, F.lit(_KEY_SPACE)).otherwise(
+        F.ceil(
+            F.lit(float(slack * budget)) / F.col("tok_total") * _KEY_SPACE
+        ).cast("long")
+    )
+    totals = totals.withColumn("__thr", thr)
+
+    cand = (
+        df.withColumn("__h", h)
+        .withColumn("__k", key)
+        .join(F.broadcast(totals), domain_col)
+        .where(F.col("__k") < F.col("__thr"))
+    )
+    w = Window.partitionBy(domain_col)
+    ordered = w.orderBy("__h", id_col)
+    cand = (
+        cand.withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum(F.col(tokens_col).cast("long")).over(
+                    ordered.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__cand_tok", F.sum(F.col(tokens_col).cast("long")).over(w)
+        )
+        .withColumn("__cand_n", F.count(F.lit(1)).over(w))
+    )
+    guarded = cand.where(
+        F.assert_true(
+            (F.col("__cand_tok") >= budget)
+            | (F.col("__cand_n") == F.col("n_total")),
+            F.lit(
+                f"token_budget_per_domain: hash-prune shortfall "
+                f"(slack={slack}); raise slack for this budget"
+            ),
+        ).isNull()
+        & (F.col("__cum_before") < budget)
+    )
+    return guarded.drop("__h", "__k", "__thr", "__cum_before", "__cand_tok", "__cand_n")
 
 
 def license_gate(

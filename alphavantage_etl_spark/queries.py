@@ -7535,6 +7535,71 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# X122 — per-domain token budget (web-corpus provenance): the
+# token-denominated sibling of X120 — keep each domain's docs in
+# content-addressed hash order until a token budget is reached (soft cap:
+# the crossing doc is included). Spark side is the scale path — bounded
+# (count, token-sum) agg broadcast back, hash candidate pruning sized by
+# budget/tok_total so the per-domain cumsum window never sorts a whole
+# hot domain, downward-closed candidate prefix => EXACT selection, in-plan
+# assert_true sufficiency guard (operators/provenance.py:
+# token_budget_per_domain). The oracle is the naive full cumsum window.
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.provenance import token_budget_per_domain
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    did = F.col("doc_id")
+    dom = F.when(
+        did % 4 < 3,
+        F.concat(
+            F.lit("hub-"), (did % 2).cast("string"), F.lit(".example.com")
+        ),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.org")))
+    kept = token_budget_per_domain(
+        d.withColumn("domain", dom), "domain", "doc_id", "n_chars",
+        budget=20_000,
+    )
+    return (
+        kept.groupBy("domain")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.max("tok_total").cast("long").alias("tok_total"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_tokens"),
+        )
+        .orderBy("domain")
+    )
+
+
+SQL_TOKEN_BUDGET = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 4 < 3
+              THEN concat('hub-', CAST(doc_id % 2 AS VARCHAR),
+                          '.example.com')
+              ELSE concat(source, '.example.org') END AS domain
+  FROM documents),
+r AS (
+  SELECT doc_id, domain, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY domain
+           ORDER BY md5(concat_ws(':', 'tbudget', domain,
+                                  CAST(doc_id AS VARCHAR))), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         count(*) OVER (PARTITION BY domain) AS n_total,
+         sum(n_chars) OVER (PARTITION BY domain) AS tok_total
+  FROM u)
+SELECT domain,
+       CAST(max(n_total) AS BIGINT) AS n_total,
+       CAST(max(tok_total) AS BIGINT) AS tok_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_tokens
+FROM r WHERE cum_before < 20000
+GROUP BY domain ORDER BY domain
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r9 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -7736,6 +7801,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_url_canon": q_url_canon,
     "q_domain_caps": q_domain_caps,
     "q_license_gate": q_license_gate,
+    "q_token_budget": q_token_budget,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -7922,6 +7988,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_url_canon": SQL_URL_CANON,
     "q_domain_caps": SQL_DOMAIN_CAPS,
     "q_license_gate": SQL_LICENSE_GATE,
+    "q_token_budget": SQL_TOKEN_BUDGET,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

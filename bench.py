@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q_url_canon",
     "q_domain_caps",
     "q_license_gate",
+    "q_token_budget",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -17,6 +17,7 @@ from alphavantage_etl_spark.operators.provenance import (
     canonicalize_urls,
     domain_caps,
     license_gate,
+    token_budget_per_domain,
 )
 
 
@@ -158,6 +159,101 @@ def test_domain_caps_rejects_bad_params(spark):
     with pytest.raises(ValueError):
         # slack below the zero-candidate guard floor
         domain_caps(df, "domain", "doc_id", cap=5, slack=0.5)
+
+
+def _budget_oracle(rows, budget, salt="tbudget"):
+    """Reference implementation: full hash-order cumsum per domain."""
+    import hashlib
+    from collections import defaultdict
+
+    by_dom = defaultdict(list)
+    for r in rows:
+        h = hashlib.md5(f"{salt}:{r.domain}:{r.doc_id}".encode()).hexdigest()
+        by_dom[r.domain].append((h, r.doc_id, r.tokens))
+    kept = set()
+    for dom, items in by_dom.items():
+        items.sort()
+        cum = 0
+        for h, doc_id, tok in items:
+            if cum < budget:
+                kept.add(doc_id)
+            cum += tok
+    return kept
+
+
+def test_token_budget_matches_reference(spark):
+    rows = [
+        Row(doc_id=i, domain=("big.com" if i % 3 else "small.org"), tokens=50 + 37 * (i % 11))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    out = token_budget_per_domain(
+        df, "domain", "doc_id", "tokens", budget=800, slack=8.0
+    )
+    got = {r.doc_id for r in out.collect()}
+    assert got == _budget_oracle(rows, 800)
+    # every non-empty domain contributes at least one row (soft cap)
+    assert {r.domain for r in out.select("domain").distinct().collect()} == {
+        "big.com",
+        "small.org",
+    }
+
+
+def test_token_budget_under_budget_domain_keeps_all(spark):
+    rows = [Row(doc_id=i, domain="tiny.org", tokens=10) for i in range(5)]
+    out = token_budget_per_domain(
+        spark.createDataFrame(rows), "domain", "doc_id", "tokens", budget=10_000
+    )
+    assert out.count() == 5
+    r = out.first()
+    assert r.n_total == 5 and r.tok_total == 50
+
+
+def test_token_budget_guard_raises_on_shortfall(spark):
+    """Deterministic engineered shortfall, same construction as the
+    domain_caps test: nearly all ids hash ABOVE the prune threshold, and
+    the few below it carry too few tokens to reach the budget — the
+    in-plan sufficiency assert must raise."""
+    import hashlib
+
+    from alphavantage_etl_spark.operators.provenance import _KEY_SPACE
+
+    def key(i: int) -> int:
+        h = hashlib.md5(f"tbudget:hot.com:{i}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    budget = 1000
+    tokens = 10  # per doc; 2000 docs -> tok_total = 20000
+    thr = int(2.0 * budget / 20_000 * _KEY_SPACE)
+    margin = 10**9
+    high, low = [], []
+    i = 0
+    while len(high) < 1998 or len(low) < 2:
+        k = key(i)
+        if k >= thr + margin and len(high) < 1998:
+            high.append(i)
+        elif k < thr - margin and len(low) < 2:
+            low.append(i)
+        i += 1
+    df = spark.createDataFrame(
+        [Row(doc_id=i, domain="hot.com", tokens=tokens) for i in high + low]
+    )
+    bad = token_budget_per_domain(
+        df, "domain", "doc_id", "tokens", budget=budget, slack=2.0
+    )
+    with pytest.raises(Exception) as ei:
+        bad.count()
+    assert "shortfall" in str(ei.value)
+
+
+def test_token_budget_rejects_bad_params(spark):
+    df = spark.createDataFrame([Row(doc_id=1, domain="a.com", tokens=5)])
+    with pytest.raises(ValueError):
+        token_budget_per_domain(df, "domain", "doc_id", "tokens", budget=0)
+    with pytest.raises(ValueError):
+        token_budget_per_domain(
+            df, "domain", "doc_id", "tokens", budget=10, slack=1.0
+        )
 
 
 def test_license_gate_filters(spark):
