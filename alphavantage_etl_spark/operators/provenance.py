@@ -260,6 +260,65 @@ def token_budget_per_domain(
     return guarded.drop("__h", "__k", "__thr", "__cum_before", "__cand_tok", "__cand_n")
 
 
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    prefer_col: str,
+    id_col: str,
+) -> DataFrame:
+    """URL-level dedup: canonicalize ``url_col`` (see
+    :func:`canonical_url`) and keep ONE row per canonical URL — the one
+    with the largest ``prefer_col`` (e.g. doc length or quality score),
+    smallest ``id_col`` on ties. The standard pre-content-dedup pass of a
+    web pipeline: recrawls and tracking-param/scheme/www variants of the
+    same page collapse by address before any text is compared.
+
+    Scale: one hash shuffle on the canonical URL (bounded-key: keys are
+    page addresses, cardinality ~= corpus), map-side-combinable
+    ``max_by`` over an orderable struct — no window, no sort, no join.
+    Deterministic: (prefer DESC, id ASC) is a total order per key, so the
+    survivor is engine-reproducible (oracle: row_number = 1).
+    """
+    canon, _host, _domain, _scheme = canonical_url(F.col(url_col))
+    pref = F.struct(
+        F.col(prefer_col).cast("long").alias("p"),
+        (-F.col(id_col).cast("long")).alias("negid"),
+    )
+    return (
+        df.withColumn("canon_url", canon)
+        .groupBy("canon_url")
+        .agg(
+            F.max_by(F.col(id_col), pref).alias(id_col),
+            F.max_by(F.col(prefer_col), pref).alias(prefer_col),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )
+
+
+def over_cap_domains(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    doc_cap: int,
+    token_budget: int,
+) -> DataFrame:
+    """Domains currently past either contribution cap: per-domain doc and
+    token totals, filtered to ``n_docs > doc_cap OR tokens > budget``.
+    The governance view an ingest gate consults (and the batch twin the
+    streaming monitor's restart test asserts parity against). One
+    map-side-combinable agg on the domain key; output bounded at
+    |over-cap domains|.
+    """
+    return (
+        df.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(tokens_col).cast("long")).alias("tokens"),
+        )
+        .where((F.col("n_docs") > doc_cap) | (F.col("tokens") > token_budget))
+    )
+
+
 def license_gate(
     df: DataFrame,
     license_col: str,

@@ -7600,6 +7600,139 @@ GROUP BY domain ORDER BY domain
 """
 
 
+# X123 — URL-level dedup (web-corpus provenance): canonicalize, then keep
+# ONE doc per canonical URL — largest n_chars wins, smallest doc_id on
+# ties ("keep the longest capture of the page"). One map-side-combinable
+# max_by agg on the canonical key: no window, no sort, no join
+# (operators/provenance.py:url_dedup). Fixture URLs reuse the X119
+# synthesis but with the path keyed to doc_id % 25 within each source so
+# recrawl variants genuinely collide; the oracle is an independent
+# row_number() = 1 in DuckDB.
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.provenance import url_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (did % 25).cast("string"),
+        F.when(did % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    kept = url_dedup(
+        d.withColumn("url", url), "url", prefer_col="n_chars", id_col="doc_id"
+    )
+    return kept.select(
+        "canon_url",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_variants",
+    ).orderBy("canon_url")
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END, '://',
+           lower(source), '.example.com',
+           '/page/', CAST(doc_id % 25 AS VARCHAR)) AS canon_url
+  FROM documents),
+r AS (
+  SELECT canon_url, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY canon_url
+           ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY canon_url) AS n_variants
+  FROM u)
+SELECT canon_url, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_variants AS BIGINT) AS n_variants
+FROM r WHERE rn = 1 ORDER BY canon_url
+"""
+
+
+# X124 — gated curation composition (web-corpus provenance): license/
+# robots gate |> registrable-domain cap |> per-source mix summary, as ONE
+# Spark plan — the provenance governance a mix build runs end-to-end.
+# Chains the X121 and X120 operators (the cap ranks over the POST-gate
+# survivors, so kept sets differ from q_domain_caps); the oracle
+# recomposes the chain independently in SQL.
+def q_curation_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.provenance import domain_caps, license_gate
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    did = F.col("doc_id")
+    lic = (
+        F.when(did % 5 == 0, F.lit("cc-by"))
+        .when(did % 5 == 1, F.lit("cc-by-sa"))
+        .when(did % 5 == 2, F.lit("cc0"))
+        .when(did % 5 == 3, F.lit("all-rights-reserved"))
+        .otherwise(F.lit("noai"))
+    )
+    dom = F.when(
+        did % 4 < 3,
+        F.concat(
+            F.lit("hub-"), (did % 2).cast("string"), F.lit(".example.com")
+        ),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.org")))
+    gated = license_gate(
+        d.withColumn("license", lic)
+        .withColumn("robots_noai", did % 11 == 0)
+        .withColumn("domain", dom),
+        "license",
+        ["cc-by", "cc-by-sa", "cc0"],
+        robots_col="robots_noai",
+    )
+    capped = domain_caps(gated, "domain", "doc_id", cap=25)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CURATION_GATED = """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CASE doc_id % 5 WHEN 0 THEN 'cc-by'
+                         WHEN 1 THEN 'cc-by-sa'
+                         WHEN 2 THEN 'cc0'
+                         WHEN 3 THEN 'all-rights-reserved'
+                         ELSE 'noai' END AS license,
+         doc_id % 11 = 0 AS robots_noai,
+         CASE WHEN doc_id % 4 < 3
+              THEN concat('hub-', CAST(doc_id % 2 AS VARCHAR),
+                          '.example.com')
+              ELSE concat(source, '.example.org') END AS domain
+  FROM documents),
+g AS (
+  SELECT * FROM t
+  WHERE license IN ('cc-by', 'cc-by-sa', 'cc0') AND NOT robots_noai),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY md5(concat_ws(':', 'dcap', domain,
+                                  CAST(doc_id AS VARCHAR))), doc_id) AS rn
+  FROM g)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM r WHERE rn <= 25
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r9 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -7802,6 +7935,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_domain_caps": q_domain_caps,
     "q_license_gate": q_license_gate,
     "q_token_budget": q_token_budget,
+    "q_url_dedup": q_url_dedup,
+    "q_curation_gated": q_curation_gated,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -7989,6 +8124,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_domain_caps": SQL_DOMAIN_CAPS,
     "q_license_gate": SQL_LICENSE_GATE,
     "q_token_budget": SQL_TOKEN_BUDGET,
+    "q_url_dedup": SQL_URL_DEDUP,
+    "q_curation_gated": SQL_CURATION_GATED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

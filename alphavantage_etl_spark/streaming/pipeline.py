@@ -1322,3 +1322,91 @@ def cm_sketch_stream(
     )
     q.awaitTermination()
     return q
+
+
+def domain_cap_monitor_stream(
+    stream_df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    state_path: str,
+    checkpoint: str,
+    doc_cap: int,
+    token_budget: int,
+    reports: list | None = None,
+):
+    """Streaming twin of the X120/X122 domain-cap governance — the
+    ingest-side monitor: every micro-batch's per-domain (docs, tokens)
+    counts MERGE into a persisted cumulative table (exact integer
+    counts form a commutative monoid — the aggregate_state discipline,
+    so the merged state equals the counts over all rows ever seen,
+    independent of batch boundaries or restarts), and each batch
+    reports which domains are past either cap RIGHT NOW — the signal an
+    ingest gate consults to start dropping (or re-routing) a domain
+    that is flooding the crawl.
+
+    Parity by construction: the post-restart over-cap table is
+    IDENTICAL to batch ``over_cap_domains(all_rows)`` — asserted
+    row-for-row by the restart test, like the FDR/CM twins.
+
+    Scale: per batch ONE map-side-combined aggregation of the batch
+    onto the domain key plus a domain-bounded merge (the state table is
+    domains, not rows); the report append is one collect of the
+    bounded over-cap slice. The state rewrite localCheckpoints the
+    merged frame first (the parquet-overwrite-own-lineage rule).
+    """
+    dom = F.col(domain_col)
+
+    def monitor(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        cells = (
+            batch_df.where(dom.isNotNull())
+            .groupBy(dom.alias("domain"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(tokens_col).cast("long")).alias("tokens"),
+            )
+        )
+        try:
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(cells)
+                .groupBy("domain")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("tokens").alias("tokens"),
+                )
+            )
+        except AnalysisException:
+            # first batch only (PATH_NOT_FOUND) — a CORRUPT state file
+            # must fail the stream, never silently reset the counts
+            merged = cells
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+        if reports is not None:
+            over = (
+                merged.where(
+                    (F.col("n_docs") > doc_cap)
+                    | (F.col("tokens") > token_budget)
+                )
+                .orderBy("domain")
+                .collect()
+            )
+            reports.append(
+                {
+                    "batch_id": batch_id,
+                    "over_cap": [
+                        (r["domain"], r["n_docs"], r["tokens"]) for r in over
+                    ],
+                }
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "q_domain_caps",
     "q_license_gate",
     "q_token_budget",
+    "q_url_dedup",
+    "q_curation_gated",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

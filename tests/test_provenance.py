@@ -275,3 +275,45 @@ def test_license_gate_filters(spark):
     # without a robots column, only the license list gates
     kept2 = {r.doc_id for r in license_gate(df, "license", ["cc-by"]).collect()}
     assert kept2 == {1, 2}
+
+
+def test_url_dedup_keeps_best_variant(spark):
+    rows = [
+        # three variants of one page: scheme case, www, port, fragment
+        Row(doc_id=1, url="https://www.a.example.com/p", n_chars=100),
+        Row(doc_id=2, url="HTTPS://a.example.com:443/p#x", n_chars=300),
+        Row(doc_id=3, url="https://a.example.com/p/", n_chars=300),
+        # a different page on the same host
+        Row(doc_id=4, url="https://a.example.com/q", n_chars=50),
+    ]
+    from alphavantage_etl_spark.operators.provenance import url_dedup
+
+    out = {
+        r.canon_url: r
+        for r in url_dedup(
+            spark.createDataFrame(rows), "url", "n_chars", "doc_id"
+        ).collect()
+    }
+    assert set(out) == {"https://a.example.com/p", "https://a.example.com/q"}
+    kept = out["https://a.example.com/p"]
+    # longest wins; tie (2 vs 3, both 300 chars) broken by smaller doc_id
+    assert kept.doc_id == 2 and kept.n_chars == 300 and kept.n_variants == 3
+    assert out["https://a.example.com/q"].doc_id == 4
+
+
+def test_over_cap_domains(spark):
+    from alphavantage_etl_spark.operators.provenance import over_cap_domains
+
+    rows = (
+        [Row(domain="big.com", tokens=10)] * 30
+        + [Row(domain="fat.org", tokens=5000)] * 2
+        + [Row(domain="ok.net", tokens=10)] * 3
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=i, **r.asDict()) for i, r in enumerate(rows)]
+    )
+    got = {
+        r.domain: (r.n_docs, r.tokens)
+        for r in over_cap_domains(df, "domain", "tokens", 20, 8000).collect()
+    }
+    assert got == {"big.com": (30, 300), "fat.org": (2, 10000)}

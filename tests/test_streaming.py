@@ -1144,3 +1144,93 @@ def test_cm_sketch_stream_matches_batch_and_restarts(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_domain_cap_monitor_stream_matches_batch_and_restarts(
+    spark, tmp_path
+):
+    """Streaming domain-cap monitor: (domain, tokens) rows fed across two
+    micro-batches with a query restart between them; the merged
+    per-domain (docs, tokens) state must survive the restart and the
+    FINAL over-cap report must equal batch over_cap_domains(all rows)
+    row-for-row (exact integer state -> parity by construction,
+    asserted anyway)."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.operators.provenance import over_cap_domains
+    from alphavantage_etl_spark.streaming.pipeline import (
+        domain_cap_monitor_stream,
+    )
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rows = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
+        F.col("n_chars").cast("long").alias("tokens"),
+        "doc_id",
+    )
+
+    in_dir = tmp_path / "dcap_in"
+    in_dir.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    state = str(tmp_path / "dcap_state")
+    ckpt = str(tmp_path / "ckpt_dcap")
+    reports: list = []
+    doc_cap, budget = 20, 6000
+
+    def drain():
+        stream = spark.readStream.schema(
+            "domain string, tokens bigint, doc_id bigint"
+        ).parquet(str(in_dir))
+        domain_cap_monitor_stream(
+            stream,
+            "domain",
+            "tokens",
+            state,
+            ckpt,
+            doc_cap=doc_cap,
+            token_budget=budget,
+            reports=reports,
+        )
+
+    land(rows.where(F.col("doc_id") % 2 == 0), "b1")
+    drain()
+    land(rows.where(F.col("doc_id") % 2 == 1), "b2")
+    drain()  # restart: cumulative counts reload from the state parquet
+
+    # final cumulative state must equal the batch per-domain totals
+    got_state = sorted(
+        (r["domain"], r["n_docs"], r["tokens"])
+        for r in spark.read.parquet(state).collect()
+    )
+    want_state = sorted(
+        (r["domain"], r["n_docs"], r["tokens"])
+        for r in rows.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("tokens"),
+        ).collect()
+    )
+    assert got_state == want_state and len(got_state) > 0
+
+    # final over-cap report must equal the batch twin row-for-row
+    want_over = sorted(
+        (r["domain"], r["n_docs"], r["tokens"])
+        for r in over_cap_domains(
+            rows, "domain", "tokens", doc_cap, budget
+        ).collect()
+    )
+    assert reports[-1]["over_cap"] == want_over
+    assert len(want_over) > 0  # the fixture must actually trip the caps
+    assert len(reports) >= 2
+    # the first batch (half the rows) must report a DIFFERENT (subset)
+    # over-cap list than the final cumulative one unless all domains
+    # tripped immediately — sanity that reports are per-batch snapshots
+    assert reports[0]["batch_id"] == 0
