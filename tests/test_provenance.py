@@ -317,3 +317,87 @@ def test_over_cap_domains(spark):
         for r in over_cap_domains(df, "domain", "tokens", 20, 8000).collect()
     }
     assert got == {"big.com": (30, 300), "fat.org": (2, 10000)}
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    from alphavantage_etl_spark.sources import load
+
+    return load(spark, "/root/testdata/sf0.001", "documents")
+
+
+def test_canonicalize_plan_no_shuffle_no_python(spark):
+    """X119 is a pure projection: it must add NO Exchange and stay
+    JVM-side (regex expressions, not Python UDFs)."""
+    d = _docs(spark).select(
+        "doc_id", F.concat(F.lit("https://www.a.example.com/p/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    plan = _plan(canonicalize_urls(d, "url"))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_domain_caps_plan_shape(spark):
+    """X120's scale contract in the physical plan: the corpus-side work
+    shuffles ONLY on the domain key (counts agg + candidate window; AQE
+    may reuse one exchange), the counts join is a broadcast (never a
+    shuffled join), and nothing funnels through a single partition."""
+    d = _docs(spark).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
+    )
+    plan = _plan(domain_caps(d, "domain", "doc_id", cap=5))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "Python" not in plan, plan[:3000]
+
+
+def test_token_budget_plan_shape(spark):
+    d = _docs(spark).select(
+        "doc_id",
+        F.col("n_chars").alias("tokens"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
+    )
+    plan = _plan(
+        token_budget_per_domain(d, "domain", "doc_id", "tokens", budget=5000)
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    assert "Python" not in plan, plan[:3000]
+
+
+def test_url_dedup_plan_single_key_shuffle_no_window(spark):
+    """X123 must be ONE hash shuffle on the canonical key with map-side
+    partial aggregation — no window, no sort, no join."""
+    from alphavantage_etl_spark.operators.provenance import url_dedup
+
+    d = _docs(spark).select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://a.example.com/p/"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("url"),
+    )
+    plan = _plan(url_dedup(d, "url", "n_chars", "doc_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    # map-side partial aggregation below the exchange (struct max_by is
+    # not hash-aggregable, so Spark plans a SortAggregate pair)
+    assert "partial_max_by" in plan, plan
+
+
+def test_license_gate_filter_pushes_to_scan(spark):
+    """X121 on a real column must reach the parquet scan as a pushed
+    filter (predicate pushdown — the 100 TB contract)."""
+    d = _docs(spark).select("doc_id", "lang", "source")
+    gated = license_gate(d, "lang", ["en", "de"])
+    plan = _plan(gated)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "PushedFilters: [" in plan and "In(lang" in plan, plan[:2000]
