@@ -7733,6 +7733,52 @@ GROUP BY source ORDER BY source
 """
 
 
+# X126 — k-anonymity audit (privacy compliance): equivalence classes of
+# the quasi-identifier tuple with fewer than k members — the rows a
+# release would expose to re-identification. One map-side-combinable agg
+# on the composite key; output bounded by the violating tail
+# (operators/privacy.py:k_anonymity_audit). Quasi tuple here: (lang,
+# source, digit-count length bucket) — the metadata a manifest
+# release carries.
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.privacy import k_anonymity_audit
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        # digit-count bucket: exact integer order-of-magnitude — never
+        # floor(log10(...)), whose last-ulp can flip across engines
+        F.length(F.col("n_chars").cast("string")).cast("long").alias(
+            "len_bucket"
+        ),
+    )
+    audit = k_anonymity_audit(d, ["lang", "source", "len_bucket"], k=5)
+    return audit.select(
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("deficit").cast("long").alias("deficit"),
+    ).orderBy("lang", "source", "len_bucket")
+
+
+SQL_K_ANONYMITY = """
+WITH t AS (
+  SELECT lang, source,
+         CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT) AS len_bucket
+  FROM documents),
+c AS (
+  SELECT lang, source, len_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM t GROUP BY 1, 2, 3)
+SELECT lang, source, len_bucket, class_size,
+       CAST(5 - class_size AS BIGINT) AS deficit
+FROM c WHERE class_size < 5
+ORDER BY lang, source, len_bucket
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r9 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -7937,6 +7983,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_token_budget": q_token_budget,
     "q_url_dedup": q_url_dedup,
     "q_curation_gated": q_curation_gated,
+    "q_k_anonymity": q_k_anonymity,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8126,6 +8173,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_token_budget": SQL_TOKEN_BUDGET,
     "q_url_dedup": SQL_URL_DEDUP,
     "q_curation_gated": SQL_CURATION_GATED,
+    "q_k_anonymity": SQL_K_ANONYMITY,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

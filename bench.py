@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "q_token_budget",
     "q_url_dedup",
     "q_curation_gated",
+    "q_k_anonymity",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

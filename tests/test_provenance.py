@@ -401,3 +401,37 @@ def test_license_gate_filter_pushes_to_scan(spark):
     plan = _plan(gated)
     assert "Exchange" not in plan, plan[:2000]
     assert "PushedFilters: [" in plan and "In(lang" in plan, plan[:2000]
+
+
+def test_k_anonymity_audit(spark):
+    from alphavantage_etl_spark.operators.privacy import k_anonymity_audit
+
+    rows = (
+        [Row(lang="en", src="a")] * 5
+        + [Row(lang="en", src="b")] * 2
+        + [Row(lang=None, src="a")] * 1
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=i, **r.asDict()) for i, r in enumerate(rows)]
+    )
+    got = {
+        (r.lang, r.src): (r.class_size, r.deficit)
+        for r in k_anonymity_audit(df, ["lang", "src"], k=3).collect()
+    }
+    # the k-sized class is absent; small classes report their deficit;
+    # the NULL-lang row forms its own audited class
+    assert got == {("en", "b"): (2, 1), (None, "a"): (1, 2)}
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["lang"], k=1)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], k=3)
+
+
+def test_k_anonymity_plan_single_key_shuffle(spark):
+    from alphavantage_etl_spark.operators.privacy import k_anonymity_audit
+
+    d = _docs(spark).select("lang", "source")
+    plan = _plan(k_anonymity_audit(d, ["lang", "source"], k=5))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.index("partial_count") > plan.index("Exchange"), plan
