@@ -1,5 +1,6 @@
-"""Web-corpus provenance operators (X119-X121): URL canonicalization,
-registrable-domain caps, license/robots gate.
+"""Web-corpus provenance + privacy operators (X119-X124, X126): URL
+canonicalization, domain caps (doc-count and token-budget), license/
+robots gate, URL dedup, k-anonymity audit.
 
 The contract queries pin the oracle-level hashes; these tests pin the
 operator-level semantics on hand-built rows (every canonicalization rule
