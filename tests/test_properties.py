@@ -720,3 +720,125 @@ def test_perm_test_flag_flip_invariance(spark, rows):
     assert r1["n_ge"] == r2["n_ge"] and r1["p_value"] == r2["p_value"]
     assert 1.0 / (P + 1) <= r1["p_value"] <= 1.0
     assert 0 <= r1["n_ge"] <= P
+
+
+# --- r9 provenance properties ---
+
+url_path_chars = st.text(
+    alphabet=st.sampled_from("abcXYZ059._~%-"), max_size=12
+)
+host_label = st.text(alphabet=st.sampled_from("abcz09-"), min_size=1, max_size=8)
+
+
+@st.composite
+def urlish(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    labels = draw(st.lists(host_label, min_size=2, max_size=4))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = "/".join(draw(st.lists(url_path_chars, max_size=3)))
+    q = draw(
+        st.sampled_from(
+            ["", "?a=1", "?utm_x=1", "?utm_x=1&b=2", "?b=2&utm_y=3", "?utm_a=1&utm_b=2"]
+        )
+    )
+    frag = draw(st.sampled_from(["", "#f", "#a/b?c"]))
+    return f"{scheme}://{www}{'.'.join(labels)}{port}/{path}{q}{frag}"
+
+
+@SETTINGS
+@given(st.lists(urlish(), min_size=1, max_size=25))
+def test_canonical_url_is_idempotent(spark, urls):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the invariant
+    URL canonicalizers famously violate (a second pass must find nothing
+    left to normalize, or dedup keys drift between pipeline stages).
+    Batched: all cases in one DataFrame, both passes as columns."""
+    from alphavantage_etl_spark.operators.provenance import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once, _h, _d, _s = canonical_url(F.col("url"))
+    df = df.withColumn("c1", once)
+    twice, _h2, _d2, _s2 = canonical_url(F.col("c1"))
+    rows = df.withColumn("c2", twice).collect()
+    for r in rows:
+        assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+def test_domain_caps_invariants(spark, rows, cap):
+    """For any input: per-domain output size == min(cap, n_domain), the
+    kept rows are a subset of the input, and n_total is reported
+    exactly."""
+    from collections import Counter
+
+    from alphavantage_etl_spark.operators.provenance import domain_caps
+
+    df = spark.createDataFrame(
+        [(i, f"{d}.example.com") for i, d in rows], "doc_id long, domain string"
+    )
+    got = domain_caps(df, "domain", "doc_id", cap=cap, slack=8.0).collect()
+    n = Counter(d for _, d in rows)
+    out = Counter(r["domain"].split(".")[0] for r in got)
+    assert out == Counter({d: min(cap, c) for d, c in n.items()})
+    in_ids = {i for i, _ in rows}
+    for r in got:
+        assert r["doc_id"] in in_ids
+        assert r["n_total"] == n[r["domain"].split(".")[0]]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.sampled_from("ab"),
+            st.integers(1, 500),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 2000),
+)
+def test_token_budget_matches_python_reference(spark, rows, budget):
+    """The pruned Spark selection equals the naive full-cumsum reference
+    for arbitrary (id, domain, tokens) inputs and budgets."""
+    import hashlib
+    from collections import defaultdict
+
+    from alphavantage_etl_spark.operators.provenance import (
+        token_budget_per_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"{d}.org", t) for i, d, t in rows],
+        "doc_id long, domain string, tokens long",
+    )
+    got = {
+        r["doc_id"]
+        for r in token_budget_per_domain(
+            df, "domain", "doc_id", "tokens", budget=budget, slack=8.0
+        ).collect()
+    }
+    by_dom = defaultdict(list)
+    for i, d, t in rows:
+        h = hashlib.md5(f"tbudget:{d}.org:{i}".encode()).hexdigest()
+        by_dom[d].append((h, i, t))
+    want = set()
+    for items in by_dom.values():
+        items.sort()
+        cum = 0
+        for _h, i, t in items:
+            if cum < budget:
+                want.add(i)
+            cum += t
+    assert got == want
