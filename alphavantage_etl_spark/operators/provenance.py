@@ -125,12 +125,19 @@ def domain_caps(
         raise ValueError(
             f"slack must be >= 2 (zero-candidate guard floor), got {slack}"
         )
-    dom = F.col(domain_col)
+    # NULL domains: a plain inner join on the domain key would DROP them
+    # silently (NULL never equals NULL). Group them under a NUL sentinel
+    # instead — hostnames cannot contain "\x00" — so the unattributed
+    # bucket is capped like any other domain; the output keeps the
+    # original NULL in the domain column.
+    base = df.withColumn(
+        "__dk", F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00"))
+    )
     rid = F.col(id_col)
-    h = F.md5(F.concat_ws(":", F.lit(salt), dom, rid.cast("string")))
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col("__dk"), rid.cast("string")))
     key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_total"))
+    counts = base.groupBy("__dk").agg(F.count(F.lit(1)).alias("n_total"))
     thr = F.when(F.col("n_total") <= cap, F.lit(_KEY_SPACE)).otherwise(
         F.ceil(F.lit(float(slack * cap)) / F.col("n_total") * _KEY_SPACE).cast(
             "long"
@@ -139,12 +146,12 @@ def domain_caps(
     counts = counts.withColumn("__thr", thr)
 
     cand = (
-        df.withColumn("__h", h)
+        base.withColumn("__h", h)
         .withColumn("__k", key)
-        .join(F.broadcast(counts), domain_col)
+        .join(F.broadcast(counts), "__dk")
         .where(F.col("__k") < F.col("__thr"))
     )
-    w = Window.partitionBy(domain_col)
+    w = Window.partitionBy("__dk")
     ordered = w.orderBy("__h", id_col)
     cand = cand.withColumn("__rn", F.row_number().over(ordered)).withColumn(
         "__cand_n", F.count(F.lit(1)).over(w)
@@ -159,7 +166,7 @@ def domain_caps(
         ).isNull()
         & (F.col("__rn") <= cap)
     )
-    return guarded.drop("__h", "__k", "__thr", "__rn", "__cand_n")
+    return guarded.drop("__dk", "__h", "__k", "__thr", "__rn", "__cand_n")
 
 
 def token_budget_per_domain(
@@ -207,12 +214,16 @@ def token_budget_per_domain(
         raise ValueError(
             f"slack must be >= 2 (zero-candidate guard floor), got {slack}"
         )
-    dom = F.col(domain_col)
+    # NULL domains: sentinel-keyed like domain_caps (a plain inner join
+    # on the domain key would silently drop them)
+    base = df.withColumn(
+        "__dk", F.coalesce(F.col(domain_col).cast("string"), F.lit("\x00"))
+    )
     rid = F.col(id_col)
-    h = F.md5(F.concat_ws(":", F.lit(salt), dom, rid.cast("string")))
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col("__dk"), rid.cast("string")))
     key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
-    totals = df.groupBy(domain_col).agg(
+    totals = base.groupBy("__dk").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col(tokens_col).cast("long")).alias("tok_total"),
     )
@@ -224,12 +235,12 @@ def token_budget_per_domain(
     totals = totals.withColumn("__thr", thr)
 
     cand = (
-        df.withColumn("__h", h)
+        base.withColumn("__h", h)
         .withColumn("__k", key)
-        .join(F.broadcast(totals), domain_col)
+        .join(F.broadcast(totals), "__dk")
         .where(F.col("__k") < F.col("__thr"))
     )
-    w = Window.partitionBy(domain_col)
+    w = Window.partitionBy("__dk")
     ordered = w.orderBy("__h", id_col)
     cand = (
         cand.withColumn(
@@ -257,7 +268,9 @@ def token_budget_per_domain(
         ).isNull()
         & (F.col("__cum_before") < budget)
     )
-    return guarded.drop("__h", "__k", "__thr", "__cum_before", "__cand_tok", "__cand_n")
+    return guarded.drop(
+        "__dk", "__h", "__k", "__thr", "__cum_before", "__cand_tok", "__cand_n"
+    )
 
 
 def url_dedup(
@@ -278,20 +291,40 @@ def url_dedup(
     ``max_by`` over an orderable struct — no window, no sort, no join.
     Deterministic: (prefer DESC, id ASC) is a total order per key, so the
     survivor is engine-reproducible (oracle: row_number = 1).
+
+    NULL/unparseable URLs: rows whose URL is NULL or yields no host
+    (every unparseable string canonicalizes to the same ``"://"``
+    husk, so grouping on it would silently keep ONE row out of ALL
+    garbage-URL docs) are NOT address-dedupable — they pass through
+    untouched, self-keyed by id, with ``canon_url`` NULL and
+    ``n_variants`` 1. Dropping or collapsing them is the caller's
+    policy, never this operator's side effect.
     """
-    canon, _host, _domain, _scheme = canonical_url(F.col(url_col))
+    canon, host, _domain, _scheme = canonical_url(F.col(url_col))
+    key = F.when(
+        F.col(url_col).isNull() | (host == ""),
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+    ).otherwise(canon)
     pref = F.struct(
         F.col(prefer_col).cast("long").alias("p"),
         (-F.col(id_col).cast("long")).alias("negid"),
     )
-    return (
-        df.withColumn("canon_url", canon)
-        .groupBy("canon_url")
+    out = (
+        df.withColumn("__ck", key)
+        .groupBy("__ck")
         .agg(
             F.max_by(F.col(id_col), pref).alias(id_col),
             F.max_by(F.col(prefer_col), pref).alias(prefer_col),
             F.count(F.lit(1)).cast("long").alias("n_variants"),
         )
+    )
+    return out.select(
+        F.when(F.col("__ck").startswith("\x00"), F.lit(None))
+        .otherwise(F.col("__ck"))
+        .alias("canon_url"),
+        id_col,
+        prefer_col,
+        "n_variants",
     )
 
 
@@ -331,6 +364,12 @@ def license_gate(
     Pure projection filter — no shuffle, pushes to the scan at 100 TB.
     ``allowed`` is inlined as an IN-list literal (license vocabularies
     are small, fixed sets), never a join.
+
+    NULL semantics (deliberate, fail-closed): a NULL license tag or a
+    NULL robots flag makes the predicate NULL and the row is DROPPED —
+    unknown licensing is not permission. Callers wanting to audit the
+    unknowns should select them separately (``license IS NULL``), not
+    loosen the gate.
     """
     cond = F.col(license_col).isin(list(allowed))
     if robots_col is not None:

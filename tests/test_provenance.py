@@ -436,3 +436,88 @@ def test_k_anonymity_plan_single_key_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.index("partial_count") > plan.index("Exchange"), plan
+
+
+def test_domain_caps_null_domains_capped_not_dropped(spark):
+    """NULL domains must flow through (sentinel-keyed) and be capped as
+    one unattributed bucket — a plain inner join on the domain key would
+    silently drop them (the r8 cusum NULL-ts class)."""
+    rows = [Row(doc_id=i, domain=None) for i in range(20)] + [
+        Row(doc_id=100 + i, domain="a.com") for i in range(3)
+    ]
+    out = domain_caps(
+        spark.createDataFrame(
+            rows, "doc_id long, domain string"
+        ),
+        "domain",
+        "doc_id",
+        cap=5,
+        slack=8.0,
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert len(by_dom[None]) == 5  # capped, not dropped
+    assert all(r.n_total == 20 for r in by_dom[None])
+    assert len(by_dom["a.com"]) == 3
+
+
+def test_token_budget_null_domains_budgeted_not_dropped(spark):
+    out = token_budget_per_domain(
+        spark.createDataFrame(
+            [Row(doc_id=i, domain=None, tokens=40) for i in range(10)],
+            "doc_id long, domain string, tokens long",
+        ),
+        "domain",
+        "doc_id",
+        "tokens",
+        budget=100,
+        slack=8.0,
+    ).collect()
+    # 40+40 < 100 <= 40*3: the crossing (3rd) doc is included, then stop
+    assert len(out) == 3
+    assert all(r.domain is None and r.tok_total == 400 for r in out)
+
+
+def test_url_dedup_unparseable_urls_pass_through(spark):
+    """NULL and garbage URLs are not address-dedupable: each passes
+    through alone with canon_url NULL — never collapsed into one
+    survivor via the shared '://' husk."""
+    from alphavantage_etl_spark.operators.provenance import url_dedup
+
+    rows = [
+        Row(doc_id=1, url=None, n_chars=10),
+        Row(doc_id=2, url="not a url", n_chars=20),
+        Row(doc_id=3, url="also-garbage", n_chars=30),
+        Row(doc_id=4, url="https://a.example.com/p", n_chars=40),
+        Row(doc_id=5, url="HTTPS://a.example.com:443/p", n_chars=50),
+    ]
+    out = url_dedup(
+        spark.createDataFrame(rows, "doc_id long, url string, n_chars long"),
+        "url",
+        "n_chars",
+        "doc_id",
+    ).collect()
+    null_rows = sorted(r.doc_id for r in out if r.canon_url is None)
+    assert null_rows == [1, 2, 3]  # all pass through, one row each
+    assert all(r.n_variants == 1 for r in out if r.canon_url is None)
+    real = [r for r in out if r.canon_url == "https://a.example.com/p"]
+    assert len(real) == 1 and real[0].doc_id == 5 and real[0].n_variants == 2
+
+
+def test_license_gate_null_is_fail_closed(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, license="cc-by", robots_noai=False),
+            Row(doc_id=2, license=None, robots_noai=False),
+            Row(doc_id=3, license="cc-by", robots_noai=None),
+        ],
+        "doc_id long, license string, robots_noai boolean",
+    )
+    kept = {
+        r.doc_id
+        for r in license_gate(
+            df, "license", ["cc-by"], robots_col="robots_noai"
+        ).collect()
+    }
+    assert kept == {1}  # unknown license / unknown robots -> dropped
