@@ -328,6 +328,48 @@ def url_dedup(
     )
 
 
+def latest_snapshots(
+    df: DataFrame,
+    key_col: str,
+    snap_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep the ``k`` most recent captures per key (canonical URL) — the
+    recrawl retention policy a multi-snapshot crawl applies before
+    content dedup: the newest capture is the page's current text, one or
+    two older ones preserve edit history, everything staler is noise.
+    Ordering is (``snap_col`` DESC, ``id_col`` DESC) — same-timestamp
+    re-captures resolve to the later ingest id — so the survivor set is
+    deterministic and oracle-checkable as a plain ``row_number()``.
+    Adds ``n_snapshots`` (the key's total capture count).
+
+    Scale: one hash shuffle on the key; per-key window input is the
+    key's CAPTURE COUNT, which is bounded by crawl cadence x retention
+    horizon BY CONSTRUCTION (a few dozen), never by corpus size — so
+    unlike :func:`domain_caps` (whose per-key group is a whole domain)
+    no candidate pruning is needed; the naive window IS the scale path.
+    NULL keys pass through sentinel-grouped (one unattributed bucket,
+    same rule as :func:`domain_caps`); NULL snapshot timestamps sort
+    LAST (a capture with no timestamp never displaces a dated one).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.withColumn(
+        "__sk", F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
+    )
+    w = Window.partitionBy("__sk")
+    ordered = w.orderBy(
+        F.col(snap_col).desc_nulls_last(), F.col(id_col).desc()
+    )
+    out = (
+        base.withColumn("__rn", F.row_number().over(ordered))
+        .withColumn("n_snapshots", F.count(F.lit(1)).over(w).cast("long"))
+        .where(F.col("__rn") <= k)
+    )
+    return out.drop("__sk", "__rn")
+
+
 def over_cap_domains(
     df: DataFrame,
     domain_col: str,

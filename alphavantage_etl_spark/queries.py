@@ -7779,6 +7779,68 @@ ORDER BY lang, source, len_bucket
 """
 
 
+# X127 — recrawl snapshot retention (web-corpus provenance): keep the k
+# most recent captures per canonical URL (snap DESC, id DESC tiebreak —
+# same-timestamp re-captures resolve to the later ingest). One key
+# shuffle; per-key window input is the capture count, bounded by crawl
+# cadence BY CONSTRUCTION — the naive window IS the scale path, unlike
+# X120 whose per-key group is a whole domain
+# (operators/provenance.py:latest_snapshots). Fixture: page key from
+# doc_id % 25 within each source (several captures per page), capture
+# date derived from doc_id.
+def q_recrawl_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.provenance import latest_snapshots
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (did % 25).cast("string"),
+    )
+    snap = F.date_add(
+        F.to_date(F.lit("2025-01-01")), (did % 11).cast("int")
+    )
+    kept = latest_snapshots(
+        d.withColumn("page_url", page).withColumn("snap_date", snap),
+        "page_url",
+        "snap_date",
+        "doc_id",
+        k=2,
+    )
+    return kept.select(
+        "page_url",
+        "snap_date",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_snapshots",
+    ).orderBy("page_url", "snap_date", "doc_id")
+
+
+SQL_RECRAWL_KEEP = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         concat('https://', source, '.example.com/page/',
+                CAST(doc_id % 25 AS VARCHAR)) AS page_url,
+         DATE '2025-01-01' + CAST(doc_id % 11 AS INTEGER) AS snap_date
+  FROM documents),
+r AS (
+  SELECT page_url, snap_date, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY page_url
+           ORDER BY snap_date DESC, doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY page_url) AS n_snapshots
+  FROM u)
+SELECT page_url, snap_date,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_snapshots AS BIGINT) AS n_snapshots
+FROM r WHERE rn <= 2
+ORDER BY page_url, snap_date, doc_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r9 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -7984,6 +8046,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_url_dedup": q_url_dedup,
     "q_curation_gated": q_curation_gated,
     "q_k_anonymity": q_k_anonymity,
+    "q_recrawl_keep": q_recrawl_keep,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8174,6 +8237,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_url_dedup": SQL_URL_DEDUP,
     "q_curation_gated": SQL_CURATION_GATED,
     "q_k_anonymity": SQL_K_ANONYMITY,
+    "q_recrawl_keep": SQL_RECRAWL_KEEP,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

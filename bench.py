@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "q_url_dedup",
     "q_curation_gated",
     "q_k_anonymity",
+    "q_recrawl_keep",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

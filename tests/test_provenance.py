@@ -521,3 +521,62 @@ def test_license_gate_null_is_fail_closed(spark):
         ).collect()
     }
     assert kept == {1}  # unknown license / unknown robots -> dropped
+
+
+def test_latest_snapshots_semantics(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.provenance import latest_snapshots
+
+    d = dt.date
+    rows = [
+        # page A: four captures, two share the newest date
+        Row(doc_id=1, page="A", snap=d(2025, 1, 1)),
+        Row(doc_id=2, page="A", snap=d(2025, 1, 5)),
+        Row(doc_id=3, page="A", snap=d(2025, 1, 5)),
+        Row(doc_id=4, page="A", snap=d(2025, 1, 3)),
+        # page B: one capture, undated
+        Row(doc_id=5, page="B", snap=None),
+        # page C: dated + undated — the undated one must not displace
+        Row(doc_id=6, page="C", snap=d(2025, 1, 2)),
+        Row(doc_id=7, page="C", snap=None),
+        # NULL key: sentinel-grouped, not dropped
+        Row(doc_id=8, page=None, snap=d(2025, 1, 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, page string, snap date")
+    out = latest_snapshots(df, "page", "snap", "doc_id", k=2)
+    got = {
+        (r.page, r.doc_id): r.n_snapshots for r in out.collect()
+    }
+    # A: the two 01-05 captures win; same-date tie -> larger id first,
+    # but BOTH fit within k=2
+    assert {k for k in got if k[0] == "A"} == {("A", 2), ("A", 3)}
+    assert got[("A", 2)] == 4
+    assert ("B", 5) in got and got[("B", 5)] == 1
+    # C: dated capture ranks before the undated one; both fit k=2
+    assert {k for k in got if k[0] == "C"} == {("C", 6), ("C", 7)}
+    assert ("None_key", 0) not in got and (None, 8) in got
+    with pytest.raises(ValueError):
+        latest_snapshots(df, "page", "snap", "doc_id", k=0)
+
+
+def test_latest_snapshots_k1_prefers_dated_then_later_id(spark):
+    import datetime as dt
+
+    from alphavantage_etl_spark.operators.provenance import latest_snapshots
+
+    d = dt.date
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, page="C", snap=d(2025, 1, 2)),
+            Row(doc_id=9, page="C", snap=None),
+            Row(doc_id=3, page="D", snap=d(2025, 1, 2)),
+            Row(doc_id=4, page="D", snap=d(2025, 1, 2)),
+        ],
+        "doc_id long, page string, snap date",
+    )
+    got = {
+        r.page: r.doc_id
+        for r in latest_snapshots(df, "page", "snap", "doc_id", k=1).collect()
+    }
+    assert got == {"C": 1, "D": 4}  # dated beats undated; later id on tie
