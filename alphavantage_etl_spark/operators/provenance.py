@@ -1,9 +1,11 @@
-"""Web-corpus provenance operators: URL canonicalization, registrable-
-domain caps (doc-count and token-budget forms), and license/robots
-gating (X119-X122).
+"""Web-corpus provenance operators (X119-X125, X127): URL
+canonicalization, registrable-domain caps (doc-count and token-budget
+forms), URL-level dedup, recrawl snapshot retention, over-cap
+governance view, and license/robots gating.
 
 The standard curation rules a web-scale training corpus applies before
 mixing: normalize each document's URL so duplicates-by-address collapse,
+keep one best doc per address and only the freshest captures per page,
 cap how much any single registrable domain may contribute — by document
 count or by token budget (the rules that stop SEO farms from dominating
 a mix), and drop documents whose license tag or robots directive forbids
