@@ -1,0 +1,151 @@
+"""Spectral embedding diagnostics (X128): dominant principal direction
+of an embedding corpus by fixed-iteration power method over the exact
+quantized Gram matrix.
+
+The curation uses: detect a degenerate/anisotropic embedding space (one
+direction swallowing the variance ruins cosine-based dedup and ANN
+recall), supply the top direction for whitening or for bias-direction
+removal, and rank dimensions by loading. A full eigensolver is
+deployment-shape; the dominant direction via power iteration is the
+distributed-friendly 95% answer.
+
+Determinism discipline (the engine-wide rule): embedding values are
+quantized once to integers (``round(v * scale)``, the
+``embedding_diagnostics`` precedent), the Gram matrix is EXACT integer
+sums on a d^2-bounded grid, and every power-iteration step is exact
+integer arithmetic followed by ONE double division + round per entry
+(max-abs normalization — no sqrt) — pure rational IEEE ops over
+exactly-reproduced integers, bit-identical across engines, so the whole
+iteration is oracle-checkable in DuckDB as a recursive CTE (the
+pagerank/logreg pattern).
+
+No reference analogue (the reference has no vector surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def principal_direction(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+    iters: int = 8,
+) -> DataFrame:
+    """Dominant principal direction of the (uncentered) quantized Gram
+    ``G = Q^T Q`` after ``iters`` power-method steps from the all-ones
+    seed. Returns one row per dimension: ``dim`` (1-based), ``component``
+    (integer, max-abs-normalized to ``[-scale, scale]``) and ``rayleigh``
+    (the direction's unnormalized Rayleigh quotient ``v^T G v / v^T v`` —
+    a dominance diagnostic, comparable across runs at fixed scale).
+
+    Fixed iteration count, not convergence-tested: the output is a
+    deterministic function of the input (restart-safe, engine-exact),
+    which is what a pipeline gate needs; 8 steps resolve the dominant
+    direction to quantization precision for any spectral gap a gate
+    would act on.
+
+    Scale: the corpus is touched ONCE — a scan-fused per-row d^2 product
+    fan-out (``spread_scan`` applied: pure CPU amplification) into one
+    map-side-combined aggregation onto the d^2-bounded grid
+    (localCheckpoint-ed: it is replayed per iteration). Each iteration
+    is then ONE distributed aggregation over the d^2 grid with the
+    current vector inlined as an array literal (no join, no shuffle);
+    the d-row state vector itself is collected and normalized
+    driver-side — the approved O(model)-state collect class (logreg
+    weights, convergence rows), bounded at d forever. The driver
+    normalization replicates the engines' arithmetic exactly: Decimal
+    sums come back exact, one float division + away-from-zero round per
+    entry (Python ``round()`` is half-EVEN — NOT used). No
+    eigen-library, no collect of anything unbounded.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from ..functions.parallelism import spread_scan
+
+    vec = F.col(vec_col)
+    base = spread_scan(df.select(F.col(id_col), vec.alias("__v")))
+    # quantize ONCE into a projected column so the pair lambda reads an
+    # attribute (the CDC bounds-hoist rule: an array expression captured
+    # by a lambda re-evaluates wholesale per element)
+    q = base.select(
+        F.transform(
+            F.col("__v"), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("__q")
+    )
+    qa = F.col("__q")
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(qa)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.size(qa)),
+                    lambda j: F.struct(
+                        i.alias("gi"),
+                        j.alias("gj"),
+                        (
+                            F.element_at(qa, i).cast("decimal(38,0)")
+                            * F.element_at(qa, j)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+    )
+    grid = (
+        q.select(pairs.alias("e"))
+        .select("e.gi", "e.gj", "e.p")
+        .groupBy("gi", "gj")
+        .agg(F.sum("p").alias("g"))
+    ).localCheckpoint()
+
+    import math
+
+    def away_round(x: float) -> int:
+        # Spark/DuckDB round(double) is HALF_UP (away from zero); Python
+        # round() is half-even and would diverge on exact .5 ties
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    # dims are 1..d by construction (sequence(1, size)); the d-row dim
+    # list and the per-iteration d-row state are O(model) collects
+    dims = [
+        r["gi"]
+        for r in grid.select("gi").distinct().orderBy("gi").collect()
+    ]
+    v = {i: scale for i in dims}
+
+    def matvec_literal(mult_gi: bool = False):
+        arr = F.array(*[F.lit(v[i]).cast("decimal(38,0)") for i in dims])
+        term = F.col("g") * F.element_at(arr, F.col("gj").cast("int"))
+        if mult_gi:
+            term = term * F.element_at(arr, F.col("gi").cast("int"))
+        return term
+
+    for _ in range(iters):
+        s_rows = (
+            grid.groupBy("gi")
+            .agg(F.sum(matvec_literal()).alias("s"))
+            .collect()
+        )
+        s = {r["gi"]: int(r["s"]) for r in s_rows}
+        m = max(abs(x) for x in s.values())
+        # one float division + round per entry — the identical IEEE ops
+        # the oracle's recursive CTE performs (CAST AS DOUBLE, /, *, round)
+        v = {
+            i: (away_round(float(s[i]) / float(m) * scale) if m else 0)
+            for i in dims
+        }
+
+    num_row = grid.agg(F.sum(matvec_literal(mult_gi=True)).alias("num")).first()
+    num = int(num_row["num"])
+    den = sum(x * x for x in v.values())
+    # all-zero corpus: the direction is undefined — NULL, not a crash
+    rayleigh = float(num) / float(den) if den else None
+    out = df.sparkSession.createDataFrame(
+        [(int(i), int(v[i]), rayleigh) for i in dims],
+        "dim long, component long, rayleigh double",
+    )
+    return out

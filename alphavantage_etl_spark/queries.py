@@ -7841,6 +7841,63 @@ ORDER BY page_url, snap_date, doc_id
 """
 
 
+# X128 — dominant principal direction (embedding spectral diagnostic):
+# fixed-iteration power method over the EXACT quantized Gram — detect a
+# degenerate/anisotropic embedding space and supply the whitening/bias
+# direction. One corpus pass (scan-fused d^2 product fan-out, spread_scan
+# applied) onto the d^2-bounded grid; every iteration is exact integer
+# arithmetic + one double division/round per entry (max-abs norm, no
+# sqrt) — bit-identical across engines, so the WHOLE iteration is
+# oracle-checked as a DuckDB recursive CTE (the pagerank/logreg pattern)
+# (operators/spectral.py:principal_direction).
+def q_principal_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spectral import principal_direction
+
+    emb = load(spark, sf_dir, "embeddings")
+    return principal_direction(emb, "embedding", "vec_id").orderBy("dim")
+
+
+SQL_PRINCIPAL_DIR = """
+WITH RECURSIVE q AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)),
+g AS (
+  SELECT a.i AS gi, b.i AS gj,
+         sum(CAST(a.qv AS HUGEINT) * b.qv) AS gv
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2),
+dims AS (SELECT DISTINCT gi AS dim FROM g),
+pv(it, dim, v) AS (
+  SELECT 0, dim, CAST(1000000 AS BIGINT) FROM dims
+  UNION ALL
+  SELECT mv.it + 1, mv.dim,
+         CASE WHEN mx.m <> 0
+              THEN CAST(round(CAST(mv.s AS DOUBLE) / mx.m * 1000000)
+                        AS BIGINT)
+              ELSE 0 END
+  FROM (SELECT pv.it, g.gi AS dim, sum(g.gv * pv.v) AS s
+        FROM pv JOIN g ON pv.dim = g.gj
+        WHERE pv.it < 8 GROUP BY 1, 2) mv
+  JOIN (SELECT it2 AS it, CAST(max(abs(s2)) AS DOUBLE) AS m
+        FROM (SELECT pv.it AS it2, g.gi AS d2, sum(g.gv * pv.v) AS s2
+              FROM pv JOIN g ON pv.dim = g.gj
+              WHERE pv.it < 8 GROUP BY 1, 2)
+        GROUP BY 1) mx ON mx.it = mv.it),
+fin AS (SELECT dim, v FROM pv WHERE it = 8),
+num AS (
+  SELECT sum(g.gv * fa.v * fb.v) AS num
+  FROM g JOIN fin fa ON g.gi = fa.dim JOIN fin fb ON g.gj = fb.dim),
+den AS (SELECT sum(CAST(v AS HUGEINT) * v) AS den FROM fin)
+SELECT CAST(f.dim AS BIGINT) AS dim, f.v AS component,
+       CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS rayleigh
+FROM fin f CROSS JOIN num n CROSS JOIN den d
+ORDER BY dim
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r9 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -8047,6 +8104,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_curation_gated": q_curation_gated,
     "q_k_anonymity": q_k_anonymity,
     "q_recrawl_keep": q_recrawl_keep,
+    "q_principal_dir": q_principal_dir,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8238,6 +8296,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_curation_gated": SQL_CURATION_GATED,
     "q_k_anonymity": SQL_K_ANONYMITY,
     "q_recrawl_keep": SQL_RECRAWL_KEEP,
+    "q_principal_dir": SQL_PRINCIPAL_DIR,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

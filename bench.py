@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "q_curation_gated",
     "q_k_anonymity",
     "q_recrawl_keep",
+    "q_principal_dir",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in
