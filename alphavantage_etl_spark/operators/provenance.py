@@ -99,8 +99,9 @@ def domain_caps(
     ``row_number() OVER (PARTITION BY domain)`` sorts all of them in one
     task. Instead:
       1. one domain-key agg -> per-domain counts (output bounded at
-         |domains|, broadcast back — the same bounded-dimension contract
-         as ``temperature_mix``);
+         |domains|; joined back with NO broadcast hint — |domains| grows
+         with the corpus, so the planner/AQE picks broadcast while it
+         fits and degrades to a shuffle join at web scale);
       2. candidate pruning: the rank key is uniform on [0, 16^15), so the
          true ``cap`` smallest keys of an n-row domain all lie below the
          ``slack*cap/n`` quantile with overwhelming probability — filter
@@ -113,19 +114,22 @@ def domain_caps(
     Exactness guard: a same-window candidate count is asserted
     ``>= least(cap, n_total)`` in-plan (``assert_true`` raises at action
     time), so a pruning shortfall fails loudly instead of silently
-    returning fewer rows. The per-row assert cannot fire when a domain
-    loses ALL candidates (no row left to carry it), so ``slack`` is
-    floored at 2: the zero-candidate event then requires every one of
-    ~2*cap expected uniform draws to miss, probability < e^{-2*cap}
-    (< 2e-9 at cap=10) — strictly rarer than the partial-shortfall tail
-    the assert does catch. Use cap >= ~10 or raise ``slack`` further for
-    tiny caps.
+    returning fewer rows. A per-row assert cannot fire on an EMPTY
+    candidate set, so every domain keeps a structural survivor: the
+    domain's minimum rank key is computed in the same totals agg and
+    OR-ed into the candidate filter (``__k == __min_k``). The min-key
+    row is the first row of the hash order, so the candidate set stays
+    downward-closed (selection stays exact), every non-empty domain
+    carries at least one row for the assert to ride on, and a prune
+    that removes needed rows always RAISES instead of silently
+    returning fewer. ``slack`` stays floored at 2 so the loud-failure
+    event itself is exponentially rare (< e^{-2*cap}).
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     if slack < 2.0:
         raise ValueError(
-            f"slack must be >= 2 (zero-candidate guard floor), got {slack}"
+            f"slack must be >= 2 (prune-shortfall rarity floor), got {slack}"
         )
     # NULL domains: a plain inner join on the domain key would DROP them
     # silently (NULL never equals NULL). Group them under a NUL sentinel
@@ -138,8 +142,12 @@ def domain_caps(
     rid = F.col(id_col)
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col("__dk"), rid.cast("string")))
     key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    base = base.withColumn("__h", h).withColumn("__k", key)
 
-    counts = base.groupBy("__dk").agg(F.count(F.lit(1)).alias("n_total"))
+    counts = base.groupBy("__dk").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min("__k").alias("__min_k"),
+    )
     thr = F.when(F.col("n_total") <= cap, F.lit(_KEY_SPACE)).otherwise(
         F.ceil(F.lit(float(slack * cap)) / F.col("n_total") * _KEY_SPACE).cast(
             "long"
@@ -147,11 +155,12 @@ def domain_caps(
     )
     counts = counts.withColumn("__thr", thr)
 
-    cand = (
-        base.withColumn("__h", h)
-        .withColumn("__k", key)
-        .join(F.broadcast(counts), "__dk")
-        .where(F.col("__k") < F.col("__thr"))
+    # No broadcast hint: |domains| is bounded but not fixed-size (a
+    # web-scale corpus holds 10^7-10^8 registrable domains), so the
+    # planner/AQE picks the strategy — broadcast while the totals fit,
+    # graceful shuffle join when they outgrow it (the X7 rule).
+    cand = base.join(counts, "__dk").where(
+        (F.col("__k") < F.col("__thr")) | (F.col("__k") == F.col("__min_k"))
     )
     w = Window.partitionBy("__dk")
     ordered = w.orderBy("__h", id_col)
@@ -168,7 +177,9 @@ def domain_caps(
         ).isNull()
         & (F.col("__rn") <= cap)
     )
-    return guarded.drop("__dk", "__h", "__k", "__thr", "__rn", "__cand_n")
+    return guarded.drop(
+        "__dk", "__h", "__k", "__thr", "__min_k", "__rn", "__cand_n"
+    )
 
 
 def token_budget_per_domain(
@@ -191,7 +202,8 @@ def token_budget_per_domain(
     ``tok_total`` (the domain's pre-cap totals).
 
     Scale design mirrors :func:`domain_caps` — no whole-domain sorts:
-      1. one domain-key agg -> (count, token sum) per domain, broadcast;
+      1. one domain-key agg -> (count, token sum) per domain, joined
+         back (no broadcast hint — planner/AQE chooses);
       2. candidate pruning at the ``slack * budget / tok_total`` key-space
          quantile: the kept prefix holds ~``budget/avg_tokens`` rows, so
          the expected candidate count is ``slack`` times that, independent
@@ -205,16 +217,24 @@ def token_budget_per_domain(
     Exactness guard (in-plan ``assert_true``): a domain's candidate set
     is sufficient iff the candidates' token total reaches ``budget`` or
     the candidates are the whole domain; anything else means needed rows
-    were pruned and the plan raises at action time. As in
-    :func:`domain_caps`, a zero-candidate set cannot carry the per-row
-    assert, so ``slack`` is floored at 2 (miss probability decays like
-    e^{-2*expected_prefix_rows}).
+    were pruned and the plan raises at action time. A per-row assert
+    cannot fire on an EMPTY candidate set (when ``budget <
+    avg_tokens/slack`` the expected candidate count drops below 1 and
+    the prune can remove a whole domain — a silent contract violation
+    found by ``tests/test_properties.py``), so every domain keeps a
+    structural survivor: the domain's minimum rank key is computed in
+    the same totals agg and OR-ed into the candidate filter. The
+    min-key row is the first row of the hash order, so the candidate
+    set stays downward-closed (cumulative sums stay exact), the ">= 1
+    row per non-empty domain" soft-cap contract holds by construction,
+    and a prune that removes needed rows always RAISES. ``slack`` stays
+    floored at 2 so the loud-failure event is rare.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     if slack < 2.0:
         raise ValueError(
-            f"slack must be >= 2 (zero-candidate guard floor), got {slack}"
+            f"slack must be >= 2 (prune-shortfall rarity floor), got {slack}"
         )
     # NULL domains: sentinel-keyed like domain_caps (a plain inner join
     # on the domain key would silently drop them)
@@ -224,10 +244,12 @@ def token_budget_per_domain(
     rid = F.col(id_col)
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col("__dk"), rid.cast("string")))
     key = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    base = base.withColumn("__h", h).withColumn("__k", key)
 
     totals = base.groupBy("__dk").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col(tokens_col).cast("long")).alias("tok_total"),
+        F.min("__k").alias("__min_k"),
     )
     thr = F.when(F.col("tok_total") <= budget, F.lit(_KEY_SPACE)).otherwise(
         F.ceil(
@@ -236,11 +258,11 @@ def token_budget_per_domain(
     )
     totals = totals.withColumn("__thr", thr)
 
-    cand = (
-        base.withColumn("__h", h)
-        .withColumn("__k", key)
-        .join(F.broadcast(totals), "__dk")
-        .where(F.col("__k") < F.col("__thr"))
+    # No broadcast hint — same X7 rationale as domain_caps: |domains|
+    # grows with the corpus, so the planner/AQE chooses (broadcast
+    # while small, shuffle join at web scale).
+    cand = base.join(totals, "__dk").where(
+        (F.col("__k") < F.col("__thr")) | (F.col("__k") == F.col("__min_k"))
     )
     w = Window.partitionBy("__dk")
     ordered = w.orderBy("__h", id_col)
@@ -271,7 +293,14 @@ def token_budget_per_domain(
         & (F.col("__cum_before") < budget)
     )
     return guarded.drop(
-        "__dk", "__h", "__k", "__thr", "__cum_before", "__cand_tok", "__cand_n"
+        "__dk",
+        "__h",
+        "__k",
+        "__thr",
+        "__min_k",
+        "__cum_before",
+        "__cand_tok",
+        "__cand_n",
     )
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -20,6 +20,19 @@ from alphavantage_etl_spark.operators.incremental import merge_incremental, new_
 
 SETTINGS = settings(
     max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# Contract-critical properties (in-plan guard contracts whose violation
+# is a SILENT wrong answer, not an error) get a bigger, explicit example
+# budget: Hypothesis samples differently per run, so a thin budget can
+# pass by luck — the r9 token-budget zero-candidate bug slipped a 12-
+# example run and was caught on a later seed. Found falsifying examples
+# are pinned with @example below so they re-run every time by
+# construction.
+CONTRACT_SETTINGS = settings(
+    max_examples=30,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -764,7 +777,7 @@ def test_canonical_url_is_idempotent(spark, urls):
         assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
 
 
-@SETTINGS
+@CONTRACT_SETTINGS
 @given(
     st.lists(
         st.tuples(st.integers(0, 10**6), st.sampled_from("abcd")),
@@ -774,6 +787,13 @@ def test_canonical_url_is_idempotent(spark, urls):
     ),
     st.integers(1, 6),
 )
+# Engineered zero-candidate pin (r10): each id's rank key
+# md5("dcap:a.example.com:{id}") sits ABOVE the 0.9 key-space quantile
+# (precomputed in hashlib), so at cap=1/slack=8 the prune threshold
+# 8/12 of the key space excludes ALL of them — the r9 code silently
+# returned zero rows for the domain; the min-key structural survivor
+# must keep exactly one (id 49, the smallest key).
+@example(rows=[(i, "a") for i in [1, 6, 9, 31, 35, 36, 49, 59, 62, 76, 85, 93]], cap=1)
 def test_domain_caps_invariants(spark, rows, cap):
     """For any input: per-domain output size == min(cap, n_domain), the
     kept rows are a subset of the input, and n_total is reported
@@ -795,7 +815,7 @@ def test_domain_caps_invariants(spark, rows, cap):
         assert r["n_total"] == n[r["domain"].split(".")[0]]
 
 
-@SETTINGS
+@CONTRACT_SETTINGS
 @given(
     st.lists(
         st.tuples(
@@ -809,6 +829,12 @@ def test_domain_caps_invariants(spark, rows, cap):
     ),
     st.integers(1, 2000),
 )
+# r9 judge-found falsifier, pinned: a single 14-token doc at budget=1
+# sets the prune threshold at the 8/14 ≈ 0.571 quantile, but
+# md5("tbudget:a.org:0") lands at 0.591 — the r9 code pruned the
+# domain's only row and returned ZERO rows, violating the ">= 1 row per
+# non-empty domain" soft-cap contract. The min-key survivor keeps it.
+@example(rows=[(0, "a", 14)], budget=1)
 def test_token_budget_matches_python_reference(spark, rows, budget):
     """The pruned Spark selection equals the naive full-cumsum reference
     for arbitrary (id, domain, tokens) inputs and budgets."""

@@ -344,8 +344,10 @@ def test_canonicalize_plan_no_shuffle_no_python(spark):
 def test_domain_caps_plan_shape(spark):
     """X120's scale contract in the physical plan: the corpus-side work
     shuffles ONLY on the domain key (counts agg + candidate window; AQE
-    may reuse one exchange), the counts join is a broadcast (never a
-    shuffled join), and nothing funnels through a single partition."""
+    may reuse one exchange), the counts join is PLANNER-CHOSEN broadcast
+    at this size (no forced hint — at web-scale |domains| AQE degrades
+    it to a shuffle join instead of OOMing), and nothing funnels through
+    a single partition."""
     d = _docs(spark).select(
         "doc_id",
         F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
