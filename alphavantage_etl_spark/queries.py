@@ -7899,12 +7899,72 @@ ORDER BY dim
 
 
 QUERIES: dict[str, QueryFn] = {
-    # r9 window under the pinned compressed rotation
+    # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
-    # additions first (5 entries), then (b) the full
+    # additions first (9 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
     # 0 red-only entries sort oldest of all;
     # ties: SURVEY §2 parity keys, then registration order).
+    "q_principal_dir": q_principal_dir,
+    "q_recrawl_keep": q_recrawl_keep,
+    "q_k_anonymity": q_k_anonymity,
+    "q_curation_gated": q_curation_gated,
+    "q_url_dedup": q_url_dedup,
+    "q_token_budget": q_token_budget,
+    "q_license_gate": q_license_gate,
+    "q_domain_caps": q_domain_caps,
+    "q_url_canon": q_url_canon,
+    "q_incremental_merge": q_incremental_merge,
+    "q_dsir_weights": q_dsir_weights,
+    "q_mutual_info": q_mutual_info,
+    "q_logreg": q_logreg,
+    "q_block_dedup": q_block_dedup,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_target_encode": q_target_encode,
+    "q_psi_drift": q_psi_drift,
+    "q_linkage": q_linkage,
+    "q_collocations": q_collocations,
+    "q_agg_state": q_agg_state,
+    "q_profile": q_profile,
+    "q_bm25": q_bm25,
+    "q_basket_lift": q_basket_lift,
+    "q_survival": q_survival,
+    "q_knn_graph": q_knn_graph,
+    "q_auc": q_auc,
+    "q_negative_samples": q_negative_samples,
+    "q_join_profile": q_join_profile,
+    "q_random_projection": q_random_projection,
+    "q_bootstrap_ci": q_bootstrap_ci,
+    "q_acf": q_acf,
+    "q_change_point": q_change_point,
+    "q_embedding_diag": q_embedding_diag,
+    "q_zipf": q_zipf,
+    "q_cast_types": q_cast_types,
+    "q_filter_today": q_filter_today,
+    "q_weekday_filter": q_weekday_filter,
+    "q_busday_gap": q_busday_gap,
+    "q_latest_row": q_latest_row,
+    "q_chi2": q_chi2,
+    "q_benford": q_benford,
+    "q_gini": q_gini,
+    "q_theilsen": q_theilsen,
+    "q_mann_kendall": q_mann_kendall,
+    "q_hot_keys": q_hot_keys,
+    "q_templates": q_templates,
+    "q_bigram_lm": q_bigram_lm,
+    "q_novelty": q_novelty,
+    "q_percentile_bands": q_percentile_bands,
+    "q_mad_outliers": q_mad_outliers,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Outside the r8 driver window (compressed rotation,
+    # ROTATION.md). Every oracle-backed entry stays under the
+    # strict local gate via ALL_ORACLES and in bench.py's
+    # headline set; rows-only diagnostics live here always.
     "q_perm_test": q_perm_test,
     "q_gini_stump": q_gini_stump,
     "q_rbo": q_rbo,
@@ -7955,16 +8015,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_json_explode": q_json_explode,
     "q_join_convert": q_join_convert,
     "q_anti_new_rows": q_anti_new_rows,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
-    # Outside the r8 driver window (compressed rotation,
-    # ROTATION.md). Every oracle-backed entry stays under the
-    # strict local gate via ALL_ORACLES and in bench.py's
-    # headline set; rows-only diagnostics live here always.
     "q_conformal": q_conformal,
     "q_source_overlap": q_source_overlap,
     "q_silhouette": q_silhouette,
@@ -8015,17 +8065,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_stratified_sample": q_stratified_sample,
     "q_budget_mix": q_budget_mix,
-    "q_chi2": q_chi2,
-    "q_benford": q_benford,
-    "q_gini": q_gini,
-    "q_theilsen": q_theilsen,
-    "q_mann_kendall": q_mann_kendall,
-    "q_hot_keys": q_hot_keys,
-    "q_templates": q_templates,
-    "q_bigram_lm": q_bigram_lm,
-    "q_novelty": q_novelty,
-    "q_percentile_bands": q_percentile_bands,
-    "q_mad_outliers": q_mad_outliers,
     "q_profile_diff": q_profile_diff,
     "q_ipw": q_ipw,
     "q_rfm": q_rfm,
@@ -8055,36 +8094,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_retention_decay": q_retention_decay,
     "q_corpus_digest": q_corpus_digest,
     "q_ks_test": q_ks_test,
-    "q_cast_types": q_cast_types,
-    "q_filter_today": q_filter_today,
-    "q_weekday_filter": q_weekday_filter,
-    "q_busday_gap": q_busday_gap,
-    "q_latest_row": q_latest_row,
-    "q_dsir_weights": q_dsir_weights,
-    "q_mutual_info": q_mutual_info,
-    "q_logreg": q_logreg,
-    "q_block_dedup": q_block_dedup,
-    "q_semantic_dedup": q_semantic_dedup,
-    "q_target_encode": q_target_encode,
-    "q_psi_drift": q_psi_drift,
-    "q_linkage": q_linkage,
-    "q_collocations": q_collocations,
-    "q_agg_state": q_agg_state,
-    "q_profile": q_profile,
-    "q_bm25": q_bm25,
-    "q_basket_lift": q_basket_lift,
-    "q_survival": q_survival,
-    "q_knn_graph": q_knn_graph,
-    "q_auc": q_auc,
-    "q_negative_samples": q_negative_samples,
-    "q_join_profile": q_join_profile,
-    "q_random_projection": q_random_projection,
-    "q_bootstrap_ci": q_bootstrap_ci,
-    "q_acf": q_acf,
-    "q_change_point": q_change_point,
-    "q_embedding_diag": q_embedding_diag,
-    "q_zipf": q_zipf,
-    "q_incremental_merge": q_incremental_merge,
     "q_cm_sketch": q_cm_sketch,
     "q_distinct_sketch": q_distinct_sketch,
     "q_quantile_sketch": q_quantile_sketch,
@@ -8095,22 +8104,68 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
-    # r9 additions (X119-X121) — end of EXTRA per the rotation policy
-    "q_url_canon": q_url_canon,
-    "q_domain_caps": q_domain_caps,
-    "q_license_gate": q_license_gate,
-    "q_token_budget": q_token_budget,
-    "q_url_dedup": q_url_dedup,
-    "q_curation_gated": q_curation_gated,
-    "q_k_anonymity": q_k_anonymity,
-    "q_recrawl_keep": q_recrawl_keep,
-    "q_principal_dir": q_principal_dir,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
     # mirrors QUERIES order exactly (the driver zips them)
+    "q_principal_dir": SQL_PRINCIPAL_DIR,
+    "q_recrawl_keep": SQL_RECRAWL_KEEP,
+    "q_k_anonymity": SQL_K_ANONYMITY,
+    "q_curation_gated": SQL_CURATION_GATED,
+    "q_url_dedup": SQL_URL_DEDUP,
+    "q_token_budget": SQL_TOKEN_BUDGET,
+    "q_license_gate": SQL_LICENSE_GATE,
+    "q_domain_caps": SQL_DOMAIN_CAPS,
+    "q_url_canon": SQL_URL_CANON,
+    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
+    "q_dsir_weights": SQL_DSIR_WEIGHTS,
+    "q_mutual_info": SQL_MUTUAL_INFO,
+    "q_logreg": SQL_LOGREG,
+    "q_block_dedup": SQL_BLOCK_DEDUP,
+    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_target_encode": SQL_TARGET_ENCODE,
+    "q_psi_drift": SQL_PSI_DRIFT,
+    "q_linkage": SQL_LINKAGE,
+    "q_collocations": SQL_COLLOCATIONS,
+    "q_agg_state": SQL_AGG_STATE,
+    "q_profile": SQL_PROFILE,
+    "q_bm25": SQL_BM25,
+    "q_basket_lift": SQL_BASKET_LIFT,
+    "q_survival": SQL_SURVIVAL,
+    "q_knn_graph": SQL_KNN_GRAPH,
+    "q_auc": SQL_AUC,
+    "q_negative_samples": SQL_NEGATIVE_SAMPLES,
+    "q_join_profile": SQL_JOIN_PROFILE,
+    "q_random_projection": SQL_RANDOM_PROJECTION,
+    "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "q_acf": SQL_ACF,
+    "q_change_point": SQL_CHANGE_POINT,
+    "q_embedding_diag": SQL_EMBEDDING_DIAG,
+    "q_zipf": SQL_ZIPF,
+    "q_cast_types": SQL_CAST_TYPES,
+    "q_filter_today": SQL_FILTER_TODAY,
+    "q_weekday_filter": SQL_WEEKDAY_FILTER,
+    "q_busday_gap": SQL_BUSDAY_GAP,
+    "q_latest_row": SQL_LATEST_ROW,
+    "q_chi2": SQL_CHI2,
+    "q_benford": SQL_BENFORD,
+    "q_gini": SQL_GINI,
+    "q_theilsen": SQL_THEILSEN,
+    "q_mann_kendall": SQL_MANN_KENDALL,
+    "q_hot_keys": SQL_HOT_KEYS,
+    "q_templates": SQL_TEMPLATES,
+    "q_bigram_lm": SQL_BIGRAM_LM,
+    "q_novelty": SQL_NOVELTY,
+    "q_percentile_bands": SQL_PERCENTILE_BANDS,
+    "q_mad_outliers": SQL_MAD_OUTLIERS,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # oracle-backed entries currently outside the driver window
     "q_perm_test": SQL_PERM_TEST,
     "q_gini_stump": SQL_GINI_STUMP,
     "q_rbo": SQL_RBO,
@@ -8161,12 +8216,6 @@ ORACLES: dict[str, str] = {
     "q_json_explode": SQL_JSON_EXPLODE,
     "q_join_convert": SQL_JOIN_CONVERT,
     "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    # oracle-backed entries currently outside the driver window
     "q_conformal": SQL_CONFORMAL,
     "q_source_overlap": SQL_SOURCE_OVERLAP,
     "q_silhouette": SQL_SILHOUETTE,
@@ -8217,17 +8266,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_budget_mix": SQL_BUDGET_MIX,
-    "q_chi2": SQL_CHI2,
-    "q_benford": SQL_BENFORD,
-    "q_gini": SQL_GINI,
-    "q_theilsen": SQL_THEILSEN,
-    "q_mann_kendall": SQL_MANN_KENDALL,
-    "q_hot_keys": SQL_HOT_KEYS,
-    "q_templates": SQL_TEMPLATES,
-    "q_bigram_lm": SQL_BIGRAM_LM,
-    "q_novelty": SQL_NOVELTY,
-    "q_percentile_bands": SQL_PERCENTILE_BANDS,
-    "q_mad_outliers": SQL_MAD_OUTLIERS,
     "q_profile_diff": SQL_PROFILE_DIFF,
     "q_ipw": SQL_IPW,
     "q_rfm": SQL_RFM,
@@ -8257,46 +8295,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_retention_decay": SQL_RETENTION_DECAY,
     "q_corpus_digest": SQL_CORPUS_DIGEST,
     "q_ks_test": SQL_KS_TEST,
-    "q_cast_types": SQL_CAST_TYPES,
-    "q_filter_today": SQL_FILTER_TODAY,
-    "q_weekday_filter": SQL_WEEKDAY_FILTER,
-    "q_busday_gap": SQL_BUSDAY_GAP,
-    "q_latest_row": SQL_LATEST_ROW,
-    "q_dsir_weights": SQL_DSIR_WEIGHTS,
-    "q_mutual_info": SQL_MUTUAL_INFO,
-    "q_logreg": SQL_LOGREG,
-    "q_block_dedup": SQL_BLOCK_DEDUP,
-    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
-    "q_target_encode": SQL_TARGET_ENCODE,
-    "q_psi_drift": SQL_PSI_DRIFT,
-    "q_linkage": SQL_LINKAGE,
-    "q_collocations": SQL_COLLOCATIONS,
-    "q_agg_state": SQL_AGG_STATE,
-    "q_profile": SQL_PROFILE,
-    "q_bm25": SQL_BM25,
-    "q_basket_lift": SQL_BASKET_LIFT,
-    "q_survival": SQL_SURVIVAL,
-    "q_knn_graph": SQL_KNN_GRAPH,
-    "q_auc": SQL_AUC,
-    "q_negative_samples": SQL_NEGATIVE_SAMPLES,
-    "q_join_profile": SQL_JOIN_PROFILE,
-    "q_random_projection": SQL_RANDOM_PROJECTION,
-    "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
-    "q_acf": SQL_ACF,
-    "q_change_point": SQL_CHANGE_POINT,
-    "q_embedding_diag": SQL_EMBEDDING_DIAG,
-    "q_zipf": SQL_ZIPF,
-    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
-    # r9 additions (X119-X121)
-    "q_url_canon": SQL_URL_CANON,
-    "q_domain_caps": SQL_DOMAIN_CAPS,
-    "q_license_gate": SQL_LICENSE_GATE,
-    "q_token_budget": SQL_TOKEN_BUDGET,
-    "q_url_dedup": SQL_URL_DEDUP,
-    "q_curation_gated": SQL_CURATION_GATED,
-    "q_k_anonymity": SQL_K_ANONYMITY,
-    "q_recrawl_keep": SQL_RECRAWL_KEEP,
-    "q_principal_dir": SQL_PRINCIPAL_DIR,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
