@@ -1263,6 +1263,76 @@ def fdr_monitor_stream(
     return qr
 
 
+def _state_version_dir(state_path: str, batch_id: int) -> str:
+    import os
+
+    return os.path.join(state_path, f"v{batch_id}")
+
+
+def _latest_complete_version(state_path: str) -> int | None:
+    """Largest batch id whose state version directory carries Spark's
+    ``_SUCCESS`` commit marker (a crash mid-write leaves no marker, so
+    partial versions are invisible to readers and replays)."""
+    import os
+
+    try:
+        entries = os.listdir(state_path)
+    except FileNotFoundError:
+        return None
+    best = None
+    for e in entries:
+        if e.startswith("v") and e[1:].isdigit():
+            if os.path.exists(os.path.join(state_path, e, "_SUCCESS")):
+                b = int(e[1:])
+                if best is None or b > best:
+                    best = b
+    return best
+
+
+def read_monitor_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current contents of a cumulative monitor state table (the latest
+    batch-complete version under ``state_path``), or ``None`` before the
+    first complete commit. The public read side of the versioned-state
+    protocol below."""
+    b = _latest_complete_version(state_path)
+    if b is None:
+        return None
+    return spark.read.parquet(_state_version_dir(state_path, b))
+
+
+def _commit_state(merged: DataFrame, state_path: str, batch_id: int) -> None:
+    """Commit one batch's merged cumulative state as version
+    ``v{batch_id}`` and prune superseded versions.
+
+    Exactly-once discipline for a foreachBatch state sink (the
+    Structured Streaming guide's contract: foreachBatch gives
+    at-least-once, the SINK must dedup on batch_id):
+      * each batch writes a NEW directory named by its batch_id, so the
+        previous version is never touched — a crash mid-write cannot
+        corrupt or lose committed state (the partial dir has no
+        ``_SUCCESS`` marker and is ignored, then overwritten on replay);
+      * a replayed batch (crash AFTER the state commit but BEFORE the
+        checkpoint commit) finds ``latest >= batch_id`` and skips the
+        merge — no double count;
+      * versions below the committed one are pruned after the commit
+        (driver-side fs ops; on HDFS/S3 the same protocol runs through
+        the Hadoop FileSystem API).
+
+    Writing to a fresh path also means the merged plan may read the
+    previous version lazily — no localCheckpoint needed (the
+    parquet-overwrite-own-lineage rule only bites same-path rewrites).
+    """
+    import os
+    import shutil
+
+    merged.write.mode("overwrite").parquet(
+        _state_version_dir(state_path, batch_id)
+    )
+    for e in os.listdir(state_path):
+        if e.startswith("v") and e[1:].isdigit() and int(e[1:]) < batch_id:
+            shutil.rmtree(os.path.join(state_path, e), ignore_errors=True)
+
+
 def cm_sketch_stream(
     stream_df: DataFrame,
     text_col: str,
@@ -1288,31 +1358,38 @@ def cm_sketch_stream(
     row-for-row against the batch sketch by the restart test. Scale:
     per batch ONE map-side-combined aggregation onto the bounded grid
     plus a grid-sized merge; the state table is <= depth*width rows
-    forever. The rewrite localCheckpoints the merged grid first (the
-    parquet-overwrite-own-lineage rule).
+    forever.
+
+    State commits use the versioned batch-id protocol
+    (:func:`_commit_state`): replayed batches are skipped instead of
+    double-merged, and a crash mid-write cannot corrupt committed
+    state. Read the grid back with :func:`read_monitor_state`.
     """
     from ..operators.sketches import count_min_sketch
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch_df.sparkSession
+        last = _latest_complete_version(state_path)
+        if last is not None and last >= batch_id:
+            # replayed batch: the state commit for this batch_id already
+            # landed (the crash was between state commit and checkpoint
+            # commit) — merging again would double-count every cell
+            return
         cells = count_min_sketch(
             batch_df, text_col, depth=depth, width=width, delimiter=delimiter
         )
-        try:
-            prev = spark.read.parquet(state_path)
+        if last is not None:
+            # a CORRUPT committed version must fail the stream here,
+            # never silently reset the grid
+            prev = spark.read.parquet(_state_version_dir(state_path, last))
             merged = (
                 prev.unionByName(cells)
                 .groupBy("row", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        except AnalysisException:
-            # first batch only (PATH_NOT_FOUND) — a CORRUPT state file
-            # must fail the stream, never silently reset the grid
+        else:
             merged = cells
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_path)
+        _commit_state(merged, state_path, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(merge)
@@ -1346,44 +1423,60 @@ def domain_cap_monitor_stream(
 
     Parity by construction: the post-restart over-cap table is
     IDENTICAL to batch ``over_cap_domains(all_rows)`` — asserted
-    row-for-row by the restart test, like the FDR/CM twins.
+    row-for-row by the restart test, like the FDR/CM twins. NULL
+    domains are counted as a class (``groupBy`` groups NULLs together),
+    exactly as the batch twin does — an unattributed flood must trip
+    the gate too, and filtering NULLs here would silently break the
+    claimed row-for-row parity.
 
     Scale: per batch ONE map-side-combined aggregation of the batch
     onto the domain key plus a domain-bounded merge (the state table is
     domains, not rows); the report append is one collect of the
-    bounded over-cap slice. The state rewrite localCheckpoints the
-    merged frame first (the parquet-overwrite-own-lineage rule).
+    bounded over-cap slice.
+
+    State commits use the versioned batch-id protocol
+    (:func:`_commit_state`): a replayed batch (crash between the state
+    commit and the checkpoint commit) is detected by ``latest >=
+    batch_id`` and reported from the already-committed state instead of
+    double-merged, and a crash mid-write cannot corrupt committed state.
+    Read the cumulative table back with :func:`read_monitor_state`.
     """
     dom = F.col(domain_col)
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch_df.sparkSession
-        cells = (
-            batch_df.where(dom.isNotNull())
-            .groupBy(dom.alias("domain"))
-            .agg(
+        last = _latest_complete_version(state_path)
+        if last is not None and last >= batch_id:
+            # replayed batch: state already includes these rows — report
+            # from the committed version, never re-merge
+            merged = spark.read.parquet(_state_version_dir(state_path, last))
+        else:
+            cells = batch_df.groupBy(dom.alias("domain")).agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.col(tokens_col).cast("long")).alias("tokens"),
             )
-        )
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = (
-                prev.unionByName(cells)
-                .groupBy("domain")
-                .agg(
-                    F.sum("n_docs").alias("n_docs"),
-                    F.sum("tokens").alias("tokens"),
+            if last is not None:
+                # a CORRUPT committed version must fail the stream here,
+                # never silently reset the counts
+                prev = spark.read.parquet(
+                    _state_version_dir(state_path, last)
                 )
+                merged = (
+                    prev.unionByName(cells)
+                    .groupBy("domain")
+                    .agg(
+                        F.sum("n_docs").alias("n_docs"),
+                        F.sum("tokens").alias("tokens"),
+                    )
+                )
+            else:
+                merged = cells
+            _commit_state(merged, state_path, batch_id)
+            # the pre-commit plan reads the (now pruned) previous
+            # version — report from the committed files instead
+            merged = spark.read.parquet(
+                _state_version_dir(state_path, batch_id)
             )
-        except AnalysisException:
-            # first batch only (PATH_NOT_FOUND) — a CORRUPT state file
-            # must fail the stream, never silently reset the counts
-            merged = cells
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_path)
         if reports is not None:
             over = (
                 merged.where(

@@ -1091,7 +1091,10 @@ def test_cm_sketch_stream_matches_batch_and_restarts(spark, tmp_path):
         cm_estimate,
         count_min_sketch,
     )
-    from alphavantage_etl_spark.streaming.pipeline import cm_sketch_stream
+    from alphavantage_etl_spark.streaming.pipeline import (
+        cm_sketch_stream,
+        read_monitor_state,
+    )
 
     docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
 
@@ -1118,22 +1121,45 @@ def test_cm_sketch_stream_matches_batch_and_restarts(spark, tmp_path):
     land(docs.where(F.col("doc_id") % 2 == 1), "b2")
     drain()  # restart: the grid reloads from the state parquet
 
-    got = sorted(
-        (r["row"], r["bucket"], r["cnt"])
-        for r in spark.read.parquet(state).collect()
-    )
+    def grid():
+        return sorted(
+            (r["row"], r["bucket"], r["cnt"])
+            for r in read_monitor_state(spark, state).collect()
+        )
+
+    got = grid()
     want = sorted(
         (r["row"], r["bucket"], r["cnt"])
         for r in count_min_sketch(docs, "text", depth=4, width=256).collect()
     )
     assert got == want and len(got) > 0
 
+    # replay injection: deleting the LAST checkpoint commit file makes
+    # the engine re-run the final batch with the SAME planned offsets on
+    # restart (the documented recovery path) — the exact crash window
+    # between the state commit and the checkpoint commit. The versioned
+    # batch-id protocol must skip the re-merge: the grid stays equal to
+    # the batch sketch instead of double-counting batch 2's cells.
+    import os
+
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    # Hadoop's local FS keeps a checksum sidecar; leaving it stale makes
+    # the engine's own re-commit rename fail with "file exists"
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert grid() == want
+
     # point estimates through the streamed state == batch estimates
     cand = spark.createDataFrame([("spark",), ("hash",)], "term string")
     streamed = {
         r["term"]: r["cm_estimate"]
         for r in cm_estimate(
-            spark.read.parquet(state), cand, depth=4, width=256
+            read_monitor_state(spark, state), cand, depth=4, width=256
         ).collect()
     }
     batch = {
@@ -1161,6 +1187,7 @@ def test_domain_cap_monitor_stream_matches_batch_and_restarts(
     from alphavantage_etl_spark.operators.provenance import over_cap_domains
     from alphavantage_etl_spark.streaming.pipeline import (
         domain_cap_monitor_stream,
+        read_monitor_state,
     )
 
     docs = load(spark, SF_SMALL, "documents").select(
@@ -1170,6 +1197,16 @@ def test_domain_cap_monitor_stream_matches_batch_and_restarts(
         F.concat(F.col("source"), F.lit(".example.org")).alias("domain"),
         F.col("n_chars").cast("long").alias("tokens"),
         "doc_id",
+    )
+    # NULL domains are a real class in the batch twin (groupBy groups
+    # NULLs together) — the monitor must count them identically, and
+    # enough of them to trip the doc cap so the REPORT parity covers
+    # the NULL row too, not just the state table
+    rows = rows.unionByName(
+        spark.createDataFrame(
+            [(None, 10, 10**6 + i) for i in range(25)],
+            "domain string, tokens bigint, doc_id bigint",
+        )
     )
 
     in_dir = tmp_path / "dcap_in"
@@ -1206,30 +1243,69 @@ def test_domain_cap_monitor_stream_matches_batch_and_restarts(
     land(rows.where(F.col("doc_id") % 2 == 1), "b2")
     drain()  # restart: cumulative counts reload from the state parquet
 
-    # final cumulative state must equal the batch per-domain totals
-    got_state = sorted(
-        (r["domain"], r["n_docs"], r["tokens"])
-        for r in spark.read.parquet(state).collect()
-    )
-    want_state = sorted(
-        (r["domain"], r["n_docs"], r["tokens"])
-        for r in rows.groupBy("domain").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("tokens").alias("tokens"),
-        ).collect()
-    )
-    assert got_state == want_state and len(got_state) > 0
+    # NULL domain sorts first, like the monitor's orderBy
+    def _key(t):
+        return (t[0] is not None, t[0] or "", t[1], t[2])
 
-    # final over-cap report must equal the batch twin row-for-row
-    want_over = sorted(
-        (r["domain"], r["n_docs"], r["tokens"])
-        for r in over_cap_domains(
-            rows, "domain", "tokens", doc_cap, budget
-        ).collect()
+    # final cumulative state must equal the batch per-domain totals
+    def got_state():
+        return sorted(
+            (
+                (r["domain"], r["n_docs"], r["tokens"])
+                for r in read_monitor_state(spark, state).collect()
+            ),
+            key=_key,
+        )
+
+    want_state = sorted(
+        (
+            (r["domain"], r["n_docs"], r["tokens"])
+            for r in rows.groupBy("domain")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("tokens").alias("tokens"),
+            )
+            .collect()
+        ),
+        key=_key,
     )
-    assert reports[-1]["over_cap"] == want_over
+    assert got_state() == want_state and len(want_state) > 0
+
+    # final over-cap report must equal the batch twin row-for-row,
+    # including the NULL-domain class
+    want_over = sorted(
+        (
+            (r["domain"], r["n_docs"], r["tokens"])
+            for r in over_cap_domains(
+                rows, "domain", "tokens", doc_cap, budget
+            ).collect()
+        ),
+        key=_key,
+    )
+    assert sorted(reports[-1]["over_cap"], key=_key) == want_over
+    assert any(t[0] is None for t in want_over)  # NULL class tripped
     assert len(want_over) > 0  # the fixture must actually trip the caps
     assert len(reports) >= 2
+
+    # replay injection: delete the LAST checkpoint commit so the engine
+    # re-runs the final batch with the same offsets (the crash window
+    # between state commit and checkpoint commit) — the versioned
+    # batch-id protocol must skip the re-merge (no double count) and
+    # still emit a report equal to the batch twin
+    import os
+
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    # Hadoop's local FS keeps a checksum sidecar; leaving it stale makes
+    # the engine's own re-commit rename fail with "file exists"
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert got_state() == want_state
+    assert sorted(reports[-1]["over_cap"], key=_key) == want_over
     # the first batch (half the rows) must report a DIFFERENT (subset)
     # over-cap list than the final cumulative one unless all domains
     # tripped immediately — sanity that reports are per-batch snapshots
