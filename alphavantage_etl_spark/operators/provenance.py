@@ -36,12 +36,19 @@ def canonical_url(url: Column):
     """Canonical form of ``url`` as (canon_url, host, domain, scheme)
     columns, computed with Catalyst regex/string expressions only.
 
-    Rules (each one a plain regex both Java and RE2 accept, so the same
-    algorithm is expressible verbatim in the DuckDB oracle):
+    Rules (each one a plain regex both Java and RE2 accept — no
+    lookbehind — so the same algorithm is expressible verbatim in the
+    DuckDB oracle):
       1. strip the fragment (``#...``);
       2. lowercase the scheme and the host;
-      3. drop a default port (``:80``/``:443``) and a leading ``www.``;
+      3. drop the scheme's OWN default port (``:80`` for http, ``:443``
+         for https — ``http://h:443/`` is a different resource from
+         ``http://h/`` and keeps its port) and a leading ``www.``;
       4. drop tracking query params (``utm_*``), tidying separators;
+         the match is anchored to a parameter boundary (a run of
+         ``utm_*&`` params immediately after ``?``/``&``, plus a tail
+         rule), so a param that merely CONTAINS ``utm_`` (e.g.
+         ``xutm_a=1``) is never mangled;
       5. strip trailing ``/`` from the end of the URL (so ``/path/`` and
          ``/path`` collapse; a trailing slash *before* a query string is
          part of the path and kept);
@@ -54,10 +61,14 @@ def canonical_url(url: Column):
     nofrag = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, _SCHEME, 1))
     hostport = F.lower(F.regexp_extract(nofrag, _HOSTPORT, 1))
-    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
     host = F.regexp_replace(host, r"^www\.", "")
     rest = F.regexp_extract(nofrag, _REST, 1)
-    rest = F.regexp_replace(rest, r"utm_[^&?#]*&", "")
+    rest = F.regexp_replace(rest, r"([?&])(utm_[^&?#]*&)+", "$1")
     rest = F.regexp_replace(rest, r"[?&]utm_[^&?#]*$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     canon = F.concat(scheme, F.lit("://"), host, rest)

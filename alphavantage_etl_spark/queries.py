@@ -7404,10 +7404,15 @@ c1 AS (
   FROM c0),
 c2 AS (
   SELECT *,
-    regexp_replace(regexp_replace(hostport, ':(80|443)$', '', 'g'),
-                   '^www\.', '', 'g') AS host,
+    regexp_replace(
+      CASE WHEN scheme = 'http'
+             THEN regexp_replace(hostport, ':80$', '', 'g')
+           WHEN scheme = 'https'
+             THEN regexp_replace(hostport, ':443$', '', 'g')
+           ELSE hostport END,
+      '^www\.', '', 'g') AS host,
     regexp_replace(regexp_replace(regexp_replace(
-      rest0, 'utm_[^&?#]*&', '', 'g'),
+      rest0, '([?&])(utm_[^&?#]*&)+', '\1', 'g'),
       '[?&]utm_[^&?#]*$', '', 'g'),
       '/+$', '', 'g') AS rest
   FROM c1),
@@ -7642,6 +7647,10 @@ WITH u AS (
          concat(
            CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END, '://',
            lower(source), '.example.com',
+           -- only the scheme's OWN default port is stripped: an http
+           -- URL carrying :443 keeps it (a distinct resource)
+           CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1
+                THEN ':443' ELSE '' END,
            '/page/', CAST(doc_id % 25 AS VARCHAR)) AS canon_url
   FROM documents),
 r AS (

@@ -41,6 +41,10 @@ def test_canon_strips_default_ports_and_www(spark):
     assert _canon(spark, "https://a.example.com:443/x").host == "a.example.com"
     # non-default port is kept
     assert _canon(spark, "https://a.example.com:8443/x").host == "a.example.com:8443"
+    # only the scheme's OWN default port is a default: http://h:443 and
+    # https://h:80 are different resources from the portless forms
+    assert _canon(spark, "http://a.example.com:443/x").host == "a.example.com:443"
+    assert _canon(spark, "https://a.example.com:80/x").host == "a.example.com:80"
 
 
 def test_canon_strips_fragment_and_trailing_slash(spark):
@@ -62,6 +66,20 @@ def test_canon_drops_utm_params_only(spark):
     assert (
         _canon(spark, "https://a.example.com/p?utm_a=1&utm_b=2").canon_url
         == "https://a.example.com/p"
+    )
+    # anchored to a parameter boundary: a param CONTAINING 'utm_' is not
+    # a tracking param and must survive untouched
+    assert (
+        _canon(spark, "https://a.example.com/p?xutm_a=1&b=2").canon_url
+        == "https://a.example.com/p?xutm_a=1&b=2"
+    )
+    # a consecutive run of utm params collapses in one pass, and a
+    # non-utm param between runs survives
+    assert (
+        _canon(
+            spark, "https://a.example.com/p?utm_a=1&utm_b=2&c=3&utm_d=4"
+        ).canon_url
+        == "https://a.example.com/p?c=3"
     )
 
 
