@@ -22,9 +22,12 @@ plan's leaf input files and the optimizer's size-in-bytes statistic —
 both computed from file metadata without materializing the physical
 plan, converting to an RDD, or running a job. (The previous
 ``df.rdd.getNumPartitions()`` probe materialized the plan per
-operator build.) The estimate ``max(#files, size/maxPartitionBytes)``
-mirrors how FilePartition packing derives split count, so it
-no-ops at scale exactly where the physical scan would be wide.
+operator build.) The estimate combines the split upper bound
+``max(#files, size/maxPartitionBytes)`` with the FilePartition
+small-file packing bound (see ``_estimated_scan_width``), erring
+toward "narrow" so a many-small-file scan that Spark would pack into
+few partitions still gets spread; it no-ops at scale exactly where
+the physical scan would be wide.
 
 Session conf ``spark.graft.spreadScan``: ``auto`` (default — the
 metadata heuristic), ``off`` (never repartition; use on clusters
@@ -65,26 +68,46 @@ def _estimated_scan_width(df: DataFrame) -> int:
     ``inputFiles()`` walks the analyzed plan's file-source leaves;
     ``optimizedPlan().stats().sizeInBytes`` is the catalog/file-size
     statistic. Neither materializes the physical plan nor runs a job.
-    A file source yields roughly ``max(#files, bytes/maxPartitionBytes)``
-    scan partitions (file packing can merge small files, so this is an
-    upper bound — i.e. conservative: we only skip the repartition when
-    the scan is provably already wide).
+
+    Two bounds, combined by ``min`` so the estimate errs toward
+    "narrow" (the failure mode this operator exists to prevent is
+    SKIPPING the repartition on a narrow scan; a redundant repartition
+    of a small input is cheap):
+      * ``max(#files, bytes/maxPartitionBytes)`` — how many splits the
+        source could yield at most;
+      * the FilePartition packing bound
+        ``ceil((bytes + #files*openCost) / maxSplit)`` with
+        ``maxSplit = min(maxPartitionBytes, max(openCost,
+        bytes/defaultParallelism))`` — Spark packs many small files
+        into few partitions, so a 1000-small-file scan can still be
+        narrow; the raw ``#files`` term alone would over-state its
+        width and skip the repartition exactly where it is needed.
+    At real scale both bounds are ≫ parallelism and the probe no-ops.
+    ``spark.graft.spreadScan=force`` remains the escape hatch for
+    layouts the metadata cannot see (e.g. one giant single-row-group
+    parquet file that splits on paper but not in practice).
     """
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    size_splits = 0
     try:
+        sess = df.sparkSession
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         max_bytes = _parse_bytes(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        if max_bytes > 0:
-            size_splits = size // max_bytes
+        open_cost = _parse_bytes(
+            sess.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        par = max(1, sess.sparkContext.defaultParallelism)
+        if max_bytes <= 0:
+            return n_files
+        max_split = min(max_bytes, max(open_cost, -(-size // par)))
+        packed = -(-(size + n_files * open_cost) // max(1, max_split))
+        return min(max(n_files, size // max_bytes), packed)
     except Exception:
-        pass
-    return max(n_files, size_splits)
+        return n_files
 
 
 def spread_scan(df: DataFrame) -> DataFrame:

@@ -115,6 +115,37 @@ def principal_direction(
         r["gi"]
         for r in grid.select("gi").distinct().orderBy("gi").collect()
     ]
+    # Overflow guard (one extra d^2-bounded agg on the checkpointed
+    # grid): the iteration products are decimal(38,0), and under
+    # non-ANSI Spark an overflowed sum comes back NULL — int(None)
+    # would then raise an unactionable TypeError (or worse, terms
+    # could drop silently). Bound the worst case up front: matvec
+    # terms sum to <= d*|G|max*scale and the Rayleigh numerator to
+    # <= d^2*|G|max*scale^2 (|v| <= scale by normalization); if either
+    # can exceed the 38-digit space, fail loudly with the remedy.
+    # A NULL grid cell means the Gram sum itself already overflowed.
+    _dec38_max = 10**38 - 1
+    gstats = grid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count("g").alias("n_nonnull"),
+        F.max(F.abs(F.col("g"))).alias("gmax"),
+    ).first()
+    if gstats["n_cells"] != gstats["n_nonnull"]:
+        raise ValueError(
+            "principal_direction: a Gram cell overflowed decimal(38,0) "
+            f"— lower `scale` (currently {scale})"
+        )
+    gmax = int(gstats["gmax"]) if gstats["gmax"] is not None else 0
+    d = len(dims)
+    if gmax and (
+        d * gmax * scale > _dec38_max
+        or d * d * gmax * scale * scale > _dec38_max
+    ):
+        raise ValueError(
+            "principal_direction: power-iteration products can exceed "
+            f"decimal(38,0) at this corpus size (d={d}, max |Gram| cell "
+            f"= {gmax}) — lower `scale` (currently {scale})"
+        )
     v = {i: scale for i in dims}
 
     def matvec_literal(mult_gi: bool = False):

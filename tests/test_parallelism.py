@@ -110,3 +110,29 @@ def test_estimate_counts_files(spark, tmp_path):
     assert n_files >= par
     assert _estimated_scan_width(back) >= n_files
     assert spread_scan(back) is back
+
+
+def test_estimate_respects_small_file_packing(spark, tmp_path):
+    """Spark packs small files into few FilePartitions when openCost is
+    small relative to the split size; the width estimate must follow the
+    packing bound instead of raw #files (r9 advice) — otherwise a
+    genuinely narrow many-small-file scan would be called wide and skip
+    the repartition it exists to get."""
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 50 * par)
+    path = str(tmp_path / "tiny")
+    df.repartition(2 * par).write.parquet(path)
+    back = spark.read.parquet(path)
+    n_files = len(back.inputFiles())
+    assert n_files > par
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1b")
+    try:
+        est = _estimated_scan_width(back)
+        # with ~free opens Spark targets defaultParallelism via
+        # maxSplit = totalSize/par, packing the tiny files together —
+        # the estimate must track that, not the raw file count
+        assert est < n_files
+        assert est <= par + 2
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)

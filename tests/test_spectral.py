@@ -83,3 +83,24 @@ def test_rejects_bad_iters(spark):
     df = spark.createDataFrame([Row(vec_id=1, embedding=[1.0])])
     with pytest.raises(ValueError):
         principal_direction(df, "embedding", "vec_id", iters=0)
+
+
+def test_overflow_guard_raises_with_remedy(spark):
+    """Huge-magnitude vectors at the default scale would overflow the
+    decimal(38,0) iteration products — under non-ANSI Spark that comes
+    back as NULL and used to surface as an unactionable int(None)
+    TypeError (r9 advice). The guard must raise a ValueError naming
+    `scale` as the remedy BEFORE any overflow can corrupt a sum."""
+    rows = [(i, [1.0e6, -1.0e6]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="scale"):
+        principal_direction(df, "embedding", "vec_id")
+
+
+def test_overflow_guard_passes_unit_vectors(spark):
+    """Ordinary unit-magnitude embeddings are far inside the bound — the
+    guard must not fire (and costs one d^2-bounded agg)."""
+    rows = [(i, [0.6, 0.8]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = principal_direction(df, "embedding", "vec_id").collect()
+    assert len(out) == 2
