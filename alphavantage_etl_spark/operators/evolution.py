@@ -1,0 +1,234 @@
+"""Schema evolution & keyed upsert (X129-X131): drift-tolerant reader
+conformance, a schema drift audit, and a MERGE INTO-shaped upsert plan.
+
+The ingest-robustness layer a long-lived 100 TB pipeline needs: upstream
+producers rename columns, drop columns, add columns, and change types
+between batch generations, and the lakehouse table the pipeline maintains
+needs keyed in-place upserts (update / insert / delete in one pass), not
+just the append + anti-join protocol the engine already has (ST1,
+operators/incremental.py).
+
+Design positions:
+  * conformance is an EXPLICIT policy (a rename map + a missing/extra
+    disposition), never an implicit best-effort union — ``mergeSchema``
+    guesses; a policy table is reviewable, testable, and diffable. The
+    conformer is a pure projection (typed NULL fill, casts, column
+    pruning) that fuses into the scan at any scale.
+  * the drift report is the decision artifact: per target/extra column,
+    what the reader would do (ok / retyped / renamed / missing / extra)
+    plus the observed non-null count after conformance — schema-level
+    facts joined with ONE map-side-combinable aggregation, output
+    bounded at |columns|. Composes with the X46 table profile and X23
+    dataset diff for full before/after audits.
+  * the upsert is the Delta/Iceberg ``MERGE INTO`` shape (WHEN MATCHED
+    [AND delete] DELETE / WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+    INSERT *) expressed as a composition the optimizer can prune:
+    target-side rows pass through ONE anti-join on the key (broadcast
+    when the source delta is small — the 100 TB path never shuffles the
+    target), source rows arrive deduplicated-and-guarded. With a
+    partition column, untouched partitions bypass even that anti-join
+    via a partition-value semi/anti split — the logical analog of a
+    table format rewriting only the files of touched partitions.
+
+No reference analogue (the reference pandas ETL assumes fixed wire
+formats, av_etl.py; schema drift there is a KeyError at runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MISSING_POLICIES = ("null", "error")
+_EXTRA_POLICIES = ("drop", "keep", "error")
+
+
+def _as_struct(target) -> T.StructType:
+    if isinstance(target, T.StructType):
+        return target
+    if isinstance(target, str):
+        return T.StructType.fromDDL(target)
+    raise TypeError(f"target must be a StructType or DDL string, got {type(target)}")
+
+
+def _plan_conformance(
+    df: DataFrame, target, renames: dict[str, str] | None
+) -> list[tuple[str, str | None, str, T.DataType]]:
+    """Resolve the per-column conformance plan: a list of
+    ``(target_name, source_name | None, status, target_type)`` for every
+    target field, followed by ``(source_name, source_name, 'extra',
+    source_type)`` for unconsumed source columns. Pure schema
+    computation — no data touched."""
+    struct = _as_struct(target)
+    renames = dict(renames or {})
+    bad = [o for o, n in renames.items() if n not in {f.name for f in struct.fields}]
+    if bad:
+        raise ValueError(f"renames map to columns absent from the target: {bad}")
+    have = {f.name: f.dataType for f in df.schema.fields}
+    by_new = {n: o for o, n in renames.items()}
+    plan: list[tuple[str, str | None, str, T.DataType]] = []
+    consumed: set[str] = set()
+    for f in struct.fields:
+        if f.name in have:
+            src, status = f.name, (
+                "ok" if have[f.name] == f.dataType else "retyped"
+            )
+        elif f.name in by_new and by_new[f.name] in have:
+            src, status = by_new[f.name], "renamed"
+        else:
+            src, status = None, "missing"
+        if src is not None:
+            consumed.add(src)
+        plan.append((f.name, src, status, f.dataType))
+    for f in df.schema.fields:
+        if f.name not in consumed:
+            plan.append((f.name, f.name, "extra", f.dataType))
+    return plan
+
+
+def conform_schema(
+    df: DataFrame,
+    target,
+    renames: dict[str, str] | None = None,
+    on_missing: str = "null",
+    on_extra: str = "drop",
+) -> DataFrame:
+    """Conform a drifted batch to ``target`` (a ``StructType`` or DDL
+    string) under an explicit policy: ``renames`` maps source column ->
+    target column; a target column absent from the source (after
+    renames) is filled with a typed NULL (``on_missing='null'``) or
+    rejected (``'error'``); unconsumed source columns are dropped,
+    kept after the target columns, or rejected (``on_extra``).
+    Every kept target column is ``try_cast`` to the target type — a
+    malformed VALUE degrades to NULL (visible in the drift report's
+    ``n_nonnull``) instead of aborting the batch; identical behavior
+    under ANSI and legacy modes, and to DuckDB's TRY_CAST, which keeps
+    the policy oracle-checkable.
+
+    Pure projection — zero shuffle, fuses into the scan; at 100 TB the
+    conformance costs nothing beyond the read it prunes."""
+    if on_missing not in _MISSING_POLICIES:
+        raise ValueError(f"on_missing must be one of {_MISSING_POLICIES}")
+    if on_extra not in _EXTRA_POLICIES:
+        raise ValueError(f"on_extra must be one of {_EXTRA_POLICIES}")
+    plan = _plan_conformance(df, target, renames)
+    missing = [name for name, src, status, _t in plan if status == "missing"]
+    extra = [name for name, _src, status, _t in plan if status == "extra"]
+    if missing and on_missing == "error":
+        raise ValueError(f"target columns missing from the batch: {missing}")
+    if extra and on_extra == "error":
+        raise ValueError(f"batch columns absent from the target: {extra}")
+    cols = []
+    for name, src, status, dtype in plan:
+        if status == "extra":
+            if on_extra == "keep":
+                cols.append(F.col(name))
+        elif src is None:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+        else:
+            cols.append(F.col(src).try_cast(dtype).alias(name))
+    return df.select(*cols)
+
+
+def schema_drift_report(
+    df: DataFrame, target, renames: dict[str, str] | None = None
+) -> DataFrame:
+    """Audit what :func:`conform_schema` would do to this batch: one row
+    per target column (and per extra source column) with ``col_name``,
+    ``status`` in {ok, retyped, renamed, missing, extra}, the resolved
+    ``source_name`` (NULL for missing), and ``n_nonnull`` — the
+    post-conformance non-null count (0 for missing: that is exactly the
+    data loss the policy is accepting; for extra columns, the count the
+    drop is discarding).
+
+    Plan: the statuses are schema facts; the counts are ONE map-side-
+    combinable aggregation producing a single row, exploded to the
+    bounded |columns| report — no collect, no shuffle beyond the final
+    single-row agg."""
+    plan = _plan_conformance(df, target, renames)
+    aggs = []
+    for i, (_name, src, status, dtype) in enumerate(plan):
+        if src is None:
+            aggs.append(F.lit(0).cast("long").alias(f"__c{i}"))
+        elif status == "extra":
+            aggs.append(F.count(F.col(src)).alias(f"__c{i}"))
+        else:
+            aggs.append(F.count(F.col(src).try_cast(dtype)).alias(f"__c{i}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.lit(status).alias("status"),
+                F.lit(src).cast("string").alias("source_name"),
+                F.col(f"__c{i}").alias("n_nonnull"),
+            )
+            for i, (name, src, status, _t) in enumerate(plan)
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def upsert_merge(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Post-state of a ``MERGE INTO`` upsert: source rows replace
+    matched target rows (UPDATE SET *), unmatched source rows are
+    inserted (INSERT *), and — when ``delete_col`` names a boolean
+    source column — flagged rows delete their key instead. Target rows
+    whose key the source never mentions pass through unchanged.
+
+    Source keys must be unique (multiple source rows matching one
+    target row is the ambiguity Delta's MERGE rejects); an in-plan
+    ``assert_true`` raises at action time on violation — the guard
+    shuffles only the SOURCE (the small delta side by construction).
+
+    Scale shape: the target — the 100 TB side — flows through exactly
+    ONE anti-join against the deduplicated source key set, which the
+    planner broadcasts when the delta is small (no hint forced: AQE
+    degrades to a shuffle join for a huge delta). With
+    ``partition_col``, target partitions the source never touches skip
+    even that: a broadcast semi/anti split on the bounded
+    touched-partition values routes them straight to the output — the
+    logical analog of a lakehouse MERGE rewriting only touched files,
+    and the plan partition pruning eliminates at the scan.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    src = source_df
+    if delete_col is not None:
+        # NULL flag = not flagged (a bare ~NULL would silently DROP the
+        # row — the fail-open trap the engine's NULL discipline forbids)
+        deletes = F.coalesce(F.col(delete_col), F.lit(False))
+    else:
+        deletes = F.lit(False)
+    w = Window.partitionBy(*key_cols)
+    src = src.withColumn("__kn", F.count(F.lit(1)).over(w))
+    src = src.where(
+        F.assert_true(
+            F.col("__kn") == 1,
+            F.lit(
+                "upsert_merge: source contains duplicate keys — a MERGE "
+                "with multiple source matches per target row is ambiguous"
+            ),
+        ).isNull()
+    ).drop("__kn")
+    src_keys = src.select(*key_cols)
+    surviving = src.where(~deletes)
+    if delete_col is not None:
+        surviving = surviving.drop(delete_col)
+
+    if partition_col is None:
+        kept = target_df.join(src_keys, on=key_cols, how="left_anti")
+        return kept.unionByName(surviving)
+
+    touched = src.select(partition_col).distinct()
+    untouched = target_df.join(touched, on=[partition_col], how="left_anti")
+    in_touched = target_df.join(touched, on=[partition_col], how="left_semi")
+    kept = in_touched.join(src_keys, on=key_cols, how="left_anti")
+    return untouched.unionByName(kept).unionByName(surviving)

@@ -1,0 +1,161 @@
+"""X129-X131: schema conformance policy, drift report, MERGE-shaped
+upsert — semantics pinned by example, plan shapes pinned for the
+target-never-shuffles contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from alphavantage_etl_spark.operators.evolution import (
+    conform_schema,
+    schema_drift_report,
+    upsert_merge,
+)
+
+TARGET = "doc_id bigint, lang string, n_chars bigint"
+
+
+def _drifted(spark):
+    # renamed (length->n_chars as int), missing (lang), extra (crawl_ts)
+    return spark.createDataFrame(
+        [Row(doc_id=1, length=10, crawl_ts="t1"), Row(doc_id=2, length=None, crawl_ts="t2")]
+    )
+
+
+def test_conform_renames_fills_and_drops(spark):
+    out = conform_schema(
+        _drifted(spark), TARGET, renames={"length": "n_chars"}
+    )
+    assert out.columns == ["doc_id", "lang", "n_chars"]
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint",
+        "lang": "string",
+        "n_chars": "bigint",
+    }
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lang"] is None and rows[1]["n_chars"] == 10
+    assert rows[2]["n_chars"] is None
+
+
+def test_conform_keep_extra_appends_after_target(spark):
+    out = conform_schema(
+        _drifted(spark),
+        TARGET,
+        renames={"length": "n_chars"},
+        on_extra="keep",
+    )
+    assert out.columns == ["doc_id", "lang", "n_chars", "crawl_ts"]
+
+
+def test_conform_error_policies_raise(spark):
+    with pytest.raises(ValueError, match="missing"):
+        conform_schema(
+            _drifted(spark), TARGET, renames={"length": "n_chars"},
+            on_missing="error",
+        )
+    with pytest.raises(ValueError, match="absent from the target"):
+        conform_schema(
+            _drifted(spark), TARGET, renames={"length": "n_chars"},
+            on_extra="error",
+        )
+    with pytest.raises(ValueError, match="renames"):
+        conform_schema(_drifted(spark), TARGET, renames={"length": "nope"})
+    with pytest.raises(ValueError):
+        conform_schema(_drifted(spark), TARGET, on_missing="bogus")
+
+
+def test_conform_is_pure_projection(spark):
+    plan = (
+        conform_schema(_drifted(spark), TARGET, renames={"length": "n_chars"})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_drift_report_statuses_and_counts(spark):
+    got = {
+        r["col_name"]: (r["status"], r["source_name"], r["n_nonnull"])
+        for r in schema_drift_report(
+            _drifted(spark), TARGET, renames={"length": "n_chars"}
+        ).collect()
+    }
+    assert got == {
+        "doc_id": ("ok", "doc_id", 2),
+        "lang": ("missing", None, 0),
+        "n_chars": ("renamed", "length", 1),  # one NULL length
+        "crawl_ts": ("extra", "crawl_ts", 2),
+    }
+
+
+def test_drift_report_retyped(spark):
+    df = spark.createDataFrame([Row(doc_id="1"), Row(doc_id="x")])
+    got = {
+        r["col_name"]: (r["status"], r["n_nonnull"])
+        for r in schema_drift_report(df, "doc_id bigint").collect()
+    }
+    # 'x' does not cast to bigint -> post-conformance non-null count is 1
+    assert got == {"doc_id": ("retyped", 1)}
+
+
+def _merge_fixture(spark):
+    target = spark.createDataFrame(
+        [(k, 2020 + k % 3, float(k) * 10) for k in range(1, 11)],
+        "k long, part int, v double",
+    )
+    source = spark.createDataFrame(
+        [
+            (3, 2020 + 3 % 3, 999.0, False),   # update
+            (42, 2021, 1.0, False),            # insert
+            (7, 2020 + 7 % 3, 0.0, True),      # delete
+            (9, 2020 + 9 % 3, 123.0, None),    # NULL flag = keep (update)
+        ],
+        "k long, part int, v double, del boolean",
+    )
+    want = {k: float(k) * 10 for k in range(1, 11)}
+    want[3] = 999.0
+    want[42] = 1.0
+    want[9] = 123.0
+    del want[7]
+    return target, source, want
+
+
+def test_upsert_update_insert_delete(spark):
+    target, source, want = _merge_fixture(spark)
+    out = upsert_merge(target, source, ["k"], delete_col="del")
+    assert {r["k"]: r["v"] for r in out.collect()} == want
+    assert set(out.columns) == {"k", "part", "v"}
+
+
+def test_upsert_partitioned_matches_simple(spark):
+    target, source, want = _merge_fixture(spark)
+    out = upsert_merge(
+        target, source, ["k"], delete_col="del", partition_col="part"
+    )
+    assert {r["k"]: r["v"] for r in out.collect()} == want
+
+
+def test_upsert_duplicate_source_keys_raise(spark):
+    target, _, _ = _merge_fixture(spark)
+    dup = spark.createDataFrame(
+        [(3, 2020, 1.0, False), (3, 2020, 2.0, False)],
+        "k long, part int, v double, del boolean",
+    )
+    with pytest.raises(Exception, match="duplicate keys"):
+        upsert_merge(target, dup, ["k"], delete_col="del").count()
+
+
+def test_upsert_plan_broadcasts_small_delta(spark):
+    """The 100 TB contract: the target side flows through a BROADCAST
+    anti-join on the small source key set — never a shuffled join of the
+    target — and no hint forces it (AQE may degrade a huge delta)."""
+    target, source, _ = _merge_fixture(spark)
+    out = upsert_merge(target, source, ["k"], delete_col="del")
+    out.collect()  # in-memory frames have no stats: AQE decides at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftAnti" in final
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
