@@ -7907,6 +7907,198 @@ ORDER BY dim
 """
 
 
+# X129 — schema-drift-tolerant reader (r10): a legacy batch generation
+# (renamed column carried as strings with malformed values, missing
+# column, extra column) is conformed to the current contract under an
+# EXPLICIT policy (rename map, typed-NULL fill, extra-drop, try_cast)
+# and unioned with a current-shape batch — the mergeSchema decision made
+# reviewable and testable (operators/evolution.py:conform_schema). The
+# oracle replays the same policy in plain SQL (TRY_CAST matches).
+def q_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolution import conform_schema
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    target = "doc_id bigint, source string, lang string, n_chars bigint"
+    legacy = d.where(did % 2 == 0).select(
+        "doc_id",
+        "source",
+        # the drifted generation shipped n_chars renamed AND as strings,
+        # with a sentinel for unknown lengths (malformed for the target)
+        F.when(did % 37 == 0, F.lit("?"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("doc_len"),
+        F.concat(F.lit("crawl-"), did.cast("string")).alias("crawl_ts"),
+    )
+    current = d.where(did % 2 == 1).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    conformed = conform_schema(legacy, target, renames={"doc_len": "n_chars"})
+    unioned = conformed.unionByName(current)
+    return (
+        unioned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("lang").cast("long").alias("n_lang_known"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SCHEMA_EVOLVE = """
+WITH legacy AS (
+  SELECT doc_id, source,
+         CAST(NULL AS VARCHAR) AS lang,
+         TRY_CAST(CASE WHEN doc_id % 37 = 0 THEN '?'
+                       ELSE CAST(n_chars AS VARCHAR) END AS BIGINT)
+           AS n_chars
+  FROM documents WHERE doc_id % 2 = 0),
+cur AS (
+  SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id % 2 = 1),
+u AS (SELECT * FROM legacy UNION ALL SELECT * FROM cur)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(lang) AS BIGINT) AS n_lang_known,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM u GROUP BY source ORDER BY source
+"""
+
+
+# X130 — schema drift audit (r10): what the conformance policy would do
+# to the drifted batch, per column (ok / retyped / renamed / missing /
+# extra) with the post-conformance non-null count — the decision
+# artifact reviewed before flipping a reader contract; ONE map-side
+# single-row agg exploded to the |columns|-bounded report
+# (operators/evolution.py:schema_drift_report).
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolution import schema_drift_report
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    legacy = d.where(did % 2 == 0).select(
+        "doc_id",
+        "source",
+        F.when(did % 37 == 0, F.lit("?"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("doc_len"),
+        F.concat(F.lit("crawl-"), did.cast("string")).alias("crawl_ts"),
+    )
+    target = "doc_id bigint, source string, lang string, n_chars bigint"
+    rep = schema_drift_report(legacy, target, renames={"doc_len": "n_chars"})
+    return rep.orderBy("col_name")
+
+
+SQL_SCHEMA_DRIFT = """
+WITH legacy AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 37 = 0 THEN '?'
+              ELSE CAST(n_chars AS VARCHAR) END AS doc_len,
+         concat('crawl-', CAST(doc_id AS VARCHAR)) AS crawl_ts
+  FROM documents WHERE doc_id % 2 = 0)
+SELECT * FROM (
+  SELECT 'doc_id' AS col_name, 'ok' AS status,
+         'doc_id' AS source_name,
+         CAST((SELECT count(doc_id) FROM legacy) AS BIGINT) AS n_nonnull
+  UNION ALL
+  SELECT 'source', 'ok', 'source',
+         CAST((SELECT count(source) FROM legacy) AS BIGINT)
+  UNION ALL
+  SELECT 'lang', 'missing', NULL, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'n_chars', 'renamed', 'doc_len',
+         CAST((SELECT count(TRY_CAST(doc_len AS BIGINT)) FROM legacy)
+              AS BIGINT)
+  UNION ALL
+  SELECT 'crawl_ts', 'extra', 'crawl_ts',
+         CAST((SELECT count(crawl_ts) FROM legacy) AS BIGINT)
+) ORDER BY col_name
+"""
+
+
+# X131 — MERGE INTO upsert post-state (r10): keyed in-place upsert
+# (update / insert / delete in one pass) over a partitioned target —
+# the lakehouse MERGE the engine lacked beside append + anti-join +
+# SCD2. Source slices are deterministic in-plan transforms of orders
+# (the X23 dataset_diff idiom) so the oracle replays the exact
+# post-state; the output is the per-partition exact-cents fingerprint
+# of the post-state (float SUM fold order is not cross-engine —
+# quantize to integer cents first, the indicators discipline)
+# (operators/evolution.py:upsert_merge).
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolution import upsert_merge
+
+    key = F.col("o_orderkey")
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("o_part", (key % 10).cast("long"))
+    )
+    upd = base.where(key % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        "o_part",
+        F.lit(False).alias("is_del"),
+    )
+    ins = base.where(key % 13 == 3).select(
+        (key + F.lit(100000000)).alias("o_orderkey"),
+        F.lit(1.5).alias("o_totalprice"),
+        "o_part",
+        F.lit(False).alias("is_del"),
+    )
+    dels = base.where((key % 11 == 5) & (key % 7 != 0)).select(
+        "o_orderkey", "o_totalprice", "o_part", F.lit(True).alias("is_del")
+    )
+    src = upd.unionByName(ins).unionByName(dels)
+    post = upsert_merge(
+        base, src, ["o_orderkey"], delete_col="is_del", partition_col="o_part"
+    )
+    return (
+        post.groupBy("o_part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("o_part")
+    )
+
+
+SQL_UPSERT_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderkey % 10 AS BIGINT) AS o_part
+  FROM orders),
+upd AS (
+  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, o_part,
+         FALSE AS is_del
+  FROM base WHERE o_orderkey % 7 = 0),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey,
+         CAST(1.5 AS DOUBLE) AS o_totalprice, o_part, FALSE AS is_del
+  FROM base WHERE o_orderkey % 13 = 3),
+dels AS (
+  SELECT o_orderkey, o_totalprice, o_part, TRUE AS is_del
+  FROM base WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 != 0),
+src AS (
+  SELECT * FROM upd UNION ALL SELECT * FROM ins UNION ALL
+  SELECT * FROM dels),
+post AS (
+  SELECT b.o_orderkey, b.o_totalprice, b.o_part FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_part FROM src WHERE NOT is_del)
+SELECT o_part, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM post GROUP BY o_part ORDER BY o_part
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -8113,6 +8305,11 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
+    # r10 additions (X129-X131) — registered at the END of EXTRA so the
+    # generated r11 rotation queues them at the window front first
+    "q_schema_evolve": q_schema_evolve,
+    "q_schema_drift": q_schema_drift,
+    "q_upsert_merge": q_upsert_merge,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8304,6 +8501,10 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_retention_decay": SQL_RETENTION_DECAY,
     "q_corpus_digest": SQL_CORPUS_DIGEST,
     "q_ks_test": SQL_KS_TEST,
+    # r10 additions (X129-X131)
+    "q_schema_evolve": SQL_SCHEMA_EVOLVE,
+    "q_schema_drift": SQL_SCHEMA_DRIFT,
+    "q_upsert_merge": SQL_UPSERT_MERGE,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "q_k_anonymity",
     "q_recrawl_keep",
     "q_principal_dir",
+    # r10 — schema evolution & MERGE upsert (X129-X131)
+    "q_schema_evolve",
+    "q_schema_drift",
+    "q_upsert_merge",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in
