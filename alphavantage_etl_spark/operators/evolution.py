@@ -232,3 +232,92 @@ def upsert_merge(
     in_touched = target_df.join(touched, on=[partition_col], how="left_semi")
     kept = in_touched.join(src_keys, on=key_cols, how="left_anti")
     return untouched.unionByName(kept).unionByName(surviving)
+
+
+def apply_changelog(
+    target_df: DataFrame,
+    changes_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Post-state of applying an ORDERED changelog (Debezium/Delta-CDF
+    shape) to a keyed table: ``changes_df`` carries row images plus an
+    operation column (``'I'``/``'U'``/``'D'``) and a monotone sequence
+    column; a key may appear many times, and only its LATEST event
+    matters — insert/update land the row image, delete removes the key.
+    The ordered counterpart of :func:`upsert_merge` (which takes one
+    deduplicated, unordered delta).
+
+    Net-effect reduction is ONE map-side-combinable ``max_by`` over the
+    (sequence, op-rank) order — no window, no per-key sort, so a key
+    with 10^6 churn events costs a partial-aggregated shuffle, never a
+    single-task sort (the url_dedup discipline). Ties on (key, seq) are
+    the changelog corruption CDC systems reject — detected in the SAME
+    aggregation (distinct-sequence count vs event count) and RAISED
+    in-plan, never resolved silently. A NULL sequence sorts below every
+    real sequence (an undated event never wins a dated one); more than
+    one NULL-seq event per key is ambiguous and raises like a duplicate.
+    Unknown op codes raise per-row. The target then flows through
+    exactly ONE anti-join on the net key set (planner/AQE broadcast for
+    a small changelog), and net non-deletes are appended.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    ops = {"I": 1, "U": 1, "D": 0}
+    op_rank = F.when(F.col(op_col).isin(list(ops)), F.lit(1)).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                f"apply_changelog: unknown op in '{op_col}' — expected "
+                "I/U/D"
+            ),
+        ).cast("int")
+    )
+    payload = [
+        c
+        for c in changes_df.columns
+        if c not in (seq_col, op_col) and c not in key_cols
+    ]
+    ordkey = F.struct(
+        # NULL seq -> MIN_LONG sentinel: max_by would otherwise skip
+        # NULL-keyed structs entirely and an all-NULL-seq key would drop
+        F.coalesce(
+            F.col(seq_col).cast("long"), F.lit(-(2**63))
+        ).alias("s"),
+        op_rank.alias("r"),
+    )
+    net = (
+        changes_df.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c).alias(c) for c in payload]), ordkey
+            ).alias("__row"),
+            F.max_by(F.col(op_col), ordkey).alias("__op"),
+            F.sum(
+                F.when(F.col(seq_col).isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("__null_seq"),
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.col(seq_col)).alias("__n_seq"),
+        )
+        .withColumn(
+            "__dup_guard",
+            F.assert_true(
+                (F.col("__n") == F.col("__n_seq") + F.col("__null_seq"))
+                & (F.col("__null_seq") <= 1),
+                F.lit(
+                    "apply_changelog: duplicate (key, seq) events — "
+                    "corrupt changelog, refusing to resolve silently"
+                ),
+            ),
+        )
+        .where(F.col("__dup_guard").isNull())
+    )
+    net_keys = net.select(*key_cols)
+    upserts = (
+        net.where(F.col("__op") != "D")
+        .select(*key_cols, "__row.*")
+        .select(*target_df.columns)
+    )
+    kept = target_df.join(net_keys, on=key_cols, how="left_anti")
+    return kept.unionByName(upserts)

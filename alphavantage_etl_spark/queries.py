@@ -8099,6 +8099,92 @@ FROM post GROUP BY o_part ORDER BY o_part
 """
 
 
+# X132 — CDC changelog apply (r10): ordered insert/update/delete events
+# (Debezium/Delta-CDF shape) reduced to net effects per key via ONE
+# map-side-combinable max_by on (seq, op) — no window, no per-key sort,
+# so million-event churn keys never funnel into one task — then applied
+# to the target through one broadcast anti-join. The ordered counterpart
+# of X131's unordered delta; duplicate (key, seq) RAISES in-plan. The
+# oracle replays the net reduction as a row_number() = 1 in DuckDB and
+# fingerprints the post-state in exact integer cents
+# (operators/evolution.py:apply_changelog).
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolution import apply_changelog
+
+    key = F.col("o_orderkey")
+    base = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("o_part", (key % 10).cast("long"))
+    )
+
+    def ev(pred, price, seq, op, newkey=None):
+        return base.where(pred).select(
+            (key + F.lit(newkey) if newkey else key).alias("o_orderkey"),
+            price.alias("o_totalprice"),
+            "o_part",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    changes = (
+        ev(key % 7 == 0, F.col("o_totalprice") + F.lit(5.0), 1, "U")
+        .unionByName(ev(key % 14 == 0, F.lit(0.0), 2, "D"))
+        .unionByName(ev(key % 28 == 0, F.lit(77.0), 3, "U"))
+        .unionByName(ev(key % 17 == 2, F.lit(2.5), 1, "I", newkey=200000000))
+    )
+    post = apply_changelog(base, changes, ["o_orderkey"], "seq", "op")
+    return (
+        post.groupBy("o_part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents_sum"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("o_part")
+    )
+
+
+SQL_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderkey % 10 AS BIGINT) AS o_part
+  FROM orders),
+c AS (
+  SELECT o_orderkey, o_totalprice + 5.0 AS v, 1 AS seq, 'U' AS op, o_part
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(0.0 AS DOUBLE), 2, 'D', o_part
+  FROM base WHERE o_orderkey % 14 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(77.0 AS DOUBLE), 3, 'U', o_part
+  FROM base WHERE o_orderkey % 28 = 0
+  UNION ALL
+  SELECT o_orderkey + 200000000, CAST(2.5 AS DOUBLE), 1, 'I', o_part
+  FROM base WHERE o_orderkey % 17 = 2),
+net AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM c) WHERE rn = 1),
+post AS (
+  SELECT b.o_orderkey, b.o_totalprice, b.o_part FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM net n
+                    WHERE n.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, v, o_part FROM net WHERE op != 'D')
+SELECT o_part, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM post GROUP BY o_part ORDER BY o_part
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -8310,6 +8396,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_schema_evolve": q_schema_evolve,
     "q_schema_drift": q_schema_drift,
     "q_upsert_merge": q_upsert_merge,
+    "q_cdc_apply": q_cdc_apply,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8505,6 +8592,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_schema_evolve": SQL_SCHEMA_EVOLVE,
     "q_schema_drift": SQL_SCHEMA_DRIFT,
     "q_upsert_merge": SQL_UPSERT_MERGE,
+    "q_cdc_apply": SQL_CDC_APPLY,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "q_schema_evolve",
     "q_schema_drift",
     "q_upsert_merge",
+    "q_cdc_apply",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

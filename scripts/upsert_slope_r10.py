@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""10x scale slope for the r10 MERGE upsert (X131).
+"""10x scale slope for the r10 MERGE upsert (X131) and CDC apply (X132).
 
 Replicates the sf0.1 orders table 10x with fresh key ranges (replica r
 shifts keys by r * 10^7 — partition values o_part = key % 10 are
 preserved, so the partition-scoped split sees the same layout at both
 scales), then runs the q_upsert_merge composition (source slices ->
-upsert_merge -> per-partition cents fingerprint) on x1 vs x10.
+upsert_merge -> per-partition cents fingerprint) and the q_cdc_apply
+composition (ordered changelog -> max_by net reduction -> apply) on
+x1 vs x10.
 
 Linear expectation: the target flows through one broadcast anti-join +
 one agg; the source delta grows with the data (it is a fixed fraction
@@ -88,18 +90,55 @@ def merge_plan(spark, orders_df):
     )
 
 
-def measure(spark, loader, reps=2):
+def cdc_plan(spark, orders_df):
+    from pyspark.sql import functions as F
+
+    from alphavantage_etl_spark.operators.evolution import apply_changelog
+
+    key = F.col("o_orderkey")
+    base = orders_df.withColumn("o_part", (key % 10).cast("long"))
+
+    def ev(pred, price, seq, op, newkey=None):
+        return base.where(pred).select(
+            (key + F.lit(newkey) if newkey else key).alias("o_orderkey"),
+            price.alias("o_totalprice"),
+            "o_part",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    changes = (
+        ev(key % 7 == 0, F.col("o_totalprice") + F.lit(5.0), 1, "U")
+        .unionByName(ev(key % 14 == 0, F.lit(0.0), 2, "D"))
+        .unionByName(ev(key % 28 == 0, F.lit(77.0), 3, "U"))
+        .unionByName(
+            ev(key % 17 == 2, F.lit(2.5), 1, "I", newkey=200_000_000)
+        )
+    )
+    post = apply_changelog(base, changes, ["o_orderkey"], "seq", "op")
+    return (
+        post.groupBy("o_part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents_sum"
+            ),
+        )
+    )
+
+
+def measure(spark, plan_fn, loader, reps=2):
     best = None
     n_out = None
     for _ in range(reps):
         spark.catalog.clearCache()
         t = time.time()
-        out = merge_plan(spark, loader())
+        out = plan_fn(spark, loader())
         out.write.format("noop").mode("overwrite").save()
         w = time.time() - t
         best = w if best is None else min(best, w)
         if n_out is None:
-            n_out = merge_plan(spark, loader()).count()
+            n_out = plan_fn(spark, loader()).count()
     return best, n_out
 
 
@@ -120,20 +159,18 @@ def main():
     def x10():
         return spark.read.parquet(WORK)
 
-    w1, n1 = measure(spark, x1)
-    w10, n10 = measure(spark, x10)
-    print(
-        json.dumps(
-            {
-                "x1_wall_s": round(w1, 2),
-                "x10_wall_s": round(w10, 2),
-                "wall_ratio_10x_data": round(w10 / w1, 2),
-                "x1_parts_out": n1,
-                "x10_parts_out": n10,
-            },
-            indent=1,
-        )
-    )
+    out = {}
+    for name, plan_fn in [("upsert_merge", merge_plan), ("cdc_apply", cdc_plan)]:
+        w1, n1 = measure(spark, plan_fn, x1)
+        w10, n10 = measure(spark, plan_fn, x10)
+        out[name] = {
+            "x1_wall_s": round(w1, 2),
+            "x10_wall_s": round(w10, 2),
+            "wall_ratio_10x_data": round(w10 / w1, 2),
+            "x1_parts_out": n1,
+            "x10_parts_out": n10,
+        }
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,6 @@
-"""X129-X131: schema conformance policy, drift report, MERGE-shaped
-upsert — semantics pinned by example, plan shapes pinned for the
-target-never-shuffles contract."""
+"""X129-X132: schema conformance policy, drift report, MERGE-shaped
+upsert, CDC changelog apply — semantics pinned by example, plan shapes
+pinned for the target-never-shuffles contract."""
 
 from __future__ import annotations
 
@@ -159,3 +159,81 @@ def test_upsert_plan_broadcasts_small_delta(spark):
     assert "LeftAnti" in final
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def _cdc_fixture(spark):
+    target = spark.createDataFrame(
+        [(k, float(k) * 10) for k in range(1, 6)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 2: U then D -> net delete
+            (2, 100.0, 1, "U"),
+            (2, 0.0, 2, "D"),
+            # key 3: D then U (re-insert) -> net upsert with seq-2 image
+            (3, 0.0, 1, "D"),
+            (3, 333.0, 2, "U"),
+            # key 9: brand-new insert
+            (9, 90.0, 1, "I"),
+            # key 4: NULL seq loses to a dated event
+            (4, -1.0, None, "U"),
+            (4, 444.0, 5, "U"),
+        ],
+        "k long, v double, seq long, op string",
+    )
+    want = {1: 10.0, 3: 333.0, 4: 444.0, 5: 50.0, 9: 90.0}
+    return target, changes, want
+
+
+def test_apply_changelog_latest_event_wins(spark):
+    from alphavantage_etl_spark.operators.evolution import apply_changelog
+
+    target, changes, want = _cdc_fixture(spark)
+    out = apply_changelog(target, changes, ["k"], "seq", "op")
+    assert {r["k"]: r["v"] for r in out.collect()} == want
+    assert out.columns == target.columns
+
+
+def test_apply_changelog_duplicate_seq_raises(spark):
+    from alphavantage_etl_spark.operators.evolution import apply_changelog
+
+    target, _, _ = _cdc_fixture(spark)
+    dup = spark.createDataFrame(
+        [(2, 1.0, 7, "U"), (2, 2.0, 7, "U")],
+        "k long, v double, seq long, op string",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        apply_changelog(target, dup, ["k"], "seq", "op").count()
+    # two undated events for one key are just as ambiguous
+    nulls = spark.createDataFrame(
+        [(2, 1.0, None, "U"), (2, 2.0, None, "U")],
+        "k long, v double, seq long, op string",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        apply_changelog(target, nulls, ["k"], "seq", "op").count()
+
+
+def test_apply_changelog_unknown_op_raises(spark):
+    from alphavantage_etl_spark.operators.evolution import apply_changelog
+
+    target, _, _ = _cdc_fixture(spark)
+    bad = spark.createDataFrame(
+        [(2, 1.0, 7, "X")], "k long, v double, seq long, op string"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        apply_changelog(target, bad, ["k"], "seq", "op").count()
+
+
+def test_apply_changelog_plan_no_window_no_sort_on_changes(spark):
+    """The net-effect reduction must be a partial-aggregated max_by on
+    the key — no Window, no per-key sort — so million-event churn keys
+    never funnel into one task."""
+    from alphavantage_etl_spark.operators.evolution import apply_changelog
+
+    target, changes, _ = _cdc_fixture(spark)
+    plan = (
+        apply_changelog(target, changes, ["k"], "seq", "op")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
