@@ -1,0 +1,243 @@
+"""Pairwise-preference analytics (X133-X134): Bradley-Terry strength
+fitting and intransitivity QC over comparison data.
+
+The RLHF/reward-model data operations: preference datasets arrive as
+pairwise comparisons (response A beat response B for this prompt;
+annotator chose left over right), and the pipeline needs (a) a global
+strength score per item — the Bradley-Terry model every arena-style
+leaderboard fits — to rank items, weight training examples, and detect
+annotator-vs-model disagreement, and (b) a consistency audit: the
+fraction of item triads whose majority preferences form a CYCLE
+(A beats B beats C beats A) — the signal that the comparison data is
+noisy or multi-dimensional and a scalar reward cannot represent it.
+
+Determinism discipline (engine-wide rule): win counts are exact
+integers; each MM iteration's per-opponent terms are ONE fixed-form
+double expression from exactly-reproduced integers, quantized to 1e-6
+and summed as decimal(38,0); the per-item state is collected and
+max-normalized driver-side with away-from-zero rounding — the approved
+O(model)-state collect class (power-method precedent,
+operators/spectral.py) — so the whole fit is bit-identical across
+engines and oracle-checkable as a DuckDB recursive CTE.
+
+Scale: the corpus is touched ONCE to build the (a, b, wins) grid —
+one map-side-combinable aggregation on the canonical pair key; every
+iteration then runs on the |items|^2-bounded grid with the |items|-row
+state inlined as a literal map. Items are models/policies/annotator
+pools — bounded at thousands by construction, never corpus-sized; the
+grid is localCheckpointed and replayed per iteration.
+
+No reference analogue (the reference has no preference surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 10**9  # strength quantization (1e-9 resolution, max-normalized)
+_TERM_Q = 10**6  # per-term quantization before the exact decimal sum
+
+
+def pairwise_win_grid(
+    df: DataFrame, a_col: str, b_col: str, a_wins_col: str
+) -> DataFrame:
+    """Aggregate raw comparisons to the canonical pair grid: one row per
+    unordered item pair (``item_a < item_b``) with exact integer
+    ``wins_a`` / ``wins_b``. One map-side-combinable aggregation on the
+    pair key; output bounded at |items|^2. Self-comparisons are
+    dropped; a NULL outcome is dropped (an unjudged comparison is not
+    evidence for either side)."""
+    a = F.col(a_col).cast("long")
+    b = F.col(b_col).cast("long")
+    win_a = F.col(a_wins_col).cast("boolean")
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    lo_wins = F.when(a < b, win_a).otherwise(~win_a)
+    return (
+        df.where(a != b)
+        .where(win_a.isNotNull())
+        .select(
+            lo.alias("item_a"),
+            hi.alias("item_b"),
+            lo_wins.alias("__lo_wins"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(F.when(F.col("__lo_wins"), 1).otherwise(0))
+            .cast("long")
+            .alias("wins_a"),
+            F.sum(F.when(F.col("__lo_wins"), 0).otherwise(1))
+            .cast("long")
+            .alias("wins_b"),
+        )
+    )
+
+
+def bradley_terry_strengths(
+    grid: DataFrame, iters: int = 10
+) -> DataFrame:
+    """Bradley-Terry strengths from a :func:`pairwise_win_grid` via
+    ``iters`` fixed MM iterations (Hunter 2004: ``p_i <- W_i / sum_j
+    n_ij / (p_i + p_j)``), one row per item: ``item``, ``strength``
+    (integer, max-abs-normalized to ``(0, 1e9]``), ``n_wins``,
+    ``n_comparisons``.
+
+    A half-win is added to BOTH directions of every observed pair
+    (the standard pseudo-count regularization): every compared item
+    then has positive win mass, so the iteration is defined even for
+    never-winning items, and the fit shrinks gently toward equality on
+    thin data instead of diverging to 0/infinity.
+
+    Fixed iteration count, not convergence-tested (deterministic
+    output, the pipeline-gate requirement); 10 iterations resolve a
+    16-item arena to quantization precision. Each iteration is ONE
+    distributed aggregation over the localCheckpointed grid with the
+    current strengths inlined as literals; the only collect is the
+    |items|-row state (the approved O(model) class).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    import math
+
+    def away_round(x: float) -> int:
+        # Spark/DuckDB round(double) is HALF_UP; Python round is
+        # half-even and would diverge on exact .5 ties
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    g = (
+        grid.select(
+            "item_a",
+            "item_b",
+            # doubled counts keep the +0.5 pseudo-win exact in integers
+            (F.col("wins_a").cast("long") * 2 + 1).alias("w2a"),
+            (F.col("wins_b").cast("long") * 2 + 1).alias("w2b"),
+        )
+        .localCheckpoint()
+    )
+    rows = g.select("item_a", "item_b", "w2a", "w2b").collect()
+    if not rows:
+        return grid.sparkSession.createDataFrame(
+            [], "item long, strength long, n_wins long, n_comparisons long"
+        )
+    # exact doubled win totals and comparison counts per item (driver
+    # side over the bounded grid — |items|^2 rows max)
+    w2: dict[int, int] = {}
+    ncmp: dict[int, int] = {}
+    for r in rows:
+        for item, w in ((r["item_a"], r["w2a"]), (r["item_b"], r["w2b"])):
+            w2[item] = w2.get(item, 0) + w
+            ncmp[item] = ncmp.get(item, 0) + (r["w2a"] + r["w2b"]) // 2 - 1
+    items = sorted(w2)
+    p = {i: _SCALE for i in items}
+
+    n2 = (F.col("w2a") + F.col("w2b")).cast("double")  # 2*(n_ij + 1)
+    for _ in range(iters):
+        arr = F.map_from_arrays(
+            F.array(*[F.lit(int(i)) for i in items]),
+            F.array(*[F.lit(int(p[i])) for i in items]),
+        )
+        pa = F.element_at(arr, F.col("item_a")).cast("double")
+        pb = F.element_at(arr, F.col("item_b")).cast("double")
+        # n_ij / (p_i + p_j) in strength units: n2/2 * SCALE / (pa + pb),
+        # one fixed-form double expression from exact integers,
+        # quantized 1e-6 and summed exactly
+        term = F.round(
+            n2 / F.lit(2.0) * F.lit(float(_SCALE)) / (pa + pb)
+            * F.lit(float(_TERM_Q))
+        ).cast("decimal(38,0)")
+        contrib = F.explode(
+            F.array(
+                F.struct(F.col("item_a").alias("item"), term.alias("t")),
+                F.struct(F.col("item_b").alias("item"), term.alias("t")),
+            )
+        )
+        denoms = {
+            r["item"]: int(r["d"])
+            for r in g.select(contrib.alias("e"))
+            .select("e.item", "e.t")
+            .groupBy("item")
+            .agg(F.sum("t").alias("d"))
+            .collect()
+        }
+        # ratio_i = W_i / denom_i, both exact; then max-normalize (order
+        # independent, unlike a sum) and re-quantize
+        ratio = {
+            i: (float(w2[i]) / 2.0) / (float(denoms[i]) / float(_TERM_Q))
+            for i in items
+        }
+        m = max(ratio.values())
+        p = {i: away_round(ratio[i] / m * _SCALE) for i in items}
+
+    # n_wins = (w2 - #pairs_with_i) / 2 : remove the pseudo half-wins
+    pairs_of = {i: 0 for i in items}
+    for r in rows:
+        pairs_of[r["item_a"]] += 1
+        pairs_of[r["item_b"]] += 1
+    out = [
+        (int(i), int(p[i]), (w2[i] - pairs_of[i]) // 2, ncmp[i])
+        for i in items
+    ]
+    return grid.sparkSession.createDataFrame(
+        out, "item long, strength long, n_wins long, n_comparisons long"
+    )
+
+
+def intransitive_triads(grid: DataFrame) -> DataFrame:
+    """Preference-consistency audit over the majority directions of a
+    :func:`pairwise_win_grid`: one row with ``n_triads`` (item triples
+    whose three pairwise majorities all exist and are strict),
+    ``n_cyclic`` (those forming a cycle — A beats B beats C beats A),
+    and ``cyclic_pct`` (NULL when no complete triad exists). A high
+    cyclic share means the comparisons are noisy or genuinely
+    multi-dimensional — no scalar Bradley-Terry strength can fit them.
+
+    Tied pairs carry no majority and drop out (their triads are
+    incomplete, not cyclic). Two self-joins over the |items|^2-bounded
+    majority-edge table — triad work is |items|^3-bounded, never
+    corpus-sized."""
+    e = (
+        grid.where(F.col("wins_a") != F.col("wins_b"))
+        .select(
+            F.col("item_a").alias("lo"),
+            F.col("item_b").alias("hi"),
+            # +1: lo beats hi; -1: hi beats lo
+            F.when(F.col("wins_a") > F.col("wins_b"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("dir"),
+        )
+    )
+    e1 = e.select(
+        F.col("lo").alias("i"), F.col("hi").alias("j"), F.col("dir").alias("dij")
+    )
+    e2 = e.select(
+        F.col("lo").alias("j2"), F.col("hi").alias("k"), F.col("dir").alias("djk")
+    )
+    e3 = e.select(
+        F.col("lo").alias("i3"), F.col("hi").alias("k3"), F.col("dir").alias("dik")
+    )
+    tri = (
+        e1.join(e2, F.col("j") == F.col("j2"))
+        .join(e3, (F.col("i") == F.col("i3")) & (F.col("k") == F.col("k3")))
+    )
+    # with i < j < k by construction, the triad is transitive iff the
+    # relation i->j->k->i does NOT cycle; in +-1 direction terms the
+    # cyclic patterns are (i>j, j>k, k>i) = (+1, +1, -1)... expressed
+    # uniformly: cycle iff dij == djk and dik != dij
+    is_cyc = (F.col("dij") == F.col("djk")) & (F.col("dik") != F.col("dij"))
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triads"),
+        # sum over ZERO rows is NULL, not 0 — coalesce so the empty
+        # audit reads (0, 0, NULL)
+        F.coalesce(F.sum(F.when(is_cyc, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_cyclic"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(F.when(is_cyc, 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 100,
+                6,
+            ),
+        ).alias("cyclic_pct"),
+    )
