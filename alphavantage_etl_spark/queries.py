@@ -8185,6 +8185,170 @@ FROM post GROUP BY o_part ORDER BY o_part
 """
 
 
+def _preference_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared X133/X134 fixture: a 16-item arena of pairwise
+    comparisons synthesized from orders — items are key residues, the
+    winner rule plants a strength gradient (higher index wins with
+    probability 0.5 + 0.03*(hi-lo), capped 0.9) through pure integer
+    arithmetic the oracle replays verbatim."""
+    from .operators.preference import pairwise_win_grid
+
+    key = F.col("o_orderkey")
+    cmp_ = (
+        load(spark, sf_dir, "orders")
+        .select(
+            (key % 16).alias("item_a"),
+            ((key / 16).cast("long") % 16).alias("item_b"),
+            (key % 100).alias("h"),
+        )
+        .where(F.col("item_a") != F.col("item_b"))
+    )
+    lo = F.least(F.col("item_a"), F.col("item_b"))
+    hi = F.greatest(F.col("item_a"), F.col("item_b"))
+    thr = F.least(F.lit(50) + (hi - lo) * 3, F.lit(90))
+    hi_wins = F.col("h") < thr
+    a_wins = F.when(F.col("item_a") == hi, hi_wins).otherwise(~hi_wins)
+    return pairwise_win_grid(
+        cmp_.withColumn("a_wins", a_wins), "item_a", "item_b", "a_wins"
+    )
+
+
+_SQL_PREF_GRID = """
+  SELECT least(item_a, item_b) AS item_a,
+         greatest(item_a, item_b) AS item_b,
+         CAST(sum(CASE WHEN lo_wins THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+         CAST(sum(CASE WHEN lo_wins THEN 0 ELSE 1 END) AS BIGINT) AS wins_b
+  FROM (
+    SELECT item_a, item_b,
+           CASE WHEN item_a < item_b THEN a_wins ELSE NOT a_wins END
+             AS lo_wins
+    FROM (
+      SELECT item_a, item_b,
+             CASE WHEN item_a = gr THEN hi_wins ELSE NOT hi_wins END
+               AS a_wins
+      FROM (
+        SELECT item_a, item_b, greatest(item_a, item_b) AS gr,
+               h < least(50 + (greatest(item_a, item_b)
+                               - least(item_a, item_b)) * 3, 90)
+                 AS hi_wins
+        FROM (
+          SELECT o_orderkey % 16 AS item_a,
+                 (o_orderkey // 16) % 16 AS item_b,
+                 o_orderkey % 100 AS h
+          FROM orders) raw
+        WHERE item_a != item_b)))
+  GROUP BY 1, 2
+"""
+
+
+# X133 — Bradley-Terry strengths (r10): the arena-leaderboard fit over
+# pairwise preference data (RLHF reward-model QC) — 10 exact quantized
+# MM iterations over the |items|^2-bounded win grid, state collected +
+# max-normalized driver-side (the O(model) class, power-method
+# precedent). Oracle: DuckDB recursive CTE carrying the strength vector
+# as a LIST column (ONE working-table reference per step), replaying
+# the identical double arithmetic (operators/preference.py).
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.preference import bradley_terry_strengths
+
+    grid = _preference_grid(spark, sf_dir)
+    return bradley_terry_strengths(grid, iters=10).orderBy("item")
+
+
+SQL_BRADLEY_TERRY = f"""
+WITH RECURSIVE
+grid AS ({_SQL_PREF_GRID}),
+g2 AS (
+  SELECT item_a AS a, item_b AS b,
+         CAST(2 * wins_a + 1 AS BIGINT) AS w2a,
+         CAST(2 * wins_b + 1 AS BIGINT) AS w2b
+  FROM grid),
+w AS (
+  SELECT item, CAST(sum(w2) AS BIGINT) AS w2,
+         CAST(sum(pairs) AS BIGINT) AS pairs,
+         CAST(sum(ncmp) AS BIGINT) AS ncmp
+  FROM (
+    SELECT a AS item, w2a AS w2, 1 AS pairs,
+           (w2a + w2b) // 2 - 1 AS ncmp FROM g2
+    UNION ALL
+    SELECT b, w2b, 1, (w2a + w2b) // 2 - 1 FROM g2)
+  GROUP BY item),
+pv(it, p) AS (
+  SELECT 0, (SELECT list(CAST(1000000000 AS BIGINT) ORDER BY item) FROM w)
+  UNION ALL
+  SELECT pv.it + 1,
+         (SELECT list(CAST(round(ratio / m * 1000000000) AS BIGINT)
+                      ORDER BY item)
+          FROM (
+            SELECT item, ratio, max(ratio) OVER () AS m
+            FROM (
+              SELECT d.item,
+                     (CAST(w.w2 AS DOUBLE) / 2.0)
+                       / (CAST(d.den AS DOUBLE) / 1000000.0) AS ratio
+              FROM (
+                SELECT u.item, CAST(sum(u.tq) AS BIGINT) AS den
+                FROM (
+                  SELECT g2.a AS item,
+                         round(CAST(g2.w2a + g2.w2b AS DOUBLE) / 2.0
+                               * 1000000000.0
+                               / (CAST(pv.p[g2.a + 1] AS DOUBLE)
+                                  + CAST(pv.p[g2.b + 1] AS DOUBLE))
+                               * 1000000.0) AS tq
+                  FROM g2
+                  UNION ALL
+                  SELECT g2.b,
+                         round(CAST(g2.w2a + g2.w2b AS DOUBLE) / 2.0
+                               * 1000000000.0
+                               / (CAST(pv.p[g2.a + 1] AS DOUBLE)
+                                  + CAST(pv.p[g2.b + 1] AS DOUBLE))
+                               * 1000000.0)
+                  FROM g2) u
+                GROUP BY u.item) d
+              JOIN w ON w.item = d.item)))
+  FROM pv WHERE pv.it < 10)
+SELECT w.item,
+       CAST(fin.p[w.item + 1] AS BIGINT) AS strength,
+       CAST((w.w2 - w.pairs) // 2 AS BIGINT) AS n_wins,
+       w.ncmp AS n_comparisons
+FROM w CROSS JOIN (SELECT p FROM pv WHERE it = 10) fin
+ORDER BY w.item
+"""
+
+
+# X134 — preference-cycle audit (r10): the share of item triads whose
+# majority directions form a cycle (A beats B beats C beats A) — the
+# "can a scalar reward fit this data" QC beside X133; ties drop out,
+# triad work |items|^3-bounded (operators/preference.py).
+def q_pref_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.preference import intransitive_triads
+
+    return intransitive_triads(_preference_grid(spark, sf_dir))
+
+
+SQL_PREF_CYCLES = f"""
+WITH grid AS ({_SQL_PREF_GRID}),
+e AS (
+  SELECT item_a AS lo, item_b AS hi,
+         CASE WHEN wins_a > wins_b THEN 1 ELSE -1 END AS dir
+  FROM grid WHERE wins_a != wins_b),
+tri AS (
+  SELECT e1.dir AS dij, e2.dir AS djk, e3.dir AS dik
+  FROM e e1
+  JOIN e e2 ON e2.lo = e1.hi
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+SELECT CAST(count(*) AS BIGINT) AS n_triads,
+       CAST(coalesce(sum(CASE WHEN dij = djk AND dik != dij
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_cyclic,
+       CASE WHEN count(*) > 0
+            THEN round(CAST(sum(CASE WHEN dij = djk AND dik != dij
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) * 100, 6)
+       END AS cyclic_pct
+FROM tri
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -8397,6 +8561,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_schema_drift": q_schema_drift,
     "q_upsert_merge": q_upsert_merge,
     "q_cdc_apply": q_cdc_apply,
+    "q_bradley_terry": q_bradley_terry,
+    "q_pref_cycles": q_pref_cycles,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8593,6 +8759,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_schema_drift": SQL_SCHEMA_DRIFT,
     "q_upsert_merge": SQL_UPSERT_MERGE,
     "q_cdc_apply": SQL_CDC_APPLY,
+    "q_bradley_terry": SQL_BRADLEY_TERRY,
+    "q_pref_cycles": SQL_PREF_CYCLES,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "q_schema_drift",
     "q_upsert_merge",
     "q_cdc_apply",
+    "q_bradley_terry",
+    "q_pref_cycles",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

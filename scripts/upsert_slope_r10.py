@@ -127,6 +127,33 @@ def cdc_plan(spark, orders_df):
     )
 
 
+def bt_plan(spark, orders_df):
+    """X133 over the replicated keys: the corpus-width stage is ONE
+    map-side agg onto the 240-cell pair grid; the 10 MM iterations are
+    grid-bounded and data-independent."""
+    from pyspark.sql import functions as F
+
+    from alphavantage_etl_spark.operators.preference import (
+        bradley_terry_strengths,
+        pairwise_win_grid,
+    )
+
+    key = F.col("o_orderkey")
+    cmp_ = orders_df.select(
+        (key % 16).alias("item_a"),
+        ((key / 16).cast("long") % 16).alias("item_b"),
+        (key % 100).alias("h"),
+    ).where(F.col("item_a") != F.col("item_b"))
+    lo = F.least(F.col("item_a"), F.col("item_b"))
+    hi = F.greatest(F.col("item_a"), F.col("item_b"))
+    hi_wins = F.col("h") < F.least(F.lit(50) + (hi - lo) * 3, F.lit(90))
+    a_wins = F.when(F.col("item_a") == hi, hi_wins).otherwise(~hi_wins)
+    grid = pairwise_win_grid(
+        cmp_.withColumn("a_wins", a_wins), "item_a", "item_b", "a_wins"
+    )
+    return bradley_terry_strengths(grid, iters=10)
+
+
 def measure(spark, plan_fn, loader, reps=2):
     best = None
     n_out = None
@@ -160,7 +187,11 @@ def main():
         return spark.read.parquet(WORK)
 
     out = {}
-    for name, plan_fn in [("upsert_merge", merge_plan), ("cdc_apply", cdc_plan)]:
+    for name, plan_fn in [
+        ("upsert_merge", merge_plan),
+        ("cdc_apply", cdc_plan),
+        ("bradley_terry", bt_plan),
+    ]:
         w1, n1 = measure(spark, plan_fn, x1)
         w10, n10 = measure(spark, plan_fn, x10)
         out[name] = {
