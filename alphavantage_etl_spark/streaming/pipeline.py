@@ -1203,9 +1203,13 @@ def fdr_monitor_stream(
     Scale: per batch, ONE map-side-combined aggregation of the batch
     plus a key-grid-bounded merge (the state table is segments, not
     rows) and the bounded BH windows; the driver-side report append is
-    one collect of that same bounded grid. The state parquet rewrite
-    localCheckpoints the merged frame first (parquet overwrite of a
-    path in the plan's own lineage — the r3 signature-index lesson).
+    one collect of that same bounded grid.
+
+    State commits use the versioned batch-id protocol
+    (:func:`_commit_state`): replayed batches report from the
+    already-committed state instead of double-merging, and a crash
+    mid-write cannot corrupt committed counts. Read back with
+    :func:`read_monitor_state`.
     """
     from ..operators.experiment import bh_reject, two_prop_from_counts
 
@@ -1213,30 +1217,37 @@ def fdr_monitor_stream(
     key = F.col(key_col)
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch_df.sparkSession
-        cells = (
-            batch_df.where(key.isNotNull() & flag.isNotNull())
-            .groupBy(key.alias("k"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(flag.cast("long")).alias("pos"),
+        last = _latest_complete_version(state_path)
+        if last is not None and last >= batch_id:
+            # replayed batch: state already includes these rows
+            merged = spark.read.parquet(_state_version_dir(state_path, last))
+        else:
+            cells = (
+                batch_df.where(key.isNotNull() & flag.isNotNull())
+                .groupBy(key.alias("k"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(flag.cast("long")).alias("pos"),
+                )
             )
-        )
-        try:
-            prev = spark.read.parquet(state_path)
-            merged = (
-                prev.unionByName(cells)
-                .groupBy("k")
-                .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+            if last is not None:
+                # a CORRUPT committed version must fail the stream,
+                # never silently reset the counts
+                prev = spark.read.parquet(
+                    _state_version_dir(state_path, last)
+                )
+                merged = (
+                    prev.unionByName(cells)
+                    .groupBy("k")
+                    .agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
+                )
+            else:
+                merged = cells
+            _commit_state(merged, state_path, batch_id)
+            merged = spark.read.parquet(
+                _state_version_dir(state_path, batch_id)
             )
-        except AnalysisException:
-            # first batch only (PATH_NOT_FOUND) — a CORRUPT state file
-            # must fail the stream, never silently reset the counts
-            merged = cells
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_path)
         rej = bh_reject(
             two_prop_from_counts(merged, "k", "n", "pos"),
             "k",

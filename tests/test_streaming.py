@@ -1020,7 +1020,10 @@ def test_fdr_monitor_stream_matches_batch_and_restarts(spark, tmp_path):
         bh_reject,
         two_prop_scan,
     )
-    from alphavantage_etl_spark.streaming.pipeline import fdr_monitor_stream
+    from alphavantage_etl_spark.streaming.pipeline import (
+        fdr_monitor_stream,
+        read_monitor_state,
+    )
 
     ev = load(spark, SF_SMALL, "events").select("event_type", "value")
     rows = ev.select(
@@ -1057,15 +1060,17 @@ def test_fdr_monitor_stream_matches_batch_and_restarts(spark, tmp_path):
     drain()  # restart: cumulative counts reload from the state parquet
 
     # final cumulative state must equal the batch scan's counts
-    got_state = sorted(
-        (r["k"], r["n"], r["pos"])
-        for r in spark.read.parquet(state).collect()
-    )
+    def got_state():
+        return sorted(
+            (r["k"], r["n"], r["pos"])
+            for r in read_monitor_state(spark, state).collect()
+        )
+
     want_counts = sorted(
         (r["k"], r["n"], r["pos"])
         for r in two_prop_scan(rows, "k", "f").collect()
     )
-    assert got_state == want_counts and len(got_state) > 0
+    assert got_state() == want_counts and len(want_counts) > 0
 
     # final rejection table must equal the batch BH table
     want_rej = sorted(
@@ -1077,6 +1082,23 @@ def test_fdr_monitor_stream_matches_batch_and_restarts(spark, tmp_path):
     )
     assert reports[-1]["rejected"] == want_rej
     assert len(reports) >= 2
+
+    # replay injection (delete the last checkpoint commit + its crc
+    # sidecar -> the engine re-runs the final batch with the same
+    # offsets): the versioned batch-id protocol must skip the re-merge
+    # (no double count) and re-report the same rejections
+    import os
+
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    assert got_state() == want_counts
+    assert reports[-1]["rejected"] == want_rej
 
 
 def test_cm_sketch_stream_matches_batch_and_restarts(spark, tmp_path):
