@@ -757,9 +757,9 @@ def drift_monitor_stream(
         if not ok:
             if quarantine_path is None:
                 raise DriftError(psi, report)
-            batch_df.write.mode("append").parquet(quarantine_path)
+            _append_batch(batch_df, quarantine_path, batch_id)
             return
-        batch_df.write.mode("append").parquet(sink_path)
+        _append_batch(batch_df, sink_path, batch_id)
 
     q_ = (
         stream_df.writeStream.foreachBatch(monitor)
@@ -798,7 +798,7 @@ def enrichment_stream(
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         out = scd2_lookup(batch_df, dim, key_col, ts_col)
-        out.write.mode("append").parquet(sink_path)
+        _append_batch(out, sink_path, batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(enrich)
@@ -903,9 +903,9 @@ def oov_monitor_stream(
         if not ok:
             if quarantine_path is None:
                 raise OOVError(rate, report)
-            batch_df.write.mode("append").parquet(quarantine_path)
+            _append_batch(batch_df, quarantine_path, batch_id)
             return
-        batch_df.write.mode("append").parquet(sink_path)
+        _append_batch(batch_df, sink_path, batch_id)
 
     q_ = (
         stream_df.writeStream.foreachBatch(monitor)
@@ -1272,6 +1272,21 @@ def fdr_monitor_stream(
     )
     qr.awaitTermination()
     return qr
+
+
+def _append_batch(df: DataFrame, base_path: str, batch_id: int) -> None:
+    """Replay-idempotent foreachBatch file append: each batch writes its
+    OWN ``batch_id=N`` partition directory with overwrite semantics, so
+    a replayed batch (foreachBatch is at-least-once) rewrites the same
+    files instead of appending duplicates, and a crash mid-write is
+    cleaned up by the replay's overwrite. Readers see one extra
+    ``batch_id`` partition column via standard partition discovery —
+    the delivery provenance, free. A plain ``mode("append")`` sink
+    cannot be made exactly-once (its files are not addressable by
+    batch)."""
+    df.write.mode("overwrite").parquet(
+        f"{base_path}/batch_id={int(batch_id)}"
+    )
 
 
 def _state_version_dir(state_path: str, batch_id: int) -> str:

@@ -700,6 +700,22 @@ def test_drift_monitor_stream_quarantines_shifted_batch(spark, tmp_path):
     assert len(reports) == 3 and reports[2]["ok"]
     assert spark.read.parquet(sink).count() == 350
 
+    # replay injection (delete the last checkpoint commit + crc): the
+    # batch-dir sink must OVERWRITE its own batch instead of appending
+    # duplicates — exactly-once for the file sink under at-least-once
+    # foreachBatch delivery
+    import os
+
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain(reports)
+    assert spark.read.parquet(sink).count() == 350  # no duplicates
+
 
 def test_drift_monitor_stream_rejects_unfittable_baseline(spark, tmp_path):
     """An empty or all-NULL baseline cannot yield bin edges — the stream
