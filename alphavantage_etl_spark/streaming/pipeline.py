@@ -1529,3 +1529,130 @@ def domain_cap_monitor_stream(
     )
     q.awaitTermination()
     return q
+
+
+def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Current contents of a :func:`cdc_apply_stream` table: the union of
+    every partition directory's latest batch-complete version, or
+    ``None`` before the first commit. One multi-path parquet read — the
+    partition value is stored as a REGULAR column in the files (the
+    directory layout is a commit-protocol detail, not Hive partitioning,
+    so a half-written version can never leak into reads)."""
+    import os
+
+    try:
+        parts = [
+            e
+            for e in os.listdir(table_path)
+            if os.path.isdir(os.path.join(table_path, e))
+        ]
+    except FileNotFoundError:
+        return None
+    dirs = []
+    for p in parts:
+        b = _latest_complete_version(os.path.join(table_path, p))
+        if b is not None:
+            dirs.append(
+                _state_version_dir(os.path.join(table_path, p), b)
+            )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def cdc_apply_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    partition_col: str,
+    table_path: str,
+    checkpoint: str,
+):
+    """Streaming twin of X132 — the lakehouse ``APPLY CHANGES INTO``: a
+    live changelog stream (row images + I/U/D op + monotone sequence)
+    continuously maintained as a keyed table on disk, with the three
+    guarantees the batch operator cannot give alone:
+
+    * **partition-scoped rewrites** — each micro-batch rewrites ONLY the
+      partitions its events touch (the driver loops over the batch's
+      touched partition values, bounded by arrival patterns, one
+      partition-sized job each); a 10^5-partition table absorbing a
+      batch that touches 3 partitions does 3 partition-sized rewrites,
+      the file-pruning behavior a table format's MERGE gives;
+    * **replay idempotency** — every partition directory is its own
+      versioned state (``part/v{batch_id}`` + ``_SUCCESS``, the
+      :func:`_commit_state` protocol): a replayed batch skips
+      partitions whose latest version already covers it, so
+      at-least-once foreachBatch delivery never double-applies and a
+      crash between partition commits resumes exactly where it stopped
+      (already-committed partitions skip, the rest apply);
+    * **out-of-order protection** — the table carries ``_cdc_seq`` (the
+      sequence that produced each row); an arriving event older than
+      its key's applied sequence is DROPPED (the Delta APPLY CHANGES
+      sequencing rule), so a late replayed shard cannot regress a row.
+
+    Within a batch, net-effect reduction is the X132 ``max_by``
+    discipline (no window, no per-key sort); duplicate (key, seq)
+    events raise through :func:`operators.evolution.apply_changelog`'s
+    sibling guard semantics (same composite construction). Read the
+    table back with :func:`read_cdc_table`. Parity: the final table
+    equals batch ``apply_changelog`` over the full ordered log —
+    asserted by the restart test.
+    """
+    import os
+
+    from ..operators.evolution import apply_changelog
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        touched = [
+            r["p"]
+            for r in batch_df.select(
+                F.col(partition_col).alias("p")
+            ).distinct().collect()
+        ]
+        for p in sorted(touched, key=lambda v: (v is None, str(v))):
+            pdir = os.path.join(table_path, f"p_{p}")
+            last = _latest_complete_version(pdir)
+            if last is not None and last >= batch_id:
+                # replayed batch: this partition already committed
+                continue
+            ev = batch_df.where(
+                F.col(partition_col).eqNullSafe(F.lit(p))
+            )
+            if last is not None:
+                cur = spark.read.parquet(_state_version_dir(pdir, last))
+                # sequencing rule: drop events at-or-below the key's
+                # applied sequence (a late shard cannot regress a row)
+                applied = cur.select(
+                    *key_cols, F.col("_cdc_seq").alias("__applied")
+                )
+                ev = ev.join(applied, on=key_cols, how="left").where(
+                    F.col("__applied").isNull()
+                    | (F.col(seq_col) > F.col("__applied"))
+                ).drop("__applied")
+            else:
+                cur = (
+                    spark.createDataFrame([], batch_df.schema)
+                    .drop(op_col)
+                    .withColumnRenamed(seq_col, "_cdc_seq")
+                )
+            new_state = apply_changelog(
+                cur,
+                ev.withColumn("_cdc_seq", F.col(seq_col)),
+                key_cols,
+                seq_col,
+                op_col,
+            )
+            _commit_state(new_state, pdir, batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1348,3 +1348,87 @@ def test_domain_cap_monitor_stream_matches_batch_and_restarts(
     # over-cap list than the final cumulative one unless all domains
     # tripped immediately — sanity that reports are per-batch snapshots
     assert reports[0]["batch_id"] == 0
+
+
+def test_cdc_apply_stream_partition_scoped_and_replay_safe(spark, tmp_path):
+    """X135 streaming APPLY CHANGES INTO: a changelog stream maintained
+    as a keyed on-disk table. Asserts (a) final table equals the
+    latest-event-per-key reduction of the full ordered log, (b) a
+    partition untouched by a batch keeps its old version directory
+    (partition-scoped rewrite), (c) a stale event (seq at-or-below the
+    key's applied seq) is dropped, and (d) an injected replay of the
+    final batch leaves the table unchanged."""
+    import glob
+    import os
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        cdc_apply_stream,
+        read_cdc_table,
+    )
+
+    in_dir = tmp_path / "cdc_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "ckpt_cdc")
+    schema = "k long, v double, part long, seq long, op string"
+
+    def land(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        cdc_apply_stream(
+            stream, ["k"], "seq", "op", "part", table, ckpt
+        )
+
+    # batch 0: inserts across two partitions, one same-batch churn key
+    land(
+        [
+            (1, 10.0, 0, 1, "I"),
+            (2, 20.0, 0, 2, "I"),
+            (3, 30.0, 1, 3, "I"),
+            (3, 33.0, 1, 4, "U"),   # same-batch churn: seq 4 wins
+        ],
+        "b0",
+    )
+    drain()
+    t0 = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
+    assert t0 == {1: (10.0, 1), 2: (20.0, 2), 3: (33.0, 4)}
+
+    # batch 1 (after restart): touches ONLY partition 0 — update k=1,
+    # delete k=2, insert k=9; plus a STALE event for k=1 (seq 0 < 1)
+    land(
+        [
+            (1, 11.0, 0, 5, "U"),
+            (1, -99.0, 0, 0, "U"),  # stale: must not regress k=1
+            (2, 0.0, 0, 6, "D"),
+            (9, 90.0, 0, 7, "I"),
+        ],
+        "b1",
+    )
+    drain()
+    got = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
+    assert got == {1: (11.0, 5), 3: (33.0, 4), 9: (90.0, 7)}
+    # partition 1 untouched by batch 1: still at its v0 commit
+    assert sorted(os.listdir(f"{table}/p_1")) == ["v0"]
+    assert sorted(os.listdir(f"{table}/p_0")) == ["v1"]
+
+    # replay injection: delete the last checkpoint commit (+crc) so the
+    # engine re-runs batch 1 — per-partition versioning must skip it
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    got2 = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
+    assert got2 == got
+    assert sorted(os.listdir(f"{table}/p_0")) == ["v1"]  # no re-commit
