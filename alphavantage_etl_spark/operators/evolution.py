@@ -65,6 +65,15 @@ def _plan_conformance(
     bad = [o for o, n in renames.items() if n not in {f.name for f in struct.fields}]
     if bad:
         raise ValueError(f"renames map to columns absent from the target: {bad}")
+    targets = list(renames.values())
+    dupes = sorted({t for t in targets if targets.count(t) > 1})
+    if dupes:
+        # two sources claiming one target is an ambiguous policy — the
+        # silent alternative (last-writer wins, loser dropped as
+        # 'extra') hides a data-loss decision nobody reviewed
+        raise ValueError(
+            f"renames map multiple source columns to the same target: {dupes}"
+        )
     have = {f.name: f.dataType for f in df.schema.fields}
     by_new = {n: o for o, n in renames.items()}
     plan: list[tuple[str, str | None, str, T.DataType]] = []
@@ -197,6 +206,19 @@ def upsert_merge(
     touched-partition values routes them straight to the output — the
     logical analog of a lakehouse MERGE rewriting only touched files,
     and the plan partition pruning eliminates at the scan.
+
+    Partition-scoped PRECONDITION: ``partition_col`` must be immutable
+    per key (the standard partition-pruned MERGE contract — partition
+    by a function of the key, e.g. creation date). A source row that
+    moved a key to a different partition would leave the old row
+    untouched in its unvisited partition while inserting the new one —
+    a silent duplicate. Detecting that requires reading target
+    partitions the source does NOT touch, which is exactly the work
+    partition scoping exists to skip — so the condition is a declared
+    constraint, not an in-plan guard. Callers unsure of their layout
+    should run :func:`validate_partition_stability` (one key-level
+    pass) or use ``partition_col=None`` (one global anti-join, handles
+    cross-partition moves correctly).
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
@@ -234,6 +256,33 @@ def upsert_merge(
     return untouched.unionByName(kept).unionByName(surviving)
 
 
+def validate_partition_stability(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> DataFrame:
+    """Violations of the partition-scoped MERGE precondition: source
+    rows whose key exists in the target under a DIFFERENT
+    ``partition_col`` value. Returns the violating keys with both
+    partition values (empty = safe to use ``upsert_merge(...,
+    partition_col=...)``). One key-level inner join — the full-target
+    pass the partition-scoped merge itself deliberately skips; run it
+    when the layout's key->partition immutability is not known by
+    construction."""
+    t = target_df.select(
+        *key_cols, F.col(partition_col).alias("target_part")
+    )
+    s = source_df.select(
+        *key_cols, F.col(partition_col).alias("source_part")
+    )
+    return (
+        s.join(t, on=key_cols)
+        .where(~F.col("source_part").eqNullSafe(F.col("target_part")))
+        .select(*key_cols, "target_part", "source_part")
+    )
+
+
 def apply_changelog(
     target_df: DataFrame,
     changes_df: DataFrame,
@@ -264,6 +313,30 @@ def apply_changelog(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    net = _net_changes(changes_df, key_cols, seq_col, op_col)
+    net_keys = net.select(*key_cols)
+    upserts = (
+        net.where(F.col("__op") != "D")
+        .select(*key_cols, "__row.*")
+        .select(*target_df.columns)
+    )
+    kept = target_df.join(net_keys, on=key_cols, how="left_anti")
+    return kept.unionByName(upserts)
+
+
+def _net_changes(
+    changes_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """Net-effect reduction shared by :func:`apply_changelog` (batch)
+    and the streaming CDC apply: one row per key with the winning
+    event's payload as struct ``__row``, its op as ``__op``, and its
+    ORIGINAL sequence (nullable) as ``__seq`` — via one
+    map-side-combinable ``max_by`` on (coalesced sequence, op-rank).
+    Carries the in-plan corruption guards: duplicate (key, seq), more
+    than one NULL-seq event per key, unknown op codes."""
     ops = {"I": 1, "U": 1, "D": 0}
     op_rank = F.when(F.col(op_col).isin(list(ops)), F.lit(1)).otherwise(
         F.assert_true(
@@ -287,13 +360,14 @@ def apply_changelog(
         ).alias("s"),
         op_rank.alias("r"),
     )
-    net = (
+    return (
         changes_df.groupBy(*key_cols)
         .agg(
             F.max_by(
                 F.struct(*[F.col(c).alias(c) for c in payload]), ordkey
             ).alias("__row"),
             F.max_by(F.col(op_col), ordkey).alias("__op"),
+            F.max_by(F.col(seq_col).cast("long"), ordkey).alias("__seq"),
             F.sum(
                 F.when(F.col(seq_col).isNull(), F.lit(1)).otherwise(F.lit(0))
             ).alias("__null_seq"),
@@ -312,12 +386,5 @@ def apply_changelog(
             ),
         )
         .where(F.col("__dup_guard").isNull())
+        .drop("__null_seq", "__n", "__n_seq", "__dup_guard")
     )
-    net_keys = net.select(*key_cols)
-    upserts = (
-        net.where(F.col("__op") != "D")
-        .select(*key_cols, "__row.*")
-        .select(*target_df.columns)
-    )
-    kept = target_df.join(net_keys, on=key_cols, how="left_anti")
-    return kept.unionByName(upserts)

@@ -45,16 +45,19 @@ def pairwise_win_grid(
     """Aggregate raw comparisons to the canonical pair grid: one row per
     unordered item pair (``item_a < item_b``) with exact integer
     ``wins_a`` / ``wins_b``. One map-side-combinable aggregation on the
-    pair key; output bounded at |items|^2. Self-comparisons are
-    dropped; a NULL outcome is dropped (an unjudged comparison is not
-    evidence for either side)."""
-    a = F.col(a_col).cast("long")
-    b = F.col(b_col).cast("long")
+    pair key; output bounded at |items|^2. Item ids keep their source
+    type (numeric ids and string model/annotator names both work — no
+    silent cast). Dropped, each deliberately: self-comparisons, NULL
+    outcomes (an unjudged comparison is not evidence for either side),
+    and NULL item ids (an unattributable side cannot be ranked)."""
+    a = F.col(a_col)
+    b = F.col(b_col)
     win_a = F.col(a_wins_col).cast("boolean")
     lo, hi = F.least(a, b), F.greatest(a, b)
     lo_wins = F.when(a < b, win_a).otherwise(~win_a)
     return (
-        df.where(a != b)
+        df.where(a.isNotNull() & b.isNotNull())
+        .where(a != b)
         .where(win_a.isNotNull())
         .select(
             lo.alias("item_a"),
@@ -104,6 +107,17 @@ def bradley_terry_strengths(
         # half-even and would diverge on exact .5 ties
         return int(math.copysign(math.floor(abs(x) + 0.5), x))
 
+    from pyspark.sql import types as T
+
+    item_type = grid.schema["item_a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("item", item_type),
+            T.StructField("strength", T.LongType()),
+            T.StructField("n_wins", T.LongType()),
+            T.StructField("n_comparisons", T.LongType()),
+        ]
+    )
     g = (
         grid.select(
             "item_a",
@@ -114,26 +128,47 @@ def bradley_terry_strengths(
         )
         .localCheckpoint()
     )
-    rows = g.select("item_a", "item_b", "w2a", "w2b").collect()
-    if not rows:
-        return grid.sparkSession.createDataFrame(
-            [], "item long, strength long, n_wins long, n_comparisons long"
+    # exact doubled win totals, pair counts, and comparison counts per
+    # item via ONE distributed agg — the collect is |items| rows (the
+    # O(model) class), never the |items|^2 grid
+    ncmp_row = ((F.col("w2a") + F.col("w2b")) / 2 - 1).cast("long")
+    side = F.explode(
+        F.array(
+            F.struct(
+                F.col("item_a").alias("item"),
+                F.col("w2a").alias("w2"),
+                ncmp_row.alias("nc"),
+            ),
+            F.struct(
+                F.col("item_b").alias("item"),
+                F.col("w2b").alias("w2"),
+                ncmp_row.alias("nc"),
+            ),
         )
-    # exact doubled win totals and comparison counts per item (driver
-    # side over the bounded grid — |items|^2 rows max)
-    w2: dict[int, int] = {}
-    ncmp: dict[int, int] = {}
-    for r in rows:
-        for item, w in ((r["item_a"], r["w2a"]), (r["item_b"], r["w2b"])):
-            w2[item] = w2.get(item, 0) + w
-            ncmp[item] = ncmp.get(item, 0) + (r["w2a"] + r["w2b"]) // 2 - 1
+    )
+    totals = (
+        g.select(side.alias("e"))
+        .select("e.item", "e.w2", "e.nc")
+        .groupBy("item")
+        .agg(
+            F.sum("w2").alias("w2"),
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum("nc").alias("ncmp"),
+        )
+        .collect()
+    )
+    if not totals:
+        return grid.sparkSession.createDataFrame([], out_schema)
+    w2 = {r["item"]: int(r["w2"]) for r in totals}
+    ncmp = {r["item"]: int(r["ncmp"]) for r in totals}
+    pairs_of = {r["item"]: int(r["pairs"]) for r in totals}
     items = sorted(w2)
     p = {i: _SCALE for i in items}
 
     n2 = (F.col("w2a") + F.col("w2b")).cast("double")  # 2*(n_ij + 1)
     for _ in range(iters):
         arr = F.map_from_arrays(
-            F.array(*[F.lit(int(i)) for i in items]),
+            F.array(*[F.lit(i) for i in items]),
             F.array(*[F.lit(int(p[i])) for i in items]),
         )
         pa = F.element_at(arr, F.col("item_a")).cast("double")
@@ -169,17 +204,10 @@ def bradley_terry_strengths(
         p = {i: away_round(ratio[i] / m * _SCALE) for i in items}
 
     # n_wins = (w2 - #pairs_with_i) / 2 : remove the pseudo half-wins
-    pairs_of = {i: 0 for i in items}
-    for r in rows:
-        pairs_of[r["item_a"]] += 1
-        pairs_of[r["item_b"]] += 1
     out = [
-        (int(i), int(p[i]), (w2[i] - pairs_of[i]) // 2, ncmp[i])
-        for i in items
+        (i, int(p[i]), (w2[i] - pairs_of[i]) // 2, ncmp[i]) for i in items
     ]
-    return grid.sparkSession.createDataFrame(
-        out, "item long, strength long, n_wins long, n_comparisons long"
-    )
+    return grid.sparkSession.createDataFrame(out, out_schema)
 
 
 def intransitive_triads(grid: DataFrame) -> DataFrame:

@@ -1218,7 +1218,7 @@ def fdr_monitor_stream(
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = _latest_complete_version(state_path)
+        last = _latest_complete_version(spark, state_path)
         if last is not None and last >= batch_id:
             # replayed batch: state already includes these rows
             merged = spark.read.parquet(_state_version_dir(state_path, last))
@@ -1276,40 +1276,66 @@ def fdr_monitor_stream(
 
 def _append_batch(df: DataFrame, base_path: str, batch_id: int) -> None:
     """Replay-idempotent foreachBatch file append: each batch writes its
-    OWN ``batch_id=N`` partition directory with overwrite semantics, so
-    a replayed batch (foreachBatch is at-least-once) rewrites the same
-    files instead of appending duplicates, and a crash mid-write is
-    cleaned up by the replay's overwrite. Readers see one extra
-    ``batch_id`` partition column via standard partition discovery —
-    the delivery provenance, free. A plain ``mode("append")`` sink
-    cannot be made exactly-once (its files are not addressable by
-    batch)."""
+    OWN ``ingest_batch_id=N`` partition directory with overwrite
+    semantics, so a replayed batch (foreachBatch is at-least-once)
+    rewrites the same files instead of appending duplicates, and a
+    crash mid-write is cleaned up by the replay's overwrite. Readers
+    see one extra ``ingest_batch_id`` partition column via standard
+    partition discovery — the delivery provenance, free. A plain
+    ``mode("append")`` sink cannot be made exactly-once (its files are
+    not addressable by batch). A data column named ``ingest_batch_id``
+    would collide with the discovered partition column, so that is
+    rejected loudly."""
+    if "ingest_batch_id" in df.columns:
+        raise ValueError(
+            "_append_batch: the frame already has an 'ingest_batch_id' "
+            "column — it would collide with the sink's partition column"
+        )
     df.write.mode("overwrite").parquet(
-        f"{base_path}/batch_id={int(batch_id)}"
+        f"{base_path}/ingest_batch_id={int(batch_id)}"
     )
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` through the session's Hadoop
+    configuration — the same resolution Spark's own writers use, so the
+    versioned-state protocol below works on any supported filesystem
+    (local, HDFS, s3a, ...), not just the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+_COMMIT_MARKER = "_GRAFT_COMMITTED"
+
+
 def _state_version_dir(state_path: str, batch_id: int) -> str:
-    import os
-
-    return os.path.join(state_path, f"v{batch_id}")
+    return f"{state_path}/v{batch_id}"
 
 
-def _latest_complete_version(state_path: str) -> int | None:
-    """Largest batch id whose state version directory carries Spark's
-    ``_SUCCESS`` commit marker (a crash mid-write leaves no marker, so
-    partial versions are invisible to readers and replays)."""
-    import os
-
-    try:
-        entries = os.listdir(state_path)
-    except FileNotFoundError:
+def _latest_complete_version(
+    spark: SparkSession, state_path: str
+) -> int | None:
+    """Largest batch id whose state version directory carries the
+    protocol's OWN commit marker (written by :func:`_commit_state`
+    after the parquet write returns — independent of whether the
+    cluster's output committer writes ``_SUCCESS`` files, which S3
+    committers often disable). A crash mid-write leaves no marker, so
+    partial versions are invisible to readers and replays."""
+    fs, hpath = _hadoop_fs(spark, state_path)
+    if not fs.exists(hpath):
         return None
+    jvm = spark._jvm
     best = None
-    for e in entries:
-        if e.startswith("v") and e[1:].isdigit():
-            if os.path.exists(os.path.join(state_path, e, "_SUCCESS")):
-                b = int(e[1:])
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            marker = jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), _COMMIT_MARKER
+            )
+            if fs.exists(marker):
+                b = int(name[1:])
                 if best is None or b > best:
                     best = b
     return best
@@ -1320,7 +1346,7 @@ def read_monitor_state(spark: SparkSession, state_path: str) -> DataFrame | None
     batch-complete version under ``state_path``), or ``None`` before the
     first complete commit. The public read side of the versioned-state
     protocol below."""
-    b = _latest_complete_version(state_path)
+    b = _latest_complete_version(spark, state_path)
     if b is None:
         return None
     return spark.read.parquet(_state_version_dir(state_path, b))
@@ -1335,28 +1361,36 @@ def _commit_state(merged: DataFrame, state_path: str, batch_id: int) -> None:
     at-least-once, the SINK must dedup on batch_id):
       * each batch writes a NEW directory named by its batch_id, so the
         previous version is never touched — a crash mid-write cannot
-        corrupt or lose committed state (the partial dir has no
-        ``_SUCCESS`` marker and is ignored, then overwritten on replay);
+        corrupt or lose committed state (the partial dir has no commit
+        marker and is ignored, then overwritten on replay);
+      * the commit marker is this protocol's own zero-byte file,
+        created AFTER the parquet write returns — correctness does not
+        depend on the cluster's committer writing ``_SUCCESS``;
       * a replayed batch (crash AFTER the state commit but BEFORE the
         checkpoint commit) finds ``latest >= batch_id`` and skips the
         merge — no double count;
-      * versions below the committed one are pruned after the commit
-        (driver-side fs ops; on HDFS/S3 the same protocol runs through
-        the Hadoop FileSystem API).
+      * versions below the committed one are pruned after the commit.
+    All fs operations go through the Hadoop FileSystem API resolved
+    from the session configuration, so the protocol runs unchanged on
+    local disk, HDFS, or object stores.
 
     Writing to a fresh path also means the merged plan may read the
     previous version lazily — no localCheckpoint needed (the
     parquet-overwrite-own-lineage rule only bites same-path rewrites).
     """
-    import os
-    import shutil
-
-    merged.write.mode("overwrite").parquet(
-        _state_version_dir(state_path, batch_id)
-    )
-    for e in os.listdir(state_path):
-        if e.startswith("v") and e[1:].isdigit() and int(e[1:]) < batch_id:
-            shutil.rmtree(os.path.join(state_path, e), ignore_errors=True)
+    spark = merged.sparkSession
+    vdir = _state_version_dir(state_path, batch_id)
+    merged.write.mode("overwrite").parquet(vdir)
+    fs, _ = _hadoop_fs(spark, state_path)
+    jvm = spark._jvm
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_COMMIT_MARKER}"), True
+    ).close()
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < batch_id:
+            fs.delete(st.getPath(), True)
 
 
 def cm_sketch_stream(
@@ -1395,7 +1429,7 @@ def cm_sketch_stream(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = _latest_complete_version(state_path)
+        last = _latest_complete_version(spark, state_path)
         if last is not None and last >= batch_id:
             # replayed batch: the state commit for this batch_id already
             # landed (the crash was between state commit and checkpoint
@@ -1471,7 +1505,7 @@ def domain_cap_monitor_stream(
 
     def monitor(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = _latest_complete_version(state_path)
+        last = _latest_complete_version(spark, state_path)
         if last is not None and last >= batch_id:
             # replayed batch: state already includes these rows — report
             # from the committed version, never re-merge
@@ -1531,33 +1565,50 @@ def domain_cap_monitor_stream(
     return q
 
 
-def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """Current contents of a :func:`cdc_apply_stream` table: the union of
-    every partition directory's latest batch-complete version, or
-    ``None`` before the first commit. One multi-path parquet read — the
-    partition value is stored as a REGULAR column in the files (the
-    directory layout is a commit-protocol detail, not Hive partitioning,
-    so a half-written version can never leak into reads)."""
-    import os
+def _part_dir_name(p) -> str:
+    """Filesystem-safe, collision-free directory name for a partition
+    value: plain alphanumeric values keep a readable ``p-<value>`` form,
+    anything else (path separators, spaces, unicode) becomes
+    ``px-<hex(utf8)>`` — distinct prefixes, so a sanitized name can
+    never collide with a literal one. NULL partitions get their own
+    ``p-null`` marker (the literal string "null" hex-encodes, so no
+    clash). The partition VALUE itself is stored as a regular column in
+    the data files — the directory name is only a commit-protocol
+    address."""
+    import re
 
-    try:
-        parts = [
-            e
-            for e in os.listdir(table_path)
-            if os.path.isdir(os.path.join(table_path, e))
-        ]
-    except FileNotFoundError:
+    if p is None:
+        return "p-null"
+    s = str(p)
+    if re.fullmatch(r"[A-Za-z0-9_.\-]+", s) and s != "null":
+        return f"p-{s}"
+    return "px-" + s.encode("utf-8").hex()
+
+
+def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """Current LIVE contents of a :func:`cdc_apply_stream` table: the
+    union of every partition directory's latest batch-complete version,
+    with delete tombstones filtered out; ``None`` before the first
+    commit. One multi-path parquet read — the partition value is stored
+    as a REGULAR column in the files (the directory layout is a
+    commit-protocol detail, not Hive partitioning, so a half-written
+    version can never leak into reads). Pass ``with_tombstones=True``
+    for the raw state including deleted keys' tombstones."""
+    fs, root = _hadoop_fs(spark, table_path)
+    if not fs.exists(root):
         return None
     dirs = []
-    for p in parts:
-        b = _latest_complete_version(os.path.join(table_path, p))
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        pdir = f"{table_path}/{st.getPath().getName()}"
+        b = _latest_complete_version(spark, pdir)
         if b is not None:
-            dirs.append(
-                _state_version_dir(os.path.join(table_path, p), b)
-            )
+            dirs.append(_state_version_dir(pdir, b))
     if not dirs:
         return None
-    return spark.read.parquet(*dirs)
+    raw = spark.read.parquet(*dirs)
+    return raw.where(~F.col("_cdc_deleted")).drop("_cdc_deleted")
 
 
 def cdc_apply_stream(
@@ -1571,7 +1622,7 @@ def cdc_apply_stream(
 ):
     """Streaming twin of X132 — the lakehouse ``APPLY CHANGES INTO``: a
     live changelog stream (row images + I/U/D op + monotone sequence)
-    continuously maintained as a keyed table on disk, with the three
+    continuously maintained as a keyed table on disk, with the
     guarantees the batch operator cannot give alone:
 
     * **partition-scoped rewrites** — each micro-batch rewrites ONLY the
@@ -1579,34 +1630,45 @@ def cdc_apply_stream(
       touched partition values, bounded by arrival patterns, one
       partition-sized job each); a 10^5-partition table absorbing a
       batch that touches 3 partitions does 3 partition-sized rewrites,
-      the file-pruning behavior a table format's MERGE gives;
+      the file-pruning behavior a table format's MERGE gives. Partition
+      directory names are sanitized (:func:`_part_dir_name`) so string
+      partition values with path separators address one directory.
     * **replay idempotency** — every partition directory is its own
-      versioned state (``part/v{batch_id}`` + ``_SUCCESS``, the
+      versioned state (``part/v{batch_id}`` + commit marker, the
       :func:`_commit_state` protocol): a replayed batch skips
       partitions whose latest version already covers it, so
       at-least-once foreachBatch delivery never double-applies and a
       crash between partition commits resumes exactly where it stopped
       (already-committed partitions skip, the rest apply);
-    * **out-of-order protection** — the table carries ``_cdc_seq`` (the
-      sequence that produced each row); an arriving event older than
-      its key's applied sequence is DROPPED (the Delta APPLY CHANGES
-      sequencing rule), so a late replayed shard cannot regress a row.
+    * **out-of-order protection with DELETE TOMBSTONES** — the state
+      keeps every key's latest event, including deletes, as
+      (``_cdc_seq``, ``_cdc_deleted``): an arriving event at-or-below
+      its key's applied sequence is DROPPED even when that key is
+      deleted (without the tombstone, a late pre-delete shard would
+      silently resurrect the row — the regression the Delta APPLY
+      CHANGES sequencing rule exists to stop). NULL-sequence events
+      rank below every dated one (the batch operator's sentinel rule),
+      so an undated event never displaces applied state. Tombstone
+      retention is the caller's GC policy — prune by ``_cdc_seq``
+      horizon once the changelog's lateness bound has passed.
 
     Within a batch, net-effect reduction is the X132 ``max_by``
-    discipline (no window, no per-key sort); duplicate (key, seq)
-    events raise through :func:`operators.evolution.apply_changelog`'s
-    sibling guard semantics (same composite construction). Read the
-    table back with :func:`read_cdc_table`. Parity: the final table
-    equals batch ``apply_changelog`` over the full ordered log —
-    asserted by the restart test.
+    discipline via the shared :func:`operators.evolution._net_changes`
+    (no window, no per-key sort; duplicate (key, seq) raises in-plan).
+    Read the live table back with :func:`read_cdc_table`. Parity: the
+    live table equals batch ``apply_changelog`` over the full ordered
+    log — asserted by the restart test.
     """
-    import os
+    from ..operators.evolution import _net_changes
 
-    from ..operators.evolution import apply_changelog
+    min_long = -(2**63)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
+        payload_cols = [
+            c for c in batch_df.columns if c not in (seq_col, op_col)
+        ]
         touched = [
             r["p"]
             for r in batch_df.select(
@@ -1614,8 +1676,8 @@ def cdc_apply_stream(
             ).distinct().collect()
         ]
         for p in sorted(touched, key=lambda v: (v is None, str(v))):
-            pdir = os.path.join(table_path, f"p_{p}")
-            last = _latest_complete_version(pdir)
+            pdir = f"{table_path}/{_part_dir_name(p)}"
+            last = _latest_complete_version(spark, pdir)
             if last is not None and last >= batch_id:
                 # replayed batch: this partition already committed
                 continue
@@ -1625,27 +1687,48 @@ def cdc_apply_stream(
             if last is not None:
                 cur = spark.read.parquet(_state_version_dir(pdir, last))
                 # sequencing rule: drop events at-or-below the key's
-                # applied sequence (a late shard cannot regress a row)
+                # applied sequence — tombstones included, so a late
+                # pre-delete shard cannot resurrect a deleted key; a
+                # NULL event sequence ranks below everything applied
                 applied = cur.select(
-                    *key_cols, F.col("_cdc_seq").alias("__applied")
+                    *key_cols,
+                    F.coalesce(
+                        F.col("_cdc_seq").cast("long"), F.lit(min_long)
+                    ).alias("__applied"),
                 )
-                ev = ev.join(applied, on=key_cols, how="left").where(
-                    F.col("__applied").isNull()
-                    | (F.col(seq_col) > F.col("__applied"))
-                ).drop("__applied")
+                ev = (
+                    ev.join(applied, on=key_cols, how="left")
+                    .where(
+                        F.col("__applied").isNull()
+                        | (
+                            F.coalesce(
+                                F.col(seq_col).cast("long"),
+                                F.lit(min_long),
+                            )
+                            > F.col("__applied")
+                        )
+                    )
+                    .drop("__applied")
+                )
             else:
-                cur = (
-                    spark.createDataFrame([], batch_df.schema)
-                    .drop(op_col)
-                    .withColumnRenamed(seq_col, "_cdc_seq")
+                cur = spark.createDataFrame(
+                    [],
+                    batch_df.select(
+                        *payload_cols,
+                        F.col(seq_col).cast("long").alias("_cdc_seq"),
+                        F.lit(False).alias("_cdc_deleted"),
+                    ).schema,
                 )
-            new_state = apply_changelog(
-                cur,
-                ev.withColumn("_cdc_seq", F.col(seq_col)),
-                key_cols,
-                seq_col,
-                op_col,
-            )
+            net = _net_changes(ev, key_cols, seq_col, op_col)
+            net_rows = net.select(
+                *key_cols,
+                "__row.*",
+                F.col("__seq").alias("_cdc_seq"),
+                (F.col("__op") == "D").alias("_cdc_deleted"),
+            ).select(*cur.columns)
+            new_state = cur.join(
+                net.select(*key_cols), on=key_cols, how="left_anti"
+            ).unionByName(net_rows)
             _commit_state(new_state, pdir, batch_id)
 
     q = (

@@ -237,3 +237,43 @@ def test_apply_changelog_plan_no_window_no_sort_on_changes(spark):
     )
     assert "Window" not in plan
     assert "partial_max_by" in plan
+
+
+def test_conform_ambiguous_renames_raise(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, len_v1=5, len_v2=7)]
+    )
+    with pytest.raises(ValueError, match="same target"):
+        conform_schema(
+            df, "doc_id bigint, n_chars bigint",
+            renames={"len_v1": "n_chars", "len_v2": "n_chars"},
+        )
+
+
+def test_validate_partition_stability_finds_moves(spark):
+    """The partition-scoped MERGE precondition (partition immutable per
+    key) is a declared constraint — the validator is the key-level pass
+    that proves a layout safe, and a cross-partition move in the
+    partitioned form would otherwise duplicate the key (which is why
+    the docstring sends movers to partition_col=None)."""
+    from alphavantage_etl_spark.operators.evolution import (
+        validate_partition_stability,
+    )
+
+    target, source, want = _merge_fixture(spark)
+    assert (
+        validate_partition_stability(target, source, ["k"], "part").count()
+        == 0
+    )
+    # the unpartitioned form handles a mover correctly...
+    mover = spark.createDataFrame(
+        [(3, 9999, 1.0, False)], "k long, part int, v double, del boolean"
+    )
+    out = upsert_merge(target, mover, ["k"], delete_col="del")
+    rows = [r for r in out.collect() if r["k"] == 3]
+    assert len(rows) == 1 and rows[0]["part"] == 9999
+    # ...and the validator flags it for the partitioned form
+    v = validate_partition_stability(target, mover, ["k"], "part").collect()
+    assert [(r["k"], r["target_part"], r["source_part"]) for r in v] == [
+        (3, 2020, 9999)
+    ]

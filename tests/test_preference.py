@@ -132,3 +132,28 @@ def test_intransitive_triads_ties_drop_out(spark):
     r = intransitive_triads(tied).first()
     assert (r["n_triads"], r["n_cyclic"]) == (0, 0)
     assert r["cyclic_pct"] is None
+
+
+def test_bt_string_item_ids_and_null_items(spark):
+    """Item ids keep their source type — string model names (the usual
+    RLHF case) must rank, not silently cast to NULL-long and vanish;
+    NULL item ids drop explicitly."""
+    rows = (
+        [("modelA", "modelB", False)] * 7
+        + [("modelA", "modelB", True)] * 3
+        + [("modelB", "modelC", False)] * 6
+        + [("modelA", "modelC", False)] * 6
+        + [(None, "modelC", True)]  # unattributable side: dropped
+    )
+    df = spark.createDataFrame(
+        rows, "item_a string, item_b string, a_wins boolean"
+    )
+    grid = pairwise_win_grid(df, "item_a", "item_b", "a_wins")
+    assert grid.count() == 3  # the NULL-item comparison contributed nothing
+    out = {
+        r["item"]: r["strength"]
+        for r in bradley_terry_strengths(grid, iters=10).collect()
+    }
+    assert set(out) == {"modelA", "modelB", "modelC"}
+    assert out["modelC"] == _SCALE  # wins most
+    assert out["modelC"] > out["modelB"] > out["modelA"]

@@ -1416,8 +1416,18 @@ def test_cdc_apply_stream_partition_scoped_and_replay_safe(spark, tmp_path):
     got = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
     assert got == {1: (11.0, 5), 3: (33.0, 4), 9: (90.0, 7)}
     # partition 1 untouched by batch 1: still at its v0 commit
-    assert sorted(os.listdir(f"{table}/p_1")) == ["v0"]
-    assert sorted(os.listdir(f"{table}/p_0")) == ["v1"]
+    assert sorted(os.listdir(f"{table}/p-1")) == ["v0"]
+    assert sorted(os.listdir(f"{table}/p-0")) == ["v1"]
+
+    # tombstone protection: a LATE pre-delete shard for the deleted
+    # k=2 (seq 1 < the applied delete's seq 6) must NOT resurrect it —
+    # without the tombstone the key would be absent from state, the
+    # sequencing join would find nothing, and the stale image would
+    # re-insert (the r10 review finding)
+    land([(2, 222.0, 0, 1, "U")], "b2")
+    drain()
+    got = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
+    assert got == {1: (11.0, 5), 3: (33.0, 4), 9: (90.0, 7)}
 
     # replay injection: delete the last checkpoint commit (+crc) so the
     # engine re-runs batch 1 — per-partition versioning must skip it
@@ -1431,4 +1441,4 @@ def test_cdc_apply_stream_partition_scoped_and_replay_safe(spark, tmp_path):
     drain()
     got2 = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
     assert got2 == got
-    assert sorted(os.listdir(f"{table}/p_0")) == ["v1"]  # no re-commit
+    assert sorted(os.listdir(f"{table}/p-0")) == ["v2"]  # no re-commit
