@@ -213,12 +213,24 @@ def token_budget_per_domain(
     ``tok_total`` (the domain's pre-cap totals).
 
     Scale design mirrors :func:`domain_caps` — no whole-domain sorts:
-      1. one domain-key agg -> (count, token sum) per domain, joined
-         back (no broadcast hint — planner/AQE chooses);
-      2. candidate pruning at the ``slack * budget / tok_total`` key-space
-         quantile: the kept prefix holds ~``budget/avg_tokens`` rows, so
-         the expected candidate count is ``slack`` times that, independent
-         of domain size (under-budget domains pass a threshold of 1.0);
+      1. one domain-key agg -> (count, token sum, BUDGET-CAPPED token
+         sum) per domain, joined back (no broadcast hint — planner/AQE
+         chooses);
+      2. candidate pruning at the ``slack * (est_prefix_rows + 4) / n``
+         key-space quantile, where ``est_prefix_rows = ceil(n * budget
+         / sum(min(tokens, budget)))``. The CAP matters: a raw-average
+         estimate (``budget/avg_tokens`` rows) collapses under
+         heavy-tailed tokens — one giant document inflates the average
+         while the true kept prefix is made of small-token rows (a
+         Hypothesis-found r10 falsifier: docs of 1 and 18 tokens,
+         budget 2 — the 1-token doc is half the true prefix but the
+         average said 0.2 rows). Capping each doc's contribution at
+         ``budget`` bounds the distortion any single document can
+         cause, so the capped average UNDER-states per-row progress
+         and the row estimate over-states the prefix — conservative in
+         the direction that matters. Expected candidates stay
+         ``O(slack * budget/typical_tokens)``, independent of domain
+         size; under-budget domains pass a threshold of 1.0;
       3. the per-domain cumulative-sum window then runs over candidates
          only. The candidate set is downward-closed in the rank order
          (numeric key is monotone in the hex prefix the order uses), so
@@ -260,11 +272,32 @@ def token_budget_per_domain(
     totals = base.groupBy("__dk").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col(tokens_col).cast("long")).alias("tok_total"),
+        # budget-capped sum: the prefix-row estimator's denominator
+        # (non-positive tokens clamp to 0 so they cannot inflate it —
+        # they also never advance the cumulative sum, and the estimate
+        # then degrades toward "no pruning", the safe direction)
+        F.sum(
+            F.greatest(
+                F.least(F.col(tokens_col).cast("long"), F.lit(budget)),
+                F.lit(0),
+            )
+        ).alias("__tokb"),
         F.min("__k").alias("__min_k"),
     )
+    est_rows = F.ceil(
+        F.col("n_total").cast("double")
+        * F.lit(float(budget))
+        / F.greatest(F.col("__tokb"), F.lit(1)).cast("double")
+    )
     thr = F.when(F.col("tok_total") <= budget, F.lit(_KEY_SPACE)).otherwise(
-        F.ceil(
-            F.lit(float(slack * budget)) / F.col("tok_total") * _KEY_SPACE
+        F.least(
+            F.lit(_KEY_SPACE),
+            F.ceil(
+                F.lit(float(slack))
+                * (est_rows + F.lit(4)).cast("double")
+                / F.col("n_total").cast("double")
+                * _KEY_SPACE
+            ),
         ).cast("long")
     )
     totals = totals.withColumn("__thr", thr)
@@ -275,6 +308,7 @@ def token_budget_per_domain(
     cand = base.join(totals, "__dk").where(
         (F.col("__k") < F.col("__thr")) | (F.col("__k") == F.col("__min_k"))
     )
+    cand = cand.drop("__tokb")
     w = Window.partitionBy("__dk")
     ordered = w.orderBy("__h", id_col)
     cand = (

@@ -835,6 +835,12 @@ def test_domain_caps_invariants(spark, rows, cap):
 # domain's only row and returned ZERO rows, violating the ">= 1 row per
 # non-empty domain" soft-cap contract. The min-key survivor keeps it.
 @example(rows=[(0, "a", 14)], budget=1)
+# r10-found falsifier, pinned: heavy-tailed tokens (1 and 18) at
+# budget=2 — the raw-average estimate said the prefix holds 0.2 rows
+# and pruned the 1-token doc the true prefix needs, so the exactness
+# guard RAISED (loudly, not silently) on a perfectly ordinary input.
+# The budget-capped prefix-row estimator keeps both docs candidates.
+@example(rows=[(0, "a", 1), (8, "a", 18)], budget=2)
 def test_token_budget_matches_python_reference(spark, rows, budget):
     """The pruned Spark selection equals the naive full-cumsum reference
     for arbitrary (id, domain, tokens) inputs and budgets."""

@@ -243,7 +243,12 @@ def test_token_budget_guard_raises_on_shortfall(spark):
 
     budget = 1000
     tokens = 10  # per doc; 2000 docs -> tok_total = 20000
-    thr = int(2.0 * budget / 20_000 * _KEY_SPACE)
+    # mirror the operator's capped-token prefix-row estimate:
+    # est_rows = ceil(n * budget / sum(min(tokens, budget)));
+    # thr = ceil(slack * (est_rows + 4) / n * KEY_SPACE)
+    n_docs = 2000
+    est_rows = -(-n_docs * budget // (n_docs * tokens))
+    thr = int(2.0 * (est_rows + 4) / n_docs * _KEY_SPACE)
     margin = 10**9
     high, low = [], []
     i = 0
