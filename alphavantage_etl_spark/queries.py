@@ -8352,10 +8352,70 @@ FROM tri
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
-    # additions first (9 entries), then (b) the full
+    # additions first (6 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
     # 0 red-only entries sort oldest of all;
     # ties: SURVEY §2 parity keys, then registration order).
+    "q_pref_cycles": q_pref_cycles,
+    "q_bradley_terry": q_bradley_terry,
+    "q_cdc_apply": q_cdc_apply,
+    "q_upsert_merge": q_upsert_merge,
+    "q_schema_drift": q_schema_drift,
+    "q_schema_evolve": q_schema_evolve,
+    "q_profile_diff": q_profile_diff,
+    "q_ipw": q_ipw,
+    "q_rfm": q_rfm,
+    "q_label_noise": q_label_noise,
+    "q_skipgram": q_skipgram,
+    "q_ewma_chart": q_ewma_chart,
+    "q_cusum": q_cusum,
+    "q_kruskal": q_kruskal,
+    "q_cross_split_leakage": q_cross_split_leakage,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_rolling_median": q_rolling_median,
+    "q_attribution": q_attribution,
+    "q_quantile_norm": q_quantile_norm,
+    "q_centroid_outliers": q_centroid_outliers,
+    "q_corpus_divergence": q_corpus_divergence,
+    "q_label_propagation": q_label_propagation,
+    "q_bpe_merges": q_bpe_merges,
+    "q_bpe_segments": q_bpe_segments,
+    "q_ab_cuped": q_ab_cuped,
+    "q_markov_attribution": q_markov_attribution,
+    "q_graph_walks": q_graph_walks,
+    "q_kcenter_coreset": q_kcenter_coreset,
+    "q_active_users": q_active_users,
+    "q_conversion_latency": q_conversion_latency,
+    "q_rrf_fusion": q_rrf_fusion,
+    "q_seasonal_profile": q_seasonal_profile,
+    "q_retention_decay": q_retention_decay,
+    "q_corpus_digest": q_corpus_digest,
+    "q_ks_test": q_ks_test,
+    "q_sma_window": q_sma_window,
+    "q_asof_rate": q_asof_rate,
+    "q_topn_recent": q_topn_recent,
+    "q_ohlc_daily": q_ohlc_daily,
+    "q_interval_join": q_interval_join,
+    "q_sma_partitioned": q_sma_partitioned,
+    "q_asof_partitioned": q_asof_partitioned,
+    "q_conformal": q_conformal,
+    "q_source_overlap": q_source_overlap,
+    "q_silhouette": q_silhouette,
+    "q_mrr": q_mrr,
+    "q_avg_precision": q_avg_precision,
+    "q_crosscorr": q_crosscorr,
+    "q_spearman": q_spearman,
+    "q_burstiness": q_burstiness,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Outside the r8 driver window (compressed rotation,
+    # ROTATION.md). Every oracle-backed entry stays under the
+    # strict local gate via ALL_ORACLES and in bench.py's
+    # headline set; rows-only diagnostics live here always.
     "q_principal_dir": q_principal_dir,
     "q_recrawl_keep": q_recrawl_keep,
     "q_k_anonymity": q_k_anonymity,
@@ -8406,16 +8466,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_novelty": q_novelty,
     "q_percentile_bands": q_percentile_bands,
     "q_mad_outliers": q_mad_outliers,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
-    # Outside the r8 driver window (compressed rotation,
-    # ROTATION.md). Every oracle-backed entry stays under the
-    # strict local gate via ALL_ORACLES and in bench.py's
-    # headline set; rows-only diagnostics live here always.
     "q_perm_test": q_perm_test,
     "q_gini_stump": q_gini_stump,
     "q_rbo": q_rbo,
@@ -8466,14 +8516,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_json_explode": q_json_explode,
     "q_join_convert": q_join_convert,
     "q_anti_new_rows": q_anti_new_rows,
-    "q_conformal": q_conformal,
-    "q_source_overlap": q_source_overlap,
-    "q_silhouette": q_silhouette,
-    "q_mrr": q_mrr,
-    "q_avg_precision": q_avg_precision,
-    "q_crosscorr": q_crosscorr,
-    "q_spearman": q_spearman,
-    "q_burstiness": q_burstiness,
     "q_ndcg": q_ndcg,
     "q_curriculum": q_curriculum,
     "q_shard_balance": q_shard_balance,
@@ -8482,10 +8524,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_fertility": q_fertility,
     "q_weighted_median": q_weighted_median,
     "q_seasonal_anomaly": q_seasonal_anomaly,
-    "q_sma_window": q_sma_window,
-    "q_asof_rate": q_asof_rate,
-    "q_topn_recent": q_topn_recent,
-    "q_ohlc_daily": q_ohlc_daily,
     "q_set_ops": q_set_ops,
     "q_pivot_daily": q_pivot_daily,
     "q_agg_pricing": q_agg_pricing,
@@ -8502,9 +8540,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_lang_id": q_lang_id,
     "q_token_bpe": q_token_bpe,
     "q_rolling_fingerprint": q_rolling_fingerprint,
-    "q_interval_join": q_interval_join,
-    "q_sma_partitioned": q_sma_partitioned,
-    "q_asof_partitioned": q_asof_partitioned,
     "q_dataset_diff": q_dataset_diff,
     "q_funnel_steps": q_funnel_steps,
     "q_winsorize": q_winsorize,
@@ -8516,35 +8551,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_stratified_sample": q_stratified_sample,
     "q_budget_mix": q_budget_mix,
-    "q_profile_diff": q_profile_diff,
-    "q_ipw": q_ipw,
-    "q_rfm": q_rfm,
-    "q_label_noise": q_label_noise,
-    "q_skipgram": q_skipgram,
-    "q_ewma_chart": q_ewma_chart,
-    "q_cusum": q_cusum,
-    "q_kruskal": q_kruskal,
-    "q_cross_split_leakage": q_cross_split_leakage,
-    "q_vocab_coverage": q_vocab_coverage,
-    "q_rolling_median": q_rolling_median,
-    "q_attribution": q_attribution,
-    "q_quantile_norm": q_quantile_norm,
-    "q_centroid_outliers": q_centroid_outliers,
-    "q_corpus_divergence": q_corpus_divergence,
-    "q_label_propagation": q_label_propagation,
-    "q_bpe_merges": q_bpe_merges,
-    "q_bpe_segments": q_bpe_segments,
-    "q_ab_cuped": q_ab_cuped,
-    "q_markov_attribution": q_markov_attribution,
-    "q_graph_walks": q_graph_walks,
-    "q_kcenter_coreset": q_kcenter_coreset,
-    "q_active_users": q_active_users,
-    "q_conversion_latency": q_conversion_latency,
-    "q_rrf_fusion": q_rrf_fusion,
-    "q_seasonal_profile": q_seasonal_profile,
-    "q_retention_decay": q_retention_decay,
-    "q_corpus_digest": q_corpus_digest,
-    "q_ks_test": q_ks_test,
     "q_cm_sketch": q_cm_sketch,
     "q_distinct_sketch": q_distinct_sketch,
     "q_quantile_sketch": q_quantile_sketch,
@@ -8555,20 +8561,68 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
-    # r10 additions (X129-X131) — registered at the END of EXTRA so the
-    # generated r11 rotation queues them at the window front first
-    "q_schema_evolve": q_schema_evolve,
-    "q_schema_drift": q_schema_drift,
-    "q_upsert_merge": q_upsert_merge,
-    "q_cdc_apply": q_cdc_apply,
-    "q_bradley_terry": q_bradley_terry,
-    "q_pref_cycles": q_pref_cycles,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
     # mirrors QUERIES order exactly (the driver zips them)
+    "q_pref_cycles": SQL_PREF_CYCLES,
+    "q_bradley_terry": SQL_BRADLEY_TERRY,
+    "q_cdc_apply": SQL_CDC_APPLY,
+    "q_upsert_merge": SQL_UPSERT_MERGE,
+    "q_schema_drift": SQL_SCHEMA_DRIFT,
+    "q_schema_evolve": SQL_SCHEMA_EVOLVE,
+    "q_profile_diff": SQL_PROFILE_DIFF,
+    "q_ipw": SQL_IPW,
+    "q_rfm": SQL_RFM,
+    "q_label_noise": SQL_LABEL_NOISE,
+    "q_skipgram": SQL_SKIPGRAM,
+    "q_ewma_chart": SQL_EWMA_CHART,
+    "q_cusum": SQL_CUSUM,
+    "q_kruskal": SQL_KRUSKAL,
+    "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
+    "q_vocab_coverage": SQL_VOCAB_COVERAGE,
+    "q_rolling_median": SQL_ROLLING_MEDIAN,
+    "q_attribution": SQL_ATTRIBUTION,
+    "q_quantile_norm": SQL_QUANTILE_NORM,
+    "q_centroid_outliers": SQL_CENTROID_OUTLIERS,
+    "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
+    "q_label_propagation": SQL_LABEL_PROPAGATION,
+    "q_bpe_merges": SQL_BPE_MERGES,
+    "q_bpe_segments": SQL_BPE_SEGMENTS,
+    "q_ab_cuped": SQL_AB_CUPED,
+    "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
+    "q_graph_walks": SQL_GRAPH_WALKS,
+    "q_kcenter_coreset": SQL_KCENTER_CORESET,
+    "q_active_users": SQL_ACTIVE_USERS,
+    "q_conversion_latency": SQL_CONVERSION_LATENCY,
+    "q_rrf_fusion": SQL_RRF_FUSION,
+    "q_seasonal_profile": SQL_SEASONAL_PROFILE,
+    "q_retention_decay": SQL_RETENTION_DECAY,
+    "q_corpus_digest": SQL_CORPUS_DIGEST,
+    "q_ks_test": SQL_KS_TEST,
+    "q_sma_window": SQL_SMA_WINDOW,
+    "q_asof_rate": SQL_ASOF_RATE,
+    "q_topn_recent": SQL_TOPN_RECENT,
+    "q_ohlc_daily": SQL_OHLC_DAILY,
+    "q_interval_join": SQL_INTERVAL_JOIN,
+    "q_sma_partitioned": SQL_SMA_PARTITIONED,
+    "q_asof_partitioned": SQL_ASOF_PARTITIONED,
+    "q_conformal": SQL_CONFORMAL,
+    "q_source_overlap": SQL_SOURCE_OVERLAP,
+    "q_silhouette": SQL_SILHOUETTE,
+    "q_mrr": SQL_MRR,
+    "q_avg_precision": SQL_AVG_PRECISION,
+    "q_crosscorr": SQL_CROSSCORR,
+    "q_spearman": SQL_SPEARMAN,
+    "q_burstiness": SQL_BURSTINESS,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # oracle-backed entries currently outside the driver window
     "q_principal_dir": SQL_PRINCIPAL_DIR,
     "q_recrawl_keep": SQL_RECRAWL_KEEP,
     "q_k_anonymity": SQL_K_ANONYMITY,
@@ -8619,12 +8673,6 @@ ORACLES: dict[str, str] = {
     "q_novelty": SQL_NOVELTY,
     "q_percentile_bands": SQL_PERCENTILE_BANDS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    # oracle-backed entries currently outside the driver window
     "q_perm_test": SQL_PERM_TEST,
     "q_gini_stump": SQL_GINI_STUMP,
     "q_rbo": SQL_RBO,
@@ -8675,14 +8723,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_json_explode": SQL_JSON_EXPLODE,
     "q_join_convert": SQL_JOIN_CONVERT,
     "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
-    "q_conformal": SQL_CONFORMAL,
-    "q_source_overlap": SQL_SOURCE_OVERLAP,
-    "q_silhouette": SQL_SILHOUETTE,
-    "q_mrr": SQL_MRR,
-    "q_avg_precision": SQL_AVG_PRECISION,
-    "q_crosscorr": SQL_CROSSCORR,
-    "q_spearman": SQL_SPEARMAN,
-    "q_burstiness": SQL_BURSTINESS,
     "q_ndcg": SQL_NDCG,
     "q_curriculum": SQL_CURRICULUM,
     "q_shard_balance": SQL_SHARD_BALANCE,
@@ -8691,10 +8731,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_fertility": SQL_FERTILITY,
     "q_weighted_median": SQL_WEIGHTED_MEDIAN,
     "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
-    "q_sma_window": SQL_SMA_WINDOW,
-    "q_asof_rate": SQL_ASOF_RATE,
-    "q_topn_recent": SQL_TOPN_RECENT,
-    "q_ohlc_daily": SQL_OHLC_DAILY,
     "q_set_ops": SQL_SET_OPS,
     "q_pivot_daily": SQL_PIVOT_DAILY,
     "q_agg_pricing": SQL_AGG_PRICING,
@@ -8711,9 +8747,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_lang_id": SQL_LANG_ID,
     "q_token_bpe": SQL_TOKEN_BPE,
     "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    "q_interval_join": SQL_INTERVAL_JOIN,
-    "q_sma_partitioned": SQL_SMA_PARTITIONED,
-    "q_asof_partitioned": SQL_ASOF_PARTITIONED,
     "q_dataset_diff": SQL_DATASET_DIFF,
     "q_funnel_steps": SQL_FUNNEL_STEPS,
     "q_winsorize": SQL_WINSORIZE,
@@ -8725,42 +8758,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_budget_mix": SQL_BUDGET_MIX,
-    "q_profile_diff": SQL_PROFILE_DIFF,
-    "q_ipw": SQL_IPW,
-    "q_rfm": SQL_RFM,
-    "q_label_noise": SQL_LABEL_NOISE,
-    "q_skipgram": SQL_SKIPGRAM,
-    "q_ewma_chart": SQL_EWMA_CHART,
-    "q_cusum": SQL_CUSUM,
-    "q_kruskal": SQL_KRUSKAL,
-    "q_cross_split_leakage": SQL_CROSS_SPLIT_LEAKAGE,
-    "q_vocab_coverage": SQL_VOCAB_COVERAGE,
-    "q_rolling_median": SQL_ROLLING_MEDIAN,
-    "q_attribution": SQL_ATTRIBUTION,
-    "q_quantile_norm": SQL_QUANTILE_NORM,
-    "q_centroid_outliers": SQL_CENTROID_OUTLIERS,
-    "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
-    "q_label_propagation": SQL_LABEL_PROPAGATION,
-    "q_bpe_merges": SQL_BPE_MERGES,
-    "q_bpe_segments": SQL_BPE_SEGMENTS,
-    "q_ab_cuped": SQL_AB_CUPED,
-    "q_markov_attribution": SQL_MARKOV_ATTRIBUTION,
-    "q_graph_walks": SQL_GRAPH_WALKS,
-    "q_kcenter_coreset": SQL_KCENTER_CORESET,
-    "q_active_users": SQL_ACTIVE_USERS,
-    "q_conversion_latency": SQL_CONVERSION_LATENCY,
-    "q_rrf_fusion": SQL_RRF_FUSION,
-    "q_seasonal_profile": SQL_SEASONAL_PROFILE,
-    "q_retention_decay": SQL_RETENTION_DECAY,
-    "q_corpus_digest": SQL_CORPUS_DIGEST,
-    "q_ks_test": SQL_KS_TEST,
-    # r10 additions (X129-X131)
-    "q_schema_evolve": SQL_SCHEMA_EVOLVE,
-    "q_schema_drift": SQL_SCHEMA_DRIFT,
-    "q_upsert_merge": SQL_UPSERT_MERGE,
-    "q_cdc_apply": SQL_CDC_APPLY,
-    "q_bradley_terry": SQL_BRADLEY_TERRY,
-    "q_pref_cycles": SQL_PREF_CYCLES,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
