@@ -249,9 +249,17 @@ def upsert_merge(
         kept = target_df.join(src_keys, on=key_cols, how="left_anti")
         return kept.unionByName(surviving)
 
-    touched = src.select(partition_col).distinct()
-    untouched = target_df.join(touched, on=[partition_col], how="left_anti")
-    in_touched = target_df.join(touched, on=[partition_col], how="left_semi")
+    # the touched/untouched split must be NULL-SAFE: a plain equi-join
+    # never matches a NULL partition value, so a NULL-partition target
+    # row would always route to 'untouched' even when the source updates
+    # or deletes its key — the old row survives next to the new one (the
+    # module's NULL-join discipline: cf. domain_caps' sentinel key and
+    # cdc_apply_stream's eqNullSafe). left_semi/left_anti emit only the
+    # left side, so the aliased probe column never leaks.
+    touched = src.select(F.col(partition_col).alias("__touched_part")).distinct()
+    part_match = F.col(partition_col).eqNullSafe(F.col("__touched_part"))
+    untouched = target_df.join(touched, on=part_match, how="left_anti")
+    in_touched = target_df.join(touched, on=part_match, how="left_semi")
     kept = in_touched.join(src_keys, on=key_cols, how="left_anti")
     return untouched.unionByName(kept).unionByName(surviving)
 
@@ -334,11 +342,15 @@ def _net_changes(
     and the streaming CDC apply: one row per key with the winning
     event's payload as struct ``__row``, its op as ``__op``, and its
     ORIGINAL sequence (nullable) as ``__seq`` — via one
-    map-side-combinable ``max_by`` on (coalesced sequence, op-rank).
-    Carries the in-plan corruption guards: duplicate (key, seq), more
-    than one NULL-seq event per key, unknown op codes."""
-    ops = {"I": 1, "U": 1, "D": 0}
-    op_rank = F.when(F.col(op_col).isin(list(ops)), F.lit(1)).otherwise(
+    map-side-combinable ``max_by`` on (has-sequence, sequence). The
+    ordering is sequence-only: a NULL sequence sorts below EVERY real
+    sequence (including a genuine seq of -2^63 — the has-sequence flag,
+    not a sentinel value, carries the distinction), and among real
+    sequences ties are impossible because duplicate (key, seq) raises
+    before ``max_by`` could see one. Carries the in-plan corruption
+    guards: duplicate (key, seq), more than one NULL-seq event per key,
+    unknown op codes (raised per-row via the guard field)."""
+    op_guard = F.when(F.col(op_col).isin(["I", "U", "D"]), F.lit(0)).otherwise(
         F.assert_true(
             F.lit(False),
             F.lit(
@@ -353,12 +365,15 @@ def _net_changes(
         if c not in (seq_col, op_col) and c not in key_cols
     ]
     ordkey = F.struct(
-        # NULL seq -> MIN_LONG sentinel: max_by would otherwise skip
-        # NULL-keyed structs entirely and an all-NULL-seq key would drop
-        F.coalesce(
-            F.col(seq_col).cast("long"), F.lit(-(2**63))
-        ).alias("s"),
-        op_rank.alias("r"),
+        # explicit null-flag field: max_by would otherwise skip
+        # NULL-keyed structs entirely and an all-NULL-seq key would
+        # drop; a coalesce-to-MIN_LONG sentinel would instead collide
+        # with a real seq of -2^63 and pass the distinct-seq dup guard
+        F.col(seq_col).isNotNull().cast("int").alias("n"),
+        F.coalesce(F.col(seq_col).cast("long"), F.lit(0)).alias("s"),
+        # constant 0 for every valid op — a per-row validity guard that
+        # rides the aggregation, NOT a tiebreak (ties raise above)
+        op_guard.alias("g"),
     )
     return (
         changes_df.groupBy(*key_cols)

@@ -77,7 +77,7 @@ def pairwise_win_grid(
 
 
 def bradley_terry_strengths(
-    grid: DataFrame, iters: int = 10
+    grid: DataFrame, iters: int = 10, max_items: int = 1024
 ) -> DataFrame:
     """Bradley-Terry strengths from a :func:`pairwise_win_grid` via
     ``iters`` fixed MM iterations (Hunter 2004: ``p_i <- W_i / sum_j
@@ -97,6 +97,16 @@ def bradley_terry_strengths(
     distributed aggregation over the localCheckpointed grid with the
     current strengths inlined as literals; the only collect is the
     |items|-row state (the approved O(model) class).
+
+    CARDINALITY CEILING: the per-iteration strength map is inlined as
+    a literal expression, so the PLAN grows with |items| x iters —
+    fine for the arena-scale item sets the operator targets (models,
+    annotators, prompt variants), wrong beyond. ``max_items``
+    (default 1024) raises past that bound; for larger item spaces
+    replace the map literal with a broadcast equi-join of the
+    |items|-row strength frame onto the grid (two broadcast joins per
+    iteration — constant plan size, same arithmetic) before raising
+    the ceiling.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -163,6 +173,15 @@ def bradley_terry_strengths(
     ncmp = {r["item"]: int(r["ncmp"]) for r in totals}
     pairs_of = {r["item"]: int(r["pairs"]) for r in totals}
     items = sorted(w2)
+    if len(items) > max_items:
+        raise ValueError(
+            f"bradley_terry_strengths: {len(items)} items exceeds "
+            f"max_items={max_items} — the inlined strength-map literal "
+            "grows the plan with |items| x iters; for larger item "
+            "spaces swap the map literal for a broadcast join of the "
+            "strength frame onto the grid (see docstring) and raise "
+            "max_items"
+        )
     p = {i: _SCALE for i in items}
 
     n2 = (F.col("w2a") + F.col("w2b")).cast("double")  # 2*(n_ij + 1)

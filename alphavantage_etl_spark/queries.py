@@ -8288,20 +8288,24 @@ pv(it, p) AS (
               FROM (
                 SELECT u.item, CAST(sum(u.tq) AS BIGINT) AS den
                 FROM (
+                  -- each rounded term is cast to BIGINT BEFORE the sum
+                  -- so the accumulation is exact integer arithmetic,
+                  -- mirroring the Spark side's decimal(38,0) sum — a
+                  -- DOUBLE sum loses low bits past 2^53 (r10 advice)
                   SELECT g2.a AS item,
-                         round(CAST(g2.w2a + g2.w2b AS DOUBLE) / 2.0
+                         CAST(round(CAST(g2.w2a + g2.w2b AS DOUBLE) / 2.0
                                * 1000000000.0
                                / (CAST(pv.p[g2.a + 1] AS DOUBLE)
                                   + CAST(pv.p[g2.b + 1] AS DOUBLE))
-                               * 1000000.0) AS tq
+                               * 1000000.0) AS BIGINT) AS tq
                   FROM g2
                   UNION ALL
                   SELECT g2.b,
-                         round(CAST(g2.w2a + g2.w2b AS DOUBLE) / 2.0
+                         CAST(round(CAST(g2.w2a + g2.w2b AS DOUBLE) / 2.0
                                * 1000000000.0
                                / (CAST(pv.p[g2.a + 1] AS DOUBLE)
                                   + CAST(pv.p[g2.b + 1] AS DOUBLE))
-                               * 1000000.0)
+                               * 1000000.0) AS BIGINT)
                   FROM g2) u
                 GROUP BY u.item) d
               JOIN w ON w.item = d.item)))

@@ -1352,9 +1352,17 @@ def read_monitor_state(spark: SparkSession, state_path: str) -> DataFrame | None
     return spark.read.parquet(_state_version_dir(state_path, b))
 
 
-def _commit_state(merged: DataFrame, state_path: str, batch_id: int) -> None:
+def _commit_state(
+    merged: DataFrame,
+    state_path: str,
+    batch_id: int,
+    retain_all: bool = False,
+) -> None:
     """Commit one batch's merged cumulative state as version
-    ``v{batch_id}`` and prune superseded versions.
+    ``v{batch_id}``. Superseded versions are pruned (the monitor
+    default) unless ``retain_all=True`` — the CDC table keeps every
+    version for time travel (:func:`read_cdc_table` ``as_of``) and
+    defers pruning to the explicit :func:`gc_cdc_versions`.
 
     Exactly-once discipline for a foreachBatch state sink (the
     Structured Streaming guide's contract: foreachBatch gives
@@ -1386,6 +1394,8 @@ def _commit_state(merged: DataFrame, state_path: str, batch_id: int) -> None:
     fs.create(
         jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_COMMIT_MARKER}"), True
     ).close()
+    if retain_all:
+        return
     root = jvm.org.apache.hadoop.fs.Path(state_path)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -1585,30 +1595,251 @@ def _part_dir_name(p) -> str:
     return "px-" + s.encode("utf-8").hex()
 
 
-def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """Current LIVE contents of a :func:`cdc_apply_stream` table: the
-    union of every partition directory's latest batch-complete version,
-    with delete tombstones filtered out; ``None`` before the first
-    commit. One multi-path parquet read — the partition value is stored
-    as a REGULAR column in the files (the directory layout is a
-    commit-protocol detail, not Hive partitioning, so a half-written
-    version can never leak into reads). Pass ``with_tombstones=True``
-    for the raw state including deleted keys' tombstones."""
+_PRUNE_MARKER_PREFIX = "_GRAFT_PRUNED_BELOW_"
+_GC_STAGING_PREFIX = "gc"
+
+
+def _committed_versions(spark: SparkSession, state_path: str) -> list[int]:
+    """Sorted batch ids of every version directory under ``state_path``
+    that carries the protocol's own commit marker."""
+    fs, hpath = _hadoop_fs(spark, state_path)
+    if not fs.exists(hpath):
+        return []
+    jvm = spark._jvm
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            marker = jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), _COMMIT_MARKER
+            )
+            if fs.exists(marker):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _pruned_below(spark: SparkSession, pdir: str) -> int | None:
+    """Version-GC horizon for one partition directory: the largest
+    ``_GRAFT_PRUNED_BELOW_{n}`` marker, or ``None`` if the partition was
+    never version-pruned. The horizon rides the marker FILENAME (no
+    content I/O) and markers only ever increase — a crash between
+    writing the new marker and deleting the old ones leaves the max
+    correct."""
+    fs, hpath = _hadoop_fs(spark, pdir)
+    if not fs.exists(hpath):
+        return None
+    best = None
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith(_PRUNE_MARKER_PREFIX):
+            tail = name[len(_PRUNE_MARKER_PREFIX):]
+            if tail.isdigit():
+                n = int(tail)
+                if best is None or n > best:
+                    best = n
+    return best
+
+
+def _cdc_partition_dirs(spark: SparkSession, table_path: str) -> list[str]:
     fs, root = _hadoop_fs(spark, table_path)
     if not fs.exists(root):
-        return None
+        return []
+    return [
+        f"{table_path}/{st.getPath().getName()}"
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+    ]
+
+
+def read_cdc_table(
+    spark: SparkSession,
+    table_path: str,
+    as_of: int | None = None,
+    with_tombstones: bool = False,
+) -> DataFrame | None:
+    """Contents of a :func:`cdc_apply_stream` table: the union of every
+    partition directory's latest batch-complete version, with delete
+    tombstones filtered out; ``None`` before the first commit. One
+    multi-path parquet read — the partition value is stored as a
+    REGULAR column in the files (the directory layout is a
+    commit-protocol detail, not Hive partitioning, so a half-written
+    version can never leak into reads).
+
+    ``as_of=B`` time-travels: each partition contributes its largest
+    committed version ``<= B`` (a partition whose EARLIEST version is
+    above ``B`` did not exist at batch ``B`` and is skipped — exact
+    because the table retains every version until
+    :func:`gc_cdc_versions` prunes; reading below a partition's pruned
+    horizon raises instead of silently conflating "pruned" with
+    "created later"). Note :func:`gc_cdc_tombstones` rewrites retained
+    versions in place, so time travel reflects tombstone compaction —
+    the Delta VACUUM trade.
+
+    Pass ``with_tombstones=True`` for the raw state including deleted
+    keys' tombstone rows (the ``_cdc_deleted`` flag retained; the live
+    view keeps ``_cdc_seq`` — the applied-sequence metadata — either
+    way)."""
     dirs = []
-    for st in fs.listStatus(root):
-        if not st.isDirectory():
+    for pdir in _cdc_partition_dirs(spark, table_path):
+        versions = _committed_versions(spark, pdir)
+        if as_of is None:
+            if versions:
+                dirs.append(_state_version_dir(pdir, versions[-1]))
             continue
-        pdir = f"{table_path}/{st.getPath().getName()}"
-        b = _latest_complete_version(spark, pdir)
-        if b is not None:
-            dirs.append(_state_version_dir(pdir, b))
+        horizon = _pruned_below(spark, pdir)
+        if horizon is not None and as_of < horizon:
+            raise ValueError(
+                f"read_cdc_table: as_of={as_of} is below partition "
+                f"{pdir!r}'s GC horizon {horizon} — that version was "
+                "pruned by gc_cdc_versions and cannot be reconstructed"
+            )
+        eligible = [b for b in versions if b <= as_of]
+        if eligible:
+            dirs.append(_state_version_dir(pdir, eligible[-1]))
     if not dirs:
         return None
     raw = spark.read.parquet(*dirs)
+    if with_tombstones:
+        return raw
     return raw.where(~F.col("_cdc_deleted")).drop("_cdc_deleted")
+
+
+def gc_cdc_versions(
+    spark: SparkSession, table_path: str, keep_versions: int
+) -> dict[str, int]:
+    """Prune each partition's committed state versions down to the
+    newest ``keep_versions`` — the time-travel retention policy for a
+    :func:`cdc_apply_stream` table (the table retains every version
+    until this runs; cf. Delta's ``delta.logRetentionDuration``).
+
+    Crash-safe ordering per partition: the new horizon marker
+    (``_GRAFT_PRUNED_BELOW_{n}``, n = smallest KEPT version) is created
+    FIRST, then stale markers are removed, then the pruned version
+    directories deleted — a crash at any point leaves the recorded
+    horizon at-or-above every surviving deletion, so
+    :func:`read_cdc_table` ``as_of`` can always distinguish "pruned"
+    (raise) from "partition created later" (skip). Uncommitted partial
+    version dirs below the horizon are swept as garbage. Returns
+    ``{partition_dir: n_versions_deleted}``."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    jvm = spark._jvm
+    deleted: dict[str, int] = {}
+    for pdir in _cdc_partition_dirs(spark, table_path):
+        versions = _committed_versions(spark, pdir)
+        if not versions:
+            continue
+        kept = versions[-keep_versions:]
+        horizon = kept[0]
+        fs, hpath = _hadoop_fs(spark, pdir)
+        prev = _pruned_below(spark, pdir)
+        # the horizon marker means "committed versions below n were
+        # DELETED" — written only when that is about to become true, so
+        # a partition whose first-ever version is above some as_of
+        # still reads as "created later" (skip), never a false raise
+        if any(b < horizon for b in versions) and (
+            prev is None or horizon > prev
+        ):
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{pdir}/{_PRUNE_MARKER_PREFIX}{horizon}"
+                ),
+                True,
+            ).close()
+        n = 0
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if (
+                name.startswith(_PRUNE_MARKER_PREFIX)
+                and name[len(_PRUNE_MARKER_PREFIX):].isdigit()
+                and int(name[len(_PRUNE_MARKER_PREFIX):]) < horizon
+            ):
+                fs.delete(st.getPath(), False)
+            elif (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and int(name[1:]) < horizon
+            ):
+                fs.delete(st.getPath(), True)
+                n += 1
+        if n:
+            deleted[pdir] = n
+    return deleted
+
+
+def gc_cdc_tombstones(
+    spark: SparkSession, table_path: str, seq_horizon: int
+) -> dict[str, int]:
+    """Expire delete tombstones whose applied sequence is at-or-below
+    ``seq_horizon`` from each partition's LATEST committed version —
+    the ``_cdc_seq``-horizon retention policy the tombstone design
+    defers to the caller. Run it once the changelog's lateness bound
+    has passed the horizon: an expired tombstone's key can no longer
+    receive a legitimately late pre-delete event, so dropping the row
+    frees state without resurrection risk. NULL-sequence tombstones are
+    KEPT (they cannot be ordered against a horizon; any dated late
+    event outranks them anyway, so they are bounded, not leaking).
+
+    OFFLINE utility — run with the stream stopped. The rewrite is a
+    staged rename (write ``gcv{b}`` + commit marker, delete ``v{b}``,
+    rename into place); a crash mid-swap is recovered by the NEXT run
+    (each partition first completes any interrupted rename), so rerun
+    after a crash before restarting the stream. Concurrent readers
+    during the swap window may see the previous retained version.
+    Returns ``{partition_dir: n_tombstones_expired}``."""
+    jvm = spark._jvm
+    expired: dict[str, int] = {}
+    for pdir in _cdc_partition_dirs(spark, table_path):
+        fs, hpath = _hadoop_fs(spark, pdir)
+        # recovery sweep: complete or discard interrupted swaps
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not (
+                name.startswith(_GC_STAGING_PREFIX + "v")
+                and name[len(_GC_STAGING_PREFIX) + 1:].isdigit()
+            ):
+                continue
+            b = int(name[len(_GC_STAGING_PREFIX) + 1:])
+            staged = st.getPath()
+            live = jvm.org.apache.hadoop.fs.Path(
+                _state_version_dir(pdir, b)
+            )
+            marker = jvm.org.apache.hadoop.fs.Path(staged, _COMMIT_MARKER)
+            if fs.exists(live) or not fs.exists(marker):
+                # crashed before the live delete (or mid-write): the
+                # original version is still committed — discard staging
+                fs.delete(staged, True)
+            else:
+                fs.rename(staged, live)
+        versions = _committed_versions(spark, pdir)
+        if not versions:
+            continue
+        b = versions[-1]
+        vdir = _state_version_dir(pdir, b)
+        cur = spark.read.parquet(vdir)
+        dead = F.col("_cdc_deleted") & F.col("_cdc_seq").isNotNull() & (
+            F.col("_cdc_seq") <= F.lit(seq_horizon)
+        )
+        n = cur.where(dead).count()
+        if n == 0:
+            continue
+        # same-path-overwrite lineage rule: stage reads the OLD dir, so
+        # no checkpoint needed — the write target is the staging dir
+        staged_path = f"{pdir}/{_GC_STAGING_PREFIX}v{b}"
+        cur.where(~dead).write.mode("overwrite").parquet(staged_path)
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{staged_path}/{_COMMIT_MARKER}"
+            ),
+            True,
+        ).close()
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(staged_path),
+            jvm.org.apache.hadoop.fs.Path(vdir),
+        )
+        expired[pdir] = n
+    return expired
 
 
 def cdc_apply_stream(
@@ -1619,6 +1850,7 @@ def cdc_apply_stream(
     partition_col: str,
     table_path: str,
     checkpoint: str,
+    backfill_warn_partitions: int = 256,
 ):
     """Streaming twin of X132 — the lakehouse ``APPLY CHANGES INTO``: a
     live changelog stream (row images + I/U/D op + monotone sequence)
@@ -1647,10 +1879,26 @@ def cdc_apply_stream(
       deleted (without the tombstone, a late pre-delete shard would
       silently resurrect the row — the regression the Delta APPLY
       CHANGES sequencing rule exists to stop). NULL-sequence events
-      rank below every dated one (the batch operator's sentinel rule),
-      so an undated event never displaces applied state. Tombstone
-      retention is the caller's GC policy — prune by ``_cdc_seq``
-      horizon once the changelog's lateness bound has passed.
+      rank below every dated one (the batch operator's has-sequence
+      flag — an explicit field, not a sentinel value, so a genuine
+      MIN_LONG sequence still outranks an undated event), so an undated
+      event never displaces applied state. Tombstone retention is
+      enforced by :func:`gc_cdc_tombstones` (``_cdc_seq``-horizon
+      expiry once the changelog's lateness bound has passed).
+    * **time travel + explicit GC** — every partition keeps ALL its
+      committed versions (``retain_all`` commits); read any past batch
+      with :func:`read_cdc_table` ``as_of`` and prune history with
+      :func:`gc_cdc_versions` (which records the pruned horizon so an
+      as-of read below it raises instead of lying).
+
+    Backfill guardrail: each micro-batch runs one partition-sized job
+    per touched partition, SEQUENTIALLY — correct and crash-resumable,
+    but a backfill batch touching 10^4 partitions becomes 10^4 serial
+    jobs. Above ``backfill_warn_partitions`` touched values the apply
+    emits a ``UserWarning`` naming the count and the remedies (raise
+    ``maxFilesPerTrigger``-style source ceilings so batches stay
+    partition-bounded, or coarsen ``partition_col``) so a long backfill
+    is visibly progressing, not hung.
 
     Within a batch, net-effect reduction is the X132 ``max_by``
     discipline via the shared :func:`operators.evolution._net_changes`
@@ -1660,8 +1908,6 @@ def cdc_apply_stream(
     log — asserted by the restart test.
     """
     from ..operators.evolution import _net_changes
-
-    min_long = -(2**63)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1675,6 +1921,18 @@ def cdc_apply_stream(
                 F.col(partition_col).alias("p")
             ).distinct().collect()
         ]
+        if len(touched) > backfill_warn_partitions:
+            import warnings
+
+            warnings.warn(
+                f"cdc_apply_stream: batch {batch_id} touches "
+                f"{len(touched)} partitions (> {backfill_warn_partitions})"
+                " — each commits as its own sequential partition-sized "
+                "job; a backfill this wide will take a while (bound the "
+                "source's per-trigger intake or coarsen partition_col "
+                "to keep batches partition-bounded)",
+                stacklevel=2,
+            )
         for p in sorted(touched, key=lambda v: (v is None, str(v))):
             pdir = f"{table_path}/{_part_dir_name(p)}"
             last = _latest_complete_version(spark, pdir)
@@ -1688,27 +1946,34 @@ def cdc_apply_stream(
                 cur = spark.read.parquet(_state_version_dir(pdir, last))
                 # sequencing rule: drop events at-or-below the key's
                 # applied sequence — tombstones included, so a late
-                # pre-delete shard cannot resurrect a deleted key; a
-                # NULL event sequence ranks below everything applied
+                # pre-delete shard cannot resurrect a deleted key. The
+                # order is (has-sequence, sequence): a NULL event
+                # sequence ranks below everything applied, via an
+                # explicit flag rather than a MIN_LONG sentinel, so a
+                # genuine sequence of -2^63 still outranks an undated
+                # applied event (the _net_changes rule)
                 applied = cur.select(
                     *key_cols,
+                    F.col("_cdc_seq").isNotNull().cast("int").alias(
+                        "__applied_n"
+                    ),
                     F.coalesce(
-                        F.col("_cdc_seq").cast("long"), F.lit(min_long)
-                    ).alias("__applied"),
+                        F.col("_cdc_seq").cast("long"), F.lit(0)
+                    ).alias("__applied_s"),
                 )
+                ev_n = F.col(seq_col).isNotNull().cast("int")
+                ev_s = F.coalesce(F.col(seq_col).cast("long"), F.lit(0))
                 ev = (
                     ev.join(applied, on=key_cols, how="left")
                     .where(
-                        F.col("__applied").isNull()
+                        F.col("__applied_n").isNull()
+                        | (ev_n > F.col("__applied_n"))
                         | (
-                            F.coalesce(
-                                F.col(seq_col).cast("long"),
-                                F.lit(min_long),
-                            )
-                            > F.col("__applied")
+                            (ev_n == F.col("__applied_n"))
+                            & (ev_s > F.col("__applied_s"))
                         )
                     )
-                    .drop("__applied")
+                    .drop("__applied_n", "__applied_s")
                 )
             else:
                 cur = spark.createDataFrame(
@@ -1729,7 +1994,7 @@ def cdc_apply_stream(
             new_state = cur.join(
                 net.select(*key_cols), on=key_cols, how="left_anti"
             ).unionByName(net_rows)
-            _commit_state(new_state, pdir, batch_id)
+            _commit_state(new_state, pdir, batch_id, retain_all=True)
 
     q = (
         stream_df.writeStream.foreachBatch(apply)

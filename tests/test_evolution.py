@@ -277,3 +277,56 @@ def test_validate_partition_stability_finds_moves(spark):
     assert [(r["k"], r["target_part"], r["source_part"]) for r in v] == [
         (3, 2020, 9999)
     ]
+
+
+def test_upsert_partitioned_null_partition_keys(spark):
+    """The r10 advisor's HIGH finding: with partition_col, a NULL
+    partition value must still route its target rows through the merge
+    — a plain equi-join split never matches NULL, so the old row
+    survived next to the update (silent duplicate) and a delete was a
+    no-op. The split is now null-safe."""
+    from alphavantage_etl_spark.operators.evolution import upsert_merge
+
+    target = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, 2020, 30.0)],
+        "k long, part int, v double",
+    )
+    source = spark.createDataFrame(
+        [(1, None, 111.0, False), (2, None, 0.0, True)],
+        "k long, part int, v double, del boolean",
+    )
+    out = upsert_merge(
+        target, source, ["k"], delete_col="del", partition_col="part"
+    )
+    rows = {r["k"]: (r["part"], r["v"]) for r in out.collect()}
+    # update replaced (no duplicate), delete removed, other part untouched
+    assert out.count() == 2
+    assert rows == {1: (None, 111.0), 3: (2020, 30.0)}
+    # and parity with the unpartitioned form on the same inputs
+    simple = upsert_merge(target, source, ["k"], delete_col="del")
+    assert {r["k"]: (r["part"], r["v"]) for r in simple.collect()} == rows
+
+
+def test_net_changes_min_long_seq_beats_null(spark):
+    """Sequence ordering is (has-seq, seq), not a MIN_LONG sentinel: a
+    genuine sequence of -2^63 must outrank a NULL-seq event for the
+    same key (with the old coalesce sentinel the two collided and the
+    winner was nondeterministic), and must itself lose to any higher
+    sequence."""
+    from alphavantage_etl_spark.operators.evolution import apply_changelog
+
+    target = spark.createDataFrame([(1, 0.0)], "k long, v double")
+    min_long = -(2**63)
+    changes = spark.createDataFrame(
+        [(1, -1.0, None, "U"), (1, 7.0, min_long, "U")],
+        "k long, v double, seq long, op string",
+    )
+    out = apply_changelog(target, changes, ["k"], "seq", "op")
+    assert {r["k"]: r["v"] for r in out.collect()} == {1: 7.0}
+    # ...and a real higher seq still wins over MIN_LONG
+    changes2 = spark.createDataFrame(
+        [(1, 7.0, min_long, "U"), (1, 8.0, 0, "U")],
+        "k long, v double, seq long, op string",
+    )
+    out2 = apply_changelog(target, changes2, ["k"], "seq", "op")
+    assert {r["k"]: r["v"] for r in out2.collect()} == {1: 8.0}

@@ -1415,9 +1415,11 @@ def test_cdc_apply_stream_partition_scoped_and_replay_safe(spark, tmp_path):
     drain()
     got = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
     assert got == {1: (11.0, 5), 3: (33.0, 4), 9: (90.0, 7)}
-    # partition 1 untouched by batch 1: still at its v0 commit
+    # partition 1 untouched by batch 1: still at its v0 commit;
+    # partition 0 RETAINS v0 next to v1 (time-travel substrate — GC via
+    # gc_cdc_versions is explicit, never commit-time)
     assert sorted(os.listdir(f"{table}/p-1")) == ["v0"]
-    assert sorted(os.listdir(f"{table}/p-0")) == ["v1"]
+    assert sorted(os.listdir(f"{table}/p-0")) == ["v0", "v1"]
 
     # tombstone protection: a LATE pre-delete shard for the deleted
     # k=2 (seq 1 < the applied delete's seq 6) must NOT resurrect it —
@@ -1441,4 +1443,163 @@ def test_cdc_apply_stream_partition_scoped_and_replay_safe(spark, tmp_path):
     drain()
     got2 = {r["k"]: (r["v"], r["_cdc_seq"]) for r in read_cdc_table(spark, table).collect()}
     assert got2 == got
-    assert sorted(os.listdir(f"{table}/p-0")) == ["v2"]  # no re-commit
+    # no re-commit on replay: v2 stays the latest, history retained
+    assert sorted(os.listdir(f"{table}/p-0")) == ["v0", "v1", "v2"]
+
+
+def _cdc_fixture(spark, tmp_path):
+    """Three-batch CDC table shared by the as-of / GC tests: partition 0
+    evolves over batches 0-2 (update, delete, late insert), partition 1
+    commits once in batch 0, partition 2 FIRST APPEARS in batch 2."""
+    import glob
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import cdc_apply_stream
+
+    in_dir = tmp_path / "cdc_in"
+    in_dir.mkdir()
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "ckpt_cdc")
+    schema = "k long, v double, part long, seq long, op string"
+
+    def land(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        cdc_apply_stream(stream, ["k"], "seq", "op", "part", table, ckpt)
+
+    land([(1, 10.0, 0, 1, "I"), (5, 50.0, 1, 2, "I")], "b0")
+    drain()
+    land([(1, 11.0, 0, 3, "U"), (2, 20.0, 0, 4, "I")], "b1")
+    drain()
+    land([(2, 0.0, 0, 5, "D"), (7, 70.0, 2, 6, "I")], "b2")
+    drain()
+    return table
+
+
+def test_read_cdc_table_as_of_and_tombstones(spark, tmp_path):
+    """Time travel over the retained v{batch_id} dirs: as_of=B serves
+    each partition's largest committed version <= B, skips partitions
+    created after B, and the tombstone view exposes deleted keys."""
+
+    from alphavantage_etl_spark.streaming.pipeline import read_cdc_table
+
+    table = _cdc_fixture(spark, tmp_path)
+
+    def snap(df):
+        return {r["k"]: r["v"] for r in df.collect()}
+
+    # live: delete of k=2 applied, k=7's new partition visible
+    assert snap(read_cdc_table(spark, table)) == {1: 11.0, 5: 50.0, 7: 70.0}
+    # as-of batch 0: original values, partitions 0 and 1 only
+    assert snap(read_cdc_table(spark, table, as_of=0)) == {1: 10.0, 5: 50.0}
+    # as-of batch 1: partition 0's v1 state, partition 2 not yet created
+    assert snap(read_cdc_table(spark, table, as_of=1)) == {
+        1: 11.0, 2: 20.0, 5: 50.0,
+    }
+    # as-of batch 2 == live
+    assert snap(read_cdc_table(spark, table, as_of=2)) == snap(
+        read_cdc_table(spark, table)
+    )
+    # tombstone view: the deleted key's latest event is visible
+    raw = read_cdc_table(spark, table, with_tombstones=True)
+    dead = {r["k"]: r["_cdc_seq"] for r in raw.where("_cdc_deleted").collect()}
+    assert dead == {2: 5}
+    # with_tombstones composes with as_of (no tombstones existed at b0)
+    raw0 = read_cdc_table(spark, table, as_of=0, with_tombstones=True)
+    assert raw0.where("_cdc_deleted").count() == 0
+    # as-of before any commit: no partition qualifies
+    assert read_cdc_table(spark, table, as_of=-1) is None
+
+
+def test_gc_cdc_versions_prunes_and_fences_as_of(spark, tmp_path):
+    """gc_cdc_versions keeps the newest k versions per partition,
+    records the pruned horizon in the marker filename, and read as_of
+    below the horizon RAISES while created-later partitions still skip."""
+    import os
+
+    import pytest
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        gc_cdc_versions,
+        read_cdc_table,
+    )
+
+    table = _cdc_fixture(spark, tmp_path)
+    assert sorted(os.listdir(f"{table}/p-0")) == ["v0", "v1", "v2"]
+
+    deleted = gc_cdc_versions(spark, table, keep_versions=2)
+    # only partition 0 had >2 versions
+    assert deleted == {f"{table}/p-0": 1}
+    entries = sorted(os.listdir(f"{table}/p-0"))
+    assert "v0" not in entries and "v1" in entries and "v2" in entries
+    assert "_GRAFT_PRUNED_BELOW_1" in entries
+
+    # live + retained as-of unaffected
+    live = {r["k"]: r["v"] for r in read_cdc_table(spark, table).collect()}
+    assert live == {1: 11.0, 5: 50.0, 7: 70.0}
+    at1 = {r["k"]: r["v"] for r in read_cdc_table(spark, table, as_of=1).collect()}
+    assert at1 == {1: 11.0, 2: 20.0, 5: 50.0}
+    # below partition 0's horizon: raise, never a silent wrong answer
+    with pytest.raises(ValueError, match="GC horizon"):
+        read_cdc_table(spark, table, as_of=0)
+
+    # idempotent re-run: nothing further to delete, marker unchanged
+    assert gc_cdc_versions(spark, table, keep_versions=2) == {}
+    assert "_GRAFT_PRUNED_BELOW_1" in sorted(os.listdir(f"{table}/p-0"))
+    with pytest.raises(ValueError):
+        gc_cdc_versions(spark, table, keep_versions=0)
+
+
+def test_gc_cdc_tombstones_expiry_and_crash_recovery(spark, tmp_path):
+    """Tombstone GC: expires dated tombstones at-or-below the seq
+    horizon from each partition's latest version (in place — same
+    version id), keeps younger ones, and a simulated crash mid-swap
+    (staged dir committed, live dir deleted, rename pending) is
+    completed by the next run."""
+    import os
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        gc_cdc_tombstones,
+        read_cdc_table,
+    )
+
+    table = _cdc_fixture(spark, tmp_path)
+    # k=2's tombstone carries seq 5; horizon 4 keeps it, horizon 5 expires
+    assert gc_cdc_tombstones(spark, table, seq_horizon=4) == {}
+    raw = read_cdc_table(spark, table, with_tombstones=True)
+    assert raw.where("_cdc_deleted").count() == 1
+
+    expired = gc_cdc_tombstones(spark, table, seq_horizon=5)
+    assert expired == {f"{table}/p-0": 1}
+    raw = read_cdc_table(spark, table, with_tombstones=True)
+    assert raw.where("_cdc_deleted").count() == 0
+    # live view identical before/after expiry; version id unchanged
+    live = {r["k"]: r["v"] for r in read_cdc_table(spark, table).collect()}
+    assert live == {1: 11.0, 5: 50.0, 7: 70.0}
+    assert os.path.isdir(f"{table}/p-0/v2")
+
+    # crash simulation: stage a compacted copy of p-1's v0 with its
+    # commit marker, then delete the live dir — the interrupted-swap
+    # state gc recovers by completing the rename
+    src, staged = f"{table}/p-1/v0", f"{table}/p-1/gcv0"
+    shutil.copytree(src, staged)
+    shutil.rmtree(src)
+    assert read_cdc_table(spark, table).where("k = 5").count() == 0
+    assert gc_cdc_tombstones(spark, table, seq_horizon=5) == {}
+    assert os.path.isdir(src) and not os.path.isdir(staged)
+    live = {r["k"]: r["v"] for r in read_cdc_table(spark, table).collect()}
+    assert live == {1: 11.0, 5: 50.0, 7: 70.0}
+
+    # discard path: a stray staging dir NEXT TO a committed live dir
+    # (crash before the live delete) is thrown away
+    shutil.copytree(f"{table}/p-2/v2", f"{table}/p-2/gcv2")
+    assert gc_cdc_tombstones(spark, table, seq_horizon=5) == {}
+    assert not os.path.isdir(f"{table}/p-2/gcv2")
