@@ -354,6 +354,191 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
 
 
+def _cell_scores(vec: Column, centroids: list[list[float]], round_to: int | None) -> Column:
+    """array<struct<sim, neg_cell>> of ROUNDED cosine scores against every
+    centroid — the shared scoring for :func:`ann_join`'s two sides.
+    Rounding (half-even) happens BEFORE any argmax/top-n so near-ties
+    quantize to exact ties broken by cell id identically in any engine
+    (the cross-engine determinism discipline of cosine_topk, applied to
+    cell ASSIGNMENT, where an unrounded quotient can order differently
+    per fold order). Zero/NULL vectors coalesce to -2.0 (below any
+    cosine) so they deterministically land in the lowest cell."""
+    out = []
+    for i, c in enumerate(centroids):
+        sim = cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c]))
+        if round_to is not None:
+            sim = F.bround(sim, round_to)
+        out.append(
+            F.struct(
+                F.coalesce(sim, F.lit(-2.0)).alias("sim"),
+                F.lit(-i).alias("neg_cell"),
+            )
+        )
+    return F.array(*out)
+
+
+def ann_join(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-table ANN retrieval join — the batch-retrieval building
+    block the self-join k-NN graph does not cover: every QUERY vector
+    probes the CORPUS's IVF index (its ``n_probe`` nearest cells),
+    candidates come from shared cells only, and an EXACT cosine rerank
+    on the candidates yields per-query top-``k``. Returns
+    ``(query_id, corpus_id, sim, rank)``, rank 1..k by (sim desc,
+    corpus_id) — ties and scores deterministic via ``round_to``.
+
+    Scale shape (the reason this is not ``ivf_topk`` in a loop): the
+    corpus — the 100 TB side — crosses exactly ONE equi-join on the
+    cell id against the exploded query×probe frame (|Q| × n_probe
+    rows; the planner broadcasts it from stats, unhinted per the
+    engine's no-forced-broadcast rule), so the corpus is never
+    shuffled; the rerank then touches only candidate rows (≈ |Q| ×
+    n_probe × cell_size with cells-∝-N sizing), and the final top-k
+    window shuffles candidates alone on the query id. Recall is the
+    IVF trade, tuned by ``n_probe`` without changing the plan; a hot
+    cell skews the candidate join the same way it skews ``ivf_topk``
+    — resize with cells-∝-N (:func:`resolve_n_cells`) before reaching
+    for salting.
+
+    ``corpus_cells`` (an ``(id_col, __cell)`` frame from
+    :func:`build_ivf_index` / :func:`load_ivf_index`) skips the
+    per-run corpus re-assignment — the persisted-index path, the
+    minhash signature-table precedent applied to IVF: at ingest the
+    assignment is computed once and every later query batch joins
+    against the stored cells.
+
+    Zero/NULL-norm rows: cosine is undefined, so such QUERY rows rank
+    nothing meaningful and such CORPUS rows are unrankable — both are
+    dropped UPSTREAM of the join (a per-row norm check, far cheaper
+    than letting a NULL-sim filter fold the whole rerank expression
+    into the join condition where it would evaluate twice)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(
+            f"n_probe must be in [1, {len(centroids)}], got {n_probe}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    queries_df = queries_df.where(l2_norm(F.col(vec_col)) > 0)
+    corpus_df = corpus_df.where(l2_norm(F.col(vec_col)) > 0)
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.slice(
+            F.sort_array(
+                _cell_scores(F.col(vec_col), centroids, round_to), asc=False
+            ),
+            1,
+            n_probe,
+        ).alias("__probes"),
+    ).select(
+        "query_id", "__qvec", F.explode("__probes").alias("__p")
+    ).select(
+        "query_id",
+        "__qvec",
+        (-F.col("__p")["neg_cell"]).cast("int").alias("__cell"),
+    )
+    if corpus_cells is not None:
+        c = corpus_df.join(corpus_cells, on=id_col, how="inner")
+        c = c.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("__cvec"),
+            F.col("__cell").cast("int").alias("__cell"),
+        )
+    else:
+        c = _annotate_cells(corpus_df, centroids, vec_col, round_to).select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("__cvec"),
+            "__cell",
+        )
+    sim = cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    if round_to is not None:
+        sim = F.bround(sim, round_to)
+    cand = c.join(q, on="__cell", how="inner").select(
+        "query_id", "corpus_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("corpus_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", "rank")
+    )
+
+
+def _annotate_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """``df`` plus its ``__cell`` assignment under the ROUNDED scoring
+    (argmax sim, ties to lowest cell) — the :func:`ann_join` twin of
+    :func:`_assign_cells` (which scores unrounded for the pure-Spark
+    paths where cross-engine tie parity is not needed)."""
+    best = F.array_max(_cell_scores(F.col(vec_col), centroids, round_to))
+    return df.withColumn("__cell", (-best["neg_cell"]).cast("int"))
+
+
+def build_ivf_index(
+    corpus_df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """The persistable IVF assignment table ``(id_col, __cell)`` for
+    :func:`ann_join` — computed ONCE at ingest (one narrow projection
+    over the corpus), stored via :func:`save_ivf_index`, and joined by
+    every later query batch instead of re-deriving |corpus| × |cells|
+    dot products per run."""
+    return _annotate_cells(corpus_df, centroids, vec_col, round_to).select(
+        id_col, "__cell"
+    )
+
+
+def save_ivf_index(
+    index_df: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Persist an IVF index: the assignment table as parquet under
+    ``{path}/assignments`` and the centroid model state (small — cells
+    × dim doubles) as a one-column parquet under ``{path}/centroids``.
+    Plain parquet, no sidecar format — readable by any engine."""
+    spark = index_df.sparkSession
+    index_df.write.mode("overwrite").parquet(f"{path}/assignments")
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a :func:`save_ivf_index` index: ``(assignments_df,
+    centroids)``. The centroids collect is |cells| rows — model state,
+    the approved O(model) class."""
+    assignments = spark.read.parquet(f"{path}/assignments")
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    if [r["cell"] for r in cents] != list(range(len(cents))):
+        raise ValueError(
+            f"load_ivf_index: corrupt centroid table at {path!r} — "
+            "expected contiguous cell ids 0..n-1"
+        )
+    return assignments, [list(r["centroid"]) for r in cents]
+
+
 _WEIGHT_CACHE: dict[tuple[int, int], list[int]] = {}
 
 

@@ -8185,6 +8185,137 @@ FROM post GROUP BY o_part ORDER BY o_part
 """
 
 
+# X136 — conformed ingest (r11): conform_schema |> upsert_merge, THE
+# sequence the two operators exist for — a drifted wire batch (keys and
+# partition shipped as strings under old names, price strings with
+# malformed sentinels, status column dropped upstream, a stray tag
+# column) conformed to the live table contract and MERGEd into the
+# partitioned target in one pass (the q_curation_gated composition
+# precedent). try_cast degrade-to-NULL is part of the contract: the
+# malformed prices land as NULL cents, visible in the fingerprint's
+# n_null_cents. Scale shape: the conformance is a pure projection fused
+# into the delta scan; the target still crosses exactly ONE anti-join
+# with untouched partitions routed around it (operators/evolution.py).
+def q_conformed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.evolution import conform_schema, upsert_merge
+
+    key = F.col("o_orderkey")
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (key % 8).cast("long").alias("o_part"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderstatus",
+        )
+    )
+    cents = F.col("cents")
+    upd = base.where(key % 7 == 0).select(
+        key.cast("string").alias("order_key"),
+        (key % 8).cast("string").alias("part_id"),
+        F.when(key % 53 == 0, F.lit("n/a"))
+        .otherwise((cents + 999).cast("string"))
+        .alias("price_cents"),
+        F.lit(False).alias("deleted"),
+        F.lit("batch-7").alias("ingest_tag"),
+    )
+    ins = base.where(key % 17 == 2).select(
+        (key + F.lit(200000000)).cast("string").alias("order_key"),
+        (key % 8).cast("string").alias("part_id"),
+        (key % 1000 + 1).cast("string").alias("price_cents"),
+        F.lit(False).alias("deleted"),
+        F.lit("batch-new").alias("ingest_tag"),
+    )
+    dels = base.where((key % 9 == 4) & (key % 7 != 0)).select(
+        key.cast("string").alias("order_key"),
+        (key % 8).cast("string").alias("part_id"),
+        F.lit("0").alias("price_cents"),
+        F.lit(True).alias("deleted"),
+        F.lit("batch-del").alias("ingest_tag"),
+    )
+    wire = upd.unionByName(ins).unionByName(dels)
+    contract = (
+        "o_orderkey bigint, o_part bigint, cents bigint, "
+        "o_orderstatus string, is_del boolean"
+    )
+    conformed = conform_schema(
+        wire,
+        contract,
+        renames={
+            "order_key": "o_orderkey",
+            "part_id": "o_part",
+            "price_cents": "cents",
+            "deleted": "is_del",
+        },
+    )
+    post = upsert_merge(
+        base, conformed, ["o_orderkey"], delete_col="is_del",
+        partition_col="o_part",
+    )
+    return (
+        post.groupBy("o_part")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            (F.count(F.lit(1)) - F.count("cents"))
+            .cast("long")
+            .alias("n_null_cents"),
+            (F.count(F.lit(1)) - F.count("o_orderstatus"))
+            .cast("long")
+            .alias("n_nostatus"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .orderBy("o_part")
+    )
+
+
+SQL_CONFORMED_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_orderkey % 8 AS BIGINT) AS o_part,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus
+  FROM orders),
+wire AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS order_key,
+         CAST(o_orderkey % 8 AS VARCHAR) AS part_id,
+         CASE WHEN o_orderkey % 53 = 0 THEN 'n/a'
+              ELSE CAST(cents + 999 AS VARCHAR) END AS price_cents,
+         FALSE AS deleted
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT CAST(o_orderkey + 200000000 AS VARCHAR),
+         CAST(o_orderkey % 8 AS VARCHAR),
+         CAST(o_orderkey % 1000 + 1 AS VARCHAR), FALSE
+  FROM base WHERE o_orderkey % 17 = 2
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), CAST(o_orderkey % 8 AS VARCHAR),
+         '0', TRUE
+  FROM base WHERE o_orderkey % 9 = 4 AND o_orderkey % 7 != 0),
+conformed AS (
+  SELECT TRY_CAST(order_key AS BIGINT) AS o_orderkey,
+         TRY_CAST(part_id AS BIGINT) AS o_part,
+         TRY_CAST(price_cents AS BIGINT) AS cents,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         deleted AS is_del
+  FROM wire),
+post AS (
+  SELECT b.o_orderkey, b.o_part, b.cents, b.o_orderstatus FROM base b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM conformed c WHERE c.o_orderkey = b.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_part, cents, o_orderstatus
+  FROM conformed WHERE NOT is_del)
+SELECT o_part, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(count(*) - count(cents) AS BIGINT) AS n_null_cents,
+       CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nostatus,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM post GROUP BY o_part ORDER BY o_part
+"""
+
+
 def _preference_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared X133/X134 fixture: a 16-item arena of pairwise
     comparisons synthesized from orders — items are key residues, the
@@ -8350,6 +8481,87 @@ SELECT CAST(count(*) AS BIGINT) AS n_triads,
                        / count(*) * 100, 6)
        END AS cyclic_pct
 FROM tri
+"""
+
+
+# X137 — cross-table ANN retrieval join (r11): a QUERY frame probes the
+# corpus's IVF index — candidates from shared coarse cells only, exact
+# cosine rerank on candidates, per-query top-k — the batch
+# retrieval-eval building block the self-join k-NN graph doesn't cover
+# (operators/similarity.py:ann_join). The contract instance quantizes
+# with DETERMINISTIC axis centroids (±e_j over the first 4 dims) so the
+# oracle replays cell assignment and probe selection exactly; the
+# production path passes train_ivf_cells centroids and a persisted
+# build_ivf_index/save_ivf_index assignment table instead (index reuse
+# is pinned by tests, not by this oracle). Cell scores and rerank sims
+# round half-even at 1e-6 BEFORE every argmax/top-n, so near-ties
+# quantize to exact ties broken by (cell | corpus_id) identically in
+# both engines.
+def _axis_centroids(dim: int = 64, axes: int = 4) -> list[list[float]]:
+    cents = []
+    for j in range(axes):
+        for sign in (1.0, -1.0):
+            v = [0.0] * dim
+            v[j] = sign
+            cents.append(v)
+    return cents
+
+
+def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    return ann_join(
+        queries, corpus, k=5, centroids=_axis_centroids(), n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+SQL_ANN_JOIN = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT vec_id, embedding, nrm,
+         [round_even( CAST(embedding[1] AS DOUBLE) / nrm, 6),
+          round_even(-CAST(embedding[1] AS DOUBLE) / nrm, 6),
+          round_even( CAST(embedding[2] AS DOUBLE) / nrm, 6),
+          round_even(-CAST(embedding[2] AS DOUBLE) / nrm, 6),
+          round_even( CAST(embedding[3] AS DOUBLE) / nrm, 6),
+          round_even(-CAST(embedding[3] AS DOUBLE) / nrm, 6),
+          round_even( CAST(embedding[4] AS DOUBLE) / nrm, 6),
+          round_even(-CAST(embedding[4] AS DOUBLE) / nrm, 6)] AS s
+  FROM base WHERE nrm > 0),
+qx AS (
+  SELECT vec_id, embedding, nrm, unnest(s) AS sc, unnest(range(8)) AS cell
+  FROM scored WHERE vec_id % 25 = 7),
+qc AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm,
+         CAST(cell AS INT) AS cell
+  FROM qx
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell)
+          <= 2),
+cc AS (
+  SELECT vec_id AS corpus_id, embedding AS ce, nrm AS cnrm,
+         CAST(list_position(s, list_aggregate(s, 'max')) - 1 AS INT) AS cell
+  FROM scored WHERE vec_id % 25 != 7),
+cand AS (
+  SELECT q.query_id, c.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y))
+           / (q.qnrm * c.cnrm), 6) AS sim
+  FROM qc q JOIN cc c USING (cell))
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand WHERE sim IS NOT NULL
+QUALIFY "rank" <= 5
+ORDER BY query_id, "rank"
 """
 
 
@@ -8565,6 +8777,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
+    "q_conformed_merge": q_conformed_merge,
+    "q_ann_join": q_ann_join,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8762,6 +8976,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
     "q_budget_mix": SQL_BUDGET_MIX,
+    "q_conformed_merge": SQL_CONFORMED_MERGE,
+    "q_ann_join": SQL_ANN_JOIN,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "q_cdc_apply",
     "q_bradley_terry",
     "q_pref_cycles",
+    # r11 — conformed ingest composition (X136) + ANN retrieval join
+    "q_conformed_merge",
+    "q_ann_join",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -987,3 +987,109 @@ def test_rrf_rejects_ambiguous_and_accepts_explicit_score(spark):
     }
     # ranked by 'score' (doc 2 first in a), not by 'junk'
     assert out[2]["rank_a"] == 1 and out[1]["rank_a"] == 2
+
+
+# --- X137: cross-table ANN retrieval join ---
+def test_ann_join_scores_exact_and_recall(spark):
+    """Every (query, hit) the ANN join returns must carry the EXACT
+    cosine the brute-force path assigns (rerank is exact; only the
+    candidate set is approximate), ranks must be contiguous from 1 in
+    score order, and recall@5 vs brute force stays useful at
+    n_probe=4/8."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        cosine_topk,
+        train_ivf_cells,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 3)
+    corpus = emb.where(F.col("vec_id") % 50 != 3)
+    cents = train_ivf_cells(corpus, n_cells=8, iters=2)
+
+    got = ann_join(queries, corpus, k=5, centroids=cents, n_probe=4).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == queries.count()
+    recalls = []
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        qv = list(
+            queries.where(F.col("vec_id") == qid).first()["embedding"]
+        )
+        exact = cosine_topk(corpus, qv, k=500).collect()
+        exact_scores = {r["vec_id"]: r["sim"] for r in exact}
+        for r in rows:
+            assert exact_scores[r["corpus_id"]] == r["sim"]
+        brute5 = {r["vec_id"] for r in exact[:5]}
+        recalls.append(
+            len(brute5 & {r["corpus_id"] for r in rows}) / 5
+        )
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall@5 {recalls}"
+
+
+def test_ann_join_persisted_index_path_identical(spark, tmp_path):
+    """build_ivf_index -> save_ivf_index -> load_ivf_index -> ann_join
+    (corpus_cells=...) must equal the recompute path row-for-row — the
+    minhash signature-table precedent applied to IVF: assignment is
+    ingest-time work, not per-query work."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        build_ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+        train_ivf_cells,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 3)
+    corpus = emb.where(F.col("vec_id") % 50 != 3)
+    cents = train_ivf_cells(corpus, n_cells=8, iters=2)
+
+    idx = build_ivf_index(corpus, cents)
+    save_ivf_index(idx, cents, str(tmp_path / "ivf"))
+    loaded_idx, loaded_cents = load_ivf_index(spark, str(tmp_path / "ivf"))
+    assert loaded_cents == [[float(x) for x in c] for c in cents]
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    fresh = ann_join(queries, corpus, k=5, centroids=cents, n_probe=3)
+    via_index = ann_join(
+        queries, corpus, k=5, centroids=loaded_cents, n_probe=3,
+        corpus_cells=loaded_idx,
+    )
+    assert rows(fresh) == rows(via_index)
+
+
+def test_ann_join_validation(spark):
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import ann_join
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="n_probe"):
+        ann_join(emb, emb, k=1, centroids=cents, n_probe=3)
+    with pytest.raises(ValueError, match="n_probe"):
+        ann_join(emb, emb, k=1, centroids=cents, n_probe=0)
+    with pytest.raises(ValueError, match="k must"):
+        ann_join(emb, emb, k=0, centroids=cents)
+    with pytest.raises(ValueError, match="centroids"):
+        ann_join(emb, emb, k=1, centroids=[])
