@@ -354,7 +354,12 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_to)
 
 
-def _cell_scores(vec: Column, centroids: list[list[float]], round_to: int | None) -> Column:
+def _cell_scores(
+    vec: Column,
+    norm: Column,
+    centroids: list[list[float]],
+    round_to: int | None,
+) -> Column:
     """array<struct<sim, neg_cell>> of ROUNDED cosine scores against every
     centroid — the shared scoring for :func:`ann_join`'s two sides.
     Rounding (half-even) happens BEFORE any argmax/top-n so near-ties
@@ -362,19 +367,37 @@ def _cell_scores(vec: Column, centroids: list[list[float]], round_to: int | None
     (the cross-engine determinism discipline of cosine_topk, applied to
     cell ASSIGNMENT, where an unrounded quotient can order differently
     per fold order). Zero/NULL vectors coalesce to -2.0 (below any
-    cosine) so they deterministically land in the lowest cell."""
-    out = []
-    for i, c in enumerate(centroids):
-        sim = cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c]))
+    cosine) so they deterministically land in the lowest cell.
+
+    ``norm`` is the caller's PRE-PROJECTED l2 norm COLUMN: expressions a
+    ``transform`` lambda captures re-evaluate per element (the r4 CDC
+    lesson), so an inline norm fold would run |cells| times per row.
+    Build shape matters too: the centroid matrix rides ONE nested
+    ``F.lit`` and the per-centroid loop is ONE ``transform`` over cell
+    indices — the first cut built 8x64 per-element ``F.lit`` calls plus
+    a cosine fold per centroid and spent a measured ~3-5 s of pure
+    DRIVER py4j time constructing the plan before any execution.
+    Centroid norms are exact Python-side floats (model state, like the
+    centroids themselves)."""
+    import math
+
+    cvecs = F.lit([[float(x) for x in c] for c in centroids])
+    cnorms = [math.sqrt(math.fsum(float(x) * float(x) for x in c)) for c in centroids]
+    cn = F.lit(cnorms)
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+
+    def score(i: Column) -> Column:
+        cvec = F.element_at(cvecs, i + 1)
+        cnorm = F.element_at(cn, i + 1)
+        sim = F.when((norm > 0) & (cnorm > 0), dot(vec, cvec) / (norm * cnorm))
         if round_to is not None:
             sim = F.bround(sim, round_to)
-        out.append(
-            F.struct(
-                F.coalesce(sim, F.lit(-2.0)).alias("sim"),
-                F.lit(-i).alias("neg_cell"),
-            )
+        return F.struct(
+            F.coalesce(sim, F.lit(-2.0)).alias("sim"),
+            (-i).alias("neg_cell"),
         )
-    return F.array(*out)
+
+    return F.transform(idx, score)
 
 
 def ann_join(
@@ -420,7 +443,9 @@ def ann_join(
     nothing meaningful and such CORPUS rows are unrankable — both are
     dropped UPSTREAM of the join (a per-row norm check, far cheaper
     than letting a NULL-sim filter fold the whole rerank expression
-    into the join condition where it would evaluate twice)."""
+    into the join condition where it would evaluate twice). Each side's
+    norm is PROJECTED ONCE and reused by the filter, every cell score,
+    and the rerank — never re-folded per centroid or per candidate."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     if not 1 <= n_probe <= len(centroids):
@@ -431,39 +456,54 @@ def ann_join(
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
-    queries_df = queries_df.where(l2_norm(F.col(vec_col)) > 0)
-    corpus_df = corpus_df.where(l2_norm(F.col(vec_col)) > 0)
-    q = queries_df.select(
+    q0 = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    ).where(F.col("__qn") > 0)
+    q = q0.select(
+        "query_id",
+        "__qvec",
+        "__qn",
         F.slice(
             F.sort_array(
-                _cell_scores(F.col(vec_col), centroids, round_to), asc=False
+                _cell_scores(
+                    F.col("__qvec"), F.col("__qn"), centroids, round_to
+                ),
+                asc=False,
             ),
             1,
             n_probe,
         ).alias("__probes"),
     ).select(
-        "query_id", "__qvec", F.explode("__probes").alias("__p")
+        "query_id", "__qvec", "__qn", F.explode("__probes").alias("__p")
     ).select(
         "query_id",
         "__qvec",
+        "__qn",
         (-F.col("__p")["neg_cell"]).cast("int").alias("__cell"),
     )
     if corpus_cells is not None:
-        c = corpus_df.join(corpus_cells, on=id_col, how="inner")
-        c = c.select(
+        c0 = corpus_df.join(corpus_cells, on=id_col, how="inner")
+        c = c0.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("__cvec"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
             F.col("__cell").cast("int").alias("__cell"),
-        )
+        ).where(F.col("__cn") > 0)
     else:
-        c = _annotate_cells(corpus_df, centroids, vec_col, round_to).select(
+        c = corpus_df.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("__cvec"),
-            "__cell",
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        ).where(F.col("__cn") > 0)
+        best = F.array_max(
+            _cell_scores(F.col("__cvec"), F.col("__cn"), centroids, round_to)
         )
-    sim = cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+        c = c.withColumn("__cell", (-best["neg_cell"]).cast("int"))
+    sim = dot(F.col("__qvec"), F.col("__cvec")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     if round_to is not None:
         sim = F.bround(sim, round_to)
     cand = c.join(q, on="__cell", how="inner").select(
@@ -488,9 +528,16 @@ def _annotate_cells(
     """``df`` plus its ``__cell`` assignment under the ROUNDED scoring
     (argmax sim, ties to lowest cell) — the :func:`ann_join` twin of
     :func:`_assign_cells` (which scores unrounded for the pure-Spark
-    paths where cross-engine tie parity is not needed)."""
-    best = F.array_max(_cell_scores(F.col(vec_col), centroids, round_to))
-    return df.withColumn("__cell", (-best["neg_cell"]).cast("int"))
+    paths where cross-engine tie parity is not needed). Zero-norm rows
+    keep the deterministic lowest cell (callers that must drop them
+    filter on their own norm column, as :func:`ann_join` does)."""
+    tmp = df.withColumn("__cs_norm", l2_norm(F.col(vec_col)))
+    best = F.array_max(
+        _cell_scores(F.col(vec_col), F.col("__cs_norm"), centroids, round_to)
+    )
+    return tmp.withColumn("__cell", (-best["neg_cell"]).cast("int")).drop(
+        "__cs_norm"
+    )
 
 
 def build_ivf_index(

@@ -1093,3 +1093,30 @@ def test_ann_join_validation(spark):
         ann_join(emb, emb, k=0, centroids=cents)
     with pytest.raises(ValueError, match="centroids"):
         ann_join(emb, emb, k=1, centroids=[])
+
+
+def test_ann_join_plan_corpus_never_shuffles(spark):
+    """The 100 TB contract of the retrieval join: the corpus side
+    crosses ONE BroadcastHashJoin on the cell id (query×probe side
+    built/broadcast — never a SortMergeJoin of the corpus), and the
+    only hash exchange carries the WindowGroupLimit-pre-limited
+    candidates on the query id."""
+    from alphavantage_etl_spark.operators.similarity import ann_join
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 3)
+    corpus = emb.where(F.col("vec_id") % 50 != 3)
+    cents = [[1.0 if i == j else 0.0 for i in range(64)] for j in range(8)]
+    out = ann_join(queries, corpus, k=5, centroids=cents, n_probe=2)
+    out.collect()  # AQE decides at runtime; assert on the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in final
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
