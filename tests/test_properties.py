@@ -874,3 +874,130 @@ def test_token_budget_matches_python_reference(spark, rows, budget):
                 want.add(i)
             cum += t
     assert got == want
+
+
+# --- X131/X132 upsert & changelog contracts (r11) ---------------------
+# Contract-critical: a wrong merge/net-effect is a SILENT wrong table,
+# not an error. Reference semantics are recomputed in plain Python.
+
+_up_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),            # key
+        st.sampled_from([None, 0, 1, 2]),                 # partition (incl NULL)
+        st.integers(min_value=-5, max_value=5),           # value
+    ),
+    max_size=8,
+)
+_up_src = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.sampled_from([None, 0, 1, 2]),
+        st.integers(min_value=-5, max_value=5),
+        st.sampled_from([None, False, True]),             # delete flag
+    ),
+    max_size=6,
+    unique_by=lambda t: t[0],                             # unique source keys
+)
+
+
+@CONTRACT_SETTINGS
+@example(
+    # the r10 advisor's HIGH finding: NULL partition update + delete
+    tgt=[(1, None, 10), (2, None, 20)],
+    src=[(1, None, 99, False), (2, None, 0, True)],
+)
+@given(tgt=_up_rows, src=_up_src)
+def test_upsert_merge_matches_reference_and_partition_split(spark, tgt, src):
+    """upsert_merge == the plain-Python MERGE post-state, and the
+    partitioned form == the unpartitioned form whenever the partition
+    column is key-stable in BOTH frames (the declared precondition) —
+    including NULL partition values on both sides."""
+    from alphavantage_etl_spark.operators.evolution import upsert_merge
+
+    # enforce the precondition: partition is a function of the key
+    part_of = {}
+    tgt2, src2 = [], []
+    seen_t = set()
+    for k, p, v in tgt:
+        if k in seen_t:
+            continue
+        seen_t.add(k)
+        part_of.setdefault(k, p)
+        tgt2.append((k, part_of[k], v))
+    for k, p, v, d in src:
+        part_of.setdefault(k, p)
+        src2.append((k, part_of[k], v, d))
+
+    want = {k: (p, v) for k, p, v in tgt2}
+    for k, p, v, d in src2:
+        if d:
+            want.pop(k, None)
+        else:
+            want[k] = (p, v)
+
+    target = spark.createDataFrame(tgt2, "k long, part int, v long")
+    source = spark.createDataFrame(src2, "k long, part int, v long, del boolean")
+    flat = upsert_merge(target, source, ["k"], delete_col="del")
+    got = {r["k"]: (r["part"], r["v"]) for r in flat.collect()}
+    assert got == want
+    parted = upsert_merge(
+        target, source, ["k"], delete_col="del", partition_col="part"
+    )
+    got_p = {r["k"]: (r["part"], r["v"]) for r in parted.collect()}
+    assert got_p == want
+
+
+_cl_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),             # key
+        st.integers(min_value=-3, max_value=3),            # value
+        st.one_of(st.none(), st.integers(min_value=-4, max_value=4)),  # seq
+        st.sampled_from(["I", "U", "D"]),
+    ),
+    max_size=8,
+)
+
+
+@CONTRACT_SETTINGS
+@example(rows=[(0, 1, -(2**63), "U"), (0, 2, None, "U")])  # MIN_LONG vs NULL
+@given(rows=_cl_rows)
+def test_apply_changelog_matches_reference(spark, rows):
+    """apply_changelog == the plain-Python latest-event-per-key replay
+    for every well-formed changelog: (has-seq, seq) ordering, NULL seq
+    below every real seq including MIN_LONG, deletes remove keys."""
+    from alphavantage_etl_spark.operators.evolution import apply_changelog
+
+    # keep only well-formed logs: unique (key, seq), <=1 NULL seq per key
+    seen: set = set()
+    clean = []
+    for k, v, s, op in rows:
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        clean.append((k, v, s, op))
+
+    base = {k: k * 10 for k in range(3)}
+    want = dict(base)
+    # winner per key by (has-seq, seq); ties impossible after dedup
+    best: dict = {}
+    for k, v, s, op in clean:
+        key_rank = (s is not None, s if s is not None else 0)
+        if k not in best or key_rank > best[k][0]:
+            best[k] = (key_rank, v, op)
+    for k, (_, v, op) in best.items():
+        if op == "D":
+            want.pop(k, None)
+        else:
+            want[k] = v
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k long, v long"
+    )
+    if clean:
+        changes = spark.createDataFrame(
+            clean, "k long, v long, seq long, op string"
+        )
+        out = apply_changelog(target, changes, ["k"], "seq", "op")
+    else:
+        out = target
+    assert {r["k"]: r["v"] for r in out.collect()} == want
