@@ -586,6 +586,51 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return assignments, [list(r["centroid"]) for r in cents]
 
 
+def group_capped_topk(
+    df: DataFrame,
+    partition_cols: list[str],
+    group_cols: list[str],
+    order_by: list,
+    per_group: int,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows per partition with at most ``per_group`` rows per
+    group — source-diversity capping for retrieval results (the
+    production pattern for "no single domain/shard dominates a query's
+    contexts"; the retrieval-side sibling of the provenance layer's
+    domain_caps). ``order_by`` is a list of Columns (e.g.
+    ``[F.desc("sim"), F.col("id")]``) and must be a TOTAL order for
+    deterministic output; ``rank_col`` is the 1..k re-rank AFTER
+    capping.
+
+    Plan: ONE explicit hash exchange on the partition cols serves BOTH
+    ``row_number`` windows — ``HashPartitioning(partition_cols)``
+    satisfies the group window's ``ClusteredDistribution(partition +
+    group)`` by the subset rule, where letting the planner pick would
+    insert a second exchange on (partition, group) that the
+    partition-only window then cannot reuse. Each window still
+    WindowGroupLimit-pre-limits its pass, so a query with 10^6
+    candidates sorts locally and ships nothing extra. Never a global
+    sort."""
+    if per_group < 1:
+        raise ValueError(f"per_group must be >= 1, got {per_group}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    df = df.repartition(*[F.col(c) for c in partition_cols])
+    wg = Window.partitionBy(*partition_cols, *group_cols).orderBy(*order_by)
+    wp = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__gr", F.row_number().over(wg))
+        .where(F.col("__gr") <= per_group)
+        .drop("__gr")
+        .withColumn(rank_col, F.row_number().over(wp))
+        .where(F.col(rank_col) <= k)
+    )
+
+
 _WEIGHT_CACHE: dict[tuple[int, int], list[int]] = {}
 
 

@@ -8518,7 +8518,10 @@ def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-SQL_ANN_JOIN = """
+# Shared CTE chain for the X137/X139 oracles: deterministic axis-cell
+# assignment, top-2 probe selection, shared-cell candidates with exact
+# rerank sims (the ann_join contract instance).
+_SQL_ANN_CTES = """
 WITH base AS (
   SELECT vec_id, embedding,
          sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
@@ -8555,11 +8558,71 @@ cand AS (
             FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y))
            / (q.qnrm * c.cnrm), 6) AS sim
   FROM qc q JOIN cc c USING (cell))
+"""
+
+SQL_ANN_JOIN = _SQL_ANN_CTES + """
 SELECT query_id, corpus_id, sim,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, corpus_id) AS INT)
          AS "rank"
 FROM cand WHERE sim IS NOT NULL
+QUALIFY "rank" <= 5
+ORDER BY query_id, "rank"
+"""
+
+
+# X139 — source-diversity-capped retrieval top-k (r11): the production
+# retrieval pattern for "no single source dominates a query's
+# contexts" — the X137 candidate list capped at per_group=2 hits per
+# corpus label BEFORE the final top-5 (the retrieval-side sibling of
+# the provenance layer's domain_caps). Two row_number windows over the
+# same partition prefix = ONE exchange, WindowGroupLimit pre-limits
+# both passes (operators/similarity.py:group_capped_topk).
+def q_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_join, group_capped_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    hits = ann_join(
+        queries, corpus, k=15, centroids=_axis_centroids(), n_probe=2
+    ).drop("rank")
+    labeled = hits.join(
+        corpus.select(F.col("vec_id").alias("corpus_id"), "label"),
+        on="corpus_id",
+    )
+    out = group_capped_topk(
+        labeled,
+        ["query_id"],
+        ["label"],
+        [F.desc("sim"), F.col("corpus_id")],
+        per_group=2,
+        k=5,
+    )
+    return out.select(
+        "query_id", "corpus_id", "label", "sim", "rank"
+    ).orderBy("query_id", "rank")
+
+
+SQL_TOPK_DIVERSE = _SQL_ANN_CTES + """,
+hits AS (
+  SELECT query_id, corpus_id, sim FROM (
+    SELECT query_id, corpus_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, corpus_id) AS rn
+    FROM cand WHERE sim IS NOT NULL)
+  WHERE rn <= 15),
+capped AS (
+  SELECT query_id, corpus_id, label, sim FROM (
+    SELECT h.query_id, h.corpus_id, e.label, h.sim
+    FROM hits h JOIN embeddings e ON e.vec_id = h.corpus_id)
+  QUALIFY row_number() OVER (PARTITION BY query_id, label
+                             ORDER BY sim DESC, corpus_id) <= 2)
+SELECT query_id, corpus_id, label, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM capped
 QUALIFY "rank" <= 5
 ORDER BY query_id, "rank"
 """
@@ -8779,6 +8842,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_image_near_dup": q_image_near_dup,
     "q_conformed_merge": q_conformed_merge,
     "q_ann_join": q_ann_join,
+    "q_topk_diverse": q_topk_diverse,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -8978,6 +9042,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_budget_mix": SQL_BUDGET_MIX,
     "q_conformed_merge": SQL_CONFORMED_MERGE,
     "q_ann_join": SQL_ANN_JOIN,
+    "q_topk_diverse": SQL_TOPK_DIVERSE,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

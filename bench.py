@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     # r11 — conformed ingest composition (X136) + ANN retrieval join
     "q_conformed_merge",
     "q_ann_join",
+    "q_topk_diverse",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

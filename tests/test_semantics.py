@@ -1120,3 +1120,45 @@ def test_ann_join_plan_corpus_never_shuffles(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
     assert "WindowGroupLimit" in final
+
+
+def test_group_capped_topk_semantics_and_plan(spark):
+    """Diversity capping: at most per_group rows per (partition, group)
+    survive, then top-k per partition re-ranks 1..k; both windows share
+    ONE hash exchange (same partition-key prefix)."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import group_capped_topk
+
+    rows = [
+        # qid, cid, grp, sim
+        (1, 10, "a", 0.9), (1, 11, "a", 0.8), (1, 12, "a", 0.7),
+        (1, 20, "b", 0.6), (1, 21, "b", 0.5), (1, 30, "c", 0.4),
+        (2, 40, "a", 0.9),
+    ]
+    df = spark.createDataFrame(rows, "qid long, cid long, grp string, sim double")
+    out = group_capped_topk(
+        df, ["qid"], ["grp"], [F.desc("sim"), F.col("cid")], per_group=2, k=4
+    )
+    got = [
+        (r["qid"], r["cid"], r["rank"])
+        for r in out.orderBy("qid", "rank").collect()
+    ]
+    # qid 1: a-group capped at 2 (12 dropped), then top-4 of survivors
+    assert got == [
+        (1, 10, 1), (1, 11, 2), (1, 20, 3), (1, 21, 4),
+        (2, 40, 1),
+    ]
+    out.collect()
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert final.count("WindowGroupLimit") >= 2
+    with pytest.raises(ValueError, match="per_group"):
+        group_capped_topk(df, ["qid"], ["grp"], [F.desc("sim")], 0, 4)
+    with pytest.raises(ValueError, match="k must"):
+        group_capped_topk(df, ["qid"], ["grp"], [F.desc("sim")], 1, 0)
