@@ -631,6 +631,107 @@ def group_capped_topk(
     )
 
 
+def mmr_rerank(
+    cand_df: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    rel_col: str = "sim",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    over a per-query candidate frame: greedily pick ``k`` candidates per
+    query maximizing ``lam * relevance - (1 - lam) * max_sim_to_already_
+    picked`` — diversity by CONTENT, the complement of
+    :func:`group_capped_topk`'s diversity by source label. Returns
+    ``(query_col, id_col, rel_col, rank)``, rank = selection order.
+
+    Distributed shape: the selected set is never collected — each of
+    the ``k`` rounds is ONE ``max_by`` aggregation per query (the
+    argmax) plus ONE equi-join of the surviving candidates against
+    that round's single pick per query, updating a RUNNING max-pairsim
+    column (``greatest(old, sim(cand, new_pick))`` — incremental, so
+    round t costs O(|candidates|), never O(|candidates| * t)). State
+    is localCheckpointed per round (the logreg/pagerank iterative
+    discipline: plans would otherwise double per round). Candidates
+    per query are bounded by construction (they come from a top-m
+    retrieval like :func:`ann_join`), so every round's frames are
+    |Q| x m — at 100 TB the corpus cost was already paid upstream.
+
+    Determinism / cross-engine parity: pairwise sims and scores are
+    half-even-quantized at ``round_to`` BEFORE every argmax; ties break
+    to the lowest candidate id. The running max-pairsim starts at the
+    -2.0 sentinel (below any cosine), NOT 0: round 1's scores shift by
+    a per-query constant (pure-relevance argmax preserved) and — the
+    real reason — a candidate whose every pairwise sim is NEGATIVE
+    keeps its true max instead of a spurious 0 floor. Queries with
+    fewer than ``k`` candidates return all of them in MMR order."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    om = 1.0 - lam
+
+    def rnd(col: Column) -> Column:
+        return F.bround(col, round_to) if round_to is not None else col
+
+    cand = cand_df.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__c"),
+        F.col(rel_col).cast("double").alias("__rel"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        F.lit(-2.0).alias("__ms"),
+    ).where(F.col("__n") > 0).localCheckpoint()
+    picked = None
+    for step in range(1, k + 1):
+        score = rnd(F.lit(lam) * F.col("__rel") - F.lit(om) * F.col("__ms"))
+        best = cand.groupBy("__q").agg(
+            F.max_by(
+                F.struct(
+                    F.col("__c").alias("bc"),
+                    F.col("__rel").alias("brel"),
+                    F.col("__v").alias("bv"),
+                    F.col("__n").alias("bn"),
+                ),
+                F.struct(score.alias("s"), (-F.col("__c")).alias("nc")),
+            ).alias("__b")
+        ).select("__q", "__b.*")
+        row = best.select(
+            "__q",
+            F.col("bc").alias(id_col),
+            F.col("brel").alias(rel_col),
+            F.lit(step).alias("rank"),
+        )
+        picked = row if picked is None else picked.unionByName(row)
+        if step == k:
+            break
+        nxt = (
+            cand.join(best, on="__q", how="inner")
+            .where(F.col("__c") != F.col("bc"))
+            .select(
+                "__q",
+                "__c",
+                "__rel",
+                "__v",
+                "__n",
+                F.greatest(
+                    F.col("__ms"),
+                    rnd(
+                        dot(F.col("__v"), F.col("bv"))
+                        / (F.col("__n") * F.col("bn"))
+                    ),
+                ).alias("__ms"),
+            )
+        )
+        cand = nxt.localCheckpoint()
+    return picked.select(
+        F.col("__q").alias(query_col), id_col, rel_col, "rank"
+    )
+
+
 _WEIGHT_CACHE: dict[tuple[int, int], list[int]] = {}
 
 

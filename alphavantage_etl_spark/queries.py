@@ -3996,7 +3996,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BOOTSTRAP_CI = """
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT o_orderpriority AS g, o_orderkey AS id,
          CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS q
   FROM orders WHERE o_totalprice IS NOT NULL),
@@ -8522,12 +8522,12 @@ def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment, top-2 probe selection, shared-cell candidates with exact
 # rerank sims (the ann_join contract instance).
 _SQL_ANN_CTES = """
-WITH base AS (
+WITH base AS MATERIALIZED (
   SELECT vec_id, embedding,
          sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
                FROM (SELECT unnest(embedding) AS u))) AS nrm
   FROM embeddings),
-scored AS (
+scored AS MATERIALIZED (
   SELECT vec_id, embedding, nrm,
          [round_even( CAST(embedding[1] AS DOUBLE) / nrm, 6),
           round_even(-CAST(embedding[1] AS DOUBLE) / nrm, 6),
@@ -8551,7 +8551,7 @@ cc AS (
   SELECT vec_id AS corpus_id, embedding AS ce, nrm AS cnrm,
          CAST(list_position(s, list_aggregate(s, 'max')) - 1 AS INT) AS cell
   FROM scored WHERE vec_id % 25 != 7),
-cand AS (
+cand AS MATERIALIZED (
   SELECT q.query_id, c.corpus_id,
          round_even(
            (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
@@ -8624,6 +8624,109 @@ SELECT query_id, corpus_id, label, sim,
          AS "rank"
 FROM capped
 QUALIFY "rank" <= 5
+ORDER BY query_id, "rank"
+"""
+
+
+# X140 — MMR diversity rerank (r11): maximal marginal relevance over
+# the X137 candidates — greedy top-5 per query maximizing lam*rel -
+# (1-lam)*max_sim_to_picked, diversity by CONTENT beside X139's
+# diversity by source. Engine side: k bounded rounds of one max_by agg
+# + one join against the round's single pick per query, RUNNING
+# max-pairsim column (incremental — round t is O(|candidates|), state
+# never collected); oracle: DuckDB recursive CTE carrying the per-query
+# picks LIST (one working-table reference; the pairwise-sim table is a
+# non-recursive sibling), replaying the identical quantized arithmetic
+# (operators/similarity.py:mmr_rerank).
+_MMR_LAM = 0.7
+_MMR_OM = 1.0 - _MMR_LAM
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_join, mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    hits = ann_join(
+        queries, corpus, k=10, centroids=_axis_centroids(), n_probe=2
+    ).drop("rank")
+    cand = hits.join(
+        corpus.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        on="corpus_id",
+    )
+    out = mmr_rerank(cand, k=5, lam=_MMR_LAM)
+    return out.orderBy("query_id", "rank")
+
+
+SQL_MMR_RERANK = _SQL_ANN_CTES.replace(
+    "WITH base", "WITH RECURSIVE base", 1
+) + f""",
+hits AS (
+  SELECT query_id, corpus_id, sim FROM (
+    SELECT query_id, corpus_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, corpus_id) AS rn
+    FROM cand WHERE sim IS NOT NULL)
+  WHERE rn <= 10),
+candv AS MATERIALIZED (
+  SELECT h.query_id AS qid, h.corpus_id AS cid, h.sim AS rel,
+         s.embedding AS v, s.nrm
+  FROM hits h JOIN scored s ON s.vec_id = h.corpus_id),
+pair AS MATERIALIZED (
+  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(a.v) AS x, unnest(b.v) AS y))
+           / (a.nrm * b.nrm), 6) AS ps
+  FROM candv a JOIN candv b ON a.qid = b.qid AND a.cid != b.cid),
+sel AS (
+  -- round 1: the running max-pairsim state starts at the -2.0 sentinel
+  -- (below any cosine), so the first pick is the pure-relevance argmax
+  -- shifted by a per-query CONSTANT — identical arithmetic to the
+  -- engine's initial state, so scores (not just order) match
+  SELECT qid, 1 AS step, [cid] AS picks FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY
+             round_even(CAST({_MMR_LAM!r} AS DOUBLE) * rel
+                        - CAST({_MMR_OM!r} AS DOUBLE) * (-2.0), 6)
+             DESC, cid) AS rn
+    FROM candv) WHERE rn = 1
+  UNION ALL
+  -- the max-pairsim term is a JOIN + GROUP BY, NOT a correlated scalar
+  -- subquery: inside a recursive term DuckDB silently evaluates a
+  -- subquery correlated on the working table's columns to NULL (it
+  -- works fine outside recursion — verified both ways), which made
+  -- every round-2+ score NULL and degraded selection to the cid
+  -- tiebreak. The complete pair table guarantees every unpicked
+  -- candidate joins at least one picked row, so the inner join loses
+  -- nothing.
+  SELECT qid, step + 1, list_append(picks, cid) FROM (
+    SELECT qid, step, picks, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, cid) AS rn
+    FROM (
+      SELECT s.qid, s.step, s.picks, c.cid,
+             round_even(CAST({_MMR_LAM!r} AS DOUBLE) * c.rel
+                        - CAST({_MMR_OM!r} AS DOUBLE) * max(p.ps), 6)
+               AS score
+      FROM sel s
+      JOIN candv c ON c.qid = s.qid AND NOT list_contains(s.picks, c.cid)
+      JOIN pair p ON p.qid = s.qid AND p.ca = c.cid
+                 AND list_contains(s.picks, p.cb)
+      WHERE s.step < 5
+      GROUP BY s.qid, s.step, s.picks, c.cid, c.rel)) WHERE rn = 1),
+last AS (
+  SELECT qid, picks FROM (
+    SELECT qid, picks,
+           row_number() OVER (PARTITION BY qid ORDER BY step DESC) AS rn
+    FROM sel) WHERE rn = 1)
+SELECT e.qid AS query_id, e.cid AS corpus_id, v.rel AS sim, e."rank"
+FROM (
+  SELECT qid, unnest(picks) AS cid,
+         CAST(unnest(range(1, len(picks) + 1)) AS INT) AS "rank"
+  FROM last) e
+JOIN candv v ON v.qid = e.qid AND v.cid = e.cid
 ORDER BY query_id, "rank"
 """
 
@@ -8843,6 +8946,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_conformed_merge": q_conformed_merge,
     "q_ann_join": q_ann_join,
     "q_topk_diverse": q_topk_diverse,
+    "q_mmr_rerank": q_mmr_rerank,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9043,6 +9147,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_conformed_merge": SQL_CONFORMED_MERGE,
     "q_ann_join": SQL_ANN_JOIN,
     "q_topk_diverse": SQL_TOPK_DIVERSE,
+    "q_mmr_rerank": SQL_MMR_RERANK,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q_conformed_merge",
     "q_ann_join",
     "q_topk_diverse",
+    "q_mmr_rerank",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

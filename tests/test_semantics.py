@@ -1162,3 +1162,58 @@ def test_group_capped_topk_semantics_and_plan(spark):
         group_capped_topk(df, ["qid"], ["grp"], [F.desc("sim")], 0, 4)
     with pytest.raises(ValueError, match="k must"):
         group_capped_topk(df, ["qid"], ["grp"], [F.desc("sim")], 1, 0)
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    """X140 semantics on a constructed fixture: two near-identical
+    high-relevance candidates — pure relevance ranks them 1-2, MMR
+    picks one, then prefers the diverse lower-relevance candidate;
+    a query with fewer than k candidates returns all of them."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        # qid, cid, rel, vec — cids 1 and 2 are near-duplicates
+        (1, 1, 0.95, [1.0, 0.0, 0.0]),
+        (1, 2, 0.94, [0.999, 0.04, 0.0]),
+        (1, 3, 0.60, [0.0, 1.0, 0.0]),
+        (1, 4, 0.55, [0.0, 0.0, 1.0]),
+        (2, 7, 0.9, [1.0, 0.0, 0.0]),   # only one candidate
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, corpus_id long, sim double, embedding array<float>",
+    )
+    out = mmr_rerank(df, k=3, lam=0.7)
+    got = {
+        (r["query_id"], r["rank"]): r["corpus_id"] for r in out.collect()
+    }
+    # scores: pick1 = argmax rel = 1; round 2: cand 2 pays
+    # 0.3*sim(2,1) ~ 0.30 -> 0.358, cand 3 pays 0 -> 0.42; round 3:
+    # cand 4 (0.385) still beats the near-dup 2 (0.358)
+    assert got[(1, 1)] == 1           # pure-relevance first pick
+    assert got[(1, 2)] == 3           # the near-dup of 1 is demoted
+    assert got[(1, 3)] == 4
+    assert (2, 1) in got and (2, 2) not in got  # short query: 1 row
+    # anti-correlated candidates: negative pairwise sims must not be
+    # floored at 0 by the initial state (the -2.0 sentinel rule)
+    neg = spark.createDataFrame(
+        [
+            (9, 1, 0.9, [1.0, 0.0]),
+            (9, 2, 0.89, [-1.0, 0.0]),   # sim to pick 1 = -1
+            (9, 3, 0.89, [0.0, 1.0]),    # sim to pick 1 = 0
+        ],
+        "query_id long, corpus_id long, sim double, embedding array<float>",
+    )
+    got2 = {
+        r["rank"]: r["corpus_id"]
+        for r in mmr_rerank(neg, k=2, lam=0.5).collect()
+    }
+    # 0.5*0.89 - 0.5*(-1) beats 0.5*0.89 - 0.5*0 — the anti-correlated
+    # candidate wins round 2 BECAUSE its true negative max-sim survives
+    assert got2 == {1: 1, 2: 2}
+    with pytest.raises(ValueError, match="k must"):
+        mmr_rerank(df, k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(df, k=1, lam=1.5)
