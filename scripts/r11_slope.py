@@ -140,12 +140,55 @@ def conformed_merge_plan(spark, orders_df):
 def ann_plan(spark, corpus_df, queries_df):
     from alphavantage_etl_spark.operators.similarity import ann_join
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from alphavantage_etl_spark.queries import _axis_centroids
 
     return ann_join(
         queries_df, corpus_df, k=5, centroids=_axis_centroids(), n_probe=2
     )
+
+
+def diverse_plan(spark, corpus_df, queries_df):
+    from pyspark.sql import functions as F
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        group_capped_topk,
+    )
+    from alphavantage_etl_spark.queries import _axis_centroids
+
+    hits = ann_join(
+        queries_df, corpus_df, k=15, centroids=_axis_centroids(), n_probe=2
+    ).drop("rank")
+    labeled = hits.join(
+        corpus_df.select(
+            F.col("vec_id").alias("corpus_id"),
+            (F.col("vec_id") % 7).alias("label"),
+        ),
+        on="corpus_id",
+    )
+    return group_capped_topk(
+        labeled, ["query_id"], ["label"],
+        [F.desc("sim"), F.col("corpus_id")], per_group=2, k=5,
+    )
+
+
+def mmr_plan(spark, corpus_df, queries_df):
+    from pyspark.sql import functions as F
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        mmr_rerank,
+    )
+    from alphavantage_etl_spark.queries import _axis_centroids
+
+    hits = ann_join(
+        queries_df, corpus_df, k=10, centroids=_axis_centroids(), n_probe=2
+    ).drop("rank")
+    cand = hits.join(
+        corpus_df.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        on="corpus_id",
+    )
+    return mmr_rerank(cand, k=5, lam=0.7)
 
 
 def wall(build_fn, reps=2):
@@ -197,6 +240,16 @@ def main():
     a10 = wall(lambda: ann_plan(spark, emb_x10(), q_frame(emb_x10)))
     out["plans"]["ann_join_fixed_queries"] = {"x1": a1, "x10": a10,
                                               "slope": round(a10 / a1, 2)}
+    diverse_plan(spark, emb_x1(), q_frame(emb_x1)).collect()
+    d1 = wall(lambda: diverse_plan(spark, emb_x1(), q_frame(emb_x1)))
+    d10 = wall(lambda: diverse_plan(spark, emb_x10(), q_frame(emb_x10)))
+    out["plans"]["topk_diverse_fixed_queries"] = {"x1": d1, "x10": d10,
+                                                  "slope": round(d10 / d1, 2)}
+    mmr_plan(spark, emb_x1(), q_frame(emb_x1)).collect()
+    m1 = wall(lambda: mmr_plan(spark, emb_x1(), q_frame(emb_x1)))
+    m10 = wall(lambda: mmr_plan(spark, emb_x10(), q_frame(emb_x10)))
+    out["plans"]["mmr_rerank_fixed_queries"] = {"x1": m1, "x10": m10,
+                                                "slope": round(m10 / m1, 2)}
     print(json.dumps(out))
 
 
