@@ -8731,6 +8731,112 @@ ORDER BY query_id, "rank"
 """
 
 
+# X141 — retrieval recall@k eval (r11): the evaluation closing the
+# X137-X140 retrieval stack — per query, how many of the ANN join's
+# top-5 are in the EXACT brute-force top-5 (both sides exact-rerank
+# scored at 1e-6 quantization, ties by id, so the metric is
+# deterministic and oracle-checkable, unlike the self-validated
+# rows-only recall diagnostics of the single-query IVF/PQ paths). The
+# brute side is |Q| x |corpus| with a BOUNDED query batch — the
+# standard recall-eval harness shape, linear in the corpus for fixed
+# |Q| (broadcast the query side), and an eval you run on a sample, not
+# the serving path.
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import dot, l2_norm
+    from .operators.similarity import ann_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    k = 5
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    ).where(F.col("__qn") > 0)
+    c = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("__cv"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    ).where(F.col("__cn") > 0)
+    sim = F.bround(
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("corpus_id")
+    )
+    exact = (
+        q.crossJoin(c)
+        .select("query_id", "corpus_id", sim.alias("sim"))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select("query_id", "corpus_id")
+    )
+    ann = ann_join(
+        queries, corpus, k=k, centroids=_axis_centroids(), n_probe=2
+    ).select("query_id", "corpus_id")
+    hits = ann.join(exact, on=["query_id", "corpus_id"], how="left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit")
+            ),
+            on="query_id",
+            how="left",
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_RECALL = _SQL_ANN_CTES + """,
+exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           round_even(
+             (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+              FROM (SELECT unnest(q.embedding) AS x,
+                           unnest(c.embedding) AS y))
+             / (q.nrm * c.nrm), 6) AS sim
+    FROM scored q JOIN scored c
+      ON q.vec_id % 25 = 7 AND c.vec_id % 25 != 7)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, corpus_id) <= 5),
+ann AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT query_id, corpus_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, corpus_id) AS rn
+    FROM cand WHERE sim IS NOT NULL)
+  WHERE rn <= 5),
+hit AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM ann a JOIN exact e
+    ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id
+  GROUP BY a.query_id)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(coalesce(any_value(h.n_hit), 0) AS BIGINT) AS n_hit,
+       coalesce(any_value(h.n_hit), 0) / CAST(5.0 AS DOUBLE) AS recall
+FROM exact e LEFT JOIN hit h ON h.query_id = e.query_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -8947,6 +9053,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_ann_join": q_ann_join,
     "q_topk_diverse": q_topk_diverse,
     "q_mmr_rerank": q_mmr_rerank,
+    "q_ann_recall": q_ann_recall,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9148,6 +9255,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_ann_join": SQL_ANN_JOIN,
     "q_topk_diverse": SQL_TOPK_DIVERSE,
     "q_mmr_rerank": SQL_MMR_RERANK,
+    "q_ann_recall": SQL_ANN_RECALL,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

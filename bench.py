@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "q_ann_join",
     "q_topk_diverse",
     "q_mmr_rerank",
+    "q_ann_recall",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in
