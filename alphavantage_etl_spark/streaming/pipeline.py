@@ -2004,3 +2004,84 @@ def cdc_apply_stream(
     )
     q.awaitTermination()
     return q
+
+
+def ivf_index_stream(
+    stream_df: DataFrame,
+    centroids: list[list[float]],
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+):
+    """Streaming twin of X137's persisted IVF index — continuous index
+    MAINTENANCE: each embedding micro-batch is cell-assigned (the
+    ann_join scoring, 1e-6-quantized ties-to-lowest-cell) and appended
+    to the assignment table exactly-once via the ``ingest_batch_id=N``
+    partition-dir protocol (:func:`_append_batch` — a replayed batch
+    overwrites its own directory, never duplicates). The centroid model
+    state is written ONCE at stream setup in the
+    ``operators.similarity.save_ivf_index`` layout, so
+    ``load_ivf_index(spark, index_path)`` and ``ann_join(...,
+    corpus_cells=...)`` read a streamed index and a batch-built index
+    identically (parity pinned by test: streamed over N batches ==
+    ``build_ivf_index`` over the union).
+
+    The minhash incremental-signature discipline applied to ANN: the
+    corpus is never re-assigned — only each arriving batch pays
+    assignment cost (one narrow projection), and every later query
+    batch joins the stored cells. Id dedup across batches is the
+    upstream contract (same as the signature index): a vec_id arriving
+    twice indexes twice.
+
+    Centroids are FROZEN at stream start (the standard IVF serving
+    trade — re-clustering is an offline rebuild, not a streaming
+    operation); a restart with DIFFERENT centroids against the same
+    ``index_path`` raises rather than silently mixing two quantizers.
+    """
+    from ..operators.similarity import _annotate_cells
+
+    spark = stream_df.sparkSession
+    cent_path = f"{index_path}/centroids"
+    fs, cpath = _hadoop_fs(spark, cent_path)
+    if fs.exists(cpath):
+        from ..operators.similarity import load_ivf_index
+
+        try:
+            _, existing = load_ivf_index(spark, index_path)
+        except Exception:
+            # first run crashed before any assignment dir: centroids
+            # parquet may be partial — rewrite below
+            existing = None
+        if existing is not None and existing != [
+            [float(x) for x in c] for c in centroids
+        ]:
+            raise ValueError(
+                "ivf_index_stream: index_path already holds a DIFFERENT "
+                "centroid model — mixing quantizers silently corrupts "
+                "the index; rebuild offline (build_ivf_index) or point "
+                "at a fresh path"
+            )
+    if not fs.exists(cpath):
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+        ]
+        spark.createDataFrame(
+            cent_rows, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        asn = _annotate_cells(batch_df, centroids, vec_col, round_to).select(
+            id_col, "__cell"
+        )
+        _append_batch(asn, f"{index_path}/assignments", batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1603,3 +1603,100 @@ def test_gc_cdc_tombstones_expiry_and_crash_recovery(spark, tmp_path):
     shutil.copytree(f"{table}/p-2/v2", f"{table}/p-2/gcv2")
     assert gc_cdc_tombstones(spark, table, seq_horizon=5) == {}
     assert not os.path.isdir(f"{table}/p-2/gcv2")
+
+
+def test_ivf_index_stream_parity_replay_and_guard(spark, tmp_path):
+    """X142: the streamed IVF index equals build_ivf_index over the
+    union of batches (so load_ivf_index + ann_join read both
+    identically), an injected replay does not duplicate assignments,
+    and restarting against the same path with DIFFERENT centroids
+    raises instead of mixing quantizers."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        build_ivf_index,
+        load_ivf_index,
+        train_ivf_cells,
+    )
+    from alphavantage_etl_spark.sources import load
+    from alphavantage_etl_spark.streaming.pipeline import ivf_index_stream
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % 50 != 3)
+    queries = load(spark, SF_ORACLE, "embeddings").where(
+        F.col("vec_id") % 50 == 3
+    )
+    cents = train_ivf_cells(corpus, n_cells=8, iters=2)
+
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    index = str(tmp_path / "ivf_stream")
+    ckpt = str(tmp_path / "ckpt_ivf")
+    schema = "vec_id long, embedding array<float>"
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        ivf_index_stream(stream, cents, index, ckpt)
+
+    land(corpus.where(F.col("vec_id") % 2 == 0), "b0")
+    drain()
+    land(corpus.where(F.col("vec_id") % 2 == 1), "b1")
+    drain()
+
+    streamed, loaded_cents = load_ivf_index(spark, index)
+    assert loaded_cents == [[float(x) for x in c] for c in cents]
+    got = {
+        (r["vec_id"], r["__cell"])
+        for r in streamed.select("vec_id", "__cell").collect()
+    }
+    want = {
+        (r["vec_id"], r["__cell"])
+        for r in build_ivf_index(corpus, cents).collect()
+    }
+    assert got == want and len(got) == corpus.count()
+
+    # replay injection: drop the last checkpoint commit (+crc) — the
+    # batch re-runs and overwrites its own ingest_batch_id dir
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    streamed2, _ = load_ivf_index(spark, index)
+    assert streamed2.count() == corpus.count()  # no duplicates
+
+    # the streamed index serves ann_join identically to a fresh build
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    fresh = ann_join(queries, corpus, k=5, centroids=cents, n_probe=3)
+    via = ann_join(
+        queries, corpus, k=5, centroids=loaded_cents, n_probe=3,
+        corpus_cells=streamed2.select("vec_id", "__cell"),
+    )
+    assert rows(fresh) == rows(via)
+
+    # quantizer-mixing guard
+    other = [[c + 1.0 for c in row] for row in cents]
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    with pytest.raises(ValueError, match="DIFFERENT centroid"):
+        ivf_index_stream(stream, other, index, str(tmp_path / "ckpt2"))
