@@ -1,5 +1,6 @@
-"""Pairwise-preference analytics (X133-X134): Bradley-Terry strength
-fitting and intransitivity QC over comparison data.
+"""Pairwise-preference analytics (X133-X134, X143): Bradley-Terry
+strength fitting, intransitivity QC, and Wilson-interval win-rate
+significance over comparison data.
 
 The RLHF/reward-model data operations: preference datasets arrive as
 pairwise comparisons (response A beat response B for this prompt;
@@ -227,6 +228,59 @@ def bradley_terry_strengths(
         (i, int(p[i]), (w2[i] - pairs_of[i]) // 2, ncmp[i]) for i in items
     ]
     return grid.sparkSession.createDataFrame(out, out_schema)
+
+
+def winrate_wilson(
+    grid: DataFrame, z: float = 1.96, round_to: int = 6
+) -> DataFrame:
+    """Head-to-head win-rate matrix with Wilson score intervals over a
+    :func:`pairwise_win_grid`: one row per unordered pair with the exact
+    integer counts (``wins_a``, ``wins_b``, ``n_games``), ``item_a``'s
+    empirical ``win_rate_a``, the Wilson score interval
+    [``wilson_lb_a``, ``wilson_ub_a``] at confidence ``z`` (default 1.96
+    — 95%), and ``decided`` — true when the interval excludes 0.5, the
+    "is A genuinely better than B or is this sample noise" gate an
+    arena leaderboard applies before trusting a head-to-head cell.
+
+    Wilson (not normal-approx) because preference cells are routinely
+    thin and lopsided: the interval stays inside [0, 1], never collapses
+    to a point at p_hat in {0, 1}, and its center shrinks toward 0.5
+    exactly as a pseudo-count prior would — the same reason X133 adds
+    half-wins.
+
+    Determinism: counts are exact integers; rate and bounds are ONE
+    fixed-form double expression each (identical operator association
+    replayed in the oracle — IEEE doubles make that bit-identical
+    cross-engine), quantized half-even at ``round_to``; ``decided``
+    compares the QUANTIZED bounds so the flag can never straddle an
+    engine's last ulp.
+
+    Scale: pure projection over the |items|^2-bounded grid — zero
+    shuffle beyond the grid build itself.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    wa = F.col("wins_a").cast("double")
+    n = (F.col("wins_a") + F.col("wins_b")).cast("double")
+    p = wa / n
+    zl = F.lit(float(z))
+    zz = zl * zl
+    half = zz / (F.lit(2.0) * n)
+    rad = F.sqrt(p * (F.lit(1.0) - p) / n + zz / (F.lit(4.0) * n * n))
+    den = F.lit(1.0) + zz / n
+    lb = F.bround((p + half - zl * rad) / den, round_to)
+    ub = F.bround((p + half + zl * rad) / den, round_to)
+    return grid.select(
+        "item_a",
+        "item_b",
+        "wins_a",
+        "wins_b",
+        (F.col("wins_a") + F.col("wins_b")).cast("long").alias("n_games"),
+        F.bround(p, round_to).alias("win_rate_a"),
+        lb.alias("wilson_lb_a"),
+        ub.alias("wilson_ub_a"),
+        ((lb > F.lit(0.5)) | (ub < F.lit(0.5))).alias("decided"),
+    )
 
 
 def intransitive_triads(grid: DataFrame) -> DataFrame:

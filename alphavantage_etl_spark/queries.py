@@ -8837,6 +8837,50 @@ ORDER BY e.query_id
 """
 
 
+# X143 — head-to-head win-rate matrix with Wilson CIs (r11): the
+# per-pair significance view beside X133's point strengths — exact
+# integer counts, Wilson score interval at z=1.96, and a `decided` flag
+# (interval excludes 0.5) computed on the QUANTIZED bounds so it can
+# never straddle an engine's last ulp; rate/bounds are one fixed-form
+# double expression each, replayed verbatim in the oracle
+# (operators/preference.py:winrate_wilson).
+def q_winrate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.preference import winrate_wilson
+
+    return winrate_wilson(_preference_grid(spark, sf_dir)).orderBy(
+        "item_a", "item_b"
+    )
+
+
+SQL_WINRATE_CI = f"""
+WITH grid AS ({_SQL_PREF_GRID}),
+x AS (
+  SELECT item_a, item_b, wins_a, wins_b,
+         CAST(wins_a AS DOUBLE) / CAST(wins_a + wins_b AS DOUBLE) AS p,
+         CAST(wins_a + wins_b AS DOUBLE) AS n
+  FROM grid),
+b AS (
+  SELECT item_a, item_b, wins_a, wins_b, n, p,
+         round_even((p + (1.96 * 1.96) / (2.0 * n)
+                     - 1.96 * sqrt(p * (1.0 - p) / n
+                                   + (1.96 * 1.96) / (4.0 * n * n)))
+                    / (1.0 + (1.96 * 1.96) / n), 6) AS lb,
+         round_even((p + (1.96 * 1.96) / (2.0 * n)
+                     + 1.96 * sqrt(p * (1.0 - p) / n
+                                   + (1.96 * 1.96) / (4.0 * n * n)))
+                    / (1.0 + (1.96 * 1.96) / n), 6) AS ub
+  FROM x)
+SELECT item_a, item_b, wins_a, wins_b,
+       CAST(wins_a + wins_b AS BIGINT) AS n_games,
+       round_even(p, 6) AS win_rate_a,
+       lb AS wilson_lb_a,
+       ub AS wilson_ub_a,
+       (lb > 0.5 OR ub < 0.5) AS decided
+FROM b
+ORDER BY item_a, item_b
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -9054,6 +9098,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_topk_diverse": q_topk_diverse,
     "q_mmr_rerank": q_mmr_rerank,
     "q_ann_recall": q_ann_recall,
+    "q_winrate_ci": q_winrate_ci,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9256,6 +9301,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_topk_diverse": SQL_TOPK_DIVERSE,
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_ann_recall": SQL_ANN_RECALL,
+    "q_winrate_ci": SQL_WINRATE_CI,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "q_topk_diverse",
     "q_mmr_rerank",
     "q_ann_recall",
+    # r11 — preference significance matrix (X143)
+    "q_winrate_ci",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -178,3 +178,68 @@ def test_bradley_terry_max_items_ceiling(spark):
     # at the bound it still runs
     out = bradley_terry_strengths(grid, iters=1, max_items=8)
     assert out.count() == 8
+
+
+def test_winrate_wilson_known_values(spark):
+    """X143: Wilson bounds pinned against an independent pure-Python
+    evaluation of the textbook formula (same association), plus the
+    exact-integer count columns."""
+    from alphavantage_etl_spark.operators.preference import winrate_wilson
+
+    grid = spark.createDataFrame(
+        [(0, 1, 8, 2), (0, 2, 5, 5), (1, 2, 0, 10)],
+        "item_a long, item_b long, wins_a long, wins_b long",
+    )
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in winrate_wilson(grid).collect()
+    }
+
+    def wilson(w, n, z=1.96):
+        p = w / n
+        zz = z * z
+        half = zz / (2.0 * n)
+        rad = math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+        den = 1.0 + zz / n
+        return ((p + half - z * rad) / den, (p + half + z * rad) / den)
+
+    for (a, b), (w, n) in {(0, 1): (8, 10), (0, 2): (5, 10), (1, 2): (0, 10)}.items():
+        r = out[(a, b)]
+        lb, ub = wilson(w, n)
+        assert r["n_games"] == n
+        assert r["win_rate_a"] == pytest.approx(w / n, abs=1e-6)
+        assert r["wilson_lb_a"] == pytest.approx(lb, abs=1e-6)
+        assert r["wilson_ub_a"] == pytest.approx(ub, abs=1e-6)
+    # 8-2 at n=10 is NOT decided at 95% (lb ~0.49 < 0.5); 0-10 is
+    assert out[(0, 1)]["decided"] is False
+    assert out[(0, 2)]["decided"] is False
+    assert out[(1, 2)]["decided"] is True
+
+
+def test_winrate_wilson_bounds_and_extremes(spark):
+    """Interval stays inside [0, 1] and brackets the rate even at
+    p_hat in {0, 1} (where a normal-approx interval collapses)."""
+    from alphavantage_etl_spark.operators.preference import winrate_wilson
+
+    grid = spark.createDataFrame(
+        [(0, 1, 3, 0), (0, 2, 0, 1), (1, 2, 1, 0)],
+        "item_a long, item_b long, wins_a long, wins_b long",
+    )
+    for r in winrate_wilson(grid).collect():
+        assert 0.0 <= r["wilson_lb_a"] <= r["win_rate_a"] or (
+            # quantization can nudge lb a hair past a 0/1 rate's lb
+            abs(r["wilson_lb_a"] - r["win_rate_a"]) < 1e-6
+        )
+        assert 0.0 <= r["wilson_lb_a"] < r["wilson_ub_a"] <= 1.0
+        # never a point interval
+        assert r["wilson_ub_a"] - r["wilson_lb_a"] > 1e-6
+
+
+def test_winrate_wilson_rejects_bad_z(spark):
+    from alphavantage_etl_spark.operators.preference import winrate_wilson
+
+    grid = spark.createDataFrame(
+        [(0, 1, 1, 1)], "item_a long, item_b long, wins_a long, wins_b long"
+    )
+    with pytest.raises(ValueError, match="z must be"):
+        winrate_wilson(grid, z=0.0)
