@@ -540,6 +540,169 @@ def _annotate_cells(
     )
 
 
+def kmeans_fit_quantized(
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over EXACTLY quantized vectors — the
+    oracle-checkable twin of :func:`train_ivf_cells` (X144).
+
+    :func:`train_ivf_cells` accumulates raw double component sums, whose
+    value depends on partition fold order — fine for training a coarse
+    quantizer, impossible to pin cross-engine. This variant makes every
+    step exact and order-independent so the whole fit is bit-identical
+    across engines and oracle-checkable as a DuckDB recursive CTE (the
+    Bradley-Terry / power-method precedent):
+
+    - components quantize to 1e-6 integers once (``round(x * 1e6)`` —
+      the engine-wide u6 convention);
+    - init = the ``n_cells`` vectors with the SMALLEST ids (trivially
+      replayed in SQL; a hash-ordered sample would pin the fit to
+      xxhash64);
+    - assignment = integer squared-L2 argmin, ties to the lowest cell
+      (|u6| <= ~1e7 x 64 dims stays far under int64);
+    - update = per-cell integer component sums / exact counts, the mean
+      re-quantized with away-from-zero rounding (Spark/DuckDB
+      ``round(double)`` — NOT Python's half-even ``round``); component
+      sums must stay below 2^53 for the exact-double division — holds
+      to ~10^9 rows per cell at unit-scale embeddings;
+    - empty cells keep their previous centroid.
+
+    Returns one row per (cell, dim): ``cell``, ``dim``, ``c6`` (the
+    final quantized centroid component), plus the final-assignment
+    ``n_members`` and integer ``inertia`` (sum of members' squared
+    distances) for that cell — the convergence/balance QC a quantizer
+    build gates on. Rows with NULL vectors, NULL components, or a
+    different dimensionality than the init rows are dropped (documented
+    — an unquantizable vector can neither vote nor be assigned).
+
+    Scale: each iteration is ONE narrow scan of the quantized frame
+    (localCheckpointed once) with the n_cells x dim centroid matrix
+    inlined as a single nested literal (the r11 ann_join driver-cost
+    lesson), one map-side-combinable groupBy on the cell id, and an
+    O(n_cells) collect — the approved O(model)-state class. Corpus is
+    never shuffled except by the dim+2-column cell aggregation.
+    """
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    import math
+
+    def away_round(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    q6 = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    init_rows = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), q6.alias("__q6"))
+        .where(~F.exists(F.col("__q6"), lambda x: x.isNull()))
+        .orderBy("__id")
+        .limit(n_cells)
+        .collect()
+    )
+    if len(init_rows) < n_cells:
+        raise ValueError(
+            f"kmeans_fit_quantized: {len(init_rows)} usable vectors < "
+            f"n_cells={n_cells}"
+        )
+    dim = len(init_rows[0]["__q6"])
+    cents: list[list[int]] = [
+        list(r["__q6"]) for r in init_rows if len(r["__q6"]) == dim
+    ]
+    if len(cents) < n_cells:
+        raise ValueError(
+            "kmeans_fit_quantized: init vectors disagree on dimensionality"
+        )
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(q6.alias("__q6"))
+        .where(
+            (F.size("__q6") == dim)
+            & ~F.exists(F.col("__q6"), lambda x: x.isNull())
+        )
+        .localCheckpoint()
+    )
+
+    def _assigned(centroids: list[list[int]]) -> DataFrame:
+        cmat = F.lit([[int(v) for v in c] for c in centroids])
+        scored = F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__q6"), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                i.alias("cell"),
+            ),
+        )
+        best = F.array_min(scored)
+        return base.select(
+            "__q6",
+            best["cell"].alias("__cell"),
+            best["d2"].alias("__d2"),
+        )
+
+    for _ in range(iters):
+        sums = (
+            _assigned(cents)
+            .groupBy("__cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at(F.col("__q6"), i + 1)).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            int(r["__cell"]): [
+                away_round(int(r[f"__s{i}"]) / int(r["__n"]))
+                for i in range(dim)
+            ]
+            for r in sums
+        }
+        cents = [new.get(c, cents[c]) for c in range(n_cells)]
+
+    final = {
+        int(r["__cell"]): (int(r["__n"]), int(r["__inertia"]))
+        for r in _assigned(cents)
+        .groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__d2").alias("__inertia"),
+        )
+        .collect()
+    }
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("c6", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("inertia", T.LongType()),
+        ]
+    )
+    rows = [
+        (c, d, cents[c][d], final.get(c, (0, 0))[0], final.get(c, (0, 0))[1])
+        for c in range(n_cells)
+        for d in range(dim)
+    ]
+    return df.sparkSession.createDataFrame(rows, out_schema)
+
+
 def build_ivf_index(
     corpus_df: DataFrame,
     centroids: list[list[float]],

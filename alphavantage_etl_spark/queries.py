@@ -8881,6 +8881,94 @@ ORDER BY item_a, item_b
 """
 
 
+# X144 — exact quantized k-means fit (r11): Lloyd's over 1e-6-quantized
+# integer vectors — min-id init, integer squared-L2 argmin (ties to
+# lowest cell), away-from-zero re-quantized means, empty cells carry —
+# the oracle-checkable twin of the rows-only train_ivf_cells path, so
+# IVF quantizer TRAINING itself is now hash-pinned cross-engine, not
+# just assignment/serving. Oracle: recursive CTE with the flattened
+# centroid list as working-table state, referenced as a TABLE (cross
+# join) inside the step's subqueries — correlated references into JOIN
+# operands do not resolve (the MMR lesson's sibling), but the working
+# table is one row so the cross join IS the correlation
+# (operators/similarity.py:kmeans_fit_quantized).
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_fit_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_fit_quantized(emb, n_cells=8, iters=3).orderBy(
+        "cell", "dim"
+    )
+
+
+SQL_KMEANS_FIT = """
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+st(it, c) AS (
+  SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id))
+             FROM (SELECT q6, vec_id FROM v ORDER BY vec_id LIMIT 8))
+  UNION ALL
+  SELECT st.it + 1,
+    (SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell))
+     FROM (SELECT r.cell, w.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
+           FROM (SELECT unnest(range(8)) AS cell) r CROSS JOIN st w) cl
+     LEFT JOIN (
+       SELECT cell,
+              list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        AS BIGINT) ORDER BY d) AS nc
+       FROM (
+         SELECT a.cell, dd.d,
+                CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT vec_id, q6, cell FROM (
+             SELECT v.vec_id, v.q6, cl2.cell,
+                    list_sum(list_transform(range(64),
+                      d -> (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])
+                           * (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])))
+                      AS d2
+             FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl2
+                    CROSS JOIN st w2)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) = 1
+         ) a
+         CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+         GROUP BY a.cell, dd.d) s1
+       GROUP BY cell) agg ON agg.cell = cl.cell)
+  FROM st WHERE st.it < 3),
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+asg AS MATERIALIZED (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT v.vec_id, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (v.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (v.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+cellstats AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d2) AS BIGINT) AS inertia
+  FROM asg GROUP BY cell)
+SELECT CAST(g.cell AS INT) AS cell, CAST(g.d AS INT) AS dim,
+       CAST(f.c[g.cell*64 + g.d + 1] AS BIGINT) AS c6,
+       CAST(coalesce(cs.n, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(cs.inertia, 0) AS BIGINT) AS inertia
+FROM (SELECT a.cell, b.d
+      FROM (SELECT unnest(range(8)) AS cell) a
+      CROSS JOIN (SELECT unnest(range(64)) AS d) b) g
+CROSS JOIN fin f
+LEFT JOIN cellstats cs ON cs.cell = g.cell
+ORDER BY cell, dim
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -9099,6 +9187,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_mmr_rerank": q_mmr_rerank,
     "q_ann_recall": q_ann_recall,
     "q_winrate_ci": q_winrate_ci,
+    "q_kmeans_fit": q_kmeans_fit,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9302,6 +9391,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_mmr_rerank": SQL_MMR_RERANK,
     "q_ann_recall": SQL_ANN_RECALL,
     "q_winrate_ci": SQL_WINRATE_CI,
+    "q_kmeans_fit": SQL_KMEANS_FIT,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

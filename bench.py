@@ -213,8 +213,9 @@ BENCH_QUERIES = [
     "q_topk_diverse",
     "q_mmr_rerank",
     "q_ann_recall",
-    # r11 — preference significance matrix (X143)
+    # r11 — preference significance matrix (X143), exact k-means (X144)
     "q_winrate_ci",
+    "q_kmeans_fit",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -1217,3 +1217,92 @@ def test_mmr_rerank_demotes_near_duplicates(spark):
         mmr_rerank(df, k=0)
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(df, k=1, lam=1.5)
+
+
+def test_kmeans_fit_quantized_semantics(spark):
+    """X144: exact quantized Lloyd's — a pure-Python replica over a
+    tiny planted-cluster fixture pins init, assignment tie-breaks,
+    away-from-zero mean rounding, and the final inertia accounting."""
+    import math
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_fit_quantized,
+    )
+
+    # two tight clusters around (0, 0) and (1, 1); ids choose the init:
+    # vec 0 -> cell 0 seed, vec 1 -> cell 1 seed
+    vecs = [
+        (0, [0.0, 0.1]),
+        (1, [1.0, 0.9]),
+        (2, [0.1, 0.0]),
+        (3, [0.9, 1.0]),
+        (4, [0.05, 0.05]),
+        (5, [1.1, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = kmeans_fit_quantized(df, n_cells=2, iters=2)
+    got = {(r["cell"], r["dim"]): r for r in out.collect()}
+
+    def away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    q = {i: [away(x * 1e6) for x in v] for i, v in vecs}
+    cents = [q[0], q[1]]
+    for _ in range(2):
+        asg = {}
+        for i, qv in q.items():
+            d2 = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents]
+            asg[i] = min(range(2), key=lambda k: (d2[k], k))
+        for c in range(2):
+            members = [q[i] for i in q if asg[i] == c]
+            if members:
+                cents[c] = [
+                    away(sum(col) / len(members)) for col in zip(*members)
+                ]
+    final = {}
+    for i, qv in q.items():
+        d2 = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents]
+        k = min(range(2), key=lambda j: (d2[j], j))
+        n, s = final.get(k, (0, 0))
+        final[k] = (n + 1, s + d2[k])
+    for c in range(2):
+        for d in range(2):
+            assert got[(c, d)]["c6"] == cents[c][d]
+        assert got[(c, 0)]["n_members"] == final[c][0]
+        assert got[(c, 0)]["inertia"] == final[c][1]
+    # both planted clusters found: 3 members each
+    assert sorted(final[c][0] for c in range(2)) == [3, 3]
+
+
+def test_kmeans_fit_quantized_guards(spark):
+    """Too few usable vectors, bad params, and NULL/ragged vectors."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_fit_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.1]), (1, None), (2, [0.1, None]), (3, [0.2, 0.3, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    # only vec 0 and the ragged vec 3 survive the NULL filters; vec 3's
+    # dimensionality disagrees with the min-id init -> dropped from base
+    with pytest.raises(ValueError, match="usable vectors"):
+        kmeans_fit_quantized(df, n_cells=3, iters=1)
+    with pytest.raises(ValueError, match="n_cells"):
+        kmeans_fit_quantized(df, n_cells=0, iters=1)
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_fit_quantized(df, n_cells=1, iters=0)
+    # n_cells=1, one clean vector: degenerate but well-defined
+    out = kmeans_fit_quantized(
+        spark.createDataFrame(
+            [(0, [0.5, -0.5])], "vec_id long, embedding array<float>"
+        ),
+        n_cells=1,
+        iters=1,
+    ).collect()
+    assert {(r["cell"], r["dim"]): r["c6"] for r in out} == {
+        (0, 0): 500000,
+        (0, 1): -500000,
+    }
