@@ -1767,6 +1767,128 @@ def gc_cdc_versions(
     return deleted
 
 
+def _recover_staged_swaps(spark: SparkSession, pdir: str) -> None:
+    """Complete or discard interrupted in-place version rewrites
+    (``gcv{b}`` staging dirs) in one partition directory — shared by
+    every rewrite utility (:func:`gc_cdc_tombstones`,
+    :func:`compact_cdc_files`). A staged dir whose live version still
+    exists (crash before the live delete) or whose commit marker is
+    missing (crash mid-write) is discarded; a committed orphan (crash
+    between delete and rename) is renamed into place."""
+    jvm = spark._jvm
+    fs, hpath = _hadoop_fs(spark, pdir)
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (
+            name.startswith(_GC_STAGING_PREFIX + "v")
+            and name[len(_GC_STAGING_PREFIX) + 1:].isdigit()
+        ):
+            continue
+        b = int(name[len(_GC_STAGING_PREFIX) + 1:])
+        staged = st.getPath()
+        live = jvm.org.apache.hadoop.fs.Path(_state_version_dir(pdir, b))
+        marker = jvm.org.apache.hadoop.fs.Path(staged, _COMMIT_MARKER)
+        if fs.exists(live) or not fs.exists(marker):
+            # crashed before the live delete (or mid-write): the
+            # original version is still committed — discard staging
+            fs.delete(staged, True)
+        else:
+            fs.rename(staged, live)
+
+
+def _swap_in_staged_version(
+    spark: SparkSession, pdir: str, b: int, staged_path: str
+) -> None:
+    """Commit a fully-written staging dir over live version ``b``:
+    write the marker, delete the live dir, rename into place — the
+    crash-at-any-point cases are exactly what
+    :func:`_recover_staged_swaps` repairs on the next run."""
+    jvm = spark._jvm
+    fs, _ = _hadoop_fs(spark, pdir)
+    vdir = _state_version_dir(pdir, b)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{staged_path}/{_COMMIT_MARKER}"),
+        True,
+    ).close()
+    fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(staged_path),
+        jvm.org.apache.hadoop.fs.Path(vdir),
+    )
+
+
+def compact_cdc_files(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    max_files: int | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for a :func:`cdc_apply_stream` table — the
+    OPTIMIZE analog completing the lakehouse trio (X135 versioned
+    commits, X138 retention GC, this bin-packing rewrite). Streaming
+    micro-batches leave each partition's latest version as many tiny
+    part files (one per shuffle task per batch); readers then pay
+    per-file open/footer cost. This rewrites each partition's LATEST
+    committed version in place into ``ceil(bytes / target_file_bytes)``
+    files (floor 1; ``max_files`` caps it), rows and schema untouched.
+
+    Same staged-swap protocol and trades as :func:`gc_cdc_tombstones`:
+    OFFLINE utility (run with the stream stopped), crash mid-swap
+    repaired by the next run of ANY rewrite utility, concurrent readers
+    during the swap window may see the previous retained version, and
+    time travel reflects the rewrite (same batch id — compaction
+    changes layout, never content). Only the latest version compacts:
+    older retained versions are time-travel substrate on their way to
+    :func:`gc_cdc_versions`, not read-path hot spots.
+
+    Partitions already at-or-below the target file count are skipped —
+    the rewrite (read + shuffle-free coalesce + write) costs one
+    partition-sized job, so idempotent re-runs are cheap no-ops.
+    Returns ``{partition_dir: (files_before, files_after)}`` for the
+    partitions rewritten."""
+    if target_file_bytes < 1:
+        raise ValueError(
+            f"target_file_bytes must be >= 1, got {target_file_bytes}"
+        )
+    if max_files is not None and max_files < 1:
+        raise ValueError(f"max_files must be >= 1, got {max_files}")
+    compacted: dict[str, tuple[int, int]] = {}
+    for pdir in _cdc_partition_dirs(spark, table_path):
+        _recover_staged_swaps(spark, pdir)
+        versions = _committed_versions(spark, pdir)
+        if not versions:
+            continue
+        b = versions[-1]
+        vdir = _state_version_dir(pdir, b)
+        fs, _ = _hadoop_fs(spark, vdir)
+        vpath = spark._jvm.org.apache.hadoop.fs.Path(vdir)
+        data_files = [
+            st
+            for st in fs.listStatus(vpath)
+            if st.isFile() and st.getPath().getName().startswith("part-")
+        ]
+        total = sum(st.getLen() for st in data_files)
+        k = max(1, -(-total // target_file_bytes))
+        if max_files is not None:
+            k = min(k, max_files)
+        if len(data_files) <= k:
+            continue
+        staged_path = f"{pdir}/{_GC_STAGING_PREFIX}v{b}"
+        # same-path-overwrite lineage rule: the read source is the live
+        # dir, the write target is the staging dir — no checkpoint
+        spark.read.parquet(vdir).coalesce(int(k)).write.mode(
+            "overwrite"
+        ).parquet(staged_path)
+        _swap_in_staged_version(spark, pdir, b, staged_path)
+        n_after = sum(
+            1
+            for st in fs.listStatus(vpath)
+            if st.isFile() and st.getPath().getName().startswith("part-")
+        )
+        compacted[pdir] = (len(data_files), n_after)
+    return compacted
+
+
 def gc_cdc_tombstones(
     spark: SparkSession, table_path: str, seq_horizon: int
 ) -> dict[str, int]:
@@ -1787,30 +1909,9 @@ def gc_cdc_tombstones(
     after a crash before restarting the stream. Concurrent readers
     during the swap window may see the previous retained version.
     Returns ``{partition_dir: n_tombstones_expired}``."""
-    jvm = spark._jvm
     expired: dict[str, int] = {}
     for pdir in _cdc_partition_dirs(spark, table_path):
-        fs, hpath = _hadoop_fs(spark, pdir)
-        # recovery sweep: complete or discard interrupted swaps
-        for st in fs.listStatus(hpath):
-            name = st.getPath().getName()
-            if not (
-                name.startswith(_GC_STAGING_PREFIX + "v")
-                and name[len(_GC_STAGING_PREFIX) + 1:].isdigit()
-            ):
-                continue
-            b = int(name[len(_GC_STAGING_PREFIX) + 1:])
-            staged = st.getPath()
-            live = jvm.org.apache.hadoop.fs.Path(
-                _state_version_dir(pdir, b)
-            )
-            marker = jvm.org.apache.hadoop.fs.Path(staged, _COMMIT_MARKER)
-            if fs.exists(live) or not fs.exists(marker):
-                # crashed before the live delete (or mid-write): the
-                # original version is still committed — discard staging
-                fs.delete(staged, True)
-            else:
-                fs.rename(staged, live)
+        _recover_staged_swaps(spark, pdir)
         versions = _committed_versions(spark, pdir)
         if not versions:
             continue
@@ -1827,17 +1928,7 @@ def gc_cdc_tombstones(
         # no checkpoint needed — the write target is the staging dir
         staged_path = f"{pdir}/{_GC_STAGING_PREFIX}v{b}"
         cur.where(~dead).write.mode("overwrite").parquet(staged_path)
-        fs.create(
-            jvm.org.apache.hadoop.fs.Path(
-                f"{staged_path}/{_COMMIT_MARKER}"
-            ),
-            True,
-        ).close()
-        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
-        fs.rename(
-            jvm.org.apache.hadoop.fs.Path(staged_path),
-            jvm.org.apache.hadoop.fs.Path(vdir),
-        )
+        _swap_in_staged_version(spark, pdir, b, staged_path)
         expired[pdir] = n
     return expired
 

@@ -1605,6 +1605,89 @@ def test_gc_cdc_tombstones_expiry_and_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(f"{table}/p-2/gcv2")
 
 
+def test_compact_cdc_files_packs_rows_and_recovers(spark, tmp_path):
+    """X145: small-file compaction rewrites each partition's latest
+    version into the bin-packed file count with rows, schema, version
+    id, and time travel untouched; already-compact partitions are
+    skipped; a crash mid-swap is recovered by the next run (the shared
+    staged-swap protocol)."""
+    import glob
+    import os
+    import shutil
+
+    from alphavantage_etl_spark.streaming.pipeline import (
+        compact_cdc_files,
+        read_cdc_table,
+    )
+
+    table = _cdc_fixture(spark, tmp_path)
+
+    # fragment p-0's latest version into many small files (what a
+    # micro-batch with many shuffle tasks leaves behind)
+    vdir = f"{table}/p-0/v2"
+    frag = str(tmp_path / "frag")
+    spark.read.parquet(vdir).repartition(6).write.parquet(frag)
+    before_live = {
+        (r["k"], r["v"]) for r in read_cdc_table(spark, table).collect()
+    }
+    before_t0 = {
+        r["k"] for r in read_cdc_table(spark, table, as_of=0).collect()
+    }
+    for f in glob.glob(f"{vdir}/part-*"):
+        os.remove(f)
+    for f in glob.glob(f"{vdir}/.part-*.crc"):
+        os.remove(f)
+    frag_files = sorted(glob.glob(f"{frag}/part-*.parquet"))
+    for i, f in enumerate(frag_files):
+        shutil.copy(f, f"{vdir}/part-{i:05d}.parquet")
+    # Spark skips empty partitions on write, so the row count (3: two
+    # live keys + one tombstone) bounds the fragment count
+    n_frag = len(frag_files)
+    assert n_frag >= 3
+    assert len(glob.glob(f"{vdir}/part-*.parquet")) == n_frag
+
+    # tiny files, generous target -> every fragmented partition packs
+    # to ONE file (the micro-batches left p-1/p-2 at 2 files each)
+    out = compact_cdc_files(spark, table, target_file_bytes=1 << 30)
+    assert out[f"{table}/p-0"] == (n_frag, 1)
+    assert all(after == 1 and before > 1 for before, after in out.values())
+    assert len(glob.glob(f"{vdir}/part-*.parquet")) == 1
+    assert os.path.isdir(vdir)  # same version id — layout, not content
+    after_live = {
+        (r["k"], r["v"]) for r in read_cdc_table(spark, table).collect()
+    }
+    assert after_live == before_live
+    # time travel still serves the retained older versions unchanged
+    t0 = {r["k"] for r in read_cdc_table(spark, table, as_of=0).collect()}
+    assert t0 == before_t0 and t0
+
+    # idempotent: a second run is a no-op
+    assert compact_cdc_files(spark, table, target_file_bytes=1 << 30) == {}
+
+    # max_files floor: a 1-byte target would want many files; the cap
+    # still packs below the current count or skips
+    assert compact_cdc_files(
+        spark, table, target_file_bytes=1, max_files=1
+    ) == {}
+
+    # crash recovery via the shared sweep: stage a committed copy and
+    # delete the live dir — compaction's first step completes the swap
+    src, staged = f"{table}/p-1/v0", f"{table}/p-1/gcv0"
+    shutil.copytree(src, staged)
+    shutil.rmtree(src)
+    compact_cdc_files(spark, table, target_file_bytes=1 << 30)
+    assert os.path.isdir(src) and not os.path.isdir(staged)
+    live = {r["k"]: r["v"] for r in read_cdc_table(spark, table).collect()}
+    assert live[5] == 50.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_cdc_files(spark, table, target_file_bytes=0)
+    with pytest.raises(ValueError, match="max_files"):
+        compact_cdc_files(spark, table, max_files=0)
+
+
 def test_ivf_index_stream_parity_replay_and_guard(spark, tmp_path):
     """X142: the streamed IVF index equals build_ivf_index over the
     union of batches (so load_ivf_index + ann_join read both
