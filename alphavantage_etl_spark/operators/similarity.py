@@ -400,16 +400,72 @@ def _cell_scores(
     return F.transform(idx, score)
 
 
+def assign_cells_l2q(
+    df: DataFrame,
+    cents6: list[list[int]],
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, __cell)`` assignment by EXACT integer squared-L2 over
+    1e-6-quantized vectors — the :func:`kmeans_fit_quantized` metric
+    applied at serving time, so a learned quantizer's assignments are
+    bit-identical across engines (the cosine scoring of
+    :func:`_cell_scores` cannot be: its centroid norms are Python
+    ``fsum`` floats no SQL engine replays). ``n_probe > 1`` explodes
+    each row to its n nearest cells by (d2 asc, cell asc) — the
+    query-side probe list for :func:`ann_join`'s ``query_cells`` path.
+    Rows with NULL vectors, NULL components, or a dimensionality other
+    than the centroids' are dropped (unquantizable — the
+    kmeans_fit_quantized rule). One narrow projection; no shuffle."""
+    if not cents6:
+        raise ValueError("cents6 must be non-empty")
+    if not 1 <= n_probe <= len(cents6):
+        raise ValueError(
+            f"n_probe must be in [1, {len(cents6)}], got {n_probe}"
+        )
+    dim = len(cents6[0])
+    q6 = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), q6.alias("__q6"))
+        .where(
+            (F.size("__q6") == dim)
+            & ~F.exists(F.col("__q6"), lambda x: x.isNull())
+        )
+    )
+    cmat = F.lit([[int(v) for v in c] for c in cents6])
+    scored = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("__q6"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            i.alias("cell"),
+        ),
+    )
+    probes = F.slice(F.sort_array(scored), 1, n_probe)
+    return base.select(
+        id_col, F.explode(probes).alias("__p")
+    ).select(id_col, F.col("__p")["cell"].cast("int").alias("__cell"))
+
+
 def ann_join(
     queries_df: DataFrame,
     corpus_df: DataFrame,
     k: int,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int | None = 6,
     corpus_cells: DataFrame | None = None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-table ANN retrieval join — the batch-retrieval building
     block the self-join k-NN graph does not cover: every QUERY vector
@@ -439,6 +495,15 @@ def ann_join(
     assignment is computed once and every later query batch joins
     against the stored cells.
 
+    ``query_cells`` (an exploded ``(id_col, __cell)`` probe frame, one
+    row per (query, probed cell) — e.g. :func:`assign_cells_l2q` with
+    ``n_probe``) replaces the cosine probe computation the same way:
+    bring-your-own-quantizer. With BOTH cell frames supplied the join
+    and rerank never touch ``centroids`` at all — pass ``None`` — and
+    the quantizer's arithmetic is whatever produced the frames (the
+    X146 learned-k-means path uses exact integer L2 so the whole
+    retrieval is oracle-replayable).
+
     Zero/NULL-norm rows: cosine is undefined, so such QUERY rows rank
     nothing meaningful and such CORPUS rows are unrankable — both are
     dropped UPSTREAM of the join (a per-row norm check, far cheaper
@@ -446,12 +511,20 @@ def ann_join(
     into the join condition where it would evaluate twice). Each side's
     norm is PROJECTED ONCE and reused by the filter, every cell score,
     and the rerank — never re-folded per centroid or per candidate."""
-    if not centroids:
-        raise ValueError("centroids must be non-empty")
-    if not 1 <= n_probe <= len(centroids):
-        raise ValueError(
-            f"n_probe must be in [1, {len(centroids)}], got {n_probe}"
-        )
+    if centroids is None:
+        if corpus_cells is None or query_cells is None:
+            raise ValueError(
+                "ann_join: centroids may be omitted only when BOTH "
+                "corpus_cells and query_cells are supplied (the "
+                "bring-your-own-quantizer path)"
+            )
+    else:
+        if not centroids:
+            raise ValueError("centroids must be non-empty")
+        if not 1 <= n_probe <= len(centroids):
+            raise ValueError(
+                f"n_probe must be in [1, {len(centroids)}], got {n_probe}"
+            )
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
@@ -461,28 +534,38 @@ def ann_join(
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     ).where(F.col("__qn") > 0)
-    q = q0.select(
-        "query_id",
-        "__qvec",
-        "__qn",
-        F.slice(
-            F.sort_array(
-                _cell_scores(
-                    F.col("__qvec"), F.col("__qn"), centroids, round_to
-                ),
-                asc=False,
+    if query_cells is not None:
+        q = q0.join(
+            query_cells.select(
+                F.col(id_col).alias("query_id"),
+                F.col("__cell").cast("int").alias("__cell"),
             ),
-            1,
-            n_probe,
-        ).alias("__probes"),
-    ).select(
-        "query_id", "__qvec", "__qn", F.explode("__probes").alias("__p")
-    ).select(
-        "query_id",
-        "__qvec",
-        "__qn",
-        (-F.col("__p")["neg_cell"]).cast("int").alias("__cell"),
-    )
+            on="query_id",
+            how="inner",
+        )
+    else:
+        q = q0.select(
+            "query_id",
+            "__qvec",
+            "__qn",
+            F.slice(
+                F.sort_array(
+                    _cell_scores(
+                        F.col("__qvec"), F.col("__qn"), centroids, round_to
+                    ),
+                    asc=False,
+                ),
+                1,
+                n_probe,
+            ).alias("__probes"),
+        ).select(
+            "query_id", "__qvec", "__qn", F.explode("__probes").alias("__p")
+        ).select(
+            "query_id",
+            "__qvec",
+            "__qn",
+            (-F.col("__p")["neg_cell"]).cast("int").alias("__cell"),
+        )
     if corpus_cells is not None:
         c0 = corpus_df.join(corpus_cells, on=id_col, how="inner")
         c = c0.select(

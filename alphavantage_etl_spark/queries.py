@@ -8969,6 +8969,122 @@ ORDER BY cell, dim
 """
 
 
+# X146 — learned-quantizer ANN retrieval (r11): the full "train the
+# coarse quantizer, then serve retrieval through it" path as ONE
+# oracle-checked composition — kmeans_fit_quantized (X144) learns the
+# cells on the CORPUS side, assign_cells_l2q assigns both sides by the
+# same exact integer squared-L2 metric (corpus argmin; queries explode
+# to their 2 nearest cells), and ann_join's bring-your-own-quantizer
+# path joins candidates from shared cells and exact-cosine reranks —
+# X137 proved the serving plan with FIXED axis centroids precisely
+# because learned ones weren't oracle-replayable; X144 removed that
+# limitation, this closes the loop (operators/similarity.py:
+# kmeans_fit_quantized,assign_cells_l2q,ann_join).
+def q_ann_join_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+        kmeans_fit_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    fit = kmeans_fit_quantized(corpus, n_cells=8, iters=3).collect()
+    dim = 1 + max(r["dim"] for r in fit)
+    cents6 = [[0] * dim for _ in range(8)]
+    for r in fit:
+        cents6[r["cell"]][r["dim"]] = int(r["c6"])
+    cc = assign_cells_l2q(corpus, cents6, n_probe=1)
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_join(
+        queries, corpus, k=5, corpus_cells=cc, query_cells=qc
+    ).orderBy("query_id", "rank")
+
+
+SQL_ANN_JOIN_LEARNED = """
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+st(it, c) AS (
+  SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id))
+             FROM (SELECT q6, vec_id FROM v ORDER BY vec_id LIMIT 8))
+  UNION ALL
+  SELECT st.it + 1,
+    (SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell))
+     FROM (SELECT r.cell, w.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
+           FROM (SELECT unnest(range(8)) AS cell) r CROSS JOIN st w) cl
+     LEFT JOIN (
+       SELECT cell,
+              list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        AS BIGINT) ORDER BY d) AS nc
+       FROM (
+         SELECT a.cell, dd.d,
+                CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT vec_id, q6, cell FROM (
+             SELECT v.vec_id, v.q6, cl2.cell,
+                    list_sum(list_transform(range(64),
+                      d -> (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])
+                           * (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])))
+                      AS d2
+             FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl2
+                    CROSS JOIN st w2)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) = 1
+         ) a
+         CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+         GROUP BY a.cell, dd.d) s1
+       GROUP BY cell) agg ON agg.cell = cl.cell)
+  FROM st WHERE st.it < 3),
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+cc AS MATERIALIZED (
+  SELECT vec_id AS corpus_id, embedding AS ce, nrm AS cn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 != 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+qc AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 2),
+cand AS MATERIALIZED (
+  SELECT q.query_id, c.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y))
+           / (q.qn * c.cn), 6) AS sim
+  FROM qc q JOIN cc c USING (cell))
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 5
+ORDER BY query_id, "rank"
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -9188,6 +9304,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_ann_recall": q_ann_recall,
     "q_winrate_ci": q_winrate_ci,
     "q_kmeans_fit": q_kmeans_fit,
+    "q_ann_join_learned": q_ann_join_learned,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9392,6 +9509,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_ann_recall": SQL_ANN_RECALL,
     "q_winrate_ci": SQL_WINRATE_CI,
     "q_kmeans_fit": SQL_KMEANS_FIT,
+    "q_ann_join_learned": SQL_ANN_JOIN_LEARNED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -213,9 +213,11 @@ BENCH_QUERIES = [
     "q_topk_diverse",
     "q_mmr_rerank",
     "q_ann_recall",
-    # r11 — preference significance matrix (X143), exact k-means (X144)
+    # r11 — preference significance matrix (X143), exact k-means (X144),
+    # learned-quantizer retrieval composition (X146)
     "q_winrate_ci",
     "q_kmeans_fit",
+    "q_ann_join_learned",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

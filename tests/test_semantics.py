@@ -1306,3 +1306,53 @@ def test_kmeans_fit_quantized_guards(spark):
         (0, 0): 500000,
         (0, 1): -500000,
     }
+
+
+def test_assign_cells_l2q_and_byo_quantizer_guards(spark):
+    """X146 plumbing: integer-L2 assignment matches a hand replica
+    (argmin and probe explode), and ann_join's bring-your-own-quantizer
+    path requires BOTH cell frames when centroids are omitted."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+    )
+
+    cents6 = [[0, 0], [1_000_000, 1_000_000]]
+    df = spark.createDataFrame(
+        [
+            (0, [0.1, 0.0]),      # near cell 0
+            (1, [0.9, 1.1]),      # near cell 1
+            (2, [0.5, 0.5]),      # EXACT tie in d2 -> lowest cell (0)
+            (3, None),            # unquantizable: dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["__cell"]
+        for r in assign_cells_l2q(df, cents6).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0}
+    # n_probe=2 explodes to both cells, nearest first by (d2, cell)
+    two = sorted(
+        (r["vec_id"], r["__cell"])
+        for r in assign_cells_l2q(df, cents6, n_probe=2).collect()
+    )
+    assert two == [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)]
+    with pytest.raises(ValueError, match="n_probe"):
+        assign_cells_l2q(df, cents6, n_probe=3)
+    with pytest.raises(ValueError, match="cents6"):
+        assign_cells_l2q(df, [])
+
+    cc = assign_cells_l2q(df, cents6)
+    with pytest.raises(ValueError, match="bring-your-own-quantizer"):
+        ann_join(df, df, k=1, corpus_cells=cc)  # query_cells missing
+    with pytest.raises(ValueError, match="bring-your-own-quantizer"):
+        ann_join(df, df, k=1, query_cells=cc)  # corpus_cells missing
+    # with both frames the join runs and self-retrieval ranks self first
+    out = ann_join(
+        df, df, k=1, corpus_cells=cc, query_cells=cc
+    ).collect()
+    hits = {r["query_id"]: r["corpus_id"] for r in out}
+    assert hits[0] == 0 and hits[1] == 1
