@@ -1001,3 +1001,122 @@ def test_apply_changelog_matches_reference(spark, rows):
     else:
         out = target
     assert {r["k"]: r["v"] for r in out.collect()} == want
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=200),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_winrate_wilson_interval_properties(spark, rows):
+    """X143 across generated grids: bounds live in [0, 1], bracket the
+    quantized rate, never collapse to a point, and `decided` holds
+    exactly when the quantized interval excludes 0.5."""
+    from alphavantage_etl_spark.operators.preference import winrate_wilson
+
+    grid_rows = [
+        (a, b, wa, wb) for a, b, wa, wb in rows
+        if a != b and wa + wb > 0
+    ]
+    if not grid_rows:
+        return
+    # dedup pair keys (pairwise_win_grid would have aggregated them)
+    seen = {}
+    for a, b, wa, wb in grid_rows:
+        seen[(a, b)] = (wa, wb)
+    grid = spark.createDataFrame(
+        [(a, b, wa, wb) for (a, b), (wa, wb) in seen.items()],
+        "item_a long, item_b long, wins_a long, wins_b long",
+    )
+    for r in winrate_wilson(grid).collect():
+        lb, ub, p = r["wilson_lb_a"], r["wilson_ub_a"], r["win_rate_a"]
+        assert 0.0 <= lb < ub <= 1.0
+        assert lb <= p + 1e-6 and p - 1e-6 <= ub
+        assert r["decided"] == (lb > 0.5 or ub < 0.5)
+        assert r["n_games"] == r["wins_a"] + r["wins_b"]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_kmeans_fit_quantized_matches_python_replica(spark, vecs, iters):
+    """X144 across generated corpora: the distributed fit equals a
+    pure-Python replica of the exact quantized iteration (init,
+    argmin tie-breaks, away-from-zero means, carry-on-empty, final
+    membership/inertia)."""
+    import math
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_fit_quantized,
+    )
+
+    n_cells = 2
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    out = kmeans_fit_quantized(df, n_cells=n_cells, iters=iters)
+    got = {(r["cell"], r["dim"]): r for r in out.collect()}
+
+    def away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    # replicate the engine's float32-then-quantize path: values arrive
+    # as float32 (array<float>), cast to double, scaled, rounded
+    import numpy as np
+
+    q = {
+        i: [away(float(np.float32(x)) * 1e6) for x in v]
+        for i, v in enumerate(vecs)
+    }
+    cents = [q[0], q[1]]
+    for _ in range(iters):
+        asg = {}
+        for i, qv in q.items():
+            d2 = [
+                sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents
+            ]
+            asg[i] = min(range(n_cells), key=lambda k: (d2[k], k))
+        for c in range(n_cells):
+            members = [q[i] for i in q if asg[i] == c]
+            if members:
+                cents[c] = [
+                    away(sum(col) / len(members)) for col in zip(*members)
+                ]
+    final = {}
+    for i, qv in q.items():
+        d2 = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents]
+        k = min(range(n_cells), key=lambda j: (d2[j], j))
+        n, s = final.get(k, (0, 0))
+        final[k] = (n + 1, s + d2[k])
+    total_members = 0
+    for c in range(n_cells):
+        for d in range(3):
+            assert got[(c, d)]["c6"] == cents[c][d]
+        assert got[(c, 0)]["n_members"] == final.get(c, (0, 0))[0]
+        assert got[(c, 0)]["inertia"] == final.get(c, (0, 0))[1]
+        total_members += got[(c, 0)]["n_members"]
+    assert total_members == len(vecs)
