@@ -425,6 +425,12 @@ def assign_cells_l2q(
             f"n_probe must be in [1, {len(cents6)}], got {n_probe}"
         )
     dim = len(cents6[0])
+    if any(len(c) != dim for c in cents6):
+        # a ragged centroid would zip_with to NULL d2 and sort
+        # nondeterministically instead of failing loudly
+        raise ValueError(
+            "assign_cells_l2q: cents6 rows disagree on dimensionality"
+        )
     q6 = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * 1e6).cast("long"),
@@ -682,11 +688,14 @@ def kmeans_fit_quantized(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * 1e6).cast("long"),
     )
+    # the quantized vector breaks id ties so init stays deterministic
+    # even with duplicate ids (the ORACLE assumes unique ids — the
+    # contract fixture's vec_id — but the operator should not)
     init_rows = (
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("__id"), q6.alias("__q6"))
         .where(~F.exists(F.col("__q6"), lambda x: x.isNull()))
-        .orderBy("__id")
+        .orderBy("__id", "__q6")
         .limit(n_cells)
         .collect()
     )
