@@ -541,14 +541,7 @@ def ann_join(
         l2_norm(F.col(vec_col)).alias("__qn"),
     ).where(F.col("__qn") > 0)
     if query_cells is not None:
-        q = q0.join(
-            query_cells.select(
-                F.col(id_col).alias("query_id"),
-                F.col("__cell").cast("int").alias("__cell"),
-            ),
-            on="query_id",
-            how="inner",
-        )
+        q = None  # joined per-candidate below — see the cand branch
     else:
         q = q0.select(
             "query_id",
@@ -595,9 +588,30 @@ def ann_join(
     )
     if round_to is not None:
         sim = F.bround(sim, round_to)
-    cand = c.join(q, on="__cell", how="inner").select(
-        "query_id", "corpus_id", sim.alias("sim")
-    )
+    if query_cells is not None:
+        # JOIN ORDER is the plan property here: the bare probe frame
+        # (scan + projection — the planner can SIZE it) joins the
+        # corpus side on the cell key first, then the candidate rows
+        # attach their query vectors by id. Pre-joining vectors onto
+        # the probes would make the cell join's build side a JOIN
+        # OUTPUT with no size estimate — the initial plan picks
+        # SortMergeJoin and the corpus side's shuffle map stage
+        # materializes before AQE can convert (a full corpus write).
+        # Both joins here broadcast STATICALLY from scan stats, no
+        # forced hint, corpus never exchanges — the X137 property.
+        qcells = query_cells.select(
+            F.col(id_col).alias("query_id"),
+            F.col("__cell").cast("int").alias("__cell"),
+        )
+        cand = (
+            c.join(qcells, on="__cell", how="inner")
+            .join(q0, on="query_id", how="inner")
+            .select("query_id", "corpus_id", sim.alias("sim"))
+        )
+    else:
+        cand = c.join(q, on="__cell", how="inner").select(
+            "query_id", "corpus_id", sim.alias("sim")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.col("corpus_id")
     )

@@ -1122,6 +1122,46 @@ def test_ann_join_plan_corpus_never_shuffles(spark):
     assert "WindowGroupLimit" in final
 
 
+def test_ann_join_byo_quantizer_plan_corpus_never_shuffles(spark):
+    """X146's plan property, same contract as the centroid path: with
+    bring-your-own cell frames the candidate chain is STATIC broadcast
+    joins end to end (probe frame joined bare on the cell key FIRST —
+    pre-joining vectors would make the build side a join output with
+    no size estimate, initial-plan SortMergeJoin, and a materialized
+    corpus-sized shuffle before AQE converts), zero SortMergeJoin, and
+    the only hash exchange carries the WindowGroupLimit-pre-limited
+    candidates on the query id."""
+    import re
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 3)
+    corpus = emb.where(F.col("vec_id") % 50 != 3)
+    cents6 = [
+        [1_000_000 if i == j else 0 for i in range(64)] for j in range(8)
+    ]
+    out = ann_join(
+        queries,
+        corpus,
+        k=5,
+        corpus_cells=assign_cells_l2q(corpus, cents6),
+        query_cells=assign_cells_l2q(queries, cents6, n_probe=2),
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+
+
 def test_group_capped_topk_semantics_and_plan(spark):
     """Diversity capping: at most per_group rows per (partition, group)
     survive, then top-k per partition re-ranks 1..k; both windows share
