@@ -26,3 +26,16 @@ def money_round(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     f = float(10**scale)
     return F.bround(c * f, 0) / f
+
+
+def away_round(x: float) -> int:
+    """Driver-side integer rounding with Spark/DuckDB ``round(double)``
+    parity: HALF_UP means away from zero on exact .5 ties, where
+    Python's built-in ``round`` is half-even and would diverge. Used by
+    every operator that re-quantizes collected O(model) state between
+    distributed steps (Bradley-Terry strengths, exact k-means means,
+    the spectral power method) so the driver-side step replays
+    identically in a SQL oracle."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))

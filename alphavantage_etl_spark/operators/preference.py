@@ -111,14 +111,9 @@ def bradley_terry_strengths(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    import math
-
-    def away_round(x: float) -> int:
-        # Spark/DuckDB round(double) is HALF_UP; Python round is
-        # half-even and would diverge on exact .5 ties
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
-
     from pyspark.sql import types as T
+
+    from ..functions.rounding import away_round
 
     item_type = grid.schema["item_a"].dataType
     out_schema = T.StructType(
@@ -260,6 +255,11 @@ def winrate_wilson(
     """
     if z <= 0:
         raise ValueError(f"z must be > 0, got {z}")
+    # a pair with zero games carries no evidence — drop rather than
+    # emit an all-NULL stats row a downstream `decided` filter would
+    # silently swallow (a pairwise_win_grid can never produce one, but
+    # the operator accepts any grid-shaped frame)
+    grid = grid.where((F.col("wins_a") + F.col("wins_b")) > 0)
     wa = F.col("wins_a").cast("double")
     n = (F.col("wins_a") + F.col("wins_b")).cast("double")
     p = wa / n

@@ -400,6 +400,40 @@ def _cell_scores(
     return F.transform(idx, score)
 
 
+def _u6_quantized(vec_col: str) -> Column:
+    """The engine-wide u6 vector quantization (``round(x * 1e6)`` as
+    long, per component) — ONE definition shared by quantizer training
+    (:func:`kmeans_fit_quantized`) and serving
+    (:func:`assign_cells_l2q`): X146's correctness rests on both sides
+    using the IDENTICAL exact metric, so the quantization must not be
+    able to drift between copies."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+
+
+def _l2q_scored(q6_attr: Column, cents6: list[list[int]]) -> Column:
+    """``array<struct<d2, cell>>`` of EXACT integer squared-L2 scores
+    of a projected u6 column against every quantized centroid — the
+    shared train/serve scoring for the same reason as
+    :func:`_u6_quantized`. ``q6_attr`` must be a projected COLUMN, not
+    an expression (a captured expression re-evaluates per element —
+    the CDC bounds-hoist rule)."""
+    cmat = F.lit([[int(v) for v in c] for c in cents6])
+    return F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(q6_attr, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            i.alias("cell"),
+        ),
+    )
+
+
 def assign_cells_l2q(
     df: DataFrame,
     cents6: list[list[int]],
@@ -431,30 +465,15 @@ def assign_cells_l2q(
         raise ValueError(
             "assign_cells_l2q: cents6 rows disagree on dimensionality"
         )
-    q6 = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
-    )
     base = (
         df.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), q6.alias("__q6"))
+        .select(F.col(id_col), _u6_quantized(vec_col).alias("__q6"))
         .where(
             (F.size("__q6") == dim)
             & ~F.exists(F.col("__q6"), lambda x: x.isNull())
         )
     )
-    cmat = F.lit([[int(v) for v in c] for c in cents6])
-    scored = F.transform(
-        cmat,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("__q6"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            i.alias("cell"),
-        ),
-    )
+    scored = _l2q_scored(F.col("__q6"), cents6)
     probes = F.slice(F.sort_array(scored), 1, n_probe)
     return base.select(
         id_col, F.explode(probes).alias("__p")
@@ -503,12 +522,16 @@ def ann_join(
 
     ``query_cells`` (an exploded ``(id_col, __cell)`` probe frame, one
     row per (query, probed cell) — e.g. :func:`assign_cells_l2q` with
-    ``n_probe``) replaces the cosine probe computation the same way:
-    bring-your-own-quantizer. With BOTH cell frames supplied the join
-    and rerank never touch ``centroids`` at all — pass ``None`` — and
-    the quantizer's arithmetic is whatever produced the frames (the
-    X146 learned-k-means path uses exact integer L2 so the whole
-    retrieval is oracle-replayable).
+    its own ``n_probe``; this function's ``n_probe`` argument is
+    encoded in the frame and unused) replaces the cosine probe
+    computation the same way: bring-your-own-quantizer. It REQUIRES
+    ``corpus_cells`` from the same quantizer and ``centroids=None`` —
+    mixing an external probe frame with centroid scoring would put two
+    different partitionings on one cell key and silently degrade
+    retrieval, so the combination raises. The quantizer's arithmetic
+    is whatever produced the frames (the X146 learned-k-means path
+    uses exact integer L2 so the whole retrieval is
+    oracle-replayable).
 
     Zero/NULL-norm rows: cosine is undefined, so such QUERY rows rank
     nothing meaningful and such CORPUS rows are unrankable — both are
@@ -517,6 +540,17 @@ def ann_join(
     into the join condition where it would evaluate twice). Each side's
     norm is PROJECTED ONCE and reused by the filter, every cell score,
     and the rerank — never re-folded per centroid or per candidate."""
+    if query_cells is not None and centroids is not None:
+        # no legitimate combination: with query probes from an external
+        # quantizer, centroids could only assign the CORPUS by a
+        # DIFFERENT metric — two partitionings on one cell key silently
+        # degrades retrieval instead of erroring
+        raise ValueError(
+            "ann_join: query_cells and centroids are mutually exclusive "
+            "— cell frames and centroid scoring are different "
+            "quantizers; pass corpus_cells from the same quantizer as "
+            "query_cells (n_probe is encoded in the query_cells frame)"
+        )
     if centroids is None:
         if corpus_cells is None or query_cells is None:
             raise ValueError(
@@ -649,6 +683,7 @@ def kmeans_fit_quantized(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over EXACTLY quantized vectors — the
     oracle-checkable twin of :func:`train_ivf_cells` (X144).
@@ -679,8 +714,17 @@ def kmeans_fit_quantized(
     ``n_members`` and integer ``inertia`` (sum of members' squared
     distances) for that cell — the convergence/balance QC a quantizer
     build gates on. Rows with NULL vectors, NULL components, or a
-    different dimensionality than the init rows are dropped (documented
-    — an unquantizable vector can neither vote nor be assigned).
+    different dimensionality than the fit's are dropped (documented —
+    an unquantizable vector can neither vote nor be assigned).
+
+    ``dim``: pass the declared dimensionality to apply the ragged-row
+    filter BEFORE init selection — a ragged row among the smallest ids
+    is then SKIPPED and the next id seeds instead (the rule a SQL
+    oracle's ``WHERE len(v) = dim`` prefilter replays; the contract
+    queries pass the fixture's 64). With ``dim=None`` the first usable
+    row DEFINES the dimensionality and a disagreeing init row RAISES —
+    the safer default when no declared schema exists, because silently
+    skipping would hide a corrupt feed.
 
     Scale: each iteration is ONE narrow scan of the quantized frame
     (localCheckpointed once) with the n_cells x dim centroid matrix
@@ -693,32 +737,29 @@ def kmeans_fit_quantized(
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    import math
+    from ..functions.rounding import away_round
 
-    def away_round(x: float) -> int:
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
-
-    q6 = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
-    )
-    # the quantized vector breaks id ties so init stays deterministic
-    # even with duplicate ids (the ORACLE assumes unique ids — the
-    # contract fixture's vec_id — but the operator should not)
-    init_rows = (
+    q6 = _u6_quantized(vec_col)
+    usable = (
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("__id"), q6.alias("__q6"))
         .where(~F.exists(F.col("__q6"), lambda x: x.isNull()))
-        .orderBy("__id", "__q6")
-        .limit(n_cells)
-        .collect()
     )
+    if dim is not None:
+        # declared-dim mode: ragged rows filtered BEFORE init selection
+        # (the SQL-oracle prefilter rule — a ragged small-id row skips)
+        usable = usable.where(F.size("__q6") == dim)
+    # the quantized vector breaks id ties so init stays deterministic
+    # even with duplicate ids (the ORACLE assumes unique ids — the
+    # contract fixture's vec_id — but the operator should not)
+    init_rows = usable.orderBy("__id", "__q6").limit(n_cells).collect()
     if len(init_rows) < n_cells:
         raise ValueError(
             f"kmeans_fit_quantized: {len(init_rows)} usable vectors < "
             f"n_cells={n_cells}"
         )
-    dim = len(init_rows[0]["__q6"])
+    if dim is None:
+        dim = len(init_rows[0]["__q6"])
     cents: list[list[int]] = [
         list(r["__q6"]) for r in init_rows if len(r["__q6"]) == dim
     ]
@@ -727,31 +768,13 @@ def kmeans_fit_quantized(
             "kmeans_fit_quantized: init vectors disagree on dimensionality"
         )
     base = (
-        df.where(F.col(vec_col).isNotNull())
-        .select(q6.alias("__q6"))
-        .where(
-            (F.size("__q6") == dim)
-            & ~F.exists(F.col("__q6"), lambda x: x.isNull())
-        )
+        usable.select("__q6")
+        .where(F.size("__q6") == dim)
         .localCheckpoint()
     )
 
     def _assigned(centroids: list[list[int]]) -> DataFrame:
-        cmat = F.lit([[int(v) for v in c] for c in centroids])
-        scored = F.transform(
-            cmat,
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__q6"), c, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                i.alias("cell"),
-            ),
-        )
-        best = F.array_min(scored)
+        best = F.array_min(_l2q_scored(F.col("__q6"), centroids))
         return base.select(
             "__q6",
             best["cell"].alias("__cell"),

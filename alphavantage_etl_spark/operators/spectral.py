@@ -102,12 +102,7 @@ def principal_direction(
         .agg(F.sum("p").alias("g"))
     ).localCheckpoint()
 
-    import math
-
-    def away_round(x: float) -> int:
-        # Spark/DuckDB round(double) is HALF_UP (away from zero); Python
-        # round() is half-even and would diverge on exact .5 ties
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+    from ..functions.rounding import away_round
 
     # dims are 1..d by construction (sequence(1, size)); the d-row dim
     # list and the per-iteration d-row state are O(model) collects

@@ -8884,36 +8884,11 @@ ORDER BY item_a, item_b
 """
 
 
-# X144 — exact quantized k-means fit (r11): Lloyd's over 1e-6-quantized
-# integer vectors — min-id init, integer squared-L2 argmin (ties to
-# lowest cell), away-from-zero re-quantized means, empty cells carry —
-# the oracle-checkable twin of the rows-only train_ivf_cells path, so
-# IVF quantizer TRAINING itself is now hash-pinned cross-engine, not
-# just assignment/serving. Oracle: recursive CTE with the flattened
-# centroid list as working-table state, referenced as a TABLE (cross
-# join) inside the step's subqueries — correlated references into JOIN
-# operands do not resolve (the MMR lesson's sibling), but the working
-# table is one row so the cross join IS the correlation
-# (operators/similarity.py:kmeans_fit_quantized).
-def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import kmeans_fit_quantized
-
-    emb = load(spark, sf_dir, "embeddings")
-    return kmeans_fit_quantized(emb, n_cells=8, iters=3).orderBy(
-        "cell", "dim"
-    )
-
-
-SQL_KMEANS_FIT = """
-WITH RECURSIVE
-v AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
-  FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) = 64
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-st(it, c) AS (
+# Shared X144/X146 oracle fragment: the recursive Lloyd's-iteration
+# working table over whatever training CTE `v` (vec_id, q6) the caller
+# defines — ONE definition so a fix to the fit's rounding or tie-break
+# can never leave one oracle stale (the _SQL_PREF_GRID precedent).
+_SQL_KMEANS_ST = """st(it, c) AS (
   SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id))
              FROM (SELECT q6, vec_id FROM v ORDER BY vec_id LIMIT 8))
   UNION ALL
@@ -8944,7 +8919,41 @@ st(it, c) AS (
          CROSS JOIN (SELECT unnest(range(64)) AS d) dd
          GROUP BY a.cell, dd.d) s1
        GROUP BY cell) agg ON agg.cell = cl.cell)
-  FROM st WHERE st.it < 3),
+  FROM st WHERE st.it < 3)"""
+
+
+# X144 — exact quantized k-means fit (r11): Lloyd's over 1e-6-quantized
+# integer vectors — min-id init, integer squared-L2 argmin (ties to
+# lowest cell), away-from-zero re-quantized means, empty cells carry —
+# the oracle-checkable twin of the rows-only train_ivf_cells path, so
+# IVF quantizer TRAINING itself is now hash-pinned cross-engine, not
+# just assignment/serving. Oracle: recursive CTE with the flattened
+# centroid list as working-table state, referenced as a TABLE (cross
+# join) inside the step's subqueries — correlated references into JOIN
+# operands do not resolve (the MMR lesson's sibling), but the working
+# table is one row so the cross join IS the correlation
+# (operators/similarity.py:kmeans_fit_quantized).
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_fit_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    # dim=64 pins the oracle's len(embedding) = 64 PREFILTER rule: a
+    # ragged row among the smallest ids skips instead of raising
+    return kmeans_fit_quantized(emb, n_cells=8, iters=3, dim=64).orderBy(
+        "cell", "dim"
+    )
+
+
+SQL_KMEANS_FIT = f"""
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+{_SQL_KMEANS_ST},
 fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
 asg AS MATERIALIZED (
   SELECT vec_id, cell, d2 FROM (
@@ -8996,7 +9005,9 @@ def _learned_cents_shared(spark: SparkSession, sf_dir: str) -> list[list[int]]:
 
         emb = load(spark, sf_dir, "embeddings")
         corpus = emb.where(F.col("vec_id") % 25 != 7)
-        fit = kmeans_fit_quantized(corpus, n_cells=8, iters=3).collect()
+        fit = kmeans_fit_quantized(
+            corpus, n_cells=8, iters=3, dim=64
+        ).collect()
         dim = 1 + max(r["dim"] for r in fit)
         cents6 = [[0] * dim for _ in range(8)]
         for r in fit:
@@ -9020,7 +9031,7 @@ def q_ann_join_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-SQL_ANN_JOIN_LEARNED = """
+SQL_ANN_JOIN_LEARNED = f"""
 WITH RECURSIVE
 allv AS MATERIALIZED (
   SELECT vec_id, embedding,
@@ -9033,38 +9044,7 @@ allv AS MATERIALIZED (
     AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 v AS MATERIALIZED (
   SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
-st(it, c) AS (
-  SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id))
-             FROM (SELECT q6, vec_id FROM v ORDER BY vec_id LIMIT 8))
-  UNION ALL
-  SELECT st.it + 1,
-    (SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell))
-     FROM (SELECT r.cell, w.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
-           FROM (SELECT unnest(range(8)) AS cell) r CROSS JOIN st w) cl
-     LEFT JOIN (
-       SELECT cell,
-              list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                        AS BIGINT) ORDER BY d) AS nc
-       FROM (
-         SELECT a.cell, dd.d,
-                CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
-                CAST(count(*) AS BIGINT) AS n
-         FROM (
-           SELECT vec_id, q6, cell FROM (
-             SELECT v.vec_id, v.q6, cl2.cell,
-                    list_sum(list_transform(range(64),
-                      d -> (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])
-                           * (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])))
-                      AS d2
-             FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl2
-                    CROSS JOIN st w2)
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cell) = 1
-         ) a
-         CROSS JOIN (SELECT unnest(range(64)) AS d) dd
-         GROUP BY a.cell, dd.d) s1
-       GROUP BY cell) agg ON agg.cell = cl.cell)
-  FROM st WHERE st.it < 3),
+{_SQL_KMEANS_ST},
 fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
 cc AS MATERIALIZED (
   SELECT vec_id AS corpus_id, embedding AS ce, nrm AS cn, cell FROM (

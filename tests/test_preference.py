@@ -243,3 +243,17 @@ def test_winrate_wilson_rejects_bad_z(spark):
     )
     with pytest.raises(ValueError, match="z must be"):
         winrate_wilson(grid, z=0.0)
+
+
+def test_winrate_wilson_drops_zero_game_pairs(spark):
+    """A (0, 0) pair carries no evidence: dropped, never an all-NULL
+    stats row a downstream `decided` filter would silently swallow."""
+    from alphavantage_etl_spark.operators.preference import winrate_wilson
+
+    grid = spark.createDataFrame(
+        [(0, 1, 0, 0), (0, 2, 3, 1)],
+        "item_a long, item_b long, wins_a long, wins_b long",
+    )
+    out = winrate_wilson(grid).collect()
+    assert [(r["item_a"], r["item_b"]) for r in out] == [(0, 2)]
+    assert out[0]["wilson_lb_a"] is not None

@@ -1330,6 +1330,13 @@ def test_kmeans_fit_quantized_guards(spark):
     # dimensionality disagrees with the min-id init -> dropped from base
     with pytest.raises(ValueError, match="usable vectors"):
         kmeans_fit_quantized(df, n_cells=3, iters=1)
+    # declared-dim mode prefilters ragged rows BEFORE init (the oracle
+    # rule): vec 3 no longer counts as usable at all
+    with pytest.raises(ValueError, match="usable vectors"):
+        kmeans_fit_quantized(df, n_cells=2, iters=1, dim=2)
+    one = kmeans_fit_quantized(df, n_cells=1, iters=1, dim=2).collect()
+    assert {r["dim"] for r in one} == {0, 1}  # fit ran on vec 0 alone
+    assert one[0]["n_members"] == 1
     with pytest.raises(ValueError, match="n_cells"):
         kmeans_fit_quantized(df, n_cells=0, iters=1)
     with pytest.raises(ValueError, match="iters"):
@@ -1390,6 +1397,13 @@ def test_assign_cells_l2q_and_byo_quantizer_guards(spark):
         ann_join(df, df, k=1, corpus_cells=cc)  # query_cells missing
     with pytest.raises(ValueError, match="bring-your-own-quantizer"):
         ann_join(df, df, k=1, query_cells=cc)  # corpus_cells missing
+    # mixing an external probe frame with centroid scoring = two
+    # quantizers on one cell key -> raises instead of degrading
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ann_join(
+            df, df, k=1, centroids=[[0.0, 0.0], [1.0, 1.0]],
+            corpus_cells=cc, query_cells=cc,
+        )
     # with both frames the join runs and self-retrieval ranks self first
     out = ann_join(
         df, df, k=1, corpus_cells=cc, query_cells=cc
