@@ -9086,10 +9086,70 @@ ORDER BY query_id, "rank"
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
-    # additions first (6 entries), then (b) the full
+    # additions first (8 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
     # 0 red-only entries sort oldest of all;
     # ties: SURVEY §2 parity keys, then registration order).
+    "q_ann_join_learned": q_ann_join_learned,
+    "q_kmeans_fit": q_kmeans_fit,
+    "q_winrate_ci": q_winrate_ci,
+    "q_ann_recall": q_ann_recall,
+    "q_mmr_rerank": q_mmr_rerank,
+    "q_topk_diverse": q_topk_diverse,
+    "q_ann_join": q_ann_join,
+    "q_conformed_merge": q_conformed_merge,
+    "q_ndcg": q_ndcg,
+    "q_curriculum": q_curriculum,
+    "q_shard_balance": q_shard_balance,
+    "q_mann_whitney": q_mann_whitney,
+    "q_skew_stats": q_skew_stats,
+    "q_fertility": q_fertility,
+    "q_weighted_median": q_weighted_median,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
+    "q_set_ops": q_set_ops,
+    "q_pivot_daily": q_pivot_daily,
+    "q_agg_pricing": q_agg_pricing,
+    "q_top_customers": q_top_customers,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_orders": q_cube_orders,
+    "q_rank_windows": q_rank_windows,
+    "q_percentiles": q_percentiles,
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_stats": q_text_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_token_bpe": q_token_bpe,
+    "q_rolling_fingerprint": q_rolling_fingerprint,
+    "q_dataset_diff": q_dataset_diff,
+    "q_funnel_steps": q_funnel_steps,
+    "q_winsorize": q_winsorize,
+    "q_temporal_split": q_temporal_split,
+    "q_scd2_lookup": q_scd2_lookup,
+    "q_transition_matrix": q_transition_matrix,
+    "q_epoch_shuffle": q_epoch_shuffle,
+    "q_contamination": q_contamination,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_stratified_sample": q_stratified_sample,
+    "q_budget_mix": q_budget_mix,
+    "q_scan_project": q_scan_project,
+    "q_json_explode": q_json_explode,
+    "q_join_convert": q_join_convert,
+    "q_anti_new_rows": q_anti_new_rows,
+    "q_perm_test": q_perm_test,
+    "q_gini_stump": q_gini_stump,
+    "q_rbo": q_rbo,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Outside the r8 driver window (compressed rotation,
+    # ROTATION.md). Every oracle-backed entry stays under the
+    # strict local gate via ALL_ORACLES and in bench.py's
+    # headline set; rows-only diagnostics live here always.
     "q_pref_cycles": q_pref_cycles,
     "q_bradley_terry": q_bradley_terry,
     "q_cdc_apply": q_cdc_apply,
@@ -9140,16 +9200,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_crosscorr": q_crosscorr,
     "q_spearman": q_spearman,
     "q_burstiness": q_burstiness,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
-    # Outside the r8 driver window (compressed rotation,
-    # ROTATION.md). Every oracle-backed entry stays under the
-    # strict local gate via ALL_ORACLES and in bench.py's
-    # headline set; rows-only diagnostics live here always.
     "q_principal_dir": q_principal_dir,
     "q_recrawl_keep": q_recrawl_keep,
     "q_k_anonymity": q_k_anonymity,
@@ -9200,9 +9250,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_novelty": q_novelty,
     "q_percentile_bands": q_percentile_bands,
     "q_mad_outliers": q_mad_outliers,
-    "q_perm_test": q_perm_test,
-    "q_gini_stump": q_gini_stump,
-    "q_rbo": q_rbo,
     "q_bh_fdr": q_bh_fdr,
     "q_kappa": q_kappa,
     "q_tfidf_terms": q_tfidf_terms,
@@ -9246,45 +9293,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_session_paths": q_session_paths,
     "q_calibration": q_calibration,
     "q_discretize": q_discretize,
-    "q_scan_project": q_scan_project,
-    "q_json_explode": q_json_explode,
-    "q_join_convert": q_join_convert,
-    "q_anti_new_rows": q_anti_new_rows,
-    "q_ndcg": q_ndcg,
-    "q_curriculum": q_curriculum,
-    "q_shard_balance": q_shard_balance,
-    "q_mann_whitney": q_mann_whitney,
-    "q_skew_stats": q_skew_stats,
-    "q_fertility": q_fertility,
-    "q_weighted_median": q_weighted_median,
-    "q_seasonal_anomaly": q_seasonal_anomaly,
-    "q_set_ops": q_set_ops,
-    "q_pivot_daily": q_pivot_daily,
-    "q_agg_pricing": q_agg_pricing,
-    "q_top_customers": q_top_customers,
-    "q_revenue_by_nation": q_revenue_by_nation,
-    "q_rollup_revenue": q_rollup_revenue,
-    "q_cube_orders": q_cube_orders,
-    "q_rank_windows": q_rank_windows,
-    "q_percentiles": q_percentiles,
-    "q_dedup_exact": q_dedup_exact,
-    "q_text_stats": q_text_stats,
-    "q_doc_fingerprint": q_doc_fingerprint,
-    "q_quality_score": q_quality_score,
-    "q_lang_id": q_lang_id,
-    "q_token_bpe": q_token_bpe,
-    "q_rolling_fingerprint": q_rolling_fingerprint,
-    "q_dataset_diff": q_dataset_diff,
-    "q_funnel_steps": q_funnel_steps,
-    "q_winsorize": q_winsorize,
-    "q_temporal_split": q_temporal_split,
-    "q_scd2_lookup": q_scd2_lookup,
-    "q_transition_matrix": q_transition_matrix,
-    "q_epoch_shuffle": q_epoch_shuffle,
-    "q_contamination": q_contamination,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_stratified_sample": q_stratified_sample,
-    "q_budget_mix": q_budget_mix,
     "q_cm_sketch": q_cm_sketch,
     "q_distinct_sketch": q_distinct_sketch,
     "q_quantile_sketch": q_quantile_sketch,
@@ -9295,20 +9303,68 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
-    "q_conformed_merge": q_conformed_merge,
-    "q_ann_join": q_ann_join,
-    "q_topk_diverse": q_topk_diverse,
-    "q_mmr_rerank": q_mmr_rerank,
-    "q_ann_recall": q_ann_recall,
-    "q_winrate_ci": q_winrate_ci,
-    "q_kmeans_fit": q_kmeans_fit,
-    "q_ann_join_learned": q_ann_join_learned,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
     # mirrors QUERIES order exactly (the driver zips them)
+    "q_ann_join_learned": SQL_ANN_JOIN_LEARNED,
+    "q_kmeans_fit": SQL_KMEANS_FIT,
+    "q_winrate_ci": SQL_WINRATE_CI,
+    "q_ann_recall": SQL_ANN_RECALL,
+    "q_mmr_rerank": SQL_MMR_RERANK,
+    "q_topk_diverse": SQL_TOPK_DIVERSE,
+    "q_ann_join": SQL_ANN_JOIN,
+    "q_conformed_merge": SQL_CONFORMED_MERGE,
+    "q_ndcg": SQL_NDCG,
+    "q_curriculum": SQL_CURRICULUM,
+    "q_shard_balance": SQL_SHARD_BALANCE,
+    "q_mann_whitney": SQL_MANN_WHITNEY,
+    "q_skew_stats": SQL_SKEW_STATS,
+    "q_fertility": SQL_FERTILITY,
+    "q_weighted_median": SQL_WEIGHTED_MEDIAN,
+    "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
+    "q_set_ops": SQL_SET_OPS,
+    "q_pivot_daily": SQL_PIVOT_DAILY,
+    "q_agg_pricing": SQL_AGG_PRICING,
+    "q_top_customers": SQL_TOP_CUSTOMERS,
+    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "q_cube_orders": SQL_CUBE_ORDERS,
+    "q_rank_windows": SQL_RANK_WINDOWS,
+    "q_percentiles": SQL_PERCENTILES,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_stats": SQL_TEXT_STATS,
+    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "q_quality_score": SQL_QUALITY_SCORE,
+    "q_lang_id": SQL_LANG_ID,
+    "q_token_bpe": SQL_TOKEN_BPE,
+    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "q_dataset_diff": SQL_DATASET_DIFF,
+    "q_funnel_steps": SQL_FUNNEL_STEPS,
+    "q_winsorize": SQL_WINSORIZE,
+    "q_temporal_split": SQL_TEMPORAL_SPLIT,
+    "q_scd2_lookup": SQL_SCD2_LOOKUP,
+    "q_transition_matrix": SQL_TRANSITION_MATRIX,
+    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "q_contamination": SQL_CONTAMINATION,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "q_budget_mix": SQL_BUDGET_MIX,
+    "q_scan_project": SQL_SCAN_PROJECT,
+    "q_json_explode": SQL_JSON_EXPLODE,
+    "q_join_convert": SQL_JOIN_CONVERT,
+    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
+    "q_perm_test": SQL_PERM_TEST,
+    "q_gini_stump": SQL_GINI_STUMP,
+    "q_rbo": SQL_RBO,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # oracle-backed entries currently outside the driver window
     "q_pref_cycles": SQL_PREF_CYCLES,
     "q_bradley_terry": SQL_BRADLEY_TERRY,
     "q_cdc_apply": SQL_CDC_APPLY,
@@ -9359,12 +9415,6 @@ ORACLES: dict[str, str] = {
     "q_crosscorr": SQL_CROSSCORR,
     "q_spearman": SQL_SPEARMAN,
     "q_burstiness": SQL_BURSTINESS,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    # oracle-backed entries currently outside the driver window
     "q_principal_dir": SQL_PRINCIPAL_DIR,
     "q_recrawl_keep": SQL_RECRAWL_KEEP,
     "q_k_anonymity": SQL_K_ANONYMITY,
@@ -9415,9 +9465,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_novelty": SQL_NOVELTY,
     "q_percentile_bands": SQL_PERCENTILE_BANDS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
-    "q_perm_test": SQL_PERM_TEST,
-    "q_gini_stump": SQL_GINI_STUMP,
-    "q_rbo": SQL_RBO,
     "q_bh_fdr": SQL_BH_FDR,
     "q_kappa": SQL_KAPPA,
     "q_tfidf_terms": SQL_TFIDF_TERMS,
@@ -9461,53 +9508,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_session_paths": SQL_SESSION_PATHS,
     "q_calibration": SQL_CALIBRATION,
     "q_discretize": SQL_DISCRETIZE,
-    "q_scan_project": SQL_SCAN_PROJECT,
-    "q_json_explode": SQL_JSON_EXPLODE,
-    "q_join_convert": SQL_JOIN_CONVERT,
-    "q_anti_new_rows": SQL_ANTI_NEW_ROWS,
-    "q_ndcg": SQL_NDCG,
-    "q_curriculum": SQL_CURRICULUM,
-    "q_shard_balance": SQL_SHARD_BALANCE,
-    "q_mann_whitney": SQL_MANN_WHITNEY,
-    "q_skew_stats": SQL_SKEW_STATS,
-    "q_fertility": SQL_FERTILITY,
-    "q_weighted_median": SQL_WEIGHTED_MEDIAN,
-    "q_seasonal_anomaly": SQL_SEASONAL_ANOMALY,
-    "q_set_ops": SQL_SET_OPS,
-    "q_pivot_daily": SQL_PIVOT_DAILY,
-    "q_agg_pricing": SQL_AGG_PRICING,
-    "q_top_customers": SQL_TOP_CUSTOMERS,
-    "q_revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "q_rollup_revenue": SQL_ROLLUP_REVENUE,
-    "q_cube_orders": SQL_CUBE_ORDERS,
-    "q_rank_windows": SQL_RANK_WINDOWS,
-    "q_percentiles": SQL_PERCENTILES,
-    "q_dedup_exact": SQL_DEDUP_EXACT,
-    "q_text_stats": SQL_TEXT_STATS,
-    "q_doc_fingerprint": SQL_DOC_FINGERPRINT,
-    "q_quality_score": SQL_QUALITY_SCORE,
-    "q_lang_id": SQL_LANG_ID,
-    "q_token_bpe": SQL_TOKEN_BPE,
-    "q_rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    "q_dataset_diff": SQL_DATASET_DIFF,
-    "q_funnel_steps": SQL_FUNNEL_STEPS,
-    "q_winsorize": SQL_WINSORIZE,
-    "q_temporal_split": SQL_TEMPORAL_SPLIT,
-    "q_scd2_lookup": SQL_SCD2_LOOKUP,
-    "q_transition_matrix": SQL_TRANSITION_MATRIX,
-    "q_epoch_shuffle": SQL_EPOCH_SHUFFLE,
-    "q_contamination": SQL_CONTAMINATION,
-    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "q_stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "q_budget_mix": SQL_BUDGET_MIX,
-    "q_conformed_merge": SQL_CONFORMED_MERGE,
-    "q_ann_join": SQL_ANN_JOIN,
-    "q_topk_diverse": SQL_TOPK_DIVERSE,
-    "q_mmr_rerank": SQL_MMR_RERANK,
-    "q_ann_recall": SQL_ANN_RECALL,
-    "q_winrate_ci": SQL_WINRATE_CI,
-    "q_kmeans_fit": SQL_KMEANS_FIT,
-    "q_ann_join_learned": SQL_ANN_JOIN_LEARNED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
