@@ -491,6 +491,7 @@ def ann_join(
     round_to: int | None = 6,
     corpus_cells: DataFrame | None = None,
     query_cells: DataFrame | None = None,
+    corpus_multi_cell: bool = False,
 ) -> DataFrame:
     """Cross-table ANN retrieval join — the batch-retrieval building
     block the self-join k-NN graph does not cover: every QUERY vector
@@ -518,7 +519,19 @@ def ann_join(
     per-run corpus re-assignment — the persisted-index path, the
     minhash signature-table precedent applied to IVF: at ingest the
     assignment is computed once and every later query batch joins
-    against the stored cells.
+    against the stored cells. CONTRACT: the frame must assign each
+    corpus id to exactly ONE cell (the argmin contract every in-engine
+    builder honors). A replicated index — a corpus id stored in
+    several cells, e.g. :func:`assign_cells_l2q` with corpus-side
+    ``n_probe > 1`` — duplicates a ``(query_id, corpus_id)`` candidate
+    whenever a query probes two of its cells, and since the top-k
+    window breaks ties on ``corpus_id`` alone the duplicate would
+    occupy TWO ranks. Pass ``corpus_multi_cell=True`` for such
+    frames: candidates are collapsed to one row per pair (exact — the
+    duplicates carry the identical sim, computed from the same two
+    vectors) via a map-side-combinable max before ranking. Off by
+    default because the collapse is one extra candidate-only shuffle
+    the single-cell path should not pay.
 
     ``query_cells`` (an exploded ``(id_col, __cell)`` probe frame, one
     row per (query, probed cell) — e.g. :func:`assign_cells_l2q` with
@@ -567,6 +580,12 @@ def ann_join(
             )
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if corpus_multi_cell and corpus_cells is None:
+        raise ValueError(
+            "ann_join: corpus_multi_cell=True is meaningless without "
+            "corpus_cells — the in-engine centroid assignment is argmin "
+            "(one cell per corpus id) by construction"
+        )
     from pyspark.sql import Window
 
     q0 = queries_df.select(
@@ -645,6 +664,13 @@ def ann_join(
     else:
         cand = c.join(q, on="__cell", how="inner").select(
             "query_id", "corpus_id", sim.alias("sim")
+        )
+    if corpus_multi_cell:
+        # exact collapse: duplicates of a pair carry the identical sim
+        # (same two vectors), so max() is a no-op on values and the
+        # shuffle partial-aggregates map-side
+        cand = cand.groupBy("query_id", "corpus_id").agg(
+            F.max("sim").alias("sim")
         )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.col("corpus_id")

@@ -8861,7 +8861,11 @@ x AS (
   SELECT item_a, item_b, wins_a, wins_b,
          CAST(wins_a AS DOUBLE) / CAST(wins_a + wins_b AS DOUBLE) AS p,
          CAST(wins_a + wins_b AS DOUBLE) AS n
-  FROM grid),
+  -- zero-game guard replayed SYMMETRICALLY with the operator
+  -- (preference.py:winrate_wilson drops wins_a+wins_b=0 pairs):
+  -- _SQL_PREF_GRID never emits an n=0 pair today, but parity must not
+  -- rest on that — a future grid change would otherwise diverge here
+  FROM grid WHERE wins_a + wins_b > 0),
 b AS (
   SELECT item_a, item_b, wins_a, wins_b, n, p,
          round_even((p + (1.96 * 1.96) / (2.0 * n)

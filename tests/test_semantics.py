@@ -1162,6 +1162,60 @@ def test_ann_join_byo_quantizer_plan_corpus_never_shuffles(spark):
     assert "WindowGroupLimit" in final
 
 
+def test_ann_join_multi_cell_corpus_dedup(spark):
+    """A REPLICATED corpus index (one id stored in several cells —
+    outside the default single-cell-per-id contract) duplicates a
+    (query, corpus) candidate when the query probes two of its cells;
+    by default the duplicate occupies two ranks (ties break on
+    corpus_id alone), and corpus_multi_cell=True collapses pairs
+    exactly before ranking. Also: the flag without corpus_cells is a
+    contradiction and raises."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import ann_join
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 1.0]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cells = spark.createDataFrame(
+        # id 10 replicated into BOTH cells; 11 -> 0, 12 -> 1
+        [(10, 0), (10, 1), (11, 0), (12, 1)], "vec_id long, __cell int"
+    )
+    probes = spark.createDataFrame(
+        [(0, 0), (0, 1)], "vec_id long, __cell int"
+    )
+
+    dup = ann_join(
+        emb, corpus, k=4, corpus_cells=cells, query_cells=probes
+    ).collect()
+    assert [r["corpus_id"] for r in sorted(dup, key=lambda r: r["rank"])] == [
+        10, 10, 11, 12
+    ]
+
+    ded = ann_join(
+        emb, corpus, k=4, corpus_cells=cells, query_cells=probes,
+        corpus_multi_cell=True,
+    ).collect()
+    got = [
+        (r["corpus_id"], r["rank"])
+        for r in sorted(ded, key=lambda r: r["rank"])
+    ]
+    assert got == [(10, 1), (11, 2), (12, 3)]
+    # duplicate collapse is exact: sims unchanged vs the dup run
+    sim_by_id = {r["corpus_id"]: r["sim"] for r in dup}
+    assert all(sim_by_id[c] == r["sim"] for c, r in zip(
+        [g[0] for g in got], sorted(ded, key=lambda r: r["rank"])
+    ))
+
+    with pytest.raises(ValueError, match="corpus_multi_cell"):
+        ann_join(emb, corpus, k=1, centroids=[[1.0, 0.0], [0.0, 1.0]],
+                 corpus_multi_cell=True)
+
+
 def test_group_capped_topk_semantics_and_plan(spark):
     """Diversity capping: at most per_group rows per (partition, group)
     survive, then top-k per partition re-ranks 1..k; both windows share
