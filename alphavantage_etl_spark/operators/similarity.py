@@ -758,11 +758,34 @@ def kmeans_fit_quantized(
     lesson), one map-side-combinable groupBy on the cell id, and an
     O(n_cells) collect — the approved O(model)-state class. Corpus is
     never shuffled except by the dim+2-column cell aggregation.
+
+    DIMENSIONALITY CEILING (the Bradley-Terry ``max_items``
+    precedent): the per-iteration aggregate is ``dim`` explicit sum
+    columns and the centroid state an ``n_cells x dim`` nested
+    literal, so the PLAN — not the data — grows with dim x iters;
+    PERF.md measures the fixture fit as plan/codegen-dominated
+    already at dim=64. Fine for the coarse-quantizer dims this
+    operator targets, wrong at production 1024-4096-dim embeddings
+    (4k-column aggregates, 32k-literal matrices). ``max_dim``
+    (default 256) raises past that bound; beyond it, either fit per
+    SUBSPACE (the PQ discipline — :func:`pq_codebooks` splits into
+    m independent <=64-dim fits, constant plan size each) or replace
+    the wide aggregate with a posexplode narrow form (one
+    (cell, dim_idx) groupBy — constant plan width, one extra
+    corpus-sized explode shuffle) before raising the ceiling.
     """
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    max_dim = 256
+    if dim is not None and dim > max_dim:
+        raise ValueError(
+            f"kmeans_fit_quantized: dim={dim} exceeds the plan-size "
+            f"ceiling {max_dim} (wide-agg + literal-matrix plan shape); "
+            "fit per subspace (pq_codebooks) or use a posexplode narrow "
+            "aggregation for high-dim embeddings — see docstring"
+        )
     from ..functions.rounding import away_round
 
     q6 = _u6_quantized(vec_col)
@@ -786,6 +809,13 @@ def kmeans_fit_quantized(
         )
     if dim is None:
         dim = len(init_rows[0]["__q6"])
+        if dim > max_dim:
+            raise ValueError(
+                f"kmeans_fit_quantized: inferred dim={dim} exceeds the "
+                f"plan-size ceiling {max_dim}; fit per subspace "
+                "(pq_codebooks) or use a posexplode narrow aggregation "
+                "— see docstring"
+            )
     cents: list[list[int]] = [
         list(r["__q6"]) for r in init_rows if len(r["__q6"]) == dim
     ]

@@ -3680,9 +3680,19 @@ FROM cum WHERE d > 0
 _SHARED_FRAME_CACHE: dict[tuple, object] = {}
 
 
-def _session_shared(spark: SparkSession, cache_key: tuple, build):
+def _session_shared(spark: SparkSession, cache_key: tuple, build, *,
+                    refit: bool = False):
+    """STALENESS CONTRACT: entries are keyed on (applicationId, key) and
+    never invalidated within a session — if the data under a cached
+    key's path changes mid-session (a re-ingest under the same sf_dir),
+    the cached model state is served STALE by design; a fresh session
+    rebuilds, and ``refit=True`` is the in-session escape hatch (drops
+    the entry and rebuilds now). Deterministic fixtures make the
+    default benign for the contract queries."""
     app = spark.sparkContext.applicationId
     key = (app,) + cache_key
+    if refit:
+        _SHARED_FRAME_CACHE.pop(key, None)
     hit = _SHARED_FRAME_CACHE.get(key)
     if hit is not None:
         return hit
@@ -8996,13 +9006,19 @@ ORDER BY cell, dim
 # because learned ones weren't oracle-replayable; X144 removed that
 # limitation, this closes the loop (operators/similarity.py:
 # kmeans_fit_quantized,assign_cells_l2q,ann_join).
-def _learned_cents_shared(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+def _learned_cents_shared(
+    spark: SparkSession, sf_dir: str, refit: bool = False
+) -> list[list[int]]:
     """The X146 corpus k-means fit trained ONCE per (session, sf_dir) —
     the quantizer is MODEL STATE (the knn-graph/logreg shared-state
     precedent): a serving system trains offline and retrieves many
     times, so repeated q_ann_join_learned runs in one session (bench
     reps) reuse the fit; a fresh session retrains. The fit itself is
-    deterministic, so caching never changes the result."""
+    deterministic, so caching never changes the result. STALENESS: the
+    cache is never invalidated within a session — a long-lived session
+    that re-ingests new embeddings under the SAME sf_dir would keep
+    serving the old quantizer; pass ``refit=True`` to drop the entry
+    and retrain now (the :func:`_session_shared` contract)."""
 
     def build() -> list[list[int]]:
         from .operators.similarity import kmeans_fit_quantized
@@ -9018,7 +9034,9 @@ def _learned_cents_shared(spark: SparkSession, sf_dir: str) -> list[list[int]]:
             cents6[r["cell"]][r["dim"]] = int(r["c6"])
         return cents6
 
-    return _session_shared(spark, ("ann_learned_cents", sf_dir), build)
+    return _session_shared(
+        spark, ("ann_learned_cents", sf_dir), build, refit=refit
+    )
 
 
 def q_ann_join_learned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1395,6 +1395,16 @@ def test_kmeans_fit_quantized_guards(spark):
         kmeans_fit_quantized(df, n_cells=0, iters=1)
     with pytest.raises(ValueError, match="iters"):
         kmeans_fit_quantized(df, n_cells=1, iters=0)
+    # plan-size dimensionality ceiling (r11 verdict wrong #1): the
+    # wide-agg/literal-matrix shape is bounded at 256 dims, both when
+    # declared and when inferred from the init rows
+    with pytest.raises(ValueError, match="ceiling 256"):
+        kmeans_fit_quantized(df, n_cells=1, iters=1, dim=257)
+    wide = spark.createDataFrame(
+        [(0, [0.1] * 300)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="inferred dim=300"):
+        kmeans_fit_quantized(wide, n_cells=1, iters=1)
     # n_cells=1, one clean vector: degenerate but well-defined
     out = kmeans_fit_quantized(
         spark.createDataFrame(
