@@ -9105,6 +9105,111 @@ ORDER BY query_id, "rank"
 """
 
 
+# X147 — persisted-IVF-index retrieval (r11 verdict missing #3): the
+# serving shape every test pinned (build -> save -> load -> probe a
+# STORED assignment table) finally driver-checked end to end. The
+# builder writes the index to a repo-local scratch path (the in-builder
+# fixture-construction discipline: deterministic content, overwrite
+# idempotent, keyed by SF so scale runs never collide), reloads it, and
+# serves ann_join entirely from LOADED state — loaded assignments as
+# corpus_cells, loaded centroids (exact: integer c6 values round-trip
+# through the double parquet column losslessly) re-quantizing the query
+# probes. Differs from q_ann_join_learned's in-plan recompute in k/probe
+# shape (k=3, n_probe=3) so a registry mix-up can never alias the two.
+def _ivf_scratch_path(sf_dir: str) -> str:
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        os.pardir,
+        ".scratch",
+        "ivf_index",
+        sf_tag,
+    )
+
+
+def q_ann_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    path = _ivf_scratch_path(sf_dir)
+    save_ivf_index(
+        assign_cells_l2q(corpus, cents6, n_probe=1),
+        [[float(x) for x in c] for c in cents6],
+        path,
+    )
+    idx, loaded = load_ivf_index(spark, path)
+    cents_rt = [[int(x) for x in c] for c in loaded]
+    qc = assign_cells_l2q(queries, cents_rt, n_probe=3)
+    return ann_join(
+        queries, corpus, k=3, corpus_cells=idx, query_cells=qc
+    ).orderBy("query_id", "rank")
+
+
+# the oracle replays the identical assignment arithmetic — storing and
+# reloading the assignment table cannot change its content, so the SQL
+# is the X146 pipeline with the X147 k/probe shape
+SQL_ANN_JOIN_INDEXED = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+cc AS MATERIALIZED (
+  SELECT vec_id AS corpus_id, embedding AS ce, nrm AS cn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 != 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+qc AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 3),
+cand AS MATERIALIZED (
+  SELECT q.query_id, c.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y))
+           / (q.qn * c.cn), 6) AS sim
+  FROM qc q JOIN cc c USING (cell))
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 3
+ORDER BY query_id, "rank"
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -9325,6 +9430,9 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
+    # r12 additions (X147+) — end of EXTRA per the rotation discipline;
+    # rotate_window.py --apply queues them at the r13 window front
+    "q_ann_join_indexed": q_ann_join_indexed,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9530,6 +9638,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_session_paths": SQL_SESSION_PATHS,
     "q_calibration": SQL_CALIBRATION,
     "q_discretize": SQL_DISCRETIZE,
+    # r12 additions (X147+)
+    "q_ann_join_indexed": SQL_ANN_JOIN_INDEXED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

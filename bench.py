@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     "q_winrate_ci",
     "q_kmeans_fit",
     "q_ann_join_learned",
+    # r12 — persisted-IVF-index serving path (X147: save/load round-trip
+    # + probe of the stored assignment table, the real retrieval shape)
+    "q_ann_join_indexed",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -1162,6 +1162,44 @@ def test_ann_join_byo_quantizer_plan_corpus_never_shuffles(spark):
     assert "WindowGroupLimit" in final
 
 
+def test_ann_join_indexed_matches_inplan_recompute(spark):
+    """X147 contract: serving from the STORED assignment table (save ->
+    load -> probe) returns row-for-row what the in-plan recompute at
+    the same k/probe shape returns — persistence is a layout change,
+    never a semantics change."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+    )
+    from alphavantage_etl_spark.queries import (
+        _learned_cents_shared,
+        q_ann_join_indexed,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    stored = q_ann_join_indexed(spark, SF_ORACLE)
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    fresh = ann_join(
+        queries, corpus, k=3,
+        corpus_cells=assign_cells_l2q(corpus, cents6, n_probe=1),
+        query_cells=assign_cells_l2q(queries, cents6, n_probe=3),
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    assert rows(stored) == rows(fresh)
+
+
 def test_ann_join_multi_cell_corpus_dedup(spark):
     """A REPLICATED corpus index (one id stored in several cells —
     outside the default single-cell-per-id contract) duplicates a
