@@ -703,6 +703,44 @@ def _annotate_cells(
     )
 
 
+def _lloyd_iterate(
+    base: DataFrame, cents: list[list[int]], iters: int, dim: int
+) -> list[list[int]]:
+    """``iters`` rounds of the exact quantized Lloyd update over a
+    pre-quantized ``__q6`` frame — the shared training loop of
+    :func:`kmeans_fit_quantized` and :func:`split_hot_cells`' per-cell
+    sub-fits. Each round: ONE narrow scan with the centroid matrix as
+    a single nested literal, one map-side-combinable groupBy on the
+    argmin cell, an O(|cents|) collect; empty cells carry their
+    previous centroid; means re-quantize with away-from-zero rounding
+    (the Spark/DuckDB ``round(double)`` rule)."""
+    from ..functions.rounding import away_round
+
+    for _ in range(iters):
+        best = F.array_min(_l2q_scored(F.col("__q6"), cents))
+        sums = (
+            base.select("__q6", best["cell"].alias("__cell"))
+            .groupBy("__cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at(F.col("__q6"), i + 1)).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            int(r["__cell"]): [
+                away_round(int(r[f"__s{i}"]) / int(r["__n"]))
+                for i in range(dim)
+            ]
+            for r in sums
+        }
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
+    return cents
+
+
 def kmeans_fit_quantized(
     df: DataFrame,
     n_cells: int = 8,
@@ -786,8 +824,6 @@ def kmeans_fit_quantized(
             "fit per subspace (pq_codebooks) or use a posexplode narrow "
             "aggregation for high-dim embeddings — see docstring"
         )
-    from ..functions.rounding import away_round
-
     q6 = _u6_quantized(vec_col)
     usable = (
         df.where(F.col(vec_col).isNotNull())
@@ -837,27 +873,7 @@ def kmeans_fit_quantized(
             best["d2"].alias("__d2"),
         )
 
-    for _ in range(iters):
-        sums = (
-            _assigned(cents)
-            .groupBy("__cell")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.element_at(F.col("__q6"), i + 1)).alias(f"__s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
-        new = {
-            int(r["__cell"]): [
-                away_round(int(r[f"__s{i}"]) / int(r["__n"]))
-                for i in range(dim)
-            ]
-            for r in sums
-        }
-        cents = [new.get(c, cents[c]) for c in range(n_cells)]
+    cents = _lloyd_iterate(base, cents, iters, dim)
 
     final = {
         int(r["__cell"]): (int(r["__n"]), int(r["__inertia"]))
@@ -932,6 +948,314 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
             "expected contiguous cell ids 0..n-1"
         )
     return assignments, [list(r["centroid"]) for r in cents]
+
+
+def _q6_base(
+    df: DataFrame, dim: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """``(__id, __q6)`` — the shared quantize-and-filter projection of
+    every integer-L2 lifecycle operator: NULL vectors, NULL components
+    and rows of a dimensionality other than ``dim`` drop (the
+    :func:`kmeans_fit_quantized` unquantizable-row rule)."""
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), _u6_quantized(vec_col).alias("__q6"))
+        .where(
+            (F.size("__q6") == dim)
+            & ~F.exists(F.col("__q6"), lambda x: x.isNull())
+        )
+    )
+
+
+def _validate_cents6(cents6: list[list[int]], who: str) -> int:
+    if not cents6:
+        raise ValueError(f"{who}: cents6 must be non-empty")
+    dim = len(cents6[0])
+    if any(len(c) != dim for c in cents6):
+        raise ValueError(f"{who}: cents6 rows disagree on dimensionality")
+    if dim > 256:
+        raise ValueError(
+            f"{who}: dim={dim} exceeds the plan-size ceiling 256 "
+            "(the kmeans_fit_quantized wide-agg/literal-matrix bound)"
+        )
+    return dim
+
+
+def split_hot_cells(
+    corpus_df: DataFrame,
+    cents6: list[list[int]],
+    hot_factor: float = 2.0,
+    max_splits: int = 1,
+    sub_cells: int = 2,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[int]], DataFrame]:
+    """IVF hot-cell rebalance (X148) — detect oversized cells and SPLIT
+    them by a sub-fit over their members only, emitting a reassignment
+    DELTA instead of a full index rebuild (the incremental
+    signature-table precedent applied to the quantizer).
+
+    A cell is HOT when its member count exceeds ``hot_factor`` x the
+    mean (``n * n_cells > hot_factor * total`` — one IEEE multiply per
+    side, SQL-replayable); the ``max_splits`` hottest (ties to the
+    lowest cell id) each get a ``sub_cells``-way exact quantized
+    k-means sub-fit (:func:`_lloyd_iterate`; min-id init among members
+    — the :func:`kmeans_fit_quantized` rule). Sub-centroid 0 REUSES the
+    hot cell's id (its members' cell stays valid where they re-assign
+    to it — the majority), sub-centroid ``j>0`` takes the next fresh id
+    ``len(cents6) + ...``; a hot cell with fewer than ``sub_cells``
+    members is skipped (nothing to split).
+
+    Returns ``(new_cents6, delta)`` where ``delta`` holds ONLY the rows
+    that MOVED: ``(id_col, old_cell, new_cell, d2_new)`` with
+    ``d2_new`` the exact integer squared-L2 to the row's new centroid
+    (pinning the sub-fit's centroid values, not just the partition of
+    ids). Apply with :func:`apply_assignment_delta`.
+
+    Scale shape: the corpus is quantized + argmin-assigned in ONE
+    narrow projection (localCheckpointed — reused by the count pass
+    and every sub-fit scan); cell counts are a map-side-combinable
+    O(n_cells) collect; each sub-fit touches ONLY the hot cell's
+    members (iters+1 filtered scans of the checkpointed frame); the
+    delta is member-bounded, so at 100 TB a rebalance costs
+    O(hot-cell bytes), never O(corpus). The corpus is never shuffled —
+    every aggregation partial-combines on the cell key."""
+    dim = _validate_cents6(cents6, "split_hot_cells")
+    if sub_cells < 2:
+        raise ValueError(f"sub_cells must be >= 2, got {sub_cells}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if max_splits < 1:
+        raise ValueError(f"max_splits must be >= 1, got {max_splits}")
+    if hot_factor <= 0:
+        raise ValueError(f"hot_factor must be > 0, got {hot_factor}")
+    from pyspark.sql import types as T
+
+    best = F.array_min(_l2q_scored(F.col("__q6"), cents6))
+    base = (
+        _q6_base(corpus_df, dim, vec_col, id_col)
+        .select("__id", "__q6", best["cell"].alias("__cell"))
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        int(r["__cell"]): int(r["n"])
+        for r in base.groupBy("__cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    total = sum(counts.values())
+    n_cells = len(cents6)
+    hot = sorted(
+        (c for c, n in counts.items() if n * n_cells > hot_factor * total),
+        key=lambda c: (-counts[c], c),
+    )[:max_splits]
+
+    new_cents = [list(c) for c in cents6]
+    next_id = n_cells
+    deltas: list[DataFrame] = []
+    for h in hot:
+        members = base.where(F.col("__cell") == h)
+        init_rows = members.orderBy("__id", "__q6").limit(sub_cells).collect()
+        if len(init_rows) < sub_cells:
+            continue
+        sub = _lloyd_iterate(
+            members, [list(r["__q6"]) for r in init_rows], iters, dim
+        )
+        best_sub = F.array_min(_l2q_scored(F.col("__q6"), sub))
+        first_new = next_id
+        deltas.append(
+            members.select(
+                "__id",
+                best_sub["cell"].alias("__sub"),
+                best_sub["d2"].alias("__d2"),
+            )
+            .where(F.col("__sub") != 0)
+            .select(
+                F.col("__id").alias(id_col),
+                F.lit(h).cast("int").alias("old_cell"),
+                (F.lit(first_new) + F.col("__sub") - 1)
+                .cast("int")
+                .alias("new_cell"),
+                F.col("__d2").cast("long").alias("d2_new"),
+            )
+        )
+        new_cents[h] = sub[0]
+        new_cents.extend(sub[1:])
+        next_id += sub_cells - 1
+
+    if deltas:
+        delta = deltas[0]
+        for d in deltas[1:]:
+            delta = delta.unionByName(d)
+    else:
+        delta = corpus_df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, corpus_df.schema[id_col].dataType),
+                    T.StructField("old_cell", T.IntegerType()),
+                    T.StructField("new_cell", T.IntegerType()),
+                    T.StructField("d2_new", T.LongType()),
+                ]
+            ),
+        )
+    return new_cents, delta
+
+
+def apply_assignment_delta(
+    assignments: DataFrame, delta: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Fold a :func:`split_hot_cells` delta into a persisted assignment
+    table: one LEFT join on the id — the delta side is hot-cell-member
+    bounded (far smaller than the index), so the planner broadcasts it
+    from stats and the stored assignment never shuffles. The result is
+    the SPLIT-REFINED index: hot-cell members partitioned among that
+    cell's children by the sub-fit, every other row untouched. That is
+    deliberately NOT a global re-assignment under the new centroid set
+    — re-evaluating every row against the new children would be the
+    full rebuild the delta exists to avoid; a row in a cold cell that
+    would now sit marginally closer to a new child keeps its cell (the
+    standard IVF local-refinement trade, recovered at query time by
+    ``n_probe``)."""
+    d = delta.select(F.col(id_col), F.col("new_cell"))
+    return assignments.join(d, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("new_cell", "__cell").cast("int").alias("__cell"),
+    )
+
+
+def kmeans_state(
+    df: DataFrame,
+    cents6: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mergeable k-means sufficient statistics (X149): one row per
+    non-empty cell — ``(cell, n, sums)`` with ``sums[d]`` the EXACT
+    integer component sum of the cell's members under the FROZEN
+    quantizer ``cents6`` (the X142 frozen-quantizer serving rule:
+    batches are always assigned by the centroids the state was opened
+    with; re-clustering is an offline rebuild). Because the statistics
+    are exact integers, merging states (:func:`merge_kmeans_states`)
+    then finalizing (:func:`kmeans_refit`) equals the full-corpus
+    recompute bit-for-bit — the mergeable-state discipline that lets
+    the quantizer track corpus drift one batch at a time with no
+    rescan. One narrow scan; the only shuffle is the
+    map-side-combinable cell aggregation; output is O(n_cells) model
+    state."""
+    dim = _validate_cents6(cents6, "kmeans_state")
+    best = F.array_min(_l2q_scored(F.col("__q6"), cents6))
+    return (
+        _q6_base(df, dim, vec_col, id_col)
+        .select("__q6", best["cell"].alias("__cell"))
+        .groupBy("__cell")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.element_at(F.col("__q6"), i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            F.col("__cell").cast("int").alias("cell"),
+            F.col("__n").cast("long").alias("n"),
+            F.array(*[F.col(f"__s{i}") for i in range(dim)]).alias("sums"),
+        )
+    )
+
+
+def merge_kmeans_states(*states: DataFrame) -> DataFrame:
+    """Union + per-cell exact merge of :func:`kmeans_state` frames:
+    counts add, component sums add elementwise. States are O(n_cells)
+    MODEL frames, so the posexplode/regroup here shuffles model rows
+    only — never corpus data."""
+    if not states:
+        raise ValueError("merge_kmeans_states: need at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    n_tot = u.groupBy("cell").agg(F.sum("n").alias("n"))
+    sums = (
+        u.select("cell", F.posexplode("sums").alias("d", "s"))
+        .groupBy("cell", "d")
+        .agg(F.sum("s").alias("s"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda x: x["s"],
+            ).alias("sums")
+        )
+    )
+    return n_tot.join(sums, on="cell").select("cell", "n", "sums")
+
+
+def kmeans_refit(
+    state_df: DataFrame, cents6: list[list[int]]
+) -> tuple[list[list[int]], dict[int, int]]:
+    """Finalize merged statistics into updated centroids: the Lloyd
+    update applied to a state table instead of a corpus scan —
+    ``new[c] = away_round(sums[d] / n)`` per component, empty cells
+    carry their previous centroid. Returns ``(new_cents6,
+    n_by_cell)``. The collect is O(n_cells) model state. Combined with
+    :func:`kmeans_state`/:func:`merge_kmeans_states` this is
+    mini-batch incremental refit: fold each arriving batch's state in
+    and finalize — bit-identical to a full recompute over the union
+    (pinned by oracle), at the cost of one batch scan instead of a
+    corpus rescan."""
+    dim = _validate_cents6(cents6, "kmeans_refit")
+    from ..functions.rounding import away_round
+
+    new = [list(c) for c in cents6]
+    n_by_cell: dict[int, int] = {}
+    for r in state_df.collect():
+        c, n = int(r["cell"]), int(r["n"])
+        if not 0 <= c < len(cents6):
+            raise ValueError(
+                f"kmeans_refit: state cell {c} outside cents6 range"
+            )
+        if len(r["sums"]) != dim:
+            raise ValueError(
+                f"kmeans_refit: state sums dim {len(r['sums'])} != {dim}"
+            )
+        n_by_cell[c] = n
+        if n > 0:
+            new[c] = [away_round(int(s) / n) for s in r["sums"]]
+    return new, n_by_cell
+
+
+def assignment_moves(
+    df: DataFrame,
+    old_cents6: list[list[int]],
+    new_cents6: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reassignment-drift audit (X150): the ``(old_cell, new_cell, n)``
+    transition matrix of a corpus between two quantizer versions — the
+    sizing read a maintainer runs BEFORE committing a refit or split
+    (how many rows would move, and where?). One narrow scan with both
+    centroid matrices as literals, one map-side-combinable groupBy on
+    the (old, new) pair — O(|old| x |new|) output, corpus never
+    shuffled."""
+    dim = _validate_cents6(old_cents6, "assignment_moves(old)")
+    dim_new = _validate_cents6(new_cents6, "assignment_moves(new)")
+    if dim_new != dim:
+        raise ValueError(
+            "assignment_moves: old/new centroid dimensionality differs"
+        )
+    old_best = F.array_min(_l2q_scored(F.col("__q6"), old_cents6))
+    new_best = F.array_min(_l2q_scored(F.col("__q6"), new_cents6))
+    return (
+        _q6_base(df, dim, vec_col, id_col)
+        .select(
+            old_best["cell"].cast("int").alias("old_cell"),
+            new_best["cell"].cast("int").alias("new_cell"),
+        )
+        .groupBy("old_cell", "new_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
 
 
 def group_capped_topk(

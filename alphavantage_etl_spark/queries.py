@@ -9210,6 +9210,268 @@ ORDER BY query_id, "rank"
 """
 
 
+# X148 — IVF hot-cell split (r12): index lifecycle at scale — detect the
+# oversized cell under the learned quantizer and split it by a 2-way
+# exact sub-fit over ITS MEMBERS ONLY, emitting the reassignment DELTA
+# (moved rows + their exact integer d2 to the new child centroid — the
+# d2 pins the sub-fit's centroid VALUES, not just the id partition).
+# hot_factor=1.05 so every fixture SF has a hot cell (max/mean is
+# 1.08-1.25 under this fit; sf0.01 even exercises the ties-to-lowest
+# rule — cells 2 and 3 tie at 65 members). Oracle: the X144 fit CTE for
+# the quantizer, a count/threshold CTE for hotness (one IEEE multiply
+# per side, replayed verbatim), then a SECOND 2-cell/2-iter recursive
+# Lloyd CTE over the members and the moved-row argmin
+# (operators/similarity.py:split_hot_cells).
+def q_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import split_hot_cells
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    _, delta = split_hot_cells(
+        corpus, cents6, hot_factor=1.05, max_splits=1, sub_cells=2, iters=2
+    )
+    return delta.orderBy("vec_id")
+
+
+SQL_IVF_CELL_SPLIT = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+casg AS MATERIALIZED (
+  SELECT vec_id, q6, cell FROM (
+    SELECT v.vec_id, v.q6, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (v.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (v.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM casg GROUP BY cell),
+hot AS (SELECT cell FROM cnt
+        WHERE CAST(n * 8 AS DOUBLE)
+              > 1.05 * (SELECT CAST(sum(n) AS DOUBLE) FROM cnt)
+        ORDER BY n DESC, cell LIMIT 1),
+m AS MATERIALIZED (
+  SELECT vec_id, q6 FROM casg WHERE cell = (SELECT cell FROM hot)),
+st2(it, c) AS (
+  SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id))
+             FROM (SELECT q6, vec_id FROM m ORDER BY vec_id LIMIT 2))
+  UNION ALL
+  SELECT st2.it + 1,
+    (SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell))
+     FROM (SELECT r.cell, w.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
+           FROM (SELECT unnest(range(2)) AS cell) r CROSS JOIN st2 w) cl
+     LEFT JOIN (
+       SELECT cell,
+              list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        AS BIGINT) ORDER BY d) AS nc
+       FROM (
+         SELECT a.cell, dd.d,
+                CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT vec_id, q6, cell FROM (
+             SELECT m.vec_id, m.q6, cl2.cell,
+                    list_sum(list_transform(range(64),
+                      d -> (m.q6[d+1] - w2.c[cl2.cell*64 + d + 1])
+                           * (m.q6[d+1] - w2.c[cl2.cell*64 + d + 1])))
+                      AS d2
+             FROM m CROSS JOIN (SELECT unnest(range(2)) AS cell) cl2
+                    CROSS JOIN st2 w2)
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) = 1
+         ) a
+         CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+         GROUP BY a.cell, dd.d) s1
+       GROUP BY cell) agg ON agg.cell = cl.cell)
+  FROM st2 WHERE st2.it < 2),
+fin2 AS MATERIALIZED (SELECT c FROM st2 WHERE it = 2),
+sub AS (
+  SELECT vec_id, sub_cell, d2 FROM (
+    SELECT m.vec_id, cl.cell AS sub_cell,
+           list_sum(list_transform(range(64),
+             d -> (m.q6[d+1] - f2.c[cl.cell*64 + d + 1])
+                  * (m.q6[d+1] - f2.c[cl.cell*64 + d + 1]))) AS d2
+    FROM m CROSS JOIN (SELECT unnest(range(2)) AS cell) cl
+           CROSS JOIN fin2 f2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, sub_cell) = 1)
+SELECT vec_id, CAST((SELECT cell FROM hot) AS INT) AS old_cell,
+       CAST(8 + sub_cell - 1 AS INT) AS new_cell,
+       CAST(d2 AS BIGINT) AS d2_new
+FROM sub WHERE sub_cell != 0
+ORDER BY vec_id
+"""
+
+
+def _refit_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[int]], dict[int, int]]:
+    """X149 mini-batch refit computed ONCE per (session, sf_dir): state
+    of the original corpus (vec_id % 25 != 7 — the slice the X146
+    quantizer trained on) merged with the state of the newly-arrived
+    batch (% 25 == 7), finalized into updated centroids. Model state,
+    same staleness contract as :func:`_learned_cents_shared`."""
+
+    def build():
+        from .operators.similarity import (
+            kmeans_refit,
+            kmeans_state,
+            merge_kmeans_states,
+        )
+
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        emb = load(spark, sf_dir, "embeddings")
+        base = kmeans_state(emb.where(F.col("vec_id") % 25 != 7), cents6)
+        batch = kmeans_state(emb.where(F.col("vec_id") % 25 == 7), cents6)
+        return kmeans_refit(merge_kmeans_states(base, batch), cents6)
+
+    return _session_shared(spark, ("kmeans_refit", sf_dir), build)
+
+
+# X149 — mini-batch incremental k-means refit (r12): fold a new batch
+# into the quantizer WITHOUT a corpus rescan — per-cell exact integer
+# sufficient statistics (kmeans_state) merge across batches
+# (merge_kmeans_states, the X42 mergeable-state discipline) and
+# finalize into updated centroids (kmeans_refit). Assignment stays
+# under the FROZEN original quantizer (the X142 rule), so incremental
+# state-merge is bit-identical to a full-union recompute — which is
+# exactly what the oracle replays: one Lloyd update step over ALL
+# usable rows assigned under the learned centroids.
+def q_kmeans_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    new_cents, n_by_cell = _refit_shared(spark, sf_dir)
+    rows = [
+        (c, d, new_cents[c][d], n_by_cell.get(c, 0))
+        for c in range(len(new_cents))
+        for d in range(len(new_cents[0]))
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, dim int, c6 long, n_members long"
+    )
+
+
+SQL_KMEANS_REFIT = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+asg AS MATERIALIZED (
+  SELECT vec_id, q6, cell FROM (
+    SELECT a.vec_id, a.q6, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+cellagg AS (
+  SELECT a.cell, dd.d,
+         CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM asg a CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+  GROUP BY a.cell, dd.d)
+SELECT CAST(g.cell AS INT) AS cell, CAST(g.d AS INT) AS dim,
+       CAST(coalesce(
+         CAST(round(CAST(ca.s AS DOUBLE) / CAST(ca.n AS DOUBLE)) AS BIGINT),
+         f.c[g.cell*64 + g.d + 1]) AS BIGINT) AS c6,
+       CAST(coalesce(ca.n, 0) AS BIGINT) AS n_members
+FROM (SELECT a.cell, b.d
+      FROM (SELECT unnest(range(8)) AS cell) a
+      CROSS JOIN (SELECT unnest(range(64)) AS d) b) g
+CROSS JOIN fin f
+LEFT JOIN cellagg ca ON ca.cell = g.cell AND ca.d = g.d
+ORDER BY cell, dim
+"""
+
+
+# X150 — reassignment-drift audit (r12): the (old_cell, new_cell, n)
+# transition matrix of the full corpus between the original and the
+# refit quantizer — the sizing read a maintainer runs BEFORE committing
+# a refit (how many rows move, and where?). One narrow scan, both
+# centroid matrices as literals, map-side-combinable pair groupBy.
+def q_refit_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import assignment_moves
+
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    new_cents, _ = _refit_shared(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    return assignment_moves(emb, cents6, new_cents).orderBy(
+        "old_cell", "new_cell"
+    )
+
+
+SQL_REFIT_MOVES = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+asg AS MATERIALIZED (
+  SELECT vec_id, q6, cell FROM (
+    SELECT a.vec_id, a.q6, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+cellagg AS (
+  SELECT a.cell, dd.d,
+         CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM asg a CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+  GROUP BY a.cell, dd.d),
+upd AS MATERIALIZED (
+  SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell)) AS c
+  FROM (SELECT r.cell, f.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
+        FROM (SELECT unnest(range(8)) AS cell) r CROSS JOIN fin f) cl
+  LEFT JOIN (
+    SELECT cell,
+           list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     AS BIGINT) ORDER BY d) AS nc
+    FROM cellagg GROUP BY cell) agg ON agg.cell = cl.cell),
+nasg AS MATERIALIZED (
+  SELECT vec_id, cell AS new_cell FROM (
+    SELECT a.vec_id, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - u.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - u.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN upd u)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1)
+SELECT CAST(o.cell AS INT) AS old_cell, CAST(n.new_cell AS INT) AS new_cell,
+       CAST(count(*) AS BIGINT) AS n
+FROM asg o JOIN nasg n USING (vec_id)
+GROUP BY o.cell, n.new_cell
+ORDER BY old_cell, new_cell
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -9433,6 +9695,9 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     # r12 additions (X147+) — end of EXTRA per the rotation discipline;
     # rotate_window.py --apply queues them at the r13 window front
     "q_ann_join_indexed": q_ann_join_indexed,
+    "q_ivf_cell_split": q_ivf_cell_split,
+    "q_kmeans_refit": q_kmeans_refit,
+    "q_refit_moves": q_refit_moves,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9640,6 +9905,9 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_discretize": SQL_DISCRETIZE,
     # r12 additions (X147+)
     "q_ann_join_indexed": SQL_ANN_JOIN_INDEXED,
+    "q_ivf_cell_split": SQL_IVF_CELL_SPLIT,
+    "q_kmeans_refit": SQL_KMEANS_REFIT,
+    "q_refit_moves": SQL_REFIT_MOVES,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -221,6 +221,11 @@ BENCH_QUERIES = [
     # r12 — persisted-IVF-index serving path (X147: save/load round-trip
     # + probe of the stored assignment table, the real retrieval shape)
     "q_ann_join_indexed",
+    # r12 — index lifecycle: hot-cell split delta (X148), mini-batch
+    # incremental refit (X149), reassignment-drift audit (X150)
+    "q_ivf_cell_split",
+    "q_kmeans_refit",
+    "q_refit_moves",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -1162,6 +1162,209 @@ def test_ann_join_byo_quantizer_plan_corpus_never_shuffles(spark):
     assert "WindowGroupLimit" in final
 
 
+def test_split_hot_cells_semantics(spark):
+    """X148: the hottest above-threshold cell splits 2-way by an exact
+    sub-fit over its members only; the delta holds exactly the MOVED
+    rows (new ids start at len(cents6)); applying it yields the
+    split-refined index — hot members partitioned among the children,
+    every other row untouched (the local-refinement trade, NOT a
+    global re-assignment)."""
+    from alphavantage_etl_spark.operators.similarity import (
+        apply_assignment_delta,
+        assign_cells_l2q,
+        split_hot_cells,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    new_cents, delta = split_hot_cells(
+        corpus, cents6, hot_factor=1.05, max_splits=1, sub_cells=2, iters=2
+    )
+    assert len(new_cents) == len(cents6) + 1
+    rows = delta.collect()
+    assert rows, "fixture must have a hot cell at hot_factor=1.05"
+    hot = {r["old_cell"] for r in rows}
+    assert len(hot) == 1
+    (h,) = hot
+    assert all(r["new_cell"] == len(cents6) for r in rows)
+    assert all(r["d2_new"] >= 0 for r in rows)
+    # unsplit cells keep their centroid; the hot slot holds sub-fit 0
+    for c in range(len(cents6)):
+        if c != h:
+            assert new_cents[c] == cents6[c]
+
+    # applying the delta = old assignment with ONLY the moved rows
+    # repointed (split-refined index, other rows untouched)
+    before = {
+        r["vec_id"]: r["__cell"]
+        for r in assign_cells_l2q(corpus, cents6).collect()
+    }
+    after = {
+        r["vec_id"]: r["__cell"]
+        for r in apply_assignment_delta(
+            assign_cells_l2q(corpus, cents6), delta
+        ).collect()
+    }
+    moved = {r["vec_id"]: r["new_cell"] for r in rows}
+    for vid, cell in after.items():
+        assert cell == moved.get(vid, before[vid])
+    # moved rows all came from the hot cell
+    assert all(before[vid] == h for vid in moved)
+
+
+def test_split_hot_cells_no_hot_and_guards(spark):
+    """No cell above threshold -> unchanged centroids, EMPTY delta with
+    the contract schema; parameter guards raise."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import split_hot_cells
+
+    # 4 vectors in 2 perfectly balanced cells — nothing is hot at 1.5x
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[950000, 0], [0, 950000]]
+    new_cents, delta = split_hot_cells(df, cents, hot_factor=1.5)
+    assert new_cents == cents
+    assert delta.columns == ["vec_id", "old_cell", "new_cell", "d2_new"]
+    assert delta.count() == 0
+
+    with pytest.raises(ValueError, match="sub_cells"):
+        split_hot_cells(df, cents, sub_cells=1)
+    with pytest.raises(ValueError, match="hot_factor"):
+        split_hot_cells(df, cents, hot_factor=0)
+    with pytest.raises(ValueError, match="max_splits"):
+        split_hot_cells(df, cents, max_splits=0)
+    with pytest.raises(ValueError, match="dimensionality"):
+        split_hot_cells(df, [[1, 2], [1, 2, 3]])
+    # a hot cell with fewer members than sub_cells is skipped, not split
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    nc, d = split_hot_cells(tiny, cents, hot_factor=1.0)
+    assert nc == cents and d.count() == 0
+
+
+def test_kmeans_incremental_state_matches_full_recompute(spark):
+    """X149's load-bearing invariant: exact integer sufficient
+    statistics make state-merge associative — folding batches one at a
+    time equals the full-union recompute bit-for-bit, and empty cells
+    carry the old centroid."""
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_refit,
+        kmeans_state,
+        merge_kmeans_states,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    parts = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+    states = [kmeans_state(p, cents6) for p in parts]
+    inc = kmeans_refit(merge_kmeans_states(*states), cents6)
+    full = kmeans_refit(kmeans_state(emb, cents6), cents6)
+    assert inc == full
+
+    # empty-cell carry: a state from a batch that misses some cells
+    # leaves those centroids exactly as they were
+    one = emb.where(F.col("vec_id") == 3)
+    new_cents, n_by_cell = kmeans_refit(kmeans_state(one, cents6), cents6)
+    touched = set(n_by_cell)
+    for c in range(len(cents6)):
+        if c not in touched:
+            assert new_cents[c] == cents6[c]
+
+
+def test_assignment_moves_and_state_guards(spark):
+    """X150 semantics on a hand grid + validation guards across the
+    lifecycle operators."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        assignment_moves,
+        kmeans_refit,
+        kmeans_state,
+        merge_kmeans_states,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    old = [[1000000, 0], [0, 1000000]]
+    # new centroids pull vec 1 into cell 1's orbit
+    new = [[1000000, 0], [850000, 0]]
+    got = {
+        (r["old_cell"], r["new_cell"]): r["n"]
+        for r in assignment_moves(df, old, new).collect()
+    }
+    # vec0: old 0 -> new 0 (d2 0 vs 22500e6); vec1: old 0 -> new 1
+    # (2500 vs 40000 x1e6... exact: (800k-1M)^2=4e10 vs (800k-850k)^2=2.5e9)
+    # vec2: old 1 -> new argmin((0-1M)^2+1M^2*... ) -> ties? compute:
+    # vs new0: 1e12+1e12=2e12; vs new1: 0.7225e12+1e12 -> new 1
+    assert got == {(0, 0): 1, (0, 1): 1, (1, 1): 1}
+
+    with pytest.raises(ValueError, match="dimensionality differs"):
+        assignment_moves(df, old, [[1, 2, 3]])
+    with pytest.raises(ValueError, match="non-empty"):
+        kmeans_state(df, [])
+    with pytest.raises(ValueError, match="at least one state"):
+        merge_kmeans_states()
+    with pytest.raises(ValueError, match="outside cents6 range"):
+        kmeans_refit(
+            spark.createDataFrame(
+                [(5, 1, [0, 0])], "cell int, n long, sums array<long>"
+            ),
+            old,
+        )
+    with pytest.raises(ValueError, match="sums dim"):
+        kmeans_refit(
+            spark.createDataFrame(
+                [(0, 1, [0, 0, 0])], "cell int, n long, sums array<long>"
+            ),
+            old,
+        )
+
+
+def test_lifecycle_plans_corpus_never_shuffles(spark):
+    """The 100 TB contract of the lifecycle scans: kmeans_state and
+    assignment_moves are scan -> partial agg -> ONE hash exchange of
+    combined cell/pair rows -> final agg. No join, no corpus-row
+    exchange."""
+    import re
+
+    from alphavantage_etl_spark.operators.similarity import (
+        assignment_moves,
+        kmeans_state,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    for df in (
+        kmeans_state(emb, cents6),
+        assignment_moves(emb, cents6, cents6),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final
+        assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+        assert "partial_count" in final or "HashAggregate" in final
+
+
 def test_ann_join_indexed_matches_inplan_recompute(spark):
     """X147 contract: serving from the STORED assignment table (save ->
     load -> probe) returns row-for-row what the in-plan recompute at
