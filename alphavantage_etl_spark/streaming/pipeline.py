@@ -2176,3 +2176,91 @@ def ivf_index_stream(
     )
     q.awaitTermination()
     return q
+
+
+def kmeans_state_stream(
+    stream_df: DataFrame,
+    cents6: list[list[int]],
+    state_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming twin of X149's mini-batch incremental refit —
+    continuous quantizer-statistics MAINTENANCE: each embedding
+    micro-batch computes its per-cell exact integer sufficient
+    statistics (``operators.similarity.kmeans_state`` under the FROZEN
+    ``cents6``, the X142 rule) and appends that O(n_cells) state row
+    set exactly-once via the ``ingest_batch_id=N`` partition-dir
+    protocol (:func:`_append_batch` — a replayed batch overwrites its
+    own directory). :func:`load_kmeans_state` merges all landed batch
+    states (model rows only — the corpus is scanned exactly once, at
+    arrival) so ``kmeans_refit`` over the streamed state equals the
+    full-union recompute bit-for-bit (exact integers make the merge
+    associative; parity pinned by test).
+
+    The quantizer is FROZEN at stream start: a restart against the same
+    ``state_path`` with DIFFERENT centroids raises rather than silently
+    merging statistics computed under two metrics. Re-clustering is an
+    offline decision — X47's PSI drift monitor gates WHEN, the merged
+    state makes the refit itself a collect-and-divide."""
+    spark = stream_df.sparkSession
+    cent_path = f"{state_path}/cents6"
+    fs, cpath = _hadoop_fs(spark, cent_path)
+    want = [[int(x) for x in c] for c in cents6]
+    if fs.exists(cpath):
+        try:
+            existing = [
+                list(r["c6"])
+                for r in spark.read.parquet(cent_path)
+                .orderBy("cell")
+                .collect()
+            ]
+        except Exception:
+            existing = None
+        if existing is not None and existing != want:
+            raise ValueError(
+                "kmeans_state_stream: state_path already holds "
+                "statistics under a DIFFERENT quantizer — merging two "
+                "metrics corrupts the state; refit offline and point "
+                "at a fresh path"
+            )
+    if not fs.exists(cpath):
+        spark.createDataFrame(
+            list(enumerate(want)), "cell int, c6 array<long>"
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+
+    from ..operators.similarity import kmeans_state
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        st = kmeans_state(batch_df, cents6, vec_col=vec_col, id_col=id_col)
+        _append_batch(st, f"{state_path}/states", batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def load_kmeans_state(
+    spark: SparkSession, state_path: str
+) -> tuple[DataFrame, list[list[int]]]:
+    """Load a :func:`kmeans_state_stream` state: ``(merged_state_df,
+    cents6)`` — batch states merged per cell (model rows only), ready
+    for ``operators.similarity.kmeans_refit``."""
+    from ..operators.similarity import merge_kmeans_states
+
+    cents6 = [
+        [int(x) for x in r["c6"]]
+        for r in spark.read.parquet(f"{state_path}/cents6")
+        .orderBy("cell")
+        .collect()
+    ]
+    states = spark.read.parquet(f"{state_path}/states").select(
+        "cell", "n", "sums"
+    )
+    return merge_kmeans_states(states), cents6

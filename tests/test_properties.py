@@ -1120,3 +1120,76 @@ def test_kmeans_fit_quantized_matches_python_replica(spark, vecs, iters):
         assert got[(c, 0)]["inertia"] == final.get(c, (0, 0))[1]
         total_members += got[(c, 0)]["n_members"]
     assert total_members == len(vecs)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=2, max_size=12),
+)
+def test_kmeans_state_merge_associative_and_exact(spark, vecs, splits):
+    """X149 across generated corpora and arbitrary batch partitions:
+    state-merge is associative (any batching folds to the full-corpus
+    state) and the refit equals a pure-Python replica of the exact
+    quantized update (away-from-zero means, carry-on-empty)."""
+    import math
+
+    import numpy as np
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_refit,
+        kmeans_state,
+        merge_kmeans_states,
+    )
+
+    cents = [[1_000_000, 0, 0], [0, 1_000_000, 0]]
+    rows = list(enumerate(vecs))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # partition rows into up to 3 batches by the generated labels
+    labels = [splits[i % len(splits)] for i in range(len(vecs))]
+    batches = [
+        spark.createDataFrame(
+            [r for r, g in zip(rows, labels) if g == b] or rows[:0],
+            "vec_id long, embedding array<float>",
+        )
+        for b in sorted(set(labels))
+    ]
+    inc = kmeans_refit(
+        merge_kmeans_states(*[kmeans_state(b, cents) for b in batches]),
+        cents,
+    )
+    full = kmeans_refit(kmeans_state(df, cents), cents)
+    assert inc == full
+
+    def away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    q = [[away(float(np.float32(x)) * 1e6) for x in v] for v in vecs]
+    exp_cents = [list(c) for c in cents]
+    exp_n: dict[int, int] = {}
+    sums: dict[int, list[int]] = {}
+    for qv in q:
+        d2 = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents]
+        k = min(range(len(cents)), key=lambda j: (d2[j], j))
+        exp_n[k] = exp_n.get(k, 0) + 1
+        s = sums.setdefault(k, [0] * 3)
+        for d in range(3):
+            s[d] += qv[d]
+    for c, s in sums.items():
+        exp_cents[c] = [away(x / exp_n[c]) for x in s]
+    assert full[0] == exp_cents
+    assert full[1] == exp_n

@@ -1783,3 +1783,78 @@ def test_ivf_index_stream_parity_replay_and_guard(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(str(in_dir))
     with pytest.raises(ValueError, match="DIFFERENT centroid"):
         ivf_index_stream(stream, other, index, str(tmp_path / "ckpt2"))
+
+
+def test_kmeans_state_stream_parity_replay_and_guard(spark, tmp_path):
+    """X149 streaming twin: the merged streamed state refits to exactly
+    what a full-union recompute gives (exact integers -> associative
+    merge), an injected replay does not double-count a batch's
+    statistics, and restarting against the same path with a DIFFERENT
+    quantizer raises instead of merging two metrics."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_refit,
+        kmeans_state,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+    from alphavantage_etl_spark.streaming.pipeline import (
+        kmeans_state_stream,
+        load_kmeans_state,
+    )
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    state = str(tmp_path / "km_state")
+    ckpt = str(tmp_path / "ckpt_km")
+    schema = "vec_id long, embedding array<float>"
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain(cents=cents6):
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        kmeans_state_stream(stream, cents, state, ckpt)
+
+    land(emb.where(F.col("vec_id") % 2 == 0), "b0")
+    drain()
+    land(emb.where(F.col("vec_id") % 2 == 1), "b1")
+    drain()
+
+    merged, loaded_cents = load_kmeans_state(spark, state)
+    assert loaded_cents == cents6
+    streamed_fit = kmeans_refit(merged, cents6)
+    full_fit = kmeans_refit(kmeans_state(emb, cents6), cents6)
+    assert streamed_fit == full_fit
+
+    # replay injection: drop the last checkpoint commit — the batch
+    # re-runs and overwrites its own ingest_batch_id dir, so the
+    # statistics are not double-counted
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    merged2, _ = load_kmeans_state(spark, state)
+    assert kmeans_refit(merged2, cents6) == full_fit
+
+    # frozen-quantizer guard: different centroids against the same path
+    other = [[c + 1 for c in row] for row in cents6]
+    with pytest.raises(ValueError, match="DIFFERENT quantizer"):
+        drain(cents=other)
