@@ -519,7 +519,14 @@ def ann_join(
     per-run corpus re-assignment — the persisted-index path, the
     minhash signature-table precedent applied to IVF: at ingest the
     assignment is computed once and every later query batch joins
-    against the stored cells. CONTRACT: the frame must assign each
+    against the stored cells. A bare ``(id, cell)`` frame costs one
+    id-keyed join to reunite with the vectors — fine when both sides
+    are bucketed or the index is broadcastable, a corpus-sized shuffle
+    otherwise; the 100 TB layout is the MATERIALIZED form: pass a
+    ``corpus_cells`` frame that CARRIES ``vec_col`` (the assignment
+    stored as a column of the vector table at ingest) and the id join
+    is skipped entirely — one scan, and the cell id becomes a
+    partition-pruning candidate. CONTRACT: the frame must assign each
     corpus id to exactly ONE cell (the argmin contract every in-engine
     builder honors). A replicated index — a corpus id stored in
     several cells, e.g. :func:`assign_cells_l2q` with corpus-side
@@ -619,7 +626,18 @@ def ann_join(
             (-F.col("__p")["neg_cell"]).cast("int").alias("__cell"),
         )
     if corpus_cells is not None:
-        c0 = corpus_df.join(corpus_cells, on=id_col, how="inner")
+        if vec_col in corpus_cells.columns:
+            # MATERIALIZED index: the assignment stored WITH the
+            # vectors — one scan, the id join below never happens.
+            # This is the 100 TB layout: a separate (id, cell) table
+            # costs a corpus-sized id-keyed join to reunite with the
+            # vectors unless both are bucketed; storing the cell as a
+            # column of the vector table at ingest removes the join
+            # entirely (and makes the cell id a partition-pruning
+            # candidate for single-cell probes)
+            c0 = corpus_cells
+        else:
+            c0 = corpus_df.join(corpus_cells, on=id_col, how="inner")
         c = c0.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("__cvec"),

@@ -1403,6 +1403,51 @@ def test_ann_join_indexed_matches_inplan_recompute(spark):
     assert rows(stored) == rows(fresh)
 
 
+def test_ann_join_materialized_index_skips_id_join(spark):
+    """The 100 TB index layout: a corpus_cells frame CARRYING the
+    vector column (assignment materialized beside the vectors at
+    ingest) serves identically to the bare (id, cell) frame — and the
+    executed plan has one FEWER join (the id-keyed reunite is gone:
+    exactly the joins of the serving path remain)."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    bare = assign_cells_l2q(corpus, cents6, n_probe=1)
+    # (id, embedding, cell) as a STORED table would be — checkpointed
+    # so the build join is not part of the serving plan's lineage
+    materialized = corpus.join(bare, on="vec_id").localCheckpoint()
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    via_bare = ann_join(
+        queries, corpus, k=5, corpus_cells=bare, query_cells=qc
+    )
+    via_mat = ann_join(
+        queries, corpus, k=5, corpus_cells=materialized, query_cells=qc
+    )
+    assert rows(via_bare) == rows(via_mat)
+    n_joins_bare = via_bare._jdf.queryExecution().executedPlan().toString(
+    ).split("== Initial Plan ==")[0].count("Join")
+    n_joins_mat = via_mat._jdf.queryExecution().executedPlan().toString(
+    ).split("== Initial Plan ==")[0].count("Join")
+    assert n_joins_mat == n_joins_bare - 1
+
+
 def test_ann_join_multi_cell_corpus_dedup(spark):
     """A REPLICATED corpus index (one id stored in several cells —
     outside the default single-cell-per-id contract) duplicates a
