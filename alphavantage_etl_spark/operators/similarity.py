@@ -1243,6 +1243,58 @@ def kmeans_refit(
     return new, n_by_cell
 
 
+def psi_gated_refit(
+    base_state: DataFrame,
+    batch_state: DataFrame,
+    cents6: list[list[int]],
+    threshold_u6: int = 100_000,
+) -> tuple[list[list[int]], dict[int, int], bool]:
+    """PSI-gated quantizer update (X152) — the "monitor gates the model"
+    composition: drift between the training corpus and an arriving
+    batch measured as the X39 PSI arithmetic applied to CELL-OCCUPANCY
+    shares (the quantizer's own sufficient statistics — no extra corpus
+    pass: both inputs are :func:`kmeans_state` frames the caller
+    already has). Laplace-smoothed shares, ``(q-p)*ln(q/p)`` per cell
+    computed in SPARK expressions over an O(cells) frame (the proven
+    cross-engine ln path, never Python libm), each term quantized to a
+    1e-6 INTEGER and integer-summed so the gate compare can never ride
+    a float fold order. If the total exceeds ``threshold_u6`` (default
+    0.1, the conventional "investigate" PSI), the :func:`kmeans_refit`
+    centroids over the MERGED state apply; otherwise the old quantizer
+    stands (a refit that moves centroids also moves every stored
+    assignment — X150 sizes that cost — so an un-drifted corpus should
+    not pay it). Returns ``(final_cents6, psi_u6_by_cell, applied)``.
+    """
+    dim = _validate_cents6(cents6, "psi_gated_refit")
+    del dim
+    n_cells = len(cents6)
+    spark = base_state.sparkSession
+    base_n = {int(r["cell"]): int(r["n"]) for r in base_state.collect()}
+    batch_n = {int(r["cell"]): int(r["n"]) for r in batch_state.collect()}
+    tb, tc = sum(base_n.values()), sum(batch_n.values())
+    cdf = spark.createDataFrame(
+        [(c, base_n.get(c, 0), batch_n.get(c, 0)) for c in range(n_cells)],
+        "cell int, n_base long, n_curr long",
+    )
+    sb = (F.col("n_base") + 1).cast("double") / F.lit(float(tb + n_cells))
+    sc = (F.col("n_curr") + 1).cast("double") / F.lit(float(tc + n_cells))
+    psi_rows = cdf.select(
+        "cell",
+        F.round(((sc - sb) * F.log(sc / sb)) * F.lit(1000000.0))
+        .cast("long")
+        .alias("psi_u6"),
+    ).collect()
+    psi_by_cell = {int(r["cell"]): int(r["psi_u6"]) for r in psi_rows}
+    applied = sum(psi_by_cell.values()) > threshold_u6
+    if applied:
+        final_cents, _ = kmeans_refit(
+            merge_kmeans_states(base_state, batch_state), cents6
+        )
+    else:
+        final_cents = [list(c) for c in cents6]
+    return final_cents, psi_by_cell, applied
+
+
 def assignment_moves(
     df: DataFrame,
     old_cents6: list[list[int]],

@@ -9472,6 +9472,132 @@ ORDER BY old_cell, new_cell
 """
 
 
+# X152 — PSI-gated refit composition (r12): the full "monitor gates the
+# model update" loop — drift measured as the X39 PSI arithmetic applied
+# to CELL-OCCUPANCY shares (the quantizer's own sufficient statistics:
+# baseline = the training corpus's per-cell counts, current = the
+# arriving batch's counts under the FROZEN quantizer; Laplace-smoothed,
+# ln-term replayed at the proven X39 cross-engine precision), the
+# per-cell terms quantized to 1e-6 INTEGERS and integer-summed so the
+# gate compare can never ride a float fold order; if total > 0.1 the
+# X149 refit centroids (base+batch merged state) APPLY, else the old
+# quantizer stands. The fixture batch is deliberately BIASED
+# (embedding[1] > 0 — a half-space of the query slice) so the gate
+# fires at every SF; the no-drift branch is pinned by a synthetic
+# proportional-occupancy test (at small SFs even a uniform sample's
+# 20-60 rows carry enough occupancy noise to cross 0.1 — the gate
+# correctly distrusts too-small batches, measured: uniform slice PSI
+# 0.15/0.23/0.036 at sf0.001/0.01/0.1 vs biased 0.22/0.27/0.14).
+def _refit_gated_shared(spark: SparkSession, sf_dir: str):
+    def build():
+        from .operators.similarity import kmeans_state, psi_gated_refit
+
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        batch = emb.where(
+            (F.col("vec_id") % 25 == 7)
+            & (F.element_at(F.col("embedding"), 1) > 0)
+        )
+        return psi_gated_refit(
+            kmeans_state(corpus, cents6),
+            kmeans_state(batch, cents6),
+            cents6,
+        )
+
+    return _session_shared(spark, ("refit_gated", sf_dir), build)
+
+
+def q_refit_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final_cents, psi_by_cell, refit_applied = _refit_gated_shared(
+        spark, sf_dir
+    )
+    rows = [
+        (c, d, final_cents[c][d], psi_by_cell.get(c, 0), refit_applied)
+        for c in range(len(final_cents))
+        for d in range(len(final_cents[0]))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cell int, dim int, c6_final long, psi_u6 long, "
+        "refit_applied boolean",
+    )
+
+
+SQL_REFIT_GATED = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, embedding[1] AS e1,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+asgu AS MATERIALIZED (
+  SELECT vec_id, q6, cell,
+         vec_id % 25 != 7 AS is_base,
+         vec_id % 25 = 7 AND e1 > 0 AS is_batch
+  FROM (
+    SELECT a.vec_id, a.q6, a.e1, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 != 7 OR (a.vec_id % 25 = 7 AND a.e1 > 0))
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+j AS (
+  SELECT CAST(sp.cell AS INT) AS cell,
+         CAST(coalesce(cn.n_base, 0) AS BIGINT) AS n_base,
+         CAST(coalesce(cn.n_curr, 0) AS BIGINT) AS n_curr
+  FROM (SELECT unnest(range(8)) AS cell) sp
+  LEFT JOIN (
+    SELECT cell,
+           count(*) FILTER (WHERE is_base) AS n_base,
+           count(*) FILTER (WHERE is_batch) AS n_curr
+    FROM asgu GROUP BY cell) cn ON cn.cell = sp.cell),
+t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+             CAST(sum(n_curr) AS BIGINT) AS tc FROM j),
+p AS (
+  SELECT cell, n_base, n_curr,
+         CAST(round(
+           ((CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE)
+             - CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE))
+            * ln((CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))
+                 / (CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE))))
+           * 1000000) AS BIGINT) AS psi_u6
+  FROM j CROSS JOIN t),
+tot AS (SELECT CAST(sum(psi_u6) AS BIGINT) AS total FROM p),
+cellagg AS (
+  SELECT a.cell, dd.d,
+         CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM asgu a CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+  GROUP BY a.cell, dd.d)
+SELECT CAST(g.cell AS INT) AS cell, CAST(g.d AS INT) AS dim,
+       CAST(CASE WHEN tot.total > 100000
+                 THEN coalesce(
+                   CAST(round(CAST(ca.s AS DOUBLE) / CAST(ca.n AS DOUBLE))
+                        AS BIGINT),
+                   f.c[g.cell*64 + g.d + 1])
+                 ELSE f.c[g.cell*64 + g.d + 1] END AS BIGINT) AS c6_final,
+       CAST(p.psi_u6 AS BIGINT) AS psi_u6,
+       tot.total > 100000 AS refit_applied
+FROM (SELECT a.cell, b.d
+      FROM (SELECT unnest(range(8)) AS cell) a
+      CROSS JOIN (SELECT unnest(range(64)) AS d) b) g
+CROSS JOIN fin f
+CROSS JOIN tot
+LEFT JOIN cellagg ca ON ca.cell = g.cell AND ca.d = g.d
+LEFT JOIN p ON p.cell = g.cell
+ORDER BY cell, dim
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -9698,6 +9824,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_ivf_cell_split": q_ivf_cell_split,
     "q_kmeans_refit": q_kmeans_refit,
     "q_refit_moves": q_refit_moves,
+    "q_refit_gated": q_refit_gated,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -9908,6 +10035,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_ivf_cell_split": SQL_IVF_CELL_SPLIT,
     "q_kmeans_refit": SQL_KMEANS_REFIT,
     "q_refit_moves": SQL_REFIT_MOVES,
+    "q_refit_gated": SQL_REFIT_GATED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

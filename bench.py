@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "q_ivf_cell_split",
     "q_kmeans_refit",
     "q_refit_moves",
+    "q_refit_gated",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -1335,6 +1335,56 @@ def test_assignment_moves_and_state_guards(spark):
         )
 
 
+def test_psi_gated_refit_both_branches(spark):
+    """X152: an UN-drifted batch (the uniform query slice) stays under
+    the 0.1 PSI gate — the old quantizer stands verbatim; the BIASED
+    half-space batch (the contract fixture) fires the gate and the
+    applied centroids equal the X149 merged refit."""
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_refit,
+        kmeans_state,
+        merge_kmeans_states,
+        psi_gated_refit,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    # no drift: batch occupancy exactly proportional to the base ->
+    # every psi term is 0 -> gate holds, old quantizer stands verbatim.
+    # (Synthetic states, not a fixture slice: at small SFs even a
+    # uniform sample carries enough occupancy noise to cross 0.1 —
+    # 20-60 rows over 8 cells — which is the gate doing its job on a
+    # too-small batch, not a no-drift fixture.)
+    cents2 = [[1_000_000, 0], [0, 1_000_000]]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "cell int, n long, sums array<long>"
+    )
+    s_b = mk([(0, 500, [5, 5]), (1, 500, [7, 7])])
+    s_c = mk([(0, 50, [1, 1]), (1, 50, [2, 2])])
+    final, psi, applied = psi_gated_refit(s_b, s_c, cents2)
+    assert not applied
+    assert final == cents2
+    assert all(v == 0 for v in psi.values())
+
+    # drift: the half-space fixture batch fires the gate; the applied
+    # model is exactly the X149 merged refit
+    emb = load(spark, SF_ORACLE, "embeddings")
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    s_base = kmeans_state(corpus, cents6)
+    biased = emb.where(
+        (F.col("vec_id") % 25 == 7)
+        & (F.element_at(F.col("embedding"), 1) > 0)
+    )
+    s_batch = kmeans_state(biased, cents6)
+    final2, psi2, applied2 = psi_gated_refit(s_base, s_batch, cents6)
+    assert applied2 and sum(psi2.values()) > 100_000
+    want, _ = kmeans_refit(merge_kmeans_states(s_base, s_batch), cents6)
+    assert final2 == want
+
+
 def test_lifecycle_plans_corpus_never_shuffles(spark):
     """The 100 TB contract of the lifecycle scans: kmeans_state and
     assignment_moves are scan -> partial agg -> ONE hash exchange of
