@@ -940,14 +940,33 @@ def build_ivf_index(
 
 
 def save_ivf_index(
-    index_df: DataFrame, centroids: list[list[float]], path: str
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    partition_by_cell: bool = False,
 ) -> None:
     """Persist an IVF index: the assignment table as parquet under
     ``{path}/assignments`` and the centroid model state (small — cells
     × dim doubles) as a one-column parquet under ``{path}/centroids``.
-    Plain parquet, no sidecar format — readable by any engine."""
+    Plain parquet, no sidecar format — readable by any engine.
+
+    ``partition_by_cell=True`` lays the assignment table out as one
+    directory per ``__cell`` — the 100 TB serving layout: a probe join
+    on the cell key against a partitioned scan qualifies for dynamic
+    partition pruning, so a query batch that probes k of n_cells cells
+    READS k/n_cells of the index instead of scanning it (pinned by
+    test). The trade is one shuffle at WRITE time (repartition on the
+    cell id so each directory is one coherent file set, not
+    input-partition-count fragments) — ingest-time cost for
+    query-time pruning, the standard index bargain. Off by default:
+    a small index that broadcasts whole gains nothing from pruning."""
     spark = index_df.sparkSession
-    index_df.write.mode("overwrite").parquet(f"{path}/assignments")
+    if partition_by_cell:
+        index_df.repartition("__cell").write.mode("overwrite").partitionBy(
+            "__cell"
+        ).parquet(f"{path}/assignments")
+    else:
+        index_df.write.mode("overwrite").parquet(f"{path}/assignments")
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"

@@ -1498,6 +1498,64 @@ def test_ann_join_materialized_index_skips_id_join(spark):
     assert n_joins_mat == n_joins_bare - 1
 
 
+def test_save_ivf_index_partitioned_by_cell_prunes(spark, tmp_path):
+    """The 100 TB index layout #2: save_ivf_index(partition_by_cell=
+    True) lays one directory per cell; serving reads are then
+    DYNAMICALLY PRUNED to the probed cells (the probe join on the
+    partition column qualifies for DPP), and results equal the
+    unpartitioned layout row-for-row."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    asn = assign_cells_l2q(corpus, cents6, n_probe=1)
+    fc = [[float(x) for x in c] for c in cents6]
+    save_ivf_index(asn, fc, str(tmp_path / "flat"))
+    save_ivf_index(asn, fc, str(tmp_path / "bycell"), partition_by_cell=True)
+    flat_idx, _ = load_ivf_index(spark, str(tmp_path / "flat"))
+    part_idx, loaded = load_ivf_index(spark, str(tmp_path / "bycell"))
+    assert loaded == fc
+    # partition discovery restores __cell (as the partition column)
+    assert set(part_idx.columns) == {"vec_id", "__cell"}
+
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["sim"], r["rank"])
+            for r in df.collect()
+        )
+
+    via_flat = ann_join(
+        queries, corpus, k=5, corpus_cells=flat_idx, query_cells=qc
+    )
+    via_part = ann_join(
+        queries, corpus, k=5, corpus_cells=part_idx, query_cells=qc
+    )
+    assert rows(via_flat) == rows(via_part)
+    # the partitioned scan is dynamically pruned by the probe join
+    final = via_part._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "dynamicpruning" in final
+    # static single-cell read prunes to ONE directory
+    one = part_idx.where(F.col("__cell") == 3)
+    one.collect()
+    sc_plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in sc_plan
+
+
 def test_ann_join_multi_cell_corpus_dedup(spark):
     """A REPLICATED corpus index (one id stored in several cells —
     outside the default single-cell-per-id contract) duplicates a
