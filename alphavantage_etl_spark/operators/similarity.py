@@ -1304,7 +1304,12 @@ def psi_gated_refit(
         .alias("psi_u6"),
     ).collect()
     psi_by_cell = {int(r["cell"]): int(r["psi_u6"]) for r in psi_rows}
-    applied = sum(psi_by_cell.values()) > threshold_u6
+    # an EMPTY batch must never fire the gate: with tc=0 the smoothed
+    # current shares are uniform 1/n_cells, which reads as "drift"
+    # against any non-uniform base — but nothing arrived, so there is
+    # nothing to learn (and the merged refit would just be a base-only
+    # Lloyd step the caller did not ask for)
+    applied = tc > 0 and sum(psi_by_cell.values()) > threshold_u6
     if applied:
         final_cents, _ = kmeans_refit(
             merge_kmeans_states(base_state, batch_state), cents6

@@ -9579,14 +9579,17 @@ cellagg AS (
   FROM asgu a CROSS JOIN (SELECT unnest(range(64)) AS d) dd
   GROUP BY a.cell, dd.d)
 SELECT CAST(g.cell AS INT) AS cell, CAST(g.d AS INT) AS dim,
-       CAST(CASE WHEN tot.total > 100000
+       -- the tc > 0 guard replays the operator's empty-batch rule
+       -- symmetrically (the SQL_WINRATE_CI lesson): the fixture batch
+       -- is never empty, but parity must not rest on that
+       CAST(CASE WHEN tot.total > 100000 AND (SELECT tc FROM t) > 0
                  THEN coalesce(
                    CAST(round(CAST(ca.s AS DOUBLE) / CAST(ca.n AS DOUBLE))
                         AS BIGINT),
                    f.c[g.cell*64 + g.d + 1])
                  ELSE f.c[g.cell*64 + g.d + 1] END AS BIGINT) AS c6_final,
        CAST(p.psi_u6 AS BIGINT) AS psi_u6,
-       tot.total > 100000 AS refit_applied
+       tot.total > 100000 AND (SELECT tc FROM t) > 0 AS refit_applied
 FROM (SELECT a.cell, b.d
       FROM (SELECT unnest(range(8)) AS cell) a
       CROSS JOIN (SELECT unnest(range(64)) AS d) b) g

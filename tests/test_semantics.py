@@ -1368,6 +1368,13 @@ def test_psi_gated_refit_both_branches(spark):
     assert final == cents2
     assert all(v == 0 for v in psi.values())
 
+    # an EMPTY batch never fires, even against a skewed base whose
+    # smoothed-uniform comparison would otherwise read as drift
+    skew = mk([(0, 990, [9, 9]), (1, 10, [1, 1])])
+    empty = mk([])
+    final_e, _, applied_e = psi_gated_refit(skew, empty, cents2)
+    assert not applied_e and final_e == cents2
+
     # drift: the half-space fixture batch fires the gate; the applied
     # model is exactly the X149 merged refit
     emb = load(spark, SF_ORACLE, "embeddings")
