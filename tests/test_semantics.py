@@ -1505,6 +1505,28 @@ def test_ann_join_materialized_index_skips_id_join(spark):
     assert n_joins_mat == n_joins_bare - 1
 
 
+def test_ann_join_indexed_plan_corpus_never_shuffles(spark):
+    """X147's serving plan holds the X137/X146 contract with a LOADED
+    index: zero SortMergeJoin, all three joins static broadcasts (id
+    reunite + cell probe + query-vector attach), and the single hash
+    exchange carries WindowGroupLimit-pre-limited candidates only."""
+    import re
+
+    from alphavantage_etl_spark.queries import q_ann_join_indexed
+
+    from .conftest import SF_ORACLE
+
+    out = q_ann_join_indexed(spark, SF_ORACLE)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 3
+
+
 def test_save_ivf_index_partitioned_by_cell_prunes(spark, tmp_path):
     """The 100 TB index layout #2: save_ivf_index(partition_by_cell=
     True) lays one directory per cell; serving reads are then
