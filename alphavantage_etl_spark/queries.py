@@ -9604,10 +9604,70 @@ ORDER BY cell, dim
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
-    # additions first (8 entries), then (b) the full
+    # additions first (5 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
     # 0 red-only entries sort oldest of all;
     # ties: SURVEY §2 parity keys, then registration order).
+    "q_refit_gated": q_refit_gated,
+    "q_refit_moves": q_refit_moves,
+    "q_kmeans_refit": q_kmeans_refit,
+    "q_ivf_cell_split": q_ivf_cell_split,
+    "q_ann_join_indexed": q_ann_join_indexed,
+    "q_bh_fdr": q_bh_fdr,
+    "q_kappa": q_kappa,
+    "q_tfidf_terms": q_tfidf_terms,
+    "q_label_centroids": q_label_centroids,
+    "q_quality_calibrated": q_quality_calibrated,
+    "q_weighted_sample": q_weighted_sample,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_image_features": q_image_features,
+    "q_cosine_topk": q_cosine_topk,
+    "q_window_tumbling": q_window_tumbling,
+    "q_window_sliding": q_window_sliding,
+    "q_sessionize": q_sessionize,
+    "q_split_assign": q_split_assign,
+    "q_source_quota": q_source_quota,
+    "q_pack_bins": q_pack_bins,
+    "q_temperature_mix": q_temperature_mix,
+    "q_cdc_overlap": q_cdc_overlap,
+    "q_chunk_windows": q_chunk_windows,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_inverted_index": q_inverted_index,
+    "q_scd2": q_scd2,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_bloom_prune": q_bloom_prune,
+    "q_cohort_retention": q_cohort_retention,
+    "q_lm_perplexity": q_lm_perplexity,
+    "q_resample_ffill": q_resample_ffill,
+    "q_histogram": q_histogram,
+    "q_sparse_topk": q_sparse_topk,
+    "q_group_trend": q_group_trend,
+    "q_boilerplate": q_boilerplate,
+    "q_scrub_pii": q_scrub_pii,
+    "q_rep_ngrams": q_rep_ngrams,
+    "q_indicators": q_indicators,
+    "q_vwap": q_vwap,
+    "q_corr": q_corr,
+    "q_title_dedup": q_title_dedup,
+    "q_pagerank": q_pagerank,
+    "q_triangles": q_triangles,
+    "q_session_paths": q_session_paths,
+    "q_calibration": q_calibration,
+    "q_discretize": q_discretize,
+    "q_incremental_merge": q_incremental_merge,
+    "q_cast_types": q_cast_types,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Outside the r8 driver window (compressed rotation,
+    # ROTATION.md). Every oracle-backed entry stays under the
+    # strict local gate via ALL_ORACLES and in bench.py's
+    # headline set; rows-only diagnostics live here always.
     "q_ann_join_learned": q_ann_join_learned,
     "q_kmeans_fit": q_kmeans_fit,
     "q_winrate_ci": q_winrate_ci,
@@ -9658,16 +9718,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_perm_test": q_perm_test,
     "q_gini_stump": q_gini_stump,
     "q_rbo": q_rbo,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
-    # Outside the r8 driver window (compressed rotation,
-    # ROTATION.md). Every oracle-backed entry stays under the
-    # strict local gate via ALL_ORACLES and in bench.py's
-    # headline set; rows-only diagnostics live here always.
     "q_pref_cycles": q_pref_cycles,
     "q_bradley_terry": q_bradley_terry,
     "q_cdc_apply": q_cdc_apply,
@@ -9727,7 +9777,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_license_gate": q_license_gate,
     "q_domain_caps": q_domain_caps,
     "q_url_canon": q_url_canon,
-    "q_incremental_merge": q_incremental_merge,
     "q_dsir_weights": q_dsir_weights,
     "q_mutual_info": q_mutual_info,
     "q_logreg": q_logreg,
@@ -9752,7 +9801,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_change_point": q_change_point,
     "q_embedding_diag": q_embedding_diag,
     "q_zipf": q_zipf,
-    "q_cast_types": q_cast_types,
     "q_filter_today": q_filter_today,
     "q_weekday_filter": q_weekday_filter,
     "q_busday_gap": q_busday_gap,
@@ -9768,49 +9816,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_novelty": q_novelty,
     "q_percentile_bands": q_percentile_bands,
     "q_mad_outliers": q_mad_outliers,
-    "q_bh_fdr": q_bh_fdr,
-    "q_kappa": q_kappa,
-    "q_tfidf_terms": q_tfidf_terms,
-    "q_label_centroids": q_label_centroids,
-    "q_quality_calibrated": q_quality_calibrated,
-    "q_weighted_sample": q_weighted_sample,
-    "q_jaccard_pairs": q_jaccard_pairs,
-    "q_embed_near_dup": q_embed_near_dup,
-    "q_multimodal_meta": q_multimodal_meta,
-    "q_image_features": q_image_features,
-    "q_cosine_topk": q_cosine_topk,
-    "q_window_tumbling": q_window_tumbling,
-    "q_window_sliding": q_window_sliding,
-    "q_sessionize": q_sessionize,
-    "q_split_assign": q_split_assign,
-    "q_source_quota": q_source_quota,
-    "q_pack_bins": q_pack_bins,
-    "q_temperature_mix": q_temperature_mix,
-    "q_cdc_overlap": q_cdc_overlap,
-    "q_chunk_windows": q_chunk_windows,
-    "q_heavy_hitters": q_heavy_hitters,
-    "q_inverted_index": q_inverted_index,
-    "q_scd2": q_scd2,
-    "q_anomaly_zscore": q_anomaly_zscore,
-    "q_bloom_prune": q_bloom_prune,
-    "q_cohort_retention": q_cohort_retention,
-    "q_lm_perplexity": q_lm_perplexity,
-    "q_resample_ffill": q_resample_ffill,
-    "q_histogram": q_histogram,
-    "q_sparse_topk": q_sparse_topk,
-    "q_group_trend": q_group_trend,
-    "q_boilerplate": q_boilerplate,
-    "q_scrub_pii": q_scrub_pii,
-    "q_rep_ngrams": q_rep_ngrams,
-    "q_indicators": q_indicators,
-    "q_vwap": q_vwap,
-    "q_corr": q_corr,
-    "q_title_dedup": q_title_dedup,
-    "q_pagerank": q_pagerank,
-    "q_triangles": q_triangles,
-    "q_session_paths": q_session_paths,
-    "q_calibration": q_calibration,
-    "q_discretize": q_discretize,
     "q_cm_sketch": q_cm_sketch,
     "q_distinct_sketch": q_distinct_sketch,
     "q_quantile_sketch": q_quantile_sketch,
@@ -9821,19 +9826,68 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
-    # r12 additions (X147+) — end of EXTRA per the rotation discipline;
-    # rotate_window.py --apply queues them at the r13 window front
-    "q_ann_join_indexed": q_ann_join_indexed,
-    "q_ivf_cell_split": q_ivf_cell_split,
-    "q_kmeans_refit": q_kmeans_refit,
-    "q_refit_moves": q_refit_moves,
-    "q_refit_gated": q_refit_gated,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
     # mirrors QUERIES order exactly (the driver zips them)
+    "q_refit_gated": SQL_REFIT_GATED,
+    "q_refit_moves": SQL_REFIT_MOVES,
+    "q_kmeans_refit": SQL_KMEANS_REFIT,
+    "q_ivf_cell_split": SQL_IVF_CELL_SPLIT,
+    "q_ann_join_indexed": SQL_ANN_JOIN_INDEXED,
+    "q_bh_fdr": SQL_BH_FDR,
+    "q_kappa": SQL_KAPPA,
+    "q_tfidf_terms": SQL_TFIDF_TERMS,
+    "q_label_centroids": SQL_LABEL_CENTROIDS,
+    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
+    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
+    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
+    "q_multimodal_meta": SQL_MULTIMODAL_META,
+    "q_image_features": SQL_IMAGE_FEATURES,
+    "q_cosine_topk": SQL_COSINE_TOPK,
+    "q_window_tumbling": SQL_WINDOW_TUMBLING,
+    "q_window_sliding": SQL_WINDOW_SLIDING,
+    "q_sessionize": SQL_SESSIONIZE,
+    "q_split_assign": SQL_SPLIT_ASSIGN,
+    "q_source_quota": SQL_SOURCE_QUOTA,
+    "q_pack_bins": SQL_PACK_BINS,
+    "q_temperature_mix": SQL_TEMPERATURE_MIX,
+    "q_cdc_overlap": SQL_CDC_OVERLAP,
+    "q_chunk_windows": SQL_CHUNK_WINDOWS,
+    "q_heavy_hitters": SQL_HEAVY_HITTERS,
+    "q_inverted_index": SQL_INVERTED_INDEX,
+    "q_scd2": SQL_SCD2,
+    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
+    "q_bloom_prune": SQL_BLOOM_PRUNE,
+    "q_cohort_retention": SQL_COHORT_RETENTION,
+    "q_lm_perplexity": SQL_LM_PERPLEXITY,
+    "q_resample_ffill": SQL_RESAMPLE_FFILL,
+    "q_histogram": SQL_HISTOGRAM,
+    "q_sparse_topk": SQL_SPARSE_TOPK,
+    "q_group_trend": SQL_GROUP_TREND,
+    "q_boilerplate": SQL_BOILERPLATE,
+    "q_scrub_pii": SQL_SCRUB_PII,
+    "q_rep_ngrams": SQL_REP_NGRAMS,
+    "q_indicators": SQL_INDICATORS,
+    "q_vwap": SQL_VWAP,
+    "q_corr": SQL_CORR,
+    "q_title_dedup": SQL_TITLE_DEDUP,
+    "q_pagerank": SQL_PAGERANK,
+    "q_triangles": SQL_TRIANGLES,
+    "q_session_paths": SQL_SESSION_PATHS,
+    "q_calibration": SQL_CALIBRATION,
+    "q_discretize": SQL_DISCRETIZE,
+    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
+    "q_cast_types": SQL_CAST_TYPES,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # oracle-backed entries currently outside the driver window
     "q_ann_join_learned": SQL_ANN_JOIN_LEARNED,
     "q_kmeans_fit": SQL_KMEANS_FIT,
     "q_winrate_ci": SQL_WINRATE_CI,
@@ -9884,12 +9938,6 @@ ORACLES: dict[str, str] = {
     "q_perm_test": SQL_PERM_TEST,
     "q_gini_stump": SQL_GINI_STUMP,
     "q_rbo": SQL_RBO,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    # oracle-backed entries currently outside the driver window
     "q_pref_cycles": SQL_PREF_CYCLES,
     "q_bradley_terry": SQL_BRADLEY_TERRY,
     "q_cdc_apply": SQL_CDC_APPLY,
@@ -9949,7 +9997,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_license_gate": SQL_LICENSE_GATE,
     "q_domain_caps": SQL_DOMAIN_CAPS,
     "q_url_canon": SQL_URL_CANON,
-    "q_incremental_merge": SQL_INCREMENTAL_MERGE,
     "q_dsir_weights": SQL_DSIR_WEIGHTS,
     "q_mutual_info": SQL_MUTUAL_INFO,
     "q_logreg": SQL_LOGREG,
@@ -9974,7 +10021,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_change_point": SQL_CHANGE_POINT,
     "q_embedding_diag": SQL_EMBEDDING_DIAG,
     "q_zipf": SQL_ZIPF,
-    "q_cast_types": SQL_CAST_TYPES,
     "q_filter_today": SQL_FILTER_TODAY,
     "q_weekday_filter": SQL_WEEKDAY_FILTER,
     "q_busday_gap": SQL_BUSDAY_GAP,
@@ -9990,55 +10036,6 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_novelty": SQL_NOVELTY,
     "q_percentile_bands": SQL_PERCENTILE_BANDS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
-    "q_bh_fdr": SQL_BH_FDR,
-    "q_kappa": SQL_KAPPA,
-    "q_tfidf_terms": SQL_TFIDF_TERMS,
-    "q_label_centroids": SQL_LABEL_CENTROIDS,
-    "q_quality_calibrated": SQL_QUALITY_CALIBRATED,
-    "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
-    "q_jaccard_pairs": SQL_JACCARD_PAIRS,
-    "q_embed_near_dup": SQL_EMBED_NEAR_DUP,
-    "q_multimodal_meta": SQL_MULTIMODAL_META,
-    "q_image_features": SQL_IMAGE_FEATURES,
-    "q_cosine_topk": SQL_COSINE_TOPK,
-    "q_window_tumbling": SQL_WINDOW_TUMBLING,
-    "q_window_sliding": SQL_WINDOW_SLIDING,
-    "q_sessionize": SQL_SESSIONIZE,
-    "q_split_assign": SQL_SPLIT_ASSIGN,
-    "q_source_quota": SQL_SOURCE_QUOTA,
-    "q_pack_bins": SQL_PACK_BINS,
-    "q_temperature_mix": SQL_TEMPERATURE_MIX,
-    "q_cdc_overlap": SQL_CDC_OVERLAP,
-    "q_chunk_windows": SQL_CHUNK_WINDOWS,
-    "q_heavy_hitters": SQL_HEAVY_HITTERS,
-    "q_inverted_index": SQL_INVERTED_INDEX,
-    "q_scd2": SQL_SCD2,
-    "q_anomaly_zscore": SQL_ANOMALY_ZSCORE,
-    "q_bloom_prune": SQL_BLOOM_PRUNE,
-    "q_cohort_retention": SQL_COHORT_RETENTION,
-    "q_lm_perplexity": SQL_LM_PERPLEXITY,
-    "q_resample_ffill": SQL_RESAMPLE_FFILL,
-    "q_histogram": SQL_HISTOGRAM,
-    "q_sparse_topk": SQL_SPARSE_TOPK,
-    "q_group_trend": SQL_GROUP_TREND,
-    "q_boilerplate": SQL_BOILERPLATE,
-    "q_scrub_pii": SQL_SCRUB_PII,
-    "q_rep_ngrams": SQL_REP_NGRAMS,
-    "q_indicators": SQL_INDICATORS,
-    "q_vwap": SQL_VWAP,
-    "q_corr": SQL_CORR,
-    "q_title_dedup": SQL_TITLE_DEDUP,
-    "q_pagerank": SQL_PAGERANK,
-    "q_triangles": SQL_TRIANGLES,
-    "q_session_paths": SQL_SESSION_PATHS,
-    "q_calibration": SQL_CALIBRATION,
-    "q_discretize": SQL_DISCRETIZE,
-    # r12 additions (X147+)
-    "q_ann_join_indexed": SQL_ANN_JOIN_INDEXED,
-    "q_ivf_cell_split": SQL_IVF_CELL_SPLIT,
-    "q_kmeans_refit": SQL_KMEANS_REFIT,
-    "q_refit_moves": SQL_REFIT_MOVES,
-    "q_refit_gated": SQL_REFIT_GATED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
