@@ -492,6 +492,7 @@ def ann_join(
     corpus_cells: DataFrame | None = None,
     query_cells: DataFrame | None = None,
     corpus_multi_cell: bool = False,
+    materialized_cells: bool | None = None,
 ) -> DataFrame:
     """Cross-table ANN retrieval join — the batch-retrieval building
     block the self-join k-NN graph does not cover: every QUERY vector
@@ -526,7 +527,20 @@ def ann_join(
     ``corpus_cells`` frame that CARRIES ``vec_col`` (the assignment
     stored as a column of the vector table at ingest) and the id join
     is skipped entirely — one scan, and the cell id becomes a
-    partition-pruning candidate. CONTRACT: the frame must assign each
+    partition-pruning candidate. CONTRACT (materialized form): the
+    carrying frame IS the corpus — ``corpus_df`` is ignored entirely,
+    including any filter on it. A caller holding a FULL-table
+    materialized index and a FILTERED ``corpus_df`` would silently
+    retrieve rows outside the intended corpus (on a self-split, even
+    the query rows); apply the filter to the carrying frame itself.
+    ``materialized_cells`` pins the intent explicitly: ``True``
+    requires the frame to carry ``vec_col`` (raises otherwise),
+    ``False`` forces the id join even when a vector column is present
+    (e.g. the stored frame happens to carry extra columns), and the
+    default ``None`` infers from the frame's columns — convenient, but
+    an accidental ``vec_col`` column flips the semantics, so
+    production callers should pass the flag. CONTRACT: the frame must
+    assign each
     corpus id to exactly ONE cell (the argmin contract every in-engine
     builder honors). A replicated index — a corpus id stored in
     several cells, e.g. :func:`assign_cells_l2q` with corpus-side
@@ -593,6 +607,17 @@ def ann_join(
             "corpus_cells — the in-engine centroid assignment is argmin "
             "(one cell per corpus id) by construction"
         )
+    if materialized_cells is not None and corpus_cells is None:
+        raise ValueError(
+            "ann_join: materialized_cells is meaningless without "
+            "corpus_cells"
+        )
+    if materialized_cells and vec_col not in (corpus_cells.columns):
+        raise ValueError(
+            f"ann_join: materialized_cells=True but corpus_cells does "
+            f"not carry {vec_col!r} — pass the vector-carrying index "
+            "frame, or use the bare (id, cell) form"
+        )
     from pyspark.sql import Window
 
     q0 = queries_df.select(
@@ -626,18 +651,30 @@ def ann_join(
             (-F.col("__p")["neg_cell"]).cast("int").alias("__cell"),
         )
     if corpus_cells is not None:
-        if vec_col in corpus_cells.columns:
+        use_materialized = (
+            materialized_cells
+            if materialized_cells is not None
+            else vec_col in corpus_cells.columns
+        )
+        if use_materialized:
             # MATERIALIZED index: the assignment stored WITH the
-            # vectors — one scan, the id join below never happens.
-            # This is the 100 TB layout: a separate (id, cell) table
-            # costs a corpus-sized id-keyed join to reunite with the
-            # vectors unless both are bucketed; storing the cell as a
-            # column of the vector table at ingest removes the join
-            # entirely (and makes the cell id a partition-pruning
-            # candidate for single-cell probes)
+            # vectors — one scan, the id join below never happens, and
+            # corpus_df is IGNORED (docstring CONTRACT). This is the
+            # 100 TB layout: a separate (id, cell) table costs a
+            # corpus-sized id-keyed join to reunite with the vectors
+            # unless both are bucketed; storing the cell as a column of
+            # the vector table at ingest removes the join entirely (and
+            # makes the cell id a partition-pruning candidate for
+            # single-cell probes)
             c0 = corpus_cells
         else:
-            c0 = corpus_df.join(corpus_cells, on=id_col, how="inner")
+            # prune to the (id, cell) pair before the join: a stored
+            # frame may carry extra columns (including vec_col when
+            # materialized_cells=False overrides the inference), which
+            # would collide with corpus_df's
+            c0 = corpus_df.join(
+                corpus_cells.select(id_col, "__cell"), on=id_col, how="inner"
+            )
         c = c0.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("__cvec"),
@@ -759,6 +796,122 @@ def _lloyd_iterate(
     return cents
 
 
+def _cents6_frame(spark, cents6: list[list[int]]) -> DataFrame:
+    """The centroid matrix as a ONE-ROW ``(__cents array<array<long>>)``
+    frame — the joined-matrix carrier of the narrow (high-dim) fit
+    path. A single-row local relation cross-joins as a
+    BroadcastNestedLoopJoin straight from stats (no hint — the engine's
+    no-forced-broadcast rule), so the matrix reaches every task without
+    entering the PLAN as a literal: plan width stays constant at any
+    dimensionality, which is the entire point past ``max_dim``."""
+    return spark.createDataFrame(
+        [([[int(v) for v in c] for c in cents6],)],
+        "__cents array<array<bigint>>",
+    )
+
+
+def _l2q_scored_attr(q6_attr: Column, cents_attr: Column) -> Column:
+    """:func:`_l2q_scored` with the centroid matrix as a COLUMN (joined
+    from a :func:`_cents6_frame` row) instead of a plan literal — the
+    identical exact integer squared-L2 arithmetic, constant expression
+    size at any dim. Both attrs must be projected COLUMNS (the
+    CDC bounds-hoist rule). ``named_struct``, not ``struct`` with
+    aliases: when the matrix is a non-foldable column the analyzer
+    drops lambda-internal aliases (fields come out ``col1``/``y_N``)
+    and the caller's ``["cell"]`` extraction fails — a literal-matrix
+    transform keeps them, which is why :func:`_l2q_scored` never hit
+    this."""
+    return F.transform(
+        cents_attr,
+        lambda c, i: F.named_struct(
+            F.lit("d2"),
+            F.aggregate(
+                F.zip_with(q6_attr, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit("cell"),
+            i,
+        ),
+    )
+
+
+def _narrow_update_agg(
+    base: DataFrame, cents: list[list[int]]
+) -> DataFrame:
+    """One narrow Lloyd update aggregate: ``(__cell, __d, __n, __s)``
+    — exact member count and integer component sums per (cell, dim
+    index) of the argmin assignment of ``base``'s ``__q6`` rows under
+    ``cents``. PLACEMENT MATTERS: the argmin rides a one-element
+    ``inline()`` generator, NOT a plain projection next to
+    ``posexplode`` — Catalyst places sibling projections ABOVE a
+    Generate, which would re-evaluate the whole scoring expression per
+    EXPLODED row: ×dim redundant work and allocation (measured: OOMs a
+    1 GiB heap on 500 rows at dim 512). A generator INPUT is evaluated
+    once per input row, and generators never merge, so the score is
+    computed exactly once and the second Generate only explodes the
+    carried array. Exposed for the plan-pin test."""
+    best = F.array_min(_l2q_scored_attr(F.col("__q6"), F.col("__cents")))
+    assigned = base.crossJoin(
+        _cents6_frame(base.sparkSession, cents)
+    ).select(
+        F.inline(
+            F.array(
+                F.struct(
+                    best["cell"].alias("__cell"),
+                    F.col("__q6").alias("__v"),
+                )
+            )
+        )
+    )
+    return (
+        assigned.select("__cell", F.posexplode("__v").alias("__d", "__x"))
+        .groupBy("__cell", "__d")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__x").alias("__s"))
+    )
+
+
+def _lloyd_iterate_narrow(
+    base: DataFrame, cents: list[list[int]], iters: int, dim: int
+) -> list[list[int]]:
+    """The posexplode NARROW twin of :func:`_lloyd_iterate` for
+    past-the-ceiling dims (the r12 verdict's missing capability): the
+    same exact integer Lloyd update — bit-identical results — with both
+    plan-width growth vectors removed. Per round: the centroid matrix
+    rides a one-row cross join (:func:`_cents6_frame` — broadcast from
+    stats, never a literal), assignment is an argmin over the matrix
+    COLUMN (constant expression size), and the update aggregate is
+    ``posexplode(__q6)`` to ``(cell, d, x)`` rows feeding ONE
+    map-side-combinable ``(cell, d)`` groupBy — ``dim`` sum COLUMNS
+    become ``dim`` ROWS per cell. The explode inflates rows ×dim inside
+    the stage but partial aggregation combines them before the
+    exchange, so shuffle traffic is O(partitions × cells × dim) and the
+    collect O(cells × dim) model state. The wide form beats this at
+    coarse dims (no explode, one row per cell); past ``max_dim`` the
+    wide PLAN (dim aggregate columns, cells×dim literals) stops
+    compiling sanely and this form is the scale path."""
+    from ..functions.rounding import away_round
+
+    for _ in range(iters):
+        rows = _narrow_update_agg(base, cents).collect()
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["__cell"]), {})[int(r["__d"])] = (
+                int(r["__s"]),
+                int(r["__n"]),
+            )
+        cents = [
+            [
+                away_round(by_cell[c][d][0] / by_cell[c][d][1])
+                for d in range(dim)
+            ]
+            if c in by_cell
+            else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
 def kmeans_fit_quantized(
     df: DataFrame,
     n_cells: int = 8,
@@ -766,6 +919,7 @@ def kmeans_fit_quantized(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    max_dim: int = 256,
 ) -> DataFrame:
     """Lloyd's k-means over EXACTLY quantized vectors — the
     oracle-checkable twin of :func:`train_ivf_cells` (X144).
@@ -815,33 +969,32 @@ def kmeans_fit_quantized(
     O(n_cells) collect — the approved O(model)-state class. Corpus is
     never shuffled except by the dim+2-column cell aggregation.
 
-    DIMENSIONALITY CEILING (the Bradley-Terry ``max_items``
-    precedent): the per-iteration aggregate is ``dim`` explicit sum
-    columns and the centroid state an ``n_cells x dim`` nested
-    literal, so the PLAN — not the data — grows with dim x iters;
+    DIMENSIONALITY ROUTING (``max_dim``, a real keyword since r13):
+    the WIDE form's per-iteration aggregate is ``dim`` explicit sum
+    columns and its centroid state an ``n_cells x dim`` nested
+    literal, so that PLAN — not the data — grows with dim x iters;
     PERF.md measures the fixture fit as plan/codegen-dominated
-    already at dim=64. Fine for the coarse-quantizer dims this
-    operator targets, wrong at production 1024-4096-dim embeddings
-    (4k-column aggregates, 32k-literal matrices). ``max_dim``
-    (default 256) raises past that bound; beyond it, either fit per
-    SUBSPACE (the PQ discipline — :func:`pq_codebooks` splits into
-    m independent <=64-dim fits, constant plan size each) or replace
-    the wide aggregate with a posexplode narrow form (one
-    (cell, dim_idx) groupBy — constant plan width, one extra
-    corpus-sized explode shuffle) before raising the ceiling.
+    already at dim=64. Fine for coarse-quantizer dims, wrong at
+    production 1024-4096-dim embeddings (4k-column aggregates,
+    32k-literal matrices). Past ``max_dim`` (default 256) the fit
+    TRANSPARENTLY switches to the NARROW form
+    (:func:`_lloyd_iterate_narrow`): centroid matrix joined from a
+    one-row frame instead of a literal, update via a posexplode
+    ``(cell, dim_idx)`` groupBy instead of dim sum columns —
+    constant plan width, bit-identical results (exact integer
+    arithmetic either way; property-pinned). The wide form stays
+    the default below the ceiling because it avoids the ×dim
+    in-stage explode. The PQ alternative (:func:`train_pq_codebooks`
+    — m independent <=64-dim subspace fits) remains the right call
+    when the DOWNSTREAM index is PQ; this path is for a single
+    full-dim coarse quantizer.
     """
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    max_dim = 256
-    if dim is not None and dim > max_dim:
-        raise ValueError(
-            f"kmeans_fit_quantized: dim={dim} exceeds the plan-size "
-            f"ceiling {max_dim} (wide-agg + literal-matrix plan shape); "
-            "fit per subspace (pq_codebooks) or use a posexplode narrow "
-            "aggregation for high-dim embeddings — see docstring"
-        )
+    if max_dim < 1:
+        raise ValueError(f"max_dim must be >= 1, got {max_dim}")
     q6 = _u6_quantized(vec_col)
     usable = (
         df.where(F.col(vec_col).isNotNull())
@@ -863,13 +1016,6 @@ def kmeans_fit_quantized(
         )
     if dim is None:
         dim = len(init_rows[0]["__q6"])
-        if dim > max_dim:
-            raise ValueError(
-                f"kmeans_fit_quantized: inferred dim={dim} exceeds the "
-                f"plan-size ceiling {max_dim}; fit per subspace "
-                "(pq_codebooks) or use a posexplode narrow aggregation "
-                "— see docstring"
-            )
     cents: list[list[int]] = [
         list(r["__q6"]) for r in init_rows if len(r["__q6"]) == dim
     ]
@@ -883,20 +1029,26 @@ def kmeans_fit_quantized(
         .localCheckpoint()
     )
 
-    def _assigned(centroids: list[list[int]]) -> DataFrame:
-        best = F.array_min(_l2q_scored(F.col("__q6"), centroids))
-        return base.select(
-            "__q6",
-            best["cell"].alias("__cell"),
-            best["d2"].alias("__d2"),
+    if dim > max_dim:
+        cents = _lloyd_iterate_narrow(base, cents, iters, dim)
+        best = F.array_min(
+            _l2q_scored_attr(F.col("__q6"), F.col("__cents"))
         )
-
-    cents = _lloyd_iterate(base, cents, iters, dim)
+        assigned = base.crossJoin(
+            _cents6_frame(df.sparkSession, cents)
+        ).select(
+            best["cell"].alias("__cell"), best["d2"].alias("__d2")
+        )
+    else:
+        cents = _lloyd_iterate(base, cents, iters, dim)
+        best = F.array_min(_l2q_scored(F.col("__q6"), cents))
+        assigned = base.select(
+            best["cell"].alias("__cell"), best["d2"].alias("__d2")
+        )
 
     final = {
         int(r["__cell"]): (int(r["__n"]), int(r["__inertia"]))
-        for r in _assigned(cents)
-        .groupBy("__cell")
+        for r in assigned.groupBy("__cell")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum("__d2").alias("__inertia"),
@@ -1288,22 +1440,53 @@ def psi_gated_refit(
     del dim
     n_cells = len(cents6)
     spark = base_state.sparkSession
-    base_n = {int(r["cell"]): int(r["n"]) for r in base_state.collect()}
-    batch_n = {int(r["cell"]): int(r["n"]) for r in batch_state.collect()}
-    tb, tc = sum(base_n.values()), sum(batch_n.values())
-    cdf = spark.createDataFrame(
-        [(c, base_n.get(c, 0), batch_n.get(c, 0)) for c in range(n_cells)],
-        "cell int, n_base long, n_curr long",
+    # the whole PSI arithmetic stays in ONE joined Spark frame (r12
+    # verdict): cell spine LEFT-joins both O(cells) states, totals ride
+    # a one-row cross join, and a SINGLE O(cells) collect returns the
+    # per-cell terms plus the batch total the gate needs. CONTRACT:
+    # state cells outside [0, n_cells) are a caller error (impossible
+    # from kmeans_state, whose assignment is an argmin over cents6);
+    # kmeans_refit raises on them if the gate fires.
+    spine = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    j = (
+        spine.join(
+            base_state.select("cell", F.col("n").alias("n_base")),
+            on="cell",
+            how="left",
+        )
+        .join(
+            batch_state.select("cell", F.col("n").alias("n_curr")),
+            on="cell",
+            how="left",
+        )
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_curr", F.lit(0)).cast("long").alias("n_curr"),
+        )
     )
-    sb = (F.col("n_base") + 1).cast("double") / F.lit(float(tb + n_cells))
-    sc = (F.col("n_curr") + 1).cast("double") / F.lit(float(tc + n_cells))
-    psi_rows = cdf.select(
-        "cell",
-        F.round(((sc - sb) * F.log(sc / sb)) * F.lit(1000000.0))
-        .cast("long")
-        .alias("psi_u6"),
-    ).collect()
+    totals = j.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_curr").alias("__tc")
+    )
+    sb = (F.col("n_base") + 1).cast("double") / (
+        (F.col("__tb") + n_cells).cast("double")
+    )
+    sc = (F.col("n_curr") + 1).cast("double") / (
+        (F.col("__tc") + n_cells).cast("double")
+    )
+    psi_rows = (
+        j.crossJoin(totals)
+        .select(
+            "cell",
+            "__tc",
+            F.round(((sc - sb) * F.log(sc / sb)) * F.lit(1000000.0))
+            .cast("long")
+            .alias("psi_u6"),
+        )
+        .collect()
+    )
     psi_by_cell = {int(r["cell"]): int(r["psi_u6"]) for r in psi_rows}
+    tc = int(psi_rows[0]["__tc"]) if psi_rows else 0
     # an EMPTY batch must never fire the gate: with tc=0 the smoothed
     # current shares are uniform 1/n_cells, which reads as "drift"
     # against any non-uniform base — but nothing arrived, so there is

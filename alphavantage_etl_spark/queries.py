@@ -8898,18 +8898,33 @@ ORDER BY item_a, item_b
 """
 
 
-# Shared X144/X146 oracle fragment: the recursive Lloyd's-iteration
-# working table over whatever training CTE `v` (vec_id, q6) the caller
-# defines — ONE definition so a fix to the fit's rounding or tie-break
-# can never leave one oracle stale (the _SQL_PREF_GRID precedent).
-_SQL_KMEANS_ST = """st(it, c) AS (
-  SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id))
-             FROM (SELECT q6, vec_id FROM v ORDER BY vec_id LIMIT 8))
+# Shared X144/X146 oracle fragment BUILDER: the recursive
+# Lloyd's-iteration working table over whatever training CTE ``src``
+# (vec_id, q6) the caller defines — ONE definition so a fix to the
+# fit's rounding or tie-break can never leave one oracle stale (the
+# _SQL_PREF_GRID precedent). Parametrized since r13 so the high-dim
+# narrow fit (X154: dim 512) and the hot-cell sub-fit (X148: 2 cells /
+# 2 iters over members) replay through the SAME text instead of
+# hand-forked copies. The init ordering carries the operator's ``q6``
+# tie-break (r12 ADVICE: duplicate-id determinism mirrored in SQL, not
+# left to fixture uniqueness).
+def _sql_kmeans_st(
+    name: str = "st",
+    src: str = "v",
+    n_cells: int = 8,
+    dim: int = 64,
+    iters: int = 3,
+) -> str:
+    return f"""{name}(it, c) AS (
+  SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id, q6))
+             FROM (SELECT q6, vec_id FROM {src}
+                   ORDER BY vec_id, q6 LIMIT {n_cells}))
   UNION ALL
-  SELECT st.it + 1,
+  SELECT {name}.it + 1,
     (SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell))
-     FROM (SELECT r.cell, w.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
-           FROM (SELECT unnest(range(8)) AS cell) r CROSS JOIN st w) cl
+     FROM (SELECT r.cell, w.c[r.cell*{dim} + 1 : r.cell*{dim} + {dim}] AS oc
+           FROM (SELECT unnest(range({n_cells})) AS cell) r
+                CROSS JOIN {name} w) cl
      LEFT JOIN (
        SELECT cell,
               list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
@@ -8920,20 +8935,23 @@ _SQL_KMEANS_ST = """st(it, c) AS (
                 CAST(count(*) AS BIGINT) AS n
          FROM (
            SELECT vec_id, q6, cell FROM (
-             SELECT v.vec_id, v.q6, cl2.cell,
-                    list_sum(list_transform(range(64),
-                      d -> (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])
-                           * (v.q6[d+1] - w2.c[cl2.cell*64 + d + 1])))
+             SELECT {src}.vec_id, {src}.q6, cl2.cell,
+                    list_sum(list_transform(range({dim}),
+                      d -> ({src}.q6[d+1] - w2.c[cl2.cell*{dim} + d + 1])
+                           * ({src}.q6[d+1] - w2.c[cl2.cell*{dim} + d + 1])))
                       AS d2
-             FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl2
-                    CROSS JOIN st w2)
+             FROM {src} CROSS JOIN (SELECT unnest(range({n_cells})) AS cell) cl2
+                    CROSS JOIN {name} w2)
            QUALIFY row_number() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cell) = 1
          ) a
-         CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+         CROSS JOIN (SELECT unnest(range({dim})) AS d) dd
          GROUP BY a.cell, dd.d) s1
        GROUP BY cell) agg ON agg.cell = cl.cell)
-  FROM st WHERE st.it < 3)"""
+  FROM {name} WHERE {name}.it < {iters})"""
+
+
+_SQL_KMEANS_ST = _sql_kmeans_st()
 
 
 # X144 — exact quantized k-means fit (r11): Lloyd's over 1e-6-quantized
@@ -9116,7 +9134,14 @@ ORDER BY query_id, "rank"
 # through the double parquet column losslessly) re-quantizing the query
 # probes. Differs from q_ann_join_learned's in-plan recompute in k/probe
 # shape (k=3, n_probe=3) so a registry mix-up can never alias the two.
-def _ivf_scratch_path(sf_dir: str) -> str:
+def _ivf_scratch_path(spark: SparkSession, sf_dir: str) -> str:
+    """Repo-local scratch for the X147 persisted index, keyed by SF tag
+    AND the session's applicationId (r12 ADVICE): the write is
+    mode=overwrite, which deletes files mid-scan, so two concurrent
+    same-SF sessions sharing one path could each corrupt the other's
+    read. Per-application paths make the contract query's side effect
+    session-private; stale app dirs are bounded by the gitignored
+    .scratch root."""
     import os
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
@@ -9125,6 +9150,7 @@ def _ivf_scratch_path(sf_dir: str) -> str:
         os.pardir,
         ".scratch",
         "ivf_index",
+        spark.sparkContext.applicationId,
         sf_tag,
     )
 
@@ -9141,7 +9167,7 @@ def q_ann_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 25 == 7)
     corpus = emb.where(F.col("vec_id") % 25 != 7)
     cents6 = _learned_cents_shared(spark, sf_dir)
-    path = _ivf_scratch_path(sf_dir)
+    path = _ivf_scratch_path(spark, sf_dir)
     save_ivf_index(
         assign_cells_l2q(corpus, cents6, n_probe=1),
         [[float(x) for x in c] for c in cents6],
@@ -9263,38 +9289,7 @@ hot AS (SELECT cell FROM cnt
         ORDER BY n DESC, cell LIMIT 1),
 m AS MATERIALIZED (
   SELECT vec_id, q6 FROM casg WHERE cell = (SELECT cell FROM hot)),
-st2(it, c) AS (
-  SELECT 0, (SELECT flatten(list(q6 ORDER BY vec_id))
-             FROM (SELECT q6, vec_id FROM m ORDER BY vec_id LIMIT 2))
-  UNION ALL
-  SELECT st2.it + 1,
-    (SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell))
-     FROM (SELECT r.cell, w.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
-           FROM (SELECT unnest(range(2)) AS cell) r CROSS JOIN st2 w) cl
-     LEFT JOIN (
-       SELECT cell,
-              list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                        AS BIGINT) ORDER BY d) AS nc
-       FROM (
-         SELECT a.cell, dd.d,
-                CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
-                CAST(count(*) AS BIGINT) AS n
-         FROM (
-           SELECT vec_id, q6, cell FROM (
-             SELECT m.vec_id, m.q6, cl2.cell,
-                    list_sum(list_transform(range(64),
-                      d -> (m.q6[d+1] - w2.c[cl2.cell*64 + d + 1])
-                           * (m.q6[d+1] - w2.c[cl2.cell*64 + d + 1])))
-                      AS d2
-             FROM m CROSS JOIN (SELECT unnest(range(2)) AS cell) cl2
-                    CROSS JOIN st2 w2)
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cell) = 1
-         ) a
-         CROSS JOIN (SELECT unnest(range(64)) AS d) dd
-         GROUP BY a.cell, dd.d) s1
-       GROUP BY cell) agg ON agg.cell = cl.cell)
-  FROM st2 WHERE st2.it < 2),
+{_sql_kmeans_st(name="st2", src="m", n_cells=2, dim=64, iters=2)},
 fin2 AS MATERIALIZED (SELECT c FROM st2 WHERE it = 2),
 sub AS (
   SELECT vec_id, sub_cell, d2 FROM (
@@ -9309,7 +9304,10 @@ sub AS (
 SELECT vec_id, CAST((SELECT cell FROM hot) AS INT) AS old_cell,
        CAST(8 + sub_cell - 1 AS INT) AS new_cell,
        CAST(d2 AS BIGINT) AS d2_new
-FROM sub WHERE sub_cell != 0
+-- the (SELECT count(*) FROM m) >= 2 guard replays the operator's
+-- fewer-than-sub_cells-members skip (r12 ADVICE: symmetric logic, not
+-- fixture luck — a 1-member hot cell emits NO delta on either engine)
+FROM sub WHERE sub_cell != 0 AND (SELECT count(*) FROM m) >= 2
 ORDER BY vec_id
 """
 

@@ -2216,9 +2216,22 @@ def kmeans_state_stream(
                 .orderBy("cell")
                 .collect()
             ]
-        except Exception:
-            existing = None
-        if existing is not None and existing != want:
+        except Exception as exc:
+            # FAIL CLOSED (r12 ADVICE): an existing-but-unreadable
+            # centroid file means a partial/corrupt write — proceeding
+            # without the mismatch guard could append statistics under
+            # a DIFFERENT quantizer, exactly the corruption the guard
+            # exists to stop. The operator cannot tell "torn write of
+            # my own centroids" from "someone else's model", so it
+            # refuses; the operator repairs by clearing cents6/ (or the
+            # whole state_path) offline.
+            raise ValueError(
+                "kmeans_state_stream: state_path holds an UNREADABLE "
+                f"centroid file ({cent_path!r}) — cannot verify the "
+                "frozen-quantizer contract; repair or clear the state "
+                "path before streaming"
+            ) from exc
+        if existing != want:
             raise ValueError(
                 "kmeans_state_stream: state_path already holds "
                 "statistics under a DIFFERENT quantizer — merging two "

@@ -1858,3 +1858,13 @@ def test_kmeans_state_stream_parity_replay_and_guard(spark, tmp_path):
     other = [[c + 1 for c in row] for row in cents6]
     with pytest.raises(ValueError, match="DIFFERENT quantizer"):
         drain(cents=other)
+
+    # fail-closed guard (r12 ADVICE): an existing-but-UNREADABLE cents6
+    # file (torn/corrupt write) must raise, not silently skip the
+    # mismatch check — proceeding could append statistics under a
+    # different quantizer, the exact corruption the guard exists for
+    for part in glob.glob(f"{state}/cents6/*.parquet"):
+        with open(part, "wb") as fh:
+            fh.write(b"not parquet")
+    with pytest.raises(ValueError, match="UNREADABLE"):
+        drain()
