@@ -9599,6 +9599,363 @@ ORDER BY cell, dim
 """
 
 
+# X154 — HIGH-DIM quantizer fit (r13; r12 verdict missing #2): the
+# narrow posexplode fit path past the wide plan's max_dim=256 ceiling,
+# exercised at a production-class dimensionality the fixture can
+# REPRESENT IN-PLAN: the 64-dim embedding tiled ×8 to 512 dims (the
+# oracle replays the identical construction, so the fit arithmetic —
+# not the tiling — is what's pinned). Same exact integer Lloyd
+# semantics as X144; the plan differs (matrix joined from a one-row
+# frame, (cell, d) narrow aggregate) and is pinned by
+# test_kmeans_fit_narrow_matches_wide
+# (operators/similarity.py:kmeans_fit_quantized,_lloyd_iterate_narrow).
+def q_kmeans_fit_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_fit_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    hd = emb.select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 8)).alias("embedding"),
+    )
+    return kmeans_fit_quantized(hd, n_cells=4, iters=2, dim=512).orderBy(
+        "cell", "dim"
+    )
+
+
+SQL_KMEANS_FIT_HD = f"""
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT vec_id,
+         flatten(list_transform(range(8),
+           i -> list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))))
+           AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+{{_ST_HD}},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 2),
+asg AS MATERIALIZED (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT v.vec_id, cl.cell,
+           list_sum(list_transform(range(512),
+             d -> (v.q6[d+1] - f.c[cl.cell*512 + d + 1])
+                  * (v.q6[d+1] - f.c[cl.cell*512 + d + 1]))) AS d2
+    FROM v CROSS JOIN (SELECT unnest(range(4)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+cellstats AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d2) AS BIGINT) AS inertia
+  FROM asg GROUP BY cell)
+SELECT CAST(g.cell AS INT) AS cell, CAST(g.d AS INT) AS dim,
+       CAST(f.c[g.cell*512 + g.d + 1] AS BIGINT) AS c6,
+       CAST(coalesce(cs.n, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(cs.inertia, 0) AS BIGINT) AS inertia
+FROM (SELECT a.cell, b.d
+      FROM (SELECT unnest(range(4)) AS cell) a
+      CROSS JOIN (SELECT unnest(range(512)) AS d) b) g
+CROSS JOIN fin f
+LEFT JOIN cellstats cs ON cs.cell = g.cell
+ORDER BY cell, dim
+""".replace("{_ST_HD}", _sql_kmeans_st(n_cells=4, dim=512, iters=2))
+
+
+# X155 — serving-only persisted-index probe (r12 verdict wrong #1):
+# q_ann_join_indexed deliberately measures the full lifecycle (TWO
+# build->save->load cycles per run), which buries serving cost in
+# parquet-write noise. This query serves from a SESSION-SCOPED
+# prebuilt index: the build+save happens once per (session, sf_dir)
+# (_session_shared — model state, the _learned_cents_shared contract),
+# the query body is load + probe ONLY, so its bench row is the clean
+# serving number a regression watch needs. Distinct k/probe shape
+# (k=4, n_probe=2) so no registry mix-up can alias it to its siblings
+# (learned 5/2, indexed 3/3, lifecycle 3/2).
+def _ivf_index_serve_shared(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import os
+
+        from .operators.similarity import assign_cells_l2q, save_ivf_index
+
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        path = os.path.join(_ivf_scratch_path(spark, sf_dir), "serve")
+        save_ivf_index(
+            assign_cells_l2q(corpus, cents6, n_probe=1),
+            [[float(x) for x in c] for c in cents6],
+            path,
+        )
+        return path
+
+    return _session_shared(spark, ("ivf_index_serve", sf_dir), build)
+
+
+def q_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+        load_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    path = _ivf_index_serve_shared(spark, sf_dir)
+    idx, loaded = load_ivf_index(spark, path)
+    cents_rt = [[int(x) for x in c] for c in loaded]
+    qc = assign_cells_l2q(queries, cents_rt, n_probe=2)
+    return ann_join(
+        queries, corpus, k=4, corpus_cells=idx, query_cells=qc
+    ).orderBy("query_id", "rank")
+
+
+# storing and reloading cannot change the assignment's content (the
+# X147 rule), so the oracle is the X146 pipeline at the X155 k/probe
+# shape
+SQL_ANN_SERVE = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+cc AS MATERIALIZED (
+  SELECT vec_id AS corpus_id, embedding AS ce, nrm AS cn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 != 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+qc AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 2),
+cand AS MATERIALIZED (
+  SELECT q.query_id, c.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y))
+           / (q.qn * c.cn), 6) AS sim
+  FROM qc q JOIN cc c USING (cell))
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 4
+ORDER BY query_id, "rank"
+"""
+
+
+# X153 — index-maintenance lifecycle composition (r12 verdict next #4,
+# the X9-curation precedent): ONE oracle-backed query proving the
+# maintenance loop's pieces COMPOSE without a full rebuild — a biased
+# batch arrives (the X152 fixture), its kmeans_state merges with the
+# base state, the PSI monitor gates the refit (fires at every SF), the
+# refit quantizer v2 assigns the ingested corpus, the hot cell under
+# v2 splits by a member-only sub-fit (X148) whose delta folds into the
+# stored assignment (one broadcast-from-stats left join), and the
+# refined index SERVES retrieval via ann_join's BYO path with query
+# probes under the post-split centroid set v3. Every stage is the
+# exact integer arithmetic its standalone sibling pinned; the oracle
+# replays the full chain (operators/similarity.py:kmeans_state,
+# psi_gated_refit,split_hot_cells,apply_assignment_delta,ann_join).
+def q_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join,
+        apply_assignment_delta,
+        assign_cells_l2q,
+        split_hot_cells,
+    )
+
+    v2, _, _ = _refit_gated_shared(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    batch = emb.where(
+        (F.col("vec_id") % 25 == 7)
+        & (F.element_at(F.col("embedding"), 1) > 0)
+    )
+    corpus2 = corpus.unionByName(batch)
+    assignments = assign_cells_l2q(corpus2, v2, n_probe=1)
+    v3, delta = split_hot_cells(
+        corpus2, v2, hot_factor=1.05, max_splits=1, sub_cells=2, iters=2
+    )
+    index2 = apply_assignment_delta(assignments, delta)
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    qc = assign_cells_l2q(queries, v3, n_probe=2)
+    return ann_join(
+        queries, corpus2, k=3, corpus_cells=index2, query_cells=qc
+    ).orderBy("query_id", "rank")
+
+
+SQL_INDEX_LIFECYCLE = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, embedding, embedding[1] AS e1,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+asgu AS MATERIALIZED (
+  SELECT vec_id, q6, cell,
+         vec_id % 25 != 7 AS is_base,
+         vec_id % 25 = 7 AND e1 > 0 AS is_batch
+  FROM (
+    SELECT a.vec_id, a.q6, a.e1, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 != 7 OR (a.vec_id % 25 = 7 AND a.e1 > 0))
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+j AS (
+  SELECT CAST(sp.cell AS INT) AS cell,
+         CAST(coalesce(cn.n_base, 0) AS BIGINT) AS n_base,
+         CAST(coalesce(cn.n_curr, 0) AS BIGINT) AS n_curr
+  FROM (SELECT unnest(range(8)) AS cell) sp
+  LEFT JOIN (
+    SELECT cell,
+           count(*) FILTER (WHERE is_base) AS n_base,
+           count(*) FILTER (WHERE is_batch) AS n_curr
+    FROM asgu GROUP BY cell) cn ON cn.cell = sp.cell),
+t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+             CAST(sum(n_curr) AS BIGINT) AS tc FROM j),
+p AS (
+  SELECT cell,
+         CAST(round(
+           ((CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE)
+             - CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE))
+            * ln((CAST(n_curr + 1 AS DOUBLE) / CAST(tc + 8 AS DOUBLE))
+                 / (CAST(n_base + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE))))
+           * 1000000) AS BIGINT) AS psi_u6
+  FROM j CROSS JOIN t),
+tot AS (SELECT CAST(sum(psi_u6) AS BIGINT) AS total FROM p),
+cellagg AS (
+  SELECT a.cell, dd.d,
+         CAST(sum(a.q6[dd.d + 1]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM asgu a CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+  GROUP BY a.cell, dd.d),
+upd AS MATERIALIZED (
+  SELECT flatten(list(coalesce(agg.nc, cl.oc) ORDER BY cl.cell)) AS c
+  FROM (SELECT r.cell, f.c[r.cell*64 + 1 : r.cell*64 + 64] AS oc
+        FROM (SELECT unnest(range(8)) AS cell) r CROSS JOIN fin f) cl
+  LEFT JOIN (
+    SELECT cell,
+           list(CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     AS BIGINT) ORDER BY d) AS nc
+    FROM cellagg GROUP BY cell) agg ON agg.cell = cl.cell),
+v2 AS MATERIALIZED (
+  SELECT CASE WHEN tot.total > 100000 AND (SELECT tc FROM t) > 0
+              THEN u.c ELSE f.c END AS c
+  FROM fin f CROSS JOIN upd u CROSS JOIN tot),
+c2 AS MATERIALIZED (
+  SELECT vec_id, embedding, q6, nrm FROM allv
+  WHERE vec_id % 25 != 7 OR (vec_id % 25 = 7 AND e1 > 0)),
+asg2 AS MATERIALIZED (
+  SELECT vec_id, q6, cell FROM (
+    SELECT a.vec_id, a.q6, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - w.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - w.c[cl.cell*64 + d + 1]))) AS d2
+    FROM c2 a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN v2 w)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM asg2 GROUP BY cell),
+hot AS (SELECT cell FROM cnt
+        WHERE CAST(n * 8 AS DOUBLE)
+              > 1.05 * (SELECT CAST(sum(n) AS DOUBLE) FROM cnt)
+        ORDER BY n DESC, cell LIMIT 1),
+m AS MATERIALIZED (
+  SELECT vec_id, q6 FROM asg2 WHERE cell = (SELECT cell FROM hot)),
+{{_ST2}},
+fin2 AS MATERIALIZED (SELECT c FROM st2 WHERE it = 2),
+sub AS (
+  SELECT vec_id, sub_cell FROM (
+    SELECT m.vec_id, cl.cell AS sub_cell,
+           list_sum(list_transform(range(64),
+             d -> (m.q6[d+1] - f2.c[cl.cell*64 + d + 1])
+                  * (m.q6[d+1] - f2.c[cl.cell*64 + d + 1]))) AS d2
+    FROM m CROSS JOIN (SELECT unnest(range(2)) AS cell) cl
+           CROSS JOIN fin2 f2)
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, sub_cell) = 1),
+delta AS (
+  SELECT vec_id, 8 AS new_cell FROM sub
+  WHERE sub_cell != 0 AND (SELECT count(*) FROM m) >= 2),
+idx2 AS MATERIALIZED (
+  SELECT a.vec_id, CAST(coalesce(d.new_cell, a.cell) AS INT) AS cell
+  FROM asg2 a LEFT JOIN delta d USING (vec_id)),
+v3 AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM m) >= 2
+         THEN (SELECT flatten(list(
+                  CASE WHEN r.cell = (SELECT cell FROM hot)
+                       THEN f2.c[1:64]
+                       ELSE w.c[r.cell*64 + 1 : r.cell*64 + 64] END
+                  ORDER BY r.cell))
+               FROM (SELECT unnest(range(8)) AS cell) r
+                    CROSS JOIN v2 w CROSS JOIN fin2 f2)
+              || (SELECT c[65:128] FROM fin2)
+         ELSE (SELECT c FROM v2) END AS c,
+         CASE WHEN (SELECT count(*) FROM m) >= 2 THEN 9 ELSE 8 END AS nc),
+qc AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - w.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - w.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN v3 w
+         CROSS JOIN (SELECT unnest(range(9)) AS cell) cl
+    WHERE cl.cell < w.nc AND a.vec_id % 25 = 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 2),
+cc2 AS MATERIALIZED (
+  SELECT i.vec_id AS corpus_id, a.embedding AS ce, a.nrm AS cn, i.cell
+  FROM idx2 i JOIN allv a USING (vec_id)
+  WHERE a.nrm > 0),
+cand AS MATERIALIZED (
+  SELECT q.query_id, c.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y))
+           / (q.qn * c.cn), 6) AS sim
+  FROM qc q JOIN cc2 c USING (cell))
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 3
+ORDER BY query_id, "rank"
+""".replace("{_ST2}", _sql_kmeans_st(name="st2", src="m", n_cells=2,
+                                     dim=64, iters=2))
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -9824,6 +10181,12 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
+    # r13 additions (X154, X155, X153) — registered at the END of the
+    # EXTRA registries per the rotation discipline: the r14 rotation
+    # queues them at the window front as never-driver-checked entries
+    "q_kmeans_fit_hd": q_kmeans_fit_hd,
+    "q_ann_serve": q_ann_serve,
+    "q_index_lifecycle": q_index_lifecycle,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -10034,6 +10397,10 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_novelty": SQL_NOVELTY,
     "q_percentile_bands": SQL_PERCENTILE_BANDS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
+    # r13 additions — same order as EXTRA_QUERIES' tail
+    "q_kmeans_fit_hd": SQL_KMEANS_FIT_HD,
+    "q_ann_serve": SQL_ANN_SERVE,
+    "q_index_lifecycle": SQL_INDEX_LIFECYCLE,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

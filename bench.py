@@ -227,6 +227,13 @@ BENCH_QUERIES = [
     "q_kmeans_refit",
     "q_refit_moves",
     "q_refit_gated",
+    # r13 — high-dim (512) narrow quantizer fit (X154), serving-only
+    # probe of a session-prebuilt persisted index (X155 — the clean
+    # serving number; q_ann_join_indexed keeps the full write+load
+    # lifecycle cost), end-to-end index-maintenance composition (X153)
+    "q_kmeans_fit_hd",
+    "q_ann_serve",
+    "q_index_lifecycle",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in
