@@ -1074,6 +1074,123 @@ def kmeans_fit_quantized(
     return df.sparkSession.createDataFrame(rows, out_schema)
 
 
+def pq_fit_exact(
+    df: DataFrame,
+    m: int = 4,
+    codes: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """EXACT per-subspace product-quantization codebook fit (X156) —
+    the oracle-checkable twin of :func:`train_pq_codebooks` (float
+    means, xxhash-ordered init — fine for training, impossible to pin
+    cross-engine) and the SECOND high-dim strategy the
+    :func:`kmeans_fit_quantized` ceiling names, composed as a single
+    callable: the vector splits into ``m`` contiguous subspaces of
+    ``dim/m`` components; each subspace gets its own independent
+    ``codes``-centroid exact quantized Lloyd fit (the X144 arithmetic
+    verbatim — u6 quantization, min-(id, slice) init, integer
+    squared-L2 argmin with ties to the lowest code, away-rounded
+    means, empty codes carry). Because every subspace fit is exact,
+    the whole codebook is bit-identical across engines; a SQL oracle
+    replays it as ``m`` independent recursive CTEs over sliced q6.
+
+    Returns one row per (subspace, code, dim): ``subspace``, ``code``,
+    ``dim`` (the component index WITHIN the subspace), ``c6``, plus
+    final-assignment ``n_members`` and integer ``inertia`` per
+    (subspace, code) — the balance/convergence QC a codebook build
+    gates on.
+
+    ``dim`` is REQUIRED (PQ is a production path with a declared
+    schema; the ragged-row prefilter rule needs it) and must divide by
+    ``m``. ``dim/m`` must stay within the wide plan ceiling (256) —
+    that is PQ's whole point: a 4096-dim embedding fits as m=16
+    subspaces of 256, each a constant-size plan. A d_sub above the
+    ceiling means ``m`` is misconfigured, so it raises rather than
+    silently degrading.
+
+    Scale: the corpus quantizes ONCE (localCheckpointed, shared by all
+    m fits); each subspace iteration is one narrow scan of the sliced
+    frame with a codes x d_sub literal matrix, one map-side-combinable
+    groupBy on the code, an O(codes) collect — m x iters O(model)
+    collects total; the corpus never shuffles.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if codes < 1:
+        raise ValueError(f"codes must be >= 1, got {codes}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if dim is None:
+        raise ValueError(
+            "pq_fit_exact: dim is required (declared-schema prefilter "
+            "rule — see kmeans_fit_quantized's dim contract)"
+        )
+    if dim % m:
+        raise ValueError(f"pq_fit_exact: dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+    if d_sub > 256:
+        raise ValueError(
+            f"pq_fit_exact: d_sub={d_sub} exceeds the wide-plan ceiling "
+            "256 — raise m (PQ exists precisely to keep subspaces small)"
+        )
+    base = _q6_base(df, dim, vec_col, id_col).localCheckpoint()
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("subspace", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("c6", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("inertia", T.LongType()),
+        ]
+    )
+    rows = []
+    for s in range(m):
+        sub = base.select(
+            "__id", F.slice("__q6", s * d_sub + 1, d_sub).alias("__q6")
+        )
+        init_rows = sub.orderBy("__id", "__q6").limit(codes).collect()
+        if len(init_rows) < codes:
+            raise ValueError(
+                f"pq_fit_exact: {len(init_rows)} usable vectors < "
+                f"codes={codes}"
+            )
+        cents = _lloyd_iterate(
+            sub, [list(r["__q6"]) for r in init_rows], iters, d_sub
+        )
+        best = F.array_min(_l2q_scored(F.col("__q6"), cents))
+        final = {
+            int(r["__code"]): (int(r["__n"]), int(r["__inertia"]))
+            for r in sub.select(
+                best["cell"].alias("__code"), best["d2"].alias("__d2")
+            )
+            .groupBy("__code")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum("__d2").alias("__inertia"),
+            )
+            .collect()
+        }
+        rows.extend(
+            (
+                s,
+                c,
+                d,
+                cents[c][d],
+                final.get(c, (0, 0))[0],
+                final.get(c, (0, 0))[1],
+            )
+            for c in range(codes)
+            for d in range(d_sub)
+        )
+    return df.sparkSession.createDataFrame(rows, out_schema)
+
+
 def build_ivf_index(
     corpus_df: DataFrame,
     centroids: list[list[float]],

@@ -9956,6 +9956,85 @@ ORDER BY query_id, "rank"
                                      dim=64, iters=2))
 
 
+# X156 — exact per-subspace PQ codebook fit (r13): the SECOND high-dim
+# strategy the X144 max_dim guard names (the PQ discipline), composed
+# as one callable — m independent exact quantized Lloyd fits over
+# contiguous vector slices, each the X144 arithmetic verbatim, so the
+# whole codebook is bit-identical cross-engine. Contract shape: m=4
+# subspaces x 8 codes x 16 dims over the 64-dim fixture. Oracle: FOUR
+# independent recursive fit CTEs (the parametrized _sql_kmeans_st
+# builder, one per sliced training CTE) plus per-subspace assignment
+# stats (operators/similarity.py:pq_fit_exact).
+def q_pq_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_fit_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_fit_exact(emb, m=4, codes=8, iters=2, dim=64).orderBy(
+        "subspace", "code", "dim"
+    )
+
+
+def _sql_pq_fit(m: int = 4, codes: int = 8, d_sub: int = 16,
+                iters: int = 2) -> str:
+    dim = m * d_sub
+    parts = [
+        f"""v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0)"""
+    ]
+    selects = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        parts.append(
+            f"v{s} AS MATERIALIZED (SELECT vec_id, q6[{lo}:{hi}] AS q6 FROM v)"
+        )
+        parts.append(
+            _sql_kmeans_st(name=f"st{s}", src=f"v{s}", n_cells=codes,
+                           dim=d_sub, iters=iters)
+        )
+        parts.append(
+            f"fin{s} AS MATERIALIZED (SELECT c FROM st{s} WHERE it = {iters})"
+        )
+        parts.append(f"""asg{s} AS MATERIALIZED (
+  SELECT vec_id, code, d2 FROM (
+    SELECT v{s}.vec_id, cl.cell AS code,
+           list_sum(list_transform(range({d_sub}),
+             d -> (v{s}.q6[d+1] - f.c[cl.cell*{d_sub} + d + 1])
+                  * (v{s}.q6[d+1] - f.c[cl.cell*{d_sub} + d + 1]))) AS d2
+    FROM v{s} CROSS JOIN (SELECT unnest(range({codes})) AS cell) cl
+           CROSS JOIN fin{s} f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) = 1),
+cstats{s} AS (
+  SELECT code, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d2) AS BIGINT) AS inertia
+  FROM asg{s} GROUP BY code)""")
+        selects.append(f"""SELECT CAST({s} AS INT) AS subspace,
+       CAST(g.code AS INT) AS code, CAST(g.d AS INT) AS dim,
+       CAST(f.c[g.code*{d_sub} + g.d + 1] AS BIGINT) AS c6,
+       CAST(coalesce(cs.n, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(cs.inertia, 0) AS BIGINT) AS inertia
+FROM (SELECT a.code, b.d
+      FROM (SELECT unnest(range({codes})) AS code) a
+      CROSS JOIN (SELECT unnest(range({d_sub})) AS d) b) g
+CROSS JOIN fin{s} f
+LEFT JOIN cstats{s} cs ON cs.code = g.code""")
+        del lo, hi
+    return (
+        "\nWITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY subspace, code, dim\n"
+    )
+
+
+SQL_PQ_FIT = _sql_pq_fit()
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -10187,6 +10266,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_kmeans_fit_hd": q_kmeans_fit_hd,
     "q_ann_serve": q_ann_serve,
     "q_index_lifecycle": q_index_lifecycle,
+    "q_pq_fit": q_pq_fit,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -10401,6 +10481,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_kmeans_fit_hd": SQL_KMEANS_FIT_HD,
     "q_ann_serve": SQL_ANN_SERVE,
     "q_index_lifecycle": SQL_INDEX_LIFECYCLE,
+    "q_pq_fit": SQL_PQ_FIT,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "q_kmeans_fit_hd",
     "q_ann_serve",
     "q_index_lifecycle",
+    # r13 — exact per-subspace PQ codebook fit (X156)
+    "q_pq_fit",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -2039,6 +2039,51 @@ def test_kmeans_fit_narrow_matches_wide(spark):
     assert final.count("Generate posexplode") == 1
 
 
+def test_pq_fit_exact_guards_and_slices(spark):
+    """X156: pq_fit_exact requires a declared dim divisible by m with
+    subspaces under the wide ceiling; each subspace fit equals
+    kmeans_fit_quantized over the SLICED vectors (the composition is m
+    independent X144 fits, nothing more)."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_fit_quantized,
+        pq_fit_exact,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="dim is required"):
+        pq_fit_exact(emb, m=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit_exact(emb, m=5, dim=64)
+    with pytest.raises(ValueError, match="ceiling"):
+        pq_fit_exact(emb, m=1, dim=512)
+    with pytest.raises(ValueError, match="codes"):
+        pq_fit_exact(emb, m=4, codes=0, dim=64)
+
+    fit = pq_fit_exact(emb, m=2, codes=4, iters=2, dim=64).collect()
+    got = {
+        (r["subspace"], r["code"], r["dim"]): (
+            r["c6"], r["n_members"], r["inertia"]
+        )
+        for r in fit
+    }
+    assert len(got) == 2 * 4 * 32
+    for s in range(2):
+        sliced = emb.select(
+            "vec_id",
+            F.slice("embedding", s * 32 + 1, 32).alias("embedding"),
+        )
+        solo = kmeans_fit_quantized(sliced, n_cells=4, iters=2, dim=32)
+        for r in solo.collect():
+            assert got[(s, r["cell"], r["dim"])] == (
+                r["c6"], r["n_members"], r["inertia"]
+            )
+
+
 def test_assign_cells_l2q_and_byo_quantizer_guards(spark):
     """X146 plumbing: integer-L2 assignment matches a hand replica
     (argmin and probe explode), and ann_join's bring-your-own-quantizer
