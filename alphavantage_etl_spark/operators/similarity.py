@@ -1191,6 +1191,162 @@ def pq_fit_exact(
     return df.sparkSession.createDataFrame(rows, out_schema)
 
 
+def _validate_books6(
+    books6: list[list[list[int]]], who: str
+) -> tuple[int, int, int]:
+    """``(m, codes, d_sub)`` of an exact PQ codebook, or raise."""
+    if not books6 or not books6[0] or not books6[0][0]:
+        raise ValueError(f"{who}: books6 must be non-empty m x codes x d_sub")
+    m, codes, d_sub = len(books6), len(books6[0]), len(books6[0][0])
+    if any(len(b) != codes for b in books6) or any(
+        len(c) != d_sub for b in books6 for c in b
+    ):
+        raise ValueError(f"{who}: books6 rows disagree on shape")
+    return m, codes, d_sub
+
+
+def pq_encode_exact(
+    df: DataFrame,
+    books6: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, __codes array<int>)`` — each row's EXACT PQ code
+    word under a :func:`pq_fit_exact` codebook: per subspace, the
+    integer-L2 argmin code over the u6-quantized slice (ties to the
+    lowest code — the X144 rule). The ingest-time companion of
+    :func:`ann_join_pq`: at 100 TB the coded corpus is m SMALL INTS
+    per row instead of dim floats (m=16 bytes-ish vs 16 KB for a
+    4096-dim float vector), and serving never touches the raw vectors.
+    One narrow projection, no shuffle; slices are PROJECTED columns
+    before scoring (the bounds-hoist rule)."""
+    m, _, d_sub = _validate_books6(books6, "pq_encode_exact")
+    dim = m * d_sub
+    base = _q6_base(df, dim, vec_col, id_col)
+    sliced = base.select(
+        "__id",
+        *[
+            F.slice("__q6", s * d_sub + 1, d_sub).alias(f"__q{s}")
+            for s in range(m)
+        ],
+    )
+    return sliced.select(
+        F.col("__id").alias(id_col),
+        F.array(
+            *[
+                F.array_min(_l2q_scored(F.col(f"__q{s}"), books6[s]))[
+                    "cell"
+                ].cast("int")
+                for s in range(m)
+            ]
+        ).alias("__codes"),
+    )
+
+
+def ann_join_pq(
+    queries_df: DataFrame,
+    k: int,
+    query_cells: DataFrame,
+    corpus_index: DataFrame,
+    books6: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ retrieval join (X157) — the 100 TB serving composition
+    where candidates are ranked by EXACT integer ADC (asymmetric
+    distance computation) against the PQ-coded index instead of an
+    exact rerank against raw vectors: ``corpus_index`` is an
+    ``(id_col, __cell, __codes)`` frame (the IVF assignment plus the
+    :func:`pq_encode_exact` code word, joined once at ingest), so the
+    serving scan carries a few bytes per corpus row and NEVER reads
+    the vector column — the FAISS IVFPQ layout re-expressed as two
+    equi-joins. ``query_cells`` is the exploded probe frame
+    (:func:`assign_cells_l2q` with its n_probe). Per candidate,
+    ``adc_d2`` = sum over subspaces of the exact integer squared-L2
+    between the query's u6 slice and the candidate code's centroid —
+    pure integer arithmetic, so ranks are bit-stable cross-engine
+    (ties by corpus id). Returns ``(query_id, corpus_id, adc_d2,
+    rank)``, rank 1..k by (adc_d2 asc, corpus_id).
+
+    Scale shape: the coded index (the 100 TB side) crosses exactly ONE
+    equi-join on the cell key against the bare probe frame, then
+    candidates attach their query's q6 by id — both joins broadcast
+    STATICALLY from scan stats (the X137 join-order rule: probes
+    first, vectors second, so the build sides are sizeable scans, not
+    join outputs); the only hash exchange carries WindowGroupLimit-
+    pre-limited candidates. The codebook is an m x codes x d_sub
+    nested literal — model state, a few KB. ADC recall is the PQ
+    trade: distances are approximations of the true L2 (exact only to
+    the reconstruction), tuned by m/codes without changing the plan;
+    compose with a raw-vector rerank of the top-k' when exactness
+    matters (the pq_topk_rerank pattern)."""
+    m, _, d_sub = _validate_books6(books6, "ann_join_pq")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    need = {id_col, "__cell", "__codes"}
+    if not need <= set(corpus_index.columns):
+        raise ValueError(
+            f"ann_join_pq: corpus_index must carry {sorted(need)}"
+        )
+    from pyspark.sql import Window
+
+    dim = m * d_sub
+    q0 = _q6_base(queries_df, dim, vec_col, id_col).select(
+        F.col("__id").alias("query_id"), "__q6"
+    )
+    qcells = query_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__cell").cast("int").alias("__cell"),
+    )
+    c = corpus_index.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("__cell").cast("int").alias("__cell"),
+        "__codes",
+    )
+    booklit = F.lit([[list(map(int, c_)) for c_ in b] for b in books6])
+    cand = (
+        c.join(qcells, on="__cell", how="inner")
+        .join(q0, on="query_id", how="inner")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    # each diff materializes ONCE via an inner
+                    # transform, then squares in the fold — never two
+                    # copies of the lookup chain per element
+                    lambda code, s: F.aggregate(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(d_sub)),
+                            lambda d: F.element_at(
+                                F.col("__q6"), (s * d_sub + d).cast("int")
+                            )
+                            - F.element_at(
+                                F.element_at(
+                                    F.element_at(booklit, s + 1), code + 1
+                                ),
+                                d.cast("int"),
+                            ),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x * x,
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", F.col("corpus_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "adc_d2", "rank")
+    )
+
+
 def build_ivf_index(
     corpus_df: DataFrame,
     centroids: list[list[float]],

@@ -10035,6 +10035,146 @@ LEFT JOIN cstats{s} cs ON cs.code = g.code""")
 SQL_PQ_FIT = _sql_pq_fit()
 
 
+# X157 — IVF-PQ retrieval composition (r13): the 100 TB serving layout
+# where the corpus-side scan carries a CELL ID plus an m-byte PQ code
+# word and NEVER the raw vectors — candidates come from shared IVF
+# cells (the X137 one-equi-join rule), ranked by EXACT integer ADC
+# against the X156 codebook (pure integer arithmetic, so ranks are
+# bit-stable cross-engine; ties by corpus id). Quantizer v1 and the PQ
+# codebook both train on the corpus slice, both session-shared model
+# state. k=4 / n_probe=3 — a shape no sibling uses
+# (operators/similarity.py:ann_join_pq,pq_encode_exact).
+def _pq_books_shared(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[int]]]:
+    def build() -> list[list[list[int]]]:
+        from .operators.similarity import pq_fit_exact
+
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        fit = pq_fit_exact(corpus, m=4, codes=8, iters=2, dim=64).collect()
+        books = [[[0] * 16 for _ in range(8)] for _ in range(4)]
+        for r in fit:
+            books[r["subspace"]][r["code"]][r["dim"]] = int(r["c6"])
+        return books
+
+    return _session_shared(spark, ("pq_books", sf_dir), build)
+
+
+def q_ann_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    books6 = _pq_books_shared(spark, sf_dir)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        pq_encode_exact(corpus, books6), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+    return ann_join_pq(
+        queries, k=4, query_cells=qc, corpus_index=idx, books6=books6
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_join_pq(m: int = 4, codes: int = 8, d_sub: int = 16) -> str:
+    dim = m * d_sub
+    parts = [
+        f"""allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0)""",
+        "v AS MATERIALIZED (\n  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7)",
+        _sql_kmeans_st(),
+        "fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3)",
+        f"""ccell AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cl.cell,
+           list_sum(list_transform(range({dim}),
+             d -> (v.q6[d+1] - f.c[cl.cell*{dim} + d + 1])
+                  * (v.q6[d+1] - f.c[cl.cell*{dim} + d + 1]))) AS d2
+    FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1)""",
+    ]
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        parts.append(
+            f"v{s} AS MATERIALIZED (SELECT vec_id, q6[{lo}:{hi}] AS q6 FROM v)"
+        )
+        parts.append(
+            _sql_kmeans_st(name=f"stp{s}", src=f"v{s}", n_cells=codes,
+                           dim=d_sub, iters=2)
+        )
+        parts.append(
+            f"finp{s} AS MATERIALIZED (SELECT c FROM stp{s} WHERE it = 2)"
+        )
+        parts.append(f"""asgp{s} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT v{s}.vec_id, cl.cell AS code,
+           list_sum(list_transform(range({d_sub}),
+             d -> (v{s}.q6[d+1] - f.c[cl.cell*{d_sub} + d + 1])
+                  * (v{s}.q6[d+1] - f.c[cl.cell*{d_sub} + d + 1]))) AS d2
+    FROM v{s} CROSS JOIN (SELECT unnest(range({codes})) AS cell) cl
+           CROSS JOIN finp{s} f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) = 1)""")
+    code_cols = ", ".join(f"a{s}.code AS c{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN asgp{s} a{s} USING (vec_id)" for s in range(1, m)
+    )
+    parts.append(
+        f"cw AS MATERIALIZED (\n  SELECT vec_id, {code_cols}\n"
+        f"  FROM asgp0 a0 {code_joins})"
+    )
+    parts.append(f"""qp AS MATERIALIZED (
+  SELECT vec_id AS query_id, q6, cell FROM (
+    SELECT a.vec_id, a.q6, cl.cell,
+           list_sum(list_transform(range({dim}),
+             d -> (a.q6[d+1] - f.c[cl.cell*{dim} + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*{dim} + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 3)""")
+    adc_terms = "\n         + ".join(
+        f"""list_sum(list_transform(range({d_sub}),
+             d -> (q.q6[{s * d_sub}+d+1] - f{s}.c[cd.c{s}*{d_sub} + d + 1])
+                  * (q.q6[{s * d_sub}+d+1] - f{s}.c[cd.c{s}*{d_sub} + d + 1])))"""
+        for s in range(m)
+    )
+    fin_joins = " ".join(f"CROSS JOIN finp{s} f{s}" for s in range(m))
+    parts.append(f"""cand AS MATERIALIZED (
+  SELECT q.query_id, cx.vec_id AS corpus_id,
+         CAST({adc_terms} AS BIGINT) AS adc_d2
+  FROM qp q JOIN ccell cx USING (cell)
+       JOIN cw cd ON cd.vec_id = cx.vec_id
+       {fin_joins})""")
+    return (
+        "\nWITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + """
+SELECT query_id, corpus_id, adc_d2,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 4
+ORDER BY query_id, "rank"
+"""
+    )
+
+
+SQL_ANN_JOIN_PQ = _sql_ann_join_pq()
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -10267,6 +10407,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_ann_serve": q_ann_serve,
     "q_index_lifecycle": q_index_lifecycle,
     "q_pq_fit": q_pq_fit,
+    "q_ann_join_pq": q_ann_join_pq,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -10482,6 +10623,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_ann_serve": SQL_ANN_SERVE,
     "q_index_lifecycle": SQL_INDEX_LIFECYCLE,
     "q_pq_fit": SQL_PQ_FIT,
+    "q_ann_join_pq": SQL_ANN_JOIN_PQ,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -234,8 +234,10 @@ BENCH_QUERIES = [
     "q_kmeans_fit_hd",
     "q_ann_serve",
     "q_index_lifecycle",
-    # r13 — exact per-subspace PQ codebook fit (X156)
+    # r13 — exact per-subspace PQ codebook fit (X156) and the IVF-PQ
+    # retrieval composition served from the coded index (X157)
     "q_pq_fit",
+    "q_ann_join_pq",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

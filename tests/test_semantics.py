@@ -2084,6 +2084,76 @@ def test_pq_fit_exact_guards_and_slices(spark):
             )
 
 
+def test_ann_join_pq_plan_codes_only(spark):
+    """X157's 100 TB claim, pinned: served from a STORED coded index
+    (localCheckpointed (id, cell, codes) frame — what an ingest-time
+    write would load), the serving plan touches NO vector column on
+    the corpus side: two static broadcast joins (probe cells + query
+    q6 attach), one WindowGroupLimit-pre-limited candidate exchange,
+    zero SortMergeJoin. And ADC ranks are what a driver-side replica
+    computes."""
+    import re
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+    )
+    from alphavantage_etl_spark.queries import (
+        _learned_cents_shared,
+        _pq_books_shared,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    books6 = _pq_books_shared(spark, SF_ORACLE)
+    idx = (
+        assign_cells_l2q(corpus, cents6, n_probe=1)
+        .join(pq_encode_exact(corpus, books6), on="vec_id")
+        .localCheckpoint()
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+    out = ann_join_pq(queries, k=4, query_cells=qc, corpus_index=idx,
+                      books6=books6)
+    rows = out.collect()
+    assert rows
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
+
+    # driver-side ADC replica on a small sample of candidates
+    import random
+
+    rng = random.Random(157)
+    sample = rng.sample(rows, min(10, len(rows)))
+    # engine-side quantization (Python round() is half-even, the
+    # engine's is half-up — don't re-implement, read it back)
+    from alphavantage_etl_spark.operators.similarity import _q6_base
+
+    q6 = {
+        r["__id"]: list(r["__q6"])
+        for r in _q6_base(queries, 64, "embedding", "vec_id").collect()
+    }
+    codes = {r["vec_id"]: list(r["__codes"]) for r in idx.collect()}
+    for r in sample:
+        want = sum(
+            (q6[r["query_id"]][s * 16 + d] - books6[s][codes[r["corpus_id"]][s]][d])
+            ** 2
+            for s in range(4)
+            for d in range(16)
+        )
+        assert r["adc_d2"] == want
+
+
 def test_assign_cells_l2q_and_byo_quantizer_guards(spark):
     """X146 plumbing: integer-L2 assignment matches a hand replica
     (argmin and probe explode), and ann_join's bring-your-own-quantizer
