@@ -10175,6 +10175,125 @@ ORDER BY query_id, "rank"
 SQL_ANN_JOIN_PQ = _sql_ann_join_pq()
 
 
+# X158 — ADC-shortlist + exact rerank (r13): the production retrieval
+# chain made hash-exact CROSS-TABLE — the X157 coded index produces a
+# k'=12 ADC shortlist (bytes-only corpus scan), then ONLY the
+# shortlist attaches raw vectors (the shortlist is |Q| x k' rows, so
+# it is the BROADCAST side of both vector joins — candidate-bounded
+# vector reads, the pq_topk_rerank pattern across tables) and an exact
+# cosine rerank yields top-4 by (sim desc, corpus_id). Zero-norm
+# shortlist members drop at the rerank (cosine undefined — mirrored).
+# Demonstrates the X157 docstring's "compose with a raw-vector rerank
+# when exactness matters" as a pinned contract, k'=12/k=4
+# (operators/similarity.py:ann_join_pq + functions/vectors.py).
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .functions.vectors import dot, l2_norm
+    from .operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    books6 = _pq_books_shared(spark, sf_dir)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        pq_encode_exact(corpus, books6), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+    shortlist = ann_join_pq(
+        queries, k=12, query_cells=qc, corpus_index=idx, books6=books6
+    ).select("query_id", "corpus_id")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    ).where(F.col("__qn") > 0)
+    cv = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("__cvec"),
+        l2_norm(F.col("embedding")).alias("__cn"),
+    ).where(F.col("__cn") > 0)
+    sim = F.bround(
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qn") * F.col("__cn")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("corpus_id")
+    )
+    return (
+        shortlist.join(qv, on="query_id")
+        .join(cv, on="corpus_id")
+        .select("query_id", "corpus_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .select("query_id", "corpus_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_pq_rerank() -> str:
+    base = _sql_ann_join_pq()
+    # the X157 statement with: norms added to allv, the final top-4
+    # ADC select demoted to a k'=12 shortlist CTE, and the exact
+    # cosine rerank appended — textual composition of the SAME
+    # generated oracle so the two can never drift
+    base = base.replace(
+        """allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,""",
+        """allv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm,
+         list_transform(embedding,""",
+    )
+    tail = """
+SELECT query_id, corpus_id, adc_d2,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 4
+ORDER BY query_id, "rank"
+"""
+    assert tail in base
+    return base.replace(
+        tail,
+        """,
+shortlist AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_d2, corpus_id) <= 12),
+rer AS MATERIALIZED (
+  SELECT s.query_id, s.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(qa.embedding) AS x,
+                         unnest(ca.embedding) AS y))
+           / (qa.nrm * ca.nrm), 6) AS sim
+  FROM shortlist s
+  JOIN allv qa ON qa.vec_id = s.query_id AND qa.nrm > 0
+  JOIN allv ca ON ca.vec_id = s.corpus_id AND ca.nrm > 0)
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM rer
+QUALIFY "rank" <= 4
+ORDER BY query_id, "rank"
+""",
+    )
+
+
+SQL_PQ_RERANK = _sql_pq_rerank()
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -10408,6 +10527,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_index_lifecycle": q_index_lifecycle,
     "q_pq_fit": q_pq_fit,
     "q_ann_join_pq": q_ann_join_pq,
+    "q_pq_rerank": q_pq_rerank,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -10624,6 +10744,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_index_lifecycle": SQL_INDEX_LIFECYCLE,
     "q_pq_fit": SQL_PQ_FIT,
     "q_ann_join_pq": SQL_ANN_JOIN_PQ,
+    "q_pq_rerank": SQL_PQ_RERANK,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

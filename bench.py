@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     # retrieval composition served from the coded index (X157)
     "q_pq_fit",
     "q_ann_join_pq",
+    # r13 — ADC shortlist -> exact rerank composition (X158)
+    "q_pq_rerank",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in
