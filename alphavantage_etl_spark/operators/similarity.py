@@ -1149,8 +1149,7 @@ def pq_fit_exact(
             T.StructField("inertia", T.LongType()),
         ]
     )
-    rows = []
-    for s in range(m):
+    def fit_subspace(s: int):
         sub = base.select(
             "__id", F.slice("__q6", s * d_sub + 1, d_sub).alias("__q6")
         )
@@ -1176,6 +1175,20 @@ def pq_fit_exact(
             )
             .collect()
         }
+        return cents, final
+
+    # the m fits are INDEPENDENT (disjoint slices of one checkpointed
+    # frame), so they submit from concurrent driver threads and the
+    # scheduler interleaves their tiny jobs — each fit is collect-
+    # latency-bound (iters+2 sequential O(model) round trips), so this
+    # cuts wall ~m-fold without changing a single computed value
+    # (results keyed by subspace index, assembled in order)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        fitted = list(pool.map(fit_subspace, range(m)))
+    rows = []
+    for s, (cents, final) in enumerate(fitted):
         rows.extend(
             (
                 s,
