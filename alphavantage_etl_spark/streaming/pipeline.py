@@ -2178,6 +2178,150 @@ def ivf_index_stream(
     return q
 
 
+def pq_index_stream(
+    stream_df: DataFrame,
+    cents6: list[list[int]],
+    books6: list[list[list[int]]],
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming twin of X157's CODED index — continuous IVF-PQ index
+    maintenance: each embedding micro-batch is cell-assigned under the
+    frozen exact quantizer (``assign_cells_l2q`` — the X146 integer
+    metric, so streamed and batch-built assignments are bit-identical)
+    AND PQ-encoded under the frozen X156 codebook
+    (``pq_encode_exact``), and the ``(id, __cell, __codes)`` rows
+    append exactly-once via the ``ingest_batch_id=N`` partition-dir
+    protocol (:func:`_append_batch`). The corpus pays assignment +
+    encode cost once, at arrival; every later query batch serves
+    ``ann_join_pq`` straight from the stored BYTES — at 100 TB the
+    streamed index is the only thing the serving scan ever reads.
+
+    BOTH models are FROZEN at stream start and persisted beside the
+    index (``cents6/`` and ``books6/`` parquet): a restart against the
+    same ``index_path`` with a different quantizer OR codebook raises;
+    an existing-but-UNREADABLE model file also raises (fail closed —
+    the kmeans_state_stream r12-ADVICE rule applied from birth: a torn
+    model write must not disable the mismatch guard). Re-clustering /
+    re-fitting is an offline rebuild. Load with :func:`load_pq_index`.
+    """
+    from ..operators.similarity import (
+        _validate_books6,
+        assign_cells_l2q,
+        pq_encode_exact,
+    )
+
+    _validate_books6(books6, "pq_index_stream")
+    spark = stream_df.sparkSession
+    want_c = [[int(x) for x in c] for c in cents6]
+    want_b = [[[int(x) for x in c] for c in b] for b in books6]
+    for sub_path, want, schema, rows in (
+        (
+            f"{index_path}/cents6",
+            want_c,
+            "cell int, c6 array<long>",
+            list(enumerate(want_c)),
+        ),
+        (
+            f"{index_path}/books6",
+            want_b,
+            "subspace int, code int, c6 array<long>",
+            [
+                (s, c, want_b[s][c])
+                for s in range(len(want_b))
+                for c in range(len(want_b[0]))
+            ],
+        ),
+    ):
+        fs, p = _hadoop_fs(spark, sub_path)
+        if fs.exists(p):
+            try:
+                df = spark.read.parquet(sub_path)
+                if "subspace" in df.columns:
+                    got = [
+                        [
+                            [int(x) for x in r["c6"]]
+                            for r in df.where(F.col("subspace") == s)
+                            .orderBy("code")
+                            .collect()
+                        ]
+                        for s in range(len(want_b))
+                    ]
+                else:
+                    got = [
+                        [int(x) for x in r["c6"]]
+                        for r in df.orderBy("cell").collect()
+                    ]
+            except Exception as exc:
+                raise ValueError(
+                    f"pq_index_stream: UNREADABLE model file at "
+                    f"{sub_path!r} — cannot verify the frozen-model "
+                    "contract; repair or clear the index path"
+                ) from exc
+            if got != want:
+                raise ValueError(
+                    "pq_index_stream: index_path already holds a "
+                    "DIFFERENT quantizer/codebook — mixing models "
+                    "silently corrupts the index; rebuild offline or "
+                    "point at a fresh path"
+                )
+        else:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(sub_path)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        coded = assign_cells_l2q(
+            batch_df, cents6, n_probe=1, vec_col=vec_col, id_col=id_col
+        ).join(
+            pq_encode_exact(
+                batch_df, books6, vec_col=vec_col, id_col=id_col
+            ),
+            on=id_col,
+        )
+        _append_batch(coded, f"{index_path}/assignments", batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def load_pq_index(
+    spark: SparkSession, index_path: str
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
+    """Load a :func:`pq_index_stream` index: ``(coded_assignments_df,
+    cents6, books6)`` — the assignments frame is exactly
+    :func:`ann_join_pq`'s ``corpus_index`` contract; the model reads
+    are O(model)."""
+    cents6 = [
+        [int(x) for x in r["c6"]]
+        for r in spark.read.parquet(f"{index_path}/cents6")
+        .orderBy("cell")
+        .collect()
+    ]
+    braw = (
+        spark.read.parquet(f"{index_path}/books6")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    n_sub = 1 + max(r["subspace"] for r in braw)
+    books6: list[list[list[int]]] = [[] for _ in range(n_sub)]
+    for r in braw:
+        books6[r["subspace"]].append([int(x) for x in r["c6"]])
+    raw = spark.read.parquet(f"{index_path}/assignments")
+    idx = raw.select(
+        [c for c in raw.columns if c != "ingest_batch_id"]
+    )
+    return idx, cents6, books6
+
+
 def kmeans_state_stream(
     stream_df: DataFrame,
     cents6: list[list[int]],

@@ -1193,3 +1193,128 @@ def test_kmeans_state_merge_associative_and_exact(spark, vecs, splits):
         exp_cents[c] = [away(x / exp_n[c]) for x in s]
     assert full[0] == exp_cents
     assert full[1] == exp_n
+
+
+@CONTRACT_SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=2.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_kmeans_fit_narrow_equals_wide_generated(spark, vecs, iters):
+    """X154 contract across generated corpora: the narrow posexplode
+    fit path (forced via max_dim below the true dim) is BIT-IDENTICAL
+    to the wide literal-matrix form — a divergence would be a silent
+    wrong quantizer, not an error, so this is contract-critical."""
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_fit_quantized,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    wide = kmeans_fit_quantized(df, n_cells=2, iters=iters, dim=4).collect()
+    narrow = kmeans_fit_quantized(
+        df, n_cells=2, iters=iters, dim=4, max_dim=2
+    ).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=2.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ann_join_pq_adc_matches_python_replica(spark, vecs):
+    """X156/X157 across generated corpora: pq_encode_exact picks the
+    per-subspace argmin code (ties to lowest) of the exact-fit
+    codebook, and ann_join_pq's adc_d2 + ranking equal a pure-Python
+    replica over all candidate pairs (single-cell quantizer so every
+    pair is a candidate)."""
+    import math
+
+    import numpy as np
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+        pq_fit_exact,
+    )
+
+    m, codes, d_sub = 2, 2, 2
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    fit = pq_fit_exact(df, m=m, codes=codes, iters=1, dim=4).collect()
+    books = [[[0] * d_sub for _ in range(codes)] for _ in range(m)]
+    for r in fit:
+        books[r["subspace"]][r["code"]][r["dim"]] = int(r["c6"])
+
+    cents6 = [[0, 0, 0, 0]]  # one cell: every pair is a candidate
+    idx = assign_cells_l2q(df, cents6, n_probe=1).join(
+        pq_encode_exact(df, books), on="vec_id"
+    )
+    qc = assign_cells_l2q(df, cents6, n_probe=1)
+    k = len(vecs)
+    got = {
+        (r["query_id"], r["corpus_id"]): (r["adc_d2"], r["rank"])
+        for r in ann_join_pq(
+            df, k=k, query_cells=qc, corpus_index=idx, books6=books
+        ).collect()
+    }
+
+    def away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    q = {
+        i: [away(float(np.float32(x)) * 1e6) for x in v]
+        for i, v in enumerate(vecs)
+    }
+
+    def code(i, s):
+        sl = q[i][s * d_sub : (s + 1) * d_sub]
+        d2 = [
+            sum((a - b) ** 2 for a, b in zip(sl, c)) for c in books[s]
+        ]
+        return min(range(codes), key=lambda j: (d2[j], j))
+
+    exp = {}
+    for qi in q:
+        cands = []
+        for ci in q:
+            adc = sum(
+                (q[qi][s * d_sub + d] - books[s][code(ci, s)][d]) ** 2
+                for s in range(m)
+                for d in range(d_sub)
+            )
+            cands.append((adc, ci))
+        for rank, (adc, ci) in enumerate(sorted(cands), start=1):
+            exp[(qi, ci)] = (adc, rank)
+    assert got == exp

@@ -1868,3 +1868,122 @@ def test_kmeans_state_stream_parity_replay_and_guard(spark, tmp_path):
             fh.write(b"not parquet")
     with pytest.raises(ValueError, match="UNREADABLE"):
         drain()
+
+
+def test_pq_index_stream_parity_replay_guards(spark, tmp_path):
+    """X159 (streaming twin of X157): the streamed CODED index equals
+    assign+encode over the union of batches bit-for-bit, ann_join_pq
+    serves identically from it, a replayed batch does not duplicate,
+    a restart with a different codebook raises, and an unreadable
+    model file fails CLOSED (the r12-ADVICE rule applied from
+    birth)."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+    )
+    from alphavantage_etl_spark.queries import (
+        _learned_cents_shared,
+        _pq_books_shared,
+    )
+    from alphavantage_etl_spark.sources import load
+    from alphavantage_etl_spark.streaming.pipeline import (
+        load_pq_index,
+        pq_index_stream,
+    )
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    books6 = _pq_books_shared(spark, SF_ORACLE)
+
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    index = str(tmp_path / "pq_index")
+    ckpt = str(tmp_path / "ckpt_pq")
+    schema = "vec_id long, embedding array<float>"
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain(books=books6):
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        pq_index_stream(stream, cents6, books, index, ckpt)
+
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    land(corpus.where(F.col("vec_id") % 2 == 0), "b0")
+    drain()
+    land(corpus.where(F.col("vec_id") % 2 == 1), "b1")
+    drain()
+
+    idx, loaded_cents, loaded_books = load_pq_index(spark, index)
+    assert loaded_cents == cents6 and loaded_books == books6
+    want = sorted(
+        (r["vec_id"], r["__cell"], tuple(r["__codes"]))
+        for r in assign_cells_l2q(corpus, cents6, n_probe=1)
+        .join(pq_encode_exact(corpus, books6), on="vec_id")
+        .collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["__cell"], tuple(r["__codes"]))
+        for r in idx.collect()
+    )
+    assert got == want
+
+    # serving parity: ann_join_pq from the streamed index == in-plan
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["adc_d2"], r["rank"])
+            for r in df.collect()
+        )
+
+    assert rows(
+        ann_join_pq(queries, k=4, query_cells=qc, corpus_index=idx,
+                    books6=books6)
+    ) == rows(
+        ann_join_pq(
+            queries, k=4, query_cells=qc,
+            corpus_index=assign_cells_l2q(corpus, cents6, n_probe=1).join(
+                pq_encode_exact(corpus, books6), on="vec_id"
+            ),
+            books6=books6,
+        )
+    )
+
+    # replay injection: drop the last commit — the batch re-runs and
+    # overwrites its own ingest_batch_id dir, never duplicates
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    idx2, _, _ = load_pq_index(spark, index)
+    assert idx2.count() == len(want)
+
+    # frozen-model guard: a different codebook against the same path
+    other = [[[c + 1 for c in code] for code in b] for b in books6]
+    with pytest.raises(ValueError, match="DIFFERENT quantizer/codebook"):
+        drain(books=other)
+
+    # fail-closed guard: corrupt books6 parquet -> raise, never skip
+    for part in glob.glob(f"{index}/books6/*.parquet"):
+        with open(part, "wb") as fh:
+            fh.write(b"not parquet")
+    with pytest.raises(ValueError, match="UNREADABLE"):
+        drain()
