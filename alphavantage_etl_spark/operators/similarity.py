@@ -1360,6 +1360,157 @@ def ann_join_pq(
     )
 
 
+def sq8_fit(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, int]]:
+    """Per-dimension u6 bounds ``[(lo6, hi6), ...]`` of a corpus — the
+    model state of SQ8 scalar quantization (X160): each dimension gets
+    an affine int8 grid over its observed range. One narrow scan,
+    posexplode to (d, x), one map-side-combinable min/max aggregation,
+    an O(dim) collect — the approved O(model) class. Exact integers in,
+    exact integers out."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    rows = (
+        _q6_base(df, dim, vec_col, id_col)
+        .select(F.posexplode("__q6").alias("__d", "__x"))
+        .groupBy("__d")
+        .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"sq8_fit: no usable vectors at dim={dim} "
+            f"(got bounds for {len(rows)} dimensions)"
+        )
+    by_d = {int(r["__d"]): (int(r["__lo"]), int(r["__hi"])) for r in rows}
+    return [by_d[d] for d in range(dim)]
+
+
+def sq8_encode(
+    df: DataFrame,
+    bounds6: list[tuple[int, int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, __sq8 array<int>)`` — each u6 component mapped onto
+    its dimension's 0..255 affine grid: ``round((x - lo) * 255 /
+    (hi - lo))``, clamped (new data may fall outside the fit bounds),
+    and 0 where the dimension is constant. The rounding is the
+    engine-wide away-from-zero ``round(double)`` (numerators here are
+    clamped non-negative, so Spark/DuckDB agree exactly); the
+    numerator ``(x - lo) * 255`` stays a small exact integer, so the
+    whole encode is bit-stable cross-engine. One narrow projection, no
+    shuffle; bounds ride as two O(dim) literals."""
+    dim = len(bounds6)
+    if dim < 1:
+        raise ValueError("sq8_encode: bounds6 must be non-empty")
+    lo_lit = F.lit([int(b[0]) for b in bounds6])
+    span_lit = F.lit([int(b[1]) - int(b[0]) for b in bounds6])
+    base = _q6_base(df, dim, vec_col, id_col)
+
+    def code(x: Column, d: Column) -> Column:
+        lo = F.element_at(lo_lit, d + 1)
+        span = F.element_at(span_lit, d + 1)
+        raw = F.round(
+            ((x - lo) * 255).cast("double") / span.cast("double")
+        ).cast("int")
+        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(255))
+        return F.when(span == 0, F.lit(0)).otherwise(clamped)
+
+    return base.select(
+        F.col("__id").alias(id_col),
+        F.transform(F.col("__q6"), code).alias("__sq8"),
+    )
+
+
+def ann_join_sq8(
+    queries_df: DataFrame,
+    k: int,
+    query_cells: DataFrame,
+    corpus_index: DataFrame,
+    bounds6: list[tuple[int, int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-SQ8 maximum-inner-product retrieval (X160) — the third
+    compression tier of the serving stack (raw vectors -> X157 PQ
+    codes -> SQ8 bytes): candidates come from shared IVF cells and are
+    ranked by the EXACT INTEGER inner product between the query's u6
+    vector and the candidate's 255-SCALED SQ8 reconstruction
+    ``lo*255 + code*(hi-lo)`` — every term an exact int64, so ranking
+    is bit-stable cross-engine (ties by corpus id; the uniform 255x
+    scale cannot reorder). ``corpus_index`` is an ``(id_col, __cell,
+    __sq8)`` frame (IVF assignment + :func:`sq8_encode`, joined once
+    at ingest): the corpus-side scan carries one byte per dimension
+    and never the raw vectors. Inner-product (MIPS) ranking, not
+    cosine — SQ8 reconstructions have no exact integer norm; compose
+    with a raw-vector rerank of the top-k' when cosine exactness
+    matters (the X158 pattern). Returns ``(query_id, corpus_id,
+    ip_score, rank)``, rank 1..k by (ip_score desc, corpus_id).
+
+    Scale shape: identical to :func:`ann_join_pq` — one cell equi-join
+    of the coded index against the bare probe frame, query vectors
+    attach by id, both broadcasts static-from-stats, one
+    WindowGroupLimit-pre-limited candidate exchange; bounds ride as
+    two O(dim) literals."""
+    dim = len(bounds6)
+    if dim < 1:
+        raise ValueError("ann_join_sq8: bounds6 must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    need = {id_col, "__cell", "__sq8"}
+    if not need <= set(corpus_index.columns):
+        raise ValueError(
+            f"ann_join_sq8: corpus_index must carry {sorted(need)}"
+        )
+    from pyspark.sql import Window
+
+    lo255_lit = F.lit([int(b[0]) * 255 for b in bounds6])
+    span_lit = F.lit([int(b[1]) - int(b[0]) for b in bounds6])
+    q0 = _q6_base(queries_df, dim, vec_col, id_col).select(
+        F.col("__id").alias("query_id"), "__q6"
+    )
+    qcells = query_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__cell").cast("int").alias("__cell"),
+    )
+    c = corpus_index.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("__cell").cast("int").alias("__cell"),
+        "__sq8",
+    )
+    ip = F.aggregate(
+        F.transform(
+            F.col("__q6"),
+            lambda q, d: q
+            * (
+                F.element_at(lo255_lit, d + 1)
+                + F.element_at(F.col("__sq8"), (d + 1).cast("int"))
+                * F.element_at(span_lit, d + 1)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        c.join(qcells, on="__cell", how="inner")
+        .join(q0, on="query_id", how="inner")
+        .select("query_id", "corpus_id", ip.alias("ip_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip_score"), F.col("corpus_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "ip_score", "rank")
+    )
+
+
 def build_ivf_index(
     corpus_df: DataFrame,
     centroids: list[list[float]],

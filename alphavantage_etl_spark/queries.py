@@ -10294,6 +10294,105 @@ ORDER BY query_id, "rank"
 SQL_PQ_RERANK = _sql_pq_rerank()
 
 
+# X160 — IVF-SQ8 maximum-inner-product retrieval (r13): the THIRD
+# compression tier of the serving stack (raw -> PQ codes -> SQ8
+# bytes): per-dim u6 bounds learned on the corpus (sq8_fit, O(dim)
+# model state), components mapped to a 0..255 affine grid
+# (sq8_encode — exact integer numerators, away-rounded, clamped), and
+# candidates from shared IVF cells ranked by the EXACT integer inner
+# product against the 255-scaled reconstruction — MIPS ranking, not
+# cosine (no exact integer norm exists for the reconstruction; the
+# X158 rerank pattern composes when cosine exactness matters). k=5,
+# n_probe=3 — a shape no sibling uses
+# (operators/similarity.py:sq8_fit,sq8_encode,ann_join_sq8).
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_sq8,
+        assign_cells_l2q,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    bounds6 = sq8_fit(corpus, dim=64)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        sq8_encode(corpus, bounds6), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+    return ann_join_sq8(
+        queries, k=5, query_cells=qc, corpus_index=idx, bounds6=bounds6
+    ).orderBy("query_id", "rank")
+
+
+SQL_ANN_SQ8 = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+ccell AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (v.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (v.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+b AS (
+  SELECT d, CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi
+  FROM (SELECT unnest(q6) AS x, unnest(range(64)) AS d FROM v)
+  GROUP BY d),
+bl AS MATERIALIZED (
+  SELECT list(lo ORDER BY d) AS lo, list(hi - lo ORDER BY d) AS span
+  FROM b),
+enc AS MATERIALIZED (
+  SELECT v.vec_id,
+         list_transform(range(64), d -> CASE WHEN bl.span[d+1] = 0 THEN 0
+           ELSE LEAST(GREATEST(CAST(round(
+                  CAST((v.q6[d+1] - bl.lo[d+1]) * 255 AS DOUBLE)
+                  / CAST(bl.span[d+1] AS DOUBLE)) AS BIGINT), 0), 255)
+           END) AS sq8
+  FROM v CROSS JOIN bl),
+qp AS MATERIALIZED (
+  SELECT vec_id AS query_id, q6, cell FROM (
+    SELECT a.vec_id, a.q6, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 3),
+cand AS MATERIALIZED (
+  SELECT q.query_id, cx.vec_id AS corpus_id,
+         CAST(list_sum(list_transform(range(64),
+           d -> q.q6[d+1]
+                * (bl.lo[d+1] * 255 + e.sq8[d+1] * bl.span[d+1])))
+           AS BIGINT) AS ip_score
+  FROM qp q JOIN ccell cx USING (cell)
+       JOIN enc e ON e.vec_id = cx.vec_id
+       CROSS JOIN bl)
+SELECT query_id, corpus_id, ip_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY ip_score DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 5
+ORDER BY query_id, "rank"
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -10528,6 +10627,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_pq_fit": q_pq_fit,
     "q_ann_join_pq": q_ann_join_pq,
     "q_pq_rerank": q_pq_rerank,
+    "q_ann_sq8": q_ann_sq8,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -10745,6 +10845,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_pq_fit": SQL_PQ_FIT,
     "q_ann_join_pq": SQL_ANN_JOIN_PQ,
     "q_pq_rerank": SQL_PQ_RERANK,
+    "q_ann_sq8": SQL_ANN_SQ8,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -238,8 +238,10 @@ BENCH_QUERIES = [
     # retrieval composition served from the coded index (X157)
     "q_pq_fit",
     "q_ann_join_pq",
-    # r13 — ADC shortlist -> exact rerank composition (X158)
+    # r13 — ADC shortlist -> exact rerank composition (X158), IVF-SQ8
+    # integer-exact MIPS serving (X160)
     "q_pq_rerank",
+    "q_ann_sq8",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

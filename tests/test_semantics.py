@@ -2154,6 +2154,71 @@ def test_ann_join_pq_plan_codes_only(spark):
         assert r["adc_d2"] == want
 
 
+def test_ann_sq8_codes_and_plan(spark):
+    """X160: sq8 codes live on the 0..255 grid (constant dimensions
+    encode 0; out-of-bounds NEW data clamps), and the serving plan
+    from a STORED coded index matches the X157 shape — two static
+    broadcasts, one candidate exchange, no vector column on the
+    corpus side."""
+    import re
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_sq8,
+        assign_cells_l2q,
+        sq8_encode,
+        sq8_fit,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    # grid properties on a hand frame: constant dim -> 0, extremes ->
+    # 0/255, out-of-bounds new data clamps
+    fit_df = spark.createDataFrame(
+        [(0, [0.0, 1.0, 5.0]), (1, [1.0, 3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bounds = sq8_fit(fit_df, dim=3)
+    assert bounds == [(0, 1000000), (1000000, 3000000), (5000000, 5000000)]
+    enc = {
+        r["vec_id"]: list(r["__sq8"])
+        for r in sq8_encode(fit_df, bounds).collect()
+    }
+    assert enc[0] == [0, 0, 0] and enc[1] == [255, 255, 0]
+    new_df = spark.createDataFrame(
+        [(2, [-1.0, 2.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    assert list(sq8_encode(new_df, bounds).collect()[0]["__sq8"]) == [
+        0, 128, 0,  # clamped low; mid-grid; constant dim stays 0
+    ]
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    bounds6 = sq8_fit(corpus, dim=64)
+    idx = (
+        assign_cells_l2q(corpus, cents6, n_probe=1)
+        .join(sq8_encode(corpus, bounds6), on="vec_id")
+        .localCheckpoint()
+    )
+    out = ann_join_sq8(
+        queries, k=5,
+        query_cells=assign_cells_l2q(queries, cents6, n_probe=3),
+        corpus_index=idx, bounds6=bounds6,
+    )
+    rows = out.collect()
+    assert rows and {r["rank"] for r in rows} <= {1, 2, 3, 4, 5}
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
+
+
 def test_assign_cells_l2q_and_byo_quantizer_guards(spark):
     """X146 plumbing: integer-L2 assignment matches a hand replica
     (argmin and probe explode), and ann_join's bring-your-own-quantizer
