@@ -9140,19 +9140,32 @@ def _ivf_scratch_path(spark: SparkSession, sf_dir: str) -> str:
     mode=overwrite, which deletes files mid-scan, so two concurrent
     same-SF sessions sharing one path could each corrupt the other's
     read. Per-application paths make the contract query's side effect
-    session-private; stale app dirs are bounded by the gitignored
-    .scratch root."""
+    session-private. GROWTH BOUND: sibling app dirs untouched for 24h
+    are pruned best-effort on access — liveness of another PROCESS
+    cannot be probed from here, so age is the only safe signal (a
+    >24h-idle session would rebuild its index on next use; bench/test
+    sessions live minutes). Never prunes the current app's dir."""
     import os
+    import shutil
+    import time
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(
+    root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         os.pardir,
         ".scratch",
         "ivf_index",
-        spark.sparkContext.applicationId,
-        sf_tag,
     )
+    app = spark.sparkContext.applicationId
+    try:
+        cutoff = time.time() - 24 * 3600
+        for entry in os.listdir(root):
+            p = os.path.join(root, entry)
+            if entry != app and os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(root, app, sf_tag)
 
 
 def q_ann_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
