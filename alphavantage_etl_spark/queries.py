@@ -10409,10 +10409,70 @@ ORDER BY query_id, "rank"
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
-    # additions first (5 entries), then (b) the full
+    # additions first (7 entries), then (b) the full
     # oracle-backed surface oldest-last-green-row first (the
     # 0 red-only entries sort oldest of all;
     # ties: SURVEY §2 parity keys, then registration order).
+    "q_ann_sq8": q_ann_sq8,
+    "q_pq_rerank": q_pq_rerank,
+    "q_ann_join_pq": q_ann_join_pq,
+    "q_pq_fit": q_pq_fit,
+    "q_index_lifecycle": q_index_lifecycle,
+    "q_ann_serve": q_ann_serve,
+    "q_kmeans_fit_hd": q_kmeans_fit_hd,
+    "q_filter_today": q_filter_today,
+    "q_weekday_filter": q_weekday_filter,
+    "q_busday_gap": q_busday_gap,
+    "q_latest_row": q_latest_row,
+    "q_principal_dir": q_principal_dir,
+    "q_recrawl_keep": q_recrawl_keep,
+    "q_k_anonymity": q_k_anonymity,
+    "q_curation_gated": q_curation_gated,
+    "q_url_dedup": q_url_dedup,
+    "q_token_budget": q_token_budget,
+    "q_license_gate": q_license_gate,
+    "q_domain_caps": q_domain_caps,
+    "q_url_canon": q_url_canon,
+    "q_dsir_weights": q_dsir_weights,
+    "q_mutual_info": q_mutual_info,
+    "q_logreg": q_logreg,
+    "q_block_dedup": q_block_dedup,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_target_encode": q_target_encode,
+    "q_psi_drift": q_psi_drift,
+    "q_linkage": q_linkage,
+    "q_collocations": q_collocations,
+    "q_agg_state": q_agg_state,
+    "q_profile": q_profile,
+    "q_bm25": q_bm25,
+    "q_basket_lift": q_basket_lift,
+    "q_survival": q_survival,
+    "q_knn_graph": q_knn_graph,
+    "q_auc": q_auc,
+    "q_negative_samples": q_negative_samples,
+    "q_join_profile": q_join_profile,
+    "q_random_projection": q_random_projection,
+    "q_bootstrap_ci": q_bootstrap_ci,
+    "q_acf": q_acf,
+    "q_change_point": q_change_point,
+    "q_embedding_diag": q_embedding_diag,
+    "q_zipf": q_zipf,
+    "q_chi2": q_chi2,
+    "q_benford": q_benford,
+    "q_gini": q_gini,
+    "q_theilsen": q_theilsen,
+    "q_mann_kendall": q_mann_kendall,
+    "q_hot_keys": q_hot_keys,
+}
+
+# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
+# window) but part of the engine surface: benchmarked by bench.py and
+# oracle-checked (where an oracle exists) by the local pytest gate.
+EXTRA_QUERIES: dict[str, QueryFn] = {
+    # Outside the r8 driver window (compressed rotation,
+    # ROTATION.md). Every oracle-backed entry stays under the
+    # strict local gate via ALL_ORACLES and in bench.py's
+    # headline set; rows-only diagnostics live here always.
     "q_refit_gated": q_refit_gated,
     "q_refit_moves": q_refit_moves,
     "q_kmeans_refit": q_kmeans_refit,
@@ -10463,16 +10523,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_discretize": q_discretize,
     "q_incremental_merge": q_incremental_merge,
     "q_cast_types": q_cast_types,
-}
-
-# Not declared to the driver (keeps QUERIES inside the 50-entry correctness
-# window) but part of the engine surface: benchmarked by bench.py and
-# oracle-checked (where an oracle exists) by the local pytest gate.
-EXTRA_QUERIES: dict[str, QueryFn] = {
-    # Outside the r8 driver window (compressed rotation,
-    # ROTATION.md). Every oracle-backed entry stays under the
-    # strict local gate via ALL_ORACLES and in bench.py's
-    # headline set; rows-only diagnostics live here always.
     "q_ann_join_learned": q_ann_join_learned,
     "q_kmeans_fit": q_kmeans_fit,
     "q_winrate_ci": q_winrate_ci,
@@ -10573,49 +10623,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_crosscorr": q_crosscorr,
     "q_spearman": q_spearman,
     "q_burstiness": q_burstiness,
-    "q_principal_dir": q_principal_dir,
-    "q_recrawl_keep": q_recrawl_keep,
-    "q_k_anonymity": q_k_anonymity,
-    "q_curation_gated": q_curation_gated,
-    "q_url_dedup": q_url_dedup,
-    "q_token_budget": q_token_budget,
-    "q_license_gate": q_license_gate,
-    "q_domain_caps": q_domain_caps,
-    "q_url_canon": q_url_canon,
-    "q_dsir_weights": q_dsir_weights,
-    "q_mutual_info": q_mutual_info,
-    "q_logreg": q_logreg,
-    "q_block_dedup": q_block_dedup,
-    "q_semantic_dedup": q_semantic_dedup,
-    "q_target_encode": q_target_encode,
-    "q_psi_drift": q_psi_drift,
-    "q_linkage": q_linkage,
-    "q_collocations": q_collocations,
-    "q_agg_state": q_agg_state,
-    "q_profile": q_profile,
-    "q_bm25": q_bm25,
-    "q_basket_lift": q_basket_lift,
-    "q_survival": q_survival,
-    "q_knn_graph": q_knn_graph,
-    "q_auc": q_auc,
-    "q_negative_samples": q_negative_samples,
-    "q_join_profile": q_join_profile,
-    "q_random_projection": q_random_projection,
-    "q_bootstrap_ci": q_bootstrap_ci,
-    "q_acf": q_acf,
-    "q_change_point": q_change_point,
-    "q_embedding_diag": q_embedding_diag,
-    "q_zipf": q_zipf,
-    "q_filter_today": q_filter_today,
-    "q_weekday_filter": q_weekday_filter,
-    "q_busday_gap": q_busday_gap,
-    "q_latest_row": q_latest_row,
-    "q_chi2": q_chi2,
-    "q_benford": q_benford,
-    "q_gini": q_gini,
-    "q_theilsen": q_theilsen,
-    "q_mann_kendall": q_mann_kendall,
-    "q_hot_keys": q_hot_keys,
     "q_templates": q_templates,
     "q_bigram_lm": q_bigram_lm,
     "q_novelty": q_novelty,
@@ -10631,22 +10638,68 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
-    # r13 additions (X154, X155, X153) — registered at the END of the
-    # EXTRA registries per the rotation discipline: the r14 rotation
-    # queues them at the window front as never-driver-checked entries
-    "q_kmeans_fit_hd": q_kmeans_fit_hd,
-    "q_ann_serve": q_ann_serve,
-    "q_index_lifecycle": q_index_lifecycle,
-    "q_pq_fit": q_pq_fit,
-    "q_ann_join_pq": q_ann_join_pq,
-    "q_pq_rerank": q_pq_rerank,
-    "q_ann_sq8": q_ann_sq8,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
 
 ORACLES: dict[str, str] = {
     # mirrors QUERIES order exactly (the driver zips them)
+    "q_ann_sq8": SQL_ANN_SQ8,
+    "q_pq_rerank": SQL_PQ_RERANK,
+    "q_ann_join_pq": SQL_ANN_JOIN_PQ,
+    "q_pq_fit": SQL_PQ_FIT,
+    "q_index_lifecycle": SQL_INDEX_LIFECYCLE,
+    "q_ann_serve": SQL_ANN_SERVE,
+    "q_kmeans_fit_hd": SQL_KMEANS_FIT_HD,
+    "q_filter_today": SQL_FILTER_TODAY,
+    "q_weekday_filter": SQL_WEEKDAY_FILTER,
+    "q_busday_gap": SQL_BUSDAY_GAP,
+    "q_latest_row": SQL_LATEST_ROW,
+    "q_principal_dir": SQL_PRINCIPAL_DIR,
+    "q_recrawl_keep": SQL_RECRAWL_KEEP,
+    "q_k_anonymity": SQL_K_ANONYMITY,
+    "q_curation_gated": SQL_CURATION_GATED,
+    "q_url_dedup": SQL_URL_DEDUP,
+    "q_token_budget": SQL_TOKEN_BUDGET,
+    "q_license_gate": SQL_LICENSE_GATE,
+    "q_domain_caps": SQL_DOMAIN_CAPS,
+    "q_url_canon": SQL_URL_CANON,
+    "q_dsir_weights": SQL_DSIR_WEIGHTS,
+    "q_mutual_info": SQL_MUTUAL_INFO,
+    "q_logreg": SQL_LOGREG,
+    "q_block_dedup": SQL_BLOCK_DEDUP,
+    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_target_encode": SQL_TARGET_ENCODE,
+    "q_psi_drift": SQL_PSI_DRIFT,
+    "q_linkage": SQL_LINKAGE,
+    "q_collocations": SQL_COLLOCATIONS,
+    "q_agg_state": SQL_AGG_STATE,
+    "q_profile": SQL_PROFILE,
+    "q_bm25": SQL_BM25,
+    "q_basket_lift": SQL_BASKET_LIFT,
+    "q_survival": SQL_SURVIVAL,
+    "q_knn_graph": SQL_KNN_GRAPH,
+    "q_auc": SQL_AUC,
+    "q_negative_samples": SQL_NEGATIVE_SAMPLES,
+    "q_join_profile": SQL_JOIN_PROFILE,
+    "q_random_projection": SQL_RANDOM_PROJECTION,
+    "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
+    "q_acf": SQL_ACF,
+    "q_change_point": SQL_CHANGE_POINT,
+    "q_embedding_diag": SQL_EMBEDDING_DIAG,
+    "q_zipf": SQL_ZIPF,
+    "q_chi2": SQL_CHI2,
+    "q_benford": SQL_BENFORD,
+    "q_gini": SQL_GINI,
+    "q_theilsen": SQL_THEILSEN,
+    "q_mann_kendall": SQL_MANN_KENDALL,
+    "q_hot_keys": SQL_HOT_KEYS,
+}
+
+# Oracles for queries outside the driver window — the local pytest gate
+# holds these to the same exact-match bar as the driver-declared set.
+EXTRA_ORACLES: dict[str, str] = {
+    # oracle-backed entries currently outside the driver window
     "q_refit_gated": SQL_REFIT_GATED,
     "q_refit_moves": SQL_REFIT_MOVES,
     "q_kmeans_refit": SQL_KMEANS_REFIT,
@@ -10697,12 +10750,6 @@ ORACLES: dict[str, str] = {
     "q_discretize": SQL_DISCRETIZE,
     "q_incremental_merge": SQL_INCREMENTAL_MERGE,
     "q_cast_types": SQL_CAST_TYPES,
-}
-
-# Oracles for queries outside the driver window — the local pytest gate
-# holds these to the same exact-match bar as the driver-declared set.
-EXTRA_ORACLES: dict[str, str] = {
-    # oracle-backed entries currently outside the driver window
     "q_ann_join_learned": SQL_ANN_JOIN_LEARNED,
     "q_kmeans_fit": SQL_KMEANS_FIT,
     "q_winrate_ci": SQL_WINRATE_CI,
@@ -10803,62 +10850,11 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_crosscorr": SQL_CROSSCORR,
     "q_spearman": SQL_SPEARMAN,
     "q_burstiness": SQL_BURSTINESS,
-    "q_principal_dir": SQL_PRINCIPAL_DIR,
-    "q_recrawl_keep": SQL_RECRAWL_KEEP,
-    "q_k_anonymity": SQL_K_ANONYMITY,
-    "q_curation_gated": SQL_CURATION_GATED,
-    "q_url_dedup": SQL_URL_DEDUP,
-    "q_token_budget": SQL_TOKEN_BUDGET,
-    "q_license_gate": SQL_LICENSE_GATE,
-    "q_domain_caps": SQL_DOMAIN_CAPS,
-    "q_url_canon": SQL_URL_CANON,
-    "q_dsir_weights": SQL_DSIR_WEIGHTS,
-    "q_mutual_info": SQL_MUTUAL_INFO,
-    "q_logreg": SQL_LOGREG,
-    "q_block_dedup": SQL_BLOCK_DEDUP,
-    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
-    "q_target_encode": SQL_TARGET_ENCODE,
-    "q_psi_drift": SQL_PSI_DRIFT,
-    "q_linkage": SQL_LINKAGE,
-    "q_collocations": SQL_COLLOCATIONS,
-    "q_agg_state": SQL_AGG_STATE,
-    "q_profile": SQL_PROFILE,
-    "q_bm25": SQL_BM25,
-    "q_basket_lift": SQL_BASKET_LIFT,
-    "q_survival": SQL_SURVIVAL,
-    "q_knn_graph": SQL_KNN_GRAPH,
-    "q_auc": SQL_AUC,
-    "q_negative_samples": SQL_NEGATIVE_SAMPLES,
-    "q_join_profile": SQL_JOIN_PROFILE,
-    "q_random_projection": SQL_RANDOM_PROJECTION,
-    "q_bootstrap_ci": SQL_BOOTSTRAP_CI,
-    "q_acf": SQL_ACF,
-    "q_change_point": SQL_CHANGE_POINT,
-    "q_embedding_diag": SQL_EMBEDDING_DIAG,
-    "q_zipf": SQL_ZIPF,
-    "q_filter_today": SQL_FILTER_TODAY,
-    "q_weekday_filter": SQL_WEEKDAY_FILTER,
-    "q_busday_gap": SQL_BUSDAY_GAP,
-    "q_latest_row": SQL_LATEST_ROW,
-    "q_chi2": SQL_CHI2,
-    "q_benford": SQL_BENFORD,
-    "q_gini": SQL_GINI,
-    "q_theilsen": SQL_THEILSEN,
-    "q_mann_kendall": SQL_MANN_KENDALL,
-    "q_hot_keys": SQL_HOT_KEYS,
     "q_templates": SQL_TEMPLATES,
     "q_bigram_lm": SQL_BIGRAM_LM,
     "q_novelty": SQL_NOVELTY,
     "q_percentile_bands": SQL_PERCENTILE_BANDS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
-    # r13 additions — same order as EXTRA_QUERIES' tail
-    "q_kmeans_fit_hd": SQL_KMEANS_FIT_HD,
-    "q_ann_serve": SQL_ANN_SERVE,
-    "q_index_lifecycle": SQL_INDEX_LIFECYCLE,
-    "q_pq_fit": SQL_PQ_FIT,
-    "q_ann_join_pq": SQL_ANN_JOIN_PQ,
-    "q_pq_rerank": SQL_PQ_RERANK,
-    "q_ann_sq8": SQL_ANN_SQ8,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}
