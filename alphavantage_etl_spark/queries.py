@@ -10406,6 +10406,78 @@ ORDER BY query_id, "rank"
 """
 
 
+# X161 — bounded-sample quantizer fit (r14; r13 verdict missing #2):
+# the X154 high-dim fit shape (512-dim tiled corpus, narrow posexplode
+# path) trained on a CAPPED deterministic sample — the 256 rows with
+# the smallest content-addressed (md5('fit:' || id), id) key
+# (_fit_sample; the engine-portable md5 ordering the sampling
+# operators pinned), so every Lloyd iteration costs O(sample)
+# independent of corpus size (the FAISS ~256-points-per-centroid
+# training rule; q_kmeans_fit_hd's full-corpus twin measured a 4.01x
+# 10x slope — this is its scale-safe form). n_members/inertia are the
+# TRAINING SAMPLE's QC (full-corpus assignment is the downstream
+# ingest step). Oracle: the X154 recursive CTE with the training src
+# swapped to an ORDER BY md5 LIMIT 256 CTE — the sample, the fit and
+# the QC replay exactly
+# (operators/similarity.py:kmeans_fit_quantized,_fit_sample).
+def q_kmeans_fit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_fit_quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    hd = emb.select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 8)).alias("embedding"),
+    )
+    return kmeans_fit_quantized(
+        hd, n_cells=4, iters=2, dim=512, sample_cap=256
+    ).orderBy("cell", "dim")
+
+
+SQL_KMEANS_FIT_SAMPLED = """
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT vec_id,
+         flatten(list_transform(range(8),
+           i -> list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))))
+           AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+samp AS MATERIALIZED (
+  SELECT vec_id, q6 FROM v
+  ORDER BY md5(concat('fit', ':', CAST(vec_id AS VARCHAR))), vec_id
+  LIMIT 256),
+{_ST_SAMP},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 2),
+asg AS MATERIALIZED (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT s.vec_id, cl.cell,
+           list_sum(list_transform(range(512),
+             d -> (s.q6[d+1] - f.c[cl.cell*512 + d + 1])
+                  * (s.q6[d+1] - f.c[cl.cell*512 + d + 1]))) AS d2
+    FROM samp s CROSS JOIN (SELECT unnest(range(4)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+cellstats AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d2) AS BIGINT) AS inertia
+  FROM asg GROUP BY cell)
+SELECT CAST(g.cell AS INT) AS cell, CAST(g.d AS INT) AS dim,
+       CAST(f.c[g.cell*512 + g.d + 1] AS BIGINT) AS c6,
+       CAST(coalesce(cs.n, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(cs.inertia, 0) AS BIGINT) AS inertia
+FROM (SELECT a.cell, b.d
+      FROM (SELECT unnest(range(4)) AS cell) a
+      CROSS JOIN (SELECT unnest(range(512)) AS d) b) g
+CROSS JOIN fin f
+LEFT JOIN cellstats cs ON cs.cell = g.cell
+ORDER BY cell, dim
+""".replace(
+    "{_ST_SAMP}", _sql_kmeans_st(src="samp", n_cells=4, dim=512, iters=2)
+)
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -10638,6 +10710,10 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
+    # r14 additions (X161) — registered at the END of the EXTRA
+    # registries per the rotation discipline: the r15 rotation queues
+    # them at the window front as never-driver-checked entries
+    "q_kmeans_fit_sampled": q_kmeans_fit_sampled,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -10855,6 +10931,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_novelty": SQL_NOVELTY,
     "q_percentile_bands": SQL_PERCENTILE_BANDS,
     "q_mad_outliers": SQL_MAD_OUTLIERS,
+    # r14 additions — same order as EXTRA_QUERIES' tail
+    "q_kmeans_fit_sampled": SQL_KMEANS_FIT_SAMPLED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

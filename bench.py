@@ -242,6 +242,9 @@ BENCH_QUERIES = [
     # integer-exact MIPS serving (X160)
     "q_pq_rerank",
     "q_ann_sq8",
+    # r14 — bounded-sample high-dim quantizer fit (X161): the scale-safe
+    # form of q_kmeans_fit_hd (O(sample) Lloyd iterations)
+    "q_kmeans_fit_sampled",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

