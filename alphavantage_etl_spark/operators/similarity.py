@@ -1635,6 +1635,106 @@ def ann_join_sq8(
     )
 
 
+def topk_exact_rerank(
+    shortlist: DataFrame,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine rerank of a candidate SHORTLIST — the second half
+    of the X158 pattern as a reusable operator: ``shortlist`` is any
+    ``(query_id, corpus_id)`` frame (an ADC top-k', an SQ8 MIPS
+    top-k', an LSH bucket join...); ONLY its rows attach raw vectors
+    (|Q| x k' — the broadcast side of both vector joins, so vector
+    reads stay candidate-bounded at any corpus size), and the exact
+    cosine (bround 6 — the engine-wide cosine output grid) ranks
+    1..k by (sim desc, corpus_id). Zero-norm members drop (cosine
+    undefined — the standing rule). Returns ``(query_id, corpus_id,
+    sim, rank)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, l2_norm
+
+    qv = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    ).where(F.col("__qn") > 0)
+    cv = corpus_df.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    ).where(F.col("__cn") > 0)
+    sim = F.bround(
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qn") * F.col("__cn")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("corpus_id")
+    )
+    return (
+        shortlist.select("query_id", "corpus_id")
+        .join(qv, on="query_id")
+        .join(cv, on="corpus_id")
+        .select("query_id", "corpus_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "sim", "rank")
+    )
+
+
+def ann_join_sq8_rerank(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    k_shortlist: int,
+    query_cells: DataFrame,
+    corpus_index: DataFrame,
+    bounds6: list[tuple[int, int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SQ8 shortlist -> exact cosine rerank, composed (r13 verdict
+    next #5): :func:`ann_join_sq8` is MIPS-only by documented design
+    (no exact integer norm exists for the 255-scaled reconstruction),
+    so a user needing COSINE exactness previously had to hand-compose
+    the X158 pattern — this names it: the byte-tier index produces an
+    inner-product top-``k_shortlist`` (codes-only corpus scan), then
+    :func:`topk_exact_rerank` attaches raw vectors to the shortlist
+    alone and ranks top-``k`` by exact cosine. Two recall levers,
+    measured on the contract fixture (sf0.01, recall@3 vs brute
+    cosine): ``n_probe`` dominates — 0.53 / 0.58 / 0.75 at probes
+    2/3/4, INVARIANT to shortlist width 3..20, because the fixture's
+    near-uniform norms make the MIPS candidate order nearly cosine
+    order within probed cells; on a norm-skewed corpus (where MIPS
+    and cosine genuinely disagree) ``k_shortlist`` becomes the lever,
+    exactly as ``pq_topk_rerank``'s 0.3 -> 0.8 showed for ADC. Either
+    way the rerank makes the RETURNED scores exact cosine. Returns
+    ``(query_id, corpus_id, sim, rank)``."""
+    if k_shortlist < k:
+        raise ValueError(
+            f"k_shortlist={k_shortlist} must be >= k={k} (the shortlist "
+            "bounds what the rerank can return)"
+        )
+    shortlist = ann_join_sq8(
+        queries_df,
+        k=k_shortlist,
+        query_cells=query_cells,
+        corpus_index=corpus_index,
+        bounds6=bounds6,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    return topk_exact_rerank(
+        shortlist, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col
+    )
+
+
 def build_ivf_index(
     corpus_df: DataFrame,
     centroids: list[list[float]],
@@ -1684,6 +1784,42 @@ def save_ivf_index(
     spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def save_pq_index(
+    index_df: DataFrame,
+    cents6: list[list[int]],
+    books6: list[list[list[int]]],
+    path: str,
+) -> None:
+    """Persist an IVF-PQ CODED index — the batch twin of the streaming
+    ingest (``streaming.pipeline.pq_index_stream``), writing the SAME
+    layout so ``load_pq_index`` reads either: the ``(id, __cell,
+    __codes)`` assignment+code frame as parquet under
+    ``{path}/assignments`` and the two frozen models beside it
+    (``cents6/``: cell int + c6 array; ``books6/``: subspace int +
+    code int + c6 array — each O(model), coalesced to one file).
+
+    This is the X157 contract's ingest half made storable in batch:
+    codes joined once at ingest, so SERVING loads this index and never
+    touches the raw vector column (:func:`ann_join_pq` over the loaded
+    frame). Plain parquet, no sidecar format."""
+    _validate_cents6(cents6, "save_pq_index")
+    m, codes, _ = _validate_books6(books6, "save_pq_index")
+    spark = index_df.sparkSession
+    index_df.write.mode("overwrite").parquet(f"{path}/assignments")
+    spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(cents6)],
+        "cell int, c6 array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/cents6")
+    spark.createDataFrame(
+        [
+            (s, c, [int(x) for x in books6[s][c]])
+            for s in range(m)
+            for c in range(codes)
+        ],
+        "subspace int, code int, c6 array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books6")
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
@@ -2002,23 +2138,26 @@ def psi_gated_refit(
     n_cells = len(cents6)
     spark = base_state.sparkSession
     # the whole PSI arithmetic stays in ONE joined Spark frame (r12
-    # verdict): cell spine LEFT-joins both O(cells) states, totals ride
+    # verdict): cell spine FULL-joins both O(cells) states, totals ride
     # a one-row cross join, and a SINGLE O(cells) collect returns the
     # per-cell terms plus the batch total the gate needs. CONTRACT:
     # state cells outside [0, n_cells) are a caller error (impossible
-    # from kmeans_state, whose assignment is an argmin over cents6);
-    # kmeans_refit raises on them if the gate fires.
+    # from kmeans_state, whose assignment is an argmin over cents6) —
+    # the FULL join keeps such rows visible so this RAISES on them
+    # whether or not the gate fires (r13 ADVICE: the left-join form
+    # silently dropped them, and kmeans_refit's own range check only
+    # ran when the gate fired).
     spine = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
     j = (
         spine.join(
             base_state.select("cell", F.col("n").alias("n_base")),
             on="cell",
-            how="left",
+            how="full",
         )
         .join(
             batch_state.select("cell", F.col("n").alias("n_curr")),
             on="cell",
-            how="left",
+            how="full",
         )
         .select(
             "cell",
@@ -2047,6 +2186,13 @@ def psi_gated_refit(
         .collect()
     )
     psi_by_cell = {int(r["cell"]): int(r["psi_u6"]) for r in psi_rows}
+    bad = sorted(c for c in psi_by_cell if c < 0 or c >= n_cells)
+    if bad:
+        raise ValueError(
+            f"psi_gated_refit: state rows reference cells outside "
+            f"[0, {n_cells}): {bad[:8]} — malformed caller state "
+            "(kmeans_state cannot produce these)"
+        )
     tc = int(psi_rows[0]["__tc"]) if psi_rows else 0
     # an EMPTY batch must never fire the gate: with tc=0 the smoothed
     # current shares are uniform 1/n_cells, which reads as "drift"

@@ -9164,6 +9164,14 @@ def _ivf_scratch_path(spark: SparkSession, sf_dir: str) -> str:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
+    # refresh OUR dir's mtime on every access (r13 ADVICE): a session
+    # alive >24h would otherwise look idle to a sibling's age sweep and
+    # lose its cached index mid-use — liveness must be reflected in the
+    # very signal the sweep reads
+    try:
+        os.utime(os.path.join(root, app))
+    except OSError:
+        pass
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(root, app, sf_tag)
 
@@ -10095,7 +10103,13 @@ def q_ann_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _sql_ann_join_pq(m: int = 4, codes: int = 8, d_sub: int = 16) -> str:
+def _sql_ann_join_pq(
+    m: int = 4,
+    codes: int = 8,
+    d_sub: int = 16,
+    k: int = 4,
+    n_probe: int = 3,
+) -> str:
     dim = m * d_sub
     parts = [
         f"""allv AS MATERIALIZED (
@@ -10156,7 +10170,7 @@ def _sql_ann_join_pq(m: int = 4, codes: int = 8, d_sub: int = 16) -> str:
     FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
            CROSS JOIN fin f
     WHERE a.vec_id % 25 = 7)
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 3)""")
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= {n_probe})""")
     adc_terms = "\n         + ".join(
         f"""list_sum(list_transform(range({d_sub}),
              d -> (q.q6[{s * d_sub}+d+1] - f{s}.c[cd.c{s}*{d_sub} + d + 1])
@@ -10173,13 +10187,13 @@ def _sql_ann_join_pq(m: int = 4, codes: int = 8, d_sub: int = 16) -> str:
     return (
         "\nWITH RECURSIVE\n"
         + ",\n".join(parts)
-        + """
+        + f"""
 SELECT query_id, corpus_id, adc_d2,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_d2, corpus_id) AS INT)
          AS "rank"
 FROM cand
-QUALIFY "rank" <= 4
+QUALIFY "rank" <= {k}
 ORDER BY query_id, "rank"
 """
     )
@@ -10340,7 +10354,8 @@ def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-SQL_ANN_SQ8 = f"""
+def _sql_ann_sq8(k: int = 5, n_probe: int = 3) -> str:
+    return f"""
 WITH RECURSIVE
 allv AS MATERIALIZED (
   SELECT vec_id,
@@ -10386,7 +10401,7 @@ qp AS MATERIALIZED (
     FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
            CROSS JOIN fin f
     WHERE a.vec_id % 25 = 7)
-  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 3),
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= {n_probe}),
 cand AS MATERIALIZED (
   SELECT q.query_id, cx.vec_id AS corpus_id,
          CAST(list_sum(list_transform(range(64),
@@ -10401,9 +10416,12 @@ SELECT query_id, corpus_id, ip_score,
                                ORDER BY ip_score DESC, corpus_id) AS INT)
          AS "rank"
 FROM cand
-QUALIFY "rank" <= 5
+QUALIFY "rank" <= {k}
 ORDER BY query_id, "rank"
 """
+
+
+SQL_ANN_SQ8 = _sql_ann_sq8()
 
 
 # X161 — bounded-sample quantizer fit (r14; r13 verdict missing #2):
@@ -10476,6 +10494,161 @@ ORDER BY cell, dim
 """.replace(
     "{_ST_SAMP}", _sql_kmeans_st(src="samp", n_cells=4, dim=512, iters=2)
 )
+
+
+# X162 — PQ serving from a PERSISTED coded index (r14; r13 verdict
+# missing #3): q_ann_join_pq re-encodes the corpus in-plan each run;
+# X157's own contract is "codes joined once at ingest, serving never
+# touches the vector column". This query proves it END-TO-END FROM
+# STORAGE: the coded index (assignments + frozen cents6/books6 models)
+# is built and written ONCE per (session, sf_dir) via save_pq_index —
+# the batch twin of the X159 streaming ingest layout — and the query
+# body is load_pq_index + ADC probe ONLY, the X155 precedent applied
+# to the PQ tier. Storing and reloading cannot change the codes (the
+# X147 rule), so the oracle is the X157 pipeline at the X162 k/probe
+# shape: k=6 / n_probe=2 — a shape no sibling uses (learned-ADC 4/3,
+# rerank 12->4/3, sq8 5/3)
+# (operators/similarity.py:save_pq_index,ann_join_pq;
+# streaming/pipeline.py:load_pq_index).
+def _pq_index_serve_shared(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import os
+
+        from .operators.similarity import (
+            assign_cells_l2q,
+            pq_encode_exact,
+            save_pq_index,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        books6 = _pq_books_shared(spark, sf_dir)
+        path = os.path.join(_ivf_scratch_path(spark, sf_dir), "pq_serve")
+        save_pq_index(
+            assign_cells_l2q(corpus, cents6, n_probe=1).join(
+                pq_encode_exact(corpus, books6), on="vec_id"
+            ),
+            cents6,
+            books6,
+            path,
+        )
+        return path
+
+    return _session_shared(spark, ("pq_index_serve", sf_dir), build)
+
+
+def q_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_join_pq, assign_cells_l2q
+    from .streaming.pipeline import load_pq_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    path = _pq_index_serve_shared(spark, sf_dir)
+    idx, cents6, books6 = load_pq_index(spark, path)
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_join_pq(
+        queries, k=6, query_cells=qc, corpus_index=idx, books6=books6
+    ).orderBy("query_id", "rank")
+
+
+SQL_PQ_SERVE = _sql_ann_join_pq(k=6, n_probe=2)
+
+
+# X163 — SQ8 shortlist + exact cosine rerank (r14; r13 verdict next
+# #5): ann_join_sq8 is MIPS-only by documented design (no exact
+# integer norm exists for the 255-scaled reconstruction) — this ships
+# the X158 pattern for the byte tier as a NAMED operator
+# (ann_join_sq8_rerank = SQ8 inner-product top-k' shortlist ->
+# topk_exact_rerank cosine top-k) so a user needing cosine exactness
+# doesn't hand-compose. Shortlist 10 -> k=3 at n_probe=2 — a shape no
+# sibling uses (sq8 5/3, pq_rerank 12->4/3). Oracle: textual
+# composition of the SAME generated X160 statement (the _sql_pq_rerank
+# discipline) so the two can never drift
+# (operators/similarity.py:ann_join_sq8_rerank,topk_exact_rerank).
+def q_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_sq8_rerank,
+        assign_cells_l2q,
+        sq8_encode,
+        sq8_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    bounds6 = sq8_fit(corpus, dim=64)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        sq8_encode(corpus, bounds6), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_join_sq8_rerank(
+        queries,
+        corpus,
+        k=3,
+        k_shortlist=10,
+        query_cells=qc,
+        corpus_index=idx,
+        bounds6=bounds6,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_sq8_rerank() -> str:
+    base = _sql_ann_sq8(k=10, n_probe=2)
+    # the X160 statement with: norms added to allv, the final top-10
+    # MIPS select demoted to a shortlist CTE, and the exact cosine
+    # rerank appended — textual composition of the SAME generated
+    # oracle so the two can never drift (the _sql_pq_rerank rule)
+    base = base.replace(
+        """allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,""",
+        """allv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm,
+         list_transform(embedding,""",
+    )
+    tail = """
+SELECT query_id, corpus_id, ip_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY ip_score DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 10
+ORDER BY query_id, "rank"
+"""
+    assert tail in base
+    return base.replace(
+        tail,
+        """,
+shortlist AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ip_score DESC, corpus_id) <= 10),
+rer AS MATERIALIZED (
+  SELECT s.query_id, s.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(qa.embedding) AS x,
+                         unnest(ca.embedding) AS y))
+           / (qa.nrm * ca.nrm), 6) AS sim
+  FROM shortlist s
+  JOIN allv qa ON qa.vec_id = s.query_id AND qa.nrm > 0
+  JOIN allv ca ON ca.vec_id = s.corpus_id AND ca.nrm > 0)
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM rer
+QUALIFY "rank" <= 3
+ORDER BY query_id, "rank"
+""",
+    )
+
+
+SQL_SQ8_RERANK = _sql_sq8_rerank()
 
 
 QUERIES: dict[str, QueryFn] = {
@@ -10710,10 +10883,12 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk_pq": q_cosine_topk_pq,
     "q_simhash": q_simhash,
     "q_image_near_dup": q_image_near_dup,
-    # r14 additions (X161) — registered at the END of the EXTRA
+    # r14 additions (X161, X162) — registered at the END of the EXTRA
     # registries per the rotation discipline: the r15 rotation queues
     # them at the window front as never-driver-checked entries
     "q_kmeans_fit_sampled": q_kmeans_fit_sampled,
+    "q_pq_serve": q_pq_serve,
+    "q_sq8_rerank": q_sq8_rerank,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -10933,6 +11108,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_mad_outliers": SQL_MAD_OUTLIERS,
     # r14 additions — same order as EXTRA_QUERIES' tail
     "q_kmeans_fit_sampled": SQL_KMEANS_FIT_SAMPLED,
+    "q_pq_serve": SQL_PQ_SERVE,
+    "q_sq8_rerank": SQL_SQ8_RERANK,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

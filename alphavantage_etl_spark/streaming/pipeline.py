@@ -2240,14 +2240,18 @@ def pq_index_stream(
             try:
                 df = spark.read.parquet(sub_path)
                 if "subspace" in df.columns:
+                    # reconstruct from ALL stored rows, not the wanted
+                    # shape's ranges (r13 ADVICE: a stored codebook with
+                    # EXTRA subspaces/codes whose prefix matches must
+                    # fail the guard, not slip past it)
+                    got_map: dict[int, dict[int, list[int]]] = {}
+                    for r in df.collect():
+                        got_map.setdefault(int(r["subspace"]), {})[
+                            int(r["code"])
+                        ] = [int(x) for x in r["c6"]]
                     got = [
-                        [
-                            [int(x) for x in r["c6"]]
-                            for r in df.where(F.col("subspace") == s)
-                            .orderBy("code")
-                            .collect()
-                        ]
-                        for s in range(len(want_b))
+                        [got_map[s][c] for c in sorted(got_map[s])]
+                        for s in sorted(got_map)
                     ]
                 else:
                     got = [

@@ -243,8 +243,13 @@ BENCH_QUERIES = [
     "q_pq_rerank",
     "q_ann_sq8",
     # r14 — bounded-sample high-dim quantizer fit (X161): the scale-safe
-    # form of q_kmeans_fit_hd (O(sample) Lloyd iterations)
+    # form of q_kmeans_fit_hd (O(sample) Lloyd iterations); PQ serving
+    # from a PERSISTED coded index (X162): load + ADC probe only, the
+    # q_ann_serve cost class for the PQ tier
     "q_kmeans_fit_sampled",
+    "q_pq_serve",
+    # r14 — SQ8 shortlist -> exact cosine rerank composition (X163)
+    "q_sq8_rerank",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -1391,6 +1391,19 @@ def test_psi_gated_refit_both_branches(spark):
     want, _ = kmeans_refit(merge_kmeans_states(s_base, s_batch), cents6)
     assert final2 == want
 
+    # r13 ADVICE: a state row referencing a cell outside [0, n_cells)
+    # raises EVEN WHEN THE GATE WOULD NOT FIRE — the left-join form
+    # silently dropped such rows and kmeans_refit's own range check
+    # only ran on the fired branch
+    import pytest
+
+    mal = mk([(0, 500, [5, 5]), (7, 500, [7, 7])])
+    quiet = mk([(0, 50, [1, 1])])
+    with pytest.raises(ValueError, match=r"cells outside \[0, 2\)"):
+        psi_gated_refit(mal, quiet, cents2)
+    with pytest.raises(ValueError, match=r"cells outside \[0, 2\)"):
+        psi_gated_refit(s_b, mk([(-1, 50, [1, 1])]), cents2)
+
 
 def test_lifecycle_plans_corpus_never_shuffles(spark):
     """The 100 TB contract of the lifecycle scans: kmeans_state and
@@ -1617,6 +1630,106 @@ def test_ann_serve_plan_serving_only(spark):
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
     assert "WindowGroupLimit" in final
     assert len(re.findall(r"BroadcastHashJoin", final)) == 3
+
+
+def test_pq_serve_plan_serving_only_codes_only(spark):
+    """X162: serving from the PERSISTED coded index keeps the X157
+    serving plan (zero SortMergeJoin, two static broadcasts, one
+    WindowGroupLimit-pre-limited candidate exchange) AND reads the
+    corpus side from the stored assignments parquet — the raw vector
+    column is scanned only on the QUERY side (every embeddings scan in
+    the plan carries the query-slice pushed filter), so "serving never
+    touches the corpus vectors" holds end-to-end from storage. The
+    second run reuses the session-scoped index (no rebuild)."""
+    import re
+
+    from alphavantage_etl_spark.queries import (
+        _pq_index_serve_shared,
+        q_pq_serve,
+    )
+
+    from .conftest import SF_ORACLE
+
+    first = q_pq_serve(spark, SF_ORACLE)
+    assert first.collect()
+    p1 = _pq_index_serve_shared(spark, SF_ORACLE)
+    p2 = _pq_index_serve_shared(spark, SF_ORACLE)
+    assert p1 == p2
+    out = q_pq_serve(spark, SF_ORACLE)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
+    # corpus side = the stored coded index, never the vector table:
+    # exactly one scan reads (id, cell, codes) — and every scan that
+    # reads the vector column carries the QUERY-slice pushed filter
+    scans = [ln for ln in final.splitlines() if "FileScan parquet" in ln]
+    code_scans = [ln for ln in scans if "__codes" in ln]
+    vec_scans = [ln for ln in scans if "embedding" in ln]
+    assert len(code_scans) == 1
+    assert "embedding" not in code_scans[0]
+    assert vec_scans, "query-side vector scans must exist"
+    assert all("% 25) = 7" in ln for ln in vec_scans)
+
+
+def test_ann_join_sq8_rerank_composition(spark):
+    """X163: the named composition equals the hand-composed chain
+    (ann_join_sq8 shortlist -> shortlist-bounded exact cosine rerank)
+    row for row, and the guard rails hold."""
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_sq8,
+        ann_join_sq8_rerank,
+        assign_cells_l2q,
+        sq8_encode,
+        sq8_fit,
+        topk_exact_rerank,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared, load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    bounds6 = sq8_fit(corpus, dim=64)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        sq8_encode(corpus, bounds6), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    composed = ann_join_sq8_rerank(
+        queries, corpus, k=3, k_shortlist=10, query_cells=qc,
+        corpus_index=idx, bounds6=bounds6,
+    ).collect()
+    manual = topk_exact_rerank(
+        ann_join_sq8(
+            queries, k=10, query_cells=qc, corpus_index=idx,
+            bounds6=bounds6,
+        ),
+        queries,
+        corpus,
+        k=3,
+    ).collect()
+    assert sorted(map(tuple, composed)) == sorted(map(tuple, manual))
+    assert composed and all(r["rank"] <= 3 for r in composed)
+    with pytest.raises(ValueError, match="k_shortlist=2 must be >= k=3"):
+        ann_join_sq8_rerank(
+            queries, corpus, k=3, k_shortlist=2, query_cells=qc,
+            corpus_index=idx, bounds6=bounds6,
+        )
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        topk_exact_rerank(
+            spark.createDataFrame([], "query_id long, corpus_id long"),
+            queries,
+            corpus,
+            k=0,
+        )
 
 
 def test_index_lifecycle_nondegenerate(spark):

@@ -1981,6 +1981,27 @@ def test_pq_index_stream_parity_replay_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="DIFFERENT quantizer/codebook"):
         drain(books=other)
 
+    # r13 ADVICE: a stored codebook that is a strict SUPERSET of the
+    # wanted one (prefix matches, extra subspace appended) must fail
+    # the guard too — the old range-sliced reconstruction let it pass,
+    # appending code words of a different length m into the index
+    extra_s = len(books6)
+    spark.createDataFrame(
+        [(extra_s, c, books6[0][c]) for c in range(len(books6[0]))],
+        "subspace int, code int, c6 array<long>",
+    ).write.mode("append").parquet(f"{index}/books6")
+    with pytest.raises(ValueError, match="DIFFERENT quantizer/codebook"):
+        drain()
+    # restore the stored codebook for the corruption check below
+    spark.createDataFrame(
+        [
+            (s, c, books6[s][c])
+            for s in range(len(books6))
+            for c in range(len(books6[0]))
+        ],
+        "subspace int, code int, c6 array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index}/books6")
+
     # fail-closed guard: corrupt books6 parquet -> raise, never skip
     for part in glob.glob(f"{index}/books6/*.parquet"):
         with open(part, "wb") as fh:
