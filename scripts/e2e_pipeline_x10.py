@@ -143,6 +143,51 @@ def run(
     return wall, manifest
 
 
+def run_retrieval(spark, emb_df, tag: str) -> tuple[float, float, int]:
+    """The retrieval tail of the pipeline (r13 verdict next #7): the
+    curated corpus's embeddings are INGESTED into a persisted IVF
+    index (assign under the frozen x1-trained quantizer + save — the
+    once-per-corpus cost), then a FIXED x1 query batch SERVES from the
+    stored index (load + probe only — the recurring cost). Returns
+    (ingest_wall, serve_wall, n_hits). The quantizer trains once at x1
+    and is frozen for both scales (the X142 serving rule)."""
+    from pyspark.sql import functions as F
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        assign_cells_l2q,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+
+    cents6 = _learned_cents_shared(spark, BASE_SF)
+    corpus = emb_df.where(F.col("vec_id") % 25 != 7)
+    queries = emb_df.where(
+        (F.col("vec_id") % 25 == 7) & (F.col("vec_id") < 10_000_000)
+    )
+    path = os.path.join(OUT, f"ivf_{tag}")
+    t0 = time.perf_counter()
+    save_ivf_index(
+        assign_cells_l2q(corpus, cents6, n_probe=1),
+        [[float(x) for x in c] for c in cents6],
+        path,
+    )
+    ingest = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    idx, loaded = load_ivf_index(spark, path)
+    cents_rt = [[int(x) for x in c] for c in loaded]
+    hits = ann_join(
+        queries,
+        corpus,
+        k=4,
+        corpus_cells=idx,
+        query_cells=assign_cells_l2q(queries, cents_rt, n_probe=2),
+    ).count()
+    serve = time.perf_counter() - t0
+    return ingest, serve, hits
+
+
 def main() -> None:
     from alphavantage_etl_spark.session import get_spark
 
@@ -159,6 +204,37 @@ def main() -> None:
     w1, m1 = run(spark, BASE_SF, os.path.join(OUT, "x1"), n_base)
     spark.catalog.clearCache()
     w10, m10 = run(spark, X10_DIR, os.path.join(OUT, "x10"), n_base)
+
+    # retrieval tail (r13 verdict next #7): x10 embeddings fixture from
+    # scripts/r13_slope.py / r14_slope.py (vec_id-shifted replicas)
+    emb_x10_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"),
+        "embeddings_x10",
+    )
+    retrieval = {}
+    if os.path.exists(os.path.join(emb_x10_path, "_SUCCESS")):
+        from alphavantage_etl_spark.sources import load as _load
+
+        # warm the serving codegen once
+        run_retrieval(spark, _load(spark, BASE_SF, "embeddings"), "warm")
+        i1, s1, h1 = run_retrieval(
+            spark, _load(spark, BASE_SF, "embeddings"), "x1"
+        )
+        spark.catalog.clearCache()
+        i10, s10, h10 = run_retrieval(
+            spark, spark.read.parquet(emb_x10_path), "x10"
+        )
+        retrieval = {
+            "ann_ingest_x1_s": round(i1, 2),
+            "ann_ingest_x10_s": round(i10, 2),
+            "ann_ingest_ratio": round(i10 / i1, 2),
+            "ann_serve_x1_s": round(s1, 2),
+            "ann_serve_x10_s": round(s10, 2),
+            "ann_serve_ratio": round(s10 / s1, 2),
+            "hits_x1": h1,
+            "hits_x10": h10,
+        }
+
     print(
         json.dumps(
             {
@@ -176,6 +252,7 @@ def main() -> None:
                 "token_growth": round(
                     m10["total_tokens"] / m1["total_tokens"], 2
                 ),
+                **retrieval,
             },
             indent=1,
         )
