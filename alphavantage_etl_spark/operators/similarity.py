@@ -1150,6 +1150,7 @@ def pq_fit_exact(
     dim: int | None = None,
     sample_cap: int | None = None,
     sample_salt: str = "fit",
+    residual_cents6: list[list[int]] | None = None,
 ) -> DataFrame:
     """EXACT per-subspace product-quantization codebook fit (X156) —
     the oracle-checkable twin of :func:`train_pq_codebooks` (float
@@ -1192,6 +1193,21 @@ def pq_fit_exact(
     requires ``sample_cap >= codes``). FAISS's PQ training rule is the
     same ~256 points per code — at 100 TB nobody fits 8-code
     subspace codebooks on the full corpus.
+
+    ``residual_cents6`` (X164): fit the codebooks on RESIDUALS
+    ``q6 - cents6[argmin cell]`` instead of absolute vectors — the
+    FAISS IVFPQ default (``by_residual=true``), which centers every
+    cell's members near the origin so the ``codes`` codewords spend
+    their capacity on local structure instead of re-describing the
+    coarse partition; at equal ``m``/``codes`` the ADC approximation
+    tightens (measured recall delta in PERF.md). The coarse quantizer
+    must be the SAME ``cents6`` later passed to
+    :func:`pq_encode_exact` / :func:`ann_join_pq` — mixing quantizers
+    across fit/encode/serve silently corrupts distances, the
+    pq_index_stream frozen-model rule. The training sample (when
+    ``sample_cap`` is set) is drawn BEFORE residualizing — the sample
+    key is content-addressed on the id alone, so the subset is the
+    same rows either way and the oracle replays it unchanged.
     """
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
@@ -1219,6 +1235,13 @@ def pq_fit_exact(
                 f"pq_fit_exact: sample_cap={sample_cap} < codes={codes}"
             )
         base = _fit_sample(base, sample_cap, sample_salt)
+    if residual_cents6 is not None:
+        if _validate_cents6(residual_cents6, "pq_fit_exact") != dim:
+            raise ValueError(
+                "pq_fit_exact: residual_cents6 dimensionality "
+                f"{len(residual_cents6[0])} != dim={dim}"
+            )
+        base = _residual_q6(base, residual_cents6).select("__id", "__q6")
     base = base.localCheckpoint()
     from pyspark.sql import types as T
 
@@ -1306,6 +1329,7 @@ def pq_encode_exact(
     books6: list[list[list[int]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residual_cents6: list[list[int]] | None = None,
 ) -> DataFrame:
     """``(id_col, __codes array<int>)`` — each row's EXACT PQ code
     word under a :func:`pq_fit_exact` codebook: per subspace, the
@@ -1315,12 +1339,31 @@ def pq_encode_exact(
     per row instead of dim floats (m=16 bytes-ish vs 16 KB for a
     4096-dim float vector), and serving never touches the raw vectors.
     One narrow projection, no shuffle; slices are PROJECTED columns
-    before scoring (the bounds-hoist rule)."""
+    before scoring (the bounds-hoist rule).
+
+    ``residual_cents6`` (X164): encode the RESIDUAL ``q6 -
+    cents6[argmin cell]`` under a residual-trained codebook
+    (:func:`pq_fit_exact` with the SAME ``cents6``), and return
+    ``(id_col, __cell, __codes)`` — the cell rides along because a
+    residual code is meaningless without the cell it displaces from,
+    and the ingest that builds the coded index needs the pair anyway;
+    the separate :func:`assign_cells_l2q` pass is subsumed (same
+    argmin, computed once)."""
     m, _, d_sub = _validate_books6(books6, "pq_encode_exact")
     dim = m * d_sub
     base = _q6_base(df, dim, vec_col, id_col)
+    carry: list[str] = []
+    if residual_cents6 is not None:
+        if _validate_cents6(residual_cents6, "pq_encode_exact") != dim:
+            raise ValueError(
+                "pq_encode_exact: residual_cents6 dimensionality "
+                f"{len(residual_cents6[0])} != dim={dim}"
+            )
+        base = _residual_q6(base, residual_cents6)
+        carry = ["__cell"]
     sliced = base.select(
         "__id",
+        *carry,
         *[
             F.slice("__q6", s * d_sub + 1, d_sub).alias(f"__q{s}")
             for s in range(m)
@@ -1328,6 +1371,7 @@ def pq_encode_exact(
     )
     return sliced.select(
         F.col("__id").alias(id_col),
+        *carry,
         F.array(
             *[
                 F.array_min(_l2q_scored(F.col(f"__q{s}"), books6[s]))[
@@ -1347,6 +1391,7 @@ def ann_join_pq(
     books6: list[list[list[int]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residual_cents6: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-PQ retrieval join (X157) — the 100 TB serving composition
     where candidates are ranked by EXACT integer ADC (asymmetric
@@ -1375,7 +1420,16 @@ def ann_join_pq(
     trade: distances are approximations of the true L2 (exact only to
     the reconstruction), tuned by m/codes without changing the plan;
     compose with a raw-vector rerank of the top-k' when exactness
-    matters (the pq_topk_rerank pattern)."""
+    matters (the pq_topk_rerank pattern).
+
+    ``residual_cents6`` (X164): serve a RESIDUAL-coded index (built
+    with the same ``cents6`` via :func:`pq_fit_exact` /
+    :func:`pq_encode_exact` in residual mode). ADC becomes the exact
+    integer squared-L2 between the QUERY'S residual w.r.t. the
+    candidate's cell and the candidate's codeword — the FAISS IVFPQ
+    per-probed-cell LUT re-expressed as one extra ``element_at`` into
+    the KB-scale centroid literal inside the same fold; the plan shape
+    (one cell equi-join, codes-only corpus side) is unchanged."""
     m, _, d_sub = _validate_books6(books6, "ann_join_pq")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1400,6 +1454,31 @@ def ann_join_pq(
         "__codes",
     )
     booklit = F.lit([[list(map(int, c_)) for c_ in b] for b in books6])
+    if residual_cents6 is not None:
+        if _validate_cents6(residual_cents6, "ann_join_pq") != dim:
+            raise ValueError(
+                "ann_join_pq: residual_cents6 dimensionality "
+                f"{len(residual_cents6[0])} != m*d_sub={dim}"
+            )
+        centlit = F.lit([[int(v) for v in c] for c in residual_cents6])
+
+        def qterm(s, d):
+            # query residual w.r.t. the candidate's cell: one extra
+            # element_at into the KB-scale centroid literal — the
+            # per-probed-cell LUT, no plan-shape change
+            return F.element_at(
+                F.col("__q6"), (s * d_sub + d).cast("int")
+            ) - F.element_at(
+                F.element_at(centlit, F.col("__cell") + 1),
+                (s * d_sub + d).cast("int"),
+            )
+    else:
+
+        def qterm(s, d):
+            return F.element_at(
+                F.col("__q6"), (s * d_sub + d).cast("int")
+            )
+
     cand = (
         c.join(qcells, on="__cell", how="inner")
         .join(q0, on="query_id", how="inner")
@@ -1416,9 +1495,7 @@ def ann_join_pq(
                     lambda code, s: F.aggregate(
                         F.transform(
                             F.sequence(F.lit(1), F.lit(d_sub)),
-                            lambda d: F.element_at(
-                                F.col("__q6"), (s * d_sub + d).cast("int")
-                            )
+                            lambda d: qterm(s, d)
                             - F.element_at(
                                 F.element_at(
                                     F.element_at(booklit, s + 1), code + 1
@@ -1850,6 +1927,35 @@ def _q6_base(
             (F.size("__q6") == dim)
             & ~F.exists(F.col("__q6"), lambda x: x.isNull())
         )
+    )
+
+
+def _residual_q6(base: DataFrame, cents6: list[list[int]]) -> DataFrame:
+    """``(__id, __q6, __cell)`` — each row's nearest-cell assignment
+    plus its RESIDUAL ``q6 - cents6[cell]`` replacing ``__q6``: the
+    FAISS IVFPQ layout (``by_residual=true``, the library default)
+    where PQ codebooks describe the DISPLACEMENT from the coarse
+    centroid instead of the absolute vector, re-expressed in the
+    engine's exact integer space. Residuals of u6 longs are u6 longs
+    (subtraction is closed), so every downstream fit/encode/ADC stays
+    bit-replayable cross-engine — the property float residuals could
+    not keep. One narrow projection: the argmin is the shared
+    :func:`_l2q_scored` train/serve metric, the centroid matrix rides
+    as a KB-scale literal, and the subtraction is a single
+    ``zip_with`` against one ``element_at`` lookup — no join, no
+    shuffle."""
+    centlit = F.lit([[int(v) for v in c] for c in cents6])
+    best = F.array_min(_l2q_scored(F.col("__q6"), cents6))
+    return base.select(
+        "__id", "__q6", best["cell"].cast("int").alias("__cell")
+    ).select(
+        "__id",
+        F.zip_with(
+            F.col("__q6"),
+            F.element_at(centlit, F.col("__cell") + 1),
+            lambda a, b: a - b,
+        ).alias("__q6"),
+        "__cell",
     )
 
 

@@ -10109,6 +10109,7 @@ def _sql_ann_join_pq(
     d_sub: int = 16,
     k: int = 4,
     n_probe: int = 3,
+    residual: bool = False,
 ) -> str:
     dim = m * d_sub
     parts = [
@@ -10132,10 +10133,21 @@ def _sql_ann_join_pq(
            CROSS JOIN fin f)
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1)""",
     ]
+    # residual mode (X164): subspace fits/codes run on q6 - cents[cell]
+    # instead of the absolute vector — the FAISS by_residual layout
+    fit_src = "v"
+    if residual:
+        parts.append(f"""res AS MATERIALIZED (
+  SELECT v.vec_id,
+         list_transform(range({dim}),
+           d -> v.q6[d+1] - f.c[cc.cell*{dim} + d + 1]) AS q6
+  FROM v JOIN ccell cc USING (vec_id) CROSS JOIN fin f)""")
+        fit_src = "res"
     for s in range(m):
         lo, hi = s * d_sub + 1, (s + 1) * d_sub
         parts.append(
-            f"v{s} AS MATERIALIZED (SELECT vec_id, q6[{lo}:{hi}] AS q6 FROM v)"
+            f"v{s} AS MATERIALIZED "
+            f"(SELECT vec_id, q6[{lo}:{hi}] AS q6 FROM {fit_src})"
         )
         parts.append(
             _sql_kmeans_st(name=f"stp{s}", src=f"v{s}", n_cells=codes,
@@ -10171,13 +10183,29 @@ def _sql_ann_join_pq(
            CROSS JOIN fin f
     WHERE a.vec_id % 25 = 7)
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= {n_probe})""")
+    if residual:
+        # the query's residual w.r.t. the SHARED (probed = candidate)
+        # cell: one extra coarse-centroid subtraction inside the diff
+        def qref(s: int) -> str:
+            return (
+                f"(q.q6[{s * d_sub}+d+1] - f.c[cell*{dim} + {s * d_sub}+d+1]"
+                f" - f{s}.c[cd.c{s}*{d_sub} + d + 1])"
+            )
+    else:
+        def qref(s: int) -> str:
+            return (
+                f"(q.q6[{s * d_sub}+d+1] - f{s}.c[cd.c{s}*{d_sub} + d + 1])"
+            )
+
     adc_terms = "\n         + ".join(
         f"""list_sum(list_transform(range({d_sub}),
-             d -> (q.q6[{s * d_sub}+d+1] - f{s}.c[cd.c{s}*{d_sub} + d + 1])
-                  * (q.q6[{s * d_sub}+d+1] - f{s}.c[cd.c{s}*{d_sub} + d + 1])))"""
+             d -> {qref(s)}
+                  * {qref(s)}))"""
         for s in range(m)
     )
     fin_joins = " ".join(f"CROSS JOIN finp{s} f{s}" for s in range(m))
+    if residual:
+        fin_joins = "CROSS JOIN fin f " + fin_joins
     parts.append(f"""cand AS MATERIALIZED (
   SELECT q.query_id, cx.vec_id AS corpus_id,
          CAST({adc_terms} AS BIGINT) AS adc_d2
@@ -10651,6 +10679,72 @@ ORDER BY query_id, "rank"
 SQL_SQ8_RERANK = _sql_sq8_rerank()
 
 
+# X164 — residual IVF-PQ (r14): the FAISS IVFPQ default layout
+# (by_residual=true) in the engine's exact integer space — PQ
+# codebooks fit on q6 - cents6[cell] (residuals of u6 longs are u6
+# longs, so the whole tier stays bit-replayable), pq_encode_exact in
+# residual mode returns (id, __cell, __codes) in ONE pass (the cell
+# rides along — a residual code is meaningless without it, and the
+# separate assign_cells_l2q ingest pass is subsumed), and ann_join_pq
+# computes ADC against the query's residual w.r.t. the candidate's
+# cell — one extra element_at into the KB-scale centroid literal, no
+# plan-shape change. Residual codewords spend their capacity on LOCAL
+# structure instead of re-describing the coarse partition, so recall
+# at equal m/codes tightens (measured in PERF.md / r14 recall A/B).
+# Shape k=5/n_probe=2 — no sibling uses it (learned-ADC 4/3, serve
+# 6/2, rerank 12->4/3, sq8 5/3, sq8_rerank 10->3/2). Oracle: the X157
+# generated statement with residual=True — the same generator, so the
+# two forms cannot drift (operators/similarity.py:_residual_q6,
+# pq_fit_exact,pq_encode_exact,ann_join_pq).
+def _pq_books_residual_shared(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[int]]]:
+    def build() -> list[list[list[int]]]:
+        from .operators.similarity import pq_fit_exact
+
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        fit = pq_fit_exact(
+            corpus, m=4, codes=8, iters=2, dim=64, residual_cents6=cents6
+        ).collect()
+        books = [[[0] * 16 for _ in range(8)] for _ in range(4)]
+        for r in fit:
+            books[r["subspace"]][r["code"]][r["dim"]] = int(r["c6"])
+        return books
+
+    return _session_shared(spark, ("pq_books_residual", sf_dir), build)
+
+
+def q_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    books6 = _pq_books_residual_shared(spark, sf_dir)
+    # residual encode carries the cell: ingest is ONE pass, no
+    # separate assignment join
+    idx = pq_encode_exact(corpus, books6, residual_cents6=cents6)
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_join_pq(
+        queries,
+        k=5,
+        query_cells=qc,
+        corpus_index=idx,
+        books6=books6,
+        residual_cents6=cents6,
+    ).orderBy("query_id", "rank")
+
+
+SQL_PQ_RESIDUAL = _sql_ann_join_pq(k=5, n_probe=2, residual=True)
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -10889,6 +10983,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_kmeans_fit_sampled": q_kmeans_fit_sampled,
     "q_pq_serve": q_pq_serve,
     "q_sq8_rerank": q_sq8_rerank,
+    # r14 late additions (X164+)
+    "q_pq_residual": q_pq_residual,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -11110,6 +11206,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_kmeans_fit_sampled": SQL_KMEANS_FIT_SAMPLED,
     "q_pq_serve": SQL_PQ_SERVE,
     "q_sq8_rerank": SQL_SQ8_RERANK,
+    # r14 late additions — same order as EXTRA_QUERIES' tail
+    "q_pq_residual": SQL_PQ_RESIDUAL,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

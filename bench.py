@@ -250,6 +250,10 @@ BENCH_QUERIES = [
     "q_pq_serve",
     # r14 — SQ8 shortlist -> exact cosine rerank composition (X163)
     "q_sq8_rerank",
+    # r14 — residual IVF-PQ retrieval (X164): the FAISS by_residual
+    # layout in exact integer space; ingest is one pass (encode carries
+    # the cell), serving is the q_ann_join_pq plan + one literal lookup
+    "q_pq_residual",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -1367,3 +1367,107 @@ def test_ann_join_pq_adc_matches_python_replica(spark, vecs):
         for rank, (adc, ci) in enumerate(sorted(cands), start=1):
             exp[(qi, ci)] = (adc, rank)
     assert got == exp
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=2.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_pq_residual_matches_python_replica(spark, vecs):
+    """X164 across generated corpora: under a NONTRIVIAL 2-cell coarse
+    quantizer, residual-mode fit/encode/ADC equal a pure-Python replica
+    that assigns each vector to its integer-L2 argmin cell, subtracts
+    that centroid, codes the residual, and ranks candidates by the
+    query's residual w.r.t. the CANDIDATE's cell (n_probe = both
+    cells, so every pair is a candidate)."""
+    import math
+
+    import numpy as np
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+        pq_fit_exact,
+    )
+
+    m, codes, d_sub = 2, 2, 2
+    cents6 = [[-500_000, -500_000, -500_000, -500_000],
+              [500_000, 500_000, 500_000, 500_000]]
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    fit = pq_fit_exact(
+        df, m=m, codes=codes, iters=1, dim=4, residual_cents6=cents6
+    ).collect()
+    books = [[[0] * d_sub for _ in range(codes)] for _ in range(m)]
+    for r in fit:
+        books[r["subspace"]][r["code"]][r["dim"]] = int(r["c6"])
+
+    idx = pq_encode_exact(df, books, residual_cents6=cents6)
+    qc = assign_cells_l2q(df, cents6, n_probe=2)
+    k = len(vecs)
+    got = {
+        (r["query_id"], r["corpus_id"]): (r["adc_d2"], r["rank"])
+        for r in ann_join_pq(
+            df,
+            k=k,
+            query_cells=qc,
+            corpus_index=idx,
+            books6=books,
+            residual_cents6=cents6,
+        ).collect()
+    }
+
+    def away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    q = {
+        i: [away(float(np.float32(x)) * 1e6) for x in v]
+        for i, v in enumerate(vecs)
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cell(i):
+        return min(range(2), key=lambda c: (d2(q[i], cents6[c]), c))
+
+    def resid(i, c):
+        return [a - b for a, b in zip(q[i], cents6[c])]
+
+    def code(i, s):
+        sl = resid(i, cell(i))[s * d_sub : (s + 1) * d_sub]
+        sc = [d2(sl, bc) for bc in books[s]]
+        return min(range(codes), key=lambda j: (sc[j], j))
+
+    exp = {}
+    for qi in q:
+        cands = []
+        for ci in q:
+            # candidate's cell is shared (n_probe=2 probes both), the
+            # query residual is taken w.r.t. THAT cell
+            r = resid(qi, cell(ci))
+            adc = sum(
+                (r[s * d_sub + d] - books[s][code(ci, s)][d]) ** 2
+                for s in range(m)
+                for d in range(d_sub)
+            )
+            cands.append((adc, ci))
+        for rank, (adc, ci) in enumerate(sorted(cands), start=1):
+            exp[(qi, ci)] = (adc, rank)
+    assert got == exp

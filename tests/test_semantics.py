@@ -2481,3 +2481,129 @@ def test_assign_cells_l2q_and_byo_quantizer_guards(spark):
     ).collect()
     hits = {r["query_id"]: r["corpus_id"] for r in out}
     assert hits[0] == 0 and hits[1] == 1
+
+
+def test_pq_residual_zero_centroid_equivalence(spark):
+    """X164 anchor: with a single all-zero coarse centroid the residual
+    IS the vector, so residual-mode fit / encode / ADC join must be
+    bit-identical to the vanilla X156/X157 path (the only differences
+    are the subsumed cell column and the no-op centroid lookup)."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+        pq_fit_exact,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings").where(F.col("vec_id") < 120)
+    zero = [[0] * 64]
+    van_fit = pq_fit_exact(emb, m=2, codes=4, iters=1, dim=64).collect()
+    res_fit = pq_fit_exact(
+        emb, m=2, codes=4, iters=1, dim=64, residual_cents6=zero
+    ).collect()
+    assert sorted(map(tuple, van_fit)) == sorted(map(tuple, res_fit))
+
+    books = [[[0] * 32 for _ in range(4)] for _ in range(2)]
+    for r in van_fit:
+        books[r["subspace"]][r["code"]][r["dim"]] = int(r["c6"])
+    van_codes = {
+        r["vec_id"]: list(r["__codes"])
+        for r in pq_encode_exact(emb, books).collect()
+    }
+    res_rows = pq_encode_exact(
+        emb, books, residual_cents6=zero
+    ).collect()
+    assert all(r["__cell"] == 0 for r in res_rows)
+    assert {r["vec_id"]: list(r["__codes"]) for r in res_rows} == van_codes
+
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    qc = assign_cells_l2q(queries, zero, n_probe=1)
+    idx_v = assign_cells_l2q(corpus, zero, n_probe=1).join(
+        pq_encode_exact(corpus, books), on="vec_id"
+    )
+    idx_r = pq_encode_exact(corpus, books, residual_cents6=zero)
+    van = ann_join_pq(
+        queries, k=3, query_cells=qc, corpus_index=idx_v, books6=books
+    ).collect()
+    res = ann_join_pq(
+        queries,
+        k=3,
+        query_cells=qc,
+        corpus_index=idx_r,
+        books6=books,
+        residual_cents6=zero,
+    ).collect()
+    assert sorted(map(tuple, van)) == sorted(map(tuple, res))
+
+
+def test_pq_residual_guards_and_plan(spark):
+    """X164 guards: residual_cents6 dimensionality must equal the
+    declared dim on all three paths. Plan: residual serving keeps the
+    X157 shape — served from a stored coded index, no vector column on
+    the corpus side, two static broadcasts, ONE candidate exchange,
+    zero SortMergeJoin (the centroid literal lookup adds no join)."""
+    import re
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+        pq_fit_exact,
+    )
+    from alphavantage_etl_spark.queries import (
+        _learned_cents_shared,
+        _pq_books_residual_shared,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    bad = [[0] * 32]
+    with pytest.raises(ValueError, match="residual_cents6"):
+        pq_fit_exact(emb, m=2, codes=2, iters=1, dim=64, residual_cents6=bad)
+    books_stub = [[[0] * 32 for _ in range(2)] for _ in range(2)]
+    with pytest.raises(ValueError, match="residual_cents6"):
+        pq_encode_exact(emb, books_stub, residual_cents6=bad)
+    with pytest.raises(ValueError, match="residual_cents6"):
+        ann_join_pq(
+            emb,
+            k=1,
+            query_cells=emb.select("vec_id", F.lit(0).alias("__cell")),
+            corpus_index=emb.select(
+                "vec_id",
+                F.lit(0).alias("__cell"),
+                F.array(F.lit(0), F.lit(0)).alias("__codes"),
+            ),
+            books6=books_stub,
+            residual_cents6=bad,
+        )
+
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    books6 = _pq_books_residual_shared(spark, SF_ORACLE)
+    idx = pq_encode_exact(
+        corpus, books6, residual_cents6=cents6
+    ).localCheckpoint()
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    out = ann_join_pq(
+        queries,
+        k=5,
+        query_cells=qc,
+        corpus_index=idx,
+        books6=books6,
+        residual_cents6=cents6,
+    )
+    assert out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
