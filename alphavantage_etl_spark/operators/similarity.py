@@ -737,6 +737,58 @@ def ann_join(
     )
 
 
+def ann_join_filtered(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    predicate: Column | str,
+    **ann_kwargs,
+) -> DataFrame:
+    """Filtered ANN retrieval (X165) — per-query top-``k`` among the
+    corpus rows satisfying a metadata ``predicate`` (a Column or SQL
+    string over the corpus side's columns): the vector-database
+    "filtered search" primitive a curation pipeline needs constantly
+    ("nearest neighbors among docs with lang='en' / license=permissive
+    / ts < cutoff").
+
+    Semantics are PRE-FILTER: ineligible rows are removed BEFORE the
+    cell join, so the k results are exactly the top-k of the eligible
+    subset within the probed cells — never a post-filtered top-k whose
+    result count silently shrinks below k when neighbors fail the
+    predicate (the overfetch-and-hope failure mode). The trade is the
+    standard one: under heavy filtering a probed cell may hold few
+    eligible rows — raise ``n_probe``, not ``k``.
+
+    Scale shape: filtering the corpus side FIRST is also the plan
+    property — the predicate lands below the cell equi-join, and when
+    the corpus side is a STORED materialized index (an assignments
+    table carrying vectors + metadata, the 100 TB layout), Catalyst
+    pushes it into the parquet scan itself (``PushedFilters`` —
+    pinned by test), so a selective filter prunes row groups before a
+    single byte of vector data is read. Routing follows
+    :func:`ann_join`'s index modes: with a MATERIALIZED
+    ``corpus_cells`` (the carrying frame IS the corpus) the predicate
+    applies to that frame; in every other mode it applies to
+    ``corpus_df``. For the compressed tiers, filter the loaded coded
+    index the same way and pass it to :func:`ann_join_pq` /
+    :func:`ann_join_sq8` — their corpus side is the (coded) index
+    frame itself, no routing needed."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    corpus_cells = ann_kwargs.get("corpus_cells")
+    vec_col = ann_kwargs.get("vec_col", "embedding")
+    materialized = ann_kwargs.get("materialized_cells")
+    use_materialized = corpus_cells is not None and (
+        materialized
+        if materialized is not None
+        else vec_col in corpus_cells.columns
+    )
+    if use_materialized:
+        ann_kwargs = dict(ann_kwargs, corpus_cells=corpus_cells.where(pred))
+    else:
+        corpus_df = corpus_df.where(pred)
+    return ann_join(queries_df, corpus_df, k, **ann_kwargs)
+
+
 def _annotate_cells(
     df: DataFrame,
     centroids: list[list[float]],

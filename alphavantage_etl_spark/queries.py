@@ -10745,6 +10745,120 @@ def q_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PQ_RESIDUAL = _sql_ann_join_pq(k=5, n_probe=2, residual=True)
 
 
+# X165 — filtered ANN retrieval (r14): the vector-database "filtered
+# search" primitive — per-query top-k among corpus rows satisfying a
+# metadata predicate, PRE-FILTER semantics (the k results are exactly
+# the top-k of the eligible subset within probed cells, never an
+# overfetched post-filter that under-fills). Served from a STORED
+# MATERIALIZED index whose assignments carry vectors + metadata (the
+# 100 TB layout): the predicate lands below the cell join and Catalyst
+# pushes it into the index's parquet scan (PushedFilters — pinned), so
+# a selective filter prunes row groups before any vector data is read.
+# Shape k=6/n_probe=3 — no cosine-family sibling uses it (learned 5/2,
+# indexed 3/3, serve 4/2, lifecycle 3/2). Oracle: the X155 statement
+# with the label predicate on the corpus CTE
+# (operators/similarity.py:ann_join_filtered).
+def _ivf_index_filtered_shared(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import os
+
+        from .operators.similarity import assign_cells_l2q, save_ivf_index
+
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        path = os.path.join(_ivf_scratch_path(spark, sf_dir), "filtered")
+        # the MATERIALIZED layout: assignment + vector + metadata in
+        # one table, so serving is one scan and the predicate is a
+        # parquet pushdown candidate
+        save_ivf_index(
+            corpus.join(
+                assign_cells_l2q(corpus, cents6, n_probe=1), on="vec_id"
+            ),
+            [[float(x) for x in c] for c in cents6],
+            path,
+        )
+        return path
+
+    return _session_shared(spark, ("ivf_index_filtered", sf_dir), build)
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_filtered,
+        assign_cells_l2q,
+        load_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    path = _ivf_index_filtered_shared(spark, sf_dir)
+    idx, loaded = load_ivf_index(spark, path)
+    cents_rt = [[int(x) for x in c] for c in loaded]
+    qc = assign_cells_l2q(queries, cents_rt, n_probe=3)
+    return ann_join_filtered(
+        queries,
+        emb,  # ignored: materialized carrying frame IS the corpus
+        k=6,
+        predicate="label % 2 = 0",
+        corpus_cells=idx,
+        query_cells=qc,
+        materialized_cells=True,
+    ).orderBy("query_id", "rank")
+
+
+SQL_ANN_FILTERED = f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, embedding, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+cc AS MATERIALIZED (
+  SELECT vec_id AS corpus_id, embedding AS ce, nrm AS cn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 != 7 AND a.nrm > 0 AND (a.label % 2 = 0))
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+qc AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell FROM (
+    SELECT a.vec_id, a.embedding, a.nrm, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7 AND a.nrm > 0)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 3),
+cand AS MATERIALIZED (
+  SELECT q.query_id, c.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.qe) AS x, unnest(c.ce) AS y))
+           / (q.qn * c.cn), 6) AS sim
+  FROM qc q JOIN cc c USING (cell))
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 6
+ORDER BY query_id, "rank"
+"""
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -10985,6 +11099,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_sq8_rerank": q_sq8_rerank,
     # r14 late additions (X164+)
     "q_pq_residual": q_pq_residual,
+    "q_ann_filtered": q_ann_filtered,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -11208,6 +11323,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_sq8_rerank": SQL_SQ8_RERANK,
     # r14 late additions — same order as EXTRA_QUERIES' tail
     "q_pq_residual": SQL_PQ_RESIDUAL,
+    "q_ann_filtered": SQL_ANN_FILTERED,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -254,6 +254,9 @@ BENCH_QUERIES = [
     # layout in exact integer space; ingest is one pass (encode carries
     # the cell), serving is the q_ann_join_pq plan + one literal lookup
     "q_pq_residual",
+    # r14 — filtered ANN from a stored materialized index (X165): the
+    # metadata predicate reaches the index's parquet scan (PushedFilters)
+    "q_ann_filtered",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -2607,3 +2607,84 @@ def test_pq_residual_guards_and_plan(spark):
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
     assert "WindowGroupLimit" in final
     assert len(re.findall(r"BroadcastHashJoin", final)) == 2
+
+
+def test_ann_join_filtered_pushdown_and_routing(spark, tmp_path):
+    """X165: (a) served from a STORED materialized index, the metadata
+    predicate is pushed into the index's parquet scan (PushedFilters
+    carries the label filter — row groups prune before any vector data
+    is read) and the serving plan keeps the X137 shape; (b) PRE-FILTER
+    semantics: results equal ann_join over the pre-filtered frame, and
+    every returned corpus row satisfies the predicate; (c) routing: in
+    bare-(id,cell) mode the predicate applies to corpus_df instead,
+    and a Column predicate works like a SQL string."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join,
+        ann_join_filtered,
+        assign_cells_l2q,
+        save_ivf_index,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    path = str(tmp_path / "fidx")
+    save_ivf_index(
+        corpus.join(assign_cells_l2q(corpus, cents6, n_probe=1), on="vec_id"),
+        [[float(x) for x in c] for c in cents6],
+        path,
+    )
+    idx = spark.read.parquet(f"{path}/assignments")
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+
+    out = ann_join_filtered(
+        queries,
+        emb,
+        k=6,
+        predicate="label % 2 = 0",
+        corpus_cells=idx,
+        query_cells=qc,
+        materialized_cells=True,
+    )
+    rows = out.collect()
+    assert rows
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in plan
+    # the predicate reached the stored index's parquet scan
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*label[^\]]*\]", plan)
+    assert pushed, f"label filter not pushed to scan:\n{plan}"
+
+    # pre-filter equivalence + predicate holds on every hit
+    labels = {r["vec_id"]: r["label"] for r in corpus.collect()}
+    assert all(labels[r["corpus_id"]] % 2 == 0 for r in rows)
+    want = ann_join(
+        queries,
+        emb,
+        k=6,
+        corpus_cells=idx.where("label % 2 = 0"),
+        query_cells=qc,
+        materialized_cells=True,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+    # bare-(id,cell) routing: predicate applies to corpus_df; Column form
+    bare = idx.select("vec_id", "__cell")
+    got_bare = ann_join_filtered(
+        queries,
+        corpus,
+        k=6,
+        predicate=F.col("label") % 2 == 0,
+        corpus_cells=bare,
+        query_cells=qc,
+    ).collect()
+    assert sorted(map(tuple, got_bare)) == sorted(map(tuple, want))
