@@ -1951,6 +1951,69 @@ def save_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books6")
 
 
+def pq_index_delete(
+    index_path: str,
+    ids_df: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Mark rows of a stored coded index as DELETED (X166) — the LSM
+    bargain applied to the :func:`save_pq_index` /
+    ``pq_index_stream`` layout: deletion appends the doomed ids as a
+    TOMBSTONE parquet under ``{index_path}/tombstones`` (O(deletes),
+    one small append) instead of rewriting the corpus-sized
+    assignments table (O(index), a full-scan write no one runs per
+    delete batch at 100 TB). Serving (``load_pq_index`` with its
+    default ``apply_tombstones=True``) subtracts tombstones with one
+    anti-join that broadcasts from stats while the tombstone set is
+    small; :func:`pq_index_compact` folds them into the assignments
+    and resets the set — run it when tombstones grow past a few
+    percent of the index. Ids never present in the index are a no-op
+    (the anti-join simply matches nothing). Deleting and re-ingesting
+    the same id is NOT supported without a compact between — the
+    tombstone would keep shadowing the new row; compact first (the
+    standard LSM delete-then-reinsert rule)."""
+    ids_df.select(F.col(id_col)).distinct().write.mode("append").parquet(
+        f"{index_path}/tombstones"
+    )
+
+
+def pq_index_compact(spark, index_path: str) -> tuple[int, int]:
+    """Fold tombstones into a stored coded index (X166): rewrite
+    ``{index_path}/assignments`` minus the tombstoned ids, then drop
+    the tombstone set — returns ``(kept, dropped)``. No-op ``(n, 0)``
+    when no tombstones exist.
+
+    The rewrite goes through a temp dir + rename swap (write
+    ``assignments__compact``, remove the old dir, rename into place),
+    so a reader never sees a half-written table; the swap itself is
+    two metadata ops, not atomic ACROSS them — on a crash in the gap
+    the full compacted table survives at the temp path (recovery =
+    finish the rename by hand; production object stores would use the
+    pipeline's versioned-state commit-marker protocol instead of
+    rename). Cost is one full index scan + write — the amortized price
+    the per-delete O(deletes) appends defer, scheduled like any other
+    compaction."""
+    from ..streaming.pipeline import _hadoop_fs
+
+    fs, tpath = _hadoop_fs(spark, f"{index_path}/tombstones")
+    assignments = spark.read.parquet(f"{index_path}/assignments")
+    if not fs.exists(tpath):
+        return int(assignments.count()), 0
+    tomb = spark.read.parquet(f"{index_path}/tombstones").distinct()
+    (id_col,) = tomb.columns
+    total = int(assignments.count())
+    compacted = assignments.join(tomb, on=id_col, how="left_anti")
+    tmp = f"{index_path}/assignments__compact"
+    compacted.write.mode("overwrite").parquet(tmp)
+    kept = int(spark.read.parquet(tmp).count())
+    fs2, apath = _hadoop_fs(spark, f"{index_path}/assignments")
+    fs2.delete(apath, True)
+    fs3, tmppath = _hadoop_fs(spark, tmp)
+    fs3.rename(tmppath, apath)
+    fs.delete(tpath, True)
+    return kept, total - kept
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     """Load a :func:`save_ivf_index` index: ``(assignments_df,
     centroids)``. The centroids collect is |cells| rows — model state,

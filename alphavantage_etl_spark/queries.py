@@ -10110,6 +10110,7 @@ def _sql_ann_join_pq(
     k: int = 4,
     n_probe: int = 3,
     residual: bool = False,
+    cand_where: str | None = None,
 ) -> str:
     dim = m * d_sub
     parts = [
@@ -10206,12 +10207,16 @@ def _sql_ann_join_pq(
     fin_joins = " ".join(f"CROSS JOIN finp{s} f{s}" for s in range(m))
     if residual:
         fin_joins = "CROSS JOIN fin f " + fin_joins
+    # cand_where (X166): a post-ingest candidate restriction — e.g. a
+    # tombstone predicate. It must NOT touch the fit CTEs: the
+    # quantizer/codebooks were trained before the deletes happened.
+    where_clause = f"\n  WHERE {cand_where}" if cand_where else ""
     parts.append(f"""cand AS MATERIALIZED (
   SELECT q.query_id, cx.vec_id AS corpus_id,
          CAST({adc_terms} AS BIGINT) AS adc_d2
   FROM qp q JOIN ccell cx USING (cell)
        JOIN cw cd ON cd.vec_id = cx.vec_id
-       {fin_joins})""")
+       {fin_joins}{where_clause})""")
     return (
         "\nWITH RECURSIVE\n"
         + ",\n".join(parts)
@@ -10859,6 +10864,70 @@ ORDER BY query_id, "rank"
 """
 
 
+# X166 — coded-index tombstone deletes + compaction (r14): the LSM
+# bargain for the stored IVF-PQ index — pq_index_delete appends doomed
+# ids as a tombstone parquet (O(deletes), never a corpus-sized
+# rewrite), load_pq_index subtracts them by default with ONE anti-join
+# that broadcasts from stats, pq_index_compact folds them in (temp-dir
+# + rename swap) and resets the set. This query proves the DELETE path
+# end-to-end from storage: its session-scoped index is built once,
+# then ~10% of ids are deleted; the body is load (tombstones applied)
+# + ADC probe only — deleted rows must never rank. Shape k=4/n_probe=2
+# — no PQ-family sibling uses it (learned-ADC 4/3, serve 6/2, residual
+# 5/2, rerank 12->4/3). Oracle: the X157 generator with the tombstone
+# predicate on the CANDIDATE stage only (the fit CTEs see the full
+# corpus — the models were trained before the deletes)
+# (operators/similarity.py:pq_index_delete,pq_index_compact;
+# streaming/pipeline.py:load_pq_index).
+def _pq_index_del_shared(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import os
+
+        from .operators.similarity import (
+            assign_cells_l2q,
+            pq_encode_exact,
+            pq_index_delete,
+            save_pq_index,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        books6 = _pq_books_shared(spark, sf_dir)
+        path = os.path.join(_ivf_scratch_path(spark, sf_dir), "pq_del")
+        save_pq_index(
+            assign_cells_l2q(corpus, cents6, n_probe=1).join(
+                pq_encode_exact(corpus, books6), on="vec_id"
+            ),
+            cents6,
+            books6,
+            path,
+        )
+        pq_index_delete(path, corpus.where(F.col("vec_id") % 10 == 3))
+        return path
+
+    return _session_shared(spark, ("pq_index_del", sf_dir), build)
+
+
+def q_pq_serve_del(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_join_pq, assign_cells_l2q
+    from .streaming.pipeline import load_pq_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    path = _pq_index_del_shared(spark, sf_dir)
+    idx, cents6, books6 = load_pq_index(spark, path)
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_join_pq(
+        queries, k=4, query_cells=qc, corpus_index=idx, books6=books6
+    ).orderBy("query_id", "rank")
+
+
+SQL_PQ_SERVE_DEL = _sql_ann_join_pq(
+    k=4, n_probe=2, cand_where="(cx.vec_id % 10 != 3)"
+)
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -11100,6 +11169,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     # r14 late additions (X164+)
     "q_pq_residual": q_pq_residual,
     "q_ann_filtered": q_ann_filtered,
+    "q_pq_serve_del": q_pq_serve_del,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -11324,6 +11394,7 @@ EXTRA_ORACLES: dict[str, str] = {
     # r14 late additions — same order as EXTRA_QUERIES' tail
     "q_pq_residual": SQL_PQ_RESIDUAL,
     "q_ann_filtered": SQL_ANN_FILTERED,
+    "q_pq_serve_del": SQL_PQ_SERVE_DEL,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -2298,12 +2298,21 @@ def pq_index_stream(
 
 
 def load_pq_index(
-    spark: SparkSession, index_path: str
+    spark: SparkSession, index_path: str, apply_tombstones: bool = True
 ) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
     """Load a :func:`pq_index_stream` index: ``(coded_assignments_df,
     cents6, books6)`` — the assignments frame is exactly
     :func:`ann_join_pq`'s ``corpus_index`` contract; the model reads
-    are O(model)."""
+    are O(model).
+
+    ``apply_tombstones`` (X166, default ON — serving a deleted row is
+    the bug, so opting OUT is the explicit act): ids appended by
+    ``operators.similarity.pq_index_delete`` are subtracted with one
+    anti-join; the tombstone side stays small between compactions, so
+    the join broadcasts from stats and the assignments scan is still
+    the only corpus-sized input. ``apply_tombstones=False`` reads the
+    raw table (what :func:`pq_index_compact` itself needs, and the
+    audit view of what storage physically holds)."""
     cents6 = [
         [int(x) for x in r["c6"]]
         for r in spark.read.parquet(f"{index_path}/cents6")
@@ -2323,6 +2332,12 @@ def load_pq_index(
     idx = raw.select(
         [c for c in raw.columns if c != "ingest_batch_id"]
     )
+    if apply_tombstones:
+        fs, tpath = _hadoop_fs(spark, f"{index_path}/tombstones")
+        if fs.exists(tpath):
+            tomb = spark.read.parquet(f"{index_path}/tombstones").distinct()
+            (tomb_id,) = tomb.columns
+            idx = idx.join(tomb, on=tomb_id, how="left_anti")
     return idx, cents6, books6
 
 

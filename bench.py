@@ -257,6 +257,9 @@ BENCH_QUERIES = [
     # r14 — filtered ANN from a stored materialized index (X165): the
     # metadata predicate reaches the index's parquet scan (PushedFilters)
     "q_ann_filtered",
+    # r14 — tombstone-deleted coded-index serving (X166): load applies
+    # the tombstone anti-join, probe only — the delete path's cost row
+    "q_pq_serve_del",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -2688,3 +2688,88 @@ def test_ann_join_filtered_pushdown_and_routing(spark, tmp_path):
         query_cells=qc,
     ).collect()
     assert sorted(map(tuple, got_bare)) == sorted(map(tuple, want))
+
+
+def test_pq_index_delete_compact_lifecycle(spark, tmp_path):
+    """X166 end-to-end on a stored coded index: (a) tombstoned ids
+    vanish from the default load and from serving while the raw table
+    still holds them (apply_tombstones=False); (b) deleting unknown
+    ids is a no-op; (c) compact folds tombstones into the assignments
+    (physical row count drops, tombstone dir gone) and serving is
+    IDENTICAL before/after the compact; (d) the tombstone anti-join
+    broadcasts — no SortMergeJoin enters the serving plan."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_pq,
+        assign_cells_l2q,
+        pq_encode_exact,
+        pq_index_compact,
+        pq_index_delete,
+        save_pq_index,
+    )
+    from alphavantage_etl_spark.queries import (
+        _learned_cents_shared,
+        _pq_books_shared,
+    )
+    from alphavantage_etl_spark.sources import load
+    from alphavantage_etl_spark.streaming.pipeline import load_pq_index
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    books6 = _pq_books_shared(spark, SF_ORACLE)
+    path = str(tmp_path / "pqidx")
+    save_pq_index(
+        assign_cells_l2q(corpus, cents6, n_probe=1).join(
+            pq_encode_exact(corpus, books6), on="vec_id"
+        ),
+        cents6,
+        books6,
+        path,
+    )
+    n0 = spark.read.parquet(f"{path}/assignments").count()
+    doomed = {r["vec_id"] for r in corpus.where("vec_id % 10 = 3").collect()}
+    assert doomed
+    pq_index_delete(path, corpus.where("vec_id % 10 = 3"))
+    # unknown ids: a no-op (anti-join matches nothing)
+    pq_index_delete(
+        path, spark.range(10_000_000, 10_000_005).toDF("vec_id")
+    )
+
+    idx, c6, b6 = load_pq_index(spark, path)
+    live = {r["vec_id"] for r in idx.select("vec_id").collect()}
+    assert live.isdisjoint(doomed) and len(live) == n0 - len(doomed)
+    raw, _, _ = load_pq_index(spark, path, apply_tombstones=False)
+    assert raw.count() == n0  # storage still holds the rows
+
+    qc = assign_cells_l2q(queries, c6, n_probe=2)
+    out = ann_join_pq(queries, k=4, query_cells=qc, corpus_index=idx,
+                      books6=b6)
+    before = sorted(map(tuple, out.collect()))
+    assert before and not {t[1] for t in before} & doomed
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in plan
+
+    kept, dropped = pq_index_compact(spark, path)
+    assert (kept, dropped) == (n0 - len(doomed), len(doomed))
+    import os
+
+    assert not os.path.exists(f"{path}/tombstones")
+    assert spark.read.parquet(f"{path}/assignments").count() == kept
+    idx2, c62, b62 = load_pq_index(spark, path)
+    qc2 = assign_cells_l2q(queries, c62, n_probe=2)
+    after = sorted(
+        map(
+            tuple,
+            ann_join_pq(
+                queries, k=4, query_cells=qc2, corpus_index=idx2, books6=b62
+            ).collect(),
+        )
+    )
+    assert after == before
+    # compacting again: no tombstones -> no-op (kept, 0)
+    assert pq_index_compact(spark, path) == (kept, 0)
