@@ -1864,6 +1864,256 @@ def ann_join_sq8_rerank(
     )
 
 
+# Signed-lane bit packing (X167): 64 bits per BIGINT word, bit j of
+# word w = dimension 64*w + j. Bit 63 is the SIGN bit, so its "power"
+# is -(2**63) — summing distinct per-bit terms then reproduces the
+# two's-complement reinterpretation exactly in any engine with wrapping
+# signed int64 (Spark) or one CASE for the top lane (DuckDB, whose
+# `1::BIGINT << 63` raises). hamming/xor/bit_count are sign-agnostic.
+_BQ_POW = [1 << j for j in range(63)] + [-(1 << 63)]
+
+
+def bq_fit(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int | None = None,
+    sample_salt: str = "fit",
+) -> tuple[list[int], int]:
+    """Per-dimension MEAN thresholds of a corpus as EXACT integer model
+    state ``(sums6, n)`` — the fourth and smallest compression tier of
+    the serving stack (X167 BQ, 1 BIT per dimension): classic
+    mean-centered sign binarization (bit_d = 1 iff the component is
+    strictly above its dimension's training mean), kept exact by never
+    forming the mean — :func:`bq_encode` tests ``q6[d] * n > sums6[d]``
+    in integers, so the bit is engine-portable with no division or
+    float in sight. One narrow posexplode scan, one map-side-combinable
+    sum aggregation, an O(dim) collect — the approved O(model) class.
+
+    ``sample_cap``: thresholds learned on the bounded deterministic
+    training sample (:func:`_fit_sample` — the standing quantizer-fit
+    contract), making fit cost O(sample) independent of corpus size;
+    ``n`` is then the SAMPLE count, which is what the bit test scales
+    by.
+
+    INT64 HEADROOM: the encode-side comparison term is ``q6 * n`` and
+    the fit-side sum accumulates n components, so exactness needs
+    ``n * max|q6| < 2^63`` — generous (n ~9.2e9 at the documented
+    ~1e9-u6 component bound) but NOT unconditional at 100 TB row
+    counts; this fit RAISES when the observed magnitudes break it.
+    The production shape — a capped training sample — never gets
+    close. Binary quantization is the Lucene/Vespa bit-vector tier
+    re-expressed relationally; compose with an exact rerank
+    (:func:`ann_join_bq_rerank`) exactly as SQ8/PQ do."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    base = _q6_base(df, dim, vec_col, id_col)
+    if sample_cap is not None:
+        if sample_cap < 1:
+            raise ValueError(f"bq_fit: sample_cap={sample_cap} < 1")
+        base = _fit_sample(base, sample_cap, sample_salt)
+    rows = (
+        base.select(F.posexplode("__q6").alias("__d", "__x"))
+        .groupBy("__d")
+        .agg(
+            F.sum("__x").alias("__s"),
+            F.count("__x").alias("__n"),
+            F.max(F.abs("__x")).alias("__m"),
+        )
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"bq_fit: no usable vectors at dim={dim} "
+            f"(got sums for {len(rows)} dimensions)"
+        )
+    n = int(rows[0]["__n"])
+    by_d = {int(r["__d"]): int(r["__s"]) for r in rows}
+    mmax = max(int(r["__m"]) for r in rows)
+    if mmax and n >= 2**63 // mmax:
+        raise ValueError(
+            f"bq_fit: n={n} rows x max|q6|={mmax} exceeds the int64 "
+            "threshold-comparison headroom (n * max|q6| >= 2^63) — fit "
+            "on a bounded sample (sample_cap)"
+        )
+    return [by_d[d] for d in range(dim)], n
+
+
+def bq_encode(
+    df: DataFrame,
+    sums6: list[int],
+    n_fit: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, __bits array<long>)`` — each row's mean-threshold
+    sign bits under a :func:`bq_fit` model, packed 64 per signed
+    BIGINT word (``ceil(dim/64)`` words; bit j of word w = dimension
+    64w+j; the ``_BQ_POW`` signed-lane rule). The bit test is the
+    exact integer ``q6[d] * n > sums6[d]`` — strictly-above-mean, no
+    division, bit-stable cross-engine. Queries and corpus encode with
+    the SAME model (symmetric binary — unlike PQ's asymmetric ADC).
+    One narrow projection, no shuffle; thresholds ride as one O(dim)
+    literal and the packing loop is constant-width
+    ``transform(sequence)`` folds (the X154 narrow-plan rule), so plan
+    size is independent of dim."""
+    dim = len(sums6)
+    if dim < 1:
+        raise ValueError("bq_encode: sums6 must be non-empty")
+    if n_fit < 1:
+        raise ValueError(f"bq_encode: n_fit={n_fit} < 1")
+    words = (dim + 63) // 64
+    sums_lit = F.lit([int(s) for s in sums6])
+    pow_lit = F.lit(_BQ_POW)
+    n_lit = F.lit(int(n_fit)).cast("long")
+    base = _q6_base(df, dim, vec_col, id_col)
+
+    def word(w: Column) -> Column:
+        # sum of distinct per-bit powers == the packed signed word
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                (w * 64 + j < dim)
+                & (
+                    F.element_at(
+                        F.col("__q6"), (w * 64 + j + 1).cast("int")
+                    )
+                    * n_lit
+                    > F.element_at(sums_lit, (w * 64 + j + 1).cast("int"))
+                ),
+                F.element_at(pow_lit, (j + 1).cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return base.select(
+        F.col("__id").alias(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words - 1)), word
+        ).alias("__bits"),
+    )
+
+
+def ann_join_bq(
+    queries_df: DataFrame,
+    k: int,
+    query_cells: DataFrame,
+    corpus_index: DataFrame,
+    sums6: list[int],
+    n_fit: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-BQ Hamming retrieval join (X167) — the 1-BIT tier of the
+    serving stack (raw -> PQ sub-byte -> SQ8 byte -> BQ bit):
+    candidates come from shared IVF cells and rank by the HAMMING
+    distance between packed sign-bit words — ``sum over words of
+    bit_count(xor(q_word, c_word))``, pure JVM bit ops inside one
+    constant-width fold, every value an exact small integer, so
+    ranking is bit-stable cross-engine (ties by corpus id).
+    ``corpus_index`` is an ``(id_col, __cell, __bits)`` frame (IVF
+    assignment + :func:`bq_encode`, joined once at ingest): the
+    corpus-side scan carries ONE BIT per dimension — dim/8 bytes per
+    row, 64x smaller than raw floats, 8x smaller than SQ8 — and never
+    the raw vectors. Returns ``(query_id, corpus_id, hamming, rank)``,
+    rank 1..k by (hamming asc, corpus_id).
+
+    Scale shape: identical to :func:`ann_join_pq`/:func:`ann_join_sq8`
+    — ONE cell equi-join of the bit index against the bare probe
+    frame, query bits attach by id, both broadcasts static-from-stats,
+    one WindowGroupLimit-pre-limited candidate exchange; the model
+    rides as one O(dim) literal only on the ENCODE side (hamming needs
+    no model at all). Hamming over mean-sign bits is a coarse cosine
+    surrogate (it counts hyperoctant disagreements); compose with an
+    exact rerank (:func:`ann_join_bq_rerank`) when scores must be
+    cosine — the standing two-stage contract of every coded tier."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    need = {id_col, "__cell", "__bits"}
+    if not need <= set(corpus_index.columns):
+        raise ValueError(
+            f"ann_join_bq: corpus_index must carry {sorted(need)}"
+        )
+    from pyspark.sql import Window
+
+    qbits = bq_encode(
+        queries_df, sums6, n_fit, vec_col=vec_col, id_col=id_col
+    ).select(F.col(id_col).alias("query_id"), F.col("__bits").alias("__qb"))
+    qcells = query_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__cell").cast("int").alias("__cell"),
+    )
+    c = corpus_index.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("__cell").cast("int").alias("__cell"),
+        "__bits",
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("__qb"),
+            F.col("__bits"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        c.join(qcells, on="__cell", how="inner")
+        .join(qbits, on="query_id", how="inner")
+        .select("query_id", "corpus_id", hamming.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", F.col("corpus_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "hamming", "rank")
+    )
+
+
+def ann_join_bq_rerank(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    k_shortlist: int,
+    query_cells: DataFrame,
+    corpus_index: DataFrame,
+    sums6: list[int],
+    n_fit: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BQ Hamming shortlist -> exact cosine rerank, composed (X168):
+    the bit tier's standing two-stage contract — :func:`ann_join_bq`
+    produces a Hamming top-``k_shortlist`` from the 1-bit index
+    (bits-only corpus scan), then :func:`topk_exact_rerank` attaches
+    raw vectors to the |Q| x k' shortlist alone and ranks top-``k`` by
+    exact cosine (bround 6). Hamming is the coarsest surrogate in the
+    stack, so ``k_shortlist`` is the recall lever that matters here
+    (wider shortlist -> the exact stage sees past hyperoctant ties);
+    measured on the contract fixture in the X163 harness. Returns
+    ``(query_id, corpus_id, sim, rank)``."""
+    if k_shortlist < k:
+        raise ValueError(
+            f"k_shortlist={k_shortlist} must be >= k={k} (the shortlist "
+            "bounds what the rerank can return)"
+        )
+    shortlist = ann_join_bq(
+        queries_df,
+        k=k_shortlist,
+        query_cells=query_cells,
+        corpus_index=corpus_index,
+        sums6=sums6,
+        n_fit=n_fit,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    return topk_exact_rerank(
+        shortlist, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col
+    )
+
+
 def build_ivf_index(
     corpus_df: DataFrame,
     centroids: list[list[float]],

@@ -10928,6 +10928,208 @@ SQL_PQ_SERVE_DEL = _sql_ann_join_pq(
 )
 
 
+# X167 — IVF-BQ Hamming retrieval (r14): the 1-BIT compression tier
+# completing the serving ladder (raw -> PQ sub-byte -> SQ8 byte -> BQ
+# bit): mean-threshold sign bits (bit = q6[d]*n > sum[d], exact
+# integers, never a formed mean) packed 64 per signed BIGINT word
+# (bit 63 = the sign lane, power -(2^63) — the _BQ_POW rule), ranked
+# by Hamming = bit_count(xor) inside one constant-width fold. The
+# corpus-side scan carries dim/8 bytes per row — 64x under raw floats
+# — and the plan shape is the standing one-cell-equi-join. Shape
+# k=6/n_probe=3 — no coded-tier sibling uses it. Oracle: the X160
+# statement family with the threshold CTE (sum+count per dim), the
+# one-word signed pack (CASE for the top lane — DuckDB's 1<<63
+# raises), and xor/bit_count candidates; dim=64 makes exactly one
+# word, so the signed lane is oracle-exercised; multi-word packing is
+# property-pinned (operators/similarity.py:bq_fit,bq_encode,
+# ann_join_bq).
+def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_bq,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    sums6, n_fit = bq_fit(corpus, dim=64)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        bq_encode(corpus, sums6, n_fit), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+    return ann_join_bq(
+        queries,
+        k=6,
+        query_cells=qc,
+        corpus_index=idx,
+        sums6=sums6,
+        n_fit=n_fit,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_bq(k: int = 6, n_probe: int = 3) -> str:
+    return f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+v AS MATERIALIZED (
+  SELECT vec_id, q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+ccell AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (v.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (v.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+th AS MATERIALIZED (
+  SELECT list(s ORDER BY d) AS s, max(n) AS n FROM (
+    SELECT d, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(q6) AS x, unnest(range(64)) AS d FROM v)
+    GROUP BY d)),
+enc AS MATERIALIZED (
+  SELECT a.vec_id,
+         CAST(list_sum(list_transform(range(64),
+           j -> CASE WHEN a.q6[j+1] * th.n > th.s[j+1]
+                THEN CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (1::BIGINT << j) END
+                ELSE 0 END)) AS BIGINT) AS w0
+  FROM allv a CROSS JOIN th),
+qp AS MATERIALIZED (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT a.vec_id, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= {n_probe}),
+cand AS MATERIALIZED (
+  SELECT q.query_id, cx.vec_id AS corpus_id,
+         CAST(bit_count(xor(qe.w0, ce.w0)) AS BIGINT) AS hamming
+  FROM qp q JOIN ccell cx USING (cell)
+       JOIN enc ce ON ce.vec_id = cx.vec_id
+       JOIN enc qe ON qe.vec_id = q.query_id)
+SELECT query_id, corpus_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= {k}
+ORDER BY query_id, "rank"
+"""
+
+
+SQL_ANN_BQ = _sql_ann_bq()
+
+
+# X168 — BQ Hamming shortlist + exact cosine rerank (r14): the
+# two-stage contract of every coded tier applied to the bit tier —
+# Hamming is the coarsest surrogate in the stack (hyperoctant
+# disagreement counts; many ties), so the shortlist width is the
+# recall lever and the rerank makes the RETURNED scores exact cosine
+# (bround 6). Shape 14 -> k=4 at n_probe=2 — no rerank sibling uses
+# it (pq 12->4/3, sq8 10->3/2). Oracle: textual composition of the
+# SAME generated X167 statement (the _sql_sq8_rerank discipline)
+# (operators/similarity.py:ann_join_bq_rerank,topk_exact_rerank).
+def q_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_bq_rerank,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    sums6, n_fit = bq_fit(corpus, dim=64)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        bq_encode(corpus, sums6, n_fit), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_join_bq_rerank(
+        queries,
+        corpus,
+        k=4,
+        k_shortlist=14,
+        query_cells=qc,
+        corpus_index=idx,
+        sums6=sums6,
+        n_fit=n_fit,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_bq_rerank() -> str:
+    base = _sql_ann_bq(k=14, n_probe=2)
+    # the X167 statement with: norms added to allv, the final Hamming
+    # top-14 demoted to a shortlist CTE, and the exact cosine rerank
+    # appended — textual composition of the SAME generated oracle so
+    # the two can never drift (the _sql_sq8_rerank rule)
+    base = base.replace(
+        """allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,""",
+        """allv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm,
+         list_transform(embedding,""",
+    )
+    tail = """
+SELECT query_id, corpus_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= 14
+ORDER BY query_id, "rank"
+"""
+    assert tail in base
+    return base.replace(
+        tail,
+        """,
+shortlist AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming, corpus_id) <= 14),
+rer AS MATERIALIZED (
+  SELECT s.query_id, s.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(qa.embedding) AS x,
+                         unnest(ca.embedding) AS y))
+           / (qa.nrm * ca.nrm), 6) AS sim
+  FROM shortlist s
+  JOIN allv qa ON qa.vec_id = s.query_id AND qa.nrm > 0
+  JOIN allv ca ON ca.vec_id = s.corpus_id AND ca.nrm > 0)
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM rer
+QUALIFY "rank" <= 4
+ORDER BY query_id, "rank"
+""",
+    )
+
+
+SQL_BQ_RERANK = _sql_bq_rerank()
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -11170,6 +11372,8 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_pq_residual": q_pq_residual,
     "q_ann_filtered": q_ann_filtered,
     "q_pq_serve_del": q_pq_serve_del,
+    "q_ann_bq": q_ann_bq,
+    "q_bq_rerank": q_bq_rerank,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -11395,6 +11599,8 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_pq_residual": SQL_PQ_RESIDUAL,
     "q_ann_filtered": SQL_ANN_FILTERED,
     "q_pq_serve_del": SQL_PQ_SERVE_DEL,
+    "q_ann_bq": SQL_ANN_BQ,
+    "q_bq_rerank": SQL_BQ_RERANK,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

@@ -260,6 +260,11 @@ BENCH_QUERIES = [
     # r14 — tombstone-deleted coded-index serving (X166): load applies
     # the tombstone anti-join, probe only — the delete path's cost row
     "q_pq_serve_del",
+    # r14 — 1-bit BQ Hamming tier (X167) + its exact-rerank composition
+    # (X168): the smallest coded index (dim/8 bytes/row), bit_count(xor)
+    # candidates inside one constant-width fold
+    "q_ann_bq",
+    "q_bq_rerank",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

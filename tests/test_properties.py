@@ -1471,3 +1471,103 @@ def test_pq_residual_matches_python_replica(spark, vecs):
         for rank, (adc, ci) in enumerate(sorted(cands), start=1):
             exp[(qi, ci)] = (adc, rank)
     assert got == exp
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0,
+                max_value=2.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=66,
+            max_size=66,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_ann_join_bq_matches_python_replica(spark, vecs):
+    """X167 across generated corpora at dim 66 — TWO packed words with
+    a partial top word AND the signed bit-63 lane in word 0: bq_fit's
+    integer thresholds, bq_encode's signed-lane packing, and
+    ann_join_bq's hamming + ranking all equal a pure-Python replica
+    over all candidate pairs (single-cell quantizer so every pair is
+    a candidate)."""
+    import math
+
+    import numpy as np
+
+    from alphavantage_etl_spark.operators.similarity import (
+        _BQ_POW,
+        ann_join_bq,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+    )
+
+    dim = 66
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    sums6, n = bq_fit(df, dim=dim)
+
+    def away(x):
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    q = {
+        i: [away(float(np.float32(x)) * 1e6) for x in v]
+        for i, v in enumerate(vecs)
+    }
+    assert n == len(vecs)
+    assert sums6 == [
+        sum(q[i][d] for i in q) for d in range(dim)
+    ]
+
+    def pack(v):
+        words = []
+        for w in range((dim + 63) // 64):
+            acc = 0
+            for j in range(64):
+                d = w * 64 + j
+                if d < dim and v[d] * n > sums6[d]:
+                    acc += _BQ_POW[j]
+            words.append(acc)
+        return words
+
+    got_bits = {
+        r["vec_id"]: list(r["__bits"])
+        for r in bq_encode(df, sums6, n).collect()
+    }
+    exp_bits = {i: pack(q[i]) for i in q}
+    assert got_bits == exp_bits
+
+    cents6 = [[0] * dim]  # one cell: every pair is a candidate
+    idx = assign_cells_l2q(df, cents6, n_probe=1).join(
+        bq_encode(df, sums6, n), on="vec_id"
+    )
+    qc = assign_cells_l2q(df, cents6, n_probe=1)
+    k = len(vecs)
+    got = {
+        (r["query_id"], r["corpus_id"]): (r["hamming"], r["rank"])
+        for r in ann_join_bq(
+            df, k=k, query_cells=qc, corpus_index=idx, sums6=sums6, n_fit=n
+        ).collect()
+    }
+
+    def ham(a, b):
+        mask = (1 << 64) - 1
+        return sum(bin((x ^ y) & mask).count("1") for x, y in zip(a, b))
+
+    exp = {}
+    for qi in q:
+        cands = sorted(
+            (ham(exp_bits[qi], exp_bits[ci]), ci) for ci in q
+        )
+        for rank, (h, ci) in enumerate(cands, start=1):
+            exp[(qi, ci)] = (h, rank)
+    assert got == exp

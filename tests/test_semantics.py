@@ -2773,3 +2773,122 @@ def test_pq_index_delete_compact_lifecycle(spark, tmp_path):
     assert after == before
     # compacting again: no tombstones -> no-op (kept, 0)
     assert pq_index_compact(spark, path) == (kept, 0)
+
+
+def test_ann_bq_bits_and_plan(spark):
+    """X167: mean-threshold bits are STRICTLY-above (a component equal
+    to the mean encodes 0), the signed bit-63 lane packs as a negative
+    word, guards raise, and the serving plan from a STORED bit index
+    matches the standing coded-tier shape — two static broadcasts, one
+    candidate exchange, no vector column on the corpus side."""
+    import re
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_bq,
+        ann_join_bq_rerank,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    # hand frame: dim0 mean = 1.5 (bits 0/1), dim1 constant (mean ==
+    # every component -> strictly-above is FALSE for all: bits 0/0),
+    # dim2 split
+    fit_df = spark.createDataFrame(
+        [(0, [1.0, 2.0, -3.0]), (1, [2.0, 2.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sums6, n = bq_fit(fit_df, dim=3)
+    assert (sums6, n) == ([3000000, 4000000, 2000000], 2)
+    enc = {
+        r["vec_id"]: list(r["__bits"])
+        for r in bq_encode(fit_df, sums6, n).collect()
+    }
+    # one word; vec1 sets bits 0 and 2 -> 5, vec0 sets none
+    assert enc == {0: [0], 1: [5]}
+
+    # signed lane: dim 64, a vector above-mean in dimension 63 packs a
+    # NEGATIVE word (bit 63 = sign bit) and hamming still counts it
+    hi = spark.createDataFrame(
+        [(0, [0.0] * 63 + [9.0]), (1, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    s64, n64 = bq_fit(hi, dim=64)
+    e64 = {
+        r["vec_id"]: list(r["__bits"])
+        for r in bq_encode(hi, s64, n64).collect()
+    }
+    assert e64[0] == [-(1 << 63)] and e64[1] == [0]
+    one_cell = [[0] * 64]
+    idx64 = assign_cells_l2q(hi, one_cell, n_probe=1).join(
+        bq_encode(hi, s64, n64), on="vec_id"
+    )
+    got = {
+        (r["query_id"], r["corpus_id"]): r["hamming"]
+        for r in ann_join_bq(
+            hi, k=2,
+            query_cells=assign_cells_l2q(hi, one_cell, n_probe=1),
+            corpus_index=idx64, sums6=s64, n_fit=n64,
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 1, (1, 0): 1, (1, 1): 0}
+
+    # guards
+    with pytest.raises(ValueError, match="dim"):
+        bq_fit(fit_df, dim=0)
+    with pytest.raises(ValueError, match="sample_cap"):
+        bq_fit(fit_df, dim=3, sample_cap=0)
+    with pytest.raises(ValueError, match="sums6"):
+        bq_encode(fit_df, [], 1)
+    with pytest.raises(ValueError, match="n_fit"):
+        bq_encode(fit_df, sums6, 0)
+    with pytest.raises(ValueError, match="k must be"):
+        ann_join_bq(
+            fit_df, k=0, query_cells=fit_df, corpus_index=fit_df,
+            sums6=sums6, n_fit=n,
+        )
+    with pytest.raises(ValueError, match="must carry"):
+        ann_join_bq(
+            fit_df, k=1, query_cells=fit_df, corpus_index=fit_df,
+            sums6=sums6, n_fit=n,
+        )
+    with pytest.raises(ValueError, match="k_shortlist"):
+        ann_join_bq_rerank(
+            fit_df, fit_df, k=5, k_shortlist=2, query_cells=fit_df,
+            corpus_index=fit_df, sums6=sums6, n_fit=n,
+        )
+
+    # sample_cap: thresholds learned on the md5-capped subset only
+    sub_s, sub_n = bq_fit(fit_df, dim=3, sample_cap=1)
+    assert sub_n == 1 and sub_s in ([1000000, 2000000, -3000000],
+                                    [2000000, 2000000, 5000000])
+
+    # serving plan from a stored bit index (contract fixture)
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    csums, cn = bq_fit(corpus, dim=64)
+    idx = (
+        assign_cells_l2q(corpus, cents6, n_probe=1)
+        .join(bq_encode(corpus, csums, cn), on="vec_id")
+        .localCheckpoint()
+    )
+    out = ann_join_bq(
+        queries, k=6,
+        query_cells=assign_cells_l2q(queries, cents6, n_probe=3),
+        corpus_index=idx, sums6=csums, n_fit=cn,
+    )
+    rows = out.collect()
+    assert rows and {r["rank"] for r in rows} <= set(range(1, 7))
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
