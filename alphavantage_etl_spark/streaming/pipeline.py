@@ -2341,6 +2341,154 @@ def load_pq_index(
     return idx, cents6, books6
 
 
+def bq_index_stream(
+    stream_df: DataFrame,
+    cents6: list[list[int]],
+    sums6: list[int],
+    n_fit: int,
+    index_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming twin of X167's BIT index (X169) — continuous IVF-BQ
+    index maintenance: each embedding micro-batch is cell-assigned
+    under the frozen exact quantizer (``assign_cells_l2q``) AND
+    sign-bit packed under the frozen :func:`~..operators.similarity.
+    bq_fit` thresholds (``bq_encode`` — the exact integer
+    strictly-above-mean test, so streamed and batch-built bits are
+    bit-identical), and the ``(id, __cell, __bits)`` rows append
+    exactly-once via the ``ingest_batch_id=N`` partition-dir protocol
+    (:func:`_append_batch`). At 100 TB the streamed bit index — dim/8
+    bytes per row — is the only thing the Hamming serving scan ever
+    reads.
+
+    BOTH models are FROZEN at stream start and persisted beside the
+    index (``cents6/`` and ``bqmodel/`` parquet — the per-dim sums AND
+    the training count n, since the bit test scales by n): a restart
+    against the same ``index_path`` with a different quantizer OR
+    threshold model raises (reconstructed from ALL stored rows — a
+    stored model that is a strict superset of the wanted one fails
+    too, the r13-ADVICE rule); an existing-but-UNREADABLE model file
+    also raises (fail closed). Re-thresholding is an offline rebuild.
+    Load with :func:`load_bq_index`; tombstone deletes + compaction
+    reuse the X166 utilities unchanged (they are payload-agnostic —
+    assignments + tombstones dirs, any code schema)."""
+    from ..operators.similarity import assign_cells_l2q, bq_encode
+
+    dim = len(sums6)
+    if dim < 1:
+        raise ValueError("bq_index_stream: sums6 must be non-empty")
+    if n_fit < 1:
+        raise ValueError(f"bq_index_stream: n_fit={n_fit} < 1")
+    spark = stream_df.sparkSession
+    want_c = [[int(x) for x in c] for c in cents6]
+    want_m = ([int(s) for s in sums6], int(n_fit))
+    for sub_path, kind in (
+        (f"{index_path}/cents6", "cents"),
+        (f"{index_path}/bqmodel", "model"),
+    ):
+        fs, p = _hadoop_fs(spark, sub_path)
+        if fs.exists(p):
+            try:
+                df = spark.read.parquet(sub_path)
+                if kind == "cents":
+                    got = [
+                        [int(x) for x in r["c6"]]
+                        for r in df.orderBy("cell").collect()
+                    ]
+                    ok = got == want_c
+                else:
+                    rows = df.collect()
+                    by_d = {int(r["d"]): int(r["s6"]) for r in rows}
+                    ns = {int(r["n"]) for r in rows}
+                    # reconstruct from ALL stored rows: extra or
+                    # missing dimensions, duplicate d, or a second n
+                    # all fail — never a prefix pass
+                    ok = (
+                        len(by_d) == len(rows)
+                        and sorted(by_d) == list(range(len(by_d)))
+                        and (
+                            [by_d[d] for d in range(len(by_d))],
+                            ns.pop() if len(ns) == 1 else -1,
+                        )
+                        == want_m
+                    )
+            except Exception as exc:
+                raise ValueError(
+                    f"bq_index_stream: UNREADABLE model file at "
+                    f"{sub_path!r} — cannot verify the frozen-model "
+                    "contract; repair or clear the index path"
+                ) from exc
+            if not ok:
+                raise ValueError(
+                    "bq_index_stream: index_path already holds a "
+                    "DIFFERENT quantizer/threshold model — mixing "
+                    "models silently corrupts the index; rebuild "
+                    "offline or point at a fresh path"
+                )
+        elif kind == "cents":
+            spark.createDataFrame(
+                list(enumerate(want_c)), "cell int, c6 array<long>"
+            ).coalesce(1).write.mode("overwrite").parquet(sub_path)
+        else:
+            spark.createDataFrame(
+                [(d, want_m[0][d], want_m[1]) for d in range(dim)],
+                "d int, s6 long, n long",
+            ).coalesce(1).write.mode("overwrite").parquet(sub_path)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        coded = assign_cells_l2q(
+            batch_df, cents6, n_probe=1, vec_col=vec_col, id_col=id_col
+        ).join(
+            bq_encode(
+                batch_df, sums6, n_fit, vec_col=vec_col, id_col=id_col
+            ),
+            on=id_col,
+        )
+        _append_batch(coded, f"{index_path}/assignments", batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def load_bq_index(
+    spark: SparkSession, index_path: str, apply_tombstones: bool = True
+) -> tuple[DataFrame, list[list[int]], list[int], int]:
+    """Load a :func:`bq_index_stream` index: ``(bit_assignments_df,
+    cents6, sums6, n_fit)`` — the assignments frame is exactly
+    :func:`~..operators.similarity.ann_join_bq`'s ``corpus_index``
+    contract (queries encode under the returned ``(sums6, n_fit)``);
+    the model reads are O(model). ``apply_tombstones``: the X166
+    semantics verbatim (ids appended by ``pq_index_delete`` subtract
+    with one stats-broadcast anti-join; the utilities never look at
+    the code payload, so the bit tier reuses them unchanged)."""
+    cents6 = [
+        [int(x) for x in r["c6"]]
+        for r in spark.read.parquet(f"{index_path}/cents6")
+        .orderBy("cell")
+        .collect()
+    ]
+    mrows = spark.read.parquet(f"{index_path}/bqmodel").orderBy("d").collect()
+    sums6 = [int(r["s6"]) for r in mrows]
+    n_fit = int(mrows[0]["n"])
+    raw = spark.read.parquet(f"{index_path}/assignments")
+    idx = raw.select([c for c in raw.columns if c != "ingest_batch_id"])
+    if apply_tombstones:
+        fs, tpath = _hadoop_fs(spark, f"{index_path}/tombstones")
+        if fs.exists(tpath):
+            tomb = spark.read.parquet(f"{index_path}/tombstones").distinct()
+            (tomb_id,) = tomb.columns
+            idx = idx.join(tomb, on=tomb_id, how="left_anti")
+    return idx, cents6, sums6, n_fit
+
+
 def kmeans_state_stream(
     stream_df: DataFrame,
     cents6: list[list[int]],

@@ -2008,3 +2008,146 @@ def test_pq_index_stream_parity_replay_guards(spark, tmp_path):
             fh.write(b"not parquet")
     with pytest.raises(ValueError, match="UNREADABLE"):
         drain()
+
+
+def test_bq_index_stream_parity_replay_guards(spark, tmp_path):
+    """X169 (streaming twin of X167): the streamed BIT index equals
+    assign+encode over the union of batches bit-for-bit, ann_join_bq
+    serves identically from it, a replayed batch does not duplicate,
+    a restart with a different threshold model raises (including a
+    strict-superset stored model — the r13-ADVICE reconstruction
+    rule from birth), an unreadable model fails CLOSED, and the X166
+    tombstone utilities apply to the bit tier unchanged."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_bq,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+        pq_index_delete,
+    )
+    from alphavantage_etl_spark.queries import _learned_cents_shared
+    from alphavantage_etl_spark.sources import load
+    from alphavantage_etl_spark.streaming.pipeline import (
+        bq_index_stream,
+        load_bq_index,
+    )
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    sums6, n_fit = bq_fit(corpus, dim=64)
+
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    index = str(tmp_path / "bq_index")
+    ckpt = str(tmp_path / "ckpt_bq")
+    schema = "vec_id long, embedding array<float>"
+
+    def land(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(in_dir / f"{name}.parquet"))
+
+    def drain(sums=None, n=None):
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        bq_index_stream(
+            stream, cents6, sums if sums is not None else sums6,
+            n if n is not None else n_fit, index, ckpt,
+        )
+
+    land(corpus.where(F.col("vec_id") % 2 == 0), "b0")
+    drain()
+    land(corpus.where(F.col("vec_id") % 2 == 1), "b1")
+    drain()
+
+    idx, lc, ls, ln = load_bq_index(spark, index)
+    assert lc == cents6 and ls == sums6 and ln == n_fit
+    want = sorted(
+        (r["vec_id"], r["__cell"], tuple(r["__bits"]))
+        for r in assign_cells_l2q(corpus, cents6, n_probe=1)
+        .join(bq_encode(corpus, sums6, n_fit), on="vec_id")
+        .collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["__cell"], tuple(r["__bits"]))
+        for r in idx.collect()
+    )
+    assert got == want
+
+    # serving parity: ann_join_bq from the streamed index == in-plan
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    qc = assign_cells_l2q(queries, cents6, n_probe=3)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["hamming"], r["rank"])
+            for r in df.collect()
+        )
+
+    served = rows(
+        ann_join_bq(queries, k=4, query_cells=qc, corpus_index=idx,
+                    sums6=sums6, n_fit=n_fit)
+    )
+    assert served == rows(
+        ann_join_bq(
+            queries, k=4, query_cells=qc,
+            corpus_index=assign_cells_l2q(corpus, cents6, n_probe=1).join(
+                bq_encode(corpus, sums6, n_fit), on="vec_id"
+            ),
+            sums6=sums6, n_fit=n_fit,
+        )
+    )
+
+    # replay injection: drop the last commit — the batch re-runs and
+    # overwrites its own ingest_batch_id dir, never duplicates
+    commits = sorted(
+        (e for e in os.listdir(f"{ckpt}/commits") if e.isdigit()), key=int
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain()
+    idx2, _, _, _ = load_bq_index(spark, index)
+    assert idx2.count() == len(want)
+
+    # X166 reuse: tombstone ~half the ids — deleted rows never rank
+    doomed = corpus.where(F.col("vec_id") % 10 == 3)
+    pq_index_delete(index, doomed)
+    idx3, _, _, _ = load_bq_index(spark, index)
+    doomed_ids = {r["vec_id"] for r in doomed.collect()}
+    assert idx3.count() == len(want) - len(doomed_ids)
+    for r in ann_join_bq(
+        queries, k=4, query_cells=qc, corpus_index=idx3,
+        sums6=sums6, n_fit=n_fit,
+    ).collect():
+        assert r["corpus_id"] not in doomed_ids
+
+    # frozen-model guards: different sums, different n, superset model
+    with pytest.raises(ValueError, match="DIFFERENT quantizer/threshold"):
+        drain(sums=[s + 1 for s in sums6])
+    with pytest.raises(ValueError, match="DIFFERENT quantizer/threshold"):
+        drain(n=n_fit + 1)
+    spark.createDataFrame(
+        [(64, 0, n_fit)], "d int, s6 long, n long"
+    ).write.mode("append").parquet(f"{index}/bqmodel")
+    with pytest.raises(ValueError, match="DIFFERENT quantizer/threshold"):
+        drain()
+    # restore, then corrupt -> fail closed
+    spark.createDataFrame(
+        [(d, sums6[d], n_fit) for d in range(64)], "d int, s6 long, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index}/bqmodel")
+    for part in glob.glob(f"{index}/bqmodel/*.parquet"):
+        with open(part, "wb") as fh:
+            fh.write(b"not parquet")
+    with pytest.raises(ValueError, match="UNREADABLE"):
+        drain()
