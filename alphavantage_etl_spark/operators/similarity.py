@@ -2091,9 +2091,14 @@ def ann_join_bq_rerank(
     raw vectors to the |Q| x k' shortlist alone and ranks top-``k`` by
     exact cosine (bround 6). Hamming is the coarsest surrogate in the
     stack, so ``k_shortlist`` is the recall lever that matters here
-    (wider shortlist -> the exact stage sees past hyperoctant ties);
-    measured on the contract fixture in the X163 harness. Returns
-    ``(query_id, corpus_id, sim, rank)``."""
+    (wider shortlist -> the exact stage sees past hyperoctant ties).
+    Measured on the contract fixture (sf0.1, recall@10 vs exact
+    cosine, `scripts/bq_recall_r14.json`): at exhaustive probing the
+    raw Hamming top-10 recalls 0.18 while rerank at shortlist
+    20/40/80 recalls 0.27/0.40/0.55 — monotone in BOTH levers, and
+    unlike SQ8 (whose shortlist width was inert on this fixture) the
+    shortlist genuinely buys recall here, exactly the many-ties
+    prediction. Returns ``(query_id, corpus_id, sim, rank)``."""
     if k_shortlist < k:
         raise ValueError(
             f"k_shortlist={k_shortlist} must be >= k={k} (the shortlist "
