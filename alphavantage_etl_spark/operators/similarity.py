@@ -1864,6 +1864,100 @@ def ann_join_sq8_rerank(
     )
 
 
+def pq_score_shortlist(
+    shortlist: DataFrame,
+    queries_df: DataFrame,
+    corpus_index: DataFrame,
+    books6: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual_cents6: list[list[int]] | None = None,
+) -> DataFrame:
+    """EXACT integer ADC scores for an explicit ``(query_id,
+    corpus_id)`` SHORTLIST — the mid-stage primitive of the cascade
+    funnel (X170): unlike :func:`ann_join_pq` (which generates
+    candidates from shared IVF cells), this scores exactly the pairs
+    it is given. The shortlist is the |Q| x k'-bounded broadcast side
+    of both joins, so the coded index contributes a codes-only scan
+    and code reads stay candidate-bounded at any corpus size; the
+    ADC fold is the X157 expression verbatim (same codebook literal,
+    same integer arithmetic — bit-stable cross-engine).
+    ``residual_cents6``: score against a residual-coded index (the
+    candidate's ``__cell`` must ride on ``corpus_index``). Returns
+    ``(query_id, corpus_id, adc_d2)`` — unranked; rank/limit belongs
+    to the caller (the cascade keeps its own k_mid)."""
+    m, _, d_sub = _validate_books6(books6, "pq_score_shortlist")
+    dim = m * d_sub
+    need = {id_col, "__codes"}
+    if residual_cents6 is not None:
+        need.add("__cell")
+    if not need <= set(corpus_index.columns):
+        raise ValueError(
+            f"pq_score_shortlist: corpus_index must carry {sorted(need)}"
+        )
+    q0 = _q6_base(queries_df, dim, vec_col, id_col).select(
+        F.col("__id").alias("query_id"), "__q6"
+    )
+    ccols = [F.col(id_col).alias("corpus_id"), F.col("__codes")]
+    if residual_cents6 is not None:
+        ccols.append(F.col("__cell").cast("int").alias("__cell"))
+    c = corpus_index.select(*ccols)
+    booklit = F.lit([[list(map(int, c_)) for c_ in b] for b in books6])
+    if residual_cents6 is not None:
+        if _validate_cents6(residual_cents6, "pq_score_shortlist") != dim:
+            raise ValueError(
+                "pq_score_shortlist: residual_cents6 dimensionality "
+                f"{len(residual_cents6[0])} != m*d_sub={dim}"
+            )
+        centlit = F.lit([[int(v) for v in c] for c in residual_cents6])
+
+        def qterm(s, d):
+            return F.element_at(
+                F.col("__q6"), (s * d_sub + d).cast("int")
+            ) - F.element_at(
+                F.element_at(centlit, F.col("__cell") + 1),
+                (s * d_sub + d).cast("int"),
+            )
+    else:
+
+        def qterm(s, d):
+            return F.element_at(
+                F.col("__q6"), (s * d_sub + d).cast("int")
+            )
+
+    return (
+        shortlist.select("query_id", "corpus_id")
+        .join(c, on="corpus_id", how="inner")
+        .join(q0, on="query_id", how="inner")
+        .select(
+            "query_id",
+            "corpus_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda code, s: F.aggregate(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(d_sub)),
+                            lambda d: qterm(s, d)
+                            - F.element_at(
+                                F.element_at(
+                                    F.element_at(booklit, s + 1), code + 1
+                                ),
+                                d.cast("int"),
+                            ),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x * x,
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_d2"),
+        )
+    )
+
+
 # Signed-lane bit packing (X167): 64 bits per BIGINT word, bit j of
 # word w = dimension 64*w + j. Bit 63 is the SIGN bit, so its "power"
 # is -(2**63) — summing distinct per-bit terms then reproduces the
@@ -2116,6 +2210,68 @@ def ann_join_bq_rerank(
     )
     return topk_exact_rerank(
         shortlist, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col
+    )
+
+
+def ann_cascade(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int,
+    k_mid: int,
+    k_wide: int,
+    query_cells: DataFrame,
+    bq_index: DataFrame,
+    sums6: list[int],
+    n_fit: int,
+    pq_codes: DataFrame,
+    books6: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The THREE-stage cascade funnel (X170) — the production serving
+    composition that uses every tier of the compression ladder at the
+    granularity it is cheapest: a WIDE Hamming shortlist from the
+    1-bit index (:func:`ann_join_bq`, k_wide — the corpus-sized scan
+    reads dim/8 bytes/row), an ADC mid-rerank of exactly those pairs
+    against the PQ codes (:func:`pq_score_shortlist`, keep k_mid —
+    code reads candidate-bounded), and an exact cosine top-k of the
+    survivors (:func:`topk_exact_rerank` — raw-vector reads |Q| x
+    k_mid-bounded). Monotone funnel: ``k <= k_mid <= k_wide``
+    enforced. Each stage's scores are exact in their own metric, so
+    the WHOLE chain is bit-replayable cross-engine; recall is tuned by
+    (n_probe, k_wide, k_mid) without changing any plan shape — the
+    Lucene bit-filter + rescoring / Milvus multi-stage pattern
+    re-expressed as three equi-join compositions. Returns
+    ``(query_id, corpus_id, sim, rank)``, rank 1..k by (sim desc,
+    corpus_id)."""
+    if not (1 <= k <= k_mid <= k_wide):
+        raise ValueError(
+            f"ann_cascade: need 1 <= k={k} <= k_mid={k_mid} <= "
+            f"k_wide={k_wide} (each stage bounds the next)"
+        )
+    from pyspark.sql import Window
+
+    wide = ann_join_bq(
+        queries_df,
+        k=k_wide,
+        query_cells=query_cells,
+        corpus_index=bq_index,
+        sums6=sums6,
+        n_fit=n_fit,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).select("query_id", "corpus_id")
+    scored = pq_score_shortlist(
+        wide, queries_df, pq_codes, books6, vec_col=vec_col, id_col=id_col
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", F.col("corpus_id"))
+    mid = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k_mid)
+        .select("query_id", "corpus_id")
+    )
+    return topk_exact_rerank(
+        mid, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col
     )
 
 

@@ -11130,6 +11130,147 @@ ORDER BY query_id, "rank"
 SQL_BQ_RERANK = _sql_bq_rerank()
 
 
+# X170 — three-stage cascade funnel (r14): the production serving
+# composition using EVERY tier of the compression ladder at the
+# granularity it is cheapest — a WIDE Hamming shortlist from the 1-bit
+# index (corpus-sized scan reads dim/8 bytes/row), an exact-integer
+# ADC mid-rerank of exactly those pairs against the PQ codes
+# (pq_score_shortlist — code reads candidate-bounded), then an exact
+# cosine top-k of the survivors (raw-vector reads |Q| x k_mid-bounded)
+# — the Lucene bit-filter + rescoring / Milvus multi-stage pattern as
+# three equi-join compositions, each stage exact in its own metric so
+# the WHOLE chain is bit-replayable. Shape 24 -> 8 -> 3 at n_probe=2 —
+# no sibling uses it. Oracle: textual composition of the generated
+# X157 statement (cand restricted to the BQ shortlist via EXISTS; the
+# X167 threshold/encode CTEs injected; the adc top-k_mid demoted to a
+# midlist; the cosine rerank appended — the _sql_sq8_rerank
+# discipline, three generators deep)
+# (operators/similarity.py:ann_cascade,pq_score_shortlist).
+def q_ann_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_cascade,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+        pq_encode_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, sf_dir)
+    books6 = _pq_books_shared(spark, sf_dir)
+    sums6, n_fit = bq_fit(corpus, dim=64)
+    bq_idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        bq_encode(corpus, sums6, n_fit), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_cascade(
+        queries,
+        corpus,
+        k=3,
+        k_mid=8,
+        k_wide=24,
+        query_cells=qc,
+        bq_index=bq_idx,
+        sums6=sums6,
+        n_fit=n_fit,
+        pq_codes=pq_encode_exact(corpus, books6),
+        books6=books6,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_cascade(
+    k: int = 3, k_mid: int = 8, k_wide: int = 24, n_probe: int = 2
+) -> str:
+    base = _sql_ann_join_pq(
+        k=k_mid,
+        n_probe=n_probe,
+        cand_where=(
+            "EXISTS (SELECT 1 FROM bshort b WHERE b.query_id = "
+            "q.query_id AND b.corpus_id = cx.vec_id)"
+        ),
+    )
+    # norms onto allv for the final cosine stage
+    base = base.replace(
+        """allv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,""",
+        """allv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+               FROM (SELECT unnest(embedding) AS u))) AS nrm,
+         list_transform(embedding,""",
+    )
+    # inject the X167 threshold/encode CTEs and the Hamming shortlist
+    # ahead of the (shortlist-restricted) ADC candidate stage
+    inject = f"""th AS MATERIALIZED (
+  SELECT list(s ORDER BY d) AS s, max(n) AS n FROM (
+    SELECT d, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(q6) AS x, unnest(range(64)) AS d FROM v)
+    GROUP BY d)),
+benc AS MATERIALIZED (
+  SELECT a.vec_id,
+         CAST(list_sum(list_transform(range(64),
+           j -> CASE WHEN a.q6[j+1] * th.n > th.s[j+1]
+                THEN CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (1::BIGINT << j) END
+                ELSE 0 END)) AS BIGINT) AS w0
+  FROM allv a CROSS JOIN th),
+bshort AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM (
+    SELECT q.query_id, cx.vec_id AS corpus_id,
+           bit_count(xor(qe.w0, ce.w0)) AS hamming
+    FROM qp q JOIN ccell cx USING (cell)
+         JOIN benc ce ON ce.vec_id = cx.vec_id
+         JOIN benc qe ON qe.vec_id = q.query_id)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY hamming, corpus_id) <= {k_wide}),
+cand AS MATERIALIZED ("""
+    assert base.count("cand AS MATERIALIZED (") == 1
+    base = base.replace("cand AS MATERIALIZED (", inject, 1)
+    # demote the ADC top-k_mid to a midlist, append the cosine rerank
+    tail = f"""
+SELECT query_id, corpus_id, adc_d2,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= {k_mid}
+ORDER BY query_id, "rank"
+"""
+    assert tail in base
+    return base.replace(
+        tail,
+        f""",
+midlist AS MATERIALIZED (
+  SELECT query_id, corpus_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_d2, corpus_id) <= {k_mid}),
+rer AS MATERIALIZED (
+  SELECT s.query_id, s.corpus_id,
+         round_even(
+           (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+            FROM (SELECT unnest(qa.embedding) AS x,
+                         unnest(ca.embedding) AS y))
+           / (qa.nrm * ca.nrm), 6) AS sim
+  FROM midlist s
+  JOIN allv qa ON qa.vec_id = s.query_id AND qa.nrm > 0
+  JOIN allv ca ON ca.vec_id = s.corpus_id AND ca.nrm > 0)
+SELECT query_id, corpus_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, corpus_id) AS INT)
+         AS "rank"
+FROM rer
+QUALIFY "rank" <= {k}
+ORDER BY query_id, "rank"
+""",
+    )
+
+
+SQL_ANN_CASCADE = _sql_ann_cascade()
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -11374,6 +11515,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_pq_serve_del": q_pq_serve_del,
     "q_ann_bq": q_ann_bq,
     "q_bq_rerank": q_bq_rerank,
+    "q_ann_cascade": q_ann_cascade,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -11601,6 +11743,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_pq_serve_del": SQL_PQ_SERVE_DEL,
     "q_ann_bq": SQL_ANN_BQ,
     "q_bq_rerank": SQL_BQ_RERANK,
+    "q_ann_cascade": SQL_ANN_CASCADE,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

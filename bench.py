@@ -265,6 +265,9 @@ BENCH_QUERIES = [
     # candidates inside one constant-width fold
     "q_ann_bq",
     "q_bq_rerank",
+    # r14 — three-stage cascade funnel (X170): bit shortlist -> ADC
+    # mid-rerank -> exact cosine top-k, every tier at its cheapest
+    "q_ann_cascade",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

@@ -2892,3 +2892,94 @@ def test_ann_bq_bits_and_plan(spark):
     assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
     assert "WindowGroupLimit" in final
     assert len(re.findall(r"BroadcastHashJoin", final)) == 2
+
+
+def test_ann_cascade_semantics_and_plan(spark):
+    """X170: the cascade equals its hand-composed three stages
+    bit-for-bit, the funnel-monotonicity guard raises, and the
+    mid-stage scores exactly the given shortlist pairs with the X157
+    ADC fold (spot-checked against ann_join_pq on shared candidates)."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_cascade,
+        ann_join_bq,
+        ann_join_pq,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+        pq_encode_exact,
+        pq_score_shortlist,
+        topk_exact_rerank,
+    )
+    from alphavantage_etl_spark.queries import (
+        _learned_cents_shared,
+        _pq_books_shared,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    books6 = _pq_books_shared(spark, SF_ORACLE)
+    sums6, n_fit = bq_fit(corpus, dim=64)
+    cells = assign_cells_l2q(corpus, cents6, n_probe=1)
+    bq_idx = cells.join(bq_encode(corpus, sums6, n_fit), on="vec_id")
+    pq_codes = pq_encode_exact(corpus, books6)
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+
+    got = ann_cascade(
+        queries, corpus, k=3, k_mid=8, k_wide=24, query_cells=qc,
+        bq_index=bq_idx, sums6=sums6, n_fit=n_fit,
+        pq_codes=pq_codes, books6=books6,
+    )
+    rows = sorted(
+        (r["query_id"], r["corpus_id"], r["sim"], r["rank"])
+        for r in got.collect()
+    )
+    assert rows and {r[3] for r in rows} <= {1, 2, 3}
+
+    # hand-composed equivalent
+    from pyspark.sql import Window
+
+    wide = ann_join_bq(
+        queries, k=24, query_cells=qc, corpus_index=bq_idx,
+        sums6=sums6, n_fit=n_fit,
+    ).select("query_id", "corpus_id")
+    scored = pq_score_shortlist(wide, queries, pq_codes, books6)
+    w = Window.partitionBy("query_id").orderBy("adc_d2", F.col("corpus_id"))
+    mid = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= 8)
+        .select("query_id", "corpus_id")
+    )
+    want = sorted(
+        (r["query_id"], r["corpus_id"], r["sim"], r["rank"])
+        for r in topk_exact_rerank(mid, queries, corpus, 3).collect()
+    )
+    assert rows == want
+
+    # mid-stage ADC parity with ann_join_pq on shared candidate pairs:
+    # restrict both to pairs in probed cells and compare adc_d2
+    pq_idx = cells.join(pq_codes, on="vec_id")
+    full = {
+        (r["query_id"], r["corpus_id"]): r["adc_d2"]
+        for r in ann_join_pq(
+            queries, k=10**6, query_cells=qc, corpus_index=pq_idx,
+            books6=books6,
+        ).collect()
+    }
+    for r in scored.collect():
+        key = (r["query_id"], r["corpus_id"])
+        assert full[key] == r["adc_d2"]
+
+    # guards
+    with pytest.raises(ValueError, match="k_mid"):
+        ann_cascade(
+            queries, corpus, k=5, k_mid=3, k_wide=24, query_cells=qc,
+            bq_index=bq_idx, sums6=sums6, n_fit=n_fit,
+            pq_codes=pq_codes, books6=books6,
+        )
+    with pytest.raises(ValueError, match="must carry"):
+        pq_score_shortlist(wide, queries, corpus, books6)
