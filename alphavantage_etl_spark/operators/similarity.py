@@ -2362,6 +2362,41 @@ def save_pq_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books6")
 
 
+def save_bq_index(
+    index_df: DataFrame,
+    cents6: list[list[int]],
+    sums6: list[int],
+    n_fit: int,
+    path: str,
+) -> None:
+    """Persist an IVF-BQ BIT index (X171) — the batch twin of the
+    streaming ingest (``streaming.pipeline.bq_index_stream``), writing
+    the SAME layout so ``load_bq_index`` reads either: the ``(id,
+    __cell, __bits)`` frame as parquet under ``{path}/assignments``
+    and the two frozen models beside it (``cents6/``: cell + c6;
+    ``bqmodel/``: per-dim threshold sums AND the training count n —
+    each O(model), coalesced to one file). Serving loads this index
+    and never touches the raw vector column (:func:`ann_join_bq` over
+    the loaded frame); the X166 tombstone utilities apply unchanged.
+    Plain parquet, no sidecar format."""
+    _validate_cents6(cents6, "save_bq_index")
+    dim = len(sums6)
+    if dim < 1:
+        raise ValueError("save_bq_index: sums6 must be non-empty")
+    if n_fit < 1:
+        raise ValueError(f"save_bq_index: n_fit={n_fit} < 1")
+    spark = index_df.sparkSession
+    index_df.write.mode("overwrite").parquet(f"{path}/assignments")
+    spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(cents6)],
+        "cell int, c6 array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/cents6")
+    spark.createDataFrame(
+        [(d, int(sums6[d]), int(n_fit)) for d in range(dim)],
+        "d int, s6 long, n long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/bqmodel")
+
+
 def pq_index_delete(
     index_path: str,
     ids_df: DataFrame,

@@ -11271,6 +11271,66 @@ ORDER BY query_id, "rank"
 SQL_ANN_CASCADE = _sql_ann_cascade()
 
 
+# X171 — BQ serving from a PERSISTED bit index (r14): the X155/X162
+# precedent applied to the bit tier, closing the ladder's storage
+# story — save_bq_index writes the bq_index_stream layout in batch
+# (assignments + frozen cents6/bqmodel), built ONCE per (session,
+# sf_dir); the query body is load_bq_index + Hamming probe ONLY,
+# proving "the serving scan reads dim/8 bytes per row and never the
+# corpus vectors" END-TO-END FROM STORAGE. Shape k=7/n_probe=2 — no
+# sibling uses it (ann_bq 6/3, bq_rerank 14->4/2, cascade 24->8->3/2).
+# Oracle: the parametrized X167 generator at that shape (storing
+# cannot change bits — the X147 rule)
+# (operators/similarity.py:save_bq_index;
+# streaming/pipeline.py:load_bq_index).
+def _bq_index_serve_shared(spark: SparkSession, sf_dir: str) -> str:
+    def build() -> str:
+        import os
+
+        from .operators.similarity import (
+            assign_cells_l2q,
+            bq_encode,
+            bq_fit,
+            save_bq_index,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 25 != 7)
+        cents6 = _learned_cents_shared(spark, sf_dir)
+        sums6, n_fit = bq_fit(corpus, dim=64)
+        path = os.path.join(_ivf_scratch_path(spark, sf_dir), "bq_serve")
+        save_bq_index(
+            assign_cells_l2q(corpus, cents6, n_probe=1).join(
+                bq_encode(corpus, sums6, n_fit), on="vec_id"
+            ),
+            cents6,
+            sums6,
+            n_fit,
+            path,
+        )
+        return path
+
+    return _session_shared(spark, ("bq_index_serve", sf_dir), build)
+
+
+def q_bq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_join_bq, assign_cells_l2q
+    from .streaming.pipeline import load_bq_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    path = _bq_index_serve_shared(spark, sf_dir)
+    idx, cents6, sums6, n_fit = load_bq_index(spark, path)
+    qc = assign_cells_l2q(queries, cents6, n_probe=2)
+    return ann_join_bq(
+        queries, k=7, query_cells=qc, corpus_index=idx,
+        sums6=sums6, n_fit=n_fit,
+    ).orderBy("query_id", "rank")
+
+
+SQL_BQ_SERVE = _sql_ann_bq(k=7, n_probe=2)
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -11516,6 +11576,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_ann_bq": q_ann_bq,
     "q_bq_rerank": q_bq_rerank,
     "q_ann_cascade": q_ann_cascade,
+    "q_bq_serve": q_bq_serve,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -11744,6 +11805,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_ann_bq": SQL_ANN_BQ,
     "q_bq_rerank": SQL_BQ_RERANK,
     "q_ann_cascade": SQL_ANN_CASCADE,
+    "q_bq_serve": SQL_BQ_SERVE,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

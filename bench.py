@@ -268,6 +268,9 @@ BENCH_QUERIES = [
     # r14 — three-stage cascade funnel (X170): bit shortlist -> ADC
     # mid-rerank -> exact cosine top-k, every tier at its cheapest
     "q_ann_cascade",
+    # r14 — BQ serving from a persisted bit index (X171): load +
+    # Hamming probe only, the q_ann_serve cost class for the bit tier
+    "q_bq_serve",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

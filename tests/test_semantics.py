@@ -2983,3 +2983,55 @@ def test_ann_cascade_semantics_and_plan(spark):
         )
     with pytest.raises(ValueError, match="must carry"):
         pq_score_shortlist(wide, queries, corpus, books6)
+
+
+def test_bq_serve_plan_serving_only_bits_only(spark):
+    """X171: serving from the PERSISTED bit index keeps the coded-tier
+    serving plan (zero SortMergeJoin, two static broadcasts, one
+    WindowGroupLimit-pre-limited candidate exchange) AND reads the
+    corpus side from the stored assignments parquet — the raw vector
+    column is scanned only on the QUERY side (every embeddings scan in
+    the plan carries the query-slice pushed filter), so "the serving
+    scan reads dim/8 bytes per row" holds end-to-end from storage.
+    The second run reuses the session-scoped index (no rebuild), and
+    the loaded model round-trips exactly."""
+    import re
+
+    from alphavantage_etl_spark.operators.similarity import bq_fit
+    from alphavantage_etl_spark.queries import (
+        _bq_index_serve_shared,
+        q_bq_serve,
+    )
+    from alphavantage_etl_spark.sources import load
+    from alphavantage_etl_spark.streaming.pipeline import load_bq_index
+
+    from .conftest import SF_ORACLE
+
+    first = q_bq_serve(spark, SF_ORACLE)
+    assert first.collect()
+    p1 = _bq_index_serve_shared(spark, SF_ORACLE)
+    p2 = _bq_index_serve_shared(spark, SF_ORACLE)
+    assert p1 == p2
+    # model round-trip: stored == refit
+    emb = load(spark, SF_ORACLE, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    _, _, ls, ln = load_bq_index(spark, p1)
+    ws, wn = bq_fit(corpus, dim=64)
+    assert (ls, ln) == (ws, wn)
+
+    out = q_bq_serve(spark, SF_ORACLE)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in final
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1
+    assert "WindowGroupLimit" in final
+    assert len(re.findall(r"BroadcastHashJoin", final)) == 2
+    scans = [ln_ for ln_ in final.splitlines() if "FileScan parquet" in ln_]
+    bit_scans = [ln_ for ln_ in scans if "__bits" in ln_]
+    vec_scans = [ln_ for ln_ in scans if "embedding" in ln_]
+    assert len(bit_scans) == 1
+    assert "embedding" not in bit_scans[0]
+    assert vec_scans, "query-side vector scans must exist"
+    assert all("% 25) = 7" in ln_ for ln_ in vec_scans)
