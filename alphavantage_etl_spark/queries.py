@@ -11331,6 +11331,128 @@ def q_bq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BQ_SERVE = _sql_ann_bq(k=7, n_probe=2)
 
 
+# X172 — multi-word BQ packing, oracle-exercised (r14): the X154
+# precedent (q_kmeans_fit_hd's in-plan array_repeat tiling) applied to
+# the bit tier — a 128-dim corpus built as embedding tiled x2 makes
+# bq_encode pack TWO signed BIGINT words per row (each with its own
+# bit-63 sign lane), so the multi-word pack / per-word xor /
+# bit_count fold sum is hash-compared cross-engine instead of only
+# property-pinned at dim 66. The content is deliberately degenerate —
+# tiled dims carry tiled thresholds, so word 2 replays word 1 and
+# every hamming is exactly 2x its 64-dim value (ranks coincide with
+# the one-word ranking by construction; the engine must still COMPUTE
+# both words independently, which is the coverage) — and the tiled
+# quantizer (each centroid ||'d with itself) doubles every assignment
+# distance, preserving argmin/tie-breaks, so cells match the shared
+# 64-dim fit. Shape k=4/n_probe=3 — no BQ sibling uses it. Oracle:
+# the X167 statement generalized to (dim=128, words=2) with q6 =
+# list_concat(q6, q6) and cells computed on the UNtiled vector
+# (operators/similarity.py:bq_encode,ann_join_bq).
+def q_ann_bq_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        ann_join_bq,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 2)).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents128 = [c + c for c in _learned_cents_shared(spark, sf_dir)]
+    sums6, n_fit = bq_fit(corpus, dim=128)
+    idx = assign_cells_l2q(corpus, cents128, n_probe=1).join(
+        bq_encode(corpus, sums6, n_fit), on="vec_id"
+    )
+    qc = assign_cells_l2q(queries, cents128, n_probe=3)
+    return ann_join_bq(
+        queries,
+        k=4,
+        query_cells=qc,
+        corpus_index=idx,
+        sums6=sums6,
+        n_fit=n_fit,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_bq_wide(k: int = 4, n_probe: int = 3) -> str:
+    # the X167 statement at (dim=128, words=2): q6 tiled in-plan, the
+    # threshold/encode CTEs widened, hamming summed over the two
+    # packed words; cell assignment runs on the UNtiled q6 (the tiled
+    # quantizer doubles every distance — argmin and tie-breaks are
+    # invariant, mirrored from the Spark side's tiled centroids)
+    return f"""
+WITH RECURSIVE
+allv AS MATERIALIZED (
+  SELECT vec_id, q6 AS q64, list_concat(q6, q6) AS q6
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0)),
+v AS MATERIALIZED (
+  SELECT vec_id, q64 AS q6 FROM allv WHERE vec_id % 25 != 7),
+{_SQL_KMEANS_ST},
+fin AS MATERIALIZED (SELECT c FROM st WHERE it = 3),
+ccell AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (v.q6[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (v.q6[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM v CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+th AS MATERIALIZED (
+  SELECT list(s ORDER BY d) AS s, max(n) AS n FROM (
+    SELECT d, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(a.q6) AS x, unnest(range(128)) AS d
+          FROM allv a WHERE a.vec_id % 25 != 7)
+    GROUP BY d)),
+enc AS MATERIALIZED (
+  SELECT a.vec_id,
+         list_transform(range(2), w -> CAST(list_sum(list_transform(range(64),
+           j -> CASE WHEN a.q6[w*64+j+1] * th.n > th.s[w*64+j+1]
+                THEN CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (1::BIGINT << j) END
+                ELSE 0 END)) AS BIGINT)) AS bits
+  FROM allv a CROSS JOIN th),
+qp AS MATERIALIZED (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT a.vec_id, cl.cell,
+           list_sum(list_transform(range(64),
+             d -> (a.q64[d+1] - f.c[cl.cell*64 + d + 1])
+                  * (a.q64[d+1] - f.c[cl.cell*64 + d + 1]))) AS d2
+    FROM allv a CROSS JOIN (SELECT unnest(range(8)) AS cell) cl
+           CROSS JOIN fin f
+    WHERE a.vec_id % 25 = 7)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= {n_probe}),
+cand AS MATERIALIZED (
+  SELECT q.query_id, cx.vec_id AS corpus_id,
+         CAST(list_sum(list_transform(range(2),
+           w -> bit_count(xor(qe.bits[w+1], ce.bits[w+1])))) AS BIGINT)
+           AS hamming
+  FROM qp q JOIN ccell cx USING (cell)
+       JOIN enc ce ON ce.vec_id = cx.vec_id
+       JOIN enc qe ON qe.vec_id = q.query_id)
+SELECT query_id, corpus_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, corpus_id) AS INT)
+         AS "rank"
+FROM cand
+QUALIFY "rank" <= {k}
+ORDER BY query_id, "rank"
+"""
+
+
+SQL_ANN_BQ_WIDE = _sql_ann_bq_wide()
+
+
 QUERIES: dict[str, QueryFn] = {
     # r8 window under the pinned compressed rotation
     # (ROTATION.md): (a) never-driver-checked first, newest
@@ -11577,6 +11699,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q_bq_rerank": q_bq_rerank,
     "q_ann_cascade": q_ann_cascade,
     "q_bq_serve": q_bq_serve,
+    "q_ann_bq_wide": q_ann_bq_wide,
 }
 
 ALL_QUERIES: dict[str, QueryFn] = {**QUERIES, **EXTRA_QUERIES}
@@ -11806,6 +11929,7 @@ EXTRA_ORACLES: dict[str, str] = {
     "q_bq_rerank": SQL_BQ_RERANK,
     "q_ann_cascade": SQL_ANN_CASCADE,
     "q_bq_serve": SQL_BQ_SERVE,
+    "q_ann_bq_wide": SQL_ANN_BQ_WIDE,
 }
 
 ALL_ORACLES: dict[str, str] = {**ORACLES, **EXTRA_ORACLES}

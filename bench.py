@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     # r14 — BQ serving from a persisted bit index (X171): load +
     # Hamming probe only, the q_ann_serve cost class for the bit tier
     "q_bq_serve",
+    # r14 — multi-word BQ packing oracle-exercised at dim 128 (X172)
+    "q_ann_bq_wide",
 ]
 
 # Deliberate non-bench registry entries. Every registered query must be in

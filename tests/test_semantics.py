@@ -3035,3 +3035,50 @@ def test_bq_serve_plan_serving_only_bits_only(spark):
     assert "embedding" not in bit_scans[0]
     assert vec_scans, "query-side vector scans must exist"
     assert all("% 25) = 7" in ln_ for ln_ in vec_scans)
+
+
+def test_ann_bq_wide_two_word_invariants(spark):
+    """X172: the tiled 128-dim variant packs TWO words whose hammings
+    are exactly 2x the one-word 64-dim hammings at the same shape
+    (tiled dims carry tiled thresholds), with identical (query,
+    corpus, rank) triples — the doubling invariant that makes the
+    multi-word pack/xor/fold path self-checking."""
+    from alphavantage_etl_spark.operators.similarity import (
+        ann_join_bq,
+        assign_cells_l2q,
+        bq_encode,
+        bq_fit,
+    )
+    from alphavantage_etl_spark.queries import (
+        _learned_cents_shared,
+        q_ann_bq_wide,
+    )
+    from alphavantage_etl_spark.sources import load
+
+    from .conftest import SF_ORACLE
+
+    wide = {
+        (r["query_id"], r["corpus_id"]): (r["hamming"], r["rank"])
+        for r in q_ann_bq_wide(spark, SF_ORACLE).collect()
+    }
+    assert wide
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 7)
+    corpus = emb.where(F.col("vec_id") % 25 != 7)
+    cents6 = _learned_cents_shared(spark, SF_ORACLE)
+    sums6, n_fit = bq_fit(corpus, dim=64)
+    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
+        bq_encode(corpus, sums6, n_fit), on="vec_id"
+    )
+    narrow = {
+        (r["query_id"], r["corpus_id"]): (r["hamming"], r["rank"])
+        for r in ann_join_bq(
+            queries, k=4,
+            query_cells=assign_cells_l2q(queries, cents6, n_probe=3),
+            corpus_index=idx, sums6=sums6, n_fit=n_fit,
+        ).collect()
+    }
+    assert set(wide) == set(narrow)
+    for key, (h64, rank) in narrow.items():
+        assert wide[key] == (2 * h64, rank)
