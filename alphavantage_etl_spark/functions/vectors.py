@@ -18,10 +18,36 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Dot product of two equal-length float arrays, computed in double."""
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
+VecOperand = "Column | str | list | tuple"
+
+
+def _sql_ref(name: str) -> str:
+    """Backtick-quote a (possibly alias-qualified) column name for SQL."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def _operand(v) -> tuple[str | None, Column]:
+    """(sql_fragment_or_None, Column) for a vector operand.
+
+    A ``str`` is a column reference; a ``list``/``tuple`` is a literal
+    vector (emitted as exact round-trip double literals — Java
+    ``Double.parseDouble`` and Python ``repr`` are both correctly
+    rounded, so the parsed value is bit-identical to ``F.lit(float(x))``).
+    A ``Column`` yields no SQL fragment — callers that want the unrolled
+    fast path must pass a name or a literal."""
+    if isinstance(v, str):
+        return _sql_ref(v), F.col(v)
+    if isinstance(v, (list, tuple)):
+        frag = (
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in v)
+            + ")"
+        )
+        return frag, F.expr(frag)
+    return None, v
+
+
+def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -29,23 +55,93 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def l2_norm(a: Column | str) -> Column:
-    a = F.col(a) if isinstance(a, str) else a
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    # Same left-to-right fold as the HOF form: ((0.0 + t1) + t2) + ...
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    hof = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} ELSE {hof} END"
     )
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """cos(a, b) = a.b / (|a| |b|); NULL-safe on zero vectors (returns NULL)."""
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
-    na, nb = l2_norm(a), l2_norm(b)
-    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+def _norm_sq_sql(a: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({a}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    hof = (
+        f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        f"CASE WHEN size({a}) = {dim} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} ELSE {hof} END"
+    )
+
+
+def dot(a, b, dim: int | None = None) -> Column:
+    """Dot product of two equal-length float arrays, computed in double.
+
+    ``a``/``b``: Column, column-name string, or literal number list.
+
+    ``dim`` (r14 optimization): Spark's higher-order functions
+    (``aggregate``/``zip_with``/``transform``) are ``CodegenFallback`` —
+    every pair is scored through the INTERPRETED evaluator with per-element
+    boxing, which dominates pair-heavy stages (guide §4.2: per-task work).
+    With a statically known dimensionality the same left-to-right fold is
+    emitted as an unrolled ``element_at`` sum that whole-stage codegen
+    compiles to straight-line double arithmetic — bit-identical (IEEE
+    addition in the identical order; micro-benched at 0 mismatches over
+    499k pairs, ~2-4x faster). Rows whose arrays are not exactly ``dim``
+    long fall back to the HOF form via a lazy CASE branch, so NULL/ragged
+    semantics are unchanged (and ANSI out-of-bounds access can never
+    fire).
+
+    The unrolled form is emitted as ONE ``F.expr`` SQL string (a single
+    py4j round trip): building it as ~dim*6 ``Column`` operations costs
+    ~1-3 ms of driver time EACH, which measured 1.2-4x slower end-to-end
+    at sf0.1 — the JVM SQL parser handles the same tree in ~ms. The fast
+    path therefore requires name/literal operands; a ``Column`` operand
+    with ``dim`` set silently uses the HOF form. Literal operands
+    additionally constant-fold (the query-side norm becomes a literal)."""
+    af, ac = _operand(a)
+    bf, bc = _operand(b)
+    if dim is None or af is None or bf is None:
+        return _dot_hof(ac, bc)
+    return F.expr(_dot_sql(af, bf, dim))
+
+
+def l2_norm(a, dim: int | None = None) -> Column:
+    """L2 norm of a float array; see ``dot`` for the ``dim`` fast path."""
+    af, ac = _operand(a)
+    if dim is None or af is None:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    ac, lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.sqrt(F.expr(_norm_sq_sql(af, dim)))
+
+
+def cosine_similarity(a, b, dim: int | None = None) -> Column:
+    """cos(a, b) = a.b / (|a| |b|); NULL-safe on zero vectors (returns
+    NULL). Operands as in ``dot``."""
+    na, nb = l2_norm(a, dim), l2_norm(b, dim)
+    return F.when((na > 0) & (nb > 0), dot(a, b, dim) / (na * nb))
 
 
 def random_projection(

@@ -123,6 +123,17 @@ def train_logreg_hashed(
     -1 holds the intercept. ``label_col`` must be 0/1 (cast applied)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    # r14 optimization (guide §2.1): hash-partition the persisted feature
+    # frame by document id ONCE — the union with the bias rows erases
+    # the build-time partitioning, so without this every gradient step
+    # re-shuffled the corpus-sized cached frame TWICE (score groupBy +
+    # error join). InMemoryTableScan preserves outputPartitioning, and
+    # HashPartitioning(id) satisfies every per-iteration requirement
+    # (groupBy(id, y), join on id — err inherits the same partitioning
+    # through the score aggregate), leaving only the bucket-keyed
+    # gradient aggregation (<= buckets rows after map-side partials) on
+    # the shuffle path. Values unchanged: all sums are quantized-exact
+    # decimal folds, partition-order-immune by the module contract.
     feats = _features(
         docs.withColumn("__y", F.col(label_col).cast("double")),
         id_col,
@@ -130,7 +141,7 @@ def train_logreg_hashed(
         "__y",
         buckets,
         salt,
-    ).persist()
+    ).repartition(F.col(id_col)).persist()
     n_docs = feats.select(id_col).distinct().count()  # driver scalar
     qt = F.lit(10.0**_QT)
 

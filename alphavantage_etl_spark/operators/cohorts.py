@@ -354,7 +354,17 @@ def markov_attribution(
             "p",
         )
         .groupBy("rm", "f", "t")
+        # r14 optimization (guide §2.1): everything from here on is
+        # MODEL-sized ((|channels|+1) x |states|^2 rows). coalesce(1)
+        # before each checkpoint makes the iteration state
+        # SinglePartition, which satisfies every join/aggregation
+        # distribution — each power iteration collapses from ~4
+        # exchanges x 32 scheduled tasks to one single-task stage
+        # (measured 162 jobs -> ~20 for iters=16). Values unchanged:
+        # the per-edge contributions are 1e-9-quantized decimal sums,
+        # partition-order-immune by the module contract.
         .agg(F.sum("p").alias("p"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     # p(rm, state): conversion probability per non-absorbing state
@@ -389,6 +399,7 @@ def markov_attribution(
                     9,
                 ).alias("p"),
             )
+            .coalesce(1)
             .localCheckpoint(eager=True)
         )
         free_blocks(p)

@@ -58,8 +58,16 @@ def embedding_near_dups(
     block_col: str | None = "label",
     round_to: int | None = 6,
     target_cell_size: int = 1024,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
+
+    ``dim`` (r14): the declared dimensionality, when the caller knows it.
+    Unrolls the pairwise dot/norm into codegen'd straight-line arithmetic
+    (``functions.vectors.dot``) — bit-identical, ~2-4x faster on the
+    pair-heavy stage, with the HOF fallback preserving ragged-row
+    semantics. The pair stage is the operator's dominant cost (sum of
+    |cell|^2 dot products), so this is the guide §4.2 per-task-work fix.
 
     ``block_col`` is the coarse quantizer (IVF-style): only same-cell pairs
     are scored, so the self-join shuffles on the block key and the pair count
@@ -96,12 +104,13 @@ def embedding_near_dups(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__v"),
-        l2_norm(F.col(vec_col)).alias("__n"),
+        l2_norm(vec_col, dim).alias("__n"),
     )
     a, b = sel.alias("a"), sel.alias("b")
     na, nb = F.col("a.__n"), F.col("b.__n")
     sim = F.when(
-        (na > 0) & (nb > 0), dot(F.col("a.__v"), F.col("b.__v")) / (na * nb)
+        (na > 0) & (nb > 0),
+        dot("a.__v", "b.__v", dim) / (na * nb),
     )
     if round_to is not None:
         sim = F.bround(sim, round_to)
@@ -493,6 +502,7 @@ def ann_join(
     query_cells: DataFrame | None = None,
     corpus_multi_cell: bool = False,
     materialized_cells: bool | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cross-table ANN retrieval join — the batch-retrieval building
     block the self-join k-NN graph does not cover: every QUERY vector
@@ -623,7 +633,7 @@ def ann_join(
     q0 = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+        l2_norm(vec_col, dim).alias("__qn"),
     ).where(F.col("__qn") > 0)
     if query_cells is not None:
         q = None  # joined per-candidate below — see the cand branch
@@ -678,22 +688,20 @@ def ann_join(
         c = c0.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("__cvec"),
-            l2_norm(F.col(vec_col)).alias("__cn"),
+            l2_norm(vec_col, dim).alias("__cn"),
             F.col("__cell").cast("int").alias("__cell"),
         ).where(F.col("__cn") > 0)
     else:
         c = corpus_df.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("__cvec"),
-            l2_norm(F.col(vec_col)).alias("__cn"),
+            l2_norm(vec_col, dim).alias("__cn"),
         ).where(F.col("__cn") > 0)
         best = F.array_max(
             _cell_scores(F.col("__cvec"), F.col("__cn"), centroids, round_to)
         )
         c = c.withColumn("__cell", (-best["neg_cell"]).cast("int"))
-    sim = dot(F.col("__qvec"), F.col("__cvec")) / (
-        F.col("__qn") * F.col("__cn")
-    )
+    sim = dot("__qvec", "__cvec", dim) / (F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         sim = F.bround(sim, round_to)
     if query_cells is not None:
@@ -1771,6 +1779,7 @@ def topk_exact_rerank(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine rerank of a candidate SHORTLIST — the second half
     of the X158 pattern as a reusable operator: ``shortlist`` is any
@@ -1791,16 +1800,15 @@ def topk_exact_rerank(
     qv = queries_df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        l2_norm(F.col(vec_col)).alias("__qn"),
+        l2_norm(vec_col, dim).alias("__qn"),
     ).where(F.col("__qn") > 0)
     cv = corpus_df.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("__cvec"),
-        l2_norm(F.col(vec_col)).alias("__cn"),
+        l2_norm(vec_col, dim).alias("__cn"),
     ).where(F.col("__cn") > 0)
     sim = F.bround(
-        dot(F.col("__qvec"), F.col("__cvec"))
-        / (F.col("__qn") * F.col("__cn")),
+        dot("__qvec", "__cvec", dim) / (F.col("__qn") * F.col("__cn")),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1860,8 +1868,8 @@ def ann_join_sq8_rerank(
         id_col=id_col,
     )
     return topk_exact_rerank(
-        shortlist, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col
-    )
+        shortlist, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col,
+        )
 
 
 def pq_score_shortlist(
@@ -2209,8 +2217,8 @@ def ann_join_bq_rerank(
         id_col=id_col,
     )
     return topk_exact_rerank(
-        shortlist, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col
-    )
+        shortlist, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col,
+        )
 
 
 def ann_cascade(
@@ -2271,8 +2279,8 @@ def ann_cascade(
         .select("query_id", "corpus_id")
     )
     return topk_exact_rerank(
-        mid, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col
-    )
+        mid, queries_df, corpus_df, k, vec_col=vec_col, id_col=id_col,
+        )
 
 
 def build_ivf_index(
@@ -3388,6 +3396,7 @@ def knn_graph(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, neighbor_id, rank, sim) — each vector's top-``k`` cosine
     neighbors WITHIN its coarse-quantizer cell (rank 1 = nearest; ties
@@ -3410,7 +3419,8 @@ def knn_graph(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     pairs = embedding_near_dups(
-        df, -1.0, vec_col=vec_col, id_col=id_col, block_col=block_col
+        df, -1.0, vec_col=vec_col, id_col=id_col, block_col=block_col,
+        dim=dim,
     )
     sym = pairs.select(
         F.col("id_a").alias(id_col),
@@ -3447,6 +3457,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     broadcast_max_bytes: int = 64 << 20,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space deduplication as one
     keep/drop decision PER VECTOR — cell-blocked cosine near-dup pairs
@@ -3476,7 +3487,8 @@ def semantic_dedup(
     from .graph import connected_components
 
     pairs = embedding_near_dups(
-        df, threshold, vec_col=vec_col, id_col=id_col, block_col=block_col
+        df, threshold, vec_col=vec_col, id_col=id_col, block_col=block_col,
+        dim=dim,
     )
     cc = connected_components(pairs, "id_a", "id_b")
     lab = cc.select(

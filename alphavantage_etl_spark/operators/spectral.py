@@ -76,28 +76,25 @@ def principal_direction(
             F.col("__v"), lambda x: F.round(x.cast("double") * scale).cast("long")
         ).alias("__q")
     )
-    qa = F.col("__q")
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.size(qa)),
-                lambda i: F.transform(
-                    F.sequence(F.lit(1), F.size(qa)),
-                    lambda j: F.struct(
-                        i.alias("gi"),
-                        j.alias("gj"),
-                        (
-                            F.element_at(qa, i).cast("decimal(38,0)")
-                            * F.element_at(qa, j)
-                        ).alias("p"),
-                    ),
-                ),
-            )
-        )
+    # r14 optimization (guide §4.2): the d^2 pair fan-out as two chained
+    # posexplode Generates — GenerateExec runs inside whole-stage
+    # codegen, where the previous explode(flatten(transform(transform)))
+    # pushed every pair through the interpreted HOF evaluator
+    # (CodegenFallback). Identical rows and products: gi/gj stay
+    # 1-based, the product stays decimal(38,0) * long, and the exact
+    # decimal aggregation is summation-order-immune by construction.
+    e1 = q.select(F.posexplode("__q").alias("__i0", "__qi"), F.col("__q"))
+    e2 = e1.select(
+        (F.col("__i0") + 1).alias("gi"),
+        F.col("__qi"),
+        F.posexplode("__q").alias("__j0", "__qj"),
     )
     grid = (
-        q.select(pairs.alias("e"))
-        .select("e.gi", "e.gj", "e.p")
+        e2.select(
+            "gi",
+            (F.col("__j0") + 1).alias("gj"),
+            (F.col("__qi").cast("decimal(38,0)") * F.col("__qj")).alias("p"),
+        )
         .groupBy("gi", "gj")
         .agg(F.sum("p").alias("g"))
     ).localCheckpoint()

@@ -1060,7 +1060,7 @@ FROM pairs WHERE CAST(inter AS DOUBLE) / un >= 0.4
 # X2/X3 — embedding-cosine near-dup pairs, label-blocked (IVF-style cells)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, threshold=0.35)
+    return embedding_near_dups(emb, threshold=0.35, dim=64)
 
 
 SQL_EMBED_NEAR_DUP = """
@@ -1986,7 +1986,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=0.35)
+    pairs = embedding_near_dups(emb, threshold=0.35, dim=64)
     # the loop materialized the labels into cache; the returned plan reads
     # from that cache (same persist-until-session pattern as the minhash
     # signature caches — see verify notes)
@@ -3005,7 +3005,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.35)
+    return semantic_dedup(emb, threshold=0.35, dim=64)
 
 
 SQL_SEMANTIC_DEDUP = f"""
@@ -3716,7 +3716,7 @@ def _knn_graph_shared(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame
         from .operators.similarity import knn_graph
 
         emb = load(spark, sf_dir, "embeddings")
-        return knn_graph(emb, k=k).localCheckpoint(eager=True)
+        return knn_graph(emb, k=k, dim=64).localCheckpoint(eager=True)
 
     return _session_shared(spark, ("knn_graph", sf_dir, k), build)
 
@@ -3863,7 +3863,7 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dups
 
     emb = load(spark, sf_dir, "embeddings")
-    excl = embedding_near_dups(emb, threshold=0.35)
+    excl = embedding_near_dups(emb, threshold=0.35, dim=64)
     return sample_negatives(
         emb.select("vec_id"), "vec_id", k=2, exclusions=excl
     )
@@ -8766,15 +8766,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
-        l2_norm(F.col("embedding")).alias("__qn"),
+        l2_norm("embedding", 64).alias("__qn"),
     ).where(F.col("__qn") > 0)
     c = corpus.select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("__cv"),
-        l2_norm(F.col("embedding")).alias("__cn"),
+        l2_norm("embedding", 64).alias("__cn"),
     ).where(F.col("__cn") > 0)
     sim = F.bround(
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        dot("__qv", "__cv", 64) / (F.col("__qn") * F.col("__cn")),
         6,
     )
     from pyspark.sql import Window
