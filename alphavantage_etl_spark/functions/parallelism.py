@@ -115,6 +115,10 @@ def spread_scan(df: DataFrame) -> DataFrame:
     estimated scan width is narrower. Call on the smallest projection
     BEFORE a CPU-heavy per-row derivation or explode fan-out. Lazy:
     the probe reads plan metadata only (no RDD conversion, no job)."""
+    if df.isStreaming:
+        # micro-batch partitioning is the stream's concern; the width
+        # probe below reads batch-plan metadata that does not exist here
+        return df
     sess = df.sparkSession
     mode = sess.conf.get("spark.graft.spreadScan", "auto")
     if mode == "off":

@@ -151,6 +151,7 @@ def random_projection(
     out_dims: int = 8,
     salt: str = "rp0",
     ticks: int = 1_000_000,
+    dim: int | None = None,
 ):
     """Johnson-Lindenstrauss sign random projection: reduce each vector
     to ``out_dims`` components ``p_j = sum_i s(j,i) * x_i`` with
@@ -175,13 +176,34 @@ def random_projection(
     UDF; the sign for (j, i) derives in-plan from md5 of two literals
     and the element index, so there is no weight matrix to broadcast at
     ANY dimensionality (the matrix is the hash function).
+
+    ``dim`` (r14 optimization, guide §4.2 / §1.2): the md5 sign matrix
+    is DATA-INDEPENDENT — ``md5(salt:j:i)`` depends only on the literal
+    output/input indices — yet the HOF fold recomputed it per ROW
+    through the interpreted evaluator (out_dims x dim md5+conv+substring
+    evals per row; a measured 9.7 s single-task stage at sf0.1). With a
+    statically known input dimensionality the signs are computed ONCE in
+    Python (``hashlib.md5`` over the identical bytes — md5 is md5) and
+    the projection unrolls into plain codegen ``±element_at`` sums; the
+    quantized terms are exact longs, so the fold order cannot matter and
+    the result is bit-identical. Rows whose vectors are not exactly
+    ``dim`` long fall back to the HOF form via a lazy CASE branch
+    (NULL/ragged semantics unchanged; ANSI element_at cannot fire). The
+    per-row work is also spread across the cluster when the scan is
+    narrower than it (``spread_scan`` — metadata-only, no-op at scale).
     """
+    import hashlib
+
     from pyspark.sql import functions as F
+
+    from .parallelism import spread_scan
 
     if out_dims < 1:
         raise ValueError(f"out_dims must be >= 1, got {out_dims}")
+    df = spread_scan(df)
     v = F.col(vec_col)
     idx = F.sequence(F.lit(1), F.size(v))
+    vref = _sql_ref(vec_col)
     cols = [F.col(id_col)]
     for j in range(out_dims):
         # sign = +1 iff the first hex nibble of md5('salt:j:i') is even.
@@ -213,6 +235,29 @@ def random_projection(
             ).otherwise(F.lit(-1))
             * F.round(F.element_at(v, i).cast("double") * ticks).cast("long"),
         )
+        if dim is not None:
+            signs = [
+                1
+                if int(
+                    hashlib.md5(
+                        f"{salt}:{j}:{i}".encode()
+                    ).hexdigest()[0],
+                    16,
+                )
+                % 2
+                == 0
+                else -1
+                for i in range(1, dim + 1)
+            ]
+            unrolled = " + ".join(
+                ("" if s > 0 else "-")
+                + f"CAST(round(CAST(element_at({vref}, {i}) AS DOUBLE)"
+                f" * {ticks}) AS BIGINT)"
+                for i, s in zip(range(1, dim + 1), signs)
+            )
+            term = F.when(
+                F.size(v) == dim, F.expr(f"0L + {unrolled}")
+            ).otherwise(term)
         cols.append(
             (term.cast("double") / F.lit(float(ticks))).alias(f"p{j}")
         )

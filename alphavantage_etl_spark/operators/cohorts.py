@@ -302,6 +302,10 @@ def markov_attribution(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     START, CONV, NULL = "(start)", "(conv)", "(null)"
+    # plan-depth block size for the power iteration (see the phase-5
+    # note below): bounds driver analysis cost without paying a
+    # scheduling round-trip per iteration
+    _MARKOV_CKPT_EVERY = 4
     okey = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
     w = Window.partitionBy(user_col).orderBy(okey)
     is_conv = F.col(type_col) == conversion
@@ -367,21 +371,37 @@ def markov_attribution(
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
-    # p(rm, state): conversion probability per non-absorbing state
+    # p(rm, state): conversion probability per non-absorbing state.
+    # r14 optimization, phase 5 (guide §2.4/§2.1/§3.3): the loop state
+    # is MODEL-sized and already SinglePartition (the coalesce(1)
+    # above), which satisfies every join/aggregation distribution — so
+    # iterations run EXCHANGE-FREE (merge hints keep the planner off
+    # BroadcastHashJoin, whose BroadcastExchange is a per-join AQE
+    # query-stage job; SortMergeJoin on SinglePartition children needs
+    # no exchange at all). The recurrence is checkpointed every
+    # _MARKOV_CKPT_EVERY iterations, NOT every iteration and NOT never:
+    # the same-box A/B measured per-iteration checkpoints at 8.2 s /
+    # 162 jobs (pure scheduling) and one fully-lazy 16-deep plan at
+    # 11.7 s / 37 jobs (driver analysis of 48 stacked joins — the §3.3
+    # very-large-plan wall), while depth-4 blocks hold the 8.1 s wall
+    # with a third of the jobs (55) — the local wall is the corpus-
+    # sized journey build, not the model loop, exactly as 100 TB wants.
+    # Values are unchanged: checkpoint placement does not touch a
+    # single expression, and every sum is the 1e-9-quantized decimal
+    # fold (partition- and order-immune by the module contract).
     states = grid.select("rm", F.col("f").alias("s")).distinct()
-    p = states.select("rm", "s", F.lit(0.0).alias("p")).localCheckpoint(
-        eager=True
-    )
+    p = states.select("rm", "s", F.lit(0.0).alias("p"))
     direct = grid.where(F.col("t") == CONV).select(
         "rm", F.col("f").alias("s"), F.col("p").alias("d")
     )
     trans = grid.where(~F.col("t").isin(CONV, NULL))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = F.round(F.bround(trans["p"] * F.col("pp"), 9) * F.lit(1e9)).cast(
             "decimal(38,0)"
         )
         acc = (
-            trans.join(
+            trans.hint("merge")
+            .join(
                 p.select("rm", F.col("s").alias("t"), F.col("p").alias("pp")),
                 ["rm", "t"],
             )
@@ -389,7 +409,9 @@ def markov_attribution(
             .agg(F.sum(contrib).alias("__q"))
         )
         new_p = (
-            states.join(acc, ["rm", "s"], "left")
+            states.hint("merge")
+            .join(acc, ["rm", "s"], "left")
+            .hint("merge")
             .join(direct, ["rm", "s"], "left")
             .select(
                 "rm", "s",
@@ -399,11 +421,13 @@ def markov_attribution(
                     9,
                 ).alias("p"),
             )
-            .coalesce(1)
-            .localCheckpoint(eager=True)
         )
-        free_blocks(p)
         p = new_p
+        if (it + 1) % _MARKOV_CKPT_EVERY == 0 and (it + 1) < iters:
+            p = p.coalesce(1).localCheckpoint(eager=True)
+    # final checkpoint: the base/removed split below reads p twice, and
+    # this keeps that from re-running the tail of the recurrence
+    p = p.localCheckpoint(eager=True)
     start_p = p.where(F.col("s") == START).select(
         "rm", F.col("p").alias("sp")
     )

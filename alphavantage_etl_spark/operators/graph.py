@@ -371,14 +371,44 @@ def pagerank(
     # aggregate entirely, saving one job per iteration
     has_dangling = dangling.limit(1).count() > 0
 
+    # r14 optimization, phase 5 (guide §2.4/§2.1): when the whole model
+    # (edges + nodes) is small, the power iteration runs EXCHANGE-FREE —
+    # state coalesced to SinglePartition (satisfies every join/agg
+    # distribution), merge hints keep the planner off BroadcastHashJoin
+    # (whose BroadcastExchange is a per-join AQE query-stage job), and
+    # the loop stays ONE lazy plan with no per-iteration localCheckpoint
+    # (measured 70 jobs / ~4 s of scheduling for the 25-node nation
+    # graph at sf0.1). Only for DANGLING-FREE graphs: the dangling-mass
+    # branch reads `ranks` twice per iteration, which doubles a lazy
+    # plan per level — that branch keeps the checkpointed form. The
+    # threshold is row-count-based and conf-tunable
+    # (spark.graft.modelLoopRows), not tied to local core counts; values
+    # are identical either way (1e-9-quantized decimal sums, partition-
+    # order-immune by the module contract). enorm.count() is free here:
+    # it materializes the persisted cache the first iteration would
+    # have paid for anyway.
+    loop_cap = int(
+        edges.sparkSession.conf.get("spark.graft.modelLoopRows", "262144")
+    )
+    small_model = (
+        not has_dangling and enorm.count() + n_nodes <= loop_cap
+    )
+    if small_model:
+        enorm = enorm.coalesce(1).localCheckpoint(eager=True)
+        nodes_it = nodes.coalesce(1).localCheckpoint(eager=True)
+    else:
+        nodes_it = nodes
+
     base = F.lit((1.0 - damping) / n_nodes)
     quant = F.lit(10.0**9)
-    ranks = nodes.select(
+    ranks = nodes_it.select(
         "node", F.bround(F.lit(1.0 / n_nodes), 9).alias("rank")
-    ).localCheckpoint(eager=True)
+    )
+    if not small_model:
+        ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
-            ranks.join(enorm, ranks["node"] == enorm["__src"])
+            ranks.hint("merge").join(enorm, ranks["node"] == enorm["__src"])
             .select(
                 F.col("__dst").alias("node"),
                 F.round(F.bround(F.col("rank") * F.col("__p"), 9) * quant)
@@ -424,13 +454,18 @@ def pagerank(
                 )
             )
         else:
-            new = nodes.join(contrib, on="node", how="left").select(
+            new = nodes_it.hint("merge").join(
+                contrib, on="node", how="left"
+            ).select(
                 "node",
                 F.bround(
                     base + F.lit(damping) * contrib_term, 9
                 ).alias("rank"),
             )
-        ranks = new.localCheckpoint(eager=True)
+        ranks = new if small_model else new.localCheckpoint(eager=True)
+    if small_model:
+        # one materialization AFTER the loop, not per iteration
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -474,18 +474,11 @@ def assign_cells_l2q(
         raise ValueError(
             "assign_cells_l2q: cents6 rows disagree on dimensionality"
         )
-    base = (
-        df.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), _u6_quantized(vec_col).alias("__q6"))
-        .where(
-            (F.size("__q6") == dim)
-            & ~F.exists(F.col("__q6"), lambda x: x.isNull())
-        )
-    )
+    base = _q6_base(df, dim, vec_col, id_col)
     scored = _l2q_scored(F.col("__q6"), cents6)
     probes = F.slice(F.sort_array(scored), 1, n_probe)
     return base.select(
-        id_col, F.explode(probes).alias("__p")
+        F.col("__id").alias(id_col), F.explode(probes).alias("__p")
     ).select(id_col, F.col("__p")["cell"].cast("int").alias("__cell"))
 
 
@@ -1523,7 +1516,7 @@ def ann_join_pq(
         centlit = F.lit([[int(v) for v in c] for c in residual_cents6])
 
         def qterm(s, d):
-            # query residual w.r.t. the candidate's cell: one extra
+            # query residual w.r.t. the PROBED cell: one extra
             # element_at into the KB-scale centroid literal — the
             # per-probed-cell LUT, no plan-shape change
             return F.element_at(
@@ -1539,38 +1532,61 @@ def ann_join_pq(
                 F.col("__q6"), (s * d_sub + d).cast("int")
             )
 
-    cand = (
-        c.join(qcells, on="__cell", how="inner")
-        .join(q0, on="query_id", how="inner")
-        .select(
-            "query_id",
-            "corpus_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("__codes"),
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    # each diff materializes ONCE via an inner
-                    # transform, then squares in the fold — never two
-                    # copies of the lookup chain per element
-                    lambda code, s: F.aggregate(
-                        F.transform(
-                            F.sequence(F.lit(1), F.lit(d_sub)),
-                            lambda d: qterm(s, d)
-                            - F.element_at(
-                                F.element_at(
-                                    F.element_at(booklit, s + 1), code + 1
-                                ),
-                                d.cast("int"),
-                            ),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x * x,
-                    ),
-                ),
+    # r14 optimization (guide §4.2/§1.2): the ADC fold used to run
+    # m x d_sub interpreted HOF evaluations PER CANDIDATE PAIR — the
+    # dominant work of the join. This is the textbook FAISS ADC-LUT
+    # factorization instead: the per-subspace distance table
+    # ``lut[s][code] = sum_d (qterm(s,d) - book[s][code][d])^2`` is
+    # computed ONCE per (query, probed cell) row on the |Q| x n_probe
+    # probe frame (where the interpreted HOF cost is irrelevant), and
+    # each candidate pays exactly m codegen ``element_at`` lookups —
+    # the identical exact integers in the identical inner fold order
+    # (d ascending, then s ascending), so every adc_d2 is unchanged.
+    # Plan shape: the probe frame absorbs the q6 attach (qcells ⋈ q0,
+    # query-sized), the coded corpus still crosses exactly ONE cell
+    # equi-join, broadcasts stay static-from-stats, and the only hash
+    # exchange still carries the WindowGroupLimit-pre-limited
+    # candidates.
+    def _lut_subspace(s: int) -> Column:
+        # factory closure: PySpark introspects lambda arity, so the
+        # loop variables must be captured by closure, NOT by default
+        # args (a `lambda x, s=s:` is a 2-arg HOF lambda to Spark)
+        def entry(code_vec: Column) -> Column:
+            def diff(d: Column) -> Column:
+                return qterm(s, d) - F.element_at(
+                    code_vec, d.cast("int")
+                )
+
+            return F.aggregate(
+                F.transform(F.sequence(F.lit(1), F.lit(d_sub)), diff),
                 F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("adc_d2"),
-        )
+                lambda acc, x: acc + x * x,
+            )
+
+        return F.transform(F.element_at(booklit, s + 1), entry)
+
+    lut = F.array(*[_lut_subspace(s) for s in range(m)])
+    ql = qcells.join(q0, on="query_id", how="inner").select(
+        "query_id", "__cell", lut.alias("__lut")
+    )
+    adc_unrolled = " + ".join(
+        f"element_at(element_at(__lut, {s + 1}), "
+        f"element_at(__codes, {s + 1}) + 1)"
+        for s in range(m)
+    )
+    adc = F.expr(
+        f"CASE WHEN size(__codes) = {m} THEN 0L + {adc_unrolled} "
+        "ELSE aggregate(zip_with(__codes, __lut, (cd, tbl) -> "
+        "element_at(tbl, cd + 1)), 0L, (acc, x) -> acc + x) END"
+    )
+    # ql is a JOIN OUTPUT, so its stats estimate is unreliable — without
+    # the explicit hint the static planner picks SortMergeJoin and the
+    # COD corpus side pays a cell-key shuffle before AQE's broadcast
+    # rescue (measured: one extra corpus-sized Exchange). The probe
+    # frame is |Q| x n_probe rows of model-scale LUTs — known small, so
+    # the hint is the guide §3.1 move; the corpus side never shuffles.
+    cand = c.join(F.broadcast(ql), on="__cell", how="inner").select(
+        "query_id", "corpus_id", adc.alias("adc_d2")
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", F.col("corpus_id"))
     return (
@@ -2065,36 +2081,80 @@ def bq_encode(
         raise ValueError("bq_encode: sums6 must be non-empty")
     if n_fit < 1:
         raise ValueError(f"bq_encode: n_fit={n_fit} < 1")
-    words = (dim + 63) // 64
-    sums_lit = F.lit([int(s) for s in sums6])
-    pow_lit = F.lit(_BQ_POW)
-    n_lit = F.lit(int(n_fit)).cast("long")
     base = _q6_base(df, dim, vec_col, id_col)
-
-    def word(w: Column) -> Column:
-        # sum of distinct per-bit powers == the packed signed word
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(63)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc
-            + F.when(
-                (w * 64 + j < dim)
-                & (
-                    F.element_at(
-                        F.col("__q6"), (w * 64 + j + 1).cast("int")
-                    )
-                    * n_lit
-                    > F.element_at(sums_lit, (w * 64 + j + 1).cast("int"))
-                ),
-                F.element_at(pow_lit, (j + 1).cast("int")),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-
+    # r14 optimization (guide §4.2, the phase-1 unroll rule): the
+    # aggregate(sequence)/transform packing loop is CodegenFallback —
+    # every bit test ran through the interpreted evaluator (~dim boxed
+    # evals per row). The model is Python-side ints, so the SAME sum of
+    # distinct per-bit powers unrolls into ONE F.expr whole-stage-codegen
+    # projection (single py4j round trip; thresholds inline as exact
+    # BIGINT literals). Bit-identical by construction: integer addition
+    # in the identical j=0..63 fold order, and _q6_base already
+    # guarantees size(__q6) == dim with no NULL components, so ANSI
+    # element_at can never see an out-of-range index.
     return base.select(
         F.col("__id").alias(id_col),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(words - 1)), word
-        ).alias("__bits"),
+        F.expr(_bq_words_sql(sums6, n_fit)).alias("__bits"),
+    )
+
+
+def _bq_words_sql(sums6: list[int], n_fit: int) -> str:
+    """Unrolled packed-word SQL for :func:`bq_encode` — an
+    ``array(word_0, ..)`` literal expression over the projected
+    ``__q6`` column; word w = left fold over j of
+    ``CASE WHEN q6[64w+j] * n > sums6[64w+j] THEN 2^j ELSE 0``, the
+    sign lane (j=63) emitted as ``-9223372036854775807L - 1L`` because
+    the bare min-long literal does not parse as one token."""
+    dim = len(sums6)
+    words = (dim + 63) // 64
+    n = int(n_fit)
+    wexprs = []
+    for w in range(words):
+        terms = []
+        for j in range(64):
+            d = w * 64 + j
+            if d >= dim:
+                break
+            p = _BQ_POW[j]
+            pw = f"{p}L" if p > 0 else "(-9223372036854775807L - 1L)"
+            terms.append(
+                f"(CASE WHEN element_at(__q6, {d + 1}) * {n}L > "
+                f"{int(sums6[d])}L THEN {pw} ELSE 0L END)"
+            )
+        wexprs.append("(0L + " + " + ".join(terms) + ")")
+    return "array(" + ", ".join(wexprs) + ")"
+
+
+def bq_index(
+    df: DataFrame,
+    cents6: list[list[int]],
+    sums6: list[int],
+    n_fit: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, __cell, __bits)`` — the full BQ index row in ONE
+    projection over ONE corpus scan (r14 optimization, guide §2.4):
+    the previous composition ``assign_cells_l2q(.., n_probe=1).join(
+    bq_encode(..), on=id)`` equi-joined two row-wise projections of
+    the SAME base — a corpus-sized id shuffle that computes nothing.
+    Fusing the argmin cell (the shared :func:`_l2q_scored` metric,
+    min by (d2, cell) exactly like the n_probe=1 sort — the
+    :func:`_residual_q6` ``array_min`` form) with the unrolled word
+    packing removes that exchange outright. Values are bit-identical
+    to the composition; both inputs must share ``dim``."""
+    dim = len(sums6)
+    if not cents6 or len(cents6[0]) != dim:
+        raise ValueError(
+            "bq_index: cents6 and sums6 disagree on dimensionality "
+            f"({len(cents6[0]) if cents6 else 0} vs {dim})"
+        )
+    base = _q6_base(df, dim, vec_col, id_col)
+    best = F.array_min(_l2q_scored(F.col("__q6"), cents6))
+    return base.select(
+        F.col("__id").alias(id_col),
+        best["cell"].cast("int").alias("__cell"),
+        F.expr(_bq_words_sql(sums6, n_fit)).alias("__bits"),
     )
 
 
@@ -2152,14 +2212,27 @@ def ann_join_bq(
         F.col("__cell").cast("int").alias("__cell"),
         "__bits",
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("__qb"),
-            F.col("__bits"),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # r14 optimization (guide §4.2): the zip_with/aggregate fold is
+    # CodegenFallback and evaluates once per CANDIDATE pair — the
+    # dominant per-row work of the whole join (measured 11.6 s in one
+    # single-task stage at sf0.1/dim=128 before the unroll+spread).
+    # The word count is static (ceil(dim/64)), so the same left fold
+    # unrolls to `words` codegen bit_count(xor) terms; a lazy CASE
+    # keeps the HOF branch for ragged/foreign index rows so NULL
+    # semantics are unchanged and ANSI element_at cannot fire.
+    words = (len(sums6) + 63) // 64
+    unrolled = " + ".join(
+        f"CAST(bit_count(element_at(__qb, {i}) ^ element_at(__bits, {i})) "
+        "AS BIGINT)"
+        for i in range(1, words + 1)
+    )
+    hof = (
+        "aggregate(zip_with(__qb, __bits, (a, b) -> "
+        "CAST(bit_count(a ^ b) AS BIGINT)), 0L, (acc, x) -> acc + x)"
+    )
+    hamming = F.expr(
+        f"CASE WHEN size(__qb) = {words} AND size(__bits) = {words} "
+        f"THEN 0L + {unrolled} ELSE {hof} END"
     )
     cand = (
         c.join(qcells, on="__cell", how="inner")
@@ -2488,7 +2561,19 @@ def _q6_base(
     """``(__id, __q6)`` — the shared quantize-and-filter projection of
     every integer-L2 lifecycle operator: NULL vectors, NULL components
     and rows of a dimensionality other than ``dim`` drop (the
-    :func:`kmeans_fit_quantized` unquantizable-row rule)."""
+    :func:`kmeans_fit_quantized` unquantizable-row rule).
+
+    r14 optimization (guide §2.6/§6): every consumer of this projection
+    (fit fan-outs, encode/assign scoring) is CPU-heavy per row, and a
+    single-file parquet corpus pins that CPU to ONE task (a measured
+    11.6 s single-task stage in q_ann_bq_wide). ``spread_scan`` inserts
+    one bounded round-robin repartition of the raw rows iff the scan is
+    narrower than the cluster — a no-op at real scale, metadata-only
+    probe, and partitioning-immune results by the module's exact-integer
+    contract (no hash exchange, so the X137 serving-plan pins hold)."""
+    from ..functions.parallelism import spread_scan
+
+    df = spread_scan(df)
     return (
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("__id"), _u6_quantized(vec_col).alias("__q6"))

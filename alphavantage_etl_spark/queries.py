@@ -3963,7 +3963,9 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.vectors import random_projection
 
     emb = load(spark, sf_dir, "embeddings")
-    return random_projection(emb, "embedding", "vec_id", out_dims=8)
+    # r14 optimization: dim=64 precomputes the data-independent sign
+    # matrix in Python and unrolls the fold into codegen (guide §4.2)
+    return random_projection(emb, "embedding", "vec_id", out_dims=8, dim=64)
 
 
 def _sql_random_projection() -> str:
@@ -10947,8 +10949,8 @@ def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (
         ann_join_bq,
         assign_cells_l2q,
-        bq_encode,
         bq_fit,
+        bq_index,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -10956,9 +10958,8 @@ def q_ann_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 25 != 7)
     cents6 = _learned_cents_shared(spark, sf_dir)
     sums6, n_fit = bq_fit(corpus, dim=64)
-    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
-        bq_encode(corpus, sums6, n_fit), on="vec_id"
-    )
+    # r14 optimization: fused one-projection index build (bq_index)
+    idx = bq_index(corpus, cents6, sums6, n_fit)
     qc = assign_cells_l2q(queries, cents6, n_probe=3)
     return ann_join_bq(
         queries,
@@ -11048,8 +11049,8 @@ def q_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (
         ann_join_bq_rerank,
         assign_cells_l2q,
-        bq_encode,
         bq_fit,
+        bq_index,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -11057,9 +11058,8 @@ def q_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 25 != 7)
     cents6 = _learned_cents_shared(spark, sf_dir)
     sums6, n_fit = bq_fit(corpus, dim=64)
-    idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
-        bq_encode(corpus, sums6, n_fit), on="vec_id"
-    )
+    # r14 optimization: fused one-projection index build (bq_index)
+    idx = bq_index(corpus, cents6, sums6, n_fit)
     qc = assign_cells_l2q(queries, cents6, n_probe=2)
     return ann_join_bq_rerank(
         queries,
@@ -11150,8 +11150,8 @@ def q_ann_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (
         ann_cascade,
         assign_cells_l2q,
-        bq_encode,
         bq_fit,
+        bq_index,
         pq_encode_exact,
     )
 
@@ -11161,9 +11161,9 @@ def q_ann_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents6 = _learned_cents_shared(spark, sf_dir)
     books6 = _pq_books_shared(spark, sf_dir)
     sums6, n_fit = bq_fit(corpus, dim=64)
-    bq_idx = assign_cells_l2q(corpus, cents6, n_probe=1).join(
-        bq_encode(corpus, sums6, n_fit), on="vec_id"
-    )
+    # r14 optimization: fused one-projection index build (bq_index)
+    # replaces the assign⋈encode id join — values identical
+    bq_idx = bq_index(corpus, cents6, sums6, n_fit)
     qc = assign_cells_l2q(queries, cents6, n_probe=2)
     return ann_cascade(
         queries,
@@ -11288,9 +11288,8 @@ def _bq_index_serve_shared(spark: SparkSession, sf_dir: str) -> str:
         import os
 
         from .operators.similarity import (
-            assign_cells_l2q,
-            bq_encode,
             bq_fit,
+            bq_index,
             save_bq_index,
         )
 
@@ -11299,10 +11298,9 @@ def _bq_index_serve_shared(spark: SparkSession, sf_dir: str) -> str:
         cents6 = _learned_cents_shared(spark, sf_dir)
         sums6, n_fit = bq_fit(corpus, dim=64)
         path = os.path.join(_ivf_scratch_path(spark, sf_dir), "bq_serve")
+        # r14 optimization: fused one-projection index build (bq_index)
         save_bq_index(
-            assign_cells_l2q(corpus, cents6, n_probe=1).join(
-                bq_encode(corpus, sums6, n_fit), on="vec_id"
-            ),
+            bq_index(corpus, cents6, sums6, n_fit),
             cents6,
             sums6,
             n_fit,
@@ -11352,8 +11350,8 @@ def q_ann_bq_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import (
         ann_join_bq,
         assign_cells_l2q,
-        bq_encode,
         bq_fit,
+        bq_index,
     )
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -11364,9 +11362,8 @@ def q_ann_bq_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 25 != 7)
     cents128 = [c + c for c in _learned_cents_shared(spark, sf_dir)]
     sums6, n_fit = bq_fit(corpus, dim=128)
-    idx = assign_cells_l2q(corpus, cents128, n_probe=1).join(
-        bq_encode(corpus, sums6, n_fit), on="vec_id"
-    )
+    # r14 optimization: fused one-projection index build (bq_index)
+    idx = bq_index(corpus, cents128, sums6, n_fit)
     qc = assign_cells_l2q(queries, cents128, n_probe=3)
     return ann_join_bq(
         queries,
