@@ -43,9 +43,30 @@ def pair_lift(
     """(item_a, item_b, n_pair, lift) — top-``k`` item pairs by lift
     (ties: item ids), among pairs co-occurring in >= ``min_support``
     baskets. ``item_a < item_b`` canonically."""
-    items = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # r14 optimization (guide §2.4/§5): `items` feeds FIVE consumers
+    # (sizes, the semi-join left side, n_b, supp, both pair-join sides)
+    # — unpersisted, the plan recomputed the corpus scan + distinct per
+    # consumer (measured before: 10 parquet scans, 19 Exchanges,
+    # 53.4 MB shuffle read). One `repartition(__b)` BEFORE the
+    # distinct-as-aggregate makes HashPartitioning(__b) the layout of
+    # everything downstream: the (b,i) distinct, the per-basket size
+    # aggregation, the semi-join, the n_b distinct and the a⋈b
+    # self-join ALL satisfy their clustering requirement from that one
+    # exchange (a subset-key partitioning satisfies clustering on the
+    # full grouping set), so only `supp` (item-keyed) and the pair
+    # aggregation shuffle at all — and those carry map-side-combined
+    # partials, not rows. persist() caches the deduped (b,i) pairs
+    # once; partition count comes from spark.sql.shuffle.partitions /
+    # AQE, no local constants. Values unchanged: identical aggregates,
+    # identical join semantics.
+    items = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .repartition("__b")
+        .distinct()
+        .persist()
+    )
     if max_basket is not None:
         sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
         keep = sizes.where(F.col("__sz") <= max_basket).select("__b")

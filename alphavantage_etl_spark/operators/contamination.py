@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 # text compresses ~3-4x in parquet, and each character position becomes one
 # 8-byte xxhash64 long (plus row overhead) in the exploded gram relation.
 _GRAM_EXPANSION = 32
+# estimated broadcast-relation bytes per exploded bench gram row
+# (bench_id long + __bn int + __gram long + HashedRelation overhead)
+_GRAM_ROW_BYTES = 48
 
 
 def _grams(df: DataFrame, text_col: str, id_col: str, out_id: str, k: int):
@@ -134,6 +137,32 @@ def ngram_contamination(
     )
     if broadcast_bench is None:
         broadcast_bench = _should_broadcast(bench, broadcast_max_bytes)
+        if not broadcast_bench:
+            # r14 optimization (guide §3.1/§7.4 — "compute the small
+            # side first; check its real size"): the file-level probe
+            # counts the WHOLE file even when the benchmark is a
+            # selective filter over it (this query's shape: an eval
+            # suite carved from the same table as the corpus), so it
+            # under-broadcasts and the corpus-sized gram explode pays a
+            # full shuffle. One exact narrow aggregate over the
+            # BENCHMARK slice (predicate-pushed scan of the id/text
+            # columns only, no gram hashing) decides from the true gram
+            # count instead. Join strategy only — results unchanged.
+            n_grams = benchmark.agg(
+                F.sum(
+                    F.coalesce(
+                        F.greatest(
+                            F.length(F.lower(F.col(text_col))) - (k - 1),
+                            F.lit(1),
+                        ),
+                        F.lit(0),
+                    )
+                )
+            ).collect()[0][0]
+            broadcast_bench = (
+                n_grams is not None
+                and int(n_grams) * _GRAM_ROW_BYTES <= broadcast_max_bytes
+            )
     if broadcast_bench:
         bench = F.broadcast(bench)
     shared = (

@@ -72,6 +72,27 @@ def connected_components(
     ).localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
+    # r14 optimization (guide §2.1/§2.4, the pagerank phase-5 pattern):
+    # near-dup edge sets are MODEL-sized next to the corpus, so when the
+    # symmetrized edges fit spark.graft.modelLoopRows every sweep runs
+    # EXCHANGE-FREE — SinglePartition state satisfies each join/agg
+    # distribution and merge hints keep the planner off per-join
+    # BroadcastExchange query-stage jobs; a sweep collapses to one
+    # single-task checkpoint job plus the convergence-sum action.
+    # Label values are sets of (node, min) — partition-immune.
+    # e.count() is free here (the edge list was just checkpoint-
+    # materialized); the threshold is row-count-based and conf-tunable,
+    # never tied to local core count.
+    loop_cap = int(
+        edges.sparkSession.conf.get("spark.graft.modelLoopRows", "262144")
+    )
+    small_model = 2 * e.count() <= loop_cap
+    if small_model:
+        sym = sym.coalesce(1).localCheckpoint(eager=True)
+
+    def _hinted(df: DataFrame) -> DataFrame:
+        return df.hint("merge") if small_model else df
+
     # Each sweep CHECKPOINTS (not just persists): persisting caches the data
     # but the logical plan still nests one join level per sweep, and
     # analysis/optimization time grows superlinearly with iteration count —
@@ -91,12 +112,12 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         neigh_min = (
-            sym.join(labels, sym["a"] == labels["node"])
+            _hinted(sym).join(labels, sym["a"] == labels["node"])
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("cluster").alias("nmin"))
         )
         new_labels = (
-            labels.join(neigh_min, "node", "left")
+            _hinted(labels).join(neigh_min, "node", "left")
             .select(
                 "node",
                 F.least("cluster", F.coalesce("nmin", "cluster")).alias("cluster"),
