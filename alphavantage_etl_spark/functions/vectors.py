@@ -188,19 +188,17 @@ def random_projection(
     quantized terms are exact longs, so the fold order cannot matter and
     the result is bit-identical. Rows whose vectors are not exactly
     ``dim`` long fall back to the HOF form via a lazy CASE branch
-    (NULL/ragged semantics unchanged; ANSI element_at cannot fire). The
-    per-row work is also spread across the cluster when the scan is
-    narrower than it (``spread_scan`` — metadata-only, no-op at scale).
+    (NULL/ragged semantics unchanged; ANSI element_at cannot fire).
+    No ``spread_scan`` here: with the unroll the per-row work is plain
+    codegen arithmetic, and the r14 same-session A/B measured the
+    repartition as a net loss (3.6 s vs 2.8 s without).
     """
     import hashlib
 
     from pyspark.sql import functions as F
 
-    from .parallelism import spread_scan
-
     if out_dims < 1:
         raise ValueError(f"out_dims must be >= 1, got {out_dims}")
-    df = spread_scan(df)
     v = F.col(vec_col)
     idx = F.sequence(F.lit(1), F.size(v))
     vref = _sql_ref(vec_col)

@@ -2563,17 +2563,15 @@ def _q6_base(
     and rows of a dimensionality other than ``dim`` drop (the
     :func:`kmeans_fit_quantized` unquantizable-row rule).
 
-    r14 optimization (guide §2.6/§6): every consumer of this projection
-    (fit fan-outs, encode/assign scoring) is CPU-heavy per row, and a
-    single-file parquet corpus pins that CPU to ONE task (a measured
-    11.6 s single-task stage in q_ann_bq_wide). ``spread_scan`` inserts
-    one bounded round-robin repartition of the raw rows iff the scan is
-    narrower than the cluster — a no-op at real scale, metadata-only
-    probe, and partitioning-immune results by the module's exact-integer
-    contract (no hash exchange, so the X137 serving-plan pins hold)."""
-    from ..functions.parallelism import spread_scan
-
-    df = spread_scan(df)
+    Deliberately NO ``spread_scan`` here (r14 measurement): this
+    projection is constructed per fit iteration / encode / assign pass,
+    so the round-robin exchange of raw vectors and the per-construction
+    metadata probe REPEAT — a same-session A/B over the 9 consumers
+    measured auto 74.2 s vs off 53.9 s (q_kmeans_fit 16.1 -> 7.7,
+    q_ann_bq_wide 11.9 -> 4.9, q_bq_serve 4.3 -> 2.2). spread_scan
+    stays where one narrow scan feeds one genuinely heavy derivation
+    (bootstrap/perm-test fan-outs, shingling) — not on this shared
+    projection."""
     return (
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("__id"), _u6_quantized(vec_col).alias("__q6"))
