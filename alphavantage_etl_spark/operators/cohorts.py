@@ -308,34 +308,55 @@ def markov_attribution(
     _MARKOV_CKPT_EVERY = 4
     okey = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
     w = Window.partitionBy(user_col).orderBy(okey)
+    wu = Window.partitionBy(user_col)
     is_conv = F.col(type_col) == conversion
+    # r14 optimization (guide §2.4/§1.2 — remove passes): the journey
+    # build used to read the event window subtree TWICE (a touches ⋈
+    # convs self-join to tag closing conversions) and then read the
+    # joined frame twice more (a steps ∪ ends union) — four evaluations
+    # of the corpus-sized window stack per run. A journey ``__j`` has a
+    # closing conversion iff ``__j <= total conversions of the user``
+    # (the k-th conversion closes journey k, so conv journeys are
+    # exactly 1..K): that is ONE extra unordered window sum on the SAME
+    # user partitioning — no join — and the per-touch step plus the
+    # last-touch absorber emit from ONE pass as a 1-or-2 element
+    # explode instead of a union. Identical transition multiset for any
+    # input whose (ts, id) order key is unique per user — the total-
+    # order assumption lag/lead already make — oracle-re-proved at
+    # 3 SFs.
     e = events.select(
         user_col, ts_col, id_col, type_col,
         F.sum(is_conv.cast("long")).over(w).alias("__cc"),
+        F.sum(is_conv.cast("long")).over(wu).alias("__nconv"),
     )
     touches = e.where(F.col(type_col) != conversion).select(
-        user_col, type_col, ts_col, id_col, (F.col("__cc") + 1).alias("__j")
-    )
-    convs = e.where(is_conv).select(
-        user_col, F.col("__cc").alias("__j"), F.lit(1).alias("__conv")
+        user_col, type_col, ts_col, id_col, "__nconv",
+        (F.col("__cc") + 1).alias("__j"),
     )
     wj = Window.partitionBy(user_col, "__j").orderBy(okey)
     seq = touches.withColumn("__prev", F.lag(type_col).over(wj)).withColumn(
         "__next", F.lead(type_col).over(wj)
     )
-    tagged = seq.join(convs, [user_col, "__j"], "left")
     frm = F.coalesce(F.col("__prev"), F.lit(START))
     # transitions: prev->cur for every touch (start for the first), and
     # cur->absorber for the last touch of the journey
-    steps = tagged.select(frm.alias("f"), F.col(type_col).alias("t"))
-    ends = tagged.where(F.col("__next").isNull()).select(
+    step = F.struct(frm.alias("f"), F.col(type_col).alias("t"))
+    end = F.struct(
         F.col(type_col).alias("f"),
-        F.when(F.col("__conv").isNotNull(), F.lit(CONV))
+        F.when(F.col("__j") <= F.col("__nconv"), F.lit(CONV))
         .otherwise(F.lit(NULL))
         .alias("t"),
     )
     counts = (
-        steps.unionByName(ends).groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+        seq.select(
+            F.explode(
+                F.when(F.col("__next").isNull(), F.array(step, end))
+                .otherwise(F.array(step))
+            ).alias("__e")
+        )
+        .select("__e.f", "__e.t")
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = counts.groupBy("f").agg(F.sum("c").alias("n"))
     probs = counts.join(tot, "f").select(

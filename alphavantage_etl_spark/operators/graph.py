@@ -368,9 +368,15 @@ def pagerank(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # persist the normalized edge frame itself (r14, guide §2.4): the
+    # caller's `edges` plan can be arbitrarily expensive (q_pagerank
+    # builds it from a 4-table fact join), and nodes / out_w / enorm /
+    # the dangling probe each re-evaluated it in a SEPARATE job —
+    # exchange reuse never crosses jobs. Edge-sized, the same persist
+    # class as enorm below.
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))

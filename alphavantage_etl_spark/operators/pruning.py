@@ -81,8 +81,13 @@ def bloom_might_contain(
     bitmap: list[int], key: Column, num_hashes: int = 5
 ) -> Column:
     """Literal-bitmap membership test, evaluated in whole-stage codegen."""
+    from ..functions.vectors import sql_array_lit
+
     num_bits = len(bitmap) * _WORD_BITS
-    arr = F.array(*[F.lit(w) for w in bitmap])
+    # ONE-round-trip literal: the default bitmap is 2048 words, and the
+    # element-wise F.lit form cost ~1.2 s of driver py4j time per plan
+    # construction (sql_array_lit rationale, r14)
+    arr = sql_array_lit([int(w) for w in bitmap])
     cond = None
     for p in _positions(key, num_bits, num_hashes):
         word = F.element_at(arr, (p / _WORD_BITS).cast("int") + 1)

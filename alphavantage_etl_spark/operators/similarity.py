@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..functions.vectors import cosine_similarity, dot, l2_norm, sql_array_lit
 
 
 def cosine_topk(
@@ -36,7 +36,7 @@ def cosine_topk(
     score hash-comparable across engines whose fold order differs.
     """
     q = (
-        F.array(*[F.lit(float(x)) for x in query_vec])
+        sql_array_lit([float(x) for x in query_vec])
         if isinstance(query_vec, list)
         else query_vec
     )
@@ -299,7 +299,7 @@ def _assign_cells(
             *[
                 F.struct(
                     F.lit(i).alias("cell"),
-                    F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+                    sql_array_lit([float(x) for x in c]).alias("cvec"),
                 )
                 for i, c in enumerate(centroids)
             ]
@@ -390,9 +390,9 @@ def _cell_scores(
     centroids themselves)."""
     import math
 
-    cvecs = F.lit([[float(x) for x in c] for c in centroids])
+    cvecs = sql_array_lit([[float(x) for x in c] for c in centroids])
     cnorms = [math.sqrt(math.fsum(float(x) * float(x) for x in c)) for c in centroids]
-    cn = F.lit(cnorms)
+    cn = sql_array_lit(cnorms)
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
 
     def score(i: Column) -> Column:
@@ -429,7 +429,10 @@ def _l2q_scored(q6_attr: Column, cents6: list[list[int]]) -> Column:
     :func:`_u6_quantized`. ``q6_attr`` must be a projected COLUMN, not
     an expression (a captured expression re-evaluates per element —
     the CDC bounds-hoist rule)."""
-    cmat = F.lit([[int(v) for v in c] for c in cents6])
+    # ONE-round-trip literal (sql_array_lit): this matrix is rebuilt at
+    # every plan construction — fit loops once per iteration — and the
+    # F.lit nested form cost a measured 310 ms of driver py4j time EACH
+    cmat = sql_array_lit([[int(v) for v in c] for c in cents6])
     return F.transform(
         cmat,
         lambda c, i: F.struct(
@@ -1506,14 +1509,14 @@ def ann_join_pq(
         F.col("__cell").cast("int").alias("__cell"),
         "__codes",
     )
-    booklit = F.lit([[list(map(int, c_)) for c_ in b] for b in books6])
+    booklit = sql_array_lit([[list(map(int, c_)) for c_ in b] for b in books6])
     if residual_cents6 is not None:
         if _validate_cents6(residual_cents6, "ann_join_pq") != dim:
             raise ValueError(
                 "ann_join_pq: residual_cents6 dimensionality "
                 f"{len(residual_cents6[0])} != m*d_sub={dim}"
             )
-        centlit = F.lit([[int(v) for v in c] for c in residual_cents6])
+        centlit = sql_array_lit([[int(v) for v in c] for c in residual_cents6])
 
         def qterm(s, d):
             # query residual w.r.t. the PROBED cell: one extra
@@ -1677,8 +1680,8 @@ def sq8_encode(
     dim = len(bounds6)
     if dim < 1:
         raise ValueError("sq8_encode: bounds6 must be non-empty")
-    lo_lit = F.lit([int(b[0]) for b in bounds6])
-    span_lit = F.lit([int(b[1]) - int(b[0]) for b in bounds6])
+    lo_lit = sql_array_lit([int(b[0]) for b in bounds6])
+    span_lit = sql_array_lit([int(b[1]) - int(b[0]) for b in bounds6])
     base = _q6_base(df, dim, vec_col, id_col)
 
     def code(x: Column, d: Column) -> Column:
@@ -1746,8 +1749,8 @@ def ann_join_sq8(
         )
     from pyspark.sql import Window
 
-    lo255_lit = F.lit([int(b[0]) * 255 for b in bounds6])
-    span_lit = F.lit([int(b[1]) - int(b[0]) for b in bounds6])
+    lo255_lit = sql_array_lit([int(b[0]) * 255 for b in bounds6])
+    span_lit = sql_array_lit([int(b[1]) - int(b[0]) for b in bounds6])
     q0 = _q6_base(queries_df, dim, vec_col, id_col).select(
         F.col("__id").alias("query_id"), "__q6"
     )
@@ -1926,14 +1929,14 @@ def pq_score_shortlist(
     if residual_cents6 is not None:
         ccols.append(F.col("__cell").cast("int").alias("__cell"))
     c = corpus_index.select(*ccols)
-    booklit = F.lit([[list(map(int, c_)) for c_ in b] for b in books6])
+    booklit = sql_array_lit([[list(map(int, c_)) for c_ in b] for b in books6])
     if residual_cents6 is not None:
         if _validate_cents6(residual_cents6, "pq_score_shortlist") != dim:
             raise ValueError(
                 "pq_score_shortlist: residual_cents6 dimensionality "
                 f"{len(residual_cents6[0])} != m*d_sub={dim}"
             )
-        centlit = F.lit([[int(v) for v in c] for c in residual_cents6])
+        centlit = sql_array_lit([[int(v) for v in c] for c in residual_cents6])
 
         def qterm(s, d):
             return F.element_at(
@@ -2596,7 +2599,7 @@ def _residual_q6(base: DataFrame, cents6: list[list[int]]) -> DataFrame:
     as a KB-scale literal, and the subtraction is a single
     ``zip_with`` against one ``element_at`` lookup — no join, no
     shuffle."""
-    centlit = F.lit([[int(v) for v in c] for c in cents6])
+    centlit = sql_array_lit([[int(v) for v in c] for c in cents6])
     best = F.array_min(_l2q_scored(F.col("__q6"), cents6))
     return base.select(
         "__id", "__q6", best["cell"].cast("int").alias("__cell")
@@ -3224,7 +3227,7 @@ def lsh_bucket(
         )
     bucket = F.lit(0).cast("long")
     for h in range(bits):
-        wlit = F.array(*[F.lit(float(w)) for w in weights[h * dim : (h + 1) * dim]])
+        wlit = sql_array_lit([float(w) for w in weights[h * dim : (h + 1) * dim]])
         s = F.aggregate(
             F.zip_with(v, wlit, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -3287,9 +3290,20 @@ def cosine_topk_lsh(
 
 def _l2_normalize(col: Column) -> Column:
     """v / |v| as an array expression; zero vectors pass through unscaled
-    (their cosine against anything is 0 anyway)."""
+    (their cosine against anything is 0 anyway).
+
+    The norm rides in via ``zip_with`` against an ``array_repeat``
+    carrier instead of being captured by a ``transform`` lambda: a
+    captured aggregate re-evaluates PER ELEMENT (the CDC bounds-hoist
+    trap — O(dim^2) per evaluation, measured 68 s single-task in
+    q_cosine_topk_pq's encode where the whole expression additionally
+    re-evaluated per (subspace, code)), while a zip_with ARGUMENT
+    evaluates once. Division order and values are unchanged."""
     norm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-    return F.when(norm > 0, F.transform(col, lambda x: x / norm)).otherwise(col)
+    return F.when(
+        norm > 0,
+        F.zip_with(col, F.array_repeat(norm, F.size(col)), lambda x, n: x / n),
+    ).otherwise(col)
 
 
 def train_pq_codebooks(
@@ -3318,7 +3332,20 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    normed = df.select(_l2_normalize(F.col(vec_col)).alias("__v"), F.col(id_col))
+    from ..functions.parallelism import spread_scan
+
+    # spread + checkpoint ONCE before the loop: every Lloyd iteration
+    # re-reads this frame for a CPU-heavy m x k argmin fan-out that a
+    # single-file scan would otherwise pin to one task (the
+    # bootstrap/perm-test spread_scan class — one narrow materialization
+    # feeding repeated heavy derivations), and the checkpoint keeps the
+    # exchange from repeating per iteration (r14)
+    normed = (
+        spread_scan(
+            df.select(_l2_normalize(F.col(vec_col)).alias("__v"), F.col(id_col))
+        )
+        .localCheckpoint()
+    )
     seed_rows = normed.orderBy(F.xxhash64(F.col(id_col))).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(
@@ -3336,7 +3363,7 @@ def train_pq_codebooks(
                     *[
                         F.struct(
                             F.lit(s).alias("sub"),
-                            _pq_code(F.col("__v"), books[s], s, d_sub).alias("code"),
+                            _pq_code("__v", books[s], s, d_sub).alias("code"),
                             F.slice(F.col("__v"), s * d_sub + 1, d_sub).alias("v"),
                         )
                         for s in range(m)
@@ -3362,28 +3389,35 @@ def train_pq_codebooks(
     return books
 
 
-def _pq_code(vec: Column, centroids: list[list[float]], s: int, d_sub: int) -> Column:
+def _pq_code(vec_name: str, centroids: list[list[float]], s: int, d_sub: int) -> Column:
     """Nearest-centroid (L2) code for subspace ``s`` — same literal-array
-    argmax idiom as IVF assignment: narrow projection, no shuffle."""
-    sl = F.slice(vec, s * d_sub + 1, d_sub)
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -F.aggregate(
-                        F.zip_with(sl, F.array(*[F.lit(float(x)) for x in c]),
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, d: acc + d,
-                    )
-                ).alias("neg_dist"),
-                F.lit(-j).alias("neg_code"),
-            )
-            for j, c in enumerate(centroids)
-        ]
+    argmax idiom as IVF assignment: narrow projection, no shuffle.
+
+    Emitted as ONE ``F.expr`` SQL string (the phase-1 construction
+    lesson): the Column-built form of this k-struct argmax cost a
+    measured 0.38 s of driver py4j time PER CONSTRUCTION, and it is
+    constructed m times per encode and m x iters times per codebook
+    fit. The SQL replays the identical arithmetic — exact round-trip
+    double literals, the same (a-b)*(a-b) zip_with fold seeded with a
+    DOUBLE zero, BIGINT neg_code tiebreak, final CAST to INT —
+    ``vec_name`` must be a projected column (the bounds-hoist rule)."""
+
+    def _cvec(c: list[float]) -> str:
+        return (
+            "array("
+            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            + ")"
+        )
+
+    sl = f"slice(`{vec_name}`, {s * d_sub + 1}, {d_sub})"
+    structs = ",".join(
+        "named_struct("
+        f"'neg_dist', -aggregate(zip_with({sl}, {_cvec(c)}, "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + d), 'neg_code', {-j}L)"
+        for j, c in enumerate(centroids)
     )
-    best = F.array_max(scored)
-    return (-best["neg_code"]).cast("int")
+    return F.expr(f"CAST(-array_max(array({structs})).neg_code AS INT)")
 
 
 def pq_encode(
@@ -3398,9 +3432,19 @@ def pq_encode(
     projection, no shuffle; ties deterministic (lowest code wins)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
-    v = _l2_normalize(F.col(vec_col))
-    codes = F.array(*[_pq_code(v, codebooks[s], s, d_sub) for s in range(m)])
-    return df.select(F.col(id_col), codes.alias("codes"))
+    # project the normalized vector ONCE: as a bare expression operand it
+    # would re-evaluate inside every (subspace, code) argmin fold — the
+    # CDC bounds-hoist trap (measured: this encode was a 68 s single-task
+    # stage at sf0.1 before the hoist)
+    # NO spread_scan here: the encode is plan-pinned as an exchange-free
+    # narrow map (test_pq_encode_is_narrow_projection) — at 100 TB the
+    # scan is already wide and an exchange of raw vectors would be pure
+    # cost. The former per-row pathology was constructional, fixed above.
+    base = df.select(F.col(id_col), _l2_normalize(F.col(vec_col)).alias("__v"))
+    codes = F.array(
+        *[_pq_code("__v", codebooks[s], s, d_sub) for s in range(m)]
+    )
+    return base.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_topk(
@@ -3432,7 +3476,7 @@ def pq_topk(
     ]
     sim = sum(
         F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]),
+            sql_array_lit([float(x) for x in lut[s]]),
             F.element_at("codes", s + 1) + 1,
         )
         for s in range(m)
@@ -3704,7 +3748,7 @@ def kcenter_coreset(
         raise ValueError(f"k must be >= 1, got {k}")
 
     def dist2(center: list[float]):
-        c = F.array(*[F.lit(float(v)) for v in center])
+        c = sql_array_lit([float(v) for v in center])
         sq = F.zip_with(
             F.col("__v"), c,
             lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),

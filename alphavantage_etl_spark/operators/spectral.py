@@ -141,7 +141,16 @@ def principal_direction(
     v = {i: scale for i in dims}
 
     def matvec_literal(mult_gi: bool = False):
-        arr = F.array(*[F.lit(v[i]).cast("decimal(38,0)") for i in dims])
+        # ONE-round-trip literal (the sql_array_lit rationale): this
+        # d-element array is rebuilt once per power iteration, and the
+        # element-wise F.lit+cast form costs ~1 ms of driver py4j time
+        # per element. String-cast literals parse exactly at any
+        # magnitude decimal(38,0) holds.
+        arr = F.expr(
+            "array("
+            + ",".join(f"CAST('{int(v[i])}' AS DECIMAL(38,0))" for i in dims)
+            + ")"
+        )
         term = F.col("g") * F.element_at(arr, F.col("gj").cast("int"))
         if mult_gi:
             term = term * F.element_at(arr, F.col("gi").cast("int"))
