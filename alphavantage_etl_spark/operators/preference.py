@@ -181,10 +181,16 @@ def bradley_terry_strengths(
     p = {i: _SCALE for i in items}
 
     n2 = (F.col("w2a") + F.col("w2b")).cast("double")  # 2*(n_ij + 1)
+    # the key array never changes across iterations — build its literal
+    # ONCE (each element-wise F.lit is a py4j round trip); the per-
+    # iteration strengths are ints and emit as one-round-trip SQL (r14)
+    from ..functions.vectors import sql_array_lit
+
+    keys_arr = F.array(*[F.lit(i) for i in items])
     for _ in range(iters):
         arr = F.map_from_arrays(
-            F.array(*[F.lit(i) for i in items]),
-            F.array(*[F.lit(int(p[i])) for i in items]),
+            keys_arr,
+            sql_array_lit([int(p[i]) for i in items]),
         )
         pa = F.element_at(arr, F.col("item_a")).cast("double")
         pb = F.element_at(arr, F.col("item_b")).cast("double")

@@ -1145,6 +1145,12 @@ def kmeans_fit_quantized(
         raise ValueError(
             "kmeans_fit_quantized: init vectors disagree on dimensionality"
         )
+    # NO spread_scan on this checkpoint (r14, measured): although the
+    # frame is reused by every Lloyd iteration (the train_pq_codebooks
+    # amortization class), the per-row integer fold here is too cheap
+    # for 32-task scheduling to beat the single-split read — the A/B
+    # measured q_kmeans_fit 2.9 -> 4.3 s WITH the spread. The exact
+    # integer update is partition-immune either way.
     base = (
         usable.select("__q6")
         .where(F.size("__q6") == dim)

@@ -1189,26 +1189,43 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolates between elements, so at small n the band edges sit
     # between data points a fraction of a rank away)
     eps = 1.0 / acc + 0.004
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
+    # ONE buffer per aggregate family via the array form (r14, guide
+    # §2.3 aggregate-before-shuffle): three separate exact `percentile`
+    # calls each buffer EVERY group value independently — 6 exact
+    # buffers + 3 sketches shuffled 30.8 MB of partials from a 2 MB
+    # input. percentile(col, array(...)) computes all points from one
+    # sorted buffer (identical values — exact percentile is a
+    # deterministic function of the value multiset), and one GK sketch
+    # answers all three approx points. Measured 5.8 -> ~2 s.
+    lo_arr = "array(" + ",".join(str(max(0.0, p - eps)) for p in qs) + ")"
+    hi_arr = "array(" + ",".join(str(min(1.0, p + eps)) for p in qs) + ")"
+    ap_arr = "array(" + ",".join(str(p) for p in qs) + ")"
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
             F.expr(
-                f"approx_percentile(l_extendedprice, {p}, {acc})"
-            ).alias(f"approx_p{int(p * 100)}")
-            for p in qs
-        ],
-        *[
-            F.expr(
-                f"percentile(l_extendedprice, {max(0.0, p - eps)})"
-            ).alias(f"lo_p{int(p * 100)}")
-            for p in qs
-        ],
-        *[
-            F.expr(
-                f"percentile(l_extendedprice, {min(1.0, p + eps)})"
-            ).alias(f"hi_p{int(p * 100)}")
-            for p in qs
-        ],
+                f"approx_percentile(l_extendedprice, {ap_arr}, {acc})"
+            ).alias("__ap"),
+            F.expr(f"percentile(l_extendedprice, {lo_arr})").alias("__lo"),
+            F.expr(f"percentile(l_extendedprice, {hi_arr})").alias("__hi"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            *[
+                F.element_at("__ap", i + 1).alias(f"approx_p{int(p * 100)}")
+                for i, p in enumerate(qs)
+            ],
+            *[
+                F.element_at("__lo", i + 1).alias(f"lo_p{int(p * 100)}")
+                for i, p in enumerate(qs)
+            ],
+            *[
+                F.element_at("__hi", i + 1).alias(f"hi_p{int(p * 100)}")
+                for i, p in enumerate(qs)
+            ],
+        )
     )
     ok = None
     for p in qs:
