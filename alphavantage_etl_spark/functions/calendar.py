@@ -37,7 +37,11 @@ def business_day_calendar(
     )
     bd = days.where(F.weekday("d") < 5)
     if holidays:
-        hol = spark.createDataFrame([(h,) for h in holidays], "d string").select(
+        from .vectors import inline_rows_df
+
+        hol = inline_rows_df(
+            spark, [(h,) for h in holidays], [("d", "STRING")]
+        ).select(
             F.col("d").cast("date").alias("d")
         )
         # left_anti against a tiny holiday table -> broadcast, no shuffle

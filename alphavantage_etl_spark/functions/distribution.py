@@ -866,14 +866,17 @@ def benford_deviation(
     # oracle's unconditional `spine LEFT JOIN obs` produces; grouped:
     # the group list is the groups with >= 1 qualifying value (a group
     # of all non-positive/NULL values has no Benford profile to report)
+    from ..functions.vectors import inline_rows_df
+
     groups = (
         obs.select("grp").distinct()
         if group_col
-        else spark.createDataFrame([("all",)], "grp string")
+        else spark.range(1).select(F.lit("all").alias("grp"))
     )
-    spine = spark.createDataFrame(
+    spine = inline_rows_df(
+        spark,
         [(str(d), math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
-        "digit string, expected_p double",
+        [("digit", "STRING"), ("expected_p", "DOUBLE")],
     )
     grid = groups.crossJoin(F.broadcast(spine))
     tot = obs.groupBy("grp").agg(F.sum("n").alias("tot"))

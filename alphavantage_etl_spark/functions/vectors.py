@@ -86,6 +86,68 @@ def sql_array_lit(vals: list | tuple) -> Column:
     return F.expr(_render_lit(vals))
 
 
+def inline_rows_df(spark, rows, fields):
+    """Small MODEL-sized local DataFrame built as a JVM inline table —
+    the ``createDataFrame(python_list)`` replacement for hot paths
+    (r14 optimization, guide §4.1: eliminate the Python boundary).
+
+    ``spark.createDataFrame(list)`` yields a DataFrame backed by a
+    pickled Python RDD: EVERY action that touches it launches a Python
+    worker to re-deserialize the rows — a measured ~0.6 s per count /
+    noop and ~5 s per parquet WRITE of an 8-row centroid table, paid
+    per bench rep and per fit iteration wherever such a frame sits
+    inside a bigger plan. One ``inline(array(named_struct(...)))``
+    expression is a pure JVM local relation: sub-ms actions, identical
+    rows and schema.
+
+    ``fields``: ``[(name, SQL_TYPE)]`` with SQL_TYPE in INT / BIGINT /
+    DOUBLE / STRING (extend as needed). Ints emit via CAST, floats as
+    exact round-trip ``repr`` strings (the ``sql_array_lit`` contract),
+    None as a typed NULL. Strings are rejected unless they are
+    printable and free of quotes/backslashes/newlines — the callers
+    pass fixed model labels; anything richer should keep
+    ``createDataFrame``. Empty ``rows`` yields a correctly-typed empty
+    frame (one dummy row filtered out)."""
+
+    def cell(v, t) -> str:
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "BOOLEAN":
+            return "true" if v else "false"
+        if t in ("DOUBLE", "FLOAT"):
+            f = float(v)
+            if f != f or f in (float("inf"), float("-inf")):
+                raise ValueError(f"inline_rows_df: non-finite {v!r}")
+            return f"CAST('{f!r}' AS {t})"
+        if t == "STRING":
+            s = str(v)
+            if ("'" in s or "\\" in s or not s.isprintable()):
+                raise ValueError(
+                    f"inline_rows_df: string {s!r} needs escaping — use "
+                    "createDataFrame for arbitrary text"
+                )
+            return f"'{s}'"
+        return f"CAST({int(v)} AS {t})"
+
+    def struct(r) -> str:
+        return (
+            "named_struct("
+            + ",".join(f"'{n}', {cell(v, t)}" for v, (n, t) in zip(r, fields))
+            + ")"
+        )
+
+    if not rows:
+        dummy = struct(tuple(None for _ in fields))
+        return (
+            spark.range(1)
+            .select(F.inline(F.expr(f"array({dummy})")))
+            .where(F.lit(False))
+        )
+    return spark.range(1).select(
+        F.inline(F.expr("array(" + ",".join(struct(r) for r in rows) + ")"))
+    )
+
+
 def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

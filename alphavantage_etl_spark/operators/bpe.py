@@ -135,11 +135,22 @@ def bpe_learn(docs: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     """
     merges, state = _learn(docs, text_col, k)
     spark = docs.sparkSession
-    out = spark.createDataFrame(
-        merges,
-        "merge_rank long, lhs string, rhs string, merged string, "
-        "pair_count long",
-    )
+    # JVM inline table when the learned tokens allow it (r14): a
+    # pickled-RDD result frame pays a Python worker per action. Tokens
+    # with quotes/backslashes fall back to the general path.
+    from ..functions.vectors import inline_rows_df
+
+    fields = [("merge_rank", "BIGINT"), ("lhs", "STRING"),
+              ("rhs", "STRING"), ("merged", "STRING"),
+              ("pair_count", "BIGINT")]
+    try:
+        out = inline_rows_df(spark, merges, fields)
+    except ValueError:
+        out = spark.createDataFrame(
+            merges,
+            "merge_rank long, lhs string, rhs string, merged string, "
+            "pair_count long",
+        )
     state.unpersist()
     return out
 

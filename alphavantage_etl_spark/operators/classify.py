@@ -146,8 +146,12 @@ def train_logreg_hashed(
     qt = F.lit(10.0**_QT)
 
     spark = docs.sparkSession
-    weights = spark.createDataFrame(
-        [(_BIAS, 0.0)], "bucket long, weight double"
+    # JVM inline row (r14): a pickled-RDD-backed seed frame launches a
+    # Python worker in the first iteration's scoring stage
+    from ..functions.vectors import inline_rows_df
+
+    weights = inline_rows_df(
+        spark, [(_BIAS, 0.0)], [("bucket", "BIGINT"), ("weight", "DOUBLE")]
     ).localCheckpoint(eager=True)
     for _ in range(iters):
         scored = _scores(feats, weights, id_col, ["__y"])

@@ -366,7 +366,9 @@ def markov_attribution(
         F.col("ch") != START
     ).distinct()
     rms = channels.select(F.col("ch").alias("rm")).unionByName(
-        probs.sparkSession.createDataFrame([("-",)], "rm string")
+        # one JVM literal row, not createDataFrame: the pickled-RDD form
+        # puts a Python scan inside the grid checkpoint plan (r14)
+        probs.sparkSession.range(1).select(F.lit("-").alias("rm"))
     )
     # removal rm: transitions INTO rm redirect to (null); re-aggregate
     grid = (

@@ -184,7 +184,7 @@ def bradley_terry_strengths(
     # the key array never changes across iterations — build its literal
     # ONCE (each element-wise F.lit is a py4j round trip); the per-
     # iteration strengths are ints and emit as one-round-trip SQL (r14)
-    from ..functions.vectors import sql_array_lit
+    from ..functions.vectors import inline_rows_df, sql_array_lit
 
     keys_arr = F.array(*[F.lit(i) for i in items])
     for _ in range(iters):
@@ -228,6 +228,23 @@ def bradley_terry_strengths(
     out = [
         (i, int(p[i]), (w2[i] - pairs_of[i]) // 2, ncmp[i]) for i in items
     ]
+    # JVM inline table when the item type allows it (r14): the pickled-
+    # RDD result frame pays a Python worker per downstream action.
+    # Arbitrary item types/strings keep the general createDataFrame.
+    from pyspark.sql import types as T2
+
+    sql_t = {T.StringType(): "STRING", T.LongType(): "BIGINT",
+             T.IntegerType(): "INT"}.get(item_type)
+    if sql_t is not None:
+        try:
+            return inline_rows_df(
+                grid.sparkSession,
+                out,
+                [("item", sql_t), ("strength", "BIGINT"),
+                 ("n_wins", "BIGINT"), ("n_comparisons", "BIGINT")],
+            )
+        except ValueError:
+            pass
     return grid.sparkSession.createDataFrame(out, out_schema)
 
 

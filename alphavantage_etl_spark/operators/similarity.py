@@ -860,9 +860,11 @@ def _cents6_frame(spark, cents6: list[list[int]]) -> DataFrame:
     no-forced-broadcast rule), so the matrix reaches every task without
     entering the PLAN as a literal: plan width stays constant at any
     dimensionality, which is the entire point past ``max_dim``."""
-    return spark.createDataFrame(
-        [([[int(v) for v in c] for c in cents6],)],
-        "__cents array<array<bigint>>",
+    # range(1)+literal, not createDataFrame (r14): the pickled-RDD local
+    # relation launches a Python worker inside every stage that scans it
+    # — once per Lloyd iteration in the narrow fit
+    return spark.range(1).select(
+        sql_array_lit([[int(v) for v in c] for c in cents6]).alias("__cents")
     )
 
 
@@ -1149,8 +1151,11 @@ def kmeans_fit_quantized(
     # frame is reused by every Lloyd iteration (the train_pq_codebooks
     # amortization class), the per-row integer fold here is too cheap
     # for 32-task scheduling to beat the single-split read — the A/B
-    # measured q_kmeans_fit 2.9 -> 4.3 s WITH the spread. The exact
-    # integer update is partition-immune either way.
+    # measured q_kmeans_fit 2.9 -> 4.3 s WITH the spread. (A
+    # quantize-once checkpoint of the (id, q6) frame was also tried and
+    # measured flat on the hd fixture / ~0.7 s WORSE on the wide form —
+    # reverted.) The exact integer update is partition-immune either
+    # way.
     base = (
         usable.select("__q6")
         .where(F.size("__q6") == dim)
@@ -1199,7 +1204,17 @@ def kmeans_fit_quantized(
         for c in range(n_cells)
         for d in range(dim)
     ]
-    return df.sparkSession.createDataFrame(rows, out_schema)
+    # JVM inline table, not createDataFrame: a pickled-RDD-backed result
+    # frame pays a Python worker launch on EVERY downstream action
+    # (inline_rows_df rationale, r14)
+    from ..functions.vectors import inline_rows_df
+
+    return inline_rows_df(
+        df.sparkSession,
+        rows,
+        [("cell", "INT"), ("dim", "INT"), ("c6", "BIGINT"),
+         ("n_members", "BIGINT"), ("inertia", "BIGINT")],
+    )
 
 
 def pq_fit_exact(
@@ -1369,7 +1384,14 @@ def pq_fit_exact(
             for c in range(codes)
             for d in range(d_sub)
         )
-    return df.sparkSession.createDataFrame(rows, out_schema)
+    from ..functions.vectors import inline_rows_df
+
+    return inline_rows_df(
+        df.sparkSession,
+        rows,
+        [("subspace", "INT"), ("code", "INT"), ("dim", "INT"),
+         ("c6", "BIGINT"), ("n_members", "BIGINT"), ("inertia", "BIGINT")],
+    )
 
 
 def _validate_books6(
@@ -2410,9 +2432,16 @@ def save_ivf_index(
         ).parquet(f"{path}/assignments")
     else:
         index_df.write.mode("overwrite").parquet(f"{path}/assignments")
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
+    # JVM inline table (r14): the createDataFrame(python_list) form is
+    # backed by a pickled RDD whose parquet write measured ~5 s for
+    # EIGHT rows (a Python worker launch inside the write task) — paid
+    # on every index save
+    spark.range(1).select(
+        F.posexplode(
+            sql_array_lit([[float(x) for x in c] for c in centroids])
+        ).alias("cell", "centroid")
+    ).select(
+        F.col("cell").cast("int").alias("cell"), "centroid"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
@@ -2438,17 +2467,24 @@ def save_pq_index(
     m, codes, _ = _validate_books6(books6, "save_pq_index")
     spark = index_df.sparkSession
     index_df.write.mode("overwrite").parquet(f"{path}/assignments")
-    spark.createDataFrame(
-        [(i, [int(x) for x in c]) for i, c in enumerate(cents6)],
-        "cell int, c6 array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/cents6")
-    spark.createDataFrame(
-        [
-            (s, c, [int(x) for x in books6[s][c]])
-            for s in range(m)
-            for c in range(codes)
-        ],
-        "subspace int, code int, c6 array<long>",
+    # JVM inline tables (r14) — see save_ivf_index
+    spark.range(1).select(
+        F.posexplode(
+            sql_array_lit([[int(x) for x in c] for c in cents6])
+        ).alias("cell", "c6")
+    ).select(F.col("cell").cast("int").alias("cell"), "c6").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/cents6")
+    spark.range(1).select(
+        F.posexplode(
+            sql_array_lit(
+                [[int(x) for x in books6[s][c]] for s in range(m) for c in range(codes)]
+            )
+        ).alias("i", "c6")
+    ).select(
+        (F.col("i") / codes).cast("int").alias("subspace"),
+        F.pmod(F.col("i"), F.lit(codes)).cast("int").alias("code"),
+        "c6",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books6")
 
 
@@ -2477,13 +2513,20 @@ def save_bq_index(
         raise ValueError(f"save_bq_index: n_fit={n_fit} < 1")
     spark = index_df.sparkSession
     index_df.write.mode("overwrite").parquet(f"{path}/assignments")
-    spark.createDataFrame(
-        [(i, [int(x) for x in c]) for i, c in enumerate(cents6)],
-        "cell int, c6 array<long>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/cents6")
-    spark.createDataFrame(
+    # JVM inline tables (r14) — see save_ivf_index
+    from ..functions.vectors import inline_rows_df
+
+    spark.range(1).select(
+        F.posexplode(
+            sql_array_lit([[int(x) for x in c] for c in cents6])
+        ).alias("cell", "c6")
+    ).select(F.col("cell").cast("int").alias("cell"), "c6").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/cents6")
+    inline_rows_df(
+        spark,
         [(d, int(sums6[d]), int(n_fit)) for d in range(dim)],
-        "d int, s6 long, n long",
+        [("d", "INT"), ("s6", "BIGINT"), ("n", "BIGINT")],
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/bqmodel")
 
 
@@ -3793,8 +3836,13 @@ def kcenter_coreset(
         ).localCheckpoint(eager=True)
         prev.unpersist()
     state.unpersist()
-    return df.sparkSession.createDataFrame(
-        chosen, f"center_rank long, {id_col} long, cover_dist2 double"
+    from ..functions.vectors import inline_rows_df
+
+    return inline_rows_df(
+        df.sparkSession,
+        chosen,
+        [("center_rank", "BIGINT"), (id_col, "BIGINT"),
+         ("cover_dist2", "DOUBLE")],
     )
 
 def label_noise_audit(

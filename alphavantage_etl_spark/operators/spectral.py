@@ -176,8 +176,11 @@ def principal_direction(
     den = sum(x * x for x in v.values())
     # all-zero corpus: the direction is undefined — NULL, not a crash
     rayleigh = float(num) / float(den) if den else None
-    out = df.sparkSession.createDataFrame(
+    from ..functions.vectors import inline_rows_df
+
+    out = inline_rows_df(
+        df.sparkSession,
         [(int(i), int(v[i]), rayleigh) for i in dims],
-        "dim long, component long, rayleigh double",
+        [("dim", "BIGINT"), ("component", "BIGINT"), ("rayleigh", "DOUBLE")],
     )
     return out

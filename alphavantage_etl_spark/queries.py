@@ -6459,8 +6459,10 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    terms = spark.createDataFrame(
-        [(t,) for t in _NDCG_TERMS], "term string"
+    from .functions.vectors import inline_rows_df
+
+    terms = inline_rows_df(
+        spark, [(t,) for t in _NDCG_TERMS], [("term", "STRING")]
     )
     cnt = (
         d.select("doc_id", toks.alias("tk"))
@@ -6764,8 +6766,10 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    terms = spark.createDataFrame(
-        [(t,) for t in _NDCG_TERMS], "term string"
+    from .functions.vectors import inline_rows_df
+
+    terms = inline_rows_df(
+        spark, [(t,) for t in _NDCG_TERMS], [("term", "STRING")]
     )
     cnt = (
         d.select("doc_id", toks.alias("tk"))
@@ -9393,8 +9397,12 @@ def q_kmeans_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in range(len(new_cents))
         for d in range(len(new_cents[0]))
     ]
-    return spark.createDataFrame(
-        rows, "cell int, dim int, c6 long, n_members long"
+    from .functions.vectors import inline_rows_df
+
+    return inline_rows_df(
+        spark, rows,
+        [("cell", "INT"), ("dim", "INT"), ("c6", "BIGINT"),
+         ("n_members", "BIGINT")],
     )
 
 
@@ -9555,10 +9563,12 @@ def q_refit_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in range(len(final_cents))
         for d in range(len(final_cents[0]))
     ]
-    return spark.createDataFrame(
-        rows,
-        "cell int, dim int, c6_final long, psi_u6 long, "
-        "refit_applied boolean",
+    from .functions.vectors import inline_rows_df
+
+    return inline_rows_df(
+        spark, rows,
+        [("cell", "INT"), ("dim", "INT"), ("c6_final", "BIGINT"),
+         ("psi_u6", "BIGINT"), ("refit_applied", "BOOLEAN")],
     )
 
 

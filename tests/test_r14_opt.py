@@ -357,3 +357,38 @@ def test_markov_journey_fusion_matches_join_union_reference(spark):
         .collect()
     }
     assert new_counts == old_counts == dict(cnt)
+
+
+def test_inline_rows_df_matches_create_dataframe(spark):
+    """inline_rows_df must reproduce createDataFrame's rows and schema
+    exactly for the supported types (incl. typed NULLs, booleans and
+    the empty-frame case), and reject strings it cannot emit safely."""
+    import pytest as _pytest
+
+    from alphavantage_etl_spark.functions.vectors import inline_rows_df
+
+    rows = [
+        (1, 0.1, "alpha", True, None),
+        (None, -1e-9, "b c", False, 7),
+        (2**40, None, None, None, -3),
+    ]
+    fields = [("i", "BIGINT"), ("x", "DOUBLE"), ("s", "STRING"),
+              ("b", "BOOLEAN"), ("j", "INT")]
+    a = inline_rows_df(spark, rows, fields)
+    b = spark.createDataFrame(
+        rows, "i long, x double, s string, b boolean, j int"
+    )
+    assert [f.dataType for f in a.schema.fields] == [
+        f.dataType for f in b.schema.fields
+    ]
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+    # floats round-trip to the same bits
+    x = inline_rows_df(spark, [(3.141592653589793,)], [("x", "DOUBLE")])
+    assert x.first()["x"] == 3.141592653589793
+    # empty frame: correct schema, zero rows
+    e = inline_rows_df(spark, [], fields)
+    assert e.count() == 0 and len(e.schema.fields) == 5
+    with _pytest.raises(ValueError):
+        inline_rows_df(spark, [("it's",)], [("s", "STRING")])
+    with _pytest.raises(ValueError):
+        inline_rows_df(spark, [(float("nan"),)], [("x", "DOUBLE")])
