@@ -29,7 +29,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pair_lift(
@@ -39,6 +39,7 @@ def pair_lift(
     min_support: int = 3,
     k: int = 20,
     max_basket: int | None = 1000,
+    handles: list | None = None,
 ) -> DataFrame:
     """(item_a, item_b, n_pair, lift) — top-``k`` item pairs by lift
     (ties: item ids), among pairs co-occurring in >= ``min_support``
@@ -59,18 +60,36 @@ def pair_lift(
     # once; partition count comes from spark.sql.shuffle.partitions /
     # AQE, no local constants. Values unchanged: identical aggregates,
     # identical join semantics.
+    # r15 refinement (guide §2.4/§5): the r14 form persisted the
+    # UNFILTERED (b,i) frame and applied max_basket as a separate sizes
+    # aggregate + semi-join — a subtree that hung BELOW the cache, so
+    # every one of the four downstream consumers re-ran the aggregate and
+    # the join against the cache (measured: 26 AQE stage jobs, ~20 of
+    # them 32-task cache re-scans). The basket size is a window count
+    # over the SAME HashPartitioning(__b) the repartition already
+    # established (no new exchange, one within-partition sort), and the
+    # persist moves ABOVE the filter so consumers share the final frame:
+    # one cache build, four direct cache reads. Values unchanged — the
+    # window count over the deduped (b,i) rows IS the sizes aggregate,
+    # and the filter drops the identical baskets.
     items = (
         df.select(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
         .repartition("__b")
         .distinct()
-        .persist()
     )
     if max_basket is not None:
-        sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-        keep = sizes.where(F.col("__sz") <= max_basket).select("__b")
-        items = items.join(keep, on="__b", how="semi")
+        items = (
+            items.withColumn(
+                "__sz", F.count(F.lit(1)).over(Window.partitionBy("__b"))
+            )
+            .where(F.col("__sz") <= max_basket)
+            .drop("__sz")
+        )
+    items = items.persist()
+    if handles is not None:
+        handles.append(items)
     n_b = items.select("__b").distinct().agg(
         F.count(F.lit(1)).alias("__n")
     )

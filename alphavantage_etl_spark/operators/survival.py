@@ -58,20 +58,21 @@ def kaplan_meier(
             F.count(F.lit(1)).alias("__c"),
         )
     )
-    w = Window.orderBy("duration").rowsBetween(
-        Window.unboundedPreceding, -1
+    # r15 optimization (guide §2.4 — remove passes): n_at_risk used to be
+    # total - prefix_sum(__c), paying a separate global aggregate plus a
+    # broadcast crossJoin (two extra AQE stage jobs per run). The same
+    # exact long arithmetic is the SUFFIX sum of __c over the identical
+    # ordering — one more frame on the Window node the cumulative pass
+    # already needs, so the grid is windowed once and the total/crossJoin
+    # jobs disappear. The grid stays day-bounded model state, so the
+    # single-partition frame is unchanged in scale class.
+    wf = Window.orderBy("duration").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
     )
     wc = Window.orderBy("duration").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    total = grid.agg(F.sum("__c").alias("__n"))
-    at_risk = (
-        grid.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_at_risk",
-            F.col("__n") - F.coalesce(F.sum("__c").over(w), F.lit(0)),
-        )
-    )
+    at_risk = grid.withColumn("n_at_risk", F.sum("__c").over(wf))
     # factor = 1 - d/n as an exact rational test: factor == 0 iff d == n
     dead = F.col("n_events") == F.col("n_at_risk")
     q_ln = F.when(
