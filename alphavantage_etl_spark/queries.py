@@ -20,6 +20,7 @@ engineered for **bit-identical** cross-engine results:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3695,6 +3696,8 @@ FROM cum WHERE d > 0
 # state (the X146 centroid matrix) — both the same class: built once,
 # reused by every consumer in the session
 _SHARED_FRAME_CACHE: dict[tuple, object] = {}
+_SHARED_CACHE_MUTEX = threading.Lock()
+_SHARED_KEY_LOCKS: dict[tuple, threading.Lock] = {}
 
 
 def _session_shared(spark: SparkSession, cache_key: tuple, build, *,
@@ -3705,19 +3708,32 @@ def _session_shared(spark: SparkSession, cache_key: tuple, build, *,
     the cached model state is served STALE by design; a fresh session
     rebuilds, and ``refit=True`` is the in-session escape hatch (drops
     the entry and rebuilds now). Deterministic fixtures make the
-    default benign for the contract queries."""
+    default benign for the contract queries.
+
+    Thread-safe with per-key build locks: concurrent callers of the SAME
+    key serialize (one build, everyone else reads the cache) while
+    distinct keys build in parallel — the driver contract is
+    single-threaded, but plan-audit tooling builds many queries from a
+    thread pool and must not duplicate a heavyweight fit. Nested builds
+    (an index build calling the centroid build) take distinct keys, so
+    the locking nests without cycles.
+    """
     app = spark.sparkContext.applicationId
     key = (app,) + cache_key
-    if refit:
-        _SHARED_FRAME_CACHE.pop(key, None)
-    hit = _SHARED_FRAME_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for stale in [k for k in _SHARED_FRAME_CACHE if k[0] != app]:
-        _SHARED_FRAME_CACHE.pop(stale, None)
-    df = build()
-    _SHARED_FRAME_CACHE[key] = df
-    return df
+    with _SHARED_CACHE_MUTEX:
+        lock = _SHARED_KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if refit:
+            _SHARED_FRAME_CACHE.pop(key, None)
+        hit = _SHARED_FRAME_CACHE.get(key)
+        if hit is not None:
+            return hit
+        with _SHARED_CACHE_MUTEX:
+            for stale in [k for k in _SHARED_FRAME_CACHE if k[0] != app]:
+                _SHARED_FRAME_CACHE.pop(stale, None)
+        df = build()
+        _SHARED_FRAME_CACHE[key] = df
+        return df
 
 
 def _knn_graph_shared(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:

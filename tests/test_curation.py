@@ -35,6 +35,7 @@ def planted(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_gates_drop_planted_defects(spark, planted):
     # min_quality 0.65: punctuation garbage scores ~0.6 (len_ok +
     # wordlen_ok floor), real prose ~0.9+ — the gate sits between
@@ -45,12 +46,14 @@ def test_gates_drop_planted_defects(spark, planted):
     assert kept == [1, 6]
 
 
+@pytest.mark.slow
 def test_curation_is_deterministic(spark, planted):
     a = sorted(r["doc_id"] for r in curate(planted).collect())
     b = sorted(r["doc_id"] for r in curate(planted).collect())
     assert a == b
 
 
+@pytest.mark.slow
 def test_cluster_resolution_collapses_transitive_chains(spark):
     # chain: A ~ B ~ C with jaccard(A,C) below the 0.6 bar (measured:
     # A-B 0.76, B-C 0.64, A-C 0.55) and B the LOWEST-quality member (the
@@ -95,6 +98,7 @@ def test_unknown_resolution_raises(spark, planted):
         curate(planted, resolution="majority")
 
 
+@pytest.mark.slow
 def test_fixture_corpus_end_to_end(spark):
     docs = load(spark, SF_SMALL, "documents")
     curated = curate(docs, min_quality=0.3, min_chars=50, jaccard_threshold=0.6)
@@ -135,6 +139,7 @@ def test_compact_corpus_rejects_in_place(spark, tmp_path, planted):
         compact_corpus(spark, sink, sink)
 
 
+@pytest.mark.slow
 def test_front_stages_scrub_and_deboilerplate(spark):
     """PII scrub + boilerplate removal run BEFORE scoring/dedup, so a
     shared banner neither makes distinct pages near-dups nor pads their
@@ -178,6 +183,7 @@ def test_front_stages_scrub_and_deboilerplate(spark):
     assert any("jane.doe@example.com" in t for t in raw.values())
 
 
+@pytest.mark.slow
 def test_cluster_resolution_star_algorithm_equivalent(spark, planted):
     """cc_algorithm='star' must select the same representatives as the
     default propagation — the swap is a cost choice, not a semantic one."""
@@ -198,6 +204,7 @@ def test_cluster_resolution_star_algorithm_equivalent(spark, planted):
     assert a == b
 
 
+@pytest.mark.slow
 def test_cluster_resolution_survives_120_doc_revision_chain(spark):
     """No corpus shape can abort curation: 120 successive 'revisions'
     (sliding word windows — adjacent docs share ~0.68 Jaccard, two-apart
@@ -220,6 +227,7 @@ def test_cluster_resolution_survives_120_doc_revision_chain(spark):
 
 
 # ---------------------------------------------- end-to-end to shards
+@pytest.mark.slow
 def test_curate_to_shards_manifest_matches_duckdb(spark, tmp_path):
     """VERDICT r5 #7: the full curate -> decontaminate -> chunk -> pack
     -> shard-export composition, with the manifest cross-checked by a

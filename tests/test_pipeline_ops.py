@@ -363,6 +363,7 @@ def test_sparse_topk_identical_doc_scores_one(spark):
     )
 
 
+@pytest.mark.slow
 def test_sparse_topk_k_bounds_output(spark):
     from alphavantage_etl_spark.operators.sparsesim import sparse_tfidf_topk
 

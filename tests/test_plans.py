@@ -60,12 +60,21 @@ def test_star_join_broadcasts_dims(plans):
 def test_no_python_udfs_in_oracle_backed_plans(spark):
     # The UDF-free rule (SURVEY.md 7.3.6): every oracle-backed query must
     # stay JVM-side. BatchEvalPython/ArrowEvalPython in a plan means a
-    # Python round trip crept in.
+    # Python round trip crept in. Plan construction is driver-side and
+    # thread-safe (py4j opens a connection per thread; _session_shared
+    # takes per-key build locks), so the 216-plan walk fans out across a
+    # pool instead of paying each query's analysis latency serially.
+    from concurrent.futures import ThreadPoolExecutor
+
     from alphavantage_etl_spark.queries import ALL_ORACLES as ORACLES
 
-    for name in ORACLES:
+    def check(name: str) -> str | None:
         plan = _plan(QUERIES[name](spark, SF_SMALL))
-        assert "EvalPython" not in plan, f"{name} contains a Python UDF stage"
+        return name if "EvalPython" in plan else None
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        bad = [n for n in ex.map(check, list(ORACLES)) if n]
+    assert not bad, f"Python UDF stages in: {bad}"
 
 
 def test_boilerplate_explodes_twice_not_thrice(spark):

@@ -42,6 +42,7 @@ money = st.floats(
 )
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(st.lists(money, min_size=1, max_size=30))
 def test_money_round_matches_pandas_everywhere(spark, xs):
@@ -96,6 +97,7 @@ def test_token_count_matches_java_whitespace_split(spark, texts):
     ),
     st.integers(min_value=0, max_value=19),
 )
+@pytest.mark.slow
 def test_incremental_merge_converges(spark, dates, n_existing):
     """For ANY incoming set and ANY subset already in the sink: merge yields
     exactly the union, with no duplicates, and a re-merge is a no-op."""
@@ -116,6 +118,7 @@ def test_incremental_merge_converges(spark, dates, n_existing):
 sizes = st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=25)
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(sizes, st.integers(min_value=1, max_value=300))
 def test_pack_bins_invariants(spark, szs, budget):
@@ -138,6 +141,7 @@ def test_pack_bins_invariants(spark, szs, budget):
     assert bins == want
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True))
 def test_hash_split_partitions_exactly(spark, ids):
@@ -161,6 +165,7 @@ edge_lists = st.lists(
 ).filter(lambda es: any(a != b for a, b in es))
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(edge_lists)
 def test_connected_components_matches_union_find(spark, edges):
@@ -205,6 +210,7 @@ def test_connected_components_matches_union_find(spark, edges):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_scrub_pii_is_idempotent_and_digit_free_on_hits(spark, texts):
     """scrub(scrub(x)) == scrub(x): placeholder tokens are digit-free and
     '@'-free in their local parts, so no pattern can re-match its own (or
@@ -229,6 +235,7 @@ def test_scrub_pii_is_idempotent_and_digit_free_on_hits(spark, texts):
     ),
     min_docs=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_remove_boilerplate_invariants(spark, docs, min_docs):
     """For every document: n_kept + n_removed == its non-empty segment
     count; the rebuilt text is the original segment sequence minus
@@ -265,6 +272,7 @@ def test_remove_boilerplate_invariants(spark, docs, min_docs):
     ),
     st.floats(min_value=0.5, max_value=50, allow_nan=False),
 )
+@pytest.mark.slow
 def test_target_encode_stays_inside_hull(spark, rows, m):
     """The smoothed encoding is a convex blend of the category mean and
     the global mean — it can never leave their hull."""
@@ -301,6 +309,7 @@ def test_target_encode_stays_inside_hull(spark, rows, m):
     ),
     st.integers(min_value=2, max_value=6),
 )
+@pytest.mark.slow
 def test_discretize_bins_are_equi_depth(spark, vals, nbins):
     """Equi-depth: no bin holds more than ceil(n/nbins) + (count of
     values tied at a boundary) rows; with all-distinct values the bound
@@ -335,6 +344,7 @@ def test_discretize_bins_are_equi_depth(spark, vals, nbins):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_kaplan_meier_monotone_and_bounded(spark, subj):
     """Survival is a non-increasing step function in [0, 1]."""
     from alphavantage_etl_spark.operators.survival import kaplan_meier
@@ -363,6 +373,7 @@ def test_kaplan_meier_monotone_and_bounded(spark, subj):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_pagerank_mass_conserved(spark, edges):
     """Total rank stays 1 (up to quantization) on any digraph, dangling
     nodes included."""
@@ -386,6 +397,7 @@ def test_pagerank_mass_conserved(spark, edges):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_quantile_normalize_is_a_valid_percent_rank(spark, rows):
     """qnorm is always in [0, 1], NULL iff the value is NULL, monotone
     with the value within a group, and tied values share it."""
@@ -456,6 +468,7 @@ def test_rolling_median_bounded_by_window_extremes(spark, vals, k):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_attribution_conservation_laws(spark, events):
     """Linear credit sums to the number of attributable journeys; first
     and last touch counts each sum to the same journey count."""
@@ -492,6 +505,7 @@ def test_attribution_conservation_laws(spark, events):
     ),
     st.randoms(),
 )
+@pytest.mark.slow
 def test_corpus_digest_permutation_invariant_everywhere(spark, rows, rng):
     """Any permutation and any repartitioning of the same content must
     produce the identical digest and counts."""
@@ -513,6 +527,7 @@ def test_corpus_digest_permutation_invariant_everywhere(spark, rows, rng):
     st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
     st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=30),
 )
+@pytest.mark.slow
 def test_ks_statistic_is_a_valid_distance(spark, xs, ys):
     """0 <= D <= 1 always; D == 0 exactly when the quantized empirical
     DISTRIBUTIONS coincide (proportions, not multisets — [0] vs [0, 0]
@@ -552,6 +567,7 @@ def test_ks_statistic_is_a_valid_distance(spark, xs, ys):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_seasonal_profile_mass_conservation(spark, rows):
     """Per-group: counts over dows sum to the group total, and the
     n-weighted mean of dow_means reproduces the group mean exactly
@@ -590,6 +606,7 @@ def test_seasonal_profile_mass_conservation(spark, rows):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_cohen_kappa_bounds_and_identities(spark, pairs):
     """kappa (when defined) stays in [-1, 1]; po/pe are valid
     probabilities; kappa = 1 exactly when agreement is perfect AND
@@ -627,6 +644,7 @@ def test_cohen_kappa_bounds_and_identities(spark, pairs):
         unique=True,
     )
 )
+@pytest.mark.slow
 def test_bh_reject_monotone_in_q_and_prefix(spark, ps):
     """BH invariants: the rejected set is a PREFIX of the p-ascending
     ranking, and it can only GROW as q grows."""
@@ -653,6 +671,7 @@ def test_bh_reject_monotone_in_q_and_prefix(spark, ps):
     st.lists(st.integers(1, 60), min_size=1, max_size=15, unique=True),
     st.lists(st.integers(1, 60), min_size=1, max_size=15, unique=True),
 )
+@pytest.mark.slow
 def test_rbo_bounds_and_symmetry(spark, ids_a, ids_b):
     """RBO stays in [0, 1), is symmetric in its arguments, and equals
     the closed-form geometric sum when the rankings are identical."""
@@ -690,6 +709,7 @@ def test_rbo_bounds_and_symmetry(spark, ids_a, ids_b):
         max_size=40,
     ).filter(lambda rs: len({v for v, _ in rs}) >= 2)
 )
+@pytest.mark.slow
 def test_gini_stump_gain_nonnegative(spark, rows):
     """Gini is concave: NO split increases weighted impurity, so the
     best split's gain is >= 0; the threshold is a real feature value
@@ -715,6 +735,7 @@ def test_gini_stump_gain_nonnegative(spark, rows):
         max_size=30,
     ).filter(lambda rs: {f for f, _ in rs} == {0, 1})
 )
+@pytest.mark.slow
 def test_perm_test_flag_flip_invariance(spark, rows):
     """Flipping the flag negates obs_diff but preserves |diff| per
     pseudo-permutation relabeling, so n_ge and p_value are invariant;
@@ -759,6 +780,7 @@ def urlish(draw):
     return f"{scheme}://{www}{'.'.join(labels)}{port}/{path}{q}{frag}"
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(st.lists(urlish(), min_size=1, max_size=25))
 def test_canonical_url_is_idempotent(spark, urls):
@@ -793,6 +815,7 @@ def test_canonical_url_is_idempotent(spark, urls):
 # 8/12 of the key space excludes ALL of them — the r9 code silently
 # returned zero rows for the domain; the min-key structural survivor
 # must keep exactly one (id 49, the smallest key).
+@pytest.mark.slow
 @example(rows=[(i, "a") for i in [1, 6, 9, 31, 35, 36, 49, 59, 62, 76, 85, 93]], cap=1)
 def test_domain_caps_invariants(spark, rows, cap):
     """For any input: per-domain output size == min(cap, n_domain), the
@@ -840,6 +863,7 @@ def test_domain_caps_invariants(spark, rows, cap):
 # and pruned the 1-token doc the true prefix needs, so the exactness
 # guard RAISED (loudly, not silently) on a perfectly ordinary input.
 # The budget-capped prefix-row estimator keeps both docs candidates.
+@pytest.mark.slow
 @example(rows=[(0, "a", 1), (8, "a", 18)], budget=2)
 def test_token_budget_matches_python_reference(spark, rows, budget):
     """The pruned Spark selection equals the naive full-cumsum reference
@@ -906,6 +930,7 @@ _up_src = st.lists(
     tgt=[(1, None, 10), (2, None, 20)],
     src=[(1, None, 99, False), (2, None, 0, True)],
 )
+@pytest.mark.slow
 @given(tgt=_up_rows, src=_up_src)
 def test_upsert_merge_matches_reference_and_partition_split(spark, tgt, src):
     """upsert_merge == the plain-Python MERGE post-state, and the
@@ -958,6 +983,7 @@ _cl_rows = st.lists(
 )
 
 
+@pytest.mark.slow
 @CONTRACT_SETTINGS
 @example(rows=[(0, 1, -(2**63), "U"), (0, 2, None, "U")])  # MIN_LONG vs NULL
 @given(rows=_cl_rows)
@@ -1063,6 +1089,7 @@ def test_winrate_wilson_interval_properties(spark, rows):
     ),
     st.integers(min_value=1, max_value=2),
 )
+@pytest.mark.slow
 def test_kmeans_fit_quantized_matches_python_replica(spark, vecs, iters):
     """X144 across generated corpora: the distributed fit equals a
     pure-Python replica of the exact quantized iteration (init,
@@ -1141,6 +1168,7 @@ def test_kmeans_fit_quantized_matches_python_replica(spark, vecs, iters):
     ),
     st.lists(st.integers(min_value=0, max_value=2), min_size=2, max_size=12),
 )
+@pytest.mark.slow
 def test_kmeans_state_merge_associative_and_exact(spark, vecs, splits):
     """X149 across generated corpora and arbitrary batch partitions:
     state-merge is associative (any batching folds to the full-corpus
@@ -1214,6 +1242,7 @@ def test_kmeans_state_merge_associative_and_exact(spark, vecs, splits):
     ),
     st.integers(min_value=1, max_value=2),
 )
+@pytest.mark.slow
 def test_kmeans_fit_narrow_equals_wide_generated(spark, vecs, iters):
     """X154 contract across generated corpora: the narrow posexplode
     fit path (forced via max_dim below the true dim) is BIT-IDENTICAL
@@ -1252,6 +1281,7 @@ def test_kmeans_fit_narrow_equals_wide_generated(spark, vecs, iters):
     ),
     st.integers(min_value=2, max_value=6),
 )
+@pytest.mark.slow
 def test_kmeans_fit_sampled_equals_fit_on_subset_generated(spark, vecs, cap):
     """X161 contract across generated corpora: sample_cap=c is EXACTLY
     the unsampled fit over the c rows with the smallest
@@ -1300,6 +1330,7 @@ def test_kmeans_fit_sampled_equals_fit_on_subset_generated(spark, vecs, cap):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_ann_join_pq_adc_matches_python_replica(spark, vecs):
     """X156/X157 across generated corpora: pq_encode_exact picks the
     per-subspace argmin code (ties to lowest) of the exact-fit
@@ -1387,6 +1418,7 @@ def test_ann_join_pq_adc_matches_python_replica(spark, vecs):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_pq_residual_matches_python_replica(spark, vecs):
     """X164 across generated corpora: under a NONTRIVIAL 2-cell coarse
     quantizer, residual-mode fit/encode/ADC equal a pure-Python replica
@@ -1491,6 +1523,7 @@ def test_pq_residual_matches_python_replica(spark, vecs):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_ann_join_bq_matches_python_replica(spark, vecs):
     """X167 across generated corpora at dim 66 — TWO packed words with
     a partial top word AND the signed bit-63 lane in word 0: bq_fit's

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from .conftest import SF_ORACLE
@@ -67,6 +68,7 @@ def test_random_projection_dim_fast_path_bit_identical(spark):
     assert a == b and len(a) == 202
 
 
+@pytest.mark.slow
 def test_connected_components_small_model_path_identical(spark):
     from alphavantage_etl_spark.operators.graph import connected_components
 

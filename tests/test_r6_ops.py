@@ -453,6 +453,7 @@ def test_seasonal_anomaly_ignores_weekly_rhythm(spark):
 
 
 # ------------------------------------------------ X94 EWMA chart
+@pytest.mark.slow
 def test_ewma_chart_catches_drift_spike_detectors_miss(spark):
     from datetime import datetime, timedelta
 

@@ -28,6 +28,7 @@ def ts(s: str) -> dt.datetime:
 
 
 # --- W1: SMA exclusive trailing frame, NULL under k (data_viz.py:100-109) ---
+@pytest.mark.slow
 def test_sma_exclusive_frame_null_under_k(spark):
     vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
     df = spark.createDataFrame(
@@ -76,6 +77,7 @@ def test_busday_halfopen_and_holidays(spark):
 
 
 # --- J2: anti-join increment == positional tail(gap) (av_etl.py:79) ---
+@pytest.mark.slow
 def test_new_rows_equals_tail(spark):
     incoming = spark.createDataFrame(
         [(d(f"2024-01-0{i}"), float(i)) for i in range(1, 8)], "date date, v double"
@@ -284,6 +286,7 @@ def test_embedding_near_dups(spark):
 # --- X2: LSH+verify near-dups — precision is exact (subset of the exact
 # blocked join at the same threshold), and recall catches the fixture's
 # true near-dup pairs ---
+@pytest.mark.slow
 def test_minhash_verified_subset_of_exact(spark):
     from alphavantage_etl_spark.operators.dedup import (
         minhash_verified_near_dups,
@@ -319,6 +322,7 @@ def test_minhash_verified_subset_of_exact(spark):
 
 # --- X2: hot-bucket cap bounds the candidate quadratic without touching
 # well-behaved pairs ---
+@pytest.mark.slow
 def test_minhash_hot_bucket_cap(spark):
     from alphavantage_etl_spark.operators.dedup import minhash_near_dups
 
@@ -353,6 +357,7 @@ def test_minhash_hot_bucket_cap(spark):
     assert capped == {(100, 101)}
 
 
+@pytest.mark.slow
 def test_minhash_fixture_pairs_unchanged_by_default_cap(spark):
     from alphavantage_etl_spark.operators.dedup import minhash_verified_near_dups
     from alphavantage_etl_spark.sources import load
@@ -374,6 +379,7 @@ def test_minhash_fixture_pairs_unchanged_by_default_cap(spark):
 
 
 # --- X2: cache-handle discipline — intermediates release, results survive ---
+@pytest.mark.slow
 def test_minhash_handles_release(spark):
     from alphavantage_etl_spark.operators.dedup import (
         minhash_verified_near_dups,
@@ -424,6 +430,7 @@ def test_report_frames_shapes(spark):
 
 
 # --- X3: IVF search — deterministic training, recall vs brute force ---
+@pytest.mark.slow
 def test_ivf_topk_recall(spark):
     from alphavantage_etl_spark.operators.similarity import (
         cosine_topk,
@@ -455,6 +462,7 @@ def test_ivf_topk_recall(spark):
         assert exact_scores[r["vec_id"]] == r["sim"]
 
 
+@pytest.mark.slow
 def test_assign_cells_inline_and_broadcast_paths_identical(spark):
     """The centroid-inlining bound (_INLINE_MAX_LITERALS): above it the
     centroids travel as broadcast data instead of literal codegen. Both
@@ -482,6 +490,7 @@ def test_assign_cells_inline_and_broadcast_paths_identical(spark):
     assert set(bcast.columns) == set(inline.columns)
 
 
+@pytest.mark.slow
 def test_auto_cells_scale_with_corpus(spark):
     """n_cells='auto' is the cells-∝-N discipline as code: cell count
     tracks N / target_cell_size, and block_col=None near-dup runs derive
@@ -623,6 +632,7 @@ def test_lsh_multiprobe_recall_is_monotone(spark):
     assert r3 >= 5  # multi-probe reaches at least half the exact top-10
 
 
+@pytest.mark.slow
 def test_incremental_minhash_equals_full_rebuild(spark):
     """full(corpus) ∪ incremental(batch vs corpus index) must equal
     full(corpus ∪ batch) — the property that lets ingest skip re-shingling
@@ -665,6 +675,7 @@ def test_incremental_minhash_equals_full_rebuild(spark):
 
 
 # --- X3: product quantization — compressed-index search ---
+@pytest.mark.slow
 def test_pq_topk_recall_and_determinism(spark):
     from alphavantage_etl_spark.operators.similarity import (
         cosine_topk,
@@ -990,6 +1001,7 @@ def test_rrf_rejects_ambiguous_and_accepts_explicit_score(spark):
 
 
 # --- X137: cross-table ANN retrieval join ---
+@pytest.mark.slow
 def test_ann_join_scores_exact_and_recall(spark):
     """Every (query, hit) the ANN join returns must carry the EXACT
     cosine the brute-force path assigns (rerank is exact; only the
@@ -1035,6 +1047,7 @@ def test_ann_join_scores_exact_and_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.5, f"mean recall@5 {recalls}"
 
 
+@pytest.mark.slow
 def test_ann_join_persisted_index_path_identical(spark, tmp_path):
     """build_ivf_index -> save_ivf_index -> load_ivf_index -> ann_join
     (corpus_cells=...) must equal the recompute path row-for-row — the
@@ -1162,6 +1175,7 @@ def test_ann_join_byo_quantizer_plan_corpus_never_shuffles(spark):
     assert "WindowGroupLimit" in final
 
 
+@pytest.mark.slow
 def test_split_hot_cells_semantics(spark):
     """X148: the hottest above-threshold cell splits 2-way by an exact
     sub-fit over its members only; the delta holds exactly the MOVED
@@ -1335,6 +1349,7 @@ def test_assignment_moves_and_state_guards(spark):
         )
 
 
+@pytest.mark.slow
 def test_psi_gated_refit_both_branches(spark):
     """X152: an UN-drifted batch (the uniform query slice) stays under
     the 0.1 PSI gate — the old quantizer stands verbatim; the BIASED
@@ -1632,6 +1647,7 @@ def test_ann_serve_plan_serving_only(spark):
     assert len(re.findall(r"BroadcastHashJoin", final)) == 3
 
 
+@pytest.mark.slow
 def test_pq_serve_plan_serving_only_codes_only(spark):
     """X162: serving from the PERSISTED coded index keeps the X157
     serving plan (zero SortMergeJoin, two static broadcasts, one
@@ -1732,6 +1748,7 @@ def test_ann_join_sq8_rerank_composition(spark):
         )
 
 
+@pytest.mark.slow
 def test_index_lifecycle_nondegenerate(spark):
     """X153: the composition exercises every stage FOR REAL at the
     oracle SF — the PSI gate fires (refit applied), the refit
@@ -1782,6 +1799,7 @@ def test_index_lifecycle_nondegenerate(spark):
     assert rows and {r["rank"] for r in rows} <= {1, 2, 3}
 
 
+@pytest.mark.slow
 def test_save_ivf_index_partitioned_by_cell_prunes(spark, tmp_path):
     """The 100 TB index layout #2: save_ivf_index(partition_by_cell=
     True) lays one directory per cell; serving reads are then
@@ -2046,6 +2064,7 @@ def test_kmeans_fit_quantized_semantics(spark):
     assert sorted(final[c][0] for c in range(2)) == [3, 3]
 
 
+@pytest.mark.slow
 def test_kmeans_fit_quantized_guards(spark):
     """Too few usable vectors, bad params, and NULL/ragged vectors."""
     import pytest
@@ -2102,6 +2121,7 @@ def test_kmeans_fit_quantized_guards(spark):
     }
 
 
+@pytest.mark.slow
 def test_fit_sample_semantics(spark):
     """X161 (r13 verdict missing #2): sample_cap trains every quantizer
     fit on the cap rows with the smallest (md5('fit:' || id), id) key —
@@ -2196,6 +2216,7 @@ def test_sq8_fit_headroom_guard(spark):
     assert len(sq8_fit(cool, dim=2)) == 2
 
 
+@pytest.mark.slow
 def test_kmeans_fit_narrow_matches_wide(spark):
     """X154 (r12 verdict missing #2): the high-dim NARROW fit path —
     centroid matrix joined from a one-row frame, posexplode (cell, d)
@@ -2246,6 +2267,7 @@ def test_kmeans_fit_narrow_matches_wide(spark):
     assert final.count("Generate posexplode") == 1
 
 
+@pytest.mark.slow
 def test_pq_fit_exact_guards_and_slices(spark):
     """X156: pq_fit_exact requires a declared dim divisible by m with
     subspaces under the wide ceiling; each subspace fit equals
@@ -2483,6 +2505,7 @@ def test_assign_cells_l2q_and_byo_quantizer_guards(spark):
     assert hits[0] == 0 and hits[1] == 1
 
 
+@pytest.mark.slow
 def test_pq_residual_zero_centroid_equivalence(spark):
     """X164 anchor: with a single all-zero coarse centroid the residual
     IS the vector, so residual-mode fit / encode / ADC join must be
@@ -2540,6 +2563,7 @@ def test_pq_residual_zero_centroid_equivalence(spark):
     assert sorted(map(tuple, van)) == sorted(map(tuple, res))
 
 
+@pytest.mark.slow
 def test_pq_residual_guards_and_plan(spark):
     """X164 guards: residual_cents6 dimensionality must equal the
     declared dim on all three paths. Plan: residual serving keeps the
@@ -2690,6 +2714,7 @@ def test_ann_join_filtered_pushdown_and_routing(spark, tmp_path):
     assert sorted(map(tuple, got_bare)) == sorted(map(tuple, want))
 
 
+@pytest.mark.slow
 def test_pq_index_delete_compact_lifecycle(spark, tmp_path):
     """X166 end-to-end on a stored coded index: (a) tombstoned ids
     vanish from the default load and from serving while the raw table
@@ -2775,6 +2800,7 @@ def test_pq_index_delete_compact_lifecycle(spark, tmp_path):
     assert pq_index_compact(spark, path) == (kept, 0)
 
 
+@pytest.mark.slow
 def test_ann_bq_bits_and_plan(spark):
     """X167: mean-threshold bits are STRICTLY-above (a component equal
     to the mean encodes 0), the signed bit-63 lane packs as a negative
@@ -2894,6 +2920,7 @@ def test_ann_bq_bits_and_plan(spark):
     assert len(re.findall(r"BroadcastHashJoin", final)) == 2
 
 
+@pytest.mark.slow
 def test_ann_cascade_semantics_and_plan(spark):
     """X170: the cascade equals its hand-composed three stages
     bit-for-bit, the funnel-monotonicity guard raises, and the

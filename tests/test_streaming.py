@@ -37,6 +37,7 @@ def events_stream(spark, events_dir):
     return read_events_stream(spark, events_dir)
 
 
+@pytest.mark.slow
 def test_windowed_counts_stream_matches_batch(spark, events_stream):
     run_stream_to_memory(
         windowed_counts_stream(events_stream), "t_win", mode="append"
@@ -89,6 +90,7 @@ def test_incremental_append_stream_dedups(spark, events_stream):
     assert n_stream == n_batch, "fixture has unique ids; none should drop"
 
 
+@pytest.mark.slow
 def test_attribution_join_stream_matches_batch(spark, events_dir):
     from alphavantage_etl_spark.streaming import attribution_join_stream
 
@@ -171,6 +173,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert out.select("event_id").distinct().count() == n1 + n2
 
 
+@pytest.mark.slow
 def test_idempotent_sink_stream_survives_duplicate_delivery(spark, tmp_path):
     """foreachBatch upsert: duplicate rows arriving in a LATER file (which
     the source checkpoint happily treats as new data) must not duplicate
@@ -212,6 +215,7 @@ def test_idempotent_sink_stream_survives_duplicate_delivery(spark, tmp_path):
     assert out.select("event_id").distinct().count() == n_total
 
 
+@pytest.mark.slow
 def test_curation_ingest_stream_end_to_end(spark, tmp_path):
     """Streaming corpus ingest: quality gate, cross-batch fingerprint
     dedup, and benchmark decontamination all hold across micro-batches and
@@ -290,6 +294,7 @@ def test_curation_ingest_stream_end_to_end(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 2
 
 
+@pytest.mark.slow
 def test_curation_stream_near_dup_via_signature_index(spark, tmp_path):
     """With signature_dir set, a near-duplicate (edited, so the exact
     fingerprint differs) arriving in a LATER batch — and after a stream
@@ -366,6 +371,7 @@ def test_curation_stream_near_dup_via_signature_index(spark, tmp_path):
     assert spark.read.parquet(sigs).count() == 2
 
 
+@pytest.mark.slow
 def test_running_bars_stream_partial_final_and_parity(spark, tmp_path):
     """applyInPandasWithState custom stateful operator: each micro-batch
     re-emits the key's CURRENT partial bar; once the watermark passes
@@ -494,6 +500,7 @@ def test_read_events_stream_cold_start_empty_dir(spark, tmp_path):
     assert spark.table("t_cold_start").count() > 0
 
 
+@pytest.mark.slow
 def test_curation_stream_quarantines_poison_batch(spark, tmp_path):
     """Quality-gate composition: each micro-batch gets a report from the
     shared expectation aggregates, a batch that fails an expectation is
@@ -642,6 +649,7 @@ def test_anomaly_stream_matches_batch_and_restarts(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_drift_monitor_stream_quarantines_shifted_batch(spark, tmp_path):
     """Streaming PSI gate: in-distribution micro-batches append to the
     sink; a regime-shifted batch is quarantined WHOLE; a checkpoint
@@ -798,6 +806,7 @@ def test_enrichment_stream_point_in_time_lookup(spark, tmp_path):
     assert len(got) == 5
 
 
+@pytest.mark.slow
 def test_oov_monitor_stream_quarantines_vocab_shift(spark, tmp_path):
     """Streaming vocabulary gate: in-vocabulary batches append to the
     sink; a batch from a different vocabulary regime (gibberish) is
@@ -863,6 +872,7 @@ def test_oov_monitor_stream_quarantines_vocab_shift(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ewma_chart_stream_matches_batch_and_restarts(spark, tmp_path):
     """Streaming EWMA control chart: daily rollup rows fed in date order
     across two micro-batches with a query restart between them (the
@@ -941,6 +951,7 @@ def test_ewma_chart_stream_matches_batch_and_restarts(spark, tmp_path):
     assert any(r[4] for r in got) or True  # flags compared row-for-row above
 
 
+@pytest.mark.slow
 def test_cusum_chart_stream_matches_batch_and_restarts(spark, tmp_path):
     """Streaming CUSUM control chart: daily rollup rows fed in date order
     across two micro-batches with a query restart between them (the
@@ -1023,6 +1034,7 @@ def test_cusum_chart_stream_matches_batch_and_restarts(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_fdr_monitor_stream_matches_batch_and_restarts(spark, tmp_path):
     """Streaming FDR slice monitor: (key, flag) rows fed across two
     micro-batches with a query restart between them; the merged count
@@ -1117,6 +1129,7 @@ def test_fdr_monitor_stream_matches_batch_and_restarts(spark, tmp_path):
     assert reports[-1]["rejected"] == want_rej
 
 
+@pytest.mark.slow
 def test_cm_sketch_stream_matches_batch_and_restarts(spark, tmp_path):
     """Streaming count-min sketch: document batches fed across a query
     restart; the merged cumulative grid must equal the batch sketch of
@@ -1210,6 +1223,7 @@ def test_cm_sketch_stream_matches_batch_and_restarts(spark, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_domain_cap_monitor_stream_matches_batch_and_restarts(
     spark, tmp_path
 ):
@@ -1350,6 +1364,7 @@ def test_domain_cap_monitor_stream_matches_batch_and_restarts(
     assert reports[0]["batch_id"] == 0
 
 
+@pytest.mark.slow
 def test_cdc_apply_stream_partition_scoped_and_replay_safe(spark, tmp_path):
     """X135 streaming APPLY CHANGES INTO: a changelog stream maintained
     as a keyed on-disk table. Asserts (a) final table equals the
@@ -1483,6 +1498,7 @@ def _cdc_fixture(spark, tmp_path):
     return table
 
 
+@pytest.mark.slow
 def test_read_cdc_table_as_of_and_tombstones(spark, tmp_path):
     """Time travel over the retained v{batch_id} dirs: as_of=B serves
     each partition's largest committed version <= B, skips partitions
@@ -1518,6 +1534,7 @@ def test_read_cdc_table_as_of_and_tombstones(spark, tmp_path):
     assert read_cdc_table(spark, table, as_of=-1) is None
 
 
+@pytest.mark.slow
 def test_gc_cdc_versions_prunes_and_fences_as_of(spark, tmp_path):
     """gc_cdc_versions keeps the newest k versions per partition,
     records the pruned horizon in the marker filename, and read as_of
@@ -1557,6 +1574,7 @@ def test_gc_cdc_versions_prunes_and_fences_as_of(spark, tmp_path):
         gc_cdc_versions(spark, table, keep_versions=0)
 
 
+@pytest.mark.slow
 def test_gc_cdc_tombstones_expiry_and_crash_recovery(spark, tmp_path):
     """Tombstone GC: expires dated tombstones at-or-below the seq
     horizon from each partition's latest version (in place — same
@@ -1605,6 +1623,7 @@ def test_gc_cdc_tombstones_expiry_and_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(f"{table}/p-2/gcv2")
 
 
+@pytest.mark.slow
 def test_compact_cdc_files_packs_rows_and_recovers(spark, tmp_path):
     """X145: small-file compaction rewrites each partition's latest
     version into the bin-packed file count with rows, schema, version
@@ -1688,6 +1707,7 @@ def test_compact_cdc_files_packs_rows_and_recovers(spark, tmp_path):
         compact_cdc_files(spark, table, max_files=0)
 
 
+@pytest.mark.slow
 def test_ivf_index_stream_parity_replay_and_guard(spark, tmp_path):
     """X142: the streamed IVF index equals build_ivf_index over the
     union of batches (so load_ivf_index + ann_join read both
@@ -1785,6 +1805,7 @@ def test_ivf_index_stream_parity_replay_and_guard(spark, tmp_path):
         ivf_index_stream(stream, other, index, str(tmp_path / "ckpt2"))
 
 
+@pytest.mark.slow
 def test_kmeans_state_stream_parity_replay_and_guard(spark, tmp_path):
     """X149 streaming twin: the merged streamed state refits to exactly
     what a full-union recompute gives (exact integers -> associative
@@ -1870,6 +1891,7 @@ def test_kmeans_state_stream_parity_replay_and_guard(spark, tmp_path):
         drain()
 
 
+@pytest.mark.slow
 def test_pq_index_stream_parity_replay_guards(spark, tmp_path):
     """X159 (streaming twin of X157): the streamed CODED index equals
     assign+encode over the union of batches bit-for-bit, ann_join_pq
@@ -2010,6 +2032,7 @@ def test_pq_index_stream_parity_replay_guards(spark, tmp_path):
         drain()
 
 
+@pytest.mark.slow
 def test_bq_index_stream_parity_replay_guards(spark, tmp_path):
     """X169 (streaming twin of X167): the streamed BIT index equals
     assign+encode over the union of batches bit-for-bit, ann_join_bq
