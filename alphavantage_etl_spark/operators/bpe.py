@@ -76,78 +76,42 @@ def _adjacent_pairs(state: DataFrame) -> DataFrame:
     )
 
 
-def _merge_fold(x: "F.Column", y: "F.Column", xy: "F.Column") -> "F.Column":
-    """Greedy left-to-right rewrite of ``toks`` merging pair (x, y).
-
-    Column-parameterized (r15): callers pass literals OR attribute
-    references. A NULL ``x``/``y`` (the in-plan argmax of an exhausted
-    pair table) makes the WHEN condition NULL for every element, so the
-    fold is the identity — rounds past vocabulary exhaustion are no-ops,
-    matching the collect-loop's early break.
-    """
+def _merge_fold(x: str, y: str) -> "F.Column":
+    """Greedy left-to-right rewrite of ``toks`` merging pair (x, y)."""
+    xy = x + y
     return F.aggregate(
         F.col("toks"),
         F.array().cast("array<string>"),
         lambda acc, cur: F.when(
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == x)
-            & (cur == y),
+            & (F.element_at(acc, -1) == F.lit(x))
+            & (cur == F.lit(y)),
             F.concat(
                 F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(xy),
+                F.array(F.lit(xy)),
             ),
         ).otherwise(F.concat(acc, F.array(cur))),
     )
 
 
-def _best_pair(state: DataFrame) -> DataFrame:
-    """ONE row (__mx, __my, __mc): the argmax pair (count DESC, then
-    lexicographic x, y) as an in-plan aggregate — ``min`` over the
-    ``(-c, x, y)`` struct is exactly the ``ORDER BY c DESC, x, y LIMIT
-    1`` ordering (struct comparison is field-by-field, strings binary —
-    the same collation the sort used). All-NULL row when no adjacent
-    pairs remain (aggregate over zero rows), never zero rows — so a
-    crossJoin against it cannot wipe the state."""
-    return (
-        _adjacent_pairs(state)
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("c")).alias("nc"),
-                    F.col("x").alias("x"),
-                    F.col("y").alias("y"),
-                )
-            ).alias("m")
-        )
-        .select(
-            F.col("m.x").alias("__mx"),
-            F.col("m.y").alias("__my"),
-            (-F.col("m.nc")).alias("__mc"),
-        )
-    )
-
-
 def _learn(docs: DataFrame, text_col: str, k: int):
-    """Run k merge rounds; returns (merges frame, final state frame).
+    """Run k merge rounds; returns (merge list, final state frame).
 
-    The merges frame has columns (merge_rank, lhs, rhs, merged,
-    pair_count) with fewer than k rows when the vocabulary runs out of
-    adjacent pairs.
-
-    r15 optimization (guide §2.1/§5 — no driver round-trips in the model
-    loop): when the vocabulary grid fits ``spark.graft.modelLoopRows``
-    (the pagerank/markov gate — row-count-based, never core-count-tied),
-    the per-round argmax is an IN-PLAN one-row aggregate joined back to
-    the SinglePartition state with a merge hint: every round is one
-    single-task checkpoint job with no exchange, no broadcast stage and
-    no collect latency (the r14 form paid a 32-task pair aggregation +
-    TakeOrdered collect + 32-task rewrite per round — 22 jobs for k=6).
-    Values are identical: the struct-min argmax replays the identical
-    (c DESC, x, y) ordering, and the column-parameterized fold is the
-    same expression with the collected literals replaced by the joined
-    attributes. Large vocabularies keep the collect loop (a single-task
-    fold over 10^8 words would straggle; the partitioned rewrite is the
-    scale shape).
+    MEASURED NEGATIVE RESULT (r15, same-box A/B/B/A at sf0.1): replacing
+    the per-round argmax collect with an in-plan one-row aggregate
+    cross-joined back into the state was tried three ways and every
+    variant lost to this collect loop (min-of-3 reps):
+    - constant-key join: 39 jobs / 3.6 s (BroadcastExchange query-stage
+      job per round after constant folding) vs 22 / 2.2 s here;
+    - + shuffle_replicate_nl CartesianProduct: 33 jobs / 3.4 s (the
+      post-checkpoint UnknownPartitioning(0) re-inserts an Exchange
+      SinglePartition under each round's global aggregate);
+    - + coalesce(1) re-assert: 13 jobs / 3.0-3.9 s — fewest jobs, but
+      SinglePartition serializes the fold rewrite that runs 32-way
+      parallel here (the rewrite is the compute, unlike pagerank's
+      per-row arithmetic; a single-task fold is the straggler shape).
+    The 1-row collect per round is latency, not data volume, and keeps
+    the rewrite partitioned — the right shape at 100 TB too.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -159,11 +123,6 @@ def _learn(docs: DataFrame, text_col: str, k: int):
         .select("word", "freq", chars.alias("toks"))
         .localCheckpoint(eager=True)
     )
-    spark = docs.sparkSession
-    loop_cap = int(spark.conf.get("spark.graft.modelLoopRows", "262144"))
-    # the count is free: it reads the checkpoint blocks just materialized
-    if state.count() <= loop_cap:
-        return _learn_inplan(state, k)
     merges: list[tuple] = []
     for r in range(1, k + 1):
         best = (
@@ -178,72 +137,9 @@ def _learn(docs: DataFrame, text_col: str, k: int):
         merges.append((r, x, y, x + y, c))
         prev = state
         state = state.select(
-            "word", "freq",
-            _merge_fold(F.lit(x), F.lit(y), F.lit(x + y)).alias("toks"),
+            "word", "freq", _merge_fold(x, y).alias("toks")
         ).localCheckpoint(eager=True)
         prev.unpersist()
-    from ..functions.vectors import inline_rows_df
-
-    fields = [("merge_rank", "BIGINT"), ("lhs", "STRING"),
-              ("rhs", "STRING"), ("merged", "STRING"),
-              ("pair_count", "BIGINT")]
-    try:
-        mdf = inline_rows_df(spark, merges, fields)
-    except ValueError:
-        mdf = spark.createDataFrame(
-            merges,
-            "merge_rank long, lhs string, rhs string, merged string, "
-            "pair_count long",
-        )
-    return mdf, state
-
-
-def _learn_inplan(state: DataFrame, k: int):
-    """The small-vocab merge loop: SinglePartition state, in-plan argmax,
-    constant-key merge join — one single-task job per round. See
-    :func:`_learn`."""
-    from .dedup import free_blocks
-
-    seed = state  # the vocab-grid checkpoint from _learn
-    state = state.coalesce(1)
-    rounds: list[DataFrame] = []  # per-round state checkpoints
-    bests: list[DataFrame] = []
-    for r in range(1, k + 1):
-        best = _best_pair(state)
-        bests.append(best)
-        st = (
-            state.withColumn("__k", F.lit(1))
-            .hint("merge")
-            .join(best.withColumn("__k", F.lit(1)), "__k")
-        )
-        state = st.select(
-            "word", "freq",
-            _merge_fold(
-                F.col("__mx"), F.col("__my"), F.concat("__mx", "__my")
-            ).alias("toks"),
-        ).localCheckpoint(eager=True)
-        rounds.append(state)
-    merges = None
-    for r, best in enumerate(bests, start=1):
-        row = best.select(
-            F.lit(r).cast("long").alias("merge_rank"),
-            F.col("__mx").alias("lhs"),
-            F.col("__my").alias("rhs"),
-            F.concat("__mx", "__my").alias("merged"),
-            F.col("__mc").alias("pair_count"),
-        )
-        merges = row if merges is None else merges.unionByName(row)
-    # materialize the k one-row argmaxes once (they re-read each round's
-    # checkpoint), then drop every intermediate round's blocks — only the
-    # final state (returned) stays cached
-    merges = (
-        merges.where(F.col("lhs").isNotNull())
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    free_blocks(seed)
-    for prev in rounds[:-1]:
-        free_blocks(prev)
     return merges, state
 
 
@@ -255,8 +151,25 @@ def bpe_learn(docs: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     :func:`bpe_segment_vocab` + a broadcast join.
     """
     merges, state = _learn(docs, text_col, k)
+    spark = docs.sparkSession
+    # JVM inline table when the learned tokens allow it (r14): a
+    # pickled-RDD result frame pays a Python worker per action. Tokens
+    # with quotes/backslashes fall back to the general path.
+    from ..functions.vectors import inline_rows_df
+
+    fields = [("merge_rank", "BIGINT"), ("lhs", "STRING"),
+              ("rhs", "STRING"), ("merged", "STRING"),
+              ("pair_count", "BIGINT")]
+    try:
+        out = inline_rows_df(spark, merges, fields)
+    except ValueError:
+        out = spark.createDataFrame(
+            merges,
+            "merge_rank long, lhs string, rhs string, merged string, "
+            "pair_count long",
+        )
     state.unpersist()
-    return merges
+    return out
 
 
 def bpe_segment_vocab(

@@ -256,6 +256,137 @@ def conversion_attribution(
     )
 
 
+# plan-depth block size for the markov power iteration: bounds driver
+# analysis cost without paying a scheduling round-trip per iteration
+_MARKOV_CKPT_EVERY = 4
+
+
+def _markov_power_inplan(
+    grid: DataFrame, iters: int, START: str, CONV: str, NULL: str
+) -> DataFrame:
+    """The small-model markov power loop: the (rm, f, t, p) grid packed
+    into ONE row — an array of (rm, s, out-edges, direct) plus a
+    map<struct<rm,s>, double> probability vector — iterated with nested
+    pure-Project expressions (no joins, no exchanges; see the caller's
+    note). Arithmetic is the join loop's, term for term:
+
+    - edge contribution  round(bround(P * p_prev[rm, t], 9) * 1e9) as
+      decimal(38,0), summed exactly (the aggregate fold's decimal adds
+      are the join loop's spark.sql.sum — both exact, both
+      order-immune);
+    - a state with no out-edges folds to decimal 0 -> 0.0, which equals
+      the join loop's NULL-left-join coalesce;
+    - a target state missing from the vector contributes coalesce-0,
+      which equals the inner join dropping the edge (cannot happen for
+      this grid — every non-absorbing target is also a source — but the
+      guard keeps the fold NULL-safe);
+    - new p = bround(sum/1e9 + direct, 9), exactly the join loop's.
+    """
+    edges = F.collect_list(
+        F.when(
+            ~F.col("t").isin(CONV, NULL),
+            F.struct(F.col("t").alias("s"), F.col("p").alias("p")),
+        )
+    )
+    direct = F.max(F.when(F.col("t") == CONV, F.col("p")))
+    packed = (
+        grid.groupBy("rm", "f")
+        .agg(edges.alias("es"), direct.alias("d"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("rm").alias("rm"), F.col("f").alias("s"),
+                    F.col("es").alias("es"), F.col("d").alias("d"),
+                )
+            ).alias("g")
+        )
+    )
+    keys = F.transform(
+        F.col("g"),
+        lambda x: F.struct(x["rm"].alias("rm"), x["s"].alias("s")),
+    )
+    dec0 = F.lit(0).cast("decimal(38,0)")
+
+    def step(pm):
+        def val(x):
+            q = F.aggregate(
+                x["es"],
+                dec0,
+                lambda acc, e: acc
+                + F.coalesce(
+                    F.round(
+                        F.bround(
+                            e["p"]
+                            * F.element_at(
+                                pm,
+                                F.struct(
+                                    x["rm"].alias("rm"), e["s"].alias("s")
+                                ),
+                            ),
+                            9,
+                        )
+                        * F.lit(1e9)
+                    ).cast("decimal(38,0)"),
+                    dec0,
+                ),
+            )
+            return F.bround(
+                F.coalesce(q.cast("double") / F.lit(1e9), F.lit(0.0))
+                + F.coalesce(x["d"], F.lit(0.0)),
+                9,
+            )
+
+        return F.map_from_arrays(keys, F.transform(F.col("g"), val))
+
+    # iteration 1 closed-form: p0 = 0 makes every edge term exactly 0
+    # (round(bround(p*0, 9)*1e9) = 0), so p1 = bround(0.0 + coalesce(d,
+    # 0.0), 9) — the same value the join loop produces for it = 0.
+    # Each subsequent iteration is ONE Project per step, checkpointed
+    # EVERY iteration: pm must be a scan attribute when the next step's
+    # lambdas capture it — CollapseProject would otherwise inline the
+    # previous map EXPRESSION into the fold lambda, and an expression
+    # captured by a lambda re-evaluates per element (the r4 CDC-hoist
+    # trap), which nests exponentially across iterations (measured: a
+    # lazy 8-deep chain did not finish; per-iteration 1-row checkpoints
+    # are single-task ~50 ms jobs).
+    cur = packed.select(
+        "g",
+        F.map_from_arrays(
+            keys,
+            F.transform(
+                F.col("g"),
+                lambda x: F.bround(F.coalesce(x["d"], F.lit(0.0)), 9),
+            ),
+        ).alias("pm"),
+    ).localCheckpoint(eager=True)
+    for it in range(1, iters):
+        cur = cur.select("g", step(F.col("pm")).alias("pm"))
+        if (it + 1) < iters:
+            cur = cur.localCheckpoint(eager=True)
+    rms = F.array_distinct(
+        F.transform(
+            F.filter(F.col("g"), lambda x: x["rm"] != "-"),
+            lambda x: x["rm"],
+        )
+    )
+    row = cur.select(F.explode(rms).alias("channel"), F.col("pm"))
+    base = F.element_at(
+        F.col("pm"), F.struct(F.lit("-").alias("rm"), F.lit(START).alias("s"))
+    )
+    removed = F.element_at(
+        F.col("pm"),
+        F.struct(F.col("channel").alias("rm"), F.lit(START).alias("s")),
+    )
+    return row.select(
+        "channel",
+        base.alias("base_p"),
+        removed.alias("p_removed"),
+        F.when(
+            base > 0, F.bround((base - removed) / base, 9)
+        ).alias("removal_effect"),
+    )
+
+
 def markov_attribution(
     events: DataFrame,
     user_col: str,
@@ -302,10 +433,6 @@ def markov_attribution(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     START, CONV, NULL = "(start)", "(conv)", "(null)"
-    # plan-depth block size for the power iteration (see the phase-5
-    # note below): bounds driver analysis cost without paying a
-    # scheduling round-trip per iteration
-    _MARKOV_CKPT_EVERY = 4
     okey = F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
     w = Window.partitionBy(user_col).orderBy(okey)
     wu = Window.partitionBy(user_col)
@@ -333,11 +460,33 @@ def markov_attribution(
         user_col, type_col, ts_col, id_col, "__nconv",
         (F.col("__cc") + 1).alias("__j"),
     )
-    wj = Window.partitionBy(user_col, "__j").orderBy(okey)
-    seq = touches.withColumn("__prev", F.lag(type_col).over(wj)).withColumn(
-        "__next", F.lead(type_col).over(wj)
+    # r15 optimization (guide §2.1 — remove the exchange outright): the
+    # r14 form ran lag/lead over Window.partitionBy(user, __j), which
+    # re-shuffled AND re-sorted the corpus-sized touch stream on a NEW
+    # key — the plan's second-largest Exchange. But __j is a function of
+    # the (user, okey) ordering the stream ALREADY has from the __cc
+    # window: within a user, journeys are okey-contiguous runs of equal
+    # __j. So lag/lead over the SAME (user, okey) window plus a
+    # journey-boundary test on lag/lead(__j) produce the identical
+    # prev/next-within-journey values — the Filter preserves the __cc
+    # window's partitioning and sort order, so the second Window node
+    # needs no exchange and no sort. Transition multiset unchanged for
+    # any input whose (ts, id) order key is unique per user (the
+    # assumption lag/lead already make); oracle-re-proved at 3 SFs.
+    wt = Window.partitionBy(user_col).orderBy(okey)
+    # one select, one shared spec -> ONE Window node (withColumn chains
+    # interleave projections that block the CollapseWindow rule and
+    # re-sort per column)
+    seq = touches.select(
+        "*",
+        F.lag(type_col).over(wt).alias("__prev"),
+        F.lag("__j").over(wt).alias("__pj"),
+        F.lead("__j").over(wt).alias("__nj"),
     )
-    frm = F.coalesce(F.col("__prev"), F.lit(START))
+    frm = F.when(
+        F.col("__pj") == F.col("__j"),
+        F.coalesce(F.col("__prev"), F.lit(START)),
+    ).otherwise(F.lit(START))
     # transitions: prev->cur for every touch (start for the first), and
     # cur->absorber for the last touch of the journey
     step = F.struct(frm.alias("f"), F.col(type_col).alias("t"))
@@ -347,10 +496,11 @@ def markov_attribution(
         .otherwise(F.lit(NULL))
         .alias("t"),
     )
+    is_end = F.col("__nj").isNull() | (F.col("__nj") != F.col("__j"))
     counts = (
         seq.select(
             F.explode(
-                F.when(F.col("__next").isNull(), F.array(step, end))
+                F.when(is_end, F.array(step, end))
                 .otherwise(F.array(step))
             ).alias("__e")
         )
@@ -393,25 +543,45 @@ def markov_attribution(
         .agg(F.sum("p").alias("p"))
         .coalesce(1)
         .localCheckpoint(eager=True)
+        # r15: re-assert SinglePartition over the checkpoint scan (it
+        # reports UnknownPartitioning(0)) so the grouped aggregates
+        # below run exchange-free. NOTE (r15 measurement): this does NOT
+        # make the fallback JOIN loop exchange-free — Spark 4.1 inserts
+        # Exchange hashpartitioning(..., 32) under SortMergeJoin even
+        # when both children are SinglePartition (verified with a
+        # minimal probe, AQE on and off) — which is why the small-model
+        # path below leaves joins entirely.
+        .coalesce(1)
     )
     # p(rm, state): conversion probability per non-absorbing state.
-    # r14 optimization, phase 5 (guide §2.4/§2.1/§3.3): the loop state
-    # is MODEL-sized and already SinglePartition (the coalesce(1)
-    # above), which satisfies every join/aggregation distribution — so
-    # iterations run EXCHANGE-FREE (merge hints keep the planner off
-    # BroadcastHashJoin, whose BroadcastExchange is a per-join AQE
-    # query-stage job; SortMergeJoin on SinglePartition children needs
-    # no exchange at all). The recurrence is checkpointed every
-    # _MARKOV_CKPT_EVERY iterations, NOT every iteration and NOT never:
-    # the same-box A/B measured per-iteration checkpoints at 8.2 s /
-    # 162 jobs (pure scheduling) and one fully-lazy 16-deep plan at
-    # 11.7 s / 37 jobs (driver analysis of 48 stacked joins — the §3.3
-    # very-large-plan wall), while depth-4 blocks hold the 8.1 s wall
-    # with a third of the jobs (55) — the local wall is the corpus-
-    # sized journey build, not the model loop, exactly as 100 TB wants.
-    # Values are unchanged: checkpoint placement does not touch a
-    # single expression, and every sum is the 1e-9-quantized decimal
-    # fold (partition- and order-immune by the module contract).
+    # r15 optimization (guide §2.1/§5 — model state belongs in
+    # expressions once it is model-sized): when the grid fits
+    # spark.graft.modelLoopRows (the pagerank gate — row-count-based,
+    # never core-count-tied), the whole power iteration runs as nested
+    # expressions over ONE packed row — each iteration is a pure
+    # Project, which has NO required distribution, so the loop cannot
+    # pay a single exchange or join. The r14 join loop was measured at
+    # 51 jobs / ~7 s: Spark 4.1 inserts Exchange hashpartitioning under
+    # SortMergeJoin even for SinglePartition children (minimal-probe
+    # verified), so each of its iteration blocks paid several AQE
+    # query-stage jobs. The in-plan form replays the IDENTICAL
+    # arithmetic (per-edge bround 1e-9 quantization, exact
+    # decimal(38,0) sums — order-immune by the module contract, so the
+    # fold order of the packed arrays cannot matter) and is
+    # oracle-re-proved hash-exact at 3 SFs. The grid count is one cheap
+    # action over the checkpoint blocks just materialized.
+    loop_cap = int(
+        events.sparkSession.conf.get("spark.graft.modelLoopRows", "262144")
+    )
+    if grid.count() <= loop_cap:
+        out = _markov_power_inplan(grid, iters, START, CONV, NULL)
+        free_blocks(grid)
+        return out
+    # Large-model fallback: the r14 DataFrame join loop, checkpointed
+    # every _MARKOV_CKPT_EVERY iterations (A/B'd in r14: per-iteration
+    # checkpoints 8.2 s / 162 jobs, fully-lazy 16-deep join plan 11.7 s
+    # of driver analysis, depth-4 blocks 8.1 s / 55 jobs). Values are
+    # identical in both paths.
     states = grid.select("rm", F.col("f").alias("s")).distinct()
     p = states.select("rm", "s", F.lit(0.0).alias("p"))
     direct = grid.where(F.col("t") == CONV).select(
@@ -447,7 +617,9 @@ def markov_attribution(
         )
         p = new_p
         if (it + 1) % _MARKOV_CKPT_EVERY == 0 and (it + 1) < iters:
-            p = p.coalesce(1).localCheckpoint(eager=True)
+            # the trailing coalesce re-asserts SinglePartition over the
+            # checkpoint scan (see the grid note above)
+            p = p.coalesce(1).localCheckpoint(eager=True).coalesce(1)
     # final checkpoint: the base/removed split below reads p twice, and
     # this keeps that from re-running the tail of the recurrence
     p = p.localCheckpoint(eager=True)
