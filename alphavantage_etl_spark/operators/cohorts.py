@@ -264,11 +264,16 @@ _MARKOV_CKPT_EVERY = 4
 def _markov_power_inplan(
     grid: DataFrame, iters: int, START: str, CONV: str, NULL: str
 ) -> DataFrame:
-    """The small-model markov power loop: the (rm, f, t, p) grid packed
-    into ONE row — an array of (rm, s, out-edges, direct) plus a
-    map<struct<rm,s>, double> probability vector — iterated with nested
-    pure-Project expressions (no joins, no exchanges; see the caller's
-    note). Arithmetic is the join loop's, term for term:
+    """The small-model markov power loop: ONE row per removal variant
+    ``rm`` — an array of (state, out-edges, direct) plus a map<state,
+    double> probability vector — iterated with pure-Project expressions
+    (no joins, no exchanges; see the caller's note). Removal variants
+    never interact until the final base/removed split, so sharding the
+    packed state by ``rm`` keeps every map lookup O(|states|) (Spark map
+    element_at is a linear scan, so a single map over (rm, s) keys would
+    cost O(|rm| * |states|) PER LOOKUP — the per-rm shape bounds the
+    worst gated model at ~E x S x iters element ops instead of that
+    squared). Arithmetic is the join loop's, term for term:
 
     - edge contribution  round(bround(P * p_prev[rm, t], 9) * 1e9) as
       decimal(38,0), summed exactly (the aggregate fold's decimal adds
@@ -292,19 +297,17 @@ def _markov_power_inplan(
     packed = (
         grid.groupBy("rm", "f")
         .agg(edges.alias("es"), direct.alias("d"))
+        .groupBy("rm")
         .agg(
             F.collect_list(
                 F.struct(
-                    F.col("rm").alias("rm"), F.col("f").alias("s"),
+                    F.col("f").alias("s"),
                     F.col("es").alias("es"), F.col("d").alias("d"),
                 )
             ).alias("g")
         )
     )
-    keys = F.transform(
-        F.col("g"),
-        lambda x: F.struct(x["rm"].alias("rm"), x["s"].alias("s")),
-    )
+    keys = F.transform(F.col("g"), lambda x: x["s"])
     dec0 = F.lit(0).cast("decimal(38,0)")
 
     def step(pm):
@@ -315,16 +318,7 @@ def _markov_power_inplan(
                 lambda acc, e: acc
                 + F.coalesce(
                     F.round(
-                        F.bround(
-                            e["p"]
-                            * F.element_at(
-                                pm,
-                                F.struct(
-                                    x["rm"].alias("rm"), e["s"].alias("s")
-                                ),
-                            ),
-                            9,
-                        )
+                        F.bround(e["p"] * F.element_at(pm, e["s"]), 9)
                         * F.lit(1e9)
                     ).cast("decimal(38,0)"),
                     dec0,
@@ -347,10 +341,10 @@ def _markov_power_inplan(
     # previous map EXPRESSION into the fold lambda, and an expression
     # captured by a lambda re-evaluates per element (the r4 CDC-hoist
     # trap), which nests exponentially across iterations (measured: a
-    # lazy 8-deep chain did not finish; per-iteration 1-row checkpoints
-    # are single-task ~50 ms jobs).
+    # lazy 8-deep chain did not finish; per-iteration one-task
+    # checkpoints of |rm| rows are ~50 ms jobs).
     cur = packed.select(
-        "g",
+        "rm", "g",
         F.map_from_arrays(
             keys,
             F.transform(
@@ -358,32 +352,32 @@ def _markov_power_inplan(
                 lambda x: F.bround(F.coalesce(x["d"], F.lit(0.0)), 9),
             ),
         ).alias("pm"),
-    ).localCheckpoint(eager=True)
+    ).coalesce(1).localCheckpoint(eager=True)
     for it in range(1, iters):
-        cur = cur.select("g", step(F.col("pm")).alias("pm"))
+        cur = cur.select("rm", "g", step(F.col("pm")).alias("pm"))
         if (it + 1) < iters:
             cur = cur.localCheckpoint(eager=True)
-    rms = F.array_distinct(
-        F.transform(
-            F.filter(F.col("g"), lambda x: x["rm"] != "-"),
-            lambda x: x["rm"],
+    # final split, mirroring the join loop's out construction: the
+    # start-state probability per variant, base row broadcast across
+    # channel rows ((|channels|+1)-sized frames)
+    sp = cur.select(
+        "rm", F.element_at(F.col("pm"), F.lit(START)).alias("sp")
+    ).localCheckpoint(eager=True)
+    base = sp.where(F.col("rm") == "-").select(F.col("sp").alias("base_p"))
+    return (
+        sp.where(F.col("rm") != "-")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("rm").alias("channel"),
+            "base_p",
+            F.col("sp").alias("p_removed"),
+            F.when(
+                F.col("base_p") > 0,
+                F.bround(
+                    (F.col("base_p") - F.col("sp")) / F.col("base_p"), 9
+                ),
+            ).alias("removal_effect"),
         )
-    )
-    row = cur.select(F.explode(rms).alias("channel"), F.col("pm"))
-    base = F.element_at(
-        F.col("pm"), F.struct(F.lit("-").alias("rm"), F.lit(START).alias("s"))
-    )
-    removed = F.element_at(
-        F.col("pm"),
-        F.struct(F.col("channel").alias("rm"), F.lit(START).alias("s")),
-    )
-    return row.select(
-        "channel",
-        base.alias("base_p"),
-        removed.alias("p_removed"),
-        F.when(
-            base > 0, F.bround((base - removed) / base, 9)
-        ).alias("removal_effect"),
     )
 
 
@@ -570,8 +564,21 @@ def markov_attribution(
     # fold order of the packed arrays cannot matter) and is
     # oracle-re-proved hash-exact at 3 SFs. The grid count is one cheap
     # action over the checkpoint blocks just materialized.
-    loop_cap = int(
-        events.sparkSession.conf.get("spark.graft.modelLoopRows", "262144")
+    loop_cap = min(
+        int(
+            events.sparkSession.conf.get(
+                "spark.graft.modelLoopRows", "262144"
+            )
+        ),
+        # the in-plan fold pays ~|grid| x |states| element ops per
+        # iteration on one task (map element_at is a linear scan), so
+        # its gate is TIGHTER than the generic model-loop cap: 64k grid
+        # rows bounds the worst case near 2^28 element ops per run
+        int(
+            events.sparkSession.conf.get(
+                "spark.graft.inplanGridRows", "65536"
+            )
+        ),
     )
     if grid.count() <= loop_cap:
         out = _markov_power_inplan(grid, iters, START, CONV, NULL)

@@ -318,6 +318,103 @@ def connected_components_star(
     return labels
 
 
+def _pagerank_inplan(
+    enorm: DataFrame,
+    nodes_it: DataFrame,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+) -> DataFrame:
+    """The tiny-graph (dangling-free) power loop: the whole graph packed
+    into ONE row — per-node in-edge lists plus a map<node, rank> vector —
+    iterated with pure-Project expressions. No joins anywhere, so Spark
+    cannot insert an exchange (4.1 plans Exchange hashpartitioning under
+    SortMergeJoin even for SinglePartition children), and each iteration
+    is one single-task 1-row checkpoint job instead of the lazy join
+    loop's stack of AQE query-stage jobs. Map ``element_at`` is a linear
+    scan, so per-iteration cost is O(E x N) element ops — which is why
+    this path is gated at spark.graft.inplanGraphRows (default 4096,
+    ~1e7 ops per run), an order below the generic model-loop cap; the
+    lazy join loop keeps the mid-size tier. Arithmetic is the join
+    loop's, term for term: per-edge round(bround(rank*p, 9)*1e9) as
+    decimal(38,0), exact order-immune sums, missing in-edge list folds
+    to the left-join-miss 0, rank = bround(base + d*sum/1e9, 9).
+    Per-iteration checkpoints keep the captured rank map a scan
+    attribute (a captured expression re-evaluates per element and nests
+    exponentially — the r4 CDC-hoist trap).
+    """
+    quant = F.lit(10.0**9)
+    base = F.lit((1.0 - damping) / n_nodes)
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    nrow = nodes_it.agg(F.collect_list("node").alias("ns"))
+    # aligned collect_lists in ONE aggregate (single partition, single
+    # buffer -> identical row order) build the dst -> in-edges map
+    erow = (
+        enorm.groupBy("__dst")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("__src").alias("u"), F.col("__p").alias("p"))
+            ).alias("es")
+        )
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("__dst"), F.collect_list("es")
+            ).alias("em")
+        )
+    )
+    packed = (
+        nrow.hint("shuffle_replicate_nl")
+        .crossJoin(erow)
+        .select(
+            F.transform(
+                F.col("ns"),
+                lambda v: F.struct(
+                    v.alias("node"),
+                    F.element_at(F.col("em"), v).alias("es"),
+                ),
+            ).alias("g")
+        )
+    )
+    keys = F.transform(F.col("g"), lambda x: x["node"])
+
+    def step(rm):
+        def val(x):
+            q = F.aggregate(
+                x["es"],
+                dec0,
+                lambda acc, e: acc
+                + F.round(
+                    F.bround(F.element_at(rm, e["u"]) * e["p"], 9) * quant
+                ).cast("decimal(38,0)"),
+            )
+            return F.bround(
+                base
+                + F.lit(damping)
+                * (F.coalesce(q, dec0).cast("double") / quant),
+                9,
+            )
+
+        return F.map_from_arrays(keys, F.transform(F.col("g"), val))
+
+    r0 = F.map_from_arrays(
+        keys,
+        F.transform(
+            F.col("g"), lambda x: F.bround(F.lit(1.0 / n_nodes), 9)
+        ),
+    )
+    cur = packed.select("g", r0.alias("rm")).coalesce(1).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        cur = cur.select("g", step(F.col("rm")).alias("rm")).localCheckpoint(
+            eager=True
+        )
+    return cur.select(F.explode("g").alias("x"), F.col("rm")).select(
+        F.col("x.node").alias("node"),
+        F.element_at(F.col("rm"), F.col("x.node")).alias("rank"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -383,20 +480,34 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()  # bounded driver state: one scalar
-    out_w = e.groupBy("__src").agg(F.sum("__w").alias("__wout"))
+    out_w = e.groupBy("__src").agg(
+        F.sum("__w").alias("__wout"), F.count(F.lit(1)).alias("__cnt")
+    )
     enorm = (
         e.join(out_w, on="__src")
         .select("__src", "__dst", (F.col("__w") / F.col("__wout")).alias("__p"))
         .persist()
     )
-    dangling = nodes.join(
-        out_w.select(F.col("__src").alias("node")), on="node", how="anti"
+    # r15 (guide §1.4/§2.4 — one probe job, not three): node count,
+    # dangling presence, and edge count all come from ONE left join +
+    # aggregate (the anti-join the dangling probe already paid, kept
+    # cached for the dangling-mass loop path). The r14 form ran
+    # nodes.count() + dangling.limit(1).count() + enorm.count() as three
+    # scheduled jobs over the same caches (~1 s of pure job latency at
+    # sf0.1). Bounded driver state: three scalars.
+    nw = nodes.join(
+        out_w.select(F.col("__src").alias("node"), "__cnt"), on="node",
+        how="left",
     ).persist()
-    # one bounded probe: a dangling-free graph (most built graphs — every
-    # node has out-edges by construction) skips the per-iteration mass
-    # aggregate entirely, saving one job per iteration
-    has_dangling = dangling.limit(1).count() > 0
+    _st = nw.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("__cnt").alias("nsrc"),
+        F.sum("__cnt").alias("ne"),
+    ).collect()[0]
+    n_nodes = int(_st["n"])
+    has_dangling = _st["nsrc"] < n_nodes
+    n_edges = int(_st["ne"] or 0)
+    dangling = nw.where(F.col("__cnt").isNull()).select("node")
 
     # r14 optimization, phase 5 (guide §2.4/§2.1): when the whole model
     # (edges + nodes) is small, the power iteration runs EXCHANGE-FREE —
@@ -411,18 +522,28 @@ def pagerank(
     # threshold is row-count-based and conf-tunable
     # (spark.graft.modelLoopRows), not tied to local core counts; values
     # are identical either way (1e-9-quantized decimal sums, partition-
-    # order-immune by the module contract). enorm.count() is free here:
-    # it materializes the persisted cache the first iteration would
-    # have paid for anyway.
+    # order-immune by the module contract).
     loop_cap = int(
         edges.sparkSession.conf.get("spark.graft.modelLoopRows", "262144")
     )
     small_model = (
-        not has_dangling and enorm.count() + n_nodes <= loop_cap
+        not has_dangling and n_edges + n_nodes <= loop_cap
     )
     if small_model:
         enorm = enorm.coalesce(1).localCheckpoint(eager=True)
         nodes_it = nodes.coalesce(1).localCheckpoint(eager=True)
+        # r15: the TINY tier runs join-free over one packed row (see
+        # _pagerank_inplan); the lazy join loop below keeps the
+        # mid-size tier, the partitioned checkpointed loop the rest
+        inplan_cap = int(
+            edges.sparkSession.conf.get(
+                "spark.graft.inplanGraphRows", "4096"
+            )
+        )
+        if n_edges + n_nodes <= inplan_cap:
+            return _pagerank_inplan(
+                enorm, nodes_it, n_nodes, iters, damping
+            )
     else:
         nodes_it = nodes
 
