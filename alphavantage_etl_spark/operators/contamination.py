@@ -103,6 +103,7 @@ def ngram_contamination(
     threshold: float = 0.5,
     broadcast_bench: bool | None = None,
     broadcast_max_bytes: int = 64 << 20,
+    handles: list | None = None,
 ) -> DataFrame:
     """(corpus id, benchmark id, overlap) for every contaminated pair.
 
@@ -129,40 +130,46 @@ def ngram_contamination(
     while AQE would degrade gracefully to a shuffle join (same policy as
     the star-join dims, PERF.md #8).
     """
-    corp = _grams(corpus, text_col, id_col, "doc_id", k).select(
-        "doc_id", F.explode("__g").alias("__gram")
+    # explode_outer, NOT explode (r15, guide §1.2/§2.3): Catalyst infers
+    # a size(__g) > 0 filter under a plain explode
+    # (InferFiltersFromGenerate) and pushes it below _grams' spread_scan
+    # repartition — which re-computes the ENTIRE gram pipeline inside
+    # the narrow single-task scan stage, with lower(text) re-evaluated
+    # per gram position (the O(len^2) lambda trap; measured 3.3 s of
+    # 4.9 s total). explode_outer infers no filter; the one row it adds
+    # per NULL/empty gram array carries a NULL __gram, dropped by the
+    # cheap post-explode filter — the identical row multiset.
+    corp = (
+        _grams(corpus, text_col, id_col, "doc_id", k)
+        .select("doc_id", F.explode_outer("__g").alias("__gram"))
+        .where(F.col("__gram").isNotNull())
     )
-    bench = _grams(benchmark, text_col, id_col, "bench_id", k).select(
+    # r15 optimization (guide §1.4/§3.1 — compute the small side ONCE;
+    # decide from its real size): the r14 broadcast probe re-scanned the
+    # benchmark texts in a separate single-task aggregate job
+    # (length(lower(text)) over the whole text column — measured 3.4 s
+    # warm / 5.2 s cold at sf0.1, the query's dominant job). The bench
+    # gram ARRAYS (pre-explode, one row per bench doc — the compact
+    # form) are now built once in parallel (_grams spread_scans), kept
+    # cached, and the exact gram count read from the cache decides the
+    # join strategy; the join side explodes from the same cache, so the
+    # bench text column is scanned exactly once per run. Join strategy
+    # only — results unchanged. The cached frame is released via
+    # ``handles`` (operators.dedup.release convention) or at
+    # clearCache; it is bench-suite-sized (pre-explode), vanishing vs
+    # the corpus at 100 TB.
+    bench_g = _grams(benchmark, text_col, id_col, "bench_id", k).persist()
+    if handles is not None:
+        handles.append(bench_g)
+    if broadcast_bench is None:
+        n_grams = bench_g.agg(F.sum(F.size("__g"))).collect()[0][0]
+        broadcast_bench = (
+            n_grams is not None
+            and int(n_grams) * _GRAM_ROW_BYTES <= broadcast_max_bytes
+        )
+    bench = bench_g.select(
         "bench_id", F.size("__g").alias("__bn"), F.explode("__g").alias("__gram")
     )
-    if broadcast_bench is None:
-        broadcast_bench = _should_broadcast(bench, broadcast_max_bytes)
-        if not broadcast_bench:
-            # r14 optimization (guide §3.1/§7.4 — "compute the small
-            # side first; check its real size"): the file-level probe
-            # counts the WHOLE file even when the benchmark is a
-            # selective filter over it (this query's shape: an eval
-            # suite carved from the same table as the corpus), so it
-            # under-broadcasts and the corpus-sized gram explode pays a
-            # full shuffle. One exact narrow aggregate over the
-            # BENCHMARK slice (predicate-pushed scan of the id/text
-            # columns only, no gram hashing) decides from the true gram
-            # count instead. Join strategy only — results unchanged.
-            n_grams = benchmark.agg(
-                F.sum(
-                    F.coalesce(
-                        F.greatest(
-                            F.length(F.lower(F.col(text_col))) - (k - 1),
-                            F.lit(1),
-                        ),
-                        F.lit(0),
-                    )
-                )
-            ).collect()[0][0]
-            broadcast_bench = (
-                n_grams is not None
-                and int(n_grams) * _GRAM_ROW_BYTES <= broadcast_max_bytes
-            )
     if broadcast_bench:
         bench = F.broadcast(bench)
     shared = (

@@ -3143,58 +3143,108 @@ def mmr_rerank(
     def rnd(col: Column) -> Column:
         return F.bround(col, round_to) if round_to is not None else col
 
+    # r15 optimization (guide §2.1 — the loop becomes one expression):
+    # the r14 form ran k rounds of groupBy-argmax + equi-join with two
+    # localCheckpoints per round — 29 single-task scheduled jobs for
+    # k=5 at sf0.1, pure job latency since every frame is |Q| x m. The
+    # per-query candidate set is m-bounded by construction (top-m
+    # retrieval upstream), so the whole greedy selection folds into ONE
+    # aggregate(sequence(1, k)) expression over a collect_list-packed
+    # row per query: zero iteration jobs, and the work stays
+    # PARTITIONED BY QUERY — better than the join loop at every scale.
+    # Arithmetic is replayed term for term (same score/rnd/sim
+    # expressions, same (score, -id) argmax collation via struct
+    # array_max, same -2.0 sentinel, same incremental greatest()
+    # running max), so selections are bit-identical. Cost note: the
+    # argmax inside the fold re-evaluates per element (captured
+    # expression), making a round O(m^2) element ops instead of O(m) —
+    # for retrieval-bounded m this is noise; a caller with unbounded
+    # candidate sets pays m^2 where the join loop paid k joins.
     cand = cand_df.select(
         F.col(query_col).alias("__q"),
         F.col(id_col).alias("__c"),
         F.col(rel_col).cast("double").alias("__rel"),
         F.col(vec_col).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
-        F.lit(-2.0).alias("__ms"),
-    ).where(F.col("__n") > 0).localCheckpoint()
-    picked = None
-    for step in range(1, k + 1):
-        score = rnd(F.lit(lam) * F.col("__rel") - F.lit(om) * F.col("__ms"))
-        best = cand.groupBy("__q").agg(
-            F.max_by(
-                F.struct(
-                    F.col("__c").alias("bc"),
-                    F.col("__rel").alias("brel"),
-                    F.col("__v").alias("bv"),
-                    F.col("__n").alias("bn"),
+    ).where(F.col("__n") > 0)
+    packed = cand.groupBy("__q").agg(
+        F.collect_list(
+            F.struct(
+                F.col("__c").alias("c"), F.col("__rel").alias("rel"),
+                F.col("__v").alias("v"), F.col("__n").alias("n"),
+            )
+        ).alias("cs")
+    )
+
+    def score(x):
+        return rnd(F.lit(lam) * x["rel"] - F.lit(om) * x["ms"])
+
+    def step(st, i):
+        cands = st["cands"]
+        best = F.array_max(
+            F.transform(
+                cands,
+                lambda x: F.struct(
+                    score(x).alias("s"), (-x["c"]).alias("nc"),
+                    x["c"].alias("c"), x["rel"].alias("rel"),
+                    x["v"].alias("v"), x["n"].alias("n"),
                 ),
-                F.struct(score.alias("s"), (-F.col("__c")).alias("nc")),
-            ).alias("__b")
-        ).select("__q", "__b.*")
-        row = best.select(
-            "__q",
-            F.col("bc").alias(id_col),
-            F.col("brel").alias(rel_col),
-            F.lit(step).alias("rank"),
-        )
-        picked = row if picked is None else picked.unionByName(row)
-        if step == k:
-            break
-        nxt = (
-            cand.join(best, on="__q", how="inner")
-            .where(F.col("__c") != F.col("bc"))
-            .select(
-                "__q",
-                "__c",
-                "__rel",
-                "__v",
-                "__n",
-                F.greatest(
-                    F.col("__ms"),
-                    rnd(
-                        dot(F.col("__v"), F.col("bv"))
-                        / (F.col("__n") * F.col("bn"))
-                    ),
-                ).alias("__ms"),
             )
         )
-        cand = nxt.localCheckpoint()
-    return picked.select(
-        F.col("__q").alias(query_col), id_col, rel_col, "rank"
+        new_cands = F.transform(
+            F.filter(cands, lambda x: x["c"] != best["c"]),
+            lambda x: F.struct(
+                x["c"].alias("c"), x["rel"].alias("rel"),
+                x["v"].alias("v"), x["n"].alias("n"),
+                F.greatest(
+                    x["ms"],
+                    rnd(dot(x["v"], best["v"]) / (x["n"] * best["n"])),
+                ).alias("ms"),
+            ),
+        )
+        new_picks = F.concat(
+            st["picks"],
+            F.array(
+                F.struct(
+                    best["c"].alias("c"), best["rel"].alias("rel"),
+                    i.cast("int").alias("rank"),
+                )
+            ),
+        )
+        return F.when(
+            F.size(cands) > 0,
+            F.struct(new_cands.alias("cands"), new_picks.alias("picks")),
+        ).otherwise(st)
+
+    cands0 = F.transform(
+        F.col("cs"),
+        lambda x: F.struct(
+            x["c"].alias("c"), x["rel"].alias("rel"), x["v"].alias("v"),
+            x["n"].alias("n"), F.lit(-2.0).alias("ms"),
+        ),
+    )
+    # empty picks array of the generic (c-typed) pick struct: a slice of
+    # length 0 keeps the element type without naming it
+    picks0 = F.slice(
+        F.transform(
+            F.col("cs"),
+            lambda x: F.struct(
+                x["c"].alias("c"), x["rel"].alias("rel"),
+                F.lit(0).cast("int").alias("rank"),
+            ),
+        ),
+        1, 0,
+    )
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)),
+        F.struct(cands0.alias("cands"), picks0.alias("picks")),
+        step,
+    )
+    return packed.select("__q", F.explode(final["picks"]).alias("__p")).select(
+        F.col("__q").alias(query_col),
+        F.col("__p.c").alias(id_col),
+        F.col("__p.rel").alias(rel_col),
+        F.col("__p.rank").alias("rank"),
     )
 
 
