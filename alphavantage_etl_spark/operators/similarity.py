@@ -106,6 +106,18 @@ def embedding_near_dups(
         F.col(vec_col).alias("__v"),
         l2_norm(vec_col, dim).alias("__n"),
     )
+    # r15 (guide §2.2 — AQE coalesces by BYTES, this stage costs CPU):
+    # the pair stage's input is a few MB, so AQE's post-shuffle
+    # coalescing merged the block shuffle down to ~2 partitions and ran
+    # the sum-of-|cell|^2 dot products nearly serially (measured: a
+    # 2-task 1.9 s stage inside q_negative_samples). An explicit-N
+    # repartition (REPARTITION_BY_NUM is never AQE-coalesced) pins the
+    # pair stage at the session's shuffle width — the same width the
+    # exchange would have had at data scale, from conf, never a local
+    # constant. Both self-join sides read the one repartitioned frame,
+    # so exchange reuse keeps it a single shuffle.
+    par = int(sel.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sel = sel.repartition(par, "__blk")
     a, b = sel.alias("a"), sel.alias("b")
     na, nb = F.col("a.__n"), F.col("b.__n")
     sim = F.when(
